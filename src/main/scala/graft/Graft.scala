@@ -1,0 +1,22 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session preparation shared by every query entry point.
+  *
+  * Spark 4 enables ANSI mode by default; the reference's cast semantics
+  * (string→number coercion returns absent/zero on failure, never throws —
+  * `pkg/xe/xe.go:69-107`) and the DuckDB oracle comparisons both want
+  * permissive NULL-on-miscast behavior, so we pin ANSI off, UTC, and AQE on
+  * (skew-join handling is part of the north rule).
+  */
+object Graft {
+  def prep(spark: SparkSession): SparkSession = {
+    val c = spark.conf
+    c.set("spark.sql.ansi.enabled", "false")
+    c.set("spark.sql.session.timeZone", "UTC")
+    c.set("spark.sql.adaptive.enabled", "true")
+    c.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    spark
+  }
+}

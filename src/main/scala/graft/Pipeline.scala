@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.{Enrich, Grok}
+import graft.operators.{Filters, Routing}
+import graft.sources.Transcripts
+
+/** The end-to-end batch pipeline: parse → enrich → filter → route —
+  * the Spark-native equivalent of the reference's per-event chain
+  * (`pkg/app/process_session.go:117-335`), expressed as one declarative
+  * plan so Catalyst fuses every projection/filter into a single
+  * WholeStageCodegen pass over the parquet scan.
+  */
+object Pipeline {
+
+  /** parse + errorlog split (P1-P7). */
+  def parsed(spark: SparkSession, sfDir: String): DataFrame =
+    Grok.parseErrorlog(Grok.parse(Transcripts.load(spark, sfDir)))
+
+  /** parse + full enrichment (E1-E12). */
+  def enriched(spark: SparkSession, sfDir: String): DataFrame =
+    Enrich.enrich(parsed(spark, sfDir), spark)
+
+  /** parse + enrich + filters (F1-F5). */
+  def filtered(spark: SparkSession, sfDir: String): DataFrame =
+    Filters.standard(enriched(spark, sfDir))
+
+  /** Full routed frame incl. sink_index and the serialized NDJSON doc
+    * (P13, `pkg/xe/xe.go:816-825`): to_json over the payload struct with
+    * null fields dropped — matching the reference's absent-key semantics
+    * (SURVEY.md §7.4.2). */
+  def routed(spark: SparkSession, sfDir: String): DataFrame = {
+    val f = Routing.withSinkIndex(filtered(spark, sfDir), spark)
+    f.withColumn("doc_json",
+      to_json(struct(
+        col("name"), col("conv_id"), col("turn_idx"), col("role"), col("tool"),
+        col("ts").as("@timestamp"),
+        col("error_number"), col("severity_num"), col("state_num"),
+        col("client_addr"), col("xe_severity_value"), col("xe_severity_keyword"),
+        col("xe_category"), col("xe_description"), col("xe_acct_app"),
+        col("entity_name"), col("sink_index"))))
+  }
+}

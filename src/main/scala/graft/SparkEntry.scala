@@ -1,13 +1,226 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.{Enrich, Grok}
+import graft.operators.{Filters, Routing, TurnOrdering}
+import graft.sources.{Lookups, Transcripts}
+import graft.Oracle._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  * Every `queries` entry is one operator from SURVEY.md §2; its `oracleSql`
+  * twin is an independent DuckDB re-implementation over the identical
+  * synthesized transcript input.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
+    * the full parse→enrich→filter→route pipeline. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Pipeline.routed(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_transcripts" -> ((s, d) => Transcripts.loadCanonical(s, d)),
+
+    "q02_parse_grok" -> ((s, d) =>
+      Pipeline.parsed(s, d).select(
+        col("conv_id"), col("turn_idx"), col("name"),
+        col("error_number"), col("severity_num"), col("state_num"),
+        col("client_addr"), col("principal"), col("app_name"), col("host_name"),
+        col("cpu_time"), col("duration"), col("logical_reads"),
+        col("physical_reads"), col("writes"), col("row_count"),
+        col("db_id"), col("wait_type"), col("signal_duration"), col("session_id"))),
+
+    "q03_errorlog_parse" -> ((s, d) =>
+      Pipeline.parsed(s, d).filter(col("name") === "errorlog_written")
+        .select(col("conv_id"), col("turn_idx"),
+          col("errorlog_process"), col("errorlog_message"))),
+
+    "q04_severity" -> ((s, d) =>
+      Pipeline.parsed(s, d)
+        .withColumn("xe_severity_value", Enrich.severityValue)
+        .withColumn("xe_severity_keyword", Enrich.severityKeyword(col("xe_severity_value")))
+        .select("conv_id", "turn_idx", "name", "xe_severity_value", "xe_severity_keyword")),
+
+    "q05_category" -> ((s, d) =>
+      Pipeline.parsed(s, d).withColumn("xe_category", Enrich.category)
+        .select("conv_id", "turn_idx", "xe_category")),
+
+    "q06_units" -> ((s, d) =>
+      Enrich.withUnits(Pipeline.parsed(s, d))
+        .select("conv_id", "turn_idx", "duration_sec", "cpu_time_sec",
+          "logical_reads_mb", "physical_reads_mb", "writes_mb")),
+
+    "q07_acct_app" -> ((s, d) =>
+      Pipeline.parsed(s, d)
+        .withColumn("xe_acct_app", Enrich.acctApp)
+        .withColumn("xe_acct_app_client", Enrich.acctAppClient)
+        .select("conv_id", "turn_idx", "xe_acct_app", "xe_acct_app_client")),
+
+    "q08_state_desc" -> ((s, d) =>
+      Pipeline.parsed(s, d)
+        .withColumn("xe_state_description", Enrich.stateDescription)
+        .filter(col("xe_state_description").isNotNull)
+        .select("conv_id", "turn_idx", "xe_state_description")),
+
+    "q09_lag_window" -> ((s, d) =>
+      Pipeline.parsed(s, d)
+        .withColumn("prev_name",
+          lag(col("name"), 1).over(Window.partitionBy("conv_id").orderBy("turn_idx")))
+        .select("conv_id", "turn_idx", "name", "prev_name")),
+
+    "q10_description" -> ((s, d) =>
+      Pipeline.parsed(s, d).withColumn("xe_description", Enrich.description)
+        .select("conv_id", "turn_idx", "xe_description"))
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_transcripts" -> withTranscripts(
+      "SELECT conv_id, turn_idx, role, text, tool, ts FROM transcripts"),
+
+    "q02_parse_grok" -> withTranscripts(s"""
+SELECT conv_id, turn_idx,
+  $oName AS name,
+  ${oTriple(1)} AS error_number,
+  ${oTriple(2)} AS severity_num,
+  ${oTriple(3)} AS state_num,
+  $oClient AS client_addr,
+  $oPrincipal AS principal,
+  ${oKvStr("app")} AS app_name,
+  ${oKvStr("host")} AS host_name,
+  ${oKvNum("cpu_time")} AS cpu_time,
+  ${oKvNum("duration")} AS duration,
+  ${oKvNum("logical_reads")} AS logical_reads,
+  ${oKvNum("physical_reads")} AS physical_reads,
+  ${oKvNum("writes")} AS writes,
+  ${oKvNum("row_count")} AS row_count,
+  ${oKvNum("db_id")} AS db_id,
+  ${oKvStr("wait_type")} AS wait_type,
+  ${oKvNum("signal_duration")} AS signal_duration,
+  ${oKvNum("session_id")} AS session_id
+FROM transcripts"""),
+
+    "q03_errorlog_parse" -> withTranscripts(s"""
+SELECT conv_id, turn_idx,
+  lower(toks[3]) AS errorlog_process,
+  CASE WHEN lower(toks[3]) = 'logon'
+       THEN array_to_string(string_split(array_to_string(toks[4:], ' '), ' ')[3:], ' ')
+       ELSE array_to_string(toks[4:], ' ') END AS errorlog_message
+FROM (
+  SELECT conv_id, turn_idx,
+    string_split(regexp_replace(regexp_replace(text, '^event=[a-z_0-9]+ ', ''), '\\s+', ' ', 'g'), ' ') AS toks
+  FROM transcripts WHERE text LIKE 'event=errorlog_written%'
+) a"""),
+
+    "q04_severity" -> withTranscripts(s"""
+SELECT conv_id, turn_idx, name,
+  sev AS xe_severity_value,
+  CASE sev WHEN 3 THEN 'err' WHEN 4 THEN 'warning' ELSE 'info' END AS xe_severity_keyword
+FROM (
+  SELECT conv_id, turn_idx, $oName AS name,
+    CASE WHEN $oName = 'error_reported' AND ${oTriple(2)} >= 11 THEN 3
+         WHEN $oName = 'errorlog_written' AND ${oTriple(2)} >= 11 THEN 3
+         WHEN $oName = 'wait_info' THEN 4
+         ELSE 6 END AS sev
+  FROM transcripts
+) a"""),
+
+    "q05_category" -> withTranscripts(s"""
+SELECT conv_id, turn_idx,
+  CASE WHEN $oName = 'sql_batch_completed' THEN 'tsql'
+       WHEN $oName = 'wait_info' THEN 'wait'
+       ELSE $oName END AS xe_category
+FROM transcripts"""),
+
+    "q06_units" -> withTranscripts(s"""
+SELECT conv_id, turn_idx,
+  CASE WHEN dur >= 1000000 THEN CAST(floor(dur / 1000000) AS BIGINT) END AS duration_sec,
+  CASE WHEN cpu >= 1000000 THEN CAST(floor(cpu / 1000000) AS BIGINT) END AS cpu_time_sec,
+  CASE WHEN lr >= 128 THEN CAST(floor(lr / 128) AS BIGINT) END AS logical_reads_mb,
+  CASE WHEN pr >= 128 THEN CAST(floor(pr / 128) AS BIGINT) END AS physical_reads_mb,
+  CASE WHEN wr >= 128 THEN CAST(floor(wr / 128) AS BIGINT) END AS writes_mb
+FROM (
+  SELECT conv_id, turn_idx,
+    ${oKvNum("duration")} AS dur, ${oKvNum("cpu_time")} AS cpu,
+    ${oKvNum("logical_reads")} AS lr, ${oKvNum("physical_reads")} AS pr,
+    ${oKvNum("writes")} AS wr
+  FROM transcripts
+) a"""),
+
+    "q07_acct_app" -> withTranscripts(s"""
+SELECT conv_id, turn_idx,
+  acct AS xe_acct_app,
+  CASE WHEN host IS NOT NULL AND acct IS NOT NULL THEN acct || ' (' || host || ')'
+       ELSE acct END AS xe_acct_app_client
+FROM (
+  SELECT conv_id, turn_idx, host,
+    CASE WHEN p IS NOT NULL AND a IS NOT NULL THEN p || ' - ' || a
+         WHEN p IS NOT NULL THEN p ELSE a END AS acct
+  FROM (
+    SELECT conv_id, turn_idx, $oPrincipal AS p, ${oKvStr("app")} AS a,
+      ${oKvStr("host")} AS host
+    FROM transcripts
+  ) i
+) a"""),
+
+    "q08_state_desc" -> withTranscripts(s"""
+SELECT conv_id, turn_idx, d AS xe_state_description
+FROM (SELECT conv_id, turn_idx, $oState18456 AS d FROM transcripts) a
+WHERE d IS NOT NULL"""),
+
+    "q09_lag_window" -> withTranscripts(s"""
+SELECT conv_id, turn_idx, $oName AS name,
+  lag($oName, 1) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev_name
+FROM transcripts"""),
+
+    "q10_description" -> withTranscripts(s"""
+SELECT conv_id, turn_idx,
+  CASE
+    WHEN name = 'login' THEN
+      'Login: ' || p ||
+      CASE WHEN host IS NOT NULL THEN ' from ' || host ELSE '' END ||
+      CASE WHEN a IS NOT NULL THEN ' using ' || a ELSE '' END
+    WHEN name = 'error_reported' THEN
+      '(Msg ' || en || ', Level ' || sev || ', State ' || st || ') ' ||
+      CASE WHEN length(body) > 300 THEN substr(body, 1, 300) || '...' ELSE body END
+    WHEN name = 'sql_batch_completed' THEN
+      '(CPU: ' || CAST(floor(cpu / 1000) AS BIGINT) || 'ms; L: ' ||
+      CASE WHEN lr >= 128 THEN CAST(floor(lr / 128) AS BIGINT) || ' MB' ELSE (lr * 8) || ' KB' END ||
+      '; W: ' ||
+      CASE WHEN wr >= 128 THEN CAST(floor(wr / 128) AS BIGINT) || ' MB' ELSE (wr * 8) || ' KB' END ||
+      ') ' ||
+      CASE WHEN length(bt) > 300 THEN substr(bt, 1, 300) || '...' ELSE bt END
+    WHEN name = 'wait_info' THEN
+      '(' ||
+      CASE WHEN dur >= 3600000000 THEN CAST(floor(floor(dur/1000000) / 3600) AS BIGINT) || 'h' || CAST(floor((CAST(floor(dur/1000000) AS BIGINT) % 3600) / 60) AS BIGINT) || 'm'
+           WHEN dur >= 60000000 THEN CAST(floor(floor(dur/1000000) / 60) AS BIGINT) || 'm' || (CAST(floor(dur/1000000) AS BIGINT) % 60) || 's'
+           WHEN dur >= 1000000 THEN CAST(floor(dur/1000000) AS BIGINT) || 's'
+           WHEN dur >= 1000 THEN CAST(floor(dur/1000) AS BIGINT) || 'ms'
+           ELSE dur || 'us' END ||
+      ') ' || wt
+    WHEN name = 'errorlog_written' THEN
+      CASE WHEN length(lmsg) > 300 THEN substr(lmsg, 1, 300) || '...' ELSE lmsg END
+    ELSE CASE WHEN length(body) > 300 THEN substr(body, 1, 300) || '...' ELSE body END
+  END AS xe_description
+FROM (
+  SELECT conv_id, turn_idx, name, body, p, a, host, en, sev, st, cpu, lr, wr, dur, wt, bt,
+    CASE WHEN lower(toks[3]) = 'logon'
+         THEN array_to_string(string_split(array_to_string(toks[4:], ' '), ' ')[3:], ' ')
+         ELSE array_to_string(toks[4:], ' ') END AS lmsg
+  FROM (
+    SELECT conv_id, turn_idx,
+      $oName AS name,
+      regexp_replace(text, '^event=[a-z_0-9]+ ', '') AS body,
+      $oPrincipal AS p, ${oKvStr("app")} AS a, ${oKvStr("host")} AS host,
+      ${oTriple(1)} AS en, ${oTriple(2)} AS sev, ${oTriple(3)} AS st,
+      ${oKvNum("cpu_time")} AS cpu, ${oKvNum("logical_reads")} AS lr,
+      ${oKvNum("writes")} AS wr, ${oKvNum("duration")} AS dur,
+      ${oKvStr("wait_type")} AS wt,
+      NULLIF(regexp_extract(text, 'batch_text=(.*)$$', 1), '') AS bt,
+      string_split(regexp_replace(regexp_replace(text, '^event=[a-z_0-9]+ ', ''), '\\s+', ' ', 'g'), ' ') AS toks
+    FROM transcripts
+  ) i
+) a""")
+  )
 }

@@ -1,0 +1,98 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The parse stage: a vectorized regex battery over `text`, the Spark-first
+  * re-expression of the reference's XML/errorlog parse kernel
+  * (`pkg/xe/xe.go:125-252` and `:339-403`). Everything is a codegen'd
+  * `Column` expression — no UDFs — so the whole battery fuses into one
+  * WholeStageCodegen span over the parquet scan (SURVEY.md §4).
+  */
+object Grok {
+
+  /** `Error:\s(\d+),\sSeverity:\s(\d+),\sState:\s(\d+)` — pkg/xe/xe.go:20 */
+  val ErrorTriple = """Error: (\d+), Severity: (\d+), State: (\d+)"""
+
+  /** `\[CLIENT: ([^][]*)]` — pkg/xe/xe.go:22 */
+  val ClientAddr = """\[CLIENT: ([^\]\[]*)\]"""
+
+  private def num(c: Column): Column = when(c === "", null).otherwise(c).cast("long")
+
+  /** Extract a `key=value` numeric field (resource-usage fields,
+    * xe_units analog — pkg/xe/xe_units.go:5-36). */
+  def kvNum(text: Column, key: String): Column =
+    num(regexp_extract(text, key + """=(\d+)""", 1))
+
+  def kvStr(text: Column, key: String): Column = {
+    val v = regexp_extract(text, key + """=([^ ]+)""", 1)
+    when(v === "", null).otherwise(v)
+  }
+
+  /** Event-name envelope, the analog of the XML `<event name=...>` attr
+    * (pkg/xe/xe.go:44, :175). */
+  def eventName(text: Column): Column =
+    regexp_extract(text, "^event=([a-z_0-9]+)", 1)
+
+  /** Full parse projection: transcript turns → flat typed event columns.
+    * One `select`, all expressions, single pass (the reference's
+    * `xe.Parse` equivalent, pkg/xe/xe.go:125-252). */
+  def parse(turns: DataFrame): DataFrame = {
+    val t = col("text")
+    val body = regexp_replace(t, "^event=[a-z_0-9]+ ", "")
+    turns.withColumns(Map(
+      "name"            -> eventName(t),
+      "body"            -> body,
+      "error_number"    -> num(regexp_extract(t, ErrorTriple, 1)),
+      "severity_num"    -> num(regexp_extract(t, ErrorTriple, 2)),
+      "state_num"       -> num(regexp_extract(t, ErrorTriple, 3)),
+      "client_addr"     -> { val v = regexp_extract(t, ClientAddr, 1); when(v === "", null).otherwise(v) },
+      "principal"       -> coalesce(kvStr(t, "principal"), { val v = regexp_extract(t, """user '([^']*)'""", 1); when(v === "", null).otherwise(v) }),
+      "app_name"        -> kvStr(t, "app"),
+      "host_name"       -> kvStr(t, "host"),
+      "cpu_time"        -> kvNum(t, "cpu_time"),
+      "duration"        -> kvNum(t, "duration"),
+      "logical_reads"   -> kvNum(t, "logical_reads"),
+      "physical_reads"  -> kvNum(t, "physical_reads"),
+      "writes"          -> kvNum(t, "writes"),
+      "row_count"       -> kvNum(t, "row_count"),
+      "db_id"           -> kvNum(t, "db_id"),
+      "signal_duration" -> kvNum(t, "signal_duration"),
+      "session_id"      -> kvNum(t, "session_id"),
+      "wait_type"       -> kvStr(t, "wait_type"),
+      "batch_text"      -> { val v = regexp_extract(t, "batch_text=(.*)$", 1); when(v === "", null).otherwise(v) }
+    ))
+  }
+
+  // ---- errorlog parse (pkg/xe/xe.go:339-403) -------------------------------
+
+  /** Whitespace collapse `\s+` → " " (pkg/xe/xe.go:21,346). */
+  def collapseWs(c: Column): Column = regexp_replace(c, """\s+""", " ")
+
+  /** Errorlog line split: after `event=errorlog_written `, the line is
+    * `DATE TIME PROCESS MESSAGE...`; process is lowered; for the `Logon`
+    * process the repeated `DATE TIME ` prefix of the message is stripped
+    * (pkg/xe/xe.go:382-398). Adds errorlog_process / errorlog_message /
+    * errorlog_raw to errorlog_written rows (null elsewhere). */
+  def parseErrorlog(parsed: DataFrame): DataFrame = {
+    val isLog = col("name") === "errorlog_written"
+    val raw = collapseWs(col("body"))
+    val toks = split(raw, " ")
+    val proc = lower(element_at(toks, 3))
+    // message = tokens from 4 on
+    val msg0 = array_join(slice(toks, 4, 1000000), " ")
+    // Logon: strip the repeated timestamp (first two tokens of the message)
+    val msgToks = split(msg0, " ")
+    val msg = when(proc === "logon", array_join(slice(msgToks, 3, 1000000), " ")).otherwise(msg0)
+    parsed.withColumns(Map(
+      "errorlog_raw"     -> when(isLog, raw),
+      "errorlog_process" -> when(isLog, proc),
+      "errorlog_message" -> when(isLog, msg)
+    ))
+  }
+
+  /** Unicode-safe left-truncate with "..." suffix (pkg/xe/xe.go:907-937);
+    * Spark substring counts codepoints, matching the rune semantics. */
+  def left(c: Column, n: Int): Column =
+    when(length(c) > n, concat(substring(c, 1, n), lit("..."))).otherwise(c)
+}

@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The filter stage (`pkg/app/process_session.go:117-269`): the ordered
+  * include/exclude rule chain plus the fixed predicates, all folded into
+  * plain Catalyst predicates so they are pushed/pruned by stock rules.
+  */
+object Filters {
+
+  /** F1: case-insensitive event-name blacklist
+    * (process_session.go:200-203; utilities.go:93-101). */
+  def excludeEvents(names: Seq[String]): Column =
+    if (names.isEmpty) lit(true)
+    else !lower(col("name")).isin(names.map(_.toLowerCase): _*)
+
+  /** F2: start_at / stop_at range (process_session.go:205-217). The
+    * reference "break"s the scan at stop_at; under Spark ordering-free
+    * scan semantics it is an identical-output predicate (SURVEY.md §7.4.4). */
+  def tsRange(startAt: Option[java.sql.Timestamp], stopAt: Option[java.sql.Timestamp]): Column = {
+    val lo = startAt.map(col("ts") >= lit(_)).getOrElse(lit(true))
+    val hi = stopAt.map(col("ts") <= lit(_)).getOrElse(lit(true))
+    lo && hi
+  }
+
+  /** F3: drop error_reported #17830 (process_session.go:219-225); our
+    * corpus analog drops a configurable error number. */
+  def excludeErrorNumber(n: Long): Column =
+    !(col("name") === "error_reported" && col("error_number") === n)
+
+  /** F4: dbghelp.dll suppression (process_session.go:227-233). */
+  def dbghelpSuppression: Column =
+    !(col("name") === "errorlog_written" &&
+      lower(col("text")).contains("using 'dbghelp.dll'"))
+
+  /** One rule of the ordered filter chain: all fields must match
+    * (config_struct.go:144; process_session.go:240-269). */
+  final case class FilterRule(action: String, conditions: Map[String, Any])
+
+  /** F5: last-match-wins fold. Later rules are folded outermost, so the
+    * last matching rule decides — exactly the reference's semantics where
+    * every rule is evaluated and the final match's action sticks. */
+  def filterChain(rules: Seq[FilterRule], default: String = "include"): Column = {
+    val action = rules.foldLeft(lit(default)) { (acc, r) =>
+      val cond = r.conditions.map { case (f, v) => col(f) === lit(v) }
+        .reduce(_ && _)
+      when(cond, lit(r.action)).otherwise(acc)
+    }
+    action === "include"
+  }
+
+  /** The canonical config fixture used by tests and the verify queries
+    * (FIXTURES.md §3): exclude waits, re-include waits from sql_query,
+    * exclude system-role 18456s. */
+  val defaultRules: Seq[FilterRule] = Seq(
+    FilterRule("exclude", Map("name" -> "wait_info")),
+    FilterRule("include", Map("name" -> "wait_info", "tool" -> "sql_query")),
+    FilterRule("exclude", Map("error_number" -> 18456L, "role" -> "system"))
+  )
+
+  /** The full standard predicate stack applied by the pipeline. */
+  def standard(df: DataFrame): DataFrame =
+    df.filter(
+      excludeEvents(Seq("connectivity_ring_buffer_recorded")) &&
+        excludeErrorNumber(18330L) &&
+        dbghelpSuppression &&
+        filterChain(defaultRules))
+}

@@ -1,0 +1,114 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Broadcastable dimension snapshots — the analog of the reference's
+  * `SQLInfo` lookup caches fetched once per connection
+  * (`pkg/xe/sqlinfo.go:13-34`, loaded at `:79-211`). Each dim exists twice:
+  * as a Spark DataFrame builder (engine side) and as a DuckDB-compatible SQL
+  * snippet (oracle side) — tiny, deterministic, kept in sync by the
+  * LookupsSpec parity test.
+  */
+object Lookups {
+
+  // ---- tool_info: analog of server properties / version map
+  // (pkg/xe/sqlinfo.go:79-127) -----------------------------------------------
+  val toolInfoRows: Seq[(String, String, String, String)] = Seq(
+    ("sql_query",   "dbteam",   "16.0", "query"),
+    ("file_search", "fsteam",   "2.1",  "search"),
+    ("web_fetch",   "webteam",  "5.4",  "io"),
+    ("code_run",    "exec",     "1.0",  "compute"),
+    ("calculator",  "mathteam", "0.9",  "compute")
+  )
+  def toolInfo(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    toolInfoRows.toDF("tool", "vendor", "version", "tool_category")
+  }
+  val toolInfoSql: String =
+    "SELECT * FROM (VALUES " + toolInfoRows.map { case (t, v, ver, c) =>
+      s"('$t','$v','$ver','$c')"
+    }.mkString(", ") + ") AS tool_info(tool, vendor, version, tool_category)"
+
+  // ---- role_severity: severity floor per role (xe.go:433-469 seed) ---------
+  val roleSeverityRows: Seq[(String, Int)] =
+    Seq(("user", 6), ("assistant", 6), ("tool", 4), ("system", 3))
+  def roleSeverity(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    roleSeverityRows.toDF("role", "role_severity")
+  }
+  val roleSeveritySql: String =
+    "SELECT * FROM (VALUES " + roleSeverityRows.map { case (r, s) => s"('$r',$s)" }
+      .mkString(", ") + ") AS role_severity(role, role_severity)"
+
+  // ---- entity_names: as-of dimension, the databases id→(name, create_date)
+  // analog (pkg/xe/sqlinfo.go:296-321; as-of guard pkg/xe/xe.go:407-431).
+  // Each entity has versions; validity = [valid_from, next valid_from).
+  val entityNameRows: Seq[(Long, String, String)] = (1L to 8L).flatMap { id =>
+    Seq(
+      (id, s"db_${id}_v1", "2024-01-01 00:00:00"),
+      (id, s"db_${id}_v2", s"2024-0${(id % 6) + 2}-15 00:00:00")
+    )
+  }
+  def entityNames(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    entityNameRows.toDF("entity_id", "name", "valid_from_s")
+      .withColumn("valid_from", to_timestamp(col("valid_from_s")))
+      .drop("valid_from_s")
+  }
+  val entityNamesSql: String =
+    "SELECT entity_id, name, CAST(valid_from_s AS TIMESTAMP) AS valid_from FROM (VALUES " +
+      entityNameRows.map { case (i, n, v) => s"($i,'$n','$v')" }.mkString(", ") +
+      ") AS e(entity_id, name, valid_from_s)"
+
+  // ---- login_error_ids: `%login failed%` semi-join set
+  // (pkg/xe/sqlinfo.go:244-270) ----------------------------------------------
+  val loginErrorIds: Seq[Long] = Seq(18456L, 18401L, 18452L, 18470L, 17892L)
+  def loginErrors(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    loginErrorIds.toDF("error_number")
+  }
+  val loginErrorsSql: String =
+    "SELECT * FROM (VALUES " + loginErrorIds.map(i => s"($i)").mkString(", ") +
+      ") AS l(error_number)"
+
+  // ---- logged_error_ids: is_event_logged set (~1300 ids in the reference,
+  // pkg/xe/sqlinfo.go:272-294); here: ids in [18000,18500) with id%7==3 ------
+  def loggedErrors(spark: SparkSession): DataFrame =
+    spark.range(18000, 18500).filter(col("id") % 7 === 3)
+      .select(col("id").as("error_number"))
+  val loggedErrorsSql: String =
+    "SELECT 18000 + i AS error_number FROM range(500) t(i) WHERE (18000 + i) % 7 = 3"
+
+  // ---- sink_index_map: elastic event→index routing with default
+  // (pkg/sink/sink_elastic.go:122-126; config_struct.go:111-112) -------------
+  val sinkIndexRows: Seq[(String, String)] = Seq(
+    ("error_reported",      "idx-errors"),
+    ("login",               "idx-auth"),
+    ("sql_batch_completed", "idx-sql")
+  )
+  val defaultIndex = "idx-default"
+  def sinkIndexMap(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    sinkIndexRows.toDF("name", "sink_index")
+  }
+  val sinkIndexSql: String =
+    "SELECT * FROM (VALUES " + sinkIndexRows.map { case (n, i) => s"('$n','$i')" }
+      .mkString(", ") + ") AS s(name, sink_index)"
+
+  /** 18456 state → description case table (20 arms in the reference,
+    * pkg/xe/xe.go:288-337); kept as ordered pairs so the Spark `when`
+    * chain and the oracle CASE expression are generated from one list. */
+  val state18456: Seq[(Int, String)] = Seq(
+    2  -> "Invalid userid",
+    5  -> "Invalid userid",
+    6  -> "Attempt to use a Windows login name with SQL Authentication",
+    7  -> "Login disabled and password mismatch",
+    8  -> "Password mismatch",
+    9  -> "Invalid password",
+    11 -> "Valid login but server access failure",
+    12 -> "Valid login but server access failure",
+    13 -> "SQL Server service paused",
+    18 -> "Change password required"
+  )
+}

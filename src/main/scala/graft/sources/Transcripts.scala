@@ -1,0 +1,89 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** The transcript input table of the graft: multi-turn agent transcripts with
+  * columns `(conv_id, turn_idx, role, text, tool, ts)` (BASELINE.json
+  * input_hint), synthesized **deterministically** from the driver-provided
+  * `events` parquet with a single SQL string that is valid in BOTH Spark SQL
+  * and DuckDB. The oracle side prepends the same string as a CTE, so Spark
+  * and DuckDB operate on byte-identical input by construction (verified:
+  * identical md5 over the full sorted result in both engines).
+  *
+  * The embedded `text` bodies mirror the reference's parse fixtures
+  * (xelogstash `pkg/xe/xe_test.go:36-806`, `xe_errorlog_test.go:20-88`):
+  * `Error: N, Severity: N, State: N` triples (`pkg/xe/xe.go:20`),
+  * `[CLIENT: addr]` with IPv4 / `<local machine>` / `::1` variants
+  * (`pkg/xe/xe.go:22`), errorlog-shaped lines with the `Logon`
+  * repeated-timestamp case (`pkg/xe/xe.go:382-398`), resource-usage
+  * key=value fields for unit gating (`pkg/xe/xe_units.go:5-36`), and the
+  * `dbghelp.dll` suppression marker (`pkg/app/process_session.go:227-233`).
+  *
+  * Skew: every 5th user collapses into one hot conversation (`conv_hot`,
+  * ~20% of all rows) so skew handling is exercised (SURVEY.md §7.4.5).
+  */
+object Transcripts {
+
+  /** Dialect-common synthesis SQL. `eventsRel` is the relation to read:
+    * "events" on the DuckDB/oracle side; "parquet.`<dir>/events.parquet`"
+    * on the Spark side. Columns: conv_id, turn_idx, role, text, tool, ts
+    * plus lineage provenance src_file / src_offset (analog of
+    * xe_file_name/xe_file_offset, `pkg/app/process_session.go:235-238`).
+    */
+  def synthSql(eventsRel: String): String = s"""
+SELECT
+  conv_id,
+  CAST(row_number() OVER (PARTITION BY conv_id ORDER BY event_id) - 1 AS INT) AS turn_idx,
+  CASE CAST(event_id % 4 AS INT) WHEN 0 THEN 'user' WHEN 1 THEN 'assistant' WHEN 2 THEN 'tool' ELSE 'system' END AS role,
+  CASE event_type
+    WHEN 'error' THEN
+      'event=error_reported Error: ' || (18000 + k % 500) || ', Severity: ' || (10 + k % 16) || ', State: ' || (1 + k % 60)
+      || '. Login failed for user ''u' || user_id || '''. Reason: Password did not match that for the login provided. [CLIENT: ' || client || '] db_id=' || (1 + k % 8)
+    WHEN 'signup' THEN
+      'event=login principal=u' || user_id || ' app=app_' || (k % 10) || ' host=host' || lpad(CAST(event_id % 20 AS STRING), 2, '0') || ' Login succeeded. [CLIENT: ' || client || ']'
+    WHEN 'purchase' THEN
+      'event=sql_batch_completed cpu_time=' || (k * 31013) || ' duration=' || (k * 104729 + event_id % 1000) || ' logical_reads=' || (k * 31) || ' physical_reads=' || (k % 140) || ' writes=' || (k % 260) || ' row_count=' || (k % 1000) || ' db_id=' || (1 + k % 8) || ' batch_text=SELECT c_name FROM customer WHERE c_custkey = ' || event_id
+    WHEN 'click' THEN
+      'event=wait_info wait_type=' || CASE CAST(k % 4 AS INT) WHEN 0 THEN 'PAGEIOLATCH_SH' WHEN 1 THEN 'LCK_M_X' WHEN 2 THEN 'CXPACKET' ELSE 'SOS_SCHEDULER_YIELD' END || ' duration=' || (k * 50021) || ' signal_duration=' || (k % 997) || ' session_id=' || (50 + event_id % 40)
+    ELSE
+      'event=errorlog_written 2024-01-15 10:2' || (k % 10) || ':33.1' || (event_id % 10) || ' ' ||
+      CASE CAST(event_id % 3 AS INT)
+        WHEN 0 THEN 'Logon   2024-01-15 10:2' || (k % 10) || ':33.1' || (event_id % 10) || ' Error: 18456, Severity: 14, State: ' || (1 + k % 12) || '. Login failed for user ''u' || user_id || '''. [CLIENT: ' || client || ']'
+        WHEN 1 THEN 'spid5' || (event_id % 10) || '   SQL Server has encountered ' || k || ' occurrence(s) of I/O requests taking longer than 15 seconds to complete'
+        ELSE 'Server   ' || CASE WHEN event_id % 17 = 0 THEN 'Stack dump being sent, using ''dbghelp.dll'' version ''4.0.5''' ELSE 'CPU time stamp frequency has changed from ' || (190000 + k) || ' to ' || (190007 + k) || ' MHz' END
+      END
+  END AS text,
+  CASE CAST(event_id % 7 AS INT) WHEN 0 THEN 'sql_query' WHEN 1 THEN 'file_search' WHEN 2 THEN 'web_fetch' WHEN 3 THEN 'code_run' WHEN 4 THEN 'calculator' ELSE '' END AS tool,
+  ts,
+  'events_' || lpad(CAST(CAST(floor(event_id / 1000) AS BIGINT) AS STRING), 4, '0') AS src_file,
+  CAST(event_id % 1000 AS BIGINT) AS src_offset
+FROM (
+  SELECT event_id, ts, user_id, event_type, k,
+    CASE WHEN user_id % 5 = 0 THEN 'conv_hot'
+         ELSE 'conv_' || lpad(CAST(user_id AS STRING), 6, '0') END AS conv_id,
+    CASE CAST(event_id % 3 AS INT)
+      WHEN 0 THEN '10.0.' || (k % 256) || '.' || (event_id % 256)
+      WHEN 1 THEN '<local machine>' ELSE '::1' END AS client
+  FROM (
+    SELECT event_id, ts, user_id, event_type,
+           CAST(regexp_extract(props, '[0-9]+', 0) AS BIGINT) AS k
+    FROM $eventsRel
+  ) b0
+) b1
+"""
+
+  /** The DuckDB-side CTE prelude every oracle query starts with. */
+  def oracleCte: String =
+    s"WITH transcripts AS (${synthSql("events")})"
+
+  /** Spark-side load: synthesize the transcript table for a test-data dir.
+    * The `parquet.`...`` relation keeps filter/column pruning at the scan. */
+  def load(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.Graft.prep(spark)
+    spark.sql(synthSql(s"parquet.`$sfDir/events.parquet`"))
+  }
+
+  /** Canonical 6-column transcript shape (input_hint contract). */
+  def loadCanonical(spark: SparkSession, sfDir: String): DataFrame =
+    load(spark, sfDir).select("conv_id", "turn_idx", "role", "text", "tool", "ts")
+}
