@@ -72,7 +72,58 @@ object SparkEntry {
 
     "q10_description" -> ((s, d) =>
       Pipeline.parsed(s, d).withColumn("xe_description", Enrich.description)
-        .select("conv_id", "turn_idx", "xe_description"))
+        .select("conv_id", "turn_idx", "xe_description")),
+
+    "q11_lookup_enrich" -> ((s, d) =>
+      Enrich.withRoleSeverity(Enrich.withToolInfo(Pipeline.parsed(s, d), s), s)
+        .select("conv_id", "turn_idx", "tool", "vendor", "version",
+          "tool_category", "role", "role_severity")),
+
+    "q12_asof_entity" -> ((s, d) =>
+      Enrich.withEntityName(Pipeline.parsed(s, d), s)
+        .select("conv_id", "turn_idx", "db_id", "entity_name")),
+
+    "q13_error_flags" -> ((s, d) =>
+      Enrich.withErrorFlags(Pipeline.parsed(s, d), s)
+        .select("conv_id", "turn_idx", "error_number",
+          "login_failed", "xe_is_event_logged")),
+
+    "q14_filtered" -> ((s, d) =>
+      Pipeline.filtered(s, d).select("conv_id", "turn_idx", "name")),
+
+    "q15_route_counts" -> ((s, d) =>
+      operators.Routing.perSinkCounts(Pipeline.routed(s, d))),
+
+    "q16_agg_hourly" -> ((s, d) =>
+      operators.Aggregates.hourly(Pipeline.parsed(s, d))),
+
+    "q17_sampler" -> ((s, d) =>
+      operators.Aggregates.sampler(Pipeline.parsed(s, d))),
+
+    "q18_lineage" -> ((s, d) =>
+      operators.Aggregates.lineage(Transcripts.load(s, d))),
+
+    "q19_mods" -> ((s, d) =>
+      operators.Mods(Pipeline.parsed(s, d)).select(
+        col("conv_id"), col("turn_idx"),
+        col("doc.mssql.name").as("mssql_name"),
+        col("doc.mssql.principal").as("mssql_principal"),
+        col("doc.mssql.tool").as("mssql_tool"),
+        col("doc.global.user").as("global_user"),
+        col("doc.global.role").as("global_role"),
+        col("doc.global.collector").as("global_collector"),
+        col("doc.global.version").as("global_version"),
+        col("doc.`@timestamp`").as("at_ts"))),
+
+    "q20_routed_json" -> ((s, d) =>
+      operators.Routing.bulkFrame(Pipeline.routed(s, d))
+        .select("conv_id", "turn_idx", "sink_index", "doc_json", "bulk")),
+
+    "q21_summary" -> ((s, d) =>
+      operators.Aggregates.summary(Pipeline.parsed(s, d))),
+
+    "q22_counters" -> ((s, d) =>
+      operators.Aggregates.perEventCounters(Pipeline.parsed(s, d)))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -221,6 +272,114 @@ FROM (
       string_split(regexp_replace(regexp_replace(text, '^event=[a-z_0-9]+ ', ''), '\\s+', ' ', 'g'), ' ') AS toks
     FROM transcripts
   ) i
-) a""")
+) a"""),
+
+    "q11_lookup_enrich" -> withCtes(
+      "tool_info" -> Lookups.toolInfoSql,
+      "role_sev" -> Lookups.roleSeveritySql)(s"""
+SELECT t.conv_id, t.turn_idx, t.tool, ti.vendor, ti.version,
+  ti.tool_category, t.role, rs.role_severity
+FROM transcripts t
+LEFT JOIN tool_info ti ON t.tool = ti.tool
+LEFT JOIN role_sev rs ON t.role = rs.role"""),
+
+    "q12_asof_entity" -> withCtes(
+      "edim" -> Lookups.entityNamesSql)(s"""
+SELECT t.conv_id, t.turn_idx, t.db_id, d.name AS entity_name
+FROM (SELECT conv_id, turn_idx, ts, ${oKvNum("db_id")} AS db_id FROM transcripts) t
+LEFT JOIN (
+  SELECT entity_id, name, valid_from,
+    lead(valid_from) OVER (PARTITION BY entity_id ORDER BY valid_from) AS valid_to
+  FROM edim
+) d ON t.db_id = d.entity_id AND t.ts >= d.valid_from
+   AND (d.valid_to IS NULL OR t.ts < d.valid_to)"""),
+
+    "q13_error_flags" -> withCtes(
+      "login_ids" -> Lookups.loginErrorsSql,
+      "logged_ids" -> Lookups.loggedErrorsSql)(s"""
+SELECT t.conv_id, t.turn_idx, t.error_number,
+  (li.error_number IS NOT NULL) AS login_failed,
+  (lg.error_number IS NOT NULL) AS xe_is_event_logged
+FROM (SELECT conv_id, turn_idx, ${oTriple(1)} AS error_number FROM transcripts) t
+LEFT JOIN login_ids li ON t.error_number = li.error_number
+LEFT JOIN logged_ids lg ON t.error_number = lg.error_number"""),
+
+    "q14_filtered" -> withTranscripts(s"""
+SELECT conv_id, turn_idx, name FROM (
+  SELECT conv_id, turn_idx, $oName AS name, ${oTriple(1)} AS en,
+    role, tool, lower(text) AS lt
+  FROM transcripts
+) p
+WHERE NOT (name = 'error_reported' AND en = 18330)
+  AND NOT (name = 'errorlog_written' AND lt LIKE '%using ''dbghelp.dll''%')
+  AND (CASE WHEN en = 18456 AND role = 'system' THEN 'exclude'
+            WHEN name = 'wait_info' AND tool = 'sql_query' THEN 'include'
+            WHEN name = 'wait_info' THEN 'exclude'
+            ELSE 'include' END) = 'include'"""),
+
+    "q15_route_counts" -> withCtes(
+      "idx_map" -> Lookups.sinkIndexSql,
+      "filt" -> s"""
+  SELECT p.name FROM (
+    SELECT conv_id, turn_idx, $oName AS name, ${oTriple(1)} AS en,
+      role, tool, lower(text) AS lt
+    FROM transcripts
+  ) p
+  WHERE NOT (name = 'error_reported' AND en = 18330)
+    AND NOT (name = 'errorlog_written' AND lt LIKE '%using ''dbghelp.dll''%')
+    AND (CASE WHEN en = 18456 AND role = 'system' THEN 'exclude'
+              WHEN name = 'wait_info' AND tool = 'sql_query' THEN 'include'
+              WHEN name = 'wait_info' THEN 'exclude'
+              ELSE 'include' END) = 'include'""",
+      "routed" -> """
+  SELECT f.name, COALESCE(m.sink_index, 'idx-default') AS sink_index
+  FROM filt f LEFT JOIN idx_map m ON f.name = m.name""")(s"""
+SELECT 'file' AS sink, name AS route_key, count(*) AS n FROM routed GROUP BY name
+UNION ALL
+SELECT 'logstash' AS sink, name AS route_key, count(*) AS n FROM routed GROUP BY name
+UNION ALL
+SELECT 'elastic' AS sink, sink_index AS route_key, count(*) AS n FROM routed GROUP BY sink_index"""),
+
+    "q16_agg_hourly" -> withTranscripts(s"""
+SELECT date_trunc('hour', ts) AS hour_start, $oName AS name,
+  count(*) AS n, CAST(sum(${oKvNum("duration")}) AS BIGINT) AS sum_duration,
+  max(${oTriple(2)}) AS max_severity
+FROM transcripts
+GROUP BY 1, 2"""),
+
+    "q17_sampler" -> withTranscripts(s"""
+SELECT name, bucket, conv_id, turn_idx FROM (
+  SELECT $oName AS name, date_trunc('hour', ts) AS bucket, conv_id, turn_idx,
+    row_number() OVER (PARTITION BY $oName, date_trunc('hour', ts)
+                       ORDER BY ts, conv_id, turn_idx) AS rn
+  FROM transcripts
+) a WHERE rn = 1"""),
+
+    "q18_lineage" -> withTranscripts(s"""
+SELECT src_file, min(src_offset) AS min_offset, max(src_offset) AS max_offset,
+  count(*) AS n_events
+FROM transcripts
+GROUP BY src_file"""),
+
+    "q19_mods" -> withTranscripts(s"""
+SELECT conv_id, turn_idx,
+  upper($oName) AS mssql_name,
+  $oPrincipal AS mssql_principal,
+  tool AS mssql_tool,
+  lower($oPrincipal) AS global_user,
+  role AS global_role,
+  'graft' AS global_collector,
+  '0.1' AS global_version,
+  ts AS at_ts
+FROM transcripts"""),
+
+    "q21_summary" -> withTranscripts(s"""
+SELECT $oName AS name, count(*) AS n,
+  CAST(sum(length(text)) AS BIGINT) AS sum_bytes, max(length(text)) AS max_bytes
+FROM transcripts GROUP BY 1"""),
+
+    "q22_counters" -> withTranscripts(s"""
+SELECT $oName AS name, role, count(*) AS n, CAST(sum(length(text)) AS BIGINT) AS bytes
+FROM transcripts GROUP BY 1, 2""")
   )
 }

@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Aggregation operators (SURVEY.md §2.7): per-group counters (A2/A3),
+  * summary stats (A4), rolling time-bucket metrics (A5/W3), sampler (A8),
+  * and the lineage/checkpoint fold (A7). All are plain hash aggregates —
+  * map-side partial + final after shuffle comes free from Catalyst.
+  */
+object Aggregates {
+
+  /** A2: per-(event, role) read counters + byte sums — the labeled counter
+    * analog (`pkg/prom/prom.go:11-41`). */
+  def perEventCounters(df: DataFrame): DataFrame =
+    df.groupBy("name", "role")
+      .agg(count(lit(1)).as("n"), sum(length(col("text"))).as("bytes"))
+
+  /** A4: summary per event type: count, sum/max of size
+    * (`pkg/summary/summary.go:36-53`). */
+  def summary(df: DataFrame): DataFrame =
+    df.groupBy("name").agg(
+      count(lit(1)).as("n"),
+      sum(length(col("text"))).as("sum_bytes"),
+      max(length(col("text"))).as("max_bytes"))
+
+  /** A5/W3: hourly time-bucket metrics (`pkg/metric/metric.go:35-113`;
+    * rotator hourly buckets `pkg/sink/rotator.go:132-137`). */
+  def hourly(df: DataFrame): DataFrame =
+    df.groupBy(window(col("ts"), "1 hour").as("w"), col("name"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("duration")).as("sum_duration"),
+        max(col("severity_num")).as("max_severity"))
+      .select(col("w.start").as("hour_start"), col("name"),
+        col("n"), col("sum_duration"), col("max_severity"))
+
+  /** A8: sampler — first event per (name, hour bucket)
+    * (`pkg/sink/sampler/sampler.go:51-89`). */
+  def sampler(df: DataFrame): DataFrame = {
+    val bucket = date_trunc("hour", col("ts"))
+    val w = Window.partitionBy(col("name"), bucket)
+      .orderBy(col("ts"), col("conv_id"), col("turn_idx"))
+    df.withColumn("bucket", bucket)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("name"), col("bucket"), col("conv_id"), col("turn_idx"))
+  }
+
+  /** A7/E11: lineage fold — max/min offset + count per source file, the
+    * `(file, offset, status)` checkpoint analog
+    * (`pkg/app/process_session.go:137-177`; `pkg/status/status.go:273-297`). */
+  def lineage(df: DataFrame): DataFrame =
+    df.groupBy("src_file").agg(
+      min(col("src_offset")).as("min_offset"),
+      max(col("src_offset")).as("max_offset"),
+      count(lit(1)).as("n_events"))
+}

@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Mods
+
+class ModsSpec extends SparkSpec {
+  import TestSpark.spark.implicits._
+
+  private val turns = Seq(
+    ("c1", 0, "user", "event=login principal=u7 app=app_1 host=host03 Login succeeded. [CLIENT: ::1]", "sql_query",
+      java.sql.Timestamp.valueOf("2024-01-01 05:00:00"))
+  ).toDF("conv_id", "turn_idx", "role", "text", "tool", "ts")
+
+  test("payload nesting + adds + copy + move + casing (P8-P11)") {
+    val parsed = graft.functions.Grok.parse(turns)
+    val r = Mods(parsed).select("doc_json").collect()(0).getString(0)
+    // JSON golden, key-order-insensitive
+    val m = spark.read.json(Seq(r).toDS()).collect()(0)
+    val doc = m.getStruct(m.fieldIndex("mssql"))
+    assert(doc.getAs[String]("name") == "LOGIN")            // uppercase mssql.name
+    assert(doc.getAs[String]("principal") == "u7")
+    assert(doc.schema.fieldNames.toSet == Set("name", "principal", "tool")) // role moved out
+    val g = m.getStruct(m.fieldIndex("global"))
+    assert(g.getAs[String]("user") == "u7")                 // copy + lowercase
+    assert(g.getAs[String]("role") == "user")               // move
+    assert(g.getAs[String]("collector") == "graft")         // add
+    assert(m.schema.fieldNames.contains("@timestamp"))      // timestamp lift
+  }
+
+  test("refuse-overwrite: add onto existing path is skipped (logstash_record.go:125)") {
+    val cfg = Mods.defaultConfig.copy(
+      adds = Mods.defaultConfig.adds :+ ("mssql.name" -> "CLOBBER"))
+    val parsed = graft.functions.Grok.parse(turns)
+    val r = Mods(parsed, cfg).select("doc.mssql.name").collect()(0).getString(0)
+    assert(r == "LOGIN") // original value survived (then uppercased)
+  }
+
+  test("strip_crlf: newlines in payload collapse to spaces in NDJSON (P12)") {
+    val t2 = Seq(("c1", 0, "user\nx", "event=login principal=a b", "t",
+      java.sql.Timestamp.valueOf("2024-01-01 05:00:00")))
+      .toDF("conv_id", "turn_idx", "role", "text", "tool", "ts")
+    val r = Mods(graft.functions.Grok.parse(t2)).select("doc_json").collect()(0).getString(0)
+    assert(!r.contains("\n"))
+  }
+
+  test("to_json drops null fields (absent-key semantics)") {
+    val t2 = Seq(("c1", 0, "user", "event=wait_info wait_type=X duration=5", "t",
+      java.sql.Timestamp.valueOf("2024-01-01 05:00:00")))
+      .toDF("conv_id", "turn_idx", "role", "text", "tool", "ts")
+    val r = Mods(graft.functions.Grok.parse(t2)).select("doc_json").collect()(0).getString(0)
+    assert(!r.contains("principal")) // null principal → key absent
+  }
+}
