@@ -33,6 +33,30 @@ object Oracle {
   val oPrincipal =
     s"""COALESCE(${oKvStr("principal")}, NULLIF(regexp_extract(text, 'user ''([^'']*)''', 1), ''))"""
 
+  // ---- documents/embeddings fragments (training-data ops) -------------------
+
+  /** Whitespace tokens, lowered, empties dropped (DuckDB side of
+    * TextAnalysis.tokens). */
+  val oToks =
+    """list_filter(string_split_regex(lower(text), '\s+'), t -> t != '')"""
+
+  /** Charwise polynomial token hash (DuckDB side of TextAnalysis.tokHash):
+    * fold starts at 7 via list_prepend since list_reduce has no init arg. */
+  def oTokHash(v: String): String =
+    s"""list_reduce(list_prepend(CAST(7 AS BIGINT), list_transform(string_split_regex($v,''), c -> CAST(unicode(c) AS BIGINT))), (acc,x) -> (acc*31 + x) % 1000000007)"""
+
+  val oTokHashes = s"""list_transform($oToks, t -> ${oTokHash("t")})"""
+
+  /** 3-token shingle hashes over a token-hash list column named `th`. */
+  val oShingles =
+    """CASE WHEN len(th) >= 3 THEN list_transform(generate_series(1, len(th)-2), j -> ((th[j]*31 + th[j+1]) % 1000000007 * 31 + th[j+2]) % 1000000007) ELSE CAST([] AS BIGINT[]) END"""
+
+  /** Dot product of two DOUBLE[] columns (ranking-safe; see Similarity). */
+  def oDot(a: String, b: String) = s"list_inner_product($a, $b)"
+
+  def oCos(a: String, b: String) =
+    s"(${oDot(a, b)} / (sqrt(${oDot(a, a)}) * sqrt(${oDot(b, b)})))"
+
   /** 18456 state CASE, generated from the same table as the Spark chain. */
   val oState18456: String = {
     val arms = Lookups.state18456

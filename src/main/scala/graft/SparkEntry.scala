@@ -123,8 +123,60 @@ object SparkEntry {
       operators.Aggregates.summary(Pipeline.parsed(s, d))),
 
     "q22_counters" -> ((s, d) =>
-      operators.Aggregates.perEventCounters(Pipeline.parsed(s, d)))
+      operators.Aggregates.perEventCounters(Pipeline.parsed(s, d))),
+
+    // ---- training-data ops over documents/embeddings ----
+    "q30_token_stats" -> ((s, d) =>
+      text.TextAnalysis.tokenStats(docs(s, d))),
+
+    "q31_lang_id" -> ((s, d) =>
+      text.TextAnalysis.langIdDf(docs(s, d))),
+
+    "q32_quality" -> ((s, d) =>
+      text.TextAnalysis.quality(docs(s, d))),
+
+    "q33_fingerprint" -> ((s, d) =>
+      text.TextAnalysis.fingerprints(docs(s, d))),
+
+    "q34_dedup_exact" -> ((s, d) =>
+      dedup.Dedup.exact(docs(s, d))),
+
+    "q35_minhash_sig" -> ((s, d) =>
+      dedup.Dedup.signatures(docs(s, d))),
+
+    "q36_minhash_pairs" -> ((s, d) =>
+      dedup.Dedup.jaccardPermille(
+        dedup.Dedup.lshCandidates(docs(s, d)), docs(s, d))),
+
+    "q37_simhash" -> ((s, d) =>
+      docs(s, d).select(col("doc_id"),
+        dedup.Dedup.simhash(col("text")).as("simhash"))),
+
+    "q38_ann_topk" -> ((s, d) =>
+      ann.Similarity.bruteTopK(vecs(s, d))),
+
+    "q39_lsh_buckets" -> ((s, d) =>
+      ann.Similarity.buckets(vecs(s, d))),
+
+    "q40_embed_neardup" -> ((s, d) =>
+      ann.Similarity.nearDupPairs(vecs(s, d))),
+
+    "q41_multimodal_meta" -> ((s, d) =>
+      multimodal.Multimodal.metadata(multimodal.Multimodal.asMedia(docs(s, d)))),
+
+    "q42_media_features" -> ((s, d) => {
+      implicit val sp: SparkSession = s
+      multimodal.Multimodal.features(
+        multimodal.Multimodal.asMedia(docs(s, d))).toDF()
+    })
   )
+
+  private def docs(s: SparkSession, d: String): DataFrame = {
+    Graft.prep(s); s.read.parquet(s"$d/documents.parquet")
+  }
+  private def vecs(s: SparkSession, d: String): DataFrame = {
+    Graft.prep(s); s.read.parquet(s"$d/embeddings.parquet")
+  }
 
   def oracleSql: Map[String, String] = Map(
     "q01_transcripts" -> withTranscripts(
@@ -380,6 +432,155 @@ FROM transcripts GROUP BY 1"""),
 
     "q22_counters" -> withTranscripts(s"""
 SELECT $oName AS name, role, count(*) AS n, CAST(sum(length(text)) AS BIGINT) AS bytes
-FROM transcripts GROUP BY 1, 2""")
+FROM transcripts GROUP BY 1, 2"""),
+
+    // ---- training-data ops (documents/embeddings tables, no transcripts CTE)
+    "q30_token_stats" -> s"""
+SELECT doc_id, CAST(len($oToks) AS BIGINT) AS n_tokens,
+  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_bpe,
+  CAST(length(text) AS BIGINT) AS n_chars_m
+FROM documents""",
+
+    "q31_lang_id" -> {
+      val scoreExprs = text.TextAnalysis.markers.map { case (l, ws) =>
+        val cond = ws.map(w => s"t = '$w'").mkString(" OR ")
+        s"CAST(len(list_filter($oToks, t -> $cond)) AS BIGINT) AS score_$l"
+      }.mkString(",\n  ")
+      val langs = text.TextAnalysis.markers.map(_._1)
+      val arms = langs.map { l =>
+        val others = langs.filter(_ != l).map(o => s"score_$l >= score_$o").mkString(" AND ")
+        s"WHEN score_$l > 0 AND $others THEN '$l'"
+      }.mkString(" ")
+      s"""
+SELECT doc_id, lang_label, CASE $arms ELSE 'und' END AS lang_pred,
+  ${langs.map(l => s"score_$l").mkString(", ")}
+FROM (
+  SELECT doc_id, lang AS lang_label, $scoreExprs
+  FROM documents
+) a"""
+    },
+
+    "q32_quality" -> s"""
+SELECT doc_id, n_tokens, n_stopwords, n_punct,
+  CASE WHEN n_tokens > 0 THEN CAST(floor(CAST(n_stopwords * 1000 AS DOUBLE) / n_tokens) AS BIGINT) ELSE 0 END AS stop_permille,
+  CASE WHEN n_tokens > 0 THEN CAST(floor(CAST(sum_len * 10 AS DOUBLE) / n_tokens) AS BIGINT) ELSE 0 END AS avg_word_len_x10,
+  CASE WHEN n_tokens < 5 THEN 'too_short'
+       WHEN n_tokens > 0 AND CAST(floor(CAST(n_stopwords * 1000 AS DOUBLE) / n_tokens) AS BIGINT) >= 400 THEN 'boilerplate'
+       WHEN n_punct * 5 > n_tokens * 2 THEN 'noisy'
+       ELSE 'ok' END AS quality_bucket
+FROM (
+  SELECT doc_id,
+    CAST(len($oToks) AS BIGINT) AS n_tokens,
+    CAST(len(list_filter($oToks, t -> ${text.TextAnalysis.stopwords.map(w => s"t = '$w'").mkString(" OR ")})) AS BIGINT) AS n_stopwords,
+    CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS BIGINT) AS n_punct,
+    CAST(list_aggregate(list_transform($oToks, t -> length(t)), 'sum') AS BIGINT) AS sum_len
+  FROM documents
+) a""",
+
+    "q33_fingerprint" -> s"""
+SELECT doc_id,
+  list_reduce(list_prepend(CAST(7 AS BIGINT), $oTokHashes), (acc,h) -> (acc*131 + h) % 1000000007) AS fp
+FROM documents""",
+
+    "q34_dedup_exact" -> s"""
+SELECT min(doc_id) AS keeper_id, count(*) AS n_copies
+FROM (SELECT doc_id, regexp_replace(lower(text), '\\s+', ' ', 'g') AS norm FROM documents) a
+GROUP BY norm""",
+
+    "q35_minhash_sig" -> {
+      val mhs = (0 until dedup.Dedup.NumHashes).map { i =>
+        s"CAST(list_aggregate(list_transform(sh, s -> (s*${2 * i + 1} + ${7919 * i + 1}) % 1000000007), 'min') AS BIGINT) AS mh$i"
+      }.mkString(",\n  ")
+      s"""
+SELECT doc_id, $mhs
+FROM (
+  SELECT doc_id, $oShingles AS sh
+  FROM (SELECT doc_id, $oTokHashes AS th FROM documents) t
+) a"""
+    },
+
+    "q36_minhash_pairs" -> {
+      val mhs = (0 until dedup.Dedup.NumHashes).map { i =>
+        s"CAST(list_aggregate(list_transform(sh, s -> (s*${2 * i + 1} + ${7919 * i + 1}) % 1000000007), 'min') AS BIGINT) AS mh$i"
+      }.mkString(", ")
+      val bandSel = (0 until dedup.Dedup.NumHashes / 2).map { b =>
+        s"SELECT doc_id, $b AS band_idx, (mh${2 * b}*31 + mh${2 * b + 1}) % 1000000007 AS band_sig FROM sigs"
+      }.mkString(" UNION ALL ")
+      s"""
+WITH th AS (SELECT doc_id, $oTokHashes AS th FROM documents),
+sigs AS (
+  SELECT doc_id, $mhs FROM (SELECT doc_id, $oShingles AS sh FROM th) x
+),
+bands AS ($bandSel),
+cand AS (
+  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+  FROM bands l JOIN bands r
+    ON l.band_idx = r.band_idx AND l.band_sig = r.band_sig AND l.doc_id < r.doc_id
+),
+shs AS (
+  SELECT doc_id, list_distinct($oShingles) AS shd
+  FROM (SELECT doc_id, $oTokHashes AS th FROM documents) y
+)
+SELECT c.doc_a, c.doc_b,
+  CAST(floor(CAST(len(list_intersect(a.shd, b.shd)) * 1000 AS DOUBLE)
+       / len(list_distinct(list_concat(a.shd, b.shd)))) AS BIGINT) AS jaccard_permille
+FROM cand c
+JOIN shs a ON c.doc_a = a.doc_id
+JOIN shs b ON c.doc_b = b.doc_id"""
+    },
+
+    "q37_simhash" -> {
+      val terms = (0 until dedup.Dedup.SimBits).map { j =>
+        s"(CASE WHEN CAST(list_aggregate(list_transform(th, x -> CASE WHEN (x >> $j) & 1 = 1 THEN 1 ELSE -1 END), 'sum') AS BIGINT) > 0 THEN ${1L << j} ELSE 0 END)"
+      }.mkString(" + ")
+      s"""
+SELECT doc_id, CAST($terms AS BIGINT) AS simhash
+FROM (SELECT doc_id, $oTokHashes AS th FROM documents) a"""
+    },
+
+    "q38_ann_topk" -> s"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+q AS (SELECT vec_id AS q_id, e AS q_emb FROM v WHERE vec_id % 50 = 0),
+j AS (
+  SELECT q.q_id, v.vec_id, ${oCos("q.q_emb", "v.e")} AS cos
+  FROM v CROSS JOIN q WHERE v.vec_id != q.q_id
+)
+SELECT q_id, vec_id AS neighbor_id, rank FROM (
+  SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
+  FROM j
+) r WHERE rank <= 5""",
+
+    "q39_lsh_buckets" -> {
+      val terms = (0 until ann.Similarity.NumPlanes).map { i =>
+        val comps = ann.Similarity.planeComponents(i, 64)
+          .map(_.toDouble).mkString("[", ", ", "]")
+        s"(CASE WHEN ${oDot("e", s"CAST($comps AS DOUBLE[])")} > 0 THEN ${1L << i} ELSE 0 END)"
+      }.mkString(" + ")
+      s"""
+SELECT vec_id, CAST($terms AS BIGINT) AS bucket
+FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings) a"""
+    },
+
+    "q40_embed_neardup" -> s"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+  CAST(floor(${oCos("a.e", "b.e")} * 1000.0) AS BIGINT) AS cos_permille
+FROM v a JOIN v b ON a.vec_id < b.vec_id
+WHERE CAST(floor(${oCos("a.e", "b.e")} * 1000.0) AS BIGINT) >= 450""",
+
+    "q41_multimodal_meta" -> s"""
+SELECT doc_id,
+  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+  CAST(floor(CAST(octet_length(encode(text)) + ${multimodal.Multimodal.FrameSize - 1} AS DOUBLE) / ${multimodal.Multimodal.FrameSize}) AS BIGINT) AS n_frames,
+  CAST(unicode(substr(text, 1, 1)) AS BIGINT) AS first_code
+FROM documents""",
+
+    "q42_media_features" -> s"""
+SELECT doc_id,
+  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+  CAST(floor(CAST(octet_length(encode(text)) + ${multimodal.Multimodal.FrameSize - 1} AS DOUBLE) / ${multimodal.Multimodal.FrameSize}) AS BIGINT) AS n_frames,
+  CAST(unicode(substr(text, 1, 1)) AS BIGINT) AS first_code,
+  CAST(CAST(list_aggregate(list_transform(string_split_regex(text, ''), c -> CAST(unicode(c) AS BIGINT)), 'sum') AS BIGINT) % 1000000007 AS BIGINT) AS byte_sum_mod
+FROM documents"""
   )
 }

@@ -1,0 +1,87 @@
+package graft.ann
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`Array[Float]`).
+  *
+  *  - Brute-force top-k: broadcast the (small) query set against the full
+  *    vector table — one pass, no shuffle on the big side; per-query top-k
+  *    via window over the candidate rows. The baseline.
+  *  - LSH bucketing (random hyperplanes with deterministic integer
+  *    components): the scale path — bucket once (narrow, per-row), then
+  *    search only within buckets; at 100 TB the bucket id becomes the
+  *    partition/cluster key.
+  *
+  * All dot products are computed in double via zip_with+aggregate in list
+  * order, so engines agree bit-for-bit.
+  */
+object Similarity {
+
+  /** Σ a_i · b_i in double, sequential list order. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Brute-force cosine top-k: query set = vec_id % queryMod == 0. */
+  def bruteTopK(vecs: DataFrame, k: Int = 5, queryMod: Int = 50): DataFrame = {
+    val q = vecs.filter(col("vec_id") % queryMod === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val joined = vecs.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos", cosine(col("q_emb"), col("embedding")))
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+    joined.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("vec_id").as("neighbor_id"), col("rank"))
+  }
+
+  // ---- LSH: deterministic integer hyperplanes --------------------------------
+  val NumPlanes = 8
+  /** Hyperplane i component j = ((i*131 + j*31) mod 7) - 3 ∈ [-3, 3]. */
+  def planeComponents(i: Int, dim: Int): Seq[Int] =
+    (0 until dim).map(j => ((i * 131 + j * 31) % 7) - 3)
+
+  /** Sign-bucket id over NumPlanes hyperplanes (dim inferred statically). */
+  def lshBucket(emb: Column, dim: Int): Column =
+    (0 until NumPlanes).map { i =>
+      val plane = array(planeComponents(i, dim).map(v => lit(v.toDouble)): _*)
+      when(dot(emb, plane) > 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  def buckets(vecs: DataFrame, dim: Int = 64): DataFrame =
+    vecs.select(col("vec_id"), lshBucket(col("embedding"), dim).as("bucket"))
+
+  /** Bucketed ANN: search only within the query's bucket — the scale path.
+    * Recall is partial by construction; callers union multi-probe buckets
+    * when recall matters. */
+  def bucketedTopK(vecs: DataFrame, k: Int = 5, queryMod: Int = 50, dim: Int = 64): DataFrame = {
+    val withB = vecs.withColumn("bucket", lshBucket(col("embedding"), dim))
+    val q = withB.filter(col("vec_id") % queryMod === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("bucket"))
+    val joined = withB.join(broadcast(q), "bucket")
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos", cosine(col("q_emb"), col("embedding")))
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+    joined.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("vec_id").as("neighbor_id"), col("rank"))
+  }
+
+  /** Embedding-cosine near-dup pairs above a permille threshold; output is
+    * integer permille so engines hash-match. */
+  def nearDupPairs(vecs: DataFrame, thresholdPermille: Int = 450): DataFrame = {
+    val l = vecs.select(col("vec_id").as("id_a"), col("embedding").as("e_a"))
+    val r = vecs.select(col("vec_id").as("id_b"), col("embedding").as("e_b"))
+    l.join(broadcast(r), col("id_a") < col("id_b"))
+      .withColumn("cos_permille",
+        floor(cosine(col("e_a"), col("e_b")) * 1000.0).cast("long"))
+      .filter(col("cos_permille") >= thresholdPermille)
+      .select("id_a", "id_b", "cos_permille")
+  }
+}

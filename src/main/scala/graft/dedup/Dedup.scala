@@ -1,0 +1,117 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.text.TextAnalysis._
+
+/** Deduplication operators for training-data pipelines: exact, MinHash+LSH,
+  * SimHash, and n-gram-shingle Jaccard verification.
+  *
+  * Scale notes (the point of each design):
+  *  - exact: one hash-aggregate shuffle on the normalized text key.
+  *  - minhash: signatures are per-row expression trees (no shuffle); LSH
+  *    banding turns the O(n²) pair space into an equi-join on
+  *    (band_idx, band_sig) — shuffle keyed on band signatures, so only
+  *    colliding docs ever meet. Hot buckets are bounded by AQE skew-join.
+  *  - verify: exact shingle-Jaccard only on LSH candidates (tiny set).
+  */
+object Dedup {
+
+  // ---- exact dedup -----------------------------------------------------------
+  /** Normalized-text exact dedup: keeper = min doc_id per group. */
+  def exact(docs: DataFrame): DataFrame =
+    docs.withColumn("norm", regexp_replace(lower(col("text")), "\\s+", " "))
+      .groupBy("norm")
+      .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("n_copies"))
+      .select("keeper_id", "n_copies")
+
+  // ---- shingles + minhash ----------------------------------------------------
+  /** 3-token shingle hashes: s = ((h0*31 + h1) % P * 31 + h2) % P over the
+    * token-hash array, via sliced zip_with (no explode, no shuffle). */
+  def shingleHashes(text: Column): Column = {
+    val th = tokHashes(text)
+    val n = size(th)
+    val a = slice(th, lit(1), greatest(n - 2, lit(0)))
+    val b = slice(th, lit(2), greatest(n - 2, lit(0)))
+    val c = slice(th, lit(3), greatest(n - 2, lit(0)))
+    zip_with(zip_with(a, b, (x, y) => (x * 31L + y) % P), c,
+      (x, z) => (x * 31L + z) % P)
+  }
+
+  val NumHashes = 8
+  /** MinHash_i = min over shingles of (a_i*s + b_i) mod P with
+    * a_i = 2i+1, b_i = 7919i + 1. */
+  def minhash(text: Column, i: Int): Column =
+    array_min(transform(shingleHashes(text), s =>
+      (s * (2L * i + 1L) + (7919L * i + 1L)) % P))
+
+  def signatures(docs: DataFrame): DataFrame =
+    docs.select(
+      (col("doc_id") +: (0 until NumHashes).map(i =>
+        minhash(col("text"), i).as(s"mh$i"))): _*)
+
+  /** LSH band signature b over signature columns: pairs of minhashes. */
+  def bandSig(b: Int): Column =
+    (col(s"mh${2 * b}") * 31L + col(s"mh${2 * b + 1}")) % P
+
+  /** Candidate pairs: docs sharing any band signature (a < b), distinct. */
+  def lshCandidates(docs: DataFrame): DataFrame = {
+    val sigs = signatures(docs)
+    val bands = (0 until NumHashes / 2).map { b =>
+      sigs.select(col("doc_id"), lit(b).as("band_idx"), bandSig(b).as("band_sig"))
+    }.reduce(_ unionByName _)
+    val l = bands.as("l")
+    val r = bands.as("r")
+    l.join(r, col("l.band_idx") === col("r.band_idx") &&
+        col("l.band_sig") === col("r.band_sig") &&
+        col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  /** Exact shingle-set Jaccard (permille) for given pairs — the verify
+    * stage after LSH candidate generation. */
+  def jaccardPermille(pairs: DataFrame, docs: DataFrame): DataFrame = {
+    val sh = docs.select(col("doc_id"),
+      array_distinct(shingleHashes(col("text"))).as("sh"))
+    pairs
+      .join(sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sh_a"), "doc_a")
+      .join(sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sh", "sh_b"), "doc_b")
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+      .withColumn("uni", size(array_union(col("sh_a"), col("sh_b"))).cast("long"))
+      .withColumn("jaccard_permille",
+        floor(col("inter") * lit(1000.0) / col("uni")).cast("long"))
+      .select("doc_a", "doc_b", "jaccard_permille")
+  }
+
+  // ---- simhash ----------------------------------------------------------------
+  val SimBits = 16
+  /** 16-bit SimHash over token hashes: bit j set iff the sum of per-token
+    * votes (bit j of tokHash ? +1 : -1) is positive. Static per-bit
+    * expression columns — fully codegen'd, no UDF. */
+  def simhash(text: Column): Column = {
+    val th = tokHashes(text)
+    (0 until SimBits).map { j =>
+      val vote = aggregate(th, lit(0L), (acc, x) =>
+        acc + when(shiftright(x, j).bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
+      when(vote > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /** Hamming distance between two simhash values (bit-count of xor). */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  // ---- n-gram (character) Jaccard ----------------------------------------------
+  /** Character 5-gram hash set via charwise rolling window on the whole
+    * normalized text. */
+  def charNgramHashes(text: Column, n: Int = 5): Column = {
+    val norm = regexp_replace(lower(text), "\\s+", " ")
+    val codes = transform(split(norm, ""), c => ascii(c).cast("long"))
+    val m = size(codes)
+    // sequence(a,b) is descending when a>b — guard the short-text case
+    val starts = when(m >= n, sequence(lit(1), m - (n - 1)))
+      .otherwise(array().cast("array<int>"))
+    array_distinct(transform(starts, i =>
+      aggregate(slice(codes, i, lit(n)), lit(7L), (acc, x) => (acc * 31L + x) % P)))
+  }
+}

@@ -1,0 +1,123 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * token counting, language ID, quality scoring, document fingerprinting.
+  * All pure `Column` expression trees (higher-order array functions — no
+  * UDFs, no shuffles): per-row cost only, embarrassingly parallel at any
+  * scale.
+  *
+  * The cross-engine primitive is [[tokHash]]: a charwise polynomial rolling
+  * hash (mod 1e9+7) that both Spark and DuckDB compute identically, giving
+  * deterministic token→int mapping without a dictionary join.
+  */
+object TextAnalysis {
+
+  val P = 1000000007L
+
+  /** Whitespace tokens, lowered, empties dropped. */
+  def tokens(text: Column): Column =
+    filter(split(lower(text), "\\s+"), t => t =!= "")
+
+  /** Charwise polynomial hash of one token: fold(7, acc*31 + code) mod P.
+    * ASCII-safe; both engines fold left-to-right over codepoints. */
+  def tokHash(tok: Column): Column =
+    aggregate(
+      transform(split(tok, ""), c => ascii(c).cast("long")),
+      lit(7L),
+      (acc, x) => (acc * 31L + x) % P)
+
+  /** Token-hash array for a text column. */
+  def tokHashes(text: Column): Column = transform(tokens(text), tokHash _)
+
+  /** BPE-ish sub-token count: runs of letters, runs of digits, single
+    * punctuation — the standard pre-tokenizer shape. */
+  val BpePattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+  def bpeCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(BpePattern), lit(0)))
+
+  // ---- language ID: marker-word scoring ------------------------------------
+  val markers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "a"),
+    "de" -> Seq("der", "die", "und", "das", "ist"),
+    "es" -> Seq("el", "la", "de", "los", "que"),
+    "fr" -> Seq("le", "les", "des", "et", "un"))
+
+  def langScore(text: Column, words: Seq[String]): Column =
+    size(filter(tokens(text), t => words.map(w => t === w).reduce(_ || _)))
+
+  /** Predicted language: highest marker score, ties broken by the fixed
+    * priority order en > de > es > fr. */
+  def langId(text: Column): Column = {
+    val scores = markers.map { case (l, ws) => l -> langScore(text, ws) }
+    // Priority-ordered arms: lang l wins iff score>0 and >= all others;
+    // fold in reverse so the highest-priority language is the outermost arm.
+    scores.reverse.foldLeft(lit("und"): Column) { case (acc, (l, s)) =>
+      val isMax = scores.collect { case (o, os) if o != l => s >= os }
+      when(s > 0 && isMax.reduce(_ && _), lit(l)).otherwise(acc)
+    }
+  }
+
+  // ---- quality scoring ------------------------------------------------------
+  val stopwords = Seq("the", "a", "of", "to", "and", "in", "is", "it", "that", "for")
+
+  def qualityColumns(text: Column): Map[String, Column] = {
+    val toks = tokens(text)
+    val nTok = size(toks)
+    val nStop = size(filter(toks, t => stopwords.map(w => t === w).reduce(_ || _)))
+    val nPunct = size(regexp_extract_all(text, lit("[^A-Za-z0-9\\s]"), lit(0)))
+    val stopPermille = when(nTok > 0, expr_div(nStop * 1000, nTok)).otherwise(0L)
+    val avgWordLenX10 = when(nTok > 0,
+      expr_div(aggregate(toks, lit(0L), (acc, t) => acc + length(t)) * 10, nTok)).otherwise(0L)
+    val bucket = when(nTok < 5, "too_short")
+      .when(stopPermille >= 400, "boilerplate")
+      .when(nPunct * 5 > nTok * 2, "noisy")
+      .otherwise("ok")
+    Map(
+      "n_tokens" -> nTok.cast("long"),
+      "n_stopwords" -> nStop.cast("long"),
+      "n_punct" -> nPunct.cast("long"),
+      "stop_permille" -> stopPermille,
+      "avg_word_len_x10" -> avgWordLenX10,
+      "quality_bucket" -> bucket)
+  }
+
+  /** Integer division on positive longs (parity with DuckDB `//`). */
+  private def expr_div(a: Column, b: Column): Column =
+    floor(a.cast("double") / b.cast("double")).cast("long")
+
+  // ---- fingerprint: rolling hash over token hashes --------------------------
+  /** Document fingerprint: fold(7, acc*131 + tokHash) mod P — stable under
+    * whitespace normalization, order-sensitive. */
+  def fingerprint(text: Column): Column =
+    aggregate(tokHashes(text), lit(7L), (acc, h) => (acc * 131L + h) % P)
+
+  // ---- query-shaped entry points --------------------------------------------
+  def tokenStats(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      size(tokens(col("text"))).cast("long").as("n_tokens"),
+      bpeCount(col("text")).cast("long").as("n_bpe"),
+      length(col("text")).cast("long").as("n_chars_m"))
+
+  def langIdDf(docs: DataFrame): DataFrame = {
+    val scoreCols = markers.map { case (l, ws) =>
+      langScore(col("text"), ws).cast("long").as(s"score_$l")
+    }
+    docs.select((col("doc_id") +: col("lang").as("lang_label") +:
+      langId(col("text")).as("lang_pred") +: scoreCols): _*)
+  }
+
+  def quality(docs: DataFrame): DataFrame = {
+    val qc = qualityColumns(col("text"))
+    docs.select(col("doc_id"),
+      qc("n_tokens").as("n_tokens"), qc("n_stopwords").as("n_stopwords"),
+      qc("n_punct").as("n_punct"), qc("stop_permille").as("stop_permille"),
+      qc("avg_word_len_x10").as("avg_word_len_x10"),
+      qc("quality_bucket").as("quality_bucket"))
+  }
+
+  def fingerprints(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), fingerprint(col("text")).as("fp"))
+}

@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.dedup.Dedup
+import graft.text.TextAnalysis
+
+/** Dedup + text-analysis behavior tests on crafted fixtures (the oracle
+  * checks cover the synthetic corpus; these cover the semantics edges). */
+class DedupSpec extends SparkSpec {
+  import TestSpark.spark.implicits._
+
+  private def docsOf(texts: (Long, String)*) =
+    texts.toSeq.toDF("doc_id", "text")
+
+  test("exact dedup groups whitespace/case variants") {
+    val d = docsOf(1L -> "Hello  World", 2L -> "hello world", 3L -> "other doc")
+    val out = Dedup.exact(d).collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(out == Map(1L -> 2L, 3L -> 1L)) // keeper 1 has 2 copies
+  }
+
+  test("minhash signatures identical for identical token streams") {
+    val d = docsOf(1L -> "a b c d e f", 2L -> "a  B c D e f", 3L -> "f e d c b a")
+    val rows = Dedup.signatures(d).collect().sortBy(_.getLong(0))
+    assert(rows(0).toSeq.tail == rows(1).toSeq.tail)  // case/ws-insensitive equal
+    assert(rows(0).toSeq.tail != rows(2).toSeq.tail)  // order-sensitive differ
+  }
+
+  test("LSH candidates find the planted near-duplicate") {
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val nearDup = base.replace("today", "tomorrow")
+    val other = "completely different words appear in this document body here now ok fine"
+    val d = docsOf(1L -> base, 2L -> nearDup, 3L -> other)
+    val pairs = Dedup.jaccardPermille(Dedup.lshCandidates(d), d).collect()
+    val planted = pairs.find(r => r.getLong(0) == 1L && r.getLong(1) == 2L)
+    assert(planted.isDefined, "near-dup pair (1,2) not found by LSH")
+    assert(planted.get.getLong(2) > 600, "jaccard permille should be high")
+    assert(!pairs.exists(r => r.getLong(1) == 3L && r.getLong(2) > 300))
+  }
+
+  test("simhash: near-identical docs have small hamming distance") {
+    val d = docsOf(
+      1L -> "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+      2L -> "alpha beta gamma delta epsilon zeta eta theta iota lambda",
+      3L -> "one two three four five six seven eight nine ten")
+    val hs = d.select(col("doc_id"), Dedup.simhash(col("text")).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(hs(1L), hs(2L)) <= ham(hs(1L), hs(3L)))
+  }
+
+  test("char n-gram hashes overlap for shared substrings") {
+    val d = docsOf(1L -> "abcdefghij", 2L -> "abcdefghij", 3L -> "zzzzzzzzzz")
+    val rows = d.select(col("doc_id"),
+      Dedup.charNgramHashes(col("text")).as("ng")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    assert(rows(1L) == rows(2L))
+    assert(rows(1L).intersect(rows(3L)).isEmpty)
+  }
+
+  test("langId picks marker-rich language, und when no markers") {
+    val d = docsOf(
+      1L -> "the cat and the dog of a house",
+      2L -> "der hund und die katze ist das",
+      3L -> "xyz qqq www")
+    val out = d.select(col("doc_id"), TextAnalysis.langId(col("text")).as("l"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "en", 2L -> "de", 3L -> "und"))
+  }
+
+  test("fingerprint is ws-insensitive but order-sensitive") {
+    val d = docsOf(1L -> "a b  c", 2L -> "a b c", 3L -> "c b a")
+    val fp = TextAnalysis.fingerprints(d).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp(1L) == fp(2L) && fp(1L) != fp(3L))
+  }
+}

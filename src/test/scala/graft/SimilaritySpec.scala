@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ann.Similarity
+import graft.multimodal.Multimodal
+
+class SimilaritySpec extends SparkSpec {
+  import TestSpark.spark.implicits._
+
+  private val vecs = Seq(
+    (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+    (1L, Array(0.9f, 0.1f, 0.0f, 0.0f)),   // close to 0
+    (2L, Array(0.0f, 1.0f, 0.0f, 0.0f)),   // orthogonal to 0
+    (3L, Array(-1.0f, 0.0f, 0.0f, 0.0f)),  // opposite of 0
+    (50L, Array(0.0f, 0.0f, 1.0f, 1.0f))
+  ).toDF("vec_id", "embedding")
+
+  test("brute-force topk ranks by cosine (query = id 0)") {
+    val out = Similarity.bruteTopK(vecs, k = 4, queryMod = 100)
+      .filter(col("q_id") === 0).orderBy("rank").collect()
+    assert(out.map(_.getLong(1)).toSeq == Seq(1L, 2L, 50L, 3L))
+  }
+
+  test("lsh buckets put identical vectors together, opposite apart") {
+    val b = Similarity.buckets(vecs, dim = 4).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(b(0L) != b(3L)) // opposite vectors differ in every plane with nonzero dot
+  }
+
+  test("bucketed topk returns only same-bucket neighbors") {
+    val out = Similarity.bucketedTopK(vecs, k = 4, queryMod = 100, dim = 4)
+    val buckets = Similarity.buckets(vecs, dim = 4).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out.collect().foreach { r =>
+      assert(buckets(r.getLong(0)) == buckets(r.getLong(1)))
+    }
+  }
+
+  test("media features: byte sums and framing on real binary column") {
+    val docs = Seq((1L, "x" * 130, "en", "s", 130L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    implicit val sp = spark
+    val f = Multimodal.features(Multimodal.asMedia(docs)).collect()(0)
+    assert(f.n_bytes == 130L)
+    assert(f.n_frames == 3L)     // ceil(130/64)
+    assert(f.first_code == 'x'.toLong)
+    assert(f.byte_sum_mod == 130L * 'x'.toLong % 1000000007L)
+  }
+}
