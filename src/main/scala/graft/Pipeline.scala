@@ -14,24 +14,21 @@ import graft.sources.Transcripts
   */
 object Pipeline {
 
-  /** parse + errorlog split (P1-P7). */
-  def parsed(spark: SparkSession, sfDir: String): DataFrame =
-    Grok.parseErrorlog(Grok.parse(Transcripts.load(spark, sfDir)))
+  // ---- transform stages over an arbitrary transcript frame (batch OR
+  // streaming micro-batch — same column logic, per the north rule) ----------
 
-  /** parse + full enrichment (E1-E12). */
-  def enriched(spark: SparkSession, sfDir: String): DataFrame =
-    Enrich.enrich(parsed(spark, sfDir), spark)
+  def parse(df: DataFrame): DataFrame =
+    Grok.parseErrorlog(Grok.parse(df))
 
-  /** parse + enrich + filters (F1-F5). */
-  def filtered(spark: SparkSession, sfDir: String): DataFrame =
-    Filters.standard(enriched(spark, sfDir))
+  def process(df: DataFrame, spark: SparkSession): DataFrame =
+    Filters.standard(Enrich.enrich(parse(df), spark))
 
-  /** Full routed frame incl. sink_index and the serialized NDJSON doc
+  /** filtered frame → routed frame with sink_index + serialized NDJSON doc
     * (P13, `pkg/xe/xe.go:816-825`): to_json over the payload struct with
     * null fields dropped — matching the reference's absent-key semantics
     * (SURVEY.md §7.4.2). */
-  def routed(spark: SparkSession, sfDir: String): DataFrame = {
-    val f = Routing.withSinkIndex(filtered(spark, sfDir), spark)
+  def route(filtered: DataFrame, spark: SparkSession): DataFrame = {
+    val f = Routing.withSinkIndex(filtered, spark)
     f.withColumn("doc_json",
       to_json(struct(
         col("name"), col("conv_id"), col("turn_idx"), col("role"), col("tool"),
@@ -41,4 +38,25 @@ object Pipeline {
         col("xe_category"), col("xe_description"), col("xe_acct_app"),
         col("entity_name"), col("sink_index"))))
   }
+
+  /** Full transform: transcripts frame → routed frame. */
+  def transform(df: DataFrame, spark: SparkSession): DataFrame =
+    route(process(df, spark), spark)
+
+  // ---- sfDir-loading conveniences ------------------------------------------
+
+  /** parse + errorlog split (P1-P7). */
+  def parsed(spark: SparkSession, sfDir: String): DataFrame =
+    parse(Transcripts.load(spark, sfDir))
+
+  /** parse + full enrichment (E1-E12). */
+  def enriched(spark: SparkSession, sfDir: String): DataFrame =
+    Enrich.enrich(parsed(spark, sfDir), spark)
+
+  /** parse + enrich + filters (F1-F5). */
+  def filtered(spark: SparkSession, sfDir: String): DataFrame =
+    Filters.standard(enriched(spark, sfDir))
+
+  def routed(spark: SparkSession, sfDir: String): DataFrame =
+    route(filtered(spark, sfDir), spark)
 }

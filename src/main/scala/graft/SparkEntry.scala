@@ -168,6 +168,25 @@ object SparkEntry {
       implicit val sp: SparkSession = s
       multimodal.Multimodal.features(
         multimodal.Multimodal.asMedia(docs(s, d))).toDF()
+    }),
+
+    // ---- streaming end-to-end: drain the staged corpus through the
+    // checkpointed streaming pipeline, then recompute per-sink counts from
+    // the sink ARTIFACTS on disk — routed-row equality through the real
+    // sink path (north rule). Oracle = the same SQL as q15.
+    "q50_streaming_counts" -> ((s, d) => {
+      import java.nio.file.{Files, Paths}
+      val root = s"/tmp/graft_stream_${math.abs(d.hashCode)}"
+      def rm(p: java.nio.file.Path): Unit = if (Files.exists(p)) {
+        Files.walk(p).sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(x => Files.delete(x))
+      }
+      rm(Paths.get(root))
+      Transcripts.load(s, d).repartition(4)
+        .write.parquet(s"$root/input")
+      streaming.StreamingPipeline.runOnce(s, s"$root/input", s"$root/sinks", s"$root/ckpt")
+      sinks.Sinks.countsFromDisk(s, s"$root/sinks")
+        .withColumnRenamed("n", "n").select("sink", "route_key", "n")
     })
   )
 
@@ -177,6 +196,31 @@ object SparkEntry {
   private def vecs(s: SparkSession, d: String): DataFrame = {
     Graft.prep(s); s.read.parquet(s"$d/embeddings.parquet")
   }
+
+  /** Shared oracle for q15 (batch route counts) and q50 (streaming route
+    * counts recomputed from sink artifacts) — identical expected output. */
+  private lazy val routeCountsOracle: String = withCtes(
+    "idx_map" -> Lookups.sinkIndexSql,
+    "filt" -> s"""
+  SELECT p.name FROM (
+    SELECT conv_id, turn_idx, $oName AS name, ${oTriple(1)} AS en,
+      role, tool, lower(text) AS lt
+    FROM transcripts
+  ) p
+  WHERE NOT (name = 'error_reported' AND en = 18330)
+    AND NOT (name = 'errorlog_written' AND lt LIKE '%using ''dbghelp.dll''%')
+    AND (CASE WHEN en = 18456 AND role = 'system' THEN 'exclude'
+              WHEN name = 'wait_info' AND tool = 'sql_query' THEN 'include'
+              WHEN name = 'wait_info' THEN 'exclude'
+              ELSE 'include' END) = 'include'""",
+    "routed" -> """
+  SELECT f.name, COALESCE(m.sink_index, 'idx-default') AS sink_index
+  FROM filt f LEFT JOIN idx_map m ON f.name = m.name""")(s"""
+SELECT 'file' AS sink, name AS route_key, count(*) AS n FROM routed GROUP BY name
+UNION ALL
+SELECT 'logstash' AS sink, name AS route_key, count(*) AS n FROM routed GROUP BY name
+UNION ALL
+SELECT 'elastic' AS sink, sink_index AS route_key, count(*) AS n FROM routed GROUP BY sink_index""")
 
   def oracleSql: Map[String, String] = Map(
     "q01_transcripts" -> withTranscripts(
@@ -369,28 +413,9 @@ WHERE NOT (name = 'error_reported' AND en = 18330)
             WHEN name = 'wait_info' THEN 'exclude'
             ELSE 'include' END) = 'include'"""),
 
-    "q15_route_counts" -> withCtes(
-      "idx_map" -> Lookups.sinkIndexSql,
-      "filt" -> s"""
-  SELECT p.name FROM (
-    SELECT conv_id, turn_idx, $oName AS name, ${oTriple(1)} AS en,
-      role, tool, lower(text) AS lt
-    FROM transcripts
-  ) p
-  WHERE NOT (name = 'error_reported' AND en = 18330)
-    AND NOT (name = 'errorlog_written' AND lt LIKE '%using ''dbghelp.dll''%')
-    AND (CASE WHEN en = 18456 AND role = 'system' THEN 'exclude'
-              WHEN name = 'wait_info' AND tool = 'sql_query' THEN 'include'
-              WHEN name = 'wait_info' THEN 'exclude'
-              ELSE 'include' END) = 'include'""",
-      "routed" -> """
-  SELECT f.name, COALESCE(m.sink_index, 'idx-default') AS sink_index
-  FROM filt f LEFT JOIN idx_map m ON f.name = m.name""")(s"""
-SELECT 'file' AS sink, name AS route_key, count(*) AS n FROM routed GROUP BY name
-UNION ALL
-SELECT 'logstash' AS sink, name AS route_key, count(*) AS n FROM routed GROUP BY name
-UNION ALL
-SELECT 'elastic' AS sink, sink_index AS route_key, count(*) AS n FROM routed GROUP BY sink_index"""),
+    "q15_route_counts" -> routeCountsOracle,
+
+    "q50_streaming_counts" -> routeCountsOracle,
 
     "q16_agg_hourly" -> withTranscripts(s"""
 SELECT date_trunc('hour', ts) AS hour_start, $oName AS name,
@@ -581,6 +606,8 @@ SELECT doc_id,
   CAST(floor(CAST(octet_length(encode(text)) + ${multimodal.Multimodal.FrameSize - 1} AS DOUBLE) / ${multimodal.Multimodal.FrameSize}) AS BIGINT) AS n_frames,
   CAST(unicode(substr(text, 1, 1)) AS BIGINT) AS first_code,
   CAST(CAST(list_aggregate(list_transform(string_split_regex(text, ''), c -> CAST(unicode(c) AS BIGINT)), 'sum') AS BIGINT) % 1000000007 AS BIGINT) AS byte_sum_mod
-FROM documents"""
+FROM documents""",
+
+    
   )
 }

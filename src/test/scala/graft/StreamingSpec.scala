@@ -1,0 +1,107 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.functions._
+import graft.sinks.Sinks
+import graft.sources.Transcripts
+import graft.streaming.StreamingPipeline
+
+/** Checkpoint/lineage semantics (ST2/ST3, `pkg/status/status.go:175-363`):
+  * run batch 1 → lineage present; append data; resume from checkpoint →
+  * only new rows routed, no duplicates; lineage sums equal routed totals. */
+class StreamingSpec extends SparkSpec {
+
+  private def rm(dir: String): Unit = {
+    val p = Paths.get(dir)
+    if (Files.exists(p))
+      Files.walk(p).sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(x => Files.delete(x))
+  }
+
+  test("streaming resumes from checkpoint without duplicating committed batches") {
+    val root = "/tmp/graft_stream_spec"
+    rm(root)
+    val t = Transcripts.load(spark, tiny).cache()
+    val part1 = t.filter(col("turn_idx") % 2 === 0)
+    val part2 = t.filter(col("turn_idx") % 2 =!= 0)
+    // sinks hold ROUTED rows (post-filter), not raw input rows
+    val routed1 = Pipeline.transform(part1, spark).count()
+    val total = Pipeline.transform(t, spark).count()
+
+    // batch 1: only part1 staged
+    part1.coalesce(1).write.parquet(s"$root/input/f1")
+    StreamingPipeline.runOnce(spark, s"$root/input/*", s"$root/sinks", s"$root/ckpt")
+    val after1 = spark.read.text(s"$root/sinks/logstash").count()
+    assert(after1 == routed1)
+
+    // append part2, resume with the SAME checkpoint
+    part2.coalesce(1).write.parquet(s"$root/input/f2")
+    StreamingPipeline.runOnce(spark, s"$root/input/*", s"$root/sinks", s"$root/ckpt")
+    val after2 = spark.read.text(s"$root/sinks/logstash").count()
+    assert(after2 == total, s"expected $total routed rows, got $after2 (dupes or loss)")
+
+    // lineage rows sum to the routed total (north rule)
+    val lineageSum = spark.read.parquet(s"$root/sinks/lineage")
+      .agg(sum("n_events")).collect()(0).getLong(0)
+    assert(lineageSum == total)
+    // two batches committed
+    val batches = spark.read.parquet(s"$root/sinks/lineage")
+      .select("batch_id").distinct().count()
+    assert(batches == 2)
+    t.unpersist()
+  }
+
+  test("streaming sink counts equal batch pipeline counts (routed-row equality)") {
+    val root = "/tmp/graft_stream_spec2"
+    rm(root)
+    Transcripts.load(spark, tiny).repartition(3).write.parquet(s"$root/input")
+    StreamingPipeline.runOnce(spark, s"$root/input", s"$root/sinks", s"$root/ckpt")
+    val streamCounts = Sinks.countsFromDisk(spark, s"$root/sinks")
+    val batchCounts = graft.operators.Routing.perSinkCounts(Pipeline.routed(spark, tiny))
+    assert(streamCounts.except(batchCounts).count() == 0)
+    assert(batchCounts.except(streamCounts).count() == 0)
+  }
+
+  test("per-turn text equality through the file sink under stable ordering") {
+    // the north rule's core invariant: what comes out of the sink is the
+    // same per-turn text, recoverable in (conv_id, turn_idx) order
+    val root = "/tmp/graft_stream_spec2" // reuse artifacts from prior test
+    val sunk = spark.read.text(s"$root/sinks/file")
+      .select(
+        get_json_object(col("value"), "$.conv_id").as("conv_id"),
+        get_json_object(col("value"), "$.turn_idx").cast("int").as("turn_idx"),
+        get_json_object(col("value"), "$.name").as("name"))
+    val expected = Pipeline.routed(spark, tiny)
+      .select("conv_id", "turn_idx", "name")
+    assert(sunk.except(expected).count() == 0)
+    assert(expected.except(sunk).count() == 0)
+  }
+
+  test("stateful sampler emits first event per name per hour across batches") {
+    import TestSpark.spark.implicits._
+    implicit val sp = spark
+    val input = Pipeline.parsed(spark, tiny)
+      .select("name", "ts", "conv_id", "turn_idx")
+    // run through flatMapGroupsWithState via a memory-source streaming query
+    val root = "/tmp/graft_sampler_spec"
+    rm(root)
+    input.write.parquet(s"$root/in")
+    val stream = spark.readStream
+      .schema(input.schema).parquet(s"$root/in")
+    val out = StreamingPipeline.sampled(
+      stream.withColumn("name", col("name"))).toDF()
+    val q = out.writeStream.format("memory").queryName("sampled")
+      .option("checkpointLocation", s"$root/ckpt")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("sampled")
+    // batch sampler oracle over the same input
+    val expected = graft.operators.Aggregates.sampler(Pipeline.parsed(spark, tiny))
+      .select(col("name"), col("conv_id"), col("turn_idx"))
+    // streaming state is per-name monotone-hour; with a single batch the
+    // semantics coincide with the batch sampler
+    assert(got.select("name", "conv_id", "turn_idx").except(expected).count() == 0)
+    assert(expected.except(got.select("name", "conv_id", "turn_idx")).count() == 0)
+  }
+}
