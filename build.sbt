@@ -27,4 +27,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // throughput GC: the engine is a batch/string-heavy workload; Parallel
+  // beats G1 pause-oriented defaults for wall-clock on local[32]
+  "-XX:+UseParallelGC",
 )

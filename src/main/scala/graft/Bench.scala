@@ -1,24 +1,142 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Transcripts
+
+/** Benchmark main — the BASELINE.md evidence:
+  *
+  *  - headline: routed events/sec through the full parse→enrich→filter→
+  *    route pipeline (vs the reference's 2-3k events/sec single process,
+  *    /root/reference/README.md:540)
+  *  - two-parallelism-level scaling: the same job on the same input at
+  *    local[N] and local[4N]; efficiency = (rate_4N / rate_N) / 4 — the
+  *    sandbox stand-in for the north rule's N vs 4N executors criterion
+  *  - skew evidence: ordered (shuffle-by-conv) pipeline timed with and
+  *    without salting of the hot conversation
+  *
+  * Prints ONE JSON line per the driver contract.
+  */
 object Bench {
+
+  private def session(cpus: Int): SparkSession = {
+    val s = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName(s"graft-bench-$cpus")
+      .config("spark.sql.shuffle.partitions", cpus.toString)
+      // the staged bench corpus is 64 small files; without these the
+      // file-bin packer (128MB target + 4MB open cost) collapses the scan
+      // to ~3 splits and caps parallelism — a small-file artifact a real
+      // multi-TB table doesn't have
+      .config("spark.sql.files.maxPartitionBytes", "1m")
+      .config("spark.sql.files.openCostInBytes", "0")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.driver.memory", sys.env.getOrElse("SPARK_DRIVER_MEM", "8g"))
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    Graft.prep(s)
+  }
+
+  /** Replicate the transcript corpus deterministically: conv_id gets a
+    * replica suffix EXCEPT the hot conversation, which stays one key so
+    * the 20% skew survives replication. The replica RANGE is the
+    * partitioned stream side and the corpus is broadcast, so the bench
+    * input is spread over 2×cpus tasks regardless of the single source
+    * parquet file (at real scale the scan itself provides the splits). */
+  private def replicated(spark: SparkSession, sfDir: String, factor: Int, cpus: Int): DataFrame = {
+    val t = Transcripts.load(spark, sfDir)
+    val reps = spark.range(0, factor.toLong, 1, cpus * 2).select(col("id").as("rep"))
+    reps.crossJoin(broadcast(t)).withColumn("conv_id",
+      when(col("conv_id") === "conv_hot", col("conv_id"))
+        .otherwise(concat(col("conv_id"), lit("_r"), col("rep"))))
+      .drop("rep")
+  }
+
+  private def timeNoop(df: DataFrame): Double = {
+    val t0 = System.nanoTime()
+    df.write.format("noop").mode("overwrite").save()
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  /** Stage the replicated corpus to partitioned parquet ONCE so the timed
+    * path is scan → pipeline → noop, with scan parallelism from the file
+    * splits — like a real multi-file table, not the synth/broadcast. */
+  private def stage(sfDir: String, factor: Int, parts: Int): String = {
+    val dir = s"/tmp/graft_bench_${math.abs(sfDir.hashCode)}_${factor}_$parts"
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/_SUCCESS"))) {
+      val spark = session(8)
+      try replicated(spark, sfDir, factor, 8)
+        .repartition(parts).write.mode("overwrite").parquet(dir)
+      finally spark.stop()
+    }
+    dir
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    val high = sys.env.get("SPARK_GRAFT_CPUS").map(_.toInt).getOrElse(32)
+    val low = math.max(high / 4, 1)
+    val factor = sys.env.get("SPARK_GRAFT_REPL").map(_.toInt).getOrElse(50)
+    val staged = stage(sfDir, factor, high * 4)
+
+    var routedRows = 0L
+    var inputRows = 0L
+    val results = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val rates = scala.collection.mutable.LinkedHashMap[Int, Double]()
+
+    Seq(low, high).foreach { cpus =>
+      val spark = session(cpus)
+      try {
+        val input = spark.read.parquet(staged)
+        val routed = Pipeline.transform(input, spark)
+        // warmup: full plan once (codegen + JIT) before timing
+        timeNoop(routed)
+        if (routedRows == 0L) { routedRows = routed.count(); inputRows = input.count() }
+
+        val tPipe = math.min(timeNoop(routed), timeNoop(routed))
+        results(s"pipeline_c$cpus") = tPipe
+        rates(cpus) = routedRows / tPipe
+
+        // ordered variants only at the high level (skew evidence);
+        // cache the routed frame so the timings isolate the ordering
+        // shuffle+sort instead of re-measuring the parse pipeline
+        if (cpus == high) {
+          val cached = routed.persist()
+          cached.count()
+          val plain = cached.repartition(col("conv_id"))
+            .sortWithinPartitions("conv_id", "turn_idx")
+          results("ordered_plain") = math.min(timeNoop(plain), timeNoop(plain))
+          val salted = graft.operators.TurnOrdering
+            .saltedRepartition(cached, Seq("conv_hot"), cpus)
+            .sortWithinPartitions("conv_id", "_salt", "turn_idx")
+          results("ordered_salted") = math.min(timeNoop(salted), timeNoop(salted))
+          cached.unpersist()
+
+          // training-data headliners on a replicated docs corpus
+          val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+            .crossJoin(spark.range(0, factor.toLong, 1, cpus).select(col("id").as("rep")))
+            .withColumn("doc_id", col("doc_id") + col("rep") * 1000000L).drop("rep")
+            .repartition(cpus * 2)
+          val sigRun = () => timeNoop(dedup.Dedup.signatures(docs))
+          results("minhash_sigs") = math.min(sigRun(), sigRun())
+          val simRun = () => timeNoop(dedup.Dedup.simhashDf(docs))
+          results("simhash") = math.min(simRun(), simRun())
+          val vecs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+          results("ann_topk") = timeNoop(ann.Similarity.bruteTopK(vecs))
+          results("route_counts") = timeNoop(
+            operators.Routing.perSinkCounts(routed))
+        }
+      } finally spark.stop()
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    val rateLow = rates(low)
+    val rateHigh = rates(high)
+    val efficiency = (rateHigh / rateLow) / (high.toDouble / low)
+    val total = results.values.sum
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
-    spark.stop()
+    println(
+      s"""{"metric":"routed_events_per_sec","value":${f"$rateHigh%.1f"},"unit":"sec","queries":$qs,"sf":"$sfDir","total_sec":${f"$total%.3f"},"input_rows":$inputRows,"routed_rows":$routedRows,"cpus_low":$low,"cpus_high":$high,"rate_low":${f"$rateLow%.1f"},"rate_high":${f"$rateHigh%.1f"},"scaling_efficiency":${f"$efficiency%.3f"}}""")
   }
 }

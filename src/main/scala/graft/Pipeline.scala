@@ -17,8 +17,7 @@ object Pipeline {
   // ---- transform stages over an arbitrary transcript frame (batch OR
   // streaming micro-batch — same column logic, per the north rule) ----------
 
-  def parse(df: DataFrame): DataFrame =
-    Grok.parseErrorlog(Grok.parse(df))
+  def parse(df: DataFrame): DataFrame = Grok.parse(df)
 
   def process(df: DataFrame, spark: SparkSession): DataFrame =
     Filters.standard(Enrich.enrich(parse(df), spark))

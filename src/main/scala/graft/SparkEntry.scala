@@ -125,6 +125,24 @@ object SparkEntry {
     "q22_counters" -> ((s, d) =>
       operators.Aggregates.perEventCounters(Pipeline.parsed(s, d))),
 
+    "q23_incremental" -> ((s, d) =>
+      operators.Incremental.catchUp(Transcripts.load(s, d), "events_0000", 500L)
+        .select("conv_id", "turn_idx", "src_file", "src_offset")),
+
+    "q24_agent_jobs" -> ((s, d) => {
+      Graft.prep(s)
+      functions.AgentJobs.enrich(functions.AgentJobs.fromEvents(
+        s.read.parquet(s"$d/events.parquet")))
+        .select("instance_id", "job_id", "step_id", "name", "run_status",
+          "run_status_text", "xe_severity_value", "run_ts", "xe_description")
+    }),
+
+    "q25_percentiles" -> ((s, d) =>
+      Pipeline.parsed(s, d).groupBy("name").agg(
+        count(col("duration")).as("n_dur"),
+        round(percentile(col("duration"), lit(0.5)), 3).as("p50"),
+        round(percentile(col("duration"), lit(0.9)), 3).as("p90"))),
+
     // ---- training-data ops over documents/embeddings ----
     "q30_token_stats" -> ((s, d) =>
       text.TextAnalysis.tokenStats(docs(s, d))),
@@ -149,8 +167,7 @@ object SparkEntry {
         dedup.Dedup.lshCandidates(docs(s, d)), docs(s, d))),
 
     "q37_simhash" -> ((s, d) =>
-      docs(s, d).select(col("doc_id"),
-        dedup.Dedup.simhash(col("text")).as("simhash"))),
+      dedup.Dedup.simhashDf(docs(s, d))),
 
     "q38_ann_topk" -> ((s, d) =>
       ann.Similarity.bruteTopK(vecs(s, d))),
@@ -458,6 +475,53 @@ FROM transcripts GROUP BY 1"""),
     "q22_counters" -> withTranscripts(s"""
 SELECT $oName AS name, role, count(*) AS n, CAST(sum(length(text)) AS BIGINT) AS bytes
 FROM transcripts GROUP BY 1, 2"""),
+
+    "q23_incremental" -> withTranscripts("""
+SELECT conv_id, turn_idx, src_file, src_offset FROM transcripts
+WHERE src_file > 'events_0000'
+   OR (src_file = 'events_0000' AND src_offset > 500)"""),
+
+    "q24_agent_jobs" -> """
+SELECT instance_id, job_id, step_id,
+  CASE WHEN step_id = 0 THEN 'agent_job' ELSE 'agent_job_step' END AS name,
+  run_status,
+  CASE run_status WHEN 0 THEN 'Failed' WHEN 1 THEN 'Succeeded'
+       WHEN 2 THEN 'Retry' WHEN 3 THEN 'Cancelled'
+       WHEN 4 THEN 'In Progress' ELSE 'Unknown' END AS run_status_text,
+  CASE WHEN run_status IN (0, 2, 3) THEN 3 ELSE 6 END AS xe_severity_value,
+  make_timestamp(
+    CAST(floor(run_date / 10000) AS BIGINT),
+    CAST(floor((run_date % 10000) / 100) AS BIGINT),
+    CAST(run_date % 100 AS BIGINT),
+    CAST(floor(run_time / 10000) AS BIGINT),
+    CAST(floor((run_time % 10000) / 100) AS BIGINT),
+    CAST(run_time % 100 AS DOUBLE)) AS run_ts,
+  CASE WHEN step_id = 0 THEN job_name || ': ' ||
+       CASE run_status WHEN 0 THEN 'Failed' WHEN 1 THEN 'Succeeded'
+            WHEN 2 THEN 'Retry' WHEN 3 THEN 'Cancelled'
+            WHEN 4 THEN 'In Progress' ELSE 'Unknown' END
+       ELSE job_name || ': [step ' || step_id || '] ' ||
+       CASE run_status WHEN 0 THEN 'Failed' WHEN 1 THEN 'Succeeded'
+            WHEN 2 THEN 'Retry' WHEN 3 THEN 'Cancelled'
+            WHEN 4 THEN 'In Progress' ELSE 'Unknown' END
+  END AS xe_description
+FROM (
+  SELECT event_id AS instance_id, user_id % 10 AS job_id,
+    CAST(k % 5 AS INT) AS step_id, CAST(k % 6 AS INT) AS run_status,
+    20240101 + k % 28 AS run_date,
+    (k % 24) * 10000 + (k % 60) * 100 + (k % 60) AS run_time,
+    'job_' || (user_id % 10) AS job_name
+  FROM (SELECT event_id, user_id,
+          CAST(regexp_extract(props, '[0-9]+', 0) AS BIGINT) AS k
+        FROM events) e
+) j""",
+
+    "q25_percentiles" -> withTranscripts(s"""
+SELECT name, count(dur) AS n_dur,
+  round(quantile_cont(dur, 0.5), 3) AS p50,
+  round(quantile_cont(dur, 0.9), 3) AS p90
+FROM (SELECT $oName AS name, ${oKvNum("duration")} AS dur FROM transcripts) a
+GROUP BY name"""),
 
     // ---- training-data ops (documents/embeddings tables, no transcripts CTE)
     "q30_token_stats" -> s"""

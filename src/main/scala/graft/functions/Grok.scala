@@ -34,10 +34,21 @@ object Grok {
   def eventName(text: Column): Column =
     regexp_extract(text, "^event=([a-z_0-9]+)", 1)
 
-  /** Full parse projection: transcript turns → flat typed event columns.
-    * One `select`, all expressions, single pass (the reference's
-    * `xe.Parse` equivalent, pkg/xe/xe.go:125-252). */
+  /** Full parse projection: transcript turns → flat typed event columns —
+    * the reference's `xe.Parse` equivalent (pkg/xe/xe.go:125-252), fused
+    * into ONE custom-Expression scan per row (see [[FusedParse]]). The
+    * two-projection split keeps CollapseProject from inlining the
+    * expensive parse into each of the 23 field extractions. */
   def parse(turns: DataFrame): DataFrame = {
+    val withP = turns.withColumn("_parsed", FusedParse.parsed(col("text")))
+    val fieldCols = FusedParse.fields.map(f => col(s"_parsed.${f.name}").as(f.name))
+    withP.select(turns.columns.map(col).toSeq ++ fieldCols: _*)
+  }
+
+  /** The original vectorized regexp_extract battery — kept as the parity
+    * oracle for FusedParse (FusedParseSpec asserts field equality) and as
+    * the reference implementation of the regex semantics. */
+  def parseRegex(turns: DataFrame): DataFrame = {
     val t = col("text")
     val body = regexp_replace(t, "^event=[a-z_0-9]+ ", "")
     turns.withColumns(Map(
@@ -95,4 +106,10 @@ object Grok {
     * Spark substring counts codepoints, matching the rune semantics. */
   def left(c: Column, n: Int): Column =
     when(length(c) > n, concat(substring(c, 1, n), lit("..."))).otherwise(c)
+
+  /** P3: zero-value handle skip — hex handles that are all zeros
+    * (`0x0000...`) are dropped to null (pkg/xe/xe.go:157-165). */
+  def zeroHandleToNull(c: Column): Column =
+    when(regexp_replace(regexp_replace(c, "^0x", ""), "0", "") === "", null)
+      .otherwise(c)
 }

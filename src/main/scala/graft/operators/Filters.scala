@@ -59,10 +59,16 @@ object Filters {
     FilterRule("exclude", Map("error_number" -> 18456L, "role" -> "system"))
   )
 
+  /** F7: bad-input tolerance — a row whose text doesn't parse to an event
+    * name is skipped, not fatal (`pkg/app/process_session.go:183-193`).
+    * The parse stage yields name='' for malformed text; this drops it. */
+  def wellFormed: Column = col("name").isNotNull && col("name") =!= ""
+
   /** The full standard predicate stack applied by the pipeline. */
   def standard(df: DataFrame): DataFrame =
     df.filter(
-      excludeEvents(Seq("connectivity_ring_buffer_recorded")) &&
+      wellFormed &&
+        excludeEvents(Seq("connectivity_ring_buffer_recorded")) &&
         excludeErrorNumber(18330L) &&
         dbghelpSuppression &&
         filterChain(defaultRules))

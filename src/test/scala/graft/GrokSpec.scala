@@ -12,7 +12,7 @@ class GrokSpec extends SparkSpec {
   private def parseOne(text: String) = {
     val df = Seq(("c1", 0, "user", text, "", java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
       .toDF("conv_id", "turn_idx", "role", "text", "tool", "ts")
-    Grok.parseErrorlog(Grok.parse(df)).collect()(0)
+    Grok.parse(df).collect()(0)
   }
 
   test("error triple + client extraction (xe.go:20,22 regexes)") {
