@@ -91,8 +91,18 @@ object Mods {
     }
     insert(root, Seq(cfg.timestampField), col("ts"), overwrite = true)
     // P9: adds (dotted path, refuse overwrite). Value coercion happens at
-    // config load in the reference (logstash_record.go:188-211); literals here.
-    cfg.adds.foreach { case (p, v) => insert(root, p.split('.').toSeq, lit(v), overwrite = false) }
+    // config load in the reference (logstash_record.go:188-211); the
+    // $(VAR) substitutions (config.go:314-345) map to expressions here.
+    cfg.adds.foreach { case (p, v) =>
+      val value: Column = v match {
+        case "$(NOW)"     => current_timestamp()
+        case "$(VERSION)" => lit("0.1.0")
+        case "$(HOST)"    => lit("graft-host")
+        case "$(PID)"     => lit(0L)
+        case other        => lit(other)
+      }
+      insert(root, p.split('.').toSeq, value, overwrite = false)
+    }
     // P10: copies then moves (move = copy + delete; skip absent src)
     (cfg.copies ++ cfg.moves).foreach { case (s, d) =>
       lookup(root, s.split('.').toSeq)

@@ -82,6 +82,23 @@ object Sinks {
     } finally cached.unpersist()
   }
 
+  /** A1/A2 as observe() metrics: events-written count + byte totals
+    * riding on the sink action itself — the expvar/prom counter analog
+    * (`pkg/app/expvar.go`; `pkg/prom/prom.go:11-41`) with zero extra
+    * passes over the data. */
+  def writeFileObserved(routed: DataFrame, dir: String): (Long, Long) = {
+    val obs = org.apache.spark.sql.Observation()
+    val observed = routed
+      .withColumn("date_hour", date_format(col("ts"), "yyyyMMdd_HH"))
+      .select("date_hour", "doc_json")
+      .observe(obs, count(lit(1)).as("n_routed"),
+        sum(length(col("doc_json"))).as("bytes"))
+    observed.write.mode("append").partitionBy("date_hour").text(dir)
+    val row = obs.get
+    (row("n_routed").asInstanceOf[Long],
+      row.get("bytes").map(_.asInstanceOf[Long]).getOrElse(0L))
+  }
+
   /** Recompute per-sink counts from the sink ARTIFACTS on disk — the
     * verification path for routed-row equality (north rule). */
   def countsFromDisk(spark: SparkSession, root: String): DataFrame = {

@@ -1,0 +1,91 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.functions._
+import graft.functions.AgentJobs
+import graft.operators.{Incremental, TurnOrdering}
+import graft.sinks.Sinks
+import graft.sources.Transcripts
+
+class OperatorsSpec extends SparkSpec {
+  import TestSpark.spark.implicits._
+
+  test("incremental cursor: catchUp skips rows at or before (file, offset)") {
+    val df = Seq(
+      ("events_0000", 499L), ("events_0000", 500L), ("events_0000", 501L),
+      ("events_0001", 0L)).toDF("src_file", "src_offset")
+    val out = Incremental.catchUp(df, "events_0000", 500L)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(out == Set(("events_0000", 501L), ("events_0001", 0L)))
+  }
+
+  test("incremental cursor: nextCursor is max (file, offset) pair") {
+    val df = Seq(("events_0001", 3L), ("events_0000", 999L), ("events_0001", 7L))
+      .toDF("src_file", "src_offset")
+    val c = Incremental.nextCursor(df).collect()(0)
+    assert(c.getString(0) == "events_0001" && c.getLong(1) == 7L)
+  }
+
+  test("agent jobs: run_date/run_time ints → timestamp (process_agent.go:126-145)") {
+    val df = Seq((20240215L, 134502L)).toDF("run_date", "run_time")
+    val ts = df.select(AgentJobs.runTimestamp(col("run_date"), col("run_time")))
+      .collect()(0).getTimestamp(0)
+    assert(ts.toString.startsWith("2024-02-15 13:45:02"))
+  }
+
+  test("agent jobs: failed/retry/cancelled are severity 3, mode gate filters") {
+    val df = Seq(0, 1, 2, 3, 4, 5).toDF("run_status")
+    val sevs = df.select(col("run_status"),
+      AgentJobs.runStatusSeverity(col("run_status"))).collect()
+      .map(r => r.getInt(0) -> r.getInt(1)).toMap
+    assert(sevs == Map(0 -> 3, 1 -> 6, 2 -> 3, 3 -> 3, 4 -> 6, 5 -> 6))
+    assert(df.filter(AgentJobs.jobsModeGate("failed")).count() == 3)
+    assert(df.filter(AgentJobs.jobsModeGate("all")).count() == 6)
+    assert(df.filter(AgentJobs.jobsModeGate("none")).count() == 0)
+  }
+
+  test("salted repartition preserves row set and per-conv recoverability") {
+    val t = Transcripts.load(spark, tiny)
+    val salted = TurnOrdering.saltedRepartition(t, Seq("conv_hot"), 8)
+      .drop("_salt")
+    assert(salted.except(t).count() == 0 && t.except(salted).count() == 0)
+  }
+
+  test("file-sink retention drops hour partitions older than retain window") {
+    val root = "/tmp/graft_retention_spec"
+    val p = Paths.get(root)
+    if (Files.exists(p))
+      Files.walk(p).sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(x => Files.delete(x))
+    val routed = Pipeline.routed(spark, tiny)
+    Sinks.writeFile(routed, root)
+    val partsBefore = Files.list(p).filter(_.getFileName.toString.startsWith("date_hour=")).count()
+    assert(partsBefore > 5)
+    val dropped = Sinks.applyRetention(spark, root, retainHours = 3)
+    val partsAfter = Files.list(p).filter(_.getFileName.toString.startsWith("date_hour=")).count()
+    assert(dropped.nonEmpty && partsAfter.toInt == partsBefore.toInt - dropped.size)
+    assert(partsAfter <= 4) // max hour + 3 retained
+  }
+
+  test("observe() counters ride the sink write (A1/A2)") {
+    val root = "/tmp/graft_observe_spec"
+    val p = Paths.get(root)
+    if (Files.exists(p))
+      Files.walk(p).sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(x => Files.delete(x))
+    val routed = Pipeline.routed(spark, tiny)
+    val (n, bytes) = Sinks.writeFileObserved(routed, root)
+    assert(n == routed.count())
+    assert(bytes > 0)
+  }
+
+  test("mods $(NOW)/$(VERSION) substitutions (config.go:314-345)") {
+    val cfg = operators.Mods.defaultConfig.copy(
+      adds = Seq("global.ingested_at" -> "$(NOW)", "global.v" -> "$(VERSION)"))
+    val parsed = Pipeline.parse(Transcripts.load(spark, tiny).limit(1))
+    val r = operators.Mods(parsed, cfg).select("doc.global.ingested_at", "doc.global.v")
+      .collect()(0)
+    assert(r.get(0) != null)       // a real timestamp
+    assert(r.getString(1) == "0.1.0")
+  }
+}
