@@ -143,6 +143,9 @@ object SparkEntry {
         round(percentile(col("duration"), lit(0.5)), 3).as("p50"),
         round(percentile(col("duration"), lit(0.9)), 3).as("p90"))),
 
+    "q26_sliding" -> ((s, d) =>
+      operators.Aggregates.slidingCounts(Pipeline.parsed(s, d))),
+
     // ---- training-data ops over documents/embeddings ----
     "q30_token_stats" -> ((s, d) =>
       text.TextAnalysis.tokenStats(docs(s, d))),
@@ -522,6 +525,15 @@ SELECT name, count(dur) AS n_dur,
   round(quantile_cont(dur, 0.9), 3) AS p90
 FROM (SELECT $oName AS name, ${oKvNum("duration")} AS dur FROM transcripts) a
 GROUP BY name"""),
+
+    // each event is in exactly two 2h/1h sliding windows: starts at
+    // date_trunc('hour', ts) and one hour earlier (epoch-aligned)
+    "q26_sliding" -> withTranscripts(s"""
+SELECT win_start, name, count(*) AS n FROM (
+  SELECT date_trunc('hour', ts) AS win_start, $oName AS name FROM transcripts
+  UNION ALL
+  SELECT date_trunc('hour', ts) - INTERVAL 1 HOUR AS win_start, $oName AS name FROM transcripts
+) a GROUP BY 1, 2"""),
 
     // ---- training-data ops (documents/embeddings tables, no transcripts CTE)
     "q30_token_stats" -> s"""

@@ -35,6 +35,13 @@ object Aggregates {
       .select(col("w.start").as("hour_start"), col("name"),
         col("n"), col("sum_duration"), col("max_severity"))
 
+  /** A5 sliding variant: 2-hour windows sliding by 1 hour — every event
+    * lands in two windows (`pkg/metric/metric.go:66-95` frame semantics). */
+  def slidingCounts(df: DataFrame): DataFrame =
+    df.groupBy(window(col("ts"), "2 hours", "1 hour").as("w"), col("name"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("win_start"), col("name"), col("n"))
+
   /** A8: sampler — first event per (name, hour bucket)
     * (`pkg/sink/sampler/sampler.go:51-89`). */
   def sampler(df: DataFrame): DataFrame = {

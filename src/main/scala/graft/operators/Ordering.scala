@@ -43,6 +43,21 @@ object TurnOrdering {
       .drop("_pid")
   }
 
+  /** Detect hot conversation keys from a sample: keys whose sampled share
+    * exceeds `sharePermille` of rows. At 100 TB this runs on a 0.1%
+    * sample — one cheap pass — and feeds saltedRepartition; the same
+    * pattern AQE uses for skew-join splitting, applied to our ordering
+    * shuffle. */
+  def detectHotKeys(df: DataFrame, sharePermille: Int = 50,
+                    sampleFraction: Double = 0.1): Seq[String] = {
+    val s = df.sample(withReplacement = false, sampleFraction, seed = 42L)
+    val total = s.count()
+    if (total == 0) return Nil
+    s.groupBy("conv_id").count()
+      .filter(col("count") * 1000 > lit(total) * sharePermille)
+      .collect().map(_.getString(0)).toSeq
+  }
+
   /** Skew-aware per-conv ordering for a known-hot key set: salt the hot
     * conversations into `nSalts` sub-groups for the expensive downstream
     * work, keeping `(salt, turn_idx)` ordering recomposable because
