@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Dev probe: per-stage cost breakdown of the pipeline (read → parse →
+  * enrich → filter → route+json) at local[32] over the staged bench
+  * corpus. Guides optimization priority. */
+object BenchStages {
+  def main(args: Array[String]): Unit = {
+    val staged = args.headOption.getOrElse("/tmp/graft_bench_1947788907_50_128")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.files.maxPartitionBytes", "1m")
+      .config("spark.sql.files.openCostInBytes", "0")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    Graft.prep(spark)
+    val input = spark.read.parquet(staged)
+    def t(name: String)(df: org.apache.spark.sql.DataFrame): Unit = {
+      df.write.format("noop").mode("overwrite").save() // warm
+      val t0 = System.nanoTime()
+      df.write.format("noop").mode("overwrite").save()
+      println(f"$name%-12s ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
+    val parsed = Pipeline.parse(input)
+    t("read")(input)
+    t("parse")(parsed)
+    t("e:sev_cat")(parsed
+      .withColumn("xe_severity_value", functions.Enrich.severityValue)
+      .withColumn("xe_category", functions.Enrich.category))
+    t("e:desc")(parsed.withColumn("xe_description", functions.Enrich.description))
+    t("e:acct")(parsed
+      .withColumn("xe_acct_app", functions.Enrich.acctApp)
+      .withColumn("xe_acct_app_client", functions.Enrich.acctAppClient))
+    t("e:units")(functions.Enrich.withUnits(parsed))
+    t("e:flags")(functions.Enrich.withErrorFlags(parsed, spark))
+    t("e:entity")(functions.Enrich.withEntityName(parsed, spark))
+    t("enrich")(functions.Enrich.enrich(parsed, spark))
+    t("filter")(Pipeline.process(input, spark))
+    t("routed")(Pipeline.transform(input, spark))
+    spark.stop()
+  }
+}

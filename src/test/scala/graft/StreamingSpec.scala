@@ -77,6 +77,32 @@ class StreamingSpec extends SparkSpec {
     assert(expected.except(sunk).count() == 0)
   }
 
+  test("watermarked windowed aggregation over the stream (ST4, look_back analog)") {
+    val root = "/tmp/graft_watermark_spec"
+    rm(root)
+    Transcripts.load(spark, tiny).write.parquet(s"$root/in")
+    val stream = spark.readStream
+      .schema(StreamingPipeline.schema).parquet(s"$root/in")
+    val agg = stream
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("role"))
+      .agg(count(lit(1)).as("n"))
+    val q = agg.writeStream.format("memory").queryName("wm_agg")
+      .option("checkpointLocation", s"$root/ckpt")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    // append-mode emits only windows closed by the watermark; every
+    // emitted count must match the batch groupBy over the same input
+    val got = spark.table("wm_agg")
+      .select(col("window.start").as("s"), col("role"), col("n"))
+    val full = Transcripts.load(spark, tiny)
+      .groupBy(date_trunc("hour", col("ts")).as("s"), col("role"))
+      .agg(count(lit(1)).as("n"))
+    assert(got.count() > 0)
+    assert(got.except(full).count() == 0, "streamed window counts must be a subset of batch counts")
+  }
+
   test("stateful sampler emits first event per name per hour across batches") {
     import TestSpark.spark.implicits._
     implicit val sp = spark
