@@ -1,0 +1,28 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+import graft.functions.ParseTurnExpr
+
+/** SparkSessionExtensions entry point: registers the engine's custom
+  * Catalyst expression as a SQL function so pure-SQL users get the fused
+  * parse too:
+  *
+  *   spark-submit --conf spark.sql.extensions=graft.GraftExtensions ...
+  *   SELECT parse_turn(text).error_number FROM transcripts
+  *
+  * (SURVEY.md §4: the fused multi-field extract is the one custom
+  * Catalyst component; no custom Rule/Strategy is needed — stock Catalyst
+  * folds and prunes everything else.)
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("parse_turn"),
+      new ExpressionInfo(classOf[ParseTurnExpr].getName, "parse_turn"),
+      (children: Seq[Expression]) => ParseTurnExpr(children.head)))
+  }
+}

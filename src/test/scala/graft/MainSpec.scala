@@ -1,0 +1,41 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.functions._
+import graft.sources.Transcripts
+
+class MainSpec extends SparkSpec {
+
+  private def rm(dir: String): Unit = {
+    val p = Paths.get(dir)
+    if (Files.exists(p))
+      Files.walk(p).sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(x => Files.delete(x))
+  }
+
+  test("batch main writes all sinks + lineage (one-shot xelogstash mode)") {
+    val root = "/tmp/graft_main_spec"
+    rm(root)
+    Transcripts.load(spark, tiny).write.parquet(s"$root/in")
+    Main.main(Array("batch", s"$root/in", s"$root/out"))
+    val n = spark.read.text(s"$root/out/logstash").count()
+    assert(n == Pipeline.routed(spark, tiny).count())
+    assert(Files.exists(Paths.get(s"$root/out/lineage")))
+    assert(Files.exists(Paths.get(s"$root/out/elastic")))
+  }
+
+  test("parse_turn is usable from SQL via the extension's function builder") {
+    // same registration the GraftExtensions injectFunction performs
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+    spark.sessionState.functionRegistry.registerFunction(
+      new FunctionIdentifier("parse_turn"),
+      new ExpressionInfo(classOf[functions.ParseTurnExpr].getName, "parse_turn"),
+      (children: Seq[Expression]) => functions.ParseTurnExpr(children.head))
+    Transcripts.load(spark, tiny).createOrReplaceTempView("t_sql")
+    val out = spark.sql(
+      "SELECT parse_turn(text).error_number AS en FROM t_sql WHERE parse_turn(text).name = 'error_reported'")
+    assert(out.count() > 0)
+    assert(out.filter(col("en").isNull).count() == 0)
+  }
+}
