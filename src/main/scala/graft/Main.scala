@@ -19,8 +19,15 @@ object Main {
     require(args.length >= 3, "usage: batch|stream <inputDir> <outRoot> [checkpointDir] [--once]")
     val mode = args(0)
     val preexisting = SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
-    val spark = preexisting.getOrElse(
-      SparkSession.builder().appName(s"graft-$mode").getOrCreate())
+    val spark = preexisting.getOrElse {
+      val b = SparkSession.builder().appName(s"graft-$mode")
+      // spark-submit supplies spark.master; default to local[*] otherwise
+      if (!sys.props.contains("spark.master")) b.master("local[*]")
+      if (!sys.props.contains("spark.sql.shuffle.partitions"))
+        b.config("spark.sql.shuffle.partitions",
+          Runtime.getRuntime.availableProcessors.toString)
+      b.getOrCreate()
+    }
     Graft.prep(spark)
     spark.sparkContext.setLogLevel("WARN")
     mode match {
