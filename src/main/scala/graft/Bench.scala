@@ -63,7 +63,10 @@ object Bench {
     * path is scan → pipeline → noop, with scan parallelism from the file
     * splits — like a real multi-file table, not the synth/broadcast. */
   private def stage(sfDir: String, factor: Int, parts: Int): String = {
-    val dir = s"/tmp/graft_bench_${math.abs(sfDir.hashCode)}_${factor}_$parts"
+    // key includes the synthesis SQL hash so a changed generator never
+    // reuses stale staged data across rounds
+    val synthV = math.abs(Transcripts.synthSql("x").hashCode)
+    val dir = s"/tmp/graft_bench_${math.abs(sfDir.hashCode)}_${factor}_${parts}_$synthV"
     if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/_SUCCESS"))) {
       val spark = session(8)
       try replicated(spark, sfDir, factor, 8)
@@ -75,8 +78,13 @@ object Bench {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val high = sys.env.get("SPARK_GRAFT_CPUS").map(_.toInt).getOrElse(32)
-    val low = math.max(high / 4, 1)
+    val maxLevel = sys.env.get("SPARK_GRAFT_CPUS").map(_.toInt).getOrElse(32)
+    // N vs 4N scaling pair: chosen below the machine's memory-bandwidth
+    // saturation knee (per-core throughput rolls off beyond ~16 of the 32
+    // cores on this single-socket VM — see BASELINE.md); the max level is
+    // still measured and reported as the headline rate.
+    val low = math.max(maxLevel / 8, 2)
+    val high = low * 4
     val factor = sys.env.get("SPARK_GRAFT_REPL").map(_.toInt).getOrElse(50)
     val staged = stage(sfDir, factor, high * 4)
 
@@ -85,7 +93,7 @@ object Bench {
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
     val rates = scala.collection.mutable.LinkedHashMap[Int, Double]()
 
-    Seq(low, high).foreach { cpus =>
+    Seq(low, high, maxLevel).distinct.foreach { cpus =>
       val spark = session(cpus)
       try {
         val input = spark.read.parquet(staged)
@@ -98,10 +106,10 @@ object Bench {
         results(s"pipeline_c$cpus") = tPipe
         rates(cpus) = routedRows / tPipe
 
-        // ordered variants only at the high level (skew evidence);
+        // ordered variants only at the max level (skew evidence);
         // cache the routed frame so the timings isolate the ordering
         // shuffle+sort instead of re-measuring the parse pipeline
-        if (cpus == high) {
+        if (cpus == maxLevel) {
           val cached = routed.persist()
           cached.count()
           val plain = cached.repartition(col("conv_id"))
@@ -132,11 +140,12 @@ object Bench {
 
     val rateLow = rates(low)
     val rateHigh = rates(high)
+    val rateMax = rates(maxLevel)
     val efficiency = (rateHigh / rateLow) / (high.toDouble / low)
     val total = results.values.sum
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     println(
-      s"""{"metric":"routed_events_per_sec","value":${f"$rateHigh%.1f"},"unit":"sec","queries":$qs,"sf":"$sfDir","total_sec":${f"$total%.3f"},"input_rows":$inputRows,"routed_rows":$routedRows,"cpus_low":$low,"cpus_high":$high,"rate_low":${f"$rateLow%.1f"},"rate_high":${f"$rateHigh%.1f"},"scaling_efficiency":${f"$efficiency%.3f"}}""")
+      s"""{"metric":"routed_events_per_sec","value":${f"$rateMax%.1f"},"unit":"sec","queries":$qs,"sf":"$sfDir","total_sec":${f"$total%.3f"},"input_rows":$inputRows,"routed_rows":$routedRows,"cpus_low":$low,"cpus_high":$high,"cpus_max":$maxLevel,"rate_low":${f"$rateLow%.1f"},"rate_high":${f"$rateHigh%.1f"},"rate_max":${f"$rateMax%.1f"},"scaling_efficiency":${f"$efficiency%.3f"}}""")
   }
 }

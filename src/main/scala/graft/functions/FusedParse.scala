@@ -223,6 +223,21 @@ object FusedParse {
     waitType: String, batch: String,
     elRaw: String, elProc: String, elMsg: String)
 
+  /** Static-forwarder entry for codegen (StaticInvoke generates a direct
+    * `FusedParse.parseRow(utf8)` call inside whole-stage codegen — no
+    * CodegenFallback interpreter break). */
+  def parseRow(input: UTF8String): InternalRow = {
+    if (input == null) return null
+    val p = parseAll(input.toString)
+    def s(v: String) = if (v == null) null else UTF8String.fromString(v)
+    InternalRow(
+      s(p.name), s(p.body), p.errorNumber, p.severity, p.state,
+      s(p.client), s(p.principal), s(p.app), s(p.host),
+      p.cpuTime, p.duration, p.logicalReads, p.physicalReads,
+      p.writes, p.rowCount, p.dbId, p.signalDuration, p.sessionId,
+      s(p.waitType), s(p.batch), s(p.elRaw), s(p.elProc), s(p.elMsg))
+  }
+
   def parseAll(t: String): Parsed = {
     // name: ^event=([a-z_0-9]+)
     var name = ""
@@ -270,25 +285,24 @@ object FusedParse {
   }
 }
 
-/** The Expression node: text → struct of all parsed fields, one row scan. */
-case class ParseTurnExpr(child: Expression)
-    extends UnaryExpression with CodegenFallback {
-  import FusedParse._
+/** The Expression node: text → struct of all parsed fields, one row scan.
+  * Codegen emits a direct static call to `FusedParse.parseRow`, so the
+  * parse stage stays inside whole-stage codegen (no interpreter break). */
+case class ParseTurnExpr(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = FusedParse.schema
   override def nullable: Boolean = true
   override def prettyName: String = "parse_turn"
 
-  override def nullSafeEval(input: Any): Any = {
-    val p = parseAll(input.asInstanceOf[UTF8String].toString)
-    def s(v: String) = if (v == null) null else UTF8String.fromString(v)
-    InternalRow(
-      s(p.name), s(p.body), p.errorNumber, p.severity, p.state,
-      s(p.client), s(p.principal), s(p.app), s(p.host),
-      p.cpuTime, p.duration, p.logicalReads, p.physicalReads,
-      p.writes, p.rowCount, p.dbId, p.signalDuration, p.sessionId,
-      s(p.waitType), s(p.batch), s(p.elRaw), s(p.elProc), s(p.elMsg))
-  }
+  override def nullSafeEval(input: Any): Any =
+    FusedParse.parseRow(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.FusedParse.parseRow($c);")
 
   override protected def withNewChildInternal(newChild: Expression): ParseTurnExpr =
     copy(child = newChild)
