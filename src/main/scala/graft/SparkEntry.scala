@@ -172,6 +172,9 @@ object SparkEntry {
     "q37_simhash" -> ((s, d) =>
       dedup.Dedup.simhashDf(docs(s, d))),
 
+    "q43_ngram_jaccard" -> ((s, d) =>
+      dedup.Dedup.ngramJaccardConsecutive(docs(s, d))),
+
     "q38_ann_topk" -> ((s, d) =>
       ann.Similarity.bruteTopK(vecs(s, d))),
 
@@ -638,6 +641,30 @@ JOIN shs b ON c.doc_b = b.doc_id"""
 SELECT doc_id, CAST($terms AS BIGINT) AS simhash
 FROM (SELECT doc_id, $oTokHashes AS th FROM documents) a"""
     },
+
+    "q43_ngram_jaccard" -> s"""
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+  CAST(floor(CAST(len(list_intersect(a.ng, b.ng)) * 1000 AS DOUBLE)
+       / len(list_distinct(list_concat(a.ng, b.ng)))) AS BIGINT) AS jaccard_permille
+FROM (
+  SELECT doc_id, list_distinct(CASE WHEN len(codes) >= 5
+    THEN list_transform(generate_series(1, len(codes)-4),
+      i -> list_reduce(list_prepend(CAST(7 AS BIGINT), codes[i:i+4]), (a,x) -> (a*31 + x) % 1000000007))
+    ELSE CAST([] AS BIGINT[]) END) AS ng
+  FROM (
+    SELECT doc_id, list_transform(string_split_regex(regexp_replace(lower(text), '\\s+', ' ', 'g'), ''), c -> CAST(unicode(c) AS BIGINT)) AS codes
+    FROM documents
+  ) c0
+) a JOIN (
+  SELECT doc_id, list_distinct(CASE WHEN len(codes) >= 5
+    THEN list_transform(generate_series(1, len(codes)-4),
+      i -> list_reduce(list_prepend(CAST(7 AS BIGINT), codes[i:i+4]), (a,x) -> (a*31 + x) % 1000000007))
+    ELSE CAST([] AS BIGINT[]) END) AS ng
+  FROM (
+    SELECT doc_id, list_transform(string_split_regex(regexp_replace(lower(text), '\\s+', ' ', 'g'), ''), c -> CAST(unicode(c) AS BIGINT)) AS codes
+    FROM documents
+  ) c1
+) b ON a.doc_id + 1 = b.doc_id""",
 
     "q38_ann_topk" -> s"""
 WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),

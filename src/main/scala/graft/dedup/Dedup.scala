@@ -114,6 +114,21 @@ object Dedup {
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
   // ---- n-gram (character) Jaccard ----------------------------------------------
+  /** Consecutive-pair character-n-gram Jaccard (permille): the n-gram
+    * near-dup measure over adjacent doc ids — two projections so the
+    * n-gram hashing runs once per doc side. */
+  def ngramJaccardConsecutive(docs: DataFrame): DataFrame = {
+    val ng = docs.select(col("doc_id"),
+      array_distinct(charNgramHashes(col("text"))).as("ng"))
+    val a = ng.select(col("doc_id").as("doc_a"), col("ng").as("ng_a"))
+    val b = ng.select(col("doc_id").as("doc_b"), col("ng").as("ng_b"))
+    a.join(b, col("doc_a") + 1 === col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        floor(size(array_intersect(col("ng_a"), col("ng_b"))).cast("long") * lit(1000.0) /
+          size(array_union(col("ng_a"), col("ng_b"))).cast("long")).cast("long")
+          .as("jaccard_permille"))
+  }
+
   /** Character 5-gram hash set via charwise rolling window on the whole
     * normalized text. */
   def charNgramHashes(text: Column, n: Int = 5): Column = {
