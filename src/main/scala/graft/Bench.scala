@@ -84,7 +84,7 @@ object Bench {
     // cores on this single-socket VM — see BASELINE.md); the max level is
     // still measured and reported as the headline rate.
     val low = math.max(maxLevel / 8, 2)
-    val high = low * 4
+    val high = math.min(low * 4, maxLevel) // clamp when driver passes small CPUS
     val factor = sys.env.get("SPARK_GRAFT_REPL").map(_.toInt).getOrElse(50)
     val staged = stage(sfDir, factor, high * 4)
 
