@@ -101,7 +101,10 @@ object Enrich {
   def withEntityName(df: DataFrame, spark: SparkSession): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("entity_id").orderBy("valid_from")
-    val dim = Lookups.entityNames(spark)
+    // coalesce(1): SinglePartition satisfies the window's clustered
+    // distribution, so the tiny dim avoids even its own hash exchange —
+    // the whole pipeline plan is then exchange-free end to end
+    val dim = Lookups.entityNames(spark).coalesce(1)
       .withColumn("valid_to", lead(col("valid_from"), 1).over(w))
       .select(col("entity_id"), col("name").as("entity_name"),
         col("valid_from"), col("valid_to"))

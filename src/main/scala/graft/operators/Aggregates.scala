@@ -54,6 +54,12 @@ object Aggregates {
       .select(col("name"), col("bucket"), col("conv_id"), col("turn_idx"))
   }
 
+  /** Read the lineage table effectively-once: sink writes are
+    * at-least-once on crash-replay (ST2), so a batch may append duplicate
+    * lineage rows; keep one row per (batch_id, src_file). */
+  def lineageDeduped(lineage: DataFrame): DataFrame =
+    lineage.dropDuplicates("batch_id", "src_file")
+
   /** A7/E11: lineage fold — max/min offset + count per source file, the
     * `(file, offset, status)` checkpoint analog
     * (`pkg/app/process_session.go:137-177`; `pkg/status/status.go:273-297`). */

@@ -1,0 +1,85 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.functions._
+import graft.sources.Transcripts
+
+/** Plan-shape regression tests: the properties the engine claims at scale
+  * (SURVEY.md §4) asserted on the actual physical plans, so a future
+  * change that introduces a shuffle or breaks pushdown fails CI. */
+class PlanSpec extends SparkSpec {
+
+  private val staged = "/tmp/graft_plan_spec"
+
+  private lazy val stagedInput = {
+    val p = Paths.get(staged)
+    if (!Files.exists(Paths.get(s"$staged/_SUCCESS"))) {
+      if (Files.exists(p))
+        Files.walk(p).sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(x => Files.delete(x))
+      Transcripts.load(spark, tiny).write.parquet(staged)
+    }
+    spark.read.parquet(staged)
+  }
+
+  private def executedPlanOf(df: org.apache.spark.sql.DataFrame): String = {
+    df.write.format("noop").mode("overwrite").save()
+    // force final AQE plan string via a fresh non-AQE execution
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val s = df.queryExecution.executedPlan.toString
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    s
+  }
+
+  test("engine pipeline over a materialized transcript table is shuffle-free") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val routed = Pipeline.transform(stagedInput, spark)
+    val plan = routed.queryExecution.executedPlan.toString
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"pipeline must be exchange-free end to end:\n${plan.take(2000)}")
+    assert(plan.contains("BroadcastHashJoin"), "lookup joins must broadcast")
+  }
+
+  test("filters push down to the parquet scan") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val q = stagedInput.filter(col("conv_id") === "conv_hot")
+      .select("conv_id", "turn_idx")
+    val plan = q.queryExecution.executedPlan.toString
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert(plan.contains("PushedFilters") &&
+      plan.contains("EqualTo(conv_id,conv_hot)"),
+      s"expected conv_id pushdown:\n${plan.take(1500)}")
+  }
+
+  test("column pruning reaches the scan (ReadSchema minimal)") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val q = stagedInput.select("conv_id", "turn_idx")
+    val plan = q.queryExecution.executedPlan.toString
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    val rs = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(rs.contains("conv_id") && rs.contains("turn_idx") && !rs.contains("text"),
+      s"scan must read only projected columns: $rs")
+  }
+
+  test("incremental cursor predicate is pushed to the scan") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val q = operators.Incremental.catchUp(stagedInput, "events_0000", 500L)
+    val plan = q.queryExecution.executedPlan.toString
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    val scanLine = plan.linesIterator.find(_.contains("FileScan")).getOrElse("")
+    assert(scanLine.contains("src_offset") && scanLine.contains("500"),
+      s"cursor must reach the scan filters: ${scanLine.take(400)}")
+  }
+
+  test("lineage dedup-on-read collapses replayed batches (effective-once)") {
+    import TestSpark.spark.implicits._
+    val lineage = Seq(
+      ("f1", 0L, 9L, 10L, 0L), ("f1", 0L, 9L, 10L, 0L), // replayed batch 0
+      ("f2", 0L, 4L, 5L, 1L)
+    ).toDF("src_file", "min_offset", "max_offset", "n_events", "batch_id")
+    val total = operators.Aggregates.lineageDeduped(lineage)
+      .agg(sum("n_events")).collect()(0).getLong(0)
+    assert(total == 15L)
+  }
+}
