@@ -77,6 +77,26 @@ class StreamingSpec extends SparkSpec {
     assert(expected.except(sunk).count() == 0)
   }
 
+  test("listener captures per-batch rows/sec metrics (A6, process_source.go:80-138)") {
+    val root = "/tmp/graft_metrics_spec"
+    rm(root)
+    val t = Transcripts.load(spark, tiny)
+    t.write.parquet(s"$root/in")
+    val (l, drain) = graft.streaming.StreamingMetrics.attach(spark)
+    try {
+      StreamingPipeline.runOnce(spark, s"$root/in", s"$root/sinks", s"$root/ckpt")
+      // listener delivery is async; poll briefly
+      var metrics = drain()
+      var waited = 0
+      while (metrics.map(_.numInputRows).sum < t.count() && waited < 50) {
+        Thread.sleep(100); metrics = drain(); waited += 1
+      }
+      assert(metrics.nonEmpty, "no StreamingQueryProgress captured")
+      assert(metrics.map(_.numInputRows).sum == t.count())
+      assert(metrics.exists(_.processedRowsPerSecond > 0))
+    } finally spark.streams.removeListener(l)
+  }
+
   test("watermarked windowed aggregation over the stream (ST4, look_back analog)") {
     val root = "/tmp/graft_watermark_spec"
     rm(root)
