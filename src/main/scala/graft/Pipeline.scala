@@ -29,7 +29,7 @@ object Pipeline {
   def route(filtered: DataFrame, spark: SparkSession): DataFrame = {
     val f = Routing.withSinkIndex(filtered, spark)
     f.withColumn("doc_json",
-      to_json(struct(
+      graft.functions.JsonDoc.jsonDoc(struct(
         col("name"), col("conv_id"), col("turn_idx"), col("role"), col("tool"),
         col("ts").as("@timestamp"),
         col("error_number"), col("severity_num"), col("state_num"),
