@@ -42,10 +42,12 @@ object Aggregates {
       .agg(count(lit(1)).as("n"))
       .select(col("w.start").as("win_start"), col("name"), col("n"))
 
-  /** A8: sampler — first event per (name, hour bucket)
-    * (`pkg/sink/sampler/sampler.go:51-89`). */
-  def sampler(df: DataFrame): DataFrame = {
-    val bucket = date_trunc("hour", col("ts"))
+  /** A8: sampler — first event per (name, duration bucket); the bucket
+    * duration is configurable like the reference's per-arbitrary-duration
+    * sampling (`pkg/sink/sampler/sampler.go:51-89`). `duration` takes any
+    * date_trunc unit ("minute", "hour", "day", ...). */
+  def sampler(df: DataFrame, duration: String = "hour"): DataFrame = {
+    val bucket = date_trunc(duration, col("ts"))
     val w = Window.partitionBy(col("name"), bucket)
       .orderBy(col("ts"), col("conv_id"), col("turn_idx"))
     df.withColumn("bucket", bucket)

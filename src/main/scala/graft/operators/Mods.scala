@@ -124,7 +124,9 @@ object Mods {
   /** Apply mods: adds `doc` (nested struct) and `doc_json` (NDJSON body,
     * nulls dropped = absent keys, P13) with optional CRLF strip (P12). */
   def apply(df: DataFrame, cfg: ModsConfig = defaultConfig): DataFrame = {
-    val json = to_json(document(cfg))
+    // build the struct tree once; doc_json references the doc column so the
+    // plan carries a single copy of the (large) struct expression
+    val json = to_json(col("doc"))
     df.withColumn("doc", document(cfg))
       .withColumn("doc_json",
         if (cfg.stripCrlf) regexp_replace(json, "\r?\n", " ") else json)

@@ -27,20 +27,19 @@ object TurnOrdering {
   def globalSeq(df: DataFrame): DataFrame = {
     val sorted = df.repartitionByRange(col("conv_id"), col("turn_idx"))
       .sortWithinPartitions("conv_id", "turn_idx")
-    val withPid = sorted.withColumn("_pid", spark_partition_id())
-    val counts = withPid.groupBy("_pid").count().collect()
-      .map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
-    val offsets = counts.scanLeft(0L)(_ + _._2).init
-    val offsetMap = counts.map(_._1).zip(offsets).toMap
-    val bc = withPid.sparkSession.sparkContext.broadcast(offsetMap)
-    val schema = withPid.schema
-    val rdd = withPid.rdd.mapPartitionsWithIndex { (pid, it) =>
-      var i = bc.value.getOrElse(pid, 0L)
-      it.map { r => i += 1; Row.fromSeq(r.toSeq :+ i) }
+    // ONE RDD, cached before any job runs: repartitionByRange samples its
+    // range boundaries per physical plan, so two independent jobs over
+    // uncached plans could see different partition contents (duplicate or
+    // skipped seq values). zipWithIndex's internal count job materializes
+    // the cache; the map job then reads the frozen partitions. The cache is
+    // released by Spark's ContextCleaner once the result frame is dropped.
+    val rdd0 = sorted.rdd
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val zipped = rdd0.zipWithIndex().map { case (r, i) =>
+      Row.fromSeq(r.toSeq :+ (i + 1))
     }
-    withPid.sparkSession.createDataFrame(rdd,
-        schema.add("seq", org.apache.spark.sql.types.LongType))
-      .drop("_pid")
+    df.sparkSession.createDataFrame(zipped,
+      sorted.schema.add("seq", org.apache.spark.sql.types.LongType))
   }
 
   /** Detect hot conversation keys from a sample: keys whose sampled share
@@ -49,7 +48,7 @@ object TurnOrdering {
     * pattern AQE uses for skew-join splitting, applied to our ordering
     * shuffle. */
   def detectHotKeys(df: DataFrame, sharePermille: Int = 50,
-                    sampleFraction: Double = 0.1): Seq[String] = {
+                    sampleFraction: Double = 0.001): Seq[String] = {
     val s = df.sample(withReplacement = false, sampleFraction, seed = 42L)
     val total = s.count()
     if (total == 0) return Nil

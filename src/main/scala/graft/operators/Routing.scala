@@ -18,13 +18,21 @@ object Routing {
   /** The three sink shapes of the reference (K1 file / K2 logstash /
     * K3 elastic): one routed frame, each sink a projection over it. The
     * per-sink aggregate counts (A2, `pkg/prom/prom.go:11-41`) that the
-    * north rule verifies. */
+    * north rule verifies.
+    *
+    * One pass over the pipeline: a single `groupBy(name, sink_index)`
+    * aggregate runs the expensive upstream exactly once (the shared `base`
+    * plan's exchange is deduplicated by ReuseExchange across the three
+    * views), then each sink view is a re-aggregation of that tiny frame. */
   def perSinkCounts(routed: DataFrame): DataFrame = {
-    val file = routed.groupBy(col("name")).agg(count(lit(1)).as("n"))
+    val base = routed.groupBy(col("name"), col("sink_index"))
+      .agg(count(lit(1)).as("n"))
+    val byName = base.groupBy(col("name")).agg(sum(col("n")).as("n"))
+    val file = byName
       .select(lit("file").as("sink"), col("name").as("route_key"), col("n"))
-    val logstash = routed.groupBy(col("name")).agg(count(lit(1)).as("n"))
+    val logstash = byName
       .select(lit("logstash").as("sink"), col("name").as("route_key"), col("n"))
-    val elastic = routed.groupBy(col("sink_index")).agg(count(lit(1)).as("n"))
+    val elastic = base.groupBy(col("sink_index")).agg(sum(col("n")).as("n"))
       .select(lit("elastic").as("sink"), col("sink_index").as("route_key"), col("n"))
     file.unionByName(logstash).unionByName(elastic)
   }

@@ -72,6 +72,18 @@ class PlanSpec extends SparkSpec {
       s"cursor must reach the scan filters: ${scanLine.take(400)}")
   }
 
+  test("perSinkCounts runs the upstream pipeline once (ReuseExchange)") {
+    val routed = Pipeline.transform(stagedInput, spark)
+    val counts = operators.Routing.perSinkCounts(routed)
+    counts.collect() // materialize so the final AQE plan exists
+    val finalPlan = counts.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    val scans = "Scan parquet".r.findAllIn(finalPlan).length
+    val reused = "ReusedExchange".r.findAllIn(finalPlan).length
+    assert(scans == 1, s"expected ONE scan in the final plan, got $scans")
+    assert(reused >= 2, s"expected >=2 ReusedExchange, got $reused")
+  }
+
   test("lineage dedup-on-read collapses replayed batches (effective-once)") {
     import TestSpark.spark.implicits._
     val lineage = Seq(
