@@ -708,7 +708,7 @@ SELECT doc_id,
   CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
   CAST(floor(CAST(octet_length(encode(text)) + ${multimodal.Multimodal.FrameSize - 1} AS DOUBLE) / ${multimodal.Multimodal.FrameSize}) AS BIGINT) AS n_frames,
   CAST(unicode(substr(text, 1, 1)) AS BIGINT) AS first_code,
-  CAST(CAST(list_aggregate(list_transform(string_split_regex(text, ''), c -> CAST(unicode(c) AS BIGINT)), 'sum') AS BIGINT) % 1000000007 AS BIGINT) AS byte_sum_mod
+  CAST(CAST(list_aggregate(list_transform(string_split_regex(text, ''), c -> CAST(unicode(c) AS BIGINT)), 'sum') AS BIGINT) % 1000000007 AS BIGINT) AS code_sum_mod
 FROM documents""",
 
     

@@ -52,7 +52,9 @@ object Enrich {
 
   // ---- E3: description templates (pkg/xe/xe.go:492-656) --------------------
   def description: Column = {
-    val loginDesc = concat_ws("", lit("Login: "), col("principal"),
+    // concat (not concat_ws): a NULL principal must propagate to a NULL
+    // description, matching the oracle's null-propagating `||`
+    val loginDesc = concat(lit("Login: "), col("principal"),
       when(col("host_name").isNotNull, concat(lit(" from "), col("host_name"))).otherwise(lit("")),
       when(col("app_name").isNotNull, concat(lit(" using "), col("app_name"))).otherwise(lit("")))
     val errDesc = concat(lit("(Msg "), col("error_number"), lit(", Level "),

@@ -62,20 +62,33 @@ object FusedParse {
   private def isWs(c: Char) =
     c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
 
+  /** Parse digits [start, end) into a Long; null on overflow — the same
+    * cast-to-null semantics as Spark's non-ANSI cast and DuckDB TRY_CAST
+    * (a 20-digit capture still MATCHES the regex, then casts to null). */
+  private def parseDigits(t: String, start: Int, end: Int): java.lang.Long = {
+    var v = 0L
+    var j = start
+    while (j < end) {
+      val d = t.charAt(j) - '0'
+      if (v > (Long.MaxValue - d) / 10) return null
+      v = v * 10 + d
+      j += 1
+    }
+    v
+  }
+
   /** Leftmost match of `key=` followed by >=1 digit; returns parsed run of
     * digits or null — identical to regexp_extract(t, key + "=(\d+)", 1)
-    * with a non-ANSI long cast. */
+    * with a non-ANSI long cast (overflow → null, no further scanning). */
   def kvNum(t: String, key: String): java.lang.Long = {
     val pat = key + "="
     var from = 0
     while (true) {
       val i = t.indexOf(pat, from)
       if (i < 0) return null
-      var j = i + pat.length
+      val j = i + pat.length
       if (j < t.length && isDigit(t.charAt(j))) {
-        var v = 0L
-        while (j < t.length && isDigit(t.charAt(j))) { v = v * 10 + (t.charAt(j) - '0'); j += 1 }
-        return v
+        return parseDigits(t, j, skipDigits(t, j))
       }
       from = i + 1
     }
@@ -102,24 +115,30 @@ object FusedParse {
     null
   }
 
-  /** Leftmost full match of "Error: (\d+), Severity: (\d+), State: (\d+)". */
+  /** Leftmost full match of "Error: (\d+), Severity: (\d+), State: (\d+)".
+    * A group MATCHES when >=1 digit is present; its VALUE is the non-ANSI
+    * cast of the captured digits (null on overflow) — match and cast are
+    * independent, exactly like the regex battery + cast pair. */
   def errorTriple(t: String): (java.lang.Long, java.lang.Long, java.lang.Long) = {
     var from = 0
     while (true) {
       val i = t.indexOf("Error: ", from)
       if (i < 0) return (null, null, null)
       var j = i + 7
-      val n1 = readNum(t, j)
-      if (n1 != null) {
-        j = skipDigits(t, j)
+      val e1 = skipDigits(t, j)
+      if (e1 > j) {
+        val s1 = j; j = e1
         if (t.startsWith(", Severity: ", j)) {
           j += 12
-          val n2 = readNum(t, j)
-          if (n2 != null) {
-            j = skipDigits(t, j)
+          val e2 = skipDigits(t, j)
+          if (e2 > j) {
+            val s2 = j; j = e2
             if (t.startsWith(", State: ", j)) {
-              val n3 = readNum(t, j + 9)
-              if (n3 != null) return (n1, n2, n3)
+              val s3 = j + 9
+              val e3 = skipDigits(t, s3)
+              if (e3 > s3)
+                return (parseDigits(t, s1, e1), parseDigits(t, s2, e2),
+                  parseDigits(t, s3, e3))
             }
           }
         }
@@ -129,13 +148,6 @@ object FusedParse {
     (null, null, null)
   }
 
-  private def readNum(t: String, start: Int): java.lang.Long = {
-    var j = start
-    if (j >= t.length || !isDigit(t.charAt(j))) return null
-    var v = 0L
-    while (j < t.length && isDigit(t.charAt(j))) { v = v * 10 + (t.charAt(j) - '0'); j += 1 }
-    v
-  }
   private def skipDigits(t: String, start: Int): Int = {
     var j = start
     while (j < t.length && isDigit(t.charAt(j))) j += 1
@@ -177,20 +189,31 @@ object FusedParse {
     null
   }
 
+  /** Java-regex line terminators — the set '.' excludes and non-MULTILINE
+    * '$' may precede (\n \r U+0085 U+2028 U+2029, plus the \r\n pair). */
+  private def isLineTerm(c: Char) =
+    c == '\n' || c == '\r' || c == '\u0085' || c == '\u2028' || c == '\u2029'
+
   /** "batch_text=(.*)$" with Java-regex semantics: '.' excludes line
     * terminators and non-MULTILINE '$' matches only at end of input or
     * before a FINAL terminator — an occurrence followed by an interior
     * newline fails, and the search moves to the next occurrence. */
-  def batchText(t: String): String = {
+  def batchText(t: String): String = keyToEol(t, "batch_text=")
+
+  /** Generalized `key=(.*)$` end-anchored scan (see [[batchText]]). */
+  def keyToEol(t: String, pat: String): String = {
     var from = 0
     while (true) {
-      val i = t.indexOf("batch_text=", from)
+      val i = t.indexOf(pat, from)
       if (i < 0) return null
-      var k = i + 11
-      while (k < t.length && t.charAt(k) != '\n' && t.charAt(k) != '\r') k += 1
-      val rest = t.substring(k)
-      if (rest.isEmpty || rest == "\n" || rest == "\r" || rest == "\r\n") {
-        val cap = t.substring(i + 11, k)
+      var k = i + pat.length
+      while (k < t.length && !isLineTerm(t.charAt(k))) k += 1
+      val restLen = t.length - k
+      val isFinal = restLen == 0 ||
+        (restLen == 1 && isLineTerm(t.charAt(k))) ||
+        (restLen == 2 && t.charAt(k) == '\r' && t.charAt(k + 1) == '\n')
+      if (isFinal) {
+        val cap = t.substring(i + pat.length, k)
         return if (cap.isEmpty) null else cap
       }
       from = i + 1

@@ -13,7 +13,7 @@ object Multimodal {
 
   final case class MediaDoc(doc_id: Long, media: Array[Byte], mime: String)
   final case class MediaFeature(doc_id: Long, n_bytes: Long, n_frames: Long,
-    first_code: Long, byte_sum_mod: Long)
+    first_code: Long, code_sum_mod: Long)
 
   val FrameSize = 64
 
@@ -24,16 +24,16 @@ object Multimodal {
       encode(col("text"), "UTF-8").as("media"),
       lit("application/octet-stream").as("mime"))
 
-  /** Expression-level metadata: no decode needed — length, frame count,
-    * first byte. This is what a catalog/manifest pass computes at scale
-    * without touching payload bytes. */
+  /** Expression-level metadata: length and frame count straight off the
+    * payload bytes; first_code is the first UNICODE CODEPOINT of the
+    * decoded payload so Spark and the oracle share one definition for
+    * non-ASCII content (codepoint, never a raw UTF-8 byte). */
   def metadata(media: DataFrame): DataFrame =
     media.select(col("doc_id"),
       octet_length(col("media")).cast("long").as("n_bytes"),
       floor((octet_length(col("media")) + lit(FrameSize - 1)) / lit(FrameSize))
         .cast("long").as("n_frames"),
-      // first byte as unsigned int
-      expr("cast(conv(hex(substring(media, 1, 1)), 16, 10) as bigint)").as("first_code"))
+      ascii(decode(col("media"), "UTF-8")).cast("long").as("first_code"))
 
   /** The "decode + feature extract" path: typed Dataset mapPartitions —
     * the Scala analog of a Pandas-UDF batch loop. The per-frame decode is
@@ -45,18 +45,20 @@ object Multimodal {
       it.map { d =>
         val bytes = d.media
         val nFrames = (bytes.length + FrameSize - 1) / FrameSize
-        // STUB decode: per-frame "feature" = byte sum; real impl would
-        // decode each frame and extract features here.
-        def decodeFrame(off: Int): Long = {
-          var s = 0L
-          var i = off
-          val end = math.min(off + FrameSize, bytes.length)
-          while (i < end) { s += bytes(i) & 0xff; i += 1 }
-          s
+        // STUB decode: the payload decodes as UTF-8 text and the "feature"
+        // is its codepoint sum — codepoints (not raw bytes) so the
+        // definition matches the oracle on non-ASCII content. A real impl
+        // would decode media frames and extract features here.
+        val s = new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+        var sum = 0L
+        var i = 0
+        while (i < s.length) {
+          val cp = s.codePointAt(i)
+          sum += cp
+          i += Character.charCount(cp)
         }
-        val sum = (0 until nFrames).map(f => decodeFrame(f * FrameSize)).sum % 1000000007L
         MediaFeature(d.doc_id, bytes.length.toLong, nFrames.toLong,
-          if (bytes.nonEmpty) (bytes(0) & 0xff).toLong else 0L, sum)
+          if (s.nonEmpty) s.codePointAt(0).toLong else 0L, sum % 1000000007L)
       }
     }
   }

@@ -55,7 +55,14 @@ class FusedParseSpec extends SparkSpec with TableDrivenPropertyChecks {
       "event=errorlog_written a b Logon",             // logon with empty msg
       "event=x cpu_time=00123 rest",                  // leading zeros
       "événement=UNICODE non-ascii prefix",
-      "event=x host=hést next"                   // non-ascii in kv value
+      "event=x host=hést next",                       // non-ascii in kv value
+      "event=x duration=99999999999999999999",        // 20 digits → cast null
+      "event=x duration=9223372036854775807",         // Long.MaxValue exact
+      "event=x duration=9223372036854775808",         // MaxValue+1 → null
+      "event=x Error: 99999999999999999999, Severity: 2, State: 3", // overflow inside matched triple
+      "event=x batch_text=abc\u2028",              // U+2028 is a line terminator for '.'/'$'
+      "event=x batch_text=abc\u2028tail",          // interior U+2028: '$' fails there, scan moves on
+      "event=x batch_text=abc\u0085"               // NEL terminator
     )
     val df = cases.zipWithIndex.map { case (t, i) =>
       ("c", i, "user", t, "", java.sql.Timestamp.valueOf("2024-01-01 00:00:00"))

@@ -44,6 +44,6 @@ class SimilaritySpec extends SparkSpec {
     assert(f.n_bytes == 130L)
     assert(f.n_frames == 3L)     // ceil(130/64)
     assert(f.first_code == 'x'.toLong)
-    assert(f.byte_sum_mod == 130L * 'x'.toLong % 1000000007L)
+    assert(f.code_sum_mod == 130L * 'x'.toLong % 1000000007L)
   }
 }
