@@ -184,6 +184,9 @@ object SparkEntry {
     "q40_embed_neardup" -> ((s, d) =>
       ann.Similarity.nearDupPairs(vecs(s, d))),
 
+    "q44_ann_bucketed" -> ((s, d) =>
+      ann.Similarity.bucketedTopK(vecs(s, d))),
+
     "q41_multimodal_meta" -> ((s, d) =>
       multimodal.Multimodal.metadata(multimodal.Multimodal.asMedia(docs(s, d)))),
 
@@ -212,6 +215,17 @@ object SparkEntry {
         .withColumnRenamed("n", "n").select("sink", "route_key", "n")
     })
   )
+
+  /** DuckDB-side LSH bucket id over a DOUBLE[] column `e` — generated from
+    * the same plane table as Similarity.lshBucket. */
+  private def oBucketExpr(e: String): String = {
+    val terms = (0 until ann.Similarity.NumPlanes).map { i =>
+      val comps = ann.Similarity.planeComponents(i, 64)
+        .map(_.toDouble).mkString("[", ", ", "]")
+      s"(CASE WHEN ${oDot(e, s"CAST($comps AS DOUBLE[])")} > 0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString(" + ")
+    s"CAST($terms AS BIGINT)"
+  }
 
   private def docs(s: SparkSession, d: String): DataFrame = {
     Graft.prep(s); s.read.parquet(s"$d/documents.parquet")
@@ -678,23 +692,38 @@ SELECT q_id, vec_id AS neighbor_id, rank FROM (
   FROM j
 ) r WHERE rank <= 5""",
 
-    "q39_lsh_buckets" -> {
-      val terms = (0 until ann.Similarity.NumPlanes).map { i =>
-        val comps = ann.Similarity.planeComponents(i, 64)
-          .map(_.toDouble).mkString("[", ", ", "]")
-        s"(CASE WHEN ${oDot("e", s"CAST($comps AS DOUBLE[])")} > 0 THEN ${1L << i} ELSE 0 END)"
-      }.mkString(" + ")
+    "q39_lsh_buckets" -> s"""
+SELECT vec_id, ${oBucketExpr("e")} AS bucket
+FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings) a""",
+
+    // multi-probe LSH near-dup: probe own bucket + every hamming-1 bucket,
+    // equi-join on bucket, cosine only within candidates (Similarity.nearDupPairs)
+    "q40_embed_neardup" -> {
+      val probes = (0 until ann.Similarity.NumPlanes)
+        .map(i => s", xor(bucket, ${1L << i})").mkString
       s"""
-SELECT vec_id, CAST($terms AS BIGINT) AS bucket
-FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings) a"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+b AS (SELECT vec_id, e, ${oBucketExpr("e")} AS bucket FROM v),
+l AS (SELECT vec_id AS id_a, e AS e_a, unnest([bucket$probes]) AS probe FROM b)
+SELECT l.id_a, r.vec_id AS id_b,
+  CAST(floor(${oCos("l.e_a", "r.e")} * 1000.0) AS BIGINT) AS cos_permille
+FROM l JOIN b r ON l.probe = r.bucket AND l.id_a < r.vec_id
+WHERE CAST(floor(${oCos("l.e_a", "r.e")} * 1000.0) AS BIGINT) >= 450"""
     },
 
-    "q40_embed_neardup" -> s"""
-WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
-SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-  CAST(floor(${oCos("a.e", "b.e")} * 1000.0) AS BIGINT) AS cos_permille
-FROM v a JOIN v b ON a.vec_id < b.vec_id
-WHERE CAST(floor(${oCos("a.e", "b.e")} * 1000.0) AS BIGINT) >= 450""",
+    // the ANN scale path: top-k within the query's LSH bucket only
+    "q44_ann_bucketed" -> s"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+b AS (SELECT vec_id, e, ${oBucketExpr("e")} AS bucket FROM v),
+q AS (SELECT vec_id AS q_id, e AS q_emb, bucket FROM b WHERE vec_id % 50 = 0),
+j AS (
+  SELECT q.q_id, c.vec_id, ${oCos("q.q_emb", "c.e")} AS cos
+  FROM b c JOIN q ON c.bucket = q.bucket WHERE c.vec_id != q.q_id
+)
+SELECT q_id, vec_id AS neighbor_id, rank FROM (
+  SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
+  FROM j
+) r WHERE rank <= 5""",
 
     "q41_multimodal_meta" -> s"""
 SELECT doc_id,

@@ -73,12 +73,33 @@ object Similarity {
       .select(col("q_id"), col("vec_id").as("neighbor_id"), col("rank"))
   }
 
-  /** Embedding-cosine near-dup pairs above a permille threshold; output is
-    * integer permille so engines hash-match. */
-  def nearDupPairs(vecs: DataFrame, thresholdPermille: Int = 450): DataFrame = {
-    val l = vecs.select(col("vec_id").as("id_a"), col("embedding").as("e_a"))
-    val r = vecs.select(col("vec_id").as("id_b"), col("embedding").as("e_b"))
-    l.join(broadcast(r), col("id_a") < col("id_b"))
+  /** Embedding-cosine near-dup pairs above a permille threshold, found by
+    * a multi-probe LSH-bucketed EQUI-join — the scale path (mirrors
+    * `Dedup.lshCandidates`' banding shape). Each left row probes its own
+    * bucket plus every hamming-distance-1 bucket (9 probes over
+    * `NumPlanes`=8 planes), so candidate pairs are exactly those whose
+    * sign-buckets differ in at most one plane; cosine runs only on
+    * candidates. Every surviving pair matches exactly ONE probe mask
+    * (mask = bucket_a XOR bucket_b), so no distinct pass is needed.
+    *
+    * At 100 TB this is a shuffle keyed on the bucket id (the left side is
+    * 9× via explode — still linear); no cartesian product, no broadcast of
+    * the big side, hot buckets bounded by AQE skew handling. Recall is
+    * approximate by construction (pairs >1 plane apart are missed) — that
+    * IS the operator's contract; raise NumPlanes probes for higher recall.
+    * Output is integer permille so engines hash-match. */
+  def nearDupPairs(vecs: DataFrame, thresholdPermille: Int = 450,
+                   dim: Int = 64): DataFrame = {
+    val withB = vecs.select(col("vec_id"), col("embedding"),
+      lshBucket(col("embedding"), dim).as("bucket"))
+    val probeArr = array(
+      col("bucket") +: (0 until NumPlanes).map(i =>
+        col("bucket").bitwiseXOR(lit(1L << i))): _*)
+    val l = withB.select(col("vec_id").as("id_a"),
+      col("embedding").as("e_a"), explode(probeArr).as("probe"))
+    val r = withB.select(col("vec_id").as("id_b"),
+      col("embedding").as("e_b"), col("bucket").as("bucket_b"))
+    l.join(r, col("probe") === col("bucket_b") && col("id_a") < col("id_b"))
       .withColumn("cos_permille",
         floor(cosine(col("e_a"), col("e_b")) * 1000.0).cast("long"))
       .filter(col("cos_permille") >= thresholdPermille)

@@ -84,6 +84,18 @@ class PlanSpec extends SparkSpec {
     assert(reused >= 2, s"expected >=2 ReusedExchange, got $reused")
   }
 
+  test("ANN near-dup and bucketed top-k plans are equi-joins (no cartesian)") {
+    val vecs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val plans = Seq(
+      "nearDupPairs" -> ann.Similarity.nearDupPairs(vecs),
+      "bucketedTopK" -> ann.Similarity.bucketedTopK(vecs))
+    plans.foreach { case (nm, df) =>
+      val plan = df.queryExecution.sparkPlan.toString
+      assert(!plan.contains("CartesianProduct"), s"$nm has a cartesian product")
+      assert(!plan.contains("BroadcastNestedLoopJoin"), s"$nm nested-loop joins")
+    }
+  }
+
   test("lineage dedup-on-read collapses replayed batches (effective-once)") {
     import TestSpark.spark.implicits._
     val lineage = Seq(

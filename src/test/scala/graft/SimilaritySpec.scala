@@ -36,6 +36,15 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("near-dup pairs finds hamming<=1 bucket neighbors, each pair once") {
+    val out = Similarity.nearDupPairs(vecs, thresholdPermille = 900, dim = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // ids 0 and 1 are near-identical → same bucket → must be found, once
+    assert(out.count(_ == (0L, 1L)) == 1)
+    // opposite vectors (0 vs 3) are below threshold regardless of buckets
+    assert(!out.contains((0L, 3L)))
+  }
+
   test("media features: byte sums and framing on real binary column") {
     val docs = Seq((1L, "x" * 130, "en", "s", 130L))
       .toDF("doc_id", "text", "lang", "source", "n_chars")
