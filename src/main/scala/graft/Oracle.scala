@@ -33,6 +33,49 @@ object Oracle {
   val oPrincipal =
     s"""COALESCE(${oKvStr("principal")}, NULLIF(regexp_extract(text, 'user ''([^'']*)''', 1), ''))"""
 
+  // ---- widened-vocabulary fragments -----------------------------------------
+
+  /** `statement=(.*)$` end-anchored capture, empty → null. */
+  val oStatement: String =
+    """NULLIF(regexp_extract(text, 'statement=(.*)$', 1), '')"""
+
+  /** Inner XML of `xml=<tag>...</tag>` (greedy), empty → null. */
+  def oInnerXml(tag: String): String =
+    s"""NULLIF(regexp_extract(text, 'xml=<$tag>(.*)</$tag>', 1), '')"""
+
+  /** Mirror of Enrich.humanDurationUs over a µs expression. */
+  def oHumanDurUs(x: String): String =
+    s"""CASE WHEN $x >= 3600000000 THEN CAST(floor(floor($x/1000000) / 3600) AS BIGINT) || 'h' || CAST(floor((CAST(floor($x/1000000) AS BIGINT) % 3600) / 60) AS BIGINT) || 'm'
+       WHEN $x >= 60000000 THEN CAST(floor(floor($x/1000000) / 60) AS BIGINT) || 'm' || (CAST(floor($x/1000000) AS BIGINT) % 60) || 's'
+       WHEN $x >= 1000000 THEN CAST(floor($x/1000000) AS BIGINT) || 's'
+       WHEN $x >= 1000 THEN CAST(floor($x/1000) AS BIGINT) || 'ms'
+       ELSE $x || 'us' END"""
+
+  /** Mirror of Enrich.pagesHuman over a page-count expression. */
+  def oPagesHuman(x: String): String =
+    s"CASE WHEN $x >= 128 THEN CAST(floor($x / 128) AS BIGINT) || ' MB' ELSE ($x * 8) || ' KB' END"
+
+  /** Mirror of Enrich.kbHuman. */
+  def oKbHuman(kb: String): String =
+    s"CASE WHEN $kb >= 1024 AND $kb % 1024 = 0 THEN CAST(floor($kb / 1024) AS BIGINT) || ' MB' ELSE $kb || ' KB' END"
+
+  /** Mirror of Enrich.resourceUsage over µs/page column expressions. */
+  def oResourceUsage(cpu: String, lr: String, pr: String, wr: String, dur: String): String =
+    s"""concat_ws('; ',
+      CASE WHEN $cpu IS NOT NULL THEN 'CPU: ' || CAST(floor($cpu / 1000) AS BIGINT) || 'ms' END,
+      CASE WHEN $lr > 0 THEN 'L: ' || ${oPagesHuman(lr)} END,
+      CASE WHEN $pr > 0 THEN 'P: ' || ${oPagesHuman(pr)} END,
+      CASE WHEN $wr > 0 THEN 'W: ' || ${oPagesHuman(wr)} END,
+      CASE WHEN $dur IS NOT NULL THEN 'D: ' || ${oHumanDurUs(dur)} END)"""
+
+  /** Mirror of Grok.left(x, 300). */
+  def oLeft300(x: String): String =
+    s"CASE WHEN length($x) > 300 THEN substr($x, 1, 300) || '...' ELSE $x END"
+
+  /** Mirror of Enrich.sqlDescOf given a precomputed usage expr `ru`. */
+  def oSqlDesc(ru: String, txt: String): String =
+    s"(CASE WHEN $ru = '' THEN '' ELSE '(' || $ru || ') ' END) || ${oLeft300(txt)}"
+
   // ---- documents/embeddings fragments (training-data ops) -------------------
 
   /** Whitespace tokens, lowered, empties dropped (DuckDB side of

@@ -187,6 +187,42 @@ object SparkEntry {
     "q44_ann_bucketed" -> ((s, d) =>
       ann.Similarity.bucketedTopK(vecs(s, d))),
 
+    // ---- widened event vocabulary (round 2) ----
+    "q45_deadlock_xml" -> ((s, d) =>
+      Pipeline.parsed(s, d)
+        .filter(col("name").isin("xml_deadlock_report", "lock_deadlock_chain",
+          "blocked_process_report"))
+        .withColumn("xe_severity_value", Enrich.severityValue)
+        .withColumn("xe_category", Enrich.category)
+        .select("conv_id", "turn_idx", "name", "deadlock_xml", "blocked_xml",
+          "xe_severity_value", "xe_category")),
+
+    "q46_ddl_filesize" -> ((s, d) =>
+      Pipeline.parsed(s, d)
+        .filter(col("name").isin("object_altered", "object_created",
+          "object_deleted", "database_file_size_change"))
+        .withColumn("xe_description", Enrich.description)
+        .select("conv_id", "turn_idx", "name", "database_name", "object_name",
+          "object_type", "file_name", "size_change_kb", "xe_description")),
+
+    "q47_hadr_diag" -> ((s, d) =>
+      Pipeline.parsed(s, d)
+        .filter(col("name").isin("hadr_db_partner_set_sync_state",
+          "availability_replica_state_change", "availability_replica_state",
+          "availability_replica_manager_state_change", "alwayson_ddl_executed",
+          "sp_server_diagnostics_component_result"))
+        .withColumn("xe_description", Enrich.description)
+        .withColumn("xe_severity_value", Enrich.severityValue)
+        .withColumn("xe_category", Enrich.category)
+        .select("conv_id", "turn_idx", "name", "xe_description",
+          "xe_severity_value", "xe_category")),
+
+    "q48_typed_cast" -> ((s, d) =>
+      Enrich.withTypedFields(Pipeline.parsed(s, d))
+        .filter(col("name") === "sql_batch_completed")
+        .select("conv_id", "turn_idx", "is_system", "cpu_pct", "file_size",
+          "plan_handle")),
+
     "q41_multimodal_meta" -> ((s, d) =>
       multimodal.Multimodal.metadata(multimodal.Multimodal.asMedia(docs(s, d)))),
 
@@ -302,20 +338,35 @@ SELECT conv_id, turn_idx, name,
   sev AS xe_severity_value,
   CASE sev WHEN 3 THEN 'err' WHEN 4 THEN 'warning' ELSE 'info' END AS xe_severity_keyword
 FROM (
-  SELECT conv_id, turn_idx, $oName AS name,
-    CASE WHEN $oName = 'error_reported' AND ${oTriple(2)} >= 11 THEN 3
-         WHEN $oName = 'errorlog_written' AND ${oTriple(2)} >= 11 THEN 3
-         WHEN $oName = 'wait_info' THEN 4
+  SELECT conv_id, turn_idx, name,
+    CASE WHEN name = 'error_reported' AND (sevnum IS NULL OR sevnum >= 11) THEN 3
+         WHEN name = 'errorlog_written' AND sevnum >= 11 THEN 3
+         WHEN name IN ('xml_deadlock_report', 'lock_deadlock_chain') THEN 3
+         WHEN name IN ('wait_info', 'wait_info_external',
+                       'scheduler_monitor_non_yielding_ring_buffer_recorded',
+                       'blocked_process_report') THEN 4
+         WHEN name = 'sp_server_diagnostics_component_result' THEN
+           (CASE WHEN dstate = 'WARNING' THEN 4 WHEN dstate = 'ERROR' THEN 3 ELSE 6 END)
          ELSE 6 END AS sev
-  FROM transcripts
+  FROM (
+    SELECT conv_id, turn_idx, $oName AS name, ${oTriple(2)} AS sevnum,
+      ${oKvStr("state")} AS dstate
+    FROM transcripts
+  ) i
 ) a"""),
 
     "q05_category" -> withTranscripts(s"""
 SELECT conv_id, turn_idx,
-  CASE WHEN $oName = 'sql_batch_completed' THEN 'tsql'
-       WHEN $oName = 'wait_info' THEN 'wait'
-       ELSE $oName END AS xe_category
-FROM transcripts"""),
+  CASE WHEN name IN ('sql_batch_completed', 'rpc_completed',
+                     'sp_statement_completed', 'sql_statement_completed') THEN 'tsql'
+       WHEN name IN ('lock_deadlock_chain', 'xml_deadlock_report') THEN 'deadlock'
+       WHEN name IN ('hadr_db_partner_set_sync_state', 'alwayson_ddl_executed',
+                     'availability_replica_manager_state_change',
+                     'availability_replica_state') THEN 'hadr'
+       WHEN name IN ('agent_job', 'agent_job_step') THEN 'agent'
+       WHEN name IN ('wait_info', 'wait_info_external') THEN 'wait'
+       ELSE name END AS xe_category
+FROM (SELECT conv_id, turn_idx, $oName AS name FROM transcripts) a"""),
 
     "q06_units" -> withTranscripts(s"""
 SELECT conv_id, turn_idx,
@@ -366,29 +417,35 @@ SELECT conv_id, turn_idx,
       CASE WHEN host IS NOT NULL THEN ' from ' || host ELSE '' END ||
       CASE WHEN a IS NOT NULL THEN ' using ' || a ELSE '' END
     WHEN name = 'error_reported' THEN
-      '(Msg ' || en || ', Level ' || sev || ', State ' || st || ') ' ||
-      CASE WHEN length(body) > 300 THEN substr(body, 1, 300) || '...' ELSE body END
-    WHEN name = 'sql_batch_completed' THEN
-      '(CPU: ' || CAST(floor(cpu / 1000) AS BIGINT) || 'ms; L: ' ||
-      CASE WHEN lr >= 128 THEN CAST(floor(lr / 128) AS BIGINT) || ' MB' ELSE (lr * 8) || ' KB' END ||
-      '; W: ' ||
-      CASE WHEN wr >= 128 THEN CAST(floor(wr / 128) AS BIGINT) || ' MB' ELSE (wr * 8) || ' KB' END ||
-      ') ' ||
-      CASE WHEN length(bt) > 300 THEN substr(bt, 1, 300) || '...' ELSE bt END
-    WHEN name = 'wait_info' THEN
-      '(' ||
-      CASE WHEN dur >= 3600000000 THEN CAST(floor(floor(dur/1000000) / 3600) AS BIGINT) || 'h' || CAST(floor((CAST(floor(dur/1000000) AS BIGINT) % 3600) / 60) AS BIGINT) || 'm'
-           WHEN dur >= 60000000 THEN CAST(floor(floor(dur/1000000) / 60) AS BIGINT) || 'm' || (CAST(floor(dur/1000000) AS BIGINT) % 60) || 's'
-           WHEN dur >= 1000000 THEN CAST(floor(dur/1000000) AS BIGINT) || 's'
-           WHEN dur >= 1000 THEN CAST(floor(dur/1000) AS BIGINT) || 'ms'
-           ELSE dur || 'us' END ||
-      ') ' || wt
-    WHEN name = 'errorlog_written' THEN
-      CASE WHEN length(lmsg) > 300 THEN substr(lmsg, 1, 300) || '...' ELSE lmsg END
-    ELSE CASE WHEN length(body) > 300 THEN substr(body, 1, 300) || '...' ELSE body END
+      '(Msg ' || en || ', Level ' || sev || ', State ' || st || ') ' || ${oLeft300("body")}
+    WHEN name = 'sql_batch_completed' THEN ${oSqlDesc("ru", "bt")}
+    WHEN name IN ('rpc_completed', 'sp_statement_completed', 'sql_statement_completed')
+      THEN ${oSqlDesc("ru", "stmt")}
+    WHEN name IN ('wait_info', 'wait_info_external') THEN '(' || ${oHumanDurUs("dur")} || ') ' || wt
+    WHEN name = 'errorlog_written' THEN ${oLeft300("lmsg")}
+    WHEN name = 'object_altered' THEN 'ALTER ' || db || '..' || obj || ' (' || objtype || ')'
+    WHEN name = 'object_created' THEN 'CREATE ' || db || '..' || obj || ' (' || objtype || ')'
+    WHEN name = 'object_deleted' THEN 'DELETE ' || db || '..' || obj || ' (' || objtype || ')'
+    WHEN name = 'lock_deadlock_chain' THEN rdesc
+    WHEN name = 'xml_deadlock_report' THEN 'xml_deadlock_report'
+    WHEN name = 'hadr_db_partner_set_sync_state' THEN db || ': ' || cpol || ' -> ' || cpolt || ' (' || sstate || ')'
+    WHEN name = 'blocked_process_report' THEN
+      (CASE WHEN ru = '' THEN '' ELSE '(' || ru || ') ' END) || db || ': (' || rotype || '-' || lmode || '[' || objid || '])'
+    WHEN name = 'alwayson_ddl_executed' THEN '(' || ddlph || ') ' || stmt
+    WHEN name = 'availability_replica_manager_state_change' THEN 'state: ' || cstate
+    WHEN name = 'availability_replica_state_change' THEN ag || ': ' || pstate || ' -> ' || cstate
+    WHEN name = 'availability_replica_state' THEN ag || ': ' || cstate
+    WHEN name = 'sp_server_diagnostics_component_result' THEN '(' || comp || ':' || dstate || ') ' || ddata
+    WHEN name = 'database_file_size_change' THEN
+      concat_ws(' ',
+        CASE WHEN db IS NOT NULL THEN 'DB: ' || db END,
+        CASE WHEN fname IS NOT NULL THEN 'File: ' || fname END,
+        CASE WHEN szkb IS NOT NULL THEN ${oKbHuman("szkb")} END,
+        CASE WHEN dur IS NOT NULL THEN '(' || CAST(floor(dur/1000) AS BIGINT) || 'ms)' END)
+    ELSE ${oLeft300("body")}
   END AS xe_description
 FROM (
-  SELECT conv_id, turn_idx, name, body, p, a, host, en, sev, st, cpu, lr, wr, dur, wt, bt,
+  SELECT m.*, ${oResourceUsage("cpu", "lr", "pr", "wr", "dur")} AS ru,
     CASE WHEN lower(toks[3]) = 'logon'
          THEN array_to_string(string_split(array_to_string(toks[4:], ' '), ' ')[3:], ' ')
          ELSE array_to_string(toks[4:], ' ') END AS lmsg
@@ -399,12 +456,23 @@ FROM (
       $oPrincipal AS p, ${oKvStr("app")} AS a, ${oKvStr("host")} AS host,
       ${oTriple(1)} AS en, ${oTriple(2)} AS sev, ${oTriple(3)} AS st,
       ${oKvNum("cpu_time")} AS cpu, ${oKvNum("logical_reads")} AS lr,
-      ${oKvNum("writes")} AS wr, ${oKvNum("duration")} AS dur,
-      ${oKvStr("wait_type")} AS wt,
+      ${oKvNum("physical_reads")} AS pr, ${oKvNum("writes")} AS wr,
+      ${oKvNum("duration")} AS dur, ${oKvStr("wait_type")} AS wt,
       NULLIF(regexp_extract(text, 'batch_text=(.*)$$', 1), '') AS bt,
+      $oStatement AS stmt,
+      ${oKvStr("database_name")} AS db, ${oKvStr("object_name")} AS obj,
+      ${oKvStr("object_type")} AS objtype, ${oKvStr("file_name")} AS fname,
+      ${oKvNum("size_change_kb")} AS szkb,
+      ${oKvStr("resource_description")} AS rdesc, ${oKvStr("lock_mode")} AS lmode,
+      ${oKvStr("resource_owner_type")} AS rotype, ${oKvNum("object_id")} AS objid,
+      ${oKvStr("ag")} AS ag, ${oKvStr("previous_state")} AS pstate,
+      ${oKvStr("current_state")} AS cstate, ${oKvStr("commit_policy")} AS cpol,
+      ${oKvStr("commit_policy_target")} AS cpolt, ${oKvStr("sync_state")} AS sstate,
+      ${oKvStr("ddl_phase")} AS ddlph, ${oKvStr("component")} AS comp,
+      ${oKvStr("state")} AS dstate, ${oKvStr("data")} AS ddata,
       string_split(regexp_replace(regexp_replace(text, '^event=[a-z_0-9]+ ', ''), '\\s+', ' ', 'g'), ' ') AS toks
     FROM transcripts
-  ) i
+  ) m
 ) a"""),
 
     "q11_lookup_enrich" -> withCtes(
@@ -724,6 +792,83 @@ SELECT q_id, vec_id AS neighbor_id, rank FROM (
   SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
   FROM j
 ) r WHERE rank <= 5""",
+
+    // ---- widened event vocabulary oracles ----
+    "q45_deadlock_xml" -> withTranscripts(s"""
+SELECT conv_id, turn_idx, name,
+  ${oInnerXml("deadlock")} AS deadlock_xml,
+  ${oInnerXml("blocked-process")} AS blocked_xml,
+  CASE WHEN name IN ('xml_deadlock_report', 'lock_deadlock_chain') THEN 3 ELSE 4 END AS xe_severity_value,
+  CASE WHEN name IN ('xml_deadlock_report', 'lock_deadlock_chain') THEN 'deadlock' ELSE name END AS xe_category
+FROM (SELECT conv_id, turn_idx, $oName AS name, text FROM transcripts) a
+WHERE name IN ('xml_deadlock_report', 'lock_deadlock_chain', 'blocked_process_report')"""),
+
+    "q46_ddl_filesize" -> withTranscripts(s"""
+SELECT conv_id, turn_idx, name, db AS database_name, obj AS object_name,
+  objtype AS object_type, fname AS file_name, szkb AS size_change_kb,
+  CASE WHEN name = 'object_altered' THEN 'ALTER ' || db || '..' || obj || ' (' || objtype || ')'
+       WHEN name = 'object_created' THEN 'CREATE ' || db || '..' || obj || ' (' || objtype || ')'
+       WHEN name = 'object_deleted' THEN 'DELETE ' || db || '..' || obj || ' (' || objtype || ')'
+       ELSE concat_ws(' ',
+         CASE WHEN db IS NOT NULL THEN 'DB: ' || db END,
+         CASE WHEN fname IS NOT NULL THEN 'File: ' || fname END,
+         CASE WHEN szkb IS NOT NULL THEN ${oKbHuman("szkb")} END,
+         CASE WHEN dur IS NOT NULL THEN '(' || CAST(floor(dur/1000) AS BIGINT) || 'ms)' END)
+  END AS xe_description
+FROM (
+  SELECT conv_id, turn_idx, $oName AS name,
+    ${oKvStr("database_name")} AS db, ${oKvStr("object_name")} AS obj,
+    ${oKvStr("object_type")} AS objtype, ${oKvStr("file_name")} AS fname,
+    ${oKvNum("size_change_kb")} AS szkb, ${oKvNum("duration")} AS dur
+  FROM transcripts
+) a
+WHERE name IN ('object_altered', 'object_created', 'object_deleted', 'database_file_size_change')"""),
+
+    "q47_hadr_diag" -> withTranscripts(s"""
+SELECT conv_id, turn_idx, name,
+  CASE WHEN name = 'hadr_db_partner_set_sync_state' THEN db || ': ' || cpol || ' -> ' || cpolt || ' (' || sstate || ')'
+       WHEN name = 'availability_replica_state_change' THEN ag || ': ' || pstate || ' -> ' || cstate
+       WHEN name = 'availability_replica_state' THEN ag || ': ' || cstate
+       WHEN name = 'availability_replica_manager_state_change' THEN 'state: ' || cstate
+       WHEN name = 'alwayson_ddl_executed' THEN '(' || ddlph || ') ' || stmt
+       ELSE '(' || comp || ':' || dstate || ') ' || ddata
+  END AS xe_description,
+  CASE WHEN name = 'sp_server_diagnostics_component_result'
+       THEN (CASE WHEN dstate = 'WARNING' THEN 4 WHEN dstate = 'ERROR' THEN 3 ELSE 6 END)
+       ELSE 6 END AS xe_severity_value,
+  CASE WHEN name IN ('hadr_db_partner_set_sync_state', 'alwayson_ddl_executed',
+                     'availability_replica_manager_state_change',
+                     'availability_replica_state') THEN 'hadr'
+       ELSE name END AS xe_category
+FROM (
+  SELECT conv_id, turn_idx, $oName AS name,
+    ${oKvStr("database_name")} AS db, ${oKvStr("commit_policy")} AS cpol,
+    ${oKvStr("commit_policy_target")} AS cpolt, ${oKvStr("sync_state")} AS sstate,
+    ${oKvStr("ag")} AS ag, ${oKvStr("previous_state")} AS pstate,
+    ${oKvStr("current_state")} AS cstate, ${oKvStr("ddl_phase")} AS ddlph,
+    $oStatement AS stmt, ${oKvStr("component")} AS comp,
+    ${oKvStr("state")} AS dstate, ${oKvStr("data")} AS ddata
+  FROM transcripts
+) a
+WHERE name IN ('hadr_db_partner_set_sync_state', 'availability_replica_state_change',
+               'availability_replica_state', 'availability_replica_manager_state_change',
+               'alwayson_ddl_executed', 'sp_server_diagnostics_component_result')"""),
+
+    "q48_typed_cast" -> withTranscripts(s"""
+SELECT conv_id, turn_idx,
+  TRY_CAST(${oKvStr("is_system")} AS BOOLEAN) AS is_system,
+  TRY_CAST(${oKvStr("cpu_pct")} AS DOUBLE) AS cpu_pct,
+  -- DECIMAL(20,0) compared as text: pandas narrows DuckDB decimals to
+  -- float64 (lossy at 20 digits) while Spark's decimal survives as object
+  CAST(TRY_CAST(${oKvStr("file_size")} AS DECIMAL(20,0)) AS VARCHAR) AS file_size,
+  CASE WHEN ph IS NULL THEN NULL
+       WHEN NULLIF(replace(ph, '0', ''), '') IS NULL THEN NULL
+       ELSE '0x' || ph END AS plan_handle
+FROM (
+  SELECT conv_id, turn_idx, $oName AS name, ${oKvStr("plan_handle")} AS ph, text
+  FROM transcripts
+) a
+WHERE name = 'sql_batch_completed'"""),
 
     "q41_multimodal_meta" -> s"""
 SELECT doc_id,

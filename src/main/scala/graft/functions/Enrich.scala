@@ -12,23 +12,40 @@ import graft.sources.Lookups
   */
 object Enrich {
 
-  // ---- E1: severity (pkg/xe/xe.go:433-469) ---------------------------------
-  /** error_reported sev>=11 → 3 (err); errorlog Logon parse sev>=11 → 3;
-    * waits / blocked → 4 (warning); else 6 (info). */
+  // ---- E1: severity (pkg/xe/xe.go:433-469, full arm set) --------------------
+  /** error_reported sev>=11 (or missing, per the reference's !ok branch) →
+    * 3 (err); errorlog Logon parse sev>=11 → 3; deadlocks → 3; waits /
+    * blocked / non-yielding scheduler → 4 (warning); server diagnostics by
+    * component state; else 6 (info). */
   def severityValue: Column =
-    when(col("name") === "error_reported" && col("severity_num") >= 11, 3)
+    when(col("name") === "error_reported" &&
+        (col("severity_num").isNull || col("severity_num") >= 11), 3)
       .when(col("name") === "errorlog_written" && col("severity_num") >= 11, 3)
-      .when(col("name") === "wait_info", 4)
+      .when(col("name").isin("xml_deadlock_report", "lock_deadlock_chain"), 3)
+      .when(col("name").isin("wait_info", "wait_info_external",
+        "scheduler_monitor_non_yielding_ring_buffer_recorded",
+        "blocked_process_report"), 4)
+      .when(col("name") === "sp_server_diagnostics_component_result",
+        when(col("diag_state") === "WARNING", 4)
+          .when(col("diag_state") === "ERROR", 3)
+          .otherwise(6))
       .otherwise(6)
 
   /** 3→"err", 4→"warning", 6→"info" (pkg/logstash/logstash.go:21-28). */
   def severityKeyword(sev: Column): Column =
     when(sev === 3, "err").when(sev === 4, "warning").otherwise("info")
 
-  // ---- E2: category (pkg/xe/xe.go:473-489) ---------------------------------
+  // ---- E2: category (pkg/xe/xe.go:473-489, all five groups) -----------------
   def category: Column =
-    when(col("name") === "sql_batch_completed", "tsql")
-      .when(col("name") === "wait_info", "wait")
+    when(col("name").isin("sql_batch_completed", "rpc_completed",
+      "sp_statement_completed", "sql_statement_completed"), "tsql")
+      .when(col("name").isin("lock_deadlock_chain", "xml_deadlock_report"),
+        "deadlock")
+      .when(col("name").isin("hadr_db_partner_set_sync_state",
+        "alwayson_ddl_executed", "availability_replica_manager_state_change",
+        "availability_replica_state"), "hadr")
+      .when(col("name").isin("agent_job", "agent_job_step"), "agent")
+      .when(col("name").isin("wait_info", "wait_info_external"), "wait")
       .otherwise(col("name"))
 
   // ---- humanizers (pkg/xe/xe.go:939-984 roundDuration; :744-771 bytes) -----
@@ -50,6 +67,32 @@ object Enrich {
     when(pages >= 128L, concat((pages / 128L).cast("long"), lit(" MB")))
       .otherwise(concat(pages * 8L, lit(" KB")))
 
+  /** Compressed resource-usage prefix (GetResourceUsageDesc,
+    * pkg/xe/xe.go:735-781): "CPU: Xms; L: ...; P: ...; W: ...; D: ..." —
+    * CPU/D whenever present, reads/writes only when > 0, null fields
+    * skipped (concat_ws), "" when nothing is present. */
+  def resourceUsage: Column = concat_ws("; ",
+    when(col("cpu_time").isNotNull,
+      concat(lit("CPU: "), (col("cpu_time") / 1000L).cast("long"), lit("ms"))),
+    when(col("logical_reads") > 0, concat(lit("L: "), pagesHuman(col("logical_reads")))),
+    when(col("physical_reads") > 0, concat(lit("P: "), pagesHuman(col("physical_reads")))),
+    when(col("writes") > 0, concat(lit("W: "), pagesHuman(col("writes")))),
+    when(col("duration").isNotNull, concat(lit("D: "), humanDurationUs(col("duration")))))
+
+  /** "(usage) text..." — getSQLDescription (pkg/xe/xe.go:670-687): the
+    * usage prefix only when non-empty, then the 300-codepoint truncation. */
+  def sqlDescOf(txt: Column): Column = {
+    val ru = resourceUsage
+    concat(when(ru === "", lit("")).otherwise(concat(lit("("), ru, lit(") "))),
+      Grok.left(txt, 300))
+  }
+
+  /** kbtombstring (pkg/xe/xe.go:659-668): KB unless an even MB multiple. */
+  def kbHuman(kb: Column): Column =
+    when(kb >= 1024L && kb % 1024L === 0L,
+      concat((kb / 1024L).cast("long"), lit(" MB")))
+      .otherwise(concat(kb, lit(" KB")))
+
   // ---- E3: description templates (pkg/xe/xe.go:492-656) --------------------
   def description: Column = {
     // concat (not concat_ws): a NULL principal must propagate to a NULL
@@ -60,19 +103,64 @@ object Enrich {
     val errDesc = concat(lit("(Msg "), col("error_number"), lit(", Level "),
       col("severity_num"), lit(", State "), col("state_num"), lit(") "),
       Grok.left(col("body"), 300))
-    val sqlDesc = concat(lit("(CPU: "), (col("cpu_time") / 1000L).cast("long"),
-      lit("ms; L: "), pagesHuman(col("logical_reads")),
-      lit("; W: "), pagesHuman(col("writes")), lit(") "),
-      Grok.left(col("batch_text"), 300))
     val waitDesc = concat(lit("("), humanDurationUs(col("duration")), lit(") "),
       col("wait_type"))
+    def objDesc(verb: String) = concat(lit(verb + " "), col("database_name"),
+      lit(".."), col("object_name"), lit(" ("), col("object_type"), lit(")"))
+    val blockedDesc = {
+      val ru = resourceUsage
+      concat(when(ru === "", lit("")).otherwise(concat(lit("("), ru, lit(") "))),
+        col("database_name"), lit(": ("), col("resource_owner_type"), lit("-"),
+        col("lock_mode"), lit("["), col("object_id"), lit("])"))
+    }
+    val fileSizeDesc = concat_ws(" ",
+      when(col("database_name").isNotNull, concat(lit("DB: "), col("database_name"))),
+      when(col("file_name").isNotNull, concat(lit("File: "), col("file_name"))),
+      when(col("size_change_kb").isNotNull, kbHuman(col("size_change_kb"))),
+      when(col("duration").isNotNull,
+        concat(lit("("), (col("duration") / 1000L).cast("long"), lit("ms)"))))
     when(col("name") === "login", loginDesc)
       .when(col("name") === "error_reported", errDesc)
-      .when(col("name") === "sql_batch_completed", sqlDesc)
-      .when(col("name") === "wait_info", waitDesc)
+      .when(col("name") === "sql_batch_completed", sqlDescOf(col("batch_text")))
+      .when(col("name").isin("rpc_completed", "sp_statement_completed",
+        "sql_statement_completed"), sqlDescOf(col("statement")))
+      .when(col("name").isin("wait_info", "wait_info_external"), waitDesc)
       .when(col("name") === "errorlog_written", Grok.left(col("errorlog_message"), 300))
+      .when(col("name") === "object_altered", objDesc("ALTER"))
+      .when(col("name") === "object_created", objDesc("CREATE"))
+      .when(col("name") === "object_deleted", objDesc("DELETE"))
+      .when(col("name") === "lock_deadlock_chain", col("resource_description"))
+      .when(col("name") === "xml_deadlock_report", lit("xml_deadlock_report"))
+      .when(col("name") === "hadr_db_partner_set_sync_state",
+        concat(col("database_name"), lit(": "), col("commit_policy"), lit(" -> "),
+          col("commit_policy_target"), lit(" ("), col("sync_state"), lit(")")))
+      .when(col("name") === "blocked_process_report", blockedDesc)
+      .when(col("name") === "alwayson_ddl_executed",
+        concat(lit("("), col("ddl_phase"), lit(") "), col("statement")))
+      .when(col("name") === "availability_replica_manager_state_change",
+        concat(lit("state: "), col("current_state")))
+      .when(col("name") === "availability_replica_state_change",
+        concat(col("ag_name"), lit(": "), col("previous_state"), lit(" -> "),
+          col("current_state")))
+      .when(col("name") === "availability_replica_state",
+        concat(col("ag_name"), lit(": "), col("current_state")))
+      .when(col("name") === "sp_server_diagnostics_component_result",
+        concat(lit("("), col("component"), lit(":"), col("diag_state"), lit(") "),
+          col("diag_data")))
+      .when(col("name") === "database_file_size_change", fileSizeDesc)
       .otherwise(Grok.left(col("body"), 300))
   }
+
+  // ---- typed-cast ladder (pkg/xe/xe.go:69-107): raw captures → native
+  // types via Spark's own Cast (boolean / double / uint64-as-Decimal(20,0))
+  // plus the binary "0x"+hex convention with the P3 zero-handle skip
+  // (pkg/xe/xe.go:157-165). ---------------------------------------------------
+  def withTypedFields(df: DataFrame): DataFrame = df
+    .withColumn("is_system", col("is_system_raw").cast("boolean"))
+    .withColumn("cpu_pct", col("cpu_pct_raw").cast("double"))
+    .withColumn("file_size", col("file_size_raw").cast("decimal(20,0)"))
+    .withColumn("plan_handle",
+      Grok.zeroHandleToNull(concat(lit("0x"), col("plan_handle_raw"))))
 
   // ---- E4: xe_acct_app / xe_acct_app_client (pkg/xe/xe.go:865-898) ---------
   def acctApp: Column =

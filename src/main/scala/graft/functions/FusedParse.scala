@@ -47,7 +47,37 @@ object FusedParse {
     StructField("batch_text", StringType),
     StructField("errorlog_raw", StringType),
     StructField("errorlog_process", StringType),
-    StructField("errorlog_message", StringType))
+    StructField("errorlog_message", StringType),
+    // widened vocabulary fields (pkg/xe/xe.go:492-656 description inputs)
+    StructField("database_name", StringType),
+    StructField("object_name", StringType),
+    StructField("object_type", StringType),
+    StructField("file_name", StringType),
+    StructField("size_change_kb", LongType),
+    StructField("component", StringType),
+    StructField("diag_state", StringType),       // key "state"
+    StructField("diag_data", StringType),        // key "data"
+    StructField("resource_description", StringType),
+    StructField("lock_mode", StringType),
+    StructField("resource_owner_type", StringType),
+    StructField("object_id", LongType),
+    StructField("ag_name", StringType),          // key "ag"
+    StructField("previous_state", StringType),
+    StructField("current_state", StringType),
+    StructField("commit_policy", StringType),
+    StructField("commit_policy_target", StringType),
+    StructField("sync_state", StringType),
+    StructField("ddl_phase", StringType),
+    StructField("statement", StringType),        // statement=(.*)$ end-anchored
+    // P4 inner-XML extraction (pkg/xe/xe.go:178-192, 785-813)
+    StructField("deadlock_xml", StringType),
+    StructField("blocked_xml", StringType),
+    // typed-cast ladder raw captures (pkg/xe/xe.go:69-107); the typed cast
+    // itself is applied by Enrich.withTypedFields with Spark's own Cast
+    StructField("is_system_raw", StringType),
+    StructField("cpu_pct_raw", StringType),
+    StructField("plan_handle_raw", StringType),
+    StructField("file_size_raw", StringType))
 
   val schema: StructType = StructType(fields)
 
@@ -221,6 +251,29 @@ object FusedParse {
     null
   }
 
+  /** Inner-XML extraction with the semantics of the Java regex
+    * `open(.*)close` (greedy, '.' excludes line terminators): leftmost
+    * viable `open`, capture up to the LAST `close` ending on the same
+    * line; empty capture → null — the P4 analog of the reference's
+    * getInnerXML (pkg/xe/xe.go:785-813). */
+  def innerXml(t: String, open: String, close: String): String = {
+    var from = 0
+    while (true) {
+      val i = t.indexOf(open, from)
+      if (i < 0) return null
+      val start = i + open.length
+      var eol = start
+      while (eol < t.length && !isLineTerm(t.charAt(eol))) eol += 1
+      val j = t.lastIndexOf(close, eol - close.length)
+      if (j >= start) {
+        val cap = t.substring(start, j)
+        return if (cap.isEmpty) null else cap
+      }
+      from = i + 1
+    }
+    null
+  }
+
   /** Whitespace-collapse (\s+ → " ") in one pass. */
   def collapseWs(t: String): String = {
     val sb = new java.lang.StringBuilder(t.length)
@@ -251,14 +304,30 @@ object FusedParse {
     * CodegenFallback interpreter break). */
   def parseRow(input: UTF8String): InternalRow = {
     if (input == null) return null
-    val p = parseAll(input.toString)
+    val t = input.toString
+    val p = parseAll(t)
     def s(v: String) = if (v == null) null else UTF8String.fromString(v)
     InternalRow(
       s(p.name), s(p.body), p.errorNumber, p.severity, p.state,
       s(p.client), s(p.principal), s(p.app), s(p.host),
       p.cpuTime, p.duration, p.logicalReads, p.physicalReads,
       p.writes, p.rowCount, p.dbId, p.signalDuration, p.sessionId,
-      s(p.waitType), s(p.batch), s(p.elRaw), s(p.elProc), s(p.elMsg))
+      s(p.waitType), s(p.batch), s(p.elRaw), s(p.elProc), s(p.elMsg),
+      // widened vocabulary (same kv scanners, new keys)
+      s(kvStr(t, "database_name")), s(kvStr(t, "object_name")),
+      s(kvStr(t, "object_type")), s(kvStr(t, "file_name")),
+      kvNum(t, "size_change_kb"), s(kvStr(t, "component")),
+      s(kvStr(t, "state")), s(kvStr(t, "data")),
+      s(kvStr(t, "resource_description")), s(kvStr(t, "lock_mode")),
+      s(kvStr(t, "resource_owner_type")), kvNum(t, "object_id"),
+      s(kvStr(t, "ag")), s(kvStr(t, "previous_state")),
+      s(kvStr(t, "current_state")), s(kvStr(t, "commit_policy")),
+      s(kvStr(t, "commit_policy_target")), s(kvStr(t, "sync_state")),
+      s(kvStr(t, "ddl_phase")), s(keyToEol(t, "statement=")),
+      s(innerXml(t, "xml=<deadlock>", "</deadlock>")),
+      s(innerXml(t, "xml=<blocked-process>", "</blocked-process>")),
+      s(kvStr(t, "is_system")), s(kvStr(t, "cpu_pct")),
+      s(kvStr(t, "plan_handle")), s(kvStr(t, "file_size")))
   }
 
   def parseAll(t: String): Parsed = {

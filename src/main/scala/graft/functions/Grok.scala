@@ -71,7 +71,34 @@ object Grok {
       "signal_duration" -> kvNum(t, "signal_duration"),
       "session_id"      -> kvNum(t, "session_id"),
       "wait_type"       -> kvStr(t, "wait_type"),
-      "batch_text"      -> { val v = regexp_extract(t, "batch_text=(.*)$", 1); when(v === "", null).otherwise(v) }
+      "batch_text"      -> { val v = regexp_extract(t, "batch_text=(.*)$", 1); when(v === "", null).otherwise(v) },
+      // widened vocabulary (same unanchored kv semantics, new keys)
+      "database_name"   -> kvStr(t, "database_name"),
+      "object_name"     -> kvStr(t, "object_name"),
+      "object_type"     -> kvStr(t, "object_type"),
+      "file_name"       -> kvStr(t, "file_name"),
+      "size_change_kb"  -> kvNum(t, "size_change_kb"),
+      "component"       -> kvStr(t, "component"),
+      "diag_state"      -> kvStr(t, "state"),
+      "diag_data"       -> kvStr(t, "data"),
+      "resource_description" -> kvStr(t, "resource_description"),
+      "lock_mode"       -> kvStr(t, "lock_mode"),
+      "resource_owner_type"  -> kvStr(t, "resource_owner_type"),
+      "object_id"       -> kvNum(t, "object_id"),
+      "ag_name"         -> kvStr(t, "ag"),
+      "previous_state"  -> kvStr(t, "previous_state"),
+      "current_state"   -> kvStr(t, "current_state"),
+      "commit_policy"   -> kvStr(t, "commit_policy"),
+      "commit_policy_target" -> kvStr(t, "commit_policy_target"),
+      "sync_state"      -> kvStr(t, "sync_state"),
+      "ddl_phase"       -> kvStr(t, "ddl_phase"),
+      "statement"       -> { val v = regexp_extract(t, "statement=(.*)$", 1); when(v === "", null).otherwise(v) },
+      "deadlock_xml"    -> { val v = regexp_extract(t, "xml=<deadlock>(.*)</deadlock>", 1); when(v === "", null).otherwise(v) },
+      "blocked_xml"     -> { val v = regexp_extract(t, "xml=<blocked-process>(.*)</blocked-process>", 1); when(v === "", null).otherwise(v) },
+      "is_system_raw"   -> kvStr(t, "is_system"),
+      "cpu_pct_raw"     -> kvStr(t, "cpu_pct"),
+      "plan_handle_raw" -> kvStr(t, "plan_handle"),
+      "file_size_raw"   -> kvStr(t, "file_size")
     ))
   }
 

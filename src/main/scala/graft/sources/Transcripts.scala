@@ -37,14 +37,60 @@ SELECT
   CASE CAST(event_id % 4 AS INT) WHEN 0 THEN 'user' WHEN 1 THEN 'assistant' WHEN 2 THEN 'tool' ELSE 'system' END AS role,
   CASE event_type
     WHEN 'error' THEN
-      'event=error_reported Error: ' || (18000 + k % 500) || ', Severity: ' || (10 + k % 16) || ', State: ' || (1 + k % 60)
-      || '. Login failed for user ''u' || user_id || '''. Reason: Password did not match that for the login provided. [CLIENT: ' || client || '] db_id=' || (1 + k % 8)
+      CASE CAST(k % 7 AS INT)
+        WHEN 5 THEN 'event=xml_deadlock_report db_id=' || (1 + k % 8) || ' xml=<deadlock><victim-list>process ' || (k % 30) || '</victim-list><resource>KEY ' || (1 + k % 8) || ':' || (100 + k % 900) || '</resource></deadlock>'
+        WHEN 6 THEN 'event=lock_deadlock_chain resource_description=keylock_' || (k % 40) || ' session_id=' || (50 + k % 40) || ' db_id=' || (1 + k % 8)
+        ELSE 'event=error_reported Error: ' || (18000 + k % 500) || ', Severity: ' || (10 + k % 16) || ', State: ' || (1 + k % 60)
+          || '. Login failed for user ''u' || user_id || '''. Reason: Password did not match that for the login provided. [CLIENT: ' || client || '] db_id=' || (1 + k % 8)
+      END
     WHEN 'signup' THEN
       'event=login principal=u' || user_id || ' app=app_' || (k % 10) || ' host=host' || lpad(CAST(event_id % 20 AS STRING), 2, '0') || ' Login succeeded. [CLIENT: ' || client || ']'
     WHEN 'purchase' THEN
-      'event=sql_batch_completed cpu_time=' || (k * 31013) || ' duration=' || (k * 104729 + event_id % 1000) || ' logical_reads=' || (k * 31) || ' physical_reads=' || (k % 140) || ' writes=' || (k % 260) || ' row_count=' || (k % 1000) || ' db_id=' || (1 + k % 8) || ' batch_text=SELECT c_name FROM customer WHERE c_custkey = ' || event_id
+      CASE CAST(k % 9 AS INT)
+        WHEN 6 THEN 'event=' || CASE CAST(k2 % 3 AS INT) WHEN 0 THEN 'rpc_completed' WHEN 1 THEN 'sp_statement_completed' ELSE 'sql_statement_completed' END
+          || ' cpu_time=' || (k * 31013) || ' logical_reads=' || (k * 31) || ' physical_reads=' || (k % 140) || ' writes=' || (k % 260) || ' duration=' || (k * 104729 + event_id % 1000) || ' db_id=' || (1 + k % 8)
+          || ' statement=EXEC sp_task_' || (k % 50) || ' @id = ' || event_id
+        WHEN 7 THEN 'event=object_' || CASE CAST(k2 % 3 AS INT) WHEN 0 THEN 'altered' WHEN 1 THEN 'created' ELSE 'deleted' END
+          || ' database_name=db_' || (1 + k % 8) || ' object_name=obj_' || (k % 100)
+          || ' object_type=' || CASE CAST(k2 % 5 AS INT) WHEN 0 THEN 'PROC' WHEN 1 THEN 'TABLE' WHEN 2 THEN 'VIEW' WHEN 3 THEN 'INDEX' ELSE 'TRIGGER' END || ' db_id=' || (1 + k % 8)
+        WHEN 8 THEN 'event=database_file_size_change database_name=db_' || (1 + k % 8)
+          || ' file_name=db_' || (1 + k % 8) || CASE WHEN k2 % 2 = 0 THEN '_Data' ELSE '_Log' END
+          || ' size_change_kb=' || CASE WHEN k2 % 3 = 0 THEN CAST((1 + k % 64) * 1024 AS STRING) ELSE CAST(8 + k % 1000 AS STRING) END
+          || ' duration=' || ((8 + k % 30000) * 1000)
+        ELSE 'event=sql_batch_completed cpu_time=' || (k * 31013) || ' duration=' || (k * 104729 + event_id % 1000) || ' logical_reads=' || (k * 31) || ' physical_reads=' || (k % 140) || ' writes=' || (k % 260) || ' row_count=' || (k % 1000) || ' db_id=' || (1 + k % 8)
+          || ' is_system=' || CASE WHEN k % 2 = 0 THEN 'true' ELSE 'false' END
+          || ' cpu_pct=' || (k % 100) || '.25'
+          || ' plan_handle=' || CASE WHEN k % 5 = 0 THEN '0000000000000000' ELSE lpad(CAST(k * 7919 % 100000000 AS STRING), 16, '0') END
+          || ' file_size=' || CASE WHEN k % 4 = 0 THEN '1844674407370955' || lpad(CAST(k % 10000 AS STRING), 4, '0') ELSE CAST((k + 1) * 8192 AS STRING) END
+          || ' batch_text=SELECT c_name FROM customer WHERE c_custkey = ' || event_id
+      END
     WHEN 'click' THEN
-      'event=wait_info wait_type=' || CASE CAST(k % 4 AS INT) WHEN 0 THEN 'PAGEIOLATCH_SH' WHEN 1 THEN 'LCK_M_X' WHEN 2 THEN 'CXPACKET' ELSE 'SOS_SCHEDULER_YIELD' END || ' duration=' || (k * 50021) || ' signal_duration=' || (k % 997) || ' session_id=' || (50 + event_id % 40)
+      CASE CAST(k % 8 AS INT)
+        WHEN 5 THEN 'event=blocked_process_report database_name=db_' || (1 + k % 8) || ' duration=' || (k * 50021)
+          || ' resource_owner_type=LOCK lock_mode=' || CASE CAST(k2 % 3 AS INT) WHEN 0 THEN 'S' WHEN 1 THEN 'X' ELSE 'IX' END
+          || ' object_id=' || (100000 + k % 9000)
+          || ' xml=<blocked-process><process>spid ' || (50 + k % 40) || '</process></blocked-process>'
+        WHEN 6 THEN
+          CASE CAST(k2 % 5 AS INT)
+            WHEN 0 THEN 'event=hadr_db_partner_set_sync_state database_name=db_' || (1 + k % 8)
+              || ' commit_policy=' || CASE WHEN k2 % 2 = 0 THEN 'SYNC' ELSE 'ASYNC' END
+              || ' commit_policy_target=' || CASE WHEN k % 3 = 0 THEN 'SYNC' ELSE 'ASYNC' END
+              || ' sync_state=' || CASE CAST(k % 3 AS INT) WHEN 0 THEN 'SYNCHRONIZED' WHEN 1 THEN 'SYNCHRONIZING' ELSE 'NOT_SYNCHRONIZING' END
+            WHEN 1 THEN 'event=availability_replica_state_change ag=ag_' || (k % 4)
+              || ' previous_state=' || CASE WHEN k2 % 2 = 0 THEN 'SECONDARY_NORMAL' ELSE 'RESOLVING_NORMAL' END
+              || ' current_state=' || CASE WHEN k % 3 = 0 THEN 'PRIMARY_NORMAL' ELSE 'SECONDARY_NORMAL' END
+            WHEN 2 THEN 'event=availability_replica_state ag=ag_' || (k % 4)
+              || ' current_state=' || CASE WHEN k2 % 2 = 0 THEN 'PRIMARY_NORMAL' ELSE 'SECONDARY_NORMAL' END
+            WHEN 3 THEN 'event=availability_replica_manager_state_change current_state=' || CASE CAST(k % 3 AS INT) WHEN 0 THEN 'ONLINE' WHEN 1 THEN 'OFFLINE' ELSE 'RECOVERY' END
+            ELSE 'event=alwayson_ddl_executed ddl_phase=' || CASE WHEN k2 % 2 = 0 THEN 'commit' ELSE 'begin' END
+              || ' statement=ALTER AVAILABILITY GROUP ag_' || (k % 4) || ' MODIFY REPLICA'
+          END
+        WHEN 7 THEN 'event=sp_server_diagnostics_component_result component=' || CASE CAST(k2 % 3 AS INT) WHEN 0 THEN 'query_processing' WHEN 1 THEN 'io_subsystem' ELSE 'resource' END
+          || ' state=' || CASE CAST(k2 % 5 AS INT) WHEN 0 THEN 'ERROR' WHEN 1 THEN 'WARNING' ELSE 'CLEAN' END
+          || ' data=check_' || (k % 20)
+        ELSE 'event=' || CASE WHEN k2 % 7 = 3 THEN 'wait_info_external' ELSE 'wait_info' END
+          || ' wait_type=' || CASE CAST(k % 4 AS INT) WHEN 0 THEN 'PAGEIOLATCH_SH' WHEN 1 THEN 'LCK_M_X' WHEN 2 THEN 'CXPACKET' ELSE 'SOS_SCHEDULER_YIELD' END || ' duration=' || (k * 50021) || ' signal_duration=' || (k % 997) || ' session_id=' || (50 + event_id % 40)
+      END
     ELSE
       'event=errorlog_written 2024-01-15 10:2' || (k % 10) || ':33.1' || (event_id % 10) || ' ' ||
       CASE CAST(event_id % 3 AS INT)
@@ -59,6 +105,7 @@ SELECT
   CAST(event_id % 1000 AS BIGINT) AS src_offset
 FROM (
   SELECT event_id, ts, user_id, event_type, k,
+    CAST(floor(k / 10) AS BIGINT) AS k2,
     CASE WHEN user_id % 5 = 0 THEN 'conv_hot'
          ELSE 'conv_' || lpad(CAST(user_id AS STRING), 6, '0') END AS conv_id,
     CASE CAST(event_id % 3 AS INT)
