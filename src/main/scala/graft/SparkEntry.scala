@@ -84,9 +84,10 @@ object SparkEntry {
         .select("conv_id", "turn_idx", "db_id", "entity_name")),
 
     "q13_error_flags" -> ((s, d) =>
-      Enrich.withErrorFlags(Pipeline.parsed(s, d), s)
+      Enrich.withLoginFailedDesc(Enrich.withErrorFlags(
+        Pipeline.parsed(s, d).withColumn("xe_description", Enrich.description), s))
         .select("conv_id", "turn_idx", "error_number",
-          "login_failed", "xe_is_event_logged")),
+          "login_failed", "xe_is_event_logged", "login_failed_desc")),
 
     "q14_filtered" -> ((s, d) =>
       Pipeline.filtered(s, d).select("conv_id", "turn_idx", "name")),
@@ -131,8 +132,8 @@ object SparkEntry {
 
     "q24_agent_jobs" -> ((s, d) => {
       Graft.prep(s)
-      functions.AgentJobs.enrich(functions.AgentJobs.fromEvents(
-        s.read.parquet(s"$d/events.parquet")))
+      functions.AgentJobs.enrich(functions.AgentJobs.withJobNames(
+        functions.AgentJobs.fromEvents(s.read.parquet(s"$d/events.parquet")), s))
         .select("instance_id", "job_id", "step_id", "name", "run_status",
           "run_status_text", "xe_severity_value", "run_ts", "xe_description")
     }),
@@ -500,8 +501,28 @@ LEFT JOIN (
       "logged_ids" -> Lookups.loggedErrorsSql)(s"""
 SELECT t.conv_id, t.turn_idx, t.error_number,
   (li.error_number IS NOT NULL) AS login_failed,
-  (lg.error_number IS NOT NULL) AS xe_is_event_logged
-FROM (SELECT conv_id, turn_idx, ${oTriple(1)} AS error_number FROM transcripts) t
+  (lg.error_number IS NOT NULL) AS xe_is_event_logged,
+  CASE WHEN li.error_number IS NOT NULL THEN t.xdesc END AS login_failed_desc
+FROM (
+  SELECT conv_id, turn_idx, en AS error_number,
+    CASE WHEN name = 'error_reported' THEN
+           '(Msg ' || en || ', Level ' || sev || ', State ' || st || ') ' || ${oLeft300("body")}
+         WHEN name = 'errorlog_written' THEN ${oLeft300("lmsg")}
+    END AS xdesc
+  FROM (
+    SELECT conv_id, turn_idx, $oName AS name,
+      ${oTriple(1)} AS en, ${oTriple(2)} AS sev, ${oTriple(3)} AS st,
+      regexp_replace(text, '^event=[a-z_0-9]+ ', '') AS body,
+      CASE WHEN lower(toks[3]) = 'logon'
+           THEN array_to_string(string_split(array_to_string(toks[4:], ' '), ' ')[3:], ' ')
+           ELSE array_to_string(toks[4:], ' ') END AS lmsg
+    FROM (
+      SELECT conv_id, turn_idx, text,
+        string_split(regexp_replace(regexp_replace(text, '^event=[a-z_0-9]+ ', ''), '\\s+', ' ', 'g'), ' ') AS toks
+      FROM transcripts
+    ) t0
+  ) t1
+) t
 LEFT JOIN login_ids li ON t.error_number = li.error_number
 LEFT JOIN logged_ids lg ON t.error_number = lg.error_number"""),
 
@@ -594,14 +615,19 @@ SELECT instance_id, job_id, step_id,
             WHEN 4 THEN 'In Progress' ELSE 'Unknown' END
   END AS xe_description
 FROM (
-  SELECT event_id AS instance_id, user_id % 10 AS job_id,
-    CAST(k % 5 AS INT) AS step_id, CAST(k % 6 AS INT) AS run_status,
-    20240101 + k % 28 AS run_date,
-    (k % 24) * 10000 + (k % 60) * 100 + (k % 60) AS run_time,
-    'job_' || (user_id % 10) AS job_name
-  FROM (SELECT event_id, user_id,
-          CAST(regexp_extract(props, '[0-9]+', 0) AS BIGINT) AS k
-        FROM events) e
+  SELECT h.instance_id, h.job_id, h.step_id, h.run_status, h.run_date,
+    h.run_time, jd.job_name
+  FROM (
+    SELECT event_id AS instance_id, user_id % 10 AS job_id,
+      CAST(k % 5 AS INT) AS step_id, CAST(k % 6 AS INT) AS run_status,
+      20240101 + k % 28 AS run_date,
+      (k % 24) * 10000 + (k % 60) * 100 + (k % 60) AS run_time
+    FROM (SELECT event_id, user_id,
+            CAST(regexp_extract(props, '[0-9]+', 0) AS BIGINT) AS k
+          FROM events) e
+  ) h
+  LEFT JOIN (SELECT i AS job_id, 'job_' || i AS job_name FROM range(10) t(i)) jd
+    ON h.job_id = jd.job_id
 ) j""",
 
     "q25_percentiles" -> withTranscripts(s"""

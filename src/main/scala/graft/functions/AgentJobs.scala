@@ -41,9 +41,11 @@ object AgentJobs {
     case _        => lit(false)
   }
 
-  /** Derive a job-history-shaped frame from the events table: the event's
-    * k drives deterministic run_date/run_time/status; step 0 = job
-    * outcome, steps >0 = job steps (`process_agent.go:111-156`). */
+  /** Derive a job-history-shaped frame (the sysjobhistory analog) from the
+    * events table: the event's k drives deterministic run_date/run_time/
+    * status; step 0 = job outcome, steps >0 = job steps
+    * (`process_agent.go:111-156`). Carries job_id only — names come from
+    * the jobs dimension via [[withJobNames]]. */
   def fromEvents(events: DataFrame): DataFrame = {
     val k = regexp_extract(col("props"), "[0-9]+", 0).cast("long")
     events.select(
@@ -52,9 +54,19 @@ object AgentJobs {
       (k % 5L).cast("int").as("step_id"),
       (k % 6L).cast("int").as("run_status"),
       (lit(20240101L) + k % 28L).as("run_date"),
-      (k % 24L * 10000L + k % 60L * 100L + k % 60L).as("run_time"),
-      concat(lit("job_"), col("user_id") % 10L).as("job_name"))
+      (k % 24L * 10000L + k % 60L * 100L + k % 60L).as("run_time"))
   }
+
+  /** The sysjobs dimension: job_id → job_name. */
+  def jobsDim(spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    import spark.implicits._
+    (0L until 10L).map(i => (i, s"job_$i")).toDF("job_id", "job_name")
+  }
+
+  /** J6: sysjobhistory ⋈ sysjobs equi-join on job_id
+    * (`pkg/app/process_agent.go:133-134`) — broadcast, the dim is tiny. */
+  def withJobNames(history: DataFrame, spark: org.apache.spark.sql.SparkSession): DataFrame =
+    history.join(broadcast(jobsDim(spark)), Seq("job_id"), "left")
 
   /** Full enrichment: classification, status text/severity, timestamp,
     * description (`process_agent.go:213-274`). */

@@ -233,6 +233,13 @@ object Enrich {
   def withRoleSeverity(df: DataFrame, spark: SparkSession): DataFrame =
     df.join(broadcast(Lookups.roleSeverity(spark)), Seq("role"), "left")
 
+  /** E10 description copy: a login-error event carries its full
+    * description in `login_failed` (pkg/xe/xe.go:254-262 sets the desc
+    * string, not just a flag). Requires xe_description + login_failed. */
+  def withLoginFailedDesc(df: DataFrame): DataFrame =
+    df.withColumn("login_failed_desc",
+      when(col("login_failed"), col("xe_description")))
+
   /** Full enrichment pass over a parsed frame. */
   def enrich(parsed: DataFrame, spark: SparkSession): DataFrame = {
     val base = parsed
@@ -243,6 +250,7 @@ object Enrich {
       .withColumn("xe_acct_app", acctApp)
       .withColumn("xe_acct_app_client", acctAppClient)
       .withColumn("xe_state_description", stateDescription)
-    withEntityName(withErrorFlags(withUnits(base), spark), spark)
+    withLoginFailedDesc(
+      withEntityName(withErrorFlags(withUnits(base), spark), spark))
   }
 }

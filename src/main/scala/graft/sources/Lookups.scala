@@ -96,19 +96,37 @@ object Lookups {
     "SELECT * FROM (VALUES " + sinkIndexRows.map { case (n, i) => s"('$n','$i')" }
       .mkString(", ") + ") AS s(name, sink_index)"
 
-  /** 18456 state → description case table (20 arms in the reference,
-    * pkg/xe/xe.go:288-337); kept as ordered pairs so the Spark `when`
-    * chain and the oracle CASE expression are generated from one list. */
-  val state18456: Seq[(Int, String)] = Seq(
-    2  -> "Invalid userid",
-    5  -> "Invalid userid",
-    6  -> "Attempt to use a Windows login name with SQL Authentication",
-    7  -> "Login disabled and password mismatch",
-    8  -> "Password mismatch",
-    9  -> "Invalid password",
-    11 -> "Valid login but server access failure",
-    12 -> "Valid login but server access failure",
-    13 -> "SQL Server service paused",
-    18 -> "Change password required"
-  )
+  /** 18456 state → description table, the FULL reference arm set
+    * (pkg/xe/xe.go:288-337, quoting the public MSSQL 18456 error docs);
+    * kept as ordered pairs so the Spark `when` chain and the oracle CASE
+    * expression are generated from one list. */
+  val state18456: Seq[(Int, String)] = {
+    val s11 = "Login is valid, but server access failed. One possible cause " +
+      "of this error is when the Windows user has access to SQL Server as a " +
+      "member of the local administrators' group, but Windows isn't " +
+      "providing administrator credentials. To connect, start the " +
+      "connecting program using the Run as administrator option, and then " +
+      "add the Windows user to SQL Server as a specific login."
+    val s58 = "When SQL Server is set to use Windows Authentication only, " +
+      "and a client attempts to log in using SQL authentication. Another " +
+      "cause is when SIDs don't match."
+    val s62 = "Occurs when a Windows Authentication account tries to access " +
+      "a contained database, and the contained database exists, but the " +
+      "SIDs do not match"
+    Seq(2, 5).map(_ -> "User ID isn't valid") ++ Seq(
+      6  -> "An attempt was made to use a Windows login name with SQL Server Authentication",
+      7  -> "Login is disabled, and the password is incorrect",
+      8  -> "The password is incorrect",
+      9  -> "Password isn't valid",
+      11 -> s11,
+      12 -> "Login is valid login, but server access failed",
+      18 -> "Password must be changed") ++
+      Seq(38, 46).map(_ -> "Couldn't find database requested by user") ++ Seq(
+      58 -> s58,
+      62 -> s62) ++
+      (102 to 111).map(_ -> "Azure AD failure") ++
+      (122 to 124).map(_ -> "Failure due to empty user name or password") ++ Seq(
+      126 -> "Database requested by user doesn't exist") ++
+      Seq(132, 133).map(_ -> "Azure AD failure")
+  }
 }

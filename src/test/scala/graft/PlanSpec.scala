@@ -96,6 +96,14 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("agent-jobs history joins the jobs dim via broadcast (J6)") {
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val out = functions.AgentJobs.enrich(functions.AgentJobs.withJobNames(
+      functions.AgentJobs.fromEvents(ev), spark))
+    assert(out.queryExecution.sparkPlan.toString.contains("BroadcastHashJoin"),
+      "q24 path must contain a real broadcast equi-join")
+  }
+
   test("lineage dedup-on-read collapses replayed batches (effective-once)") {
     import TestSpark.spark.implicits._
     val lineage = Seq(
