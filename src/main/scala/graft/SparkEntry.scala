@@ -224,6 +224,29 @@ object SparkEntry {
         .select("conv_id", "turn_idx", "is_system", "cpu_pct", "file_size",
           "plan_handle")),
 
+    // E6 ArrayType constants + per-tool array dim + P11 array casing
+    "q49_ag_arrays" -> ((s, d) => {
+      val base = Enrich.withAgConstants(Pipeline.parsed(s, d))
+        .join(broadcast(Lookups.toolAliases(s)), Seq("tool"), "left")
+        .withColumn("aliases",
+          coalesce(col("aliases"), array().cast("array<string>")))
+      val cfg = operators.Mods.ModsConfig(
+        payloadField = Some("mssql"), timestampField = "@timestamp",
+        payloadColumns = Seq("name", "tool", "mssql_ag", "mssql_ag_listener", "aliases"),
+        adds = Nil, copies = Nil, moves = Nil,
+        uppercase = Seq("mssql.mssql_ag", "mssql.aliases"), lowercase = Nil,
+        stripCrlf = false)
+      // the doc carries genuine ArrayType columns (ModsSpec asserts the
+      // typed shape + per-element casing); the ORACLED projection joins
+      // them to '|' strings because the hash harness (pandas row sort)
+      // cannot order ndarray cells
+      operators.Mods(base, cfg).select(
+        col("conv_id"), col("turn_idx"),
+        array_join(col("doc.mssql.mssql_ag"), "|").as("ag_up"),
+        array_join(col("doc.mssql.mssql_ag_listener"), "|").as("ag_listener"),
+        array_join(col("doc.mssql.aliases"), "|").as("aliases_up"))
+    }),
+
     "q41_multimodal_meta" -> ((s, d) =>
       multimodal.Multimodal.metadata(multimodal.Multimodal.asMedia(docs(s, d)))),
 
@@ -895,6 +918,15 @@ FROM (
   FROM transcripts
 ) a
 WHERE name = 'sql_batch_completed'"""),
+
+    "q49_ag_arrays" -> withCtes(
+      "ta" -> Lookups.toolAliasesSql)(s"""
+SELECT t.conv_id, t.turn_idx,
+  array_to_string([${Lookups.agGroups.map(a => s"'${a.toUpperCase}'").mkString(", ")}], '|') AS ag_up,
+  array_to_string([${Lookups.agListeners.map(a => s"'$a'").mkString(", ")}], '|') AS ag_listener,
+  -- DuckDB array_to_string([]) is NULL where Spark array_join([]) is ''
+  COALESCE(array_to_string(list_transform(COALESCE(ta.aliases, CAST([] AS VARCHAR[])), x -> upper(x)), '|'), '') AS aliases_up
+FROM transcripts t LEFT JOIN ta ON t.tool = ta.tool"""),
 
     "q41_multimodal_meta" -> s"""
 SELECT doc_id,

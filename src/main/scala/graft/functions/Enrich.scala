@@ -233,6 +233,14 @@ object Enrich {
   def withRoleSeverity(df: DataFrame, spark: SparkSession): DataFrame =
     df.join(broadcast(Lookups.roleSeverity(spark)), Seq("role"), "left")
 
+  /** E6: ArrayType server constants — mssql_ag / mssql_ag_listener
+    * (pkg/xe/xe.go:221-226): string arrays stamped on every event. */
+  def withAgConstants(df: DataFrame,
+                      ags: Seq[String] = Lookups.agGroups,
+                      listeners: Seq[String] = Lookups.agListeners): DataFrame =
+    df.withColumn("mssql_ag", array(ags.map(lit): _*))
+      .withColumn("mssql_ag_listener", array(listeners.map(lit): _*))
+
   /** E10 description copy: a login-error event carries its full
     * description in `login_failed` (pkg/xe/xe.go:254-262 sets the desc
     * string, not just a flag). Requires xe_description + login_failed. */

@@ -25,31 +25,79 @@ object Mods {
     moves: Seq[(String, String)],
     uppercase: Seq[String],
     lowercase: Seq[String],
-    stripCrlf: Boolean)
+    stripCrlf: Boolean,
+    envLookup: String => Option[String] = name => sys.env.get(name))
 
   /** The canonical config fixture (FIXTURES.md §3, mirrors
-    * samples/complete.toml). */
+    * samples/complete.toml). version is single-quoted so the coercion
+    * ladder keeps it a string (the reference's '0.7' => (string) 0.7
+    * convention, logstash_record.go:205-208). */
   val defaultConfig: ModsConfig = ModsConfig(
     payloadField = Some("mssql"),
     timestampField = "@timestamp",
     payloadColumns = Seq("name", "role", "principal", "tool"),
-    adds = Seq("global.collector" -> "graft", "global.version" -> "0.1"),
+    adds = Seq("global.collector" -> "graft", "global.version" -> "'0.1'"),
     copies = Seq("mssql.principal" -> "global.user"),
     moves = Seq("mssql.role" -> "global.role"),
     uppercase = Seq("mssql.name"),
     lowercase = Seq("global.user"),
     stripCrlf = true)
 
+  /** `$(env:VAR)` substitution (pkg/config/vars.go:13-44): whole-value
+    * match only; an unset/empty variable is a config error. */
+  private val EnvPattern = """(?i)^\$\(env:(\w*)\)$""".r
+  def resolveEnv(v: String, lookup: String => Option[String]): String =
+    EnvPattern.findFirstMatchIn(v) match {
+      case None => v
+      case Some(m) =>
+        val name = m.group(1)
+        if (name.isEmpty) throw new IllegalArgumentException(s"missing variable: '$v'")
+        lookup(name).filter(_.nonEmpty).getOrElse(
+          throw new IllegalArgumentException(s"empty variable: '$name'"))
+    }
+
+  /** Value-coercion ladder (logstash_record.go:188-211 getValue): bool →
+    * int64 (base 0: 0x/0b/0o accepted) → float64 → quoted-string unwrap →
+    * string. Applied at config/plan-build time, like the reference. */
+  def coerceValue(v: String): Column = {
+    def goBool(s: String): Option[Boolean] = s match {
+      case "1" | "t" | "T" | "TRUE" | "true" | "True" => Some(true)
+      case "0" | "f" | "F" | "FALSE" | "false" | "False" => Some(false)
+      case _ => None
+    }
+    def goLong(s: String): Option[Long] = {
+      val (sign, rest) =
+        if (s.startsWith("-")) (-1L, s.drop(1))
+        else if (s.startsWith("+")) (1L, s.drop(1)) else (1L, s)
+      val parsed =
+        if (rest.startsWith("0x") || rest.startsWith("0X"))
+          scala.util.Try(java.lang.Long.parseLong(rest.drop(2), 16)).toOption
+        else rest.toLongOption
+      parsed.map(_ * sign)
+    }
+    goBool(v).map(lit(_))
+      .orElse(goLong(v).map(lit(_)))
+      .orElse(v.toDoubleOption.map(lit(_)))
+      .getOrElse {
+        val unq =
+          if (v.length >= 2 && v.startsWith("'") && v.endsWith("'"))
+            v.substring(1, v.length - 1)
+          else v
+        lit(unq)
+      }
+  }
+
   // ---- dotted-path tree of Column leaves -----------------------------------
   private sealed trait Node
-  private final case class Leaf(c: Column) extends Node
+  private final case class Leaf(c: Column, isArr: Boolean = false) extends Node
   private final case class Branch(var kids: ListMap[String, Node]) extends Node
 
-  private def insert(root: Branch, path: Seq[String], c: Column, overwrite: Boolean): Boolean =
+  private def insert(root: Branch, path: Seq[String], c: Column,
+                     overwrite: Boolean, isArr: Boolean = false): Boolean =
     path match {
       case Seq(last) =>
         if (root.kids.contains(last) && !overwrite) false // refuse overwrite
-        else { root.kids = root.kids.updated(last, Leaf(c)); true }
+        else { root.kids = root.kids.updated(last, Leaf(c, isArr)); true }
       case head +: rest =>
         val child = root.kids.get(head) match {
           case Some(b: Branch) => b
@@ -57,12 +105,12 @@ object Mods {
           case None =>
             val b = Branch(ListMap.empty); root.kids = root.kids.updated(head, b); b
         }
-        insert(child, rest, c, overwrite)
+        insert(child, rest, c, overwrite, isArr)
     }
 
-  private def lookup(root: Branch, path: Seq[String]): Option[Column] =
+  private def lookup(root: Branch, path: Seq[String]): Option[Leaf] =
     path match {
-      case Seq(last) => root.kids.get(last).collect { case Leaf(c) => c }
+      case Seq(last) => root.kids.get(last).collect { case l: Leaf => l }
       case head +: rest =>
         root.kids.get(head).collect { case b: Branch => b }.flatMap(lookup(_, rest))
     }
@@ -75,19 +123,23 @@ object Mods {
     }
 
   private def toColumn(n: Node): Column = n match {
-    case Leaf(c)   => c
-    case Branch(k) => struct(k.toSeq.map { case (name, node) => toColumn(node).as(name) }: _*)
+    case Leaf(c, _) => c
+    case Branch(k)  => struct(k.toSeq.map { case (name, node) => toColumn(node).as(name) }: _*)
   }
 
-  /** Build the routed document struct column `doc` per the config. */
-  def document(cfg: ModsConfig): Column = {
+  /** Build the routed document struct column `doc` per the config.
+    * `arrayCols` marks which source columns are string arrays so casing
+    * applies per-element (logstash_record.go:70-88 handles both). */
+  def document(cfg: ModsConfig, arrayCols: Set[String] = Set.empty): Column = {
     val root = Branch(ListMap.empty)
     // P8: payload nesting + timestamp lift
     cfg.payloadField match {
       case Some(pf) =>
-        cfg.payloadColumns.foreach(c => insert(root, Seq(pf, c), col(c), overwrite = true))
+        cfg.payloadColumns.foreach(c =>
+          insert(root, Seq(pf, c), col(c), overwrite = true, isArr = arrayCols(c)))
       case None =>
-        cfg.payloadColumns.foreach(c => insert(root, Seq(c), col(c), overwrite = true))
+        cfg.payloadColumns.foreach(c =>
+          insert(root, Seq(c), col(c), overwrite = true, isArr = arrayCols(c)))
     }
     insert(root, Seq(cfg.timestampField), col("ts"), overwrite = true)
     // P9: adds (dotted path, refuse overwrite). Value coercion happens at
@@ -99,25 +151,28 @@ object Mods {
         case "$(VERSION)" => lit("0.1.0")
         case "$(HOST)"    => lit("graft-host")
         case "$(PID)"     => lit(0L)
-        case other        => lit(other)
+        case other        => coerceValue(resolveEnv(other, cfg.envLookup))
       }
       insert(root, p.split('.').toSeq, value, overwrite = false)
     }
     // P10: copies then moves (move = copy + delete; skip absent src)
     (cfg.copies ++ cfg.moves).foreach { case (s, d) =>
       lookup(root, s.split('.').toSeq)
-        .foreach(c => insert(root, d.split('.').toSeq, c, overwrite = false))
+        .foreach(l => insert(root, d.split('.').toSeq, l.c, overwrite = false, isArr = l.isArr))
     }
     cfg.moves.foreach { case (s, _) => remove(root, s.split('.').toSeq) }
-    // P11: casing (after adds/copies, per merge order config.go:448-449)
-    cfg.uppercase.foreach { p =>
-      val path = p.split('.').toSeq
-      lookup(root, path).foreach(c => insert(root, path, upper(c), overwrite = true))
-    }
-    cfg.lowercase.foreach { p =>
-      val path = p.split('.').toSeq
-      lookup(root, path).foreach(c => insert(root, path, lower(c), overwrite = true))
-    }
+    // P11: casing (after adds/copies, per merge order config.go:448-449);
+    // string arrays case per-element — transform stays codegen-friendly
+    def applyCase(paths: Seq[String], f: Column => Column): Unit =
+      paths.foreach { p =>
+        val path = p.split('.').toSeq
+        lookup(root, path).foreach { l =>
+          val cased = if (l.isArr) transform(l.c, f) else f(l.c)
+          insert(root, path, cased, overwrite = true, isArr = l.isArr)
+        }
+      }
+    applyCase(cfg.uppercase, upper)
+    applyCase(cfg.lowercase, lower)
     toColumn(root)
   }
 
@@ -126,8 +181,11 @@ object Mods {
   def apply(df: DataFrame, cfg: ModsConfig = defaultConfig): DataFrame = {
     // build the struct tree once; doc_json references the doc column so the
     // plan carries a single copy of the (large) struct expression
+    val arrayCols = df.schema.fields
+      .filter(_.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType])
+      .map(_.name).toSet
     val json = to_json(col("doc"))
-    df.withColumn("doc", document(cfg))
+    df.withColumn("doc", document(cfg, arrayCols))
       .withColumn("doc_json",
         if (cfg.stripCrlf) regexp_replace(json, "\r?\n", " ") else json)
   }

@@ -80,6 +80,27 @@ object Lookups {
   val loggedErrorsSql: String =
     "SELECT 18000 + i AS error_number FROM range(500) t(i) WHERE (18000 + i) % 7 = 3"
 
+  // ---- E6: ArrayType constants — the mssql_ag / mssql_ag_listener analog
+  // (pkg/xe/xe.go:221-226): server-level string arrays stamped on every
+  // event, plus a per-tool alias list so an array-valued DIM is exercised.
+  val agGroups: Seq[String] = Seq("ag_0", "ag_1", "ag_2")
+  val agListeners: Seq[String] = Seq("lsnr_a", "lsnr_b")
+  val toolAliasRows: Seq[(String, Seq[String])] = Seq(
+    ("sql_query",   Seq("sq", "query")),
+    ("file_search", Seq("fs", "find", "grep")),
+    ("web_fetch",   Seq("http")),
+    ("code_run",    Seq("exec", "run")),
+    ("calculator",  Seq("calc"))
+  )
+  def toolAliases(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    toolAliasRows.toDF("tool", "aliases")
+  }
+  val toolAliasesSql: String =
+    "SELECT * FROM (VALUES " + toolAliasRows.map { case (t, as) =>
+      s"('$t', [${as.map(a => s"'$a'").mkString(", ")}])"
+    }.mkString(", ") + ") AS ta(tool, aliases)"
+
   // ---- sink_index_map: elastic event→index routing with default
   // (pkg/sink/sink_elastic.go:122-126; config_struct.go:111-112) -------------
   val sinkIndexRows: Seq[(String, String)] = Seq(

@@ -43,6 +43,53 @@ class ModsSpec extends SparkSpec {
     assert(!r.contains("\n"))
   }
 
+  test("string-array casing is per-element and stays ArrayType (P11/E6)") {
+    val t2 = Seq(("c1", 0, "user", "event=login principal=a", "sql_query",
+      java.sql.Timestamp.valueOf("2024-01-01 05:00:00")))
+      .toDF("conv_id", "turn_idx", "role", "text", "tool", "ts")
+    val base = graft.functions.Enrich.withAgConstants(
+      graft.functions.Grok.parse(t2))
+    val cfg = Mods.ModsConfig(
+      payloadField = Some("mssql"), timestampField = "@timestamp",
+      payloadColumns = Seq("name", "mssql_ag"),
+      adds = Nil, copies = Nil, moves = Nil,
+      uppercase = Seq("mssql.mssql_ag"), lowercase = Nil, stripCrlf = false)
+    val out = Mods(base, cfg).select("doc.mssql.mssql_ag")
+    assert(out.schema.fields(0).dataType
+      .isInstanceOf[org.apache.spark.sql.types.ArrayType])
+    val arr = out.collect()(0).getSeq[String](0)
+    assert(arr == graft.sources.Lookups.agGroups.map(_.toUpperCase))
+  }
+
+  test("add-value coercion ladder: bool/int/float/quoted-string (P9)") {
+    import org.apache.spark.sql.types._
+    val cfg = Mods.defaultConfig.copy(adds = Seq(
+      "g.flag" -> "true", "g.n" -> "42", "g.hex" -> "0x1A",
+      "g.ratio" -> "0.5", "g.ver" -> "'0.7'", "g.plain" -> "hello"))
+    val parsed = graft.functions.Grok.parse(turns)
+    val out = Mods(parsed, cfg).select("doc.g.*")
+    val types = out.schema.fields.map(f => f.name -> f.dataType).toMap
+    assert(types("flag") == BooleanType)
+    assert(types("n") == LongType && types("hex") == LongType)
+    assert(types("ratio") == DoubleType)
+    assert(types("ver") == StringType && types("plain") == StringType)
+    val r = out.collect()(0)
+    assert(r.getAs[Boolean]("flag") && r.getAs[Long]("n") == 42L &&
+      r.getAs[Long]("hex") == 26L && r.getAs[String]("ver") == "0.7")
+  }
+
+  test("$(env:VAR) substitution resolves, errors on unset (vars.go:18-44)") {
+    val lookup = Map("GRAFT_USER" -> "svc_account").get _
+    val cfg = Mods.defaultConfig.copy(
+      adds = Seq("g.user" -> "$(env:GRAFT_USER)"), envLookup = lookup)
+    val parsed = graft.functions.Grok.parse(turns)
+    val r = Mods(parsed, cfg).select("doc.g.user").collect()(0).getString(0)
+    assert(r == "svc_account")
+    val bad = Mods.defaultConfig.copy(
+      adds = Seq("g.user" -> "$(env:NOPE)"), envLookup = lookup)
+    intercept[IllegalArgumentException] { Mods(parsed, bad) }
+  }
+
   test("to_json drops null fields (absent-key semantics)") {
     val t2 = Seq(("c1", 0, "user", "event=wait_info wait_type=X duration=5", "t",
       java.sql.Timestamp.valueOf("2024-01-01 05:00:00")))
