@@ -76,6 +76,111 @@ object Oracle {
   def oSqlDesc(ru: String, txt: String): String =
     s"(CASE WHEN $ru = '' THEN '' ELSE '(' || $ru || ') ' END) || ${oLeft300(txt)}"
 
+  // ---- shared full-parse pyramid (q10 / q20) ---------------------------------
+
+  /** Innermost extraction SELECT with every alias the enrichment CASEs
+    * need; runs over the `transcripts` CTE. */
+  val oParseInner: String = s"""
+    SELECT conv_id, turn_idx, role, tool, ts, text,
+      $oName AS name,
+      regexp_replace(text, '^event=[a-z_0-9]+ ', '') AS body,
+      $oPrincipal AS p, ${oKvStr("app")} AS a, ${oKvStr("host")} AS host,
+      ${oTriple(1)} AS en, ${oTriple(2)} AS sev, ${oTriple(3)} AS st,
+      ${oKvNum("cpu_time")} AS cpu, ${oKvNum("logical_reads")} AS lr,
+      ${oKvNum("physical_reads")} AS pr, ${oKvNum("writes")} AS wr,
+      ${oKvNum("duration")} AS dur, ${oKvStr("wait_type")} AS wt,
+      ${oKvNum("db_id")} AS dbid, $oClient AS client,
+      NULLIF(regexp_extract(text, 'batch_text=(.*)$$', 1), '') AS bt,
+      $oStatement AS stmt,
+      ${oKvStr("database_name")} AS db, ${oKvStr("object_name")} AS obj,
+      ${oKvStr("object_type")} AS objtype, ${oKvStr("file_name")} AS fname,
+      ${oKvNum("size_change_kb")} AS szkb,
+      ${oKvStr("resource_description")} AS rdesc, ${oKvStr("lock_mode")} AS lmode,
+      ${oKvStr("resource_owner_type")} AS rotype, ${oKvNum("object_id")} AS objid,
+      ${oKvStr("ag")} AS ag, ${oKvStr("previous_state")} AS pstate,
+      ${oKvStr("current_state")} AS cstate, ${oKvStr("commit_policy")} AS cpol,
+      ${oKvStr("commit_policy_target")} AS cpolt, ${oKvStr("sync_state")} AS sstate,
+      ${oKvStr("ddl_phase")} AS ddlph, ${oKvStr("component")} AS comp,
+      ${oKvStr("state")} AS dstate, ${oKvStr("data")} AS ddata,
+      string_split(regexp_replace(regexp_replace(text, '^event=[a-z_0-9]+ ', ''), '\\s+', ' ', 'g'), ' ') AS toks
+    FROM transcripts"""
+
+  /** Middle layer: adds the resource-usage string and errorlog message. */
+  val oParseMid: String = s"""
+    SELECT m.*, ${oResourceUsage("cpu", "lr", "pr", "wr", "dur")} AS ru,
+      CASE WHEN lower(toks[3]) = 'logon'
+           THEN array_to_string(string_split(array_to_string(toks[4:], ' '), ' ')[3:], ' ')
+           ELSE array_to_string(toks[4:], ' ') END AS lmsg
+    FROM ($oParseInner) m"""
+
+  /** The full E3 description CASE over oParseMid's aliases. */
+  val oDescCase: String = s"""CASE
+    WHEN name = 'login' THEN
+      'Login: ' || p ||
+      CASE WHEN host IS NOT NULL THEN ' from ' || host ELSE '' END ||
+      CASE WHEN a IS NOT NULL THEN ' using ' || a ELSE '' END
+    WHEN name = 'error_reported' THEN
+      '(Msg ' || en || ', Level ' || sev || ', State ' || st || ') ' || ${oLeft300("body")}
+    WHEN name = 'sql_batch_completed' THEN ${oSqlDesc("ru", "bt")}
+    WHEN name IN ('rpc_completed', 'sp_statement_completed', 'sql_statement_completed')
+      THEN ${oSqlDesc("ru", "stmt")}
+    WHEN name IN ('wait_info', 'wait_info_external') THEN '(' || ${oHumanDurUs("dur")} || ') ' || wt
+    WHEN name = 'errorlog_written' THEN ${oLeft300("lmsg")}
+    WHEN name = 'object_altered' THEN 'ALTER ' || db || '..' || obj || ' (' || objtype || ')'
+    WHEN name = 'object_created' THEN 'CREATE ' || db || '..' || obj || ' (' || objtype || ')'
+    WHEN name = 'object_deleted' THEN 'DELETE ' || db || '..' || obj || ' (' || objtype || ')'
+    WHEN name = 'lock_deadlock_chain' THEN rdesc
+    WHEN name = 'xml_deadlock_report' THEN 'xml_deadlock_report'
+    WHEN name = 'hadr_db_partner_set_sync_state' THEN db || ': ' || cpol || ' -> ' || cpolt || ' (' || sstate || ')'
+    WHEN name = 'blocked_process_report' THEN
+      (CASE WHEN ru = '' THEN '' ELSE '(' || ru || ') ' END) || db || ': (' || rotype || '-' || lmode || '[' || objid || '])'
+    WHEN name = 'alwayson_ddl_executed' THEN '(' || ddlph || ') ' || stmt
+    WHEN name = 'availability_replica_manager_state_change' THEN 'state: ' || cstate
+    WHEN name = 'availability_replica_state_change' THEN ag || ': ' || pstate || ' -> ' || cstate
+    WHEN name = 'availability_replica_state' THEN ag || ': ' || cstate
+    WHEN name = 'sp_server_diagnostics_component_result' THEN '(' || comp || ':' || dstate || ') ' || ddata
+    WHEN name = 'database_file_size_change' THEN
+      concat_ws(' ',
+        CASE WHEN db IS NOT NULL THEN 'DB: ' || db END,
+        CASE WHEN fname IS NOT NULL THEN 'File: ' || fname END,
+        CASE WHEN szkb IS NOT NULL THEN ${oKbHuman("szkb")} END,
+        CASE WHEN dur IS NOT NULL THEN '(' || CAST(floor(dur/1000) AS BIGINT) || 'ms)' END)
+    ELSE ${oLeft300("body")}
+  END"""
+
+  /** E1 severity CASE over oParseMid's aliases. */
+  val oSevCase: String = """CASE
+    WHEN name = 'error_reported' AND (sev IS NULL OR sev >= 11) THEN 3
+    WHEN name = 'errorlog_written' AND sev >= 11 THEN 3
+    WHEN name IN ('xml_deadlock_report', 'lock_deadlock_chain') THEN 3
+    WHEN name IN ('wait_info', 'wait_info_external',
+                  'scheduler_monitor_non_yielding_ring_buffer_recorded',
+                  'blocked_process_report') THEN 4
+    WHEN name = 'sp_server_diagnostics_component_result' THEN
+      (CASE WHEN dstate = 'WARNING' THEN 4 WHEN dstate = 'ERROR' THEN 3 ELSE 6 END)
+    ELSE 6 END"""
+
+  /** E2 category CASE. */
+  val oCatCase: String = """CASE
+    WHEN name IN ('sql_batch_completed', 'rpc_completed',
+                  'sp_statement_completed', 'sql_statement_completed') THEN 'tsql'
+    WHEN name IN ('lock_deadlock_chain', 'xml_deadlock_report') THEN 'deadlock'
+    WHEN name IN ('hadr_db_partner_set_sync_state', 'alwayson_ddl_executed',
+                  'availability_replica_manager_state_change',
+                  'availability_replica_state') THEN 'hadr'
+    WHEN name IN ('agent_job', 'agent_job_step') THEN 'agent'
+    WHEN name IN ('wait_info', 'wait_info_external') THEN 'wait'
+    ELSE name END"""
+
+  /** E4 acct_app CASE. */
+  val oAcctCase: String = """CASE
+    WHEN p IS NOT NULL AND a IS NOT NULL THEN p || ' - ' || a
+    WHEN p IS NOT NULL THEN p ELSE a END"""
+
+  /** JSON-escaped quoted string (DuckDB to_json matches JsonDocExpr's
+    * escaping: backslash, quote, control chars). */
+  def oJson(x: String): String = s"CAST(to_json($x) AS VARCHAR)"
+
   // ---- documents/embeddings fragments (training-data ops) -------------------
 
   /** Whitespace tokens, lowered, empties dropped (DuckDB side of

@@ -147,6 +147,13 @@ object SparkEntry {
     "q26_sliding" -> ((s, d) =>
       operators.Aggregates.slidingCounts(Pipeline.parsed(s, d))),
 
+    // F8: same source registered twice → suppressed back to one copy
+    "q51_dup_suppress" -> ((s, d) => {
+      val t = Transcripts.load(s, d)
+      operators.Filters.dedupeSources(t.unionByName(t))
+        .select("conv_id", "turn_idx", "src_file", "src_offset")
+    }),
+
     // ---- training-data ops over documents/embeddings ----
     "q30_token_stats" -> ((s, d) =>
       text.TextAnalysis.tokenStats(docs(s, d))),
@@ -434,70 +441,8 @@ SELECT conv_id, turn_idx, $oName AS name,
 FROM transcripts"""),
 
     "q10_description" -> withTranscripts(s"""
-SELECT conv_id, turn_idx,
-  CASE
-    WHEN name = 'login' THEN
-      'Login: ' || p ||
-      CASE WHEN host IS NOT NULL THEN ' from ' || host ELSE '' END ||
-      CASE WHEN a IS NOT NULL THEN ' using ' || a ELSE '' END
-    WHEN name = 'error_reported' THEN
-      '(Msg ' || en || ', Level ' || sev || ', State ' || st || ') ' || ${oLeft300("body")}
-    WHEN name = 'sql_batch_completed' THEN ${oSqlDesc("ru", "bt")}
-    WHEN name IN ('rpc_completed', 'sp_statement_completed', 'sql_statement_completed')
-      THEN ${oSqlDesc("ru", "stmt")}
-    WHEN name IN ('wait_info', 'wait_info_external') THEN '(' || ${oHumanDurUs("dur")} || ') ' || wt
-    WHEN name = 'errorlog_written' THEN ${oLeft300("lmsg")}
-    WHEN name = 'object_altered' THEN 'ALTER ' || db || '..' || obj || ' (' || objtype || ')'
-    WHEN name = 'object_created' THEN 'CREATE ' || db || '..' || obj || ' (' || objtype || ')'
-    WHEN name = 'object_deleted' THEN 'DELETE ' || db || '..' || obj || ' (' || objtype || ')'
-    WHEN name = 'lock_deadlock_chain' THEN rdesc
-    WHEN name = 'xml_deadlock_report' THEN 'xml_deadlock_report'
-    WHEN name = 'hadr_db_partner_set_sync_state' THEN db || ': ' || cpol || ' -> ' || cpolt || ' (' || sstate || ')'
-    WHEN name = 'blocked_process_report' THEN
-      (CASE WHEN ru = '' THEN '' ELSE '(' || ru || ') ' END) || db || ': (' || rotype || '-' || lmode || '[' || objid || '])'
-    WHEN name = 'alwayson_ddl_executed' THEN '(' || ddlph || ') ' || stmt
-    WHEN name = 'availability_replica_manager_state_change' THEN 'state: ' || cstate
-    WHEN name = 'availability_replica_state_change' THEN ag || ': ' || pstate || ' -> ' || cstate
-    WHEN name = 'availability_replica_state' THEN ag || ': ' || cstate
-    WHEN name = 'sp_server_diagnostics_component_result' THEN '(' || comp || ':' || dstate || ') ' || ddata
-    WHEN name = 'database_file_size_change' THEN
-      concat_ws(' ',
-        CASE WHEN db IS NOT NULL THEN 'DB: ' || db END,
-        CASE WHEN fname IS NOT NULL THEN 'File: ' || fname END,
-        CASE WHEN szkb IS NOT NULL THEN ${oKbHuman("szkb")} END,
-        CASE WHEN dur IS NOT NULL THEN '(' || CAST(floor(dur/1000) AS BIGINT) || 'ms)' END)
-    ELSE ${oLeft300("body")}
-  END AS xe_description
-FROM (
-  SELECT m.*, ${oResourceUsage("cpu", "lr", "pr", "wr", "dur")} AS ru,
-    CASE WHEN lower(toks[3]) = 'logon'
-         THEN array_to_string(string_split(array_to_string(toks[4:], ' '), ' ')[3:], ' ')
-         ELSE array_to_string(toks[4:], ' ') END AS lmsg
-  FROM (
-    SELECT conv_id, turn_idx,
-      $oName AS name,
-      regexp_replace(text, '^event=[a-z_0-9]+ ', '') AS body,
-      $oPrincipal AS p, ${oKvStr("app")} AS a, ${oKvStr("host")} AS host,
-      ${oTriple(1)} AS en, ${oTriple(2)} AS sev, ${oTriple(3)} AS st,
-      ${oKvNum("cpu_time")} AS cpu, ${oKvNum("logical_reads")} AS lr,
-      ${oKvNum("physical_reads")} AS pr, ${oKvNum("writes")} AS wr,
-      ${oKvNum("duration")} AS dur, ${oKvStr("wait_type")} AS wt,
-      NULLIF(regexp_extract(text, 'batch_text=(.*)$$', 1), '') AS bt,
-      $oStatement AS stmt,
-      ${oKvStr("database_name")} AS db, ${oKvStr("object_name")} AS obj,
-      ${oKvStr("object_type")} AS objtype, ${oKvStr("file_name")} AS fname,
-      ${oKvNum("size_change_kb")} AS szkb,
-      ${oKvStr("resource_description")} AS rdesc, ${oKvStr("lock_mode")} AS lmode,
-      ${oKvStr("resource_owner_type")} AS rotype, ${oKvNum("object_id")} AS objid,
-      ${oKvStr("ag")} AS ag, ${oKvStr("previous_state")} AS pstate,
-      ${oKvStr("current_state")} AS cstate, ${oKvStr("commit_policy")} AS cpol,
-      ${oKvStr("commit_policy_target")} AS cpolt, ${oKvStr("sync_state")} AS sstate,
-      ${oKvStr("ddl_phase")} AS ddlph, ${oKvStr("component")} AS comp,
-      ${oKvStr("state")} AS dstate, ${oKvStr("data")} AS ddata,
-      string_split(regexp_replace(regexp_replace(text, '^event=[a-z_0-9]+ ', ''), '\\s+', ' ', 'g'), ' ') AS toks
-    FROM transcripts
-  ) m
-) a"""),
+SELECT conv_id, turn_idx, $oDescCase AS xe_description
+FROM ($oParseMid) a"""),
 
     "q11_lookup_enrich" -> withCtes(
       "tool_info" -> Lookups.toolInfoSql,
@@ -599,6 +544,61 @@ SELECT conv_id, turn_idx,
   ts AS at_ts
 FROM transcripts"""),
 
+    // flagship doc_json path: DuckDB reassembles the exact NDJSON string
+    // (key order = struct order, null keys dropped, to_json escaping,
+    // millisecond-truncated NTZ timestamps) plus the bulk two-line frame
+    "q20_routed_json" -> withCtes(
+      "idx_map" -> Lookups.sinkIndexSql,
+      "edim" -> Lookups.entityNamesSql,
+      "parsed" -> oParseMid,
+      "enr" -> s"""
+  SELECT *, $oDescCase AS xdesc, $oSevCase AS xsev, $oCatCase AS xcat,
+    $oAcctCase AS acct
+  FROM parsed""",
+      "filt" -> s"""
+  SELECT * FROM enr
+  WHERE NOT (name = 'error_reported' AND en = 18330)
+    AND NOT (name = 'errorlog_written' AND lower(text) LIKE '%using ''dbghelp.dll''%')
+    AND (CASE WHEN en = 18456 AND role = 'system' THEN 'exclude'
+              WHEN name = 'wait_info' AND tool = 'sql_query' THEN 'include'
+              WHEN name = 'wait_info' THEN 'exclude'
+              ELSE 'include' END) = 'include'""",
+      "ent" -> s"""
+  SELECT f.*, d.name AS entity_name
+  FROM filt f LEFT JOIN (
+    SELECT entity_id, name AS name, valid_from,
+      lead(valid_from) OVER (PARTITION BY entity_id ORDER BY valid_from) AS valid_to
+    FROM edim
+  ) d ON f.dbid = d.entity_id AND f.ts >= d.valid_from
+     AND (d.valid_to IS NULL OR f.ts < d.valid_to)""",
+      "routed" -> """
+  SELECT e.*, COALESCE(m.sink_index, 'idx-default') AS sink_index
+  FROM ent e LEFT JOIN idx_map m ON e.name = m.name""",
+      "docs" -> s"""
+  SELECT conv_id, turn_idx, sink_index,
+    '{"name":' || ${oJson("name")} ||
+    ',"conv_id":' || ${oJson("conv_id")} ||
+    ',"turn_idx":' || turn_idx ||
+    ',"role":' || ${oJson("role")} ||
+    ',"tool":' || ${oJson("tool")} ||
+    ',"@timestamp":"' || strftime(ts, '%Y-%m-%dT%H:%M:%S.%g') || '"' ||
+    COALESCE(',"error_number":' || en, '') ||
+    COALESCE(',"severity_num":' || sev, '') ||
+    COALESCE(',"state_num":' || st, '') ||
+    COALESCE(',"client_addr":' || ${oJson("client")}, '') ||
+    ',"xe_severity_value":' || xsev ||
+    ',"xe_severity_keyword":' || ${oJson("CASE xsev WHEN 3 THEN 'err' WHEN 4 THEN 'warning' ELSE 'info' END")} ||
+    ',"xe_category":' || ${oJson("xcat")} ||
+    COALESCE(',"xe_description":' || ${oJson("xdesc")}, '') ||
+    COALESCE(',"xe_acct_app":' || ${oJson("acct")}, '') ||
+    COALESCE(',"entity_name":' || ${oJson("entity_name")}, '') ||
+    ',"sink_index":' || ${oJson("sink_index")} ||
+    '}' AS doc_json
+  FROM routed""")(s"""
+SELECT conv_id, turn_idx, sink_index, doc_json,
+  '{"index":{"_index":"' || sink_index || '"}}' || chr(10) || doc_json AS bulk
+FROM docs"""),
+
     "q21_summary" -> withTranscripts(s"""
 SELECT $oName AS name, count(*) AS n,
   CAST(sum(length(text)) AS BIGINT) AS sum_bytes, max(length(text)) AS max_bytes
@@ -668,6 +668,13 @@ SELECT win_start, name, count(*) AS n FROM (
   UNION ALL
   SELECT date_trunc('hour', ts) - INTERVAL 1 HOUR AS win_start, $oName AS name FROM transcripts
 ) a GROUP BY 1, 2"""),
+
+    "q51_dup_suppress" -> withTranscripts("""
+SELECT conv_id, turn_idx, src_file, src_offset FROM (
+  SELECT u.*, row_number() OVER (PARTITION BY src_file, src_offset
+                                 ORDER BY conv_id, turn_idx) AS rn
+  FROM (SELECT * FROM transcripts UNION ALL SELECT * FROM transcripts) u
+) a WHERE rn = 1"""),
 
     // ---- training-data ops (documents/embeddings tables, no transcripts CTE)
     "q30_token_stats" -> s"""

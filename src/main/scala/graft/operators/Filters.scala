@@ -64,6 +64,19 @@ object Filters {
     * The parse stage yields name='' for malformed text; this drops it. */
   def wellFormed: Column = col("name").isNotNull && col("name") =!= ""
 
+  /** F8: duplicate-source suppression — when the same source is registered
+    * twice (the reference refuses duplicate FQDNs at config load,
+    * `pkg/config/config.go` dupe guard; at scale the analog is the same
+    * file landing via two paths), keep one row per (src_file, src_offset).
+    * Ties are identical rows, so the ordered row_number pick is stable. */
+  def dedupeSources(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("src_file", "src_offset")
+      .orderBy("conv_id", "turn_idx")
+    df.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1).drop("_rn")
+  }
+
   /** The full standard predicate stack applied by the pipeline. */
   def standard(df: DataFrame): DataFrame =
     df.filter(
