@@ -205,11 +205,14 @@ object Oracle {
   def oCos(a: String, b: String) =
     s"(${oDot(a, b)} / (sqrt(${oDot(a, a)}) * sqrt(${oDot(b, b)})))"
 
-  /** 18456 state CASE, generated from the same table as the Spark chain. */
-  val oState18456: String = {
+  /** 18456 state CASE over pre-extracted integer aliases `en`/`st` —
+    * generated from the same table as the Spark chain. Extracting the
+    * integers FIRST matters: inlining the regex into the 26-arm CASE makes
+    * DuckDB re-evaluate it per arm (measured +1.3 GB RSS at sf0.01). */
+  val oState18456OverEnSt: String = {
     val arms = Lookups.state18456
       .map { case (s, d) => s"WHEN $s THEN '${d.replace("'", "''")}'" }
       .mkString(" ")
-    s"CASE WHEN ${oTriple(1)} = 18456 THEN (CASE ${oTriple(3)} $arms ELSE NULL END) ELSE NULL END"
+    s"CASE WHEN en = 18456 THEN (CASE st $arms ELSE NULL END) ELSE NULL END"
   }
 }

@@ -319,12 +319,14 @@ object SparkEntry {
               ELSE 'include' END) = 'include'""",
     "routed" -> """
   SELECT f.name, COALESCE(m.sink_index, 'idx-default') AS sink_index
-  FROM filt f LEFT JOIN idx_map m ON f.name = m.name""")(s"""
-SELECT 'file' AS sink, name AS route_key, count(*) AS n FROM routed GROUP BY name
+  FROM filt f LEFT JOIN idx_map m ON f.name = m.name""",
+    "agg" -> """
+  SELECT name, sink_index, count(*) AS n FROM routed GROUP BY 1, 2""")(s"""
+SELECT 'file' AS sink, name AS route_key, CAST(sum(n) AS BIGINT) AS n FROM agg GROUP BY name
 UNION ALL
-SELECT 'logstash' AS sink, name AS route_key, count(*) AS n FROM routed GROUP BY name
+SELECT 'logstash' AS sink, name AS route_key, CAST(sum(n) AS BIGINT) AS n FROM agg GROUP BY name
 UNION ALL
-SELECT 'elastic' AS sink, sink_index AS route_key, count(*) AS n FROM routed GROUP BY sink_index""")
+SELECT 'elastic' AS sink, sink_index AS route_key, CAST(sum(n) AS BIGINT) AS n FROM agg GROUP BY sink_index""")
 
   def oracleSql: Map[String, String] = Map(
     "q01_transcripts" -> withTranscripts(
@@ -432,7 +434,11 @@ FROM (
 
     "q08_state_desc" -> withTranscripts(s"""
 SELECT conv_id, turn_idx, d AS xe_state_description
-FROM (SELECT conv_id, turn_idx, $oState18456 AS d FROM transcripts) a
+FROM (
+  SELECT conv_id, turn_idx, $oState18456OverEnSt AS d
+  FROM (SELECT conv_id, turn_idx, ${oTriple(1)} AS en, ${oTriple(3)} AS st
+        FROM transcripts) i
+) a
 WHERE d IS NOT NULL"""),
 
     "q09_lag_window" -> withTranscripts(s"""

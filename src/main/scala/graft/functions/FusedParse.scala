@@ -145,6 +145,119 @@ object FusedParse {
     null
   }
 
+  /** One-pass key=value scanner with EXACT unanchored-regex semantics.
+    *
+    * Instead of one `indexOf(key + "=")` scan per key (~36 scans/row after
+    * the vocabulary widening), a single pass visits each '=' in the text
+    * and walks a trie of REVERSED keys backward from it — any substring
+    * occurrence of `key=` (even inside a longer token, e.g. `duration=`
+    * inside `signal_duration=`, exactly like the unanchored regex) ends at
+    * a '=', so the backward trie walk finds precisely the regex's match
+    * set. For each key we record the FIRST occurrence whose value is
+    * viable (a digit follows for numeric keys, a non-space for string
+    * keys) — the same "leftmost occurrence that completes the match" rule
+    * the regex battery applies. Measured ~2x on the parse stage.
+    */
+  private object KeyScan {
+    // ids 0..NumSplit-1 are numeric keys (\d+ value), the rest string ([^ ]+)
+    val numKeys: Array[String] = Array(
+      "cpu_time", "duration", "logical_reads", "physical_reads", "writes",
+      "row_count", "db_id", "signal_duration", "session_id",
+      "size_change_kb", "object_id")
+    val strKeys: Array[String] = Array(
+      "principal", "app", "host", "wait_type", "database_name",
+      "object_name", "object_type", "file_name", "component", "state",
+      "data", "resource_description", "lock_mode", "resource_owner_type",
+      "ag", "previous_state", "current_state", "commit_policy",
+      "commit_policy_target", "sync_state", "ddl_phase", "is_system",
+      "cpu_pct", "plan_handle", "file_size")
+    val NumSplit: Int = numKeys.length
+    val NKeys: Int = NumSplit + strKeys.length
+
+    // named ids (kept in sync with the arrays above by the sanity check)
+    val CpuTime = 0; val Duration = 1; val LogicalReads = 2
+    val PhysicalReads = 3; val Writes = 4; val RowCount = 5; val DbId = 6
+    val SignalDuration = 7; val SessionId = 8; val SizeChangeKb = 9
+    val ObjectId = 10
+    val Principal = 11; val App = 12; val Host = 13; val WaitType = 14
+    val DatabaseName = 15; val ObjectName = 16; val ObjectType = 17
+    val FileName = 18; val Component = 19; val DiagState = 20
+    val DiagData = 21; val ResourceDescription = 22; val LockMode = 23
+    val ResourceOwnerType = 24; val Ag = 25; val PreviousState = 26
+    val CurrentState = 27; val CommitPolicy = 28; val CommitPolicyTarget = 29
+    val SyncState = 30; val DdlPhase = 31; val IsSystem = 32
+    val CpuPct = 33; val PlanHandle = 34; val FileSize = 35
+    private val allKeys: Array[String] = numKeys ++ strKeys
+    require(allKeys(SizeChangeKb) == "size_change_kb" &&
+      allKeys(Principal) == "principal" && allKeys(FileSize) == "file_size")
+
+    // reversed-key trie over chars < 128; children(node)(char) -> node|-1
+    private val children = scala.collection.mutable.ArrayBuffer[Array[Int]]()
+    private val terminal = scala.collection.mutable.ArrayBuffer[Int]()
+    private def newNode(): Int = {
+      children += Array.fill(128)(-1); terminal += -1; children.length - 1
+    }
+    newNode() // root = 0
+    (numKeys ++ strKeys).zipWithIndex.foreach { case (k, id) =>
+      var n = 0
+      k.reverseIterator.foreach { c =>
+        val nxt = children(n)(c)
+        n = if (nxt >= 0) nxt else { val m = newNode(); children(n)(c) = m; m }
+      }
+      terminal(n) = id
+    }
+    private val childArr: Array[Array[Int]] = children.toArray
+    private val termArr: Array[Int] = terminal.toArray
+
+    /** Value-start position per key id, or -1 when the key never matches. */
+    def scan(t: String): Array[Int] = {
+      val out = Array.fill(NKeys)(-1)
+      val len = t.length
+      var i = 0
+      while (i < len) {
+        if (t.charAt(i) == '=') {
+          var node = 0
+          var d = i - 1
+          var go = true
+          while (go && d >= 0) {
+            val c = t.charAt(d)
+            if (c >= 128) go = false
+            else {
+              val nxt = childArr(node)(c)
+              if (nxt < 0) go = false
+              else {
+                node = nxt
+                val id = termArr(node)
+                if (id >= 0 && out(id) < 0 && i + 1 < len) {
+                  val v = t.charAt(i + 1)
+                  val viable = if (id < NumSplit) isDigit(v) else v != ' '
+                  if (viable) out(id) = i + 1
+                }
+                d -= 1
+              }
+            }
+          }
+        }
+        i += 1
+      }
+      out
+    }
+
+    def num(t: String, pos: Array[Int], id: Int): java.lang.Long = {
+      val p = pos(id)
+      if (p < 0) null else parseDigits(t, p, skipDigits(t, p))
+    }
+    def str(t: String, pos: Array[Int], id: Int): String = {
+      val p = pos(id)
+      if (p < 0) null
+      else {
+        var j = p
+        while (j < t.length && t.charAt(j) != ' ') j += 1
+        t.substring(p, j)
+      }
+    }
+  }
+
   /** Leftmost full match of "Error: (\d+), Severity: (\d+), State: (\d+)".
     * A group MATCHES when >=1 digit is present; its VALUE is the non-ANSI
     * cast of the captured digits (null on overflow) — match and cast are
@@ -305,32 +418,37 @@ object FusedParse {
   def parseRow(input: UTF8String): InternalRow = {
     if (input == null) return null
     val t = input.toString
-    val p = parseAll(t)
+    val pos = KeyScan.scan(t)
+    val p = parseAllWith(t, pos)
     def s(v: String) = if (v == null) null else UTF8String.fromString(v)
+    def ks(id: Int) = s(KeyScan.str(t, pos, id))
     InternalRow(
       s(p.name), s(p.body), p.errorNumber, p.severity, p.state,
       s(p.client), s(p.principal), s(p.app), s(p.host),
       p.cpuTime, p.duration, p.logicalReads, p.physicalReads,
       p.writes, p.rowCount, p.dbId, p.signalDuration, p.sessionId,
       s(p.waitType), s(p.batch), s(p.elRaw), s(p.elProc), s(p.elMsg),
-      // widened vocabulary (same kv scanners, new keys)
-      s(kvStr(t, "database_name")), s(kvStr(t, "object_name")),
-      s(kvStr(t, "object_type")), s(kvStr(t, "file_name")),
-      kvNum(t, "size_change_kb"), s(kvStr(t, "component")),
-      s(kvStr(t, "state")), s(kvStr(t, "data")),
-      s(kvStr(t, "resource_description")), s(kvStr(t, "lock_mode")),
-      s(kvStr(t, "resource_owner_type")), kvNum(t, "object_id"),
-      s(kvStr(t, "ag")), s(kvStr(t, "previous_state")),
-      s(kvStr(t, "current_state")), s(kvStr(t, "commit_policy")),
-      s(kvStr(t, "commit_policy_target")), s(kvStr(t, "sync_state")),
-      s(kvStr(t, "ddl_phase")), s(keyToEol(t, "statement=")),
+      // widened vocabulary (same one-pass scan, new keys)
+      ks(KeyScan.DatabaseName), ks(KeyScan.ObjectName),
+      ks(KeyScan.ObjectType), ks(KeyScan.FileName),
+      KeyScan.num(t, pos, KeyScan.SizeChangeKb), ks(KeyScan.Component),
+      ks(KeyScan.DiagState), ks(KeyScan.DiagData),
+      ks(KeyScan.ResourceDescription), ks(KeyScan.LockMode),
+      ks(KeyScan.ResourceOwnerType),
+      KeyScan.num(t, pos, KeyScan.ObjectId),
+      ks(KeyScan.Ag), ks(KeyScan.PreviousState), ks(KeyScan.CurrentState),
+      ks(KeyScan.CommitPolicy), ks(KeyScan.CommitPolicyTarget),
+      ks(KeyScan.SyncState), ks(KeyScan.DdlPhase),
+      s(keyToEol(t, "statement=")),
       s(innerXml(t, "xml=<deadlock>", "</deadlock>")),
       s(innerXml(t, "xml=<blocked-process>", "</blocked-process>")),
-      s(kvStr(t, "is_system")), s(kvStr(t, "cpu_pct")),
-      s(kvStr(t, "plan_handle")), s(kvStr(t, "file_size")))
+      ks(KeyScan.IsSystem), ks(KeyScan.CpuPct),
+      ks(KeyScan.PlanHandle), ks(KeyScan.FileSize))
   }
 
-  def parseAll(t: String): Parsed = {
+  def parseAll(t: String): Parsed = parseAllWith(t, KeyScan.scan(t))
+
+  private def parseAllWith(t: String, pos: Array[Int]): Parsed = {
     // name: ^event=([a-z_0-9]+)
     var name = ""
     if (t.startsWith("event=")) {
@@ -347,7 +465,10 @@ object FusedParse {
       else t
     val (en, sev, st) = errorTriple(t)
     val client = clientAddr(t)
-    val principal = { val p = kvStr(t, "principal"); if (p != null) p else userQuoted(t) }
+    val principal = {
+      val p = KeyScan.str(t, pos, KeyScan.Principal)
+      if (p != null) p else userQuoted(t)
+    }
 
     // errorlog split (only meaningful for errorlog_written)
     var elRaw: String = null; var elProc: String = null; var elMsg: String = null
@@ -368,12 +489,14 @@ object FusedParse {
       }
     }
 
+    def kn(id: Int) = KeyScan.num(t, pos, id)
+    def ks(id: Int) = KeyScan.str(t, pos, id)
     Parsed(name, body, en, sev, st, client, principal,
-      kvStr(t, "app"), kvStr(t, "host"),
-      kvNum(t, "cpu_time"), kvNum(t, "duration"), kvNum(t, "logical_reads"),
-      kvNum(t, "physical_reads"), kvNum(t, "writes"), kvNum(t, "row_count"),
-      kvNum(t, "db_id"), kvNum(t, "signal_duration"), kvNum(t, "session_id"),
-      kvStr(t, "wait_type"), batchText(t), elRaw, elProc, elMsg)
+      ks(KeyScan.App), ks(KeyScan.Host),
+      kn(KeyScan.CpuTime), kn(KeyScan.Duration), kn(KeyScan.LogicalReads),
+      kn(KeyScan.PhysicalReads), kn(KeyScan.Writes), kn(KeyScan.RowCount),
+      kn(KeyScan.DbId), kn(KeyScan.SignalDuration), kn(KeyScan.SessionId),
+      ks(KeyScan.WaitType), batchText(t), elRaw, elProc, elMsg)
   }
 }
 

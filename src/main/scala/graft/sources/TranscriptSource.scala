@@ -14,6 +14,45 @@ trait TranscriptSource {
   def load(spark: SparkSession): DataFrame
 }
 
+/** S5: typed validation errors — the analog of the reference's per-session
+  * catalog/version checks that fail fast with a typed error instead of a
+  * downstream cast failure (`pkg/xe/sqlinfo.go` session validation,
+  * `pkg/app/program.go` source checks). */
+sealed trait SourceError { def msg: String }
+final case class MissingColumn(name: String, expected: String) extends SourceError {
+  def msg = s"missing required column '$name' (expected $expected)"
+}
+final case class WrongType(name: String, expected: String, actual: String) extends SourceError {
+  def msg = s"column '$name' has type $actual, expected $expected"
+}
+
+object TranscriptSource {
+  import org.apache.spark.sql.DataFrame
+  import org.apache.spark.sql.types._
+
+  /** input_hint contract columns; ts is checked by presence only because
+    * both TIMESTAMP and TIMESTAMP_NTZ are accepted. */
+  val requiredSchema: Seq[(String, DataType)] = Seq(
+    "conv_id" -> StringType, "turn_idx" -> IntegerType,
+    "role" -> StringType, "text" -> StringType, "tool" -> StringType)
+
+  /** Validate a frame against the transcript contract: all errors are
+    * collected and returned typed (not thrown), so a driver can report
+    * every problem of a mis-registered source at once. */
+  def validate(df: DataFrame): Either[List[SourceError], DataFrame] = {
+    val fields = df.schema.fields.map(f => f.name -> f.dataType).toMap
+    val errs = requiredSchema.flatMap { case (n, dt) =>
+      fields.get(n) match {
+        case None => Some(MissingColumn(n, dt.simpleString))
+        case Some(a) if a != dt => Some(WrongType(n, dt.simpleString, a.simpleString))
+        case _ => None
+      }
+    } ++ (if (fields.contains("ts")) Nil
+          else List(MissingColumn("ts", "timestamp")))
+    if (errs.isEmpty) Right(df) else Left(errs.toList)
+  }
+}
+
 /** Parquet-backed synthesis source (tests/bench). */
 final class SynthTranscriptSource(sfDir: String) extends TranscriptSource {
   def load(spark: SparkSession): DataFrame = Transcripts.load(spark, sfDir)

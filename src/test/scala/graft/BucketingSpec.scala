@@ -41,6 +41,18 @@ class BucketingSpec extends SparkSpec {
     assert(df.select("source_name").distinct().count() == 2)
   }
 
+  test("transcript source validation returns typed errors (S4/S5)") {
+    import graft.sources.{TranscriptSource, MissingColumn, WrongType}
+    import org.apache.spark.sql.functions.col
+    val good = graft.sources.Transcripts.load(spark, tiny)
+    assert(TranscriptSource.validate(good).isRight)
+    val bad = good.drop("role")
+      .withColumn("turn_idx", col("turn_idx").cast("string"))
+    val errs = TranscriptSource.validate(bad).swap.getOrElse(Nil)
+    assert(errs.exists { case MissingColumn("role", _) => true; case _ => false })
+    assert(errs.exists { case WrongType("turn_idx", _, _) => true; case _ => false })
+  }
+
   test("zero-value handle skip (P3, xe.go:157-165)") {
     import TestSpark.spark.implicits._
     val df = Seq("0x0000", "0x0A0B", "0000", "0x").toDF("h")

@@ -60,6 +60,12 @@ class FusedParseSpec extends SparkSpec with TableDrivenPropertyChecks {
       "event=x duration=9223372036854775807",         // Long.MaxValue exact
       "event=x duration=9223372036854775808",         // MaxValue+1 → null
       "event=x Error: 99999999999999999999, Severity: 2, State: 3", // overflow inside matched triple
+      "event=x xstate=5 state=7",                     // 'state=' matches INSIDE xstate= first
+      "event=x tate=1 state=2",                       // shorter non-key suffix
+      "event=x sync_state=A data=B",                  // state= inside sync_state=
+      "event=x state= state=real",                    // first occurrence has no value
+      "event=x commit_policy_target=T commit_policy=C",
+      "event=x object_id=9 object_name=n object_type=T",
       "event=x batch_text=abc\u2028",              // U+2028 is a line terminator for '.'/'$'
       "event=x batch_text=abc\u2028tail",          // interior U+2028: '$' fails there, scan moves on
       "event=x batch_text=abc\u0085"               // NEL terminator

@@ -44,7 +44,9 @@ class PropertySpec extends AnyFunSuite {
 
   private val fragment: Gen[String] = Gen.oneOf(
     Gen.oneOf("duration", "signal_duration", "cpu_time", "app", "host",
-      "principal", "wait_type", "batch_text").flatMap(k =>
+      "principal", "wait_type", "batch_text", "state", "sync_state",
+      "previous_state", "current_state", "data", "database_name",
+      "file_size", "plan_handle", "ag", "xstate", "tate").flatMap(k =>
       Gen.oneOf(
         Gen.const(s"$k="),
         Gen.chooseNum(0L, 99999L).map(n => s"$k=$n"),

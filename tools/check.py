@@ -9,6 +9,10 @@ sfdir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
 outdir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
 
 con = duckdb.connect()
+# bound the buffer pool: with defaults (80% RAM, 32 threads) the 48-query
+# run accumulates enough mappings/buffers that late queries die with
+# tiny-block "Out of Memory" errors despite ~120 GB free
+con.sql("SET memory_limit='8GB'; SET threads=8")
 for p in glob.glob(f"{sfdir}/*.parquet"):
     name = p.split("/")[-1].replace(".parquet", "")
     con.sql(f"CREATE VIEW {name} AS SELECT * FROM '{p}'")
