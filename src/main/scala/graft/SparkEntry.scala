@@ -147,6 +147,14 @@ object SparkEntry {
     "q26_sliding" -> ((s, d) =>
       operators.Aggregates.slidingCounts(Pipeline.parsed(s, d))),
 
+    // P2: action channel merged beside event data — colliding names get
+    // the `_action` suffix, non-colliding actions keep their own name
+    "q52_actions" -> ((s, d) =>
+      Pipeline.parsed(s, d)
+        .filter(col("name").isin("wait_info", "wait_info_external"))
+        .select("conv_id", "turn_idx", "session_id", "session_id_action",
+          "client_app_name")),
+
     // F8: same source registered twice → suppressed back to one copy
     "q51_dup_suppress" -> ((s, d) => {
       val t = Transcripts.load(s, d)
@@ -194,6 +202,12 @@ object SparkEntry {
 
     "q44_ann_bucketed" -> ((s, d) =>
       ann.Similarity.bucketedTopK(vecs(s, d))),
+
+    "q53_ivf_assign" -> ((s, d) =>
+      ann.Similarity.ivfAssign(vecs(s, d)).select("vec_id", "cent_id")),
+
+    "q54_ivf_topk" -> ((s, d) =>
+      ann.Similarity.ivfTopK(vecs(s, d))),
 
     // ---- widened event vocabulary (round 2) ----
     "q45_deadlock_xml" -> ((s, d) =>
@@ -675,6 +689,14 @@ SELECT win_start, name, count(*) AS n FROM (
   SELECT date_trunc('hour', ts) - INTERVAL 1 HOUR AS win_start, $oName AS name FROM transcripts
 ) a GROUP BY 1, 2"""),
 
+    "q52_actions" -> withTranscripts(s"""
+SELECT conv_id, turn_idx,
+  ${oKvNum("session_id")} AS session_id,
+  TRY_CAST(NULLIF(regexp_extract(text, 'act\\.session_id=(\\d+)', 1),'') AS BIGINT) AS session_id_action,
+  NULLIF(regexp_extract(text, 'act\\.client_app_name=([^ ]+)', 1), '') AS client_app_name
+FROM transcripts
+WHERE $oName IN ('wait_info', 'wait_info_external')"""),
+
     "q51_dup_suppress" -> withTranscripts("""
 SELECT conv_id, turn_idx, src_file, src_offset FROM (
   SELECT u.*, row_number() OVER (PARTITION BY src_file, src_offset
@@ -940,6 +962,35 @@ SELECT t.conv_id, t.turn_idx,
   -- DuckDB array_to_string([]) is NULL where Spark array_join([]) is ''
   COALESCE(array_to_string(list_transform(COALESCE(ta.aliases, CAST([] AS VARCHAR[])), x -> upper(x)), '|'), '') AS aliases_up
 FROM transcripts t LEFT JOIN ta ON t.tool = ta.tool"""),
+
+    "q53_ivf_assign" -> s"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+c AS (SELECT vec_id AS cent_id, e AS cent_emb FROM v WHERE vec_id % 200 = 0)
+SELECT vec_id, cent_id FROM (
+  SELECT v.vec_id, c.cent_id,
+    row_number() OVER (PARTITION BY v.vec_id
+                       ORDER BY ${oCos("v.e", "c.cent_emb")} DESC, c.cent_id) AS rn
+  FROM v CROSS JOIN c
+) a WHERE rn = 1""",
+
+    "q54_ivf_topk" -> s"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+c AS (SELECT vec_id AS cent_id, e AS cent_emb FROM v WHERE vec_id % 200 = 0),
+assign AS (
+  SELECT vec_id, e, cent_id FROM (
+    SELECT v.vec_id, v.e, c.cent_id,
+      row_number() OVER (PARTITION BY v.vec_id
+                         ORDER BY ${oCos("v.e", "c.cent_emb")} DESC, c.cent_id) AS rn
+    FROM v CROSS JOIN c
+  ) x WHERE rn = 1
+),
+q AS (SELECT vec_id AS q_id, e AS q_emb, cent_id FROM assign WHERE vec_id % 50 = 0)
+SELECT q_id, vec_id AS neighbor_id, rank FROM (
+  SELECT q.q_id, b.vec_id,
+    row_number() OVER (PARTITION BY q.q_id
+                       ORDER BY ${oCos("q.q_emb", "b.e")} DESC, b.vec_id) AS rank
+  FROM assign b JOIN q ON b.cent_id = q.cent_id AND b.vec_id != q.q_id
+) r WHERE rank <= 5""",
 
     "q41_multimodal_meta" -> s"""
 SELECT doc_id,

@@ -73,6 +73,51 @@ object Similarity {
       .select(col("q_id"), col("vec_id").as("neighbor_id"), col("rank"))
   }
 
+  // ---- IVF: inverted-file coarse quantizer -----------------------------------
+
+  /** Deterministic coarse centroids: a fixed modulus sample of the vectors
+    * themselves (real IVF trains k-means; the partitioning structure — a
+    * small broadcast centroid set + nearest-cell assignment — is identical
+    * and deterministic for the oracle). */
+  def ivfCentroids(vecs: DataFrame, centroidMod: Int = 200): DataFrame =
+    vecs.filter(col("vec_id") % centroidMod === 0)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"))
+
+  /** IVF assignment: nearest centroid per vector via a broadcast n×k pass
+    * + partial-aggregated max_by — the shuffle carries ONE row per vector
+    * (map-side partial collapses the k candidates before the exchange), so
+    * at 100 TB this is a single linear shuffle keyed on vec_id and the
+    * cell id becomes the storage/partition key of the inverted lists.
+    * Ties break toward the smaller centroid id (the -cent_id score leg). */
+  def ivfAssign(vecs: DataFrame, centroidMod: Int = 200): DataFrame = {
+    val cents = ivfCentroids(vecs, centroidMod)
+    vecs.crossJoin(broadcast(cents))
+      .withColumn("_score", struct(
+        cosine(col("embedding"), col("cent_emb")).as("cos"),
+        (-col("cent_id")).cast("double").as("nid")))
+      .groupBy("vec_id")
+      .agg(max_by(col("cent_id"), col("_score")).as("cent_id"),
+        first(col("embedding")).as("embedding"))
+  }
+
+  /** IVF top-k: queries search only their own cell (nprobe=1; callers
+    * union more cells for recall). Mirrors bucketedTopK with the cell id
+    * as the equi-join key. */
+  def ivfTopK(vecs: DataFrame, k: Int = 5, queryMod: Int = 50,
+              centroidMod: Int = 200): DataFrame = {
+    val assigned = ivfAssign(vecs, centroidMod)
+    val q = assigned.filter(col("vec_id") % queryMod === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("cent_id"))
+    val joined = assigned.join(broadcast(q), "cent_id")
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos", cosine(col("q_emb"), col("embedding")))
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+    joined.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("vec_id").as("neighbor_id"), col("rank"))
+  }
+
   /** Embedding-cosine near-dup pairs above a permille threshold, found by
     * a multi-probe LSH-bucketed EQUI-join — the scale path (mirrors
     * `Dedup.lshCandidates`' banding shape). Each left row probes its own

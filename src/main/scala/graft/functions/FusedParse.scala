@@ -77,7 +77,13 @@ object FusedParse {
     StructField("is_system_raw", StringType),
     StructField("cpu_pct_raw", StringType),
     StructField("plan_handle_raw", StringType),
-    StructField("file_size_raw", StringType))
+    StructField("file_size_raw", StringType),
+    // P2 action-channel merge: an action whose name collides with an event
+    // data field lands under `<name>_action`; a non-colliding action keeps
+    // its own name (pkg/xe/xe.go:155-175 merge rule, resolved at schema
+    // design time because the vocabulary is static)
+    StructField("session_id_action", LongType),
+    StructField("client_app_name", StringType))
 
   val schema: StructType = StructType(fields)
 
@@ -163,33 +169,42 @@ object FusedParse {
     val numKeys: Array[String] = Array(
       "cpu_time", "duration", "logical_reads", "physical_reads", "writes",
       "row_count", "db_id", "signal_duration", "session_id",
-      "size_change_kb", "object_id")
+      "size_change_kb", "object_id", "act.session_id")
     val strKeys: Array[String] = Array(
       "principal", "app", "host", "wait_type", "database_name",
       "object_name", "object_type", "file_name", "component", "state",
       "data", "resource_description", "lock_mode", "resource_owner_type",
       "ag", "previous_state", "current_state", "commit_policy",
       "commit_policy_target", "sync_state", "ddl_phase", "is_system",
-      "cpu_pct", "plan_handle", "file_size")
+      "cpu_pct", "plan_handle", "file_size", "act.client_app_name")
     val NumSplit: Int = numKeys.length
     val NKeys: Int = NumSplit + strKeys.length
 
-    // named ids (kept in sync with the arrays above by the sanity check)
-    val CpuTime = 0; val Duration = 1; val LogicalReads = 2
-    val PhysicalReads = 3; val Writes = 4; val RowCount = 5; val DbId = 6
-    val SignalDuration = 7; val SessionId = 8; val SizeChangeKb = 9
-    val ObjectId = 10
-    val Principal = 11; val App = 12; val Host = 13; val WaitType = 14
-    val DatabaseName = 15; val ObjectName = 16; val ObjectType = 17
-    val FileName = 18; val Component = 19; val DiagState = 20
-    val DiagData = 21; val ResourceDescription = 22; val LockMode = 23
-    val ResourceOwnerType = 24; val Ag = 25; val PreviousState = 26
-    val CurrentState = 27; val CommitPolicy = 28; val CommitPolicyTarget = 29
-    val SyncState = 30; val DdlPhase = 31; val IsSystem = 32
-    val CpuPct = 33; val PlanHandle = 34; val FileSize = 35
+    // named ids resolved from the arrays, so reordering/appending is safe
     private val allKeys: Array[String] = numKeys ++ strKeys
-    require(allKeys(SizeChangeKb) == "size_change_kb" &&
-      allKeys(Principal) == "principal" && allKeys(FileSize) == "file_size")
+    private def kid(k: String): Int = {
+      val i = allKeys.indexOf(k); require(i >= 0, s"unknown key $k"); i
+    }
+    val CpuTime = kid("cpu_time"); val Duration = kid("duration")
+    val LogicalReads = kid("logical_reads"); val PhysicalReads = kid("physical_reads")
+    val Writes = kid("writes"); val RowCount = kid("row_count")
+    val DbId = kid("db_id"); val SignalDuration = kid("signal_duration")
+    val SessionId = kid("session_id"); val SizeChangeKb = kid("size_change_kb")
+    val ObjectId = kid("object_id"); val SessionIdAction = kid("act.session_id")
+    val Principal = kid("principal"); val App = kid("app"); val Host = kid("host")
+    val WaitType = kid("wait_type"); val DatabaseName = kid("database_name")
+    val ObjectName = kid("object_name"); val ObjectType = kid("object_type")
+    val FileName = kid("file_name"); val Component = kid("component")
+    val DiagState = kid("state"); val DiagData = kid("data")
+    val ResourceDescription = kid("resource_description")
+    val LockMode = kid("lock_mode"); val ResourceOwnerType = kid("resource_owner_type")
+    val Ag = kid("ag"); val PreviousState = kid("previous_state")
+    val CurrentState = kid("current_state"); val CommitPolicy = kid("commit_policy")
+    val CommitPolicyTarget = kid("commit_policy_target")
+    val SyncState = kid("sync_state"); val DdlPhase = kid("ddl_phase")
+    val IsSystem = kid("is_system"); val CpuPct = kid("cpu_pct")
+    val PlanHandle = kid("plan_handle"); val FileSize = kid("file_size")
+    val ClientAppNameAction = kid("act.client_app_name")
 
     // reversed-key trie over chars < 128; children(node)(char) -> node|-1
     private val children = scala.collection.mutable.ArrayBuffer[Array[Int]]()
@@ -443,7 +458,9 @@ object FusedParse {
       s(innerXml(t, "xml=<deadlock>", "</deadlock>")),
       s(innerXml(t, "xml=<blocked-process>", "</blocked-process>")),
       ks(KeyScan.IsSystem), ks(KeyScan.CpuPct),
-      ks(KeyScan.PlanHandle), ks(KeyScan.FileSize))
+      ks(KeyScan.PlanHandle), ks(KeyScan.FileSize),
+      KeyScan.num(t, pos, KeyScan.SessionIdAction),
+      ks(KeyScan.ClientAppNameAction))
   }
 
   def parseAll(t: String): Parsed = parseAllWith(t, KeyScan.scan(t))

@@ -98,7 +98,10 @@ object Grok {
       "is_system_raw"   -> kvStr(t, "is_system"),
       "cpu_pct_raw"     -> kvStr(t, "cpu_pct"),
       "plan_handle_raw" -> kvStr(t, "plan_handle"),
-      "file_size_raw"   -> kvStr(t, "file_size")
+      "file_size_raw"   -> kvStr(t, "file_size"),
+      // P2 action channel ('.' escaped: the kv key is a literal substring)
+      "session_id_action" -> kvNum(t, "act\\.session_id"),
+      "client_app_name"   -> kvStr(t, "act\\.client_app_name")
     ))
   }
 

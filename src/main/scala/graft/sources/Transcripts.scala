@@ -90,6 +90,7 @@ SELECT
           || ' data=check_' || (k % 20)
         ELSE 'event=' || CASE WHEN k2 % 7 = 3 THEN 'wait_info_external' ELSE 'wait_info' END
           || ' wait_type=' || CASE CAST(k % 4 AS INT) WHEN 0 THEN 'PAGEIOLATCH_SH' WHEN 1 THEN 'LCK_M_X' WHEN 2 THEN 'CXPACKET' ELSE 'SOS_SCHEDULER_YIELD' END || ' duration=' || (k * 50021) || ' signal_duration=' || (k % 997) || ' session_id=' || (50 + event_id % 40)
+          || ' act.session_id=' || (70 + k % 25) || ' act.client_app_name=app_' || (k % 10)
       END
     ELSE
       'event=errorlog_written 2024-01-15 10:2' || (k % 10) || ':33.1' || (event_id % 10) || ' ' ||

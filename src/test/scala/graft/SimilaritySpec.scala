@@ -45,6 +45,15 @@ class SimilaritySpec extends SparkSpec {
     assert(!out.contains((0L, 3L)))
   }
 
+  test("IVF assignment puts near-identical vectors in the same cell") {
+    // centroidMod=3 makes ids 0 and 3 the centroids; 0 and 1 are nearly
+    // parallel so both must land on centroid 0
+    val assigned = Similarity.ivfAssign(vecs, centroidMod = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(assigned(0L) == assigned(1L))
+    assert(assigned(0L) != assigned(3L)) // opposite vector → different cell
+  }
+
   test("media features: byte sums and framing on real binary column") {
     val docs = Seq((1L, "x" * 130, "en", "s", 130L))
       .toDF("doc_id", "text", "lang", "source", "n_chars")
