@@ -76,8 +76,11 @@ object SparkEntry {
 
     "q11_lookup_enrich" -> ((s, d) =>
       Enrich.withRoleSeverity(Enrich.withToolInfo(Pipeline.parsed(s, d), s), s)
-        .select("conv_id", "turn_idx", "tool", "vendor", "version",
-          "tool_category", "role", "role_severity")),
+        .join(broadcast(Lookups.versionNames(s)), Seq("version"), "left")
+        // E7 default-if-absent: rows with no tool dim row get a default
+        .withColumn("vendor_eff", coalesce(col("vendor"), lit("unknown")))
+        .select("conv_id", "turn_idx", "tool", "vendor", "vendor_eff",
+          "version", "version_name", "tool_category", "role", "role_severity")),
 
     "q12_asof_entity" -> ((s, d) =>
       Enrich.withEntityName(Pipeline.parsed(s, d), s)
@@ -466,12 +469,16 @@ FROM ($oParseMid) a"""),
 
     "q11_lookup_enrich" -> withCtes(
       "tool_info" -> Lookups.toolInfoSql,
-      "role_sev" -> Lookups.roleSeveritySql)(s"""
-SELECT t.conv_id, t.turn_idx, t.tool, ti.vendor, ti.version,
+      "role_sev" -> Lookups.roleSeveritySql,
+      "ver_names" -> Lookups.versionNamesSql)(s"""
+SELECT t.conv_id, t.turn_idx, t.tool, ti.vendor,
+  COALESCE(ti.vendor, 'unknown') AS vendor_eff,
+  ti.version, vn.version_name,
   ti.tool_category, t.role, rs.role_severity
 FROM transcripts t
 LEFT JOIN tool_info ti ON t.tool = ti.tool
-LEFT JOIN role_sev rs ON t.role = rs.role"""),
+LEFT JOIN role_sev rs ON t.role = rs.role
+LEFT JOIN ver_names vn ON ti.version = vn.version"""),
 
     "q12_asof_entity" -> withCtes(
       "edim" -> Lookups.entityNamesSql)(s"""

@@ -30,6 +30,24 @@ object Lookups {
       s"('$t','$v','$ver','$c')"
     }.mkString(", ") + ") AS tool_info(tool, vendor, version, tool_category)"
 
+  // ---- J7: release → marketing-name map (pkg/xe/sqlinfo.go:103-127,
+  // "16.0" → "SQL Server 2022" analog over tool versions) --------------------
+  val versionNameRows: Seq[(String, String)] = Seq(
+    ("16.0", "Toolset 2022"),
+    ("5.4",  "Toolset 5"),
+    ("2.1",  "Toolset 2"),
+    ("1.0",  "Toolset 1"),
+    ("0.9",  "Toolset Legacy")
+  )
+  def versionNames(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    versionNameRows.toDF("version", "version_name")
+  }
+  val versionNamesSql: String =
+    "SELECT * FROM (VALUES " + versionNameRows.map { case (v, n) =>
+      s"('$v','$n')"
+    }.mkString(", ") + ") AS vn(version, version_name)"
+
   // ---- role_severity: severity floor per role (xe.go:433-469 seed) ---------
   val roleSeverityRows: Seq[(String, Int)] =
     Seq(("user", 6), ("assistant", 6), ("tool", 4), ("system", 3))
