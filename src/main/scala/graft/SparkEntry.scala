@@ -194,6 +194,11 @@ object SparkEntry {
     "q43_ngram_jaccard" -> ((s, d) =>
       dedup.Dedup.ngramJaccardConsecutive(docs(s, d))),
 
+    // general near-dup: char-n-gram Jaccard over LSH candidates
+    "q55_ngram_lsh" -> ((s, d) =>
+      dedup.Dedup.ngramJaccardCandidates(
+        dedup.Dedup.lshCandidates(docs(s, d)), docs(s, d))),
+
     "q38_ann_topk" -> ((s, d) =>
       ann.Similarity.bruteTopK(vecs(s, d))),
 
@@ -806,6 +811,42 @@ SELECT c.doc_a, c.doc_b,
 FROM cand c
 JOIN shs a ON c.doc_a = a.doc_id
 JOIN shs b ON c.doc_b = b.doc_id"""
+    },
+
+    "q55_ngram_lsh" -> {
+      val mhs = (0 until dedup.Dedup.NumHashes).map { i =>
+        s"CAST(list_aggregate(list_transform(sh, s -> (s*${2 * i + 1} + ${7919 * i + 1}) % 1000000007), 'min') AS BIGINT) AS mh$i"
+      }.mkString(", ")
+      val bandSel = (0 until dedup.Dedup.NumHashes / 2).map { b =>
+        s"SELECT doc_id, $b AS band_idx, (mh${2 * b}*31 + mh${2 * b + 1}) % 1000000007 AS band_sig FROM sigs"
+      }.mkString(" UNION ALL ")
+      s"""
+WITH th AS (SELECT doc_id, $oTokHashes AS th FROM documents),
+sigs AS (
+  SELECT doc_id, $mhs FROM (SELECT doc_id, $oShingles AS sh FROM th) x
+),
+bands AS ($bandSel),
+cand AS (
+  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+  FROM bands l JOIN bands r
+    ON l.band_idx = r.band_idx AND l.band_sig = r.band_sig AND l.doc_id < r.doc_id
+),
+ngs AS (
+  SELECT doc_id, list_distinct(CASE WHEN len(codes) >= 5
+    THEN list_transform(generate_series(1, len(codes)-4),
+      i -> list_reduce(list_prepend(CAST(7 AS BIGINT), codes[i:i+4]), (a,x) -> (a*31 + x) % 1000000007))
+    ELSE CAST([] AS BIGINT[]) END) AS ng
+  FROM (
+    SELECT doc_id, list_transform(string_split_regex(regexp_replace(lower(text), '\\s+', ' ', 'g'), ''), c -> CAST(unicode(c) AS BIGINT)) AS codes
+    FROM documents
+  ) c0
+)
+SELECT c.doc_a, c.doc_b,
+  CAST(floor(CAST(len(list_intersect(a.ng, b.ng)) * 1000 AS DOUBLE)
+       / len(list_distinct(list_concat(a.ng, b.ng)))) AS BIGINT) AS ngram_jaccard_permille
+FROM cand c
+JOIN ngs a ON c.doc_a = a.doc_id
+JOIN ngs b ON c.doc_b = b.doc_id"""
     },
 
     "q37_simhash" -> {

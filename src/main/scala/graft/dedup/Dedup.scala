@@ -129,6 +129,22 @@ object Dedup {
           .as("jaccard_permille"))
   }
 
+  /** GENERAL char-n-gram near-dup pass: exact n-gram Jaccard computed only
+    * on LSH candidate pairs — the banding join bounds the pair space, so
+    * unlike the consecutive-pair variant this scales to arbitrary corpora
+    * (same shape as jaccardPermille, different similarity set). */
+  def ngramJaccardCandidates(pairs: DataFrame, docs: DataFrame): DataFrame = {
+    val ng = docs.select(col("doc_id"),
+      array_distinct(charNgramHashes(col("text"))).as("ng"))
+    pairs
+      .join(ng.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("ng", "ng_a"), "doc_a")
+      .join(ng.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("ng", "ng_b"), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        floor(size(array_intersect(col("ng_a"), col("ng_b"))).cast("long") * lit(1000.0) /
+          size(array_union(col("ng_a"), col("ng_b"))).cast("long")).cast("long")
+          .as("ngram_jaccard_permille"))
+  }
+
   /** Character 5-gram hash set via charwise rolling window on the whole
     * normalized text. */
   def charNgramHashes(text: Column, n: Int = 5): Column = {
