@@ -19,8 +19,13 @@ object Pipeline {
 
   def parse(df: DataFrame): DataFrame = Grok.parse(df)
 
+  /** Filter FIRST on raw text (cheap lite extractions), then parse+enrich
+    * survivors once — predicate pushdown would otherwise clone the
+    * expensive parse expression into every predicate (Filters.standardOnRaw
+    * scaladoc has the numbers). Output rows identical to the post-parse
+    * placement (FilterPlacementSpec). */
   def process(df: DataFrame, spark: SparkSession): DataFrame =
-    Filters.standard(Enrich.enrich(parse(df), spark))
+    Enrich.enrich(parse(Filters.standardOnRaw(df)), spark)
 
   /** filtered frame → routed frame with sink_index + serialized NDJSON doc
     * (P13, `pkg/xe/xe.go:816-825`): to_json over the payload struct with
@@ -52,9 +57,9 @@ object Pipeline {
   def enriched(spark: SparkSession, sfDir: String): DataFrame =
     Enrich.enrich(parsed(spark, sfDir), spark)
 
-  /** parse + enrich + filters (F1-F5). */
+  /** filters (raw, F1-F5) + parse + enrich. */
   def filtered(spark: SparkSession, sfDir: String): DataFrame =
-    Filters.standard(enriched(spark, sfDir))
+    process(Transcripts.load(spark, sfDir), spark)
 
   def routed(spark: SparkSession, sfDir: String): DataFrame =
     route(filtered(spark, sfDir), spark)

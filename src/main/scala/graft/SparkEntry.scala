@@ -38,13 +38,11 @@ object SparkEntry {
           col("errorlog_process"), col("errorlog_message"))),
 
     "q04_severity" -> ((s, d) =>
-      Pipeline.parsed(s, d)
-        .withColumn("xe_severity_value", Enrich.severityValue)
-        .withColumn("xe_severity_keyword", Enrich.severityKeyword(col("xe_severity_value")))
+      Enrich.withDerived(Pipeline.parsed(s, d))
         .select("conv_id", "turn_idx", "name", "xe_severity_value", "xe_severity_keyword")),
 
     "q05_category" -> ((s, d) =>
-      Pipeline.parsed(s, d).withColumn("xe_category", Enrich.category)
+      Enrich.withDerived(Pipeline.parsed(s, d))
         .select("conv_id", "turn_idx", "xe_category")),
 
     "q06_units" -> ((s, d) =>
@@ -53,14 +51,11 @@ object SparkEntry {
           "logical_reads_mb", "physical_reads_mb", "writes_mb")),
 
     "q07_acct_app" -> ((s, d) =>
-      Pipeline.parsed(s, d)
-        .withColumn("xe_acct_app", Enrich.acctApp)
-        .withColumn("xe_acct_app_client", Enrich.acctAppClient)
+      Enrich.withDerived(Pipeline.parsed(s, d))
         .select("conv_id", "turn_idx", "xe_acct_app", "xe_acct_app_client")),
 
     "q08_state_desc" -> ((s, d) =>
-      Pipeline.parsed(s, d)
-        .withColumn("xe_state_description", Enrich.stateDescription)
+      Enrich.withDerived(Pipeline.parsed(s, d))
         .filter(col("xe_state_description").isNotNull)
         .select("conv_id", "turn_idx", "xe_state_description")),
 
@@ -71,7 +66,7 @@ object SparkEntry {
         .select("conv_id", "turn_idx", "name", "prev_name")),
 
     "q10_description" -> ((s, d) =>
-      Pipeline.parsed(s, d).withColumn("xe_description", Enrich.description)
+      Enrich.withDerived(Pipeline.parsed(s, d))
         .select("conv_id", "turn_idx", "xe_description")),
 
     "q11_lookup_enrich" -> ((s, d) =>
@@ -88,7 +83,7 @@ object SparkEntry {
 
     "q13_error_flags" -> ((s, d) =>
       Enrich.withLoginFailedDesc(Enrich.withErrorFlags(
-        Pipeline.parsed(s, d).withColumn("xe_description", Enrich.description), s))
+        Enrich.withDerived(Pipeline.parsed(s, d)), s))
         .select("conv_id", "turn_idx", "error_number",
           "login_failed", "xe_is_event_logged", "login_failed_desc")),
 
@@ -219,31 +214,25 @@ object SparkEntry {
 
     // ---- widened event vocabulary (round 2) ----
     "q45_deadlock_xml" -> ((s, d) =>
-      Pipeline.parsed(s, d)
+      Enrich.withDerived(Pipeline.parsed(s, d))
         .filter(col("name").isin("xml_deadlock_report", "lock_deadlock_chain",
           "blocked_process_report"))
-        .withColumn("xe_severity_value", Enrich.severityValue)
-        .withColumn("xe_category", Enrich.category)
         .select("conv_id", "turn_idx", "name", "deadlock_xml", "blocked_xml",
           "xe_severity_value", "xe_category")),
 
     "q46_ddl_filesize" -> ((s, d) =>
-      Pipeline.parsed(s, d)
+      Enrich.withDerived(Pipeline.parsed(s, d))
         .filter(col("name").isin("object_altered", "object_created",
           "object_deleted", "database_file_size_change"))
-        .withColumn("xe_description", Enrich.description)
         .select("conv_id", "turn_idx", "name", "database_name", "object_name",
           "object_type", "file_name", "size_change_kb", "xe_description")),
 
     "q47_hadr_diag" -> ((s, d) =>
-      Pipeline.parsed(s, d)
+      Enrich.withDerived(Pipeline.parsed(s, d))
         .filter(col("name").isin("hadr_db_partner_set_sync_state",
           "availability_replica_state_change", "availability_replica_state",
           "availability_replica_manager_state_change", "alwayson_ddl_executed",
           "sp_server_diagnostics_component_result"))
-        .withColumn("xe_description", Enrich.description)
-        .withColumn("xe_severity_value", Enrich.severityValue)
-        .withColumn("xe_category", Enrich.category)
         .select("conv_id", "turn_idx", "name", "xe_description",
           "xe_severity_value", "xe_category")),
 

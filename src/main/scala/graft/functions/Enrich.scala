@@ -248,17 +248,31 @@ object Enrich {
     df.withColumn("login_failed_desc",
       when(col("login_failed"), col("xe_description")))
 
-  /** Full enrichment pass over a parsed frame. */
-  def enrich(parsed: DataFrame, spark: SparkSession): DataFrame = {
-    val base = parsed
-      .withColumn("xe_severity_value", severityValue)
+  /** The seven derived columns via ONE fused expression pass (severity,
+    * keyword, category, description, acct_app ×2, 18456 state desc) — see
+    * [[FusedEnrich]]; the declarative Columns above are the reference
+    * implementation, equality-guarded by EnrichParitySpec. Two-step
+    * projection on purpose: the struct is referenced 7×, and
+    * CollapseProject must not inline the non-cheap expression per field. */
+  def withDerived(df: DataFrame): DataFrame = {
+    val withE = df.withColumn("_enr", FusedEnrich.derived)
+    val lifted = FusedEnrich.outputSchema.fields.map(f =>
+      col(s"_enr.${f.name}").as(f.name))
+    withE.select(df.columns.map(col).toSeq ++ lifted: _*)
+  }
+
+  /** Declarative variant of withDerived — the parity-spec reference. */
+  def withDerivedDeclarative(df: DataFrame): DataFrame =
+    df.withColumn("xe_severity_value", severityValue)
       .withColumn("xe_severity_keyword", severityKeyword(col("xe_severity_value")))
       .withColumn("xe_category", category)
       .withColumn("xe_description", description)
       .withColumn("xe_acct_app", acctApp)
       .withColumn("xe_acct_app_client", acctAppClient)
       .withColumn("xe_state_description", stateDescription)
+
+  /** Full enrichment pass over a parsed frame. */
+  def enrich(parsed: DataFrame, spark: SparkSession): DataFrame =
     withLoginFailedDesc(
-      withEntityName(withErrorFlags(withUnits(base), spark), spark))
-  }
+      withEntityName(withErrorFlags(withUnits(withDerived(parsed)), spark), spark))
 }

@@ -92,6 +92,18 @@ object FusedParse {
     GraftBridge.column(ParseTurnExpr(GraftBridge.expression(text)))
   }
 
+  /** Cheap name-only extraction column (PRE-parse filter stage). */
+  def nameLite(text: Column): Column = {
+    import org.apache.spark.sql.GraftBridge
+    GraftBridge.column(NameLiteExpr(GraftBridge.expression(text)))
+  }
+
+  /** Cheap error-number-only extraction column (PRE-parse filter stage). */
+  def errorNumLite(text: Column): Column = {
+    import org.apache.spark.sql.GraftBridge
+    GraftBridge.column(ErrorNumLiteExpr(GraftBridge.expression(text)))
+  }
+
   // ---- exact-parity scanners -------------------------------------------------
 
   private def isDigit(c: Char) = c >= '0' && c <= '9'
@@ -463,6 +475,20 @@ object FusedParse {
       ks(KeyScan.ClientAppNameAction))
   }
 
+  /** Event-name prefix only (^event=([a-z_0-9]+)) — the cheap extraction
+    * the pre-parse filter stage uses (see [[NameLiteExpr]]). */
+  def nameOf(t: String): String = {
+    if (!t.startsWith("event=")) return ""
+    var j = 6
+    while (j < t.length && {
+      val c = t.charAt(j); (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9') || c == '_'
+    }) j += 1
+    t.substring(6, j)
+  }
+
+  /** Error number only (group 1 of the triple) — cheap filter extraction. */
+  def errorNumberOf(t: String): java.lang.Long = errorTriple(t)._1
+
   def parseAll(t: String): Parsed = parseAllWith(t, KeyScan.scan(t))
 
   private def parseAllWith(t: String, pos: Array[Int]): Parsed = {
@@ -537,5 +563,46 @@ case class ParseTurnExpr(child: Expression) extends UnaryExpression {
       s"${ev.value} = graft.functions.FusedParse.parseRow($c);")
 
   override protected def withNewChildInternal(newChild: Expression): ParseTurnExpr =
+    copy(child = newChild)
+}
+
+/** Cheap per-row event-name extraction for the PRE-parse filter stage: the
+  * filter predicates must not reference the full ParseTurnExpr output,
+  * because predicate pushdown substitutes the expensive expression into
+  * every predicate (measured: filters cost 3× the parse itself). */
+case class NameLiteExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def prettyName: String = "event_name_lite"
+  override def nullSafeEval(input: Any): Any =
+    UTF8String.fromString(FusedParse.nameOf(input.asInstanceOf[UTF8String].toString))
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = org.apache.spark.unsafe.types.UTF8String.fromString(" +
+        s"graft.functions.FusedParse.nameOf($c.toString()));")
+  override protected def withNewChildInternal(newChild: Expression): NameLiteExpr =
+    copy(child = newChild)
+}
+
+/** Cheap error-number extraction (triple group 1) for the filter stage. */
+case class ErrorNumLiteExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "error_number_lite"
+  override def nullSafeEval(input: Any): Any =
+    FusedParse.errorNumberOf(input.asInstanceOf[UTF8String].toString)
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val boxed = ctx.freshName("en")
+    nullSafeCodeGen(ctx, ev, c => s"""
+      java.lang.Long $boxed = graft.functions.FusedParse.errorNumberOf($c.toString());
+      if ($boxed == null) { ${ev.isNull} = true; } else { ${ev.value} = $boxed.longValue(); }""")
+  }
+  override protected def withNewChildInternal(newChild: Expression): ErrorNumLiteExpr =
     copy(child = newChild)
 }

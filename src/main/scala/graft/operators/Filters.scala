@@ -40,10 +40,12 @@ object Filters {
 
   /** F5: last-match-wins fold. Later rules are folded outermost, so the
     * last matching rule decides — exactly the reference's semantics where
-    * every rule is evaluated and the final match's action sticks. */
-  def filterChain(rules: Seq[FilterRule], default: String = "include"): Column = {
+    * every rule is evaluated and the final match's action sticks.
+    * `field` resolves rule field names to Columns (default: by name). */
+  def filterChain(rules: Seq[FilterRule], default: String = "include",
+                  field: String => Column = col): Column = {
     val action = rules.foldLeft(lit(default)) { (acc, r) =>
-      val cond = r.conditions.map { case (f, v) => col(f) === lit(v) }
+      val cond = r.conditions.map { case (f, v) => field(f) === lit(v) }
         .reduce(_ && _)
       when(cond, lit(r.action)).otherwise(acc)
     }
@@ -77,7 +79,7 @@ object Filters {
       .filter(col("_rn") === 1).drop("_rn")
   }
 
-  /** The full standard predicate stack applied by the pipeline. */
+  /** The full standard predicate stack applied over a PARSED frame. */
   def standard(df: DataFrame): DataFrame =
     df.filter(
       wellFormed &&
@@ -85,4 +87,30 @@ object Filters {
         excludeErrorNumber(18330L) &&
         dbghelpSuppression &&
         filterChain(defaultRules))
+
+  /** The same predicate stack evaluated on RAW text — the production
+    * pre-parse placement. The predicates use the cheap name/error-number
+    * lite expressions instead of the full-parse columns: predicate
+    * pushdown would otherwise substitute the 51-field ParseTurnExpr into
+    * every predicate below the parse projection (measured: the filter
+    * stage cost 3× the parse itself). Semantics are identical — the lite
+    * extractions are the same scanners (FilterPlacementSpec asserts row
+    * equality with the post-parse stack). */
+  def standardOnRaw(df: DataFrame): DataFrame = {
+    import graft.functions.FusedParse
+    val name = FusedParse.nameLite(col("text"))
+    val en = FusedParse.errorNumLite(col("text"))
+    val field: String => Column = {
+      case "name"         => name
+      case "error_number" => en
+      case other          => col(other)
+    }
+    df.filter(
+      (name.isNotNull && name =!= "") &&
+        !lower(name).isin("connectivity_ring_buffer_recorded") &&
+        !(name === "error_reported" && en === 18330L) &&
+        !(name === "errorlog_written" &&
+          lower(col("text")).contains("using 'dbghelp.dll'")) &&
+        filterChain(defaultRules, field = field))
+  }
 }

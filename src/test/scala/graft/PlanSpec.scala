@@ -72,6 +72,26 @@ class PlanSpec extends SparkSpec {
       s"cursor must reach the scan filters: ${scanLine.take(400)}")
   }
 
+  test("pre-parse raw filter equals post-parse filter stack (F1-F7)") {
+    val t = Transcripts.load(spark, tiny)
+    val pre = Pipeline.parse(operators.Filters.standardOnRaw(t))
+      .select("conv_id", "turn_idx", "name")
+    val post = operators.Filters.standard(Pipeline.parse(t))
+      .select("conv_id", "turn_idx", "name")
+    assert(pre.except(post).isEmpty && post.except(pre).isEmpty,
+      "filter placement must not change the surviving row set")
+  }
+
+  test("routed plan evaluates the full parse expression exactly once") {
+    val routed = Pipeline.transform(stagedInput, spark)
+      .select("conv_id", "turn_idx", "name", "sink_index", "doc_json")
+    val plan = routed.queryExecution.sparkPlan.toString
+    val parses = "parse_turn".r.findAllIn(plan).length
+    assert(parses == 1,
+      s"expected ONE parse_turn in the plan (pre-parse filtering), got $parses")
+    assert("fused_enrich".r.findAllIn(plan).length == 1, "one fused_enrich")
+  }
+
   test("perSinkCounts runs the upstream pipeline once (ReuseExchange)") {
     val routed = Pipeline.transform(stagedInput, spark)
     val counts = operators.Routing.perSinkCounts(routed)
