@@ -186,6 +186,15 @@ object SparkEntry {
     "q37_simhash" -> ((s, d) =>
       dedup.Dedup.simhashDf(docs(s, d))),
 
+    // keeper per duplicate CLUSTER: connected components over verified
+    // near-dup pairs (min-label propagation)
+    "q56_dup_clusters" -> ((s, d) => {
+      val pairs = dedup.Dedup.jaccardPermille(
+        dedup.Dedup.lshCandidates(docs(s, d)), docs(s, d))
+        .filter(col("jaccard_permille") >= 600)
+      dedup.Dedup.duplicateClusters(pairs)
+    }),
+
     "q43_ngram_jaccard" -> ((s, d) =>
       dedup.Dedup.ngramJaccardConsecutive(docs(s, d))),
 
@@ -845,6 +854,50 @@ JOIN ngs b ON c.doc_b = b.doc_id"""
       s"""
 SELECT doc_id, CAST($terms AS BIGINT) AS simhash
 FROM (SELECT doc_id, $oTokHashes AS th FROM documents) a"""
+    },
+
+    "q56_dup_clusters" -> {
+      val mhs = (0 until dedup.Dedup.NumHashes).map { i =>
+        s"CAST(list_aggregate(list_transform(sh, s -> (s*${2 * i + 1} + ${7919 * i + 1}) % 1000000007), 'min') AS BIGINT) AS mh$i"
+      }.mkString(", ")
+      val bandSel = (0 until dedup.Dedup.NumHashes / 2).map { b =>
+        s"SELECT doc_id, $b AS band_idx, (mh${2 * b}*31 + mh${2 * b + 1}) % 1000000007 AS band_sig FROM sigs"
+      }.mkString(" UNION ALL ")
+      s"""
+WITH RECURSIVE th AS (SELECT doc_id, $oTokHashes AS th FROM documents),
+sigs AS (
+  SELECT doc_id, $mhs FROM (SELECT doc_id, $oShingles AS sh FROM th) x
+),
+bands AS ($bandSel),
+cand AS (
+  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+  FROM bands l JOIN bands r
+    ON l.band_idx = r.band_idx AND l.band_sig = r.band_sig AND l.doc_id < r.doc_id
+),
+shs AS (
+  SELECT doc_id, list_distinct($oShingles) AS shd
+  FROM (SELECT doc_id, $oTokHashes AS th FROM documents) y
+),
+verified AS (
+  SELECT c.doc_a, c.doc_b
+  FROM cand c
+  JOIN shs a ON c.doc_a = a.doc_id
+  JOIN shs b ON c.doc_b = b.doc_id
+  WHERE CAST(floor(CAST(len(list_intersect(a.shd, b.shd)) * 1000 AS DOUBLE)
+        / len(list_distinct(list_concat(a.shd, b.shd)))) AS BIGINT) >= 600
+),
+edges AS (
+  SELECT doc_a, doc_b FROM verified
+  UNION ALL
+  SELECT doc_b AS doc_a, doc_a AS doc_b FROM verified
+),
+nodes AS (SELECT DISTINCT doc_a AS id FROM edges),
+walk(id, r) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT e.doc_a, w.r FROM edges e JOIN walk w ON e.doc_b = w.id
+)
+SELECT id AS doc_id, min(r) AS keeper_id FROM walk GROUP BY id"""
     },
 
     "q43_ngram_jaccard" -> s"""

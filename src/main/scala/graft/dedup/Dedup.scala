@@ -129,6 +129,48 @@ object Dedup {
           .as("jaccard_permille"))
   }
 
+  /** Duplicate-CLUSTER keeper resolution: connected components over the
+    * verified near-dup pair graph via iterative min-label propagation
+    * (the join-based variant of large-star/small-star). Each doc's keeper
+    * is the minimum doc_id reachable through duplicate edges — the step a
+    * training-data pipeline runs AFTER near-dup detection to pick one
+    * canonical copy per cluster.
+    *
+    * Scale: each iteration is one equi-join + one aggregation, both keyed
+    * on doc ids; near-dup clusters are shallow (pairs/triples), so the
+    * fixpoint converges in ~2-3 rounds — `maxIter` bounds the worst case
+    * and the driver-side loop checkpoints via persist per round. */
+  def duplicateClusters(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val edges = pairs.select(col("doc_a"), col("doc_b"))
+      .unionByName(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("doc_a").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    labels.count()
+    var i = 0
+    var converged = false
+    while (i < maxIter && !converged) {
+      val prop = edges.join(labels, edges("doc_b") === labels("id"))
+        .groupBy(edges("doc_a").as("pid"))
+        .agg(min(col("label")).as("nlabel"))
+      val updated = labels.join(prop, labels("id") === prop("pid"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val changed = updated.as("u")
+        .join(labels.withColumnRenamed("label", "old"), "id")
+        .filter(col("label") =!= col("old")).count()
+      labels.unpersist()
+      labels = updated
+      converged = changed == 0
+      i += 1
+    }
+    edges.unpersist()
+    labels.select(col("id").as("doc_id"), col("label").as("keeper_id"))
+  }
+
   /** GENERAL char-n-gram near-dup pass: exact n-gram Jaccard computed only
     * on LSH candidate pairs — the banding join bounds the pair space, so
     * unlike the consecutive-pair variant this scales to arbitrary corpora

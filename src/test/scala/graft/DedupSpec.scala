@@ -73,4 +73,14 @@ class DedupSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(fp(1L) == fp(2L) && fp(1L) != fp(3L))
   }
+  test("duplicate clusters: min-label propagation finds chain components") {
+    import TestSpark.spark.implicits._
+    // chain 1-2, 2-3 plus isolated pair 10-11: keepers {1,1,1} and {10,10}
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L))
+      .toDF("doc_a", "doc_b")
+    val out = graft.dedup.Dedup.duplicateClusters(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
 }
