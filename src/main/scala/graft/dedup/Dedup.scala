@@ -44,12 +44,20 @@ object Dedup {
   def minhashOver(sh: Column, i: Int): Column =
     array_min(transform(sh, s => (s * (2L * i + 1L) + (7919L * i + 1L)) % P))
 
-  /** Two projections on purpose: the expensive char-level shingle hashing
+  /** Production path: the fused one-pass sketch expression (see
+    * [[TokenHash]]); two-step select so the struct computes once. */
+  def signatures(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), TokenHash.sketches(col("text")).as("_sk"))
+      .select(
+        (col("doc_id") +: (0 until NumHashes).map(i =>
+          col(s"_sk.mh$i").as(s"mh$i"))): _*)
+
+  /** Declarative reference implementation (TokenHashParitySpec). Two
+    * projections on purpose: the expensive char-level shingle hashing
     * lands in its own Project (CollapseProject refuses to inline a
     * non-cheap expression referenced 8×), so it runs ONCE per row; the 8
-    * min-hash passes then scan a small long array. 8× faster than the
-    * naive single-projection form. */
-  def signatures(docs: DataFrame): DataFrame =
+    * min-hash passes then scan a small long array. */
+  def signaturesDeclarative(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), shingleHashes(col("text")).as("sh"))
       .select(
         (col("doc_id") +: (0 until NumHashes).map(i =>
@@ -105,8 +113,13 @@ object Dedup {
       when(vote > 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
 
-  /** DataFrame-shaped simhash with the two-projection split. */
+  /** Production path: fused sketch expression. */
   def simhashDf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      TokenHash.sketches(col("text")).getField("simhash").as("simhash"))
+
+  /** Declarative reference (TokenHashParitySpec). */
+  def simhashDfDeclarative(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), tokHashes(col("text")).as("th"))
       .select(col("doc_id"), simhashOver(col("th")).as("simhash"))
 

@@ -1,0 +1,117 @@
+package graft.dedup
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Fused token-hash sketches: ONE pass over the text computes the 8
+  * MinHash values, the 16-bit SimHash and the rolling fingerprint — the
+  * dedup-stage sibling of FusedParse/FusedEnrich (tokenize → charwise
+  * polynomial hash → 3-shingle → 8 affine minima / bit votes / fold).
+  *
+  * SEMANTICS CONTRACT: element-for-element identical to the declarative
+  * chain in [[graft.text.TextAnalysis]] + [[Dedup]] — Spark `lower()`
+  * (UTF8String lowercase), Java `\s+` token splitting with empties
+  * dropped, per-CODEPOINT polynomial fold, `array_min` of an empty
+  * shingle array = null. TokenHashParitySpec asserts equality over the
+  * corpus and adversarial strings; the DuckDB oracle re-checks q33/q35/
+  * q36/q37 end-to-end.
+  */
+object TokenHash {
+  val P = 1000000007L
+  val NumHashes: Int = Dedup.NumHashes
+  val SimBits: Int = Dedup.SimBits
+
+  val outputSchema: StructType = StructType(
+    (0 until NumHashes).map(i => StructField(s"mh$i", LongType)) ++ Seq(
+      StructField("simhash", LongType, nullable = false),
+      StructField("fp", LongType, nullable = false)))
+
+  def sketches(text: Column): Column = {
+    import org.apache.spark.sql.GraftBridge
+    GraftBridge.column(TokenHashExpr(GraftBridge.expression(text)))
+  }
+
+  private def isWs(c: Char) = // Java regex \s
+    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+
+  /** Token hashes: whitespace tokens of the LOWERED text, each folded
+    * per codepoint as (acc*31 + cp) mod P starting at 7. */
+  def tokHashes(lowered: String): Array[Long] = {
+    val buf = scala.collection.mutable.ArrayBuffer[Long]()
+    var i = 0
+    val n = lowered.length
+    while (i < n) {
+      while (i < n && isWs(lowered.charAt(i))) i += 1
+      if (i < n) {
+        var h = 7L
+        while (i < n && !isWs(lowered.charAt(i))) {
+          val cp = lowered.codePointAt(i)
+          h = (h * 31L + cp) % P
+          i += Character.charCount(cp)
+        }
+        buf += h
+      }
+    }
+    buf.toArray
+  }
+
+  /** All sketches in one pass over the token-hash array. */
+  def compute(input: UTF8String): InternalRow = {
+    if (input == null) return null
+    val th = tokHashes(input.toLowerCase.toString)
+    val n = th.length
+    // minhash over 3-shingles; empty shingle set → nulls (array_min([]))
+    val mins = Array.fill[java.lang.Long](NumHashes)(null)
+    var j = 0
+    while (j + 2 < n) {
+      val s = ((th(j) * 31L + th(j + 1)) % P * 31L + th(j + 2)) % P
+      var i = 0
+      while (i < NumHashes) {
+        val v = (s * (2L * i + 1L) + (7919L * i + 1L)) % P
+        if (mins(i) == null || v < mins(i)) mins(i) = v
+        i += 1
+      }
+      j += 1
+    }
+    // simhash bit votes + fingerprint fold over the token hashes
+    val votes = new Array[Long](SimBits)
+    var fp = 7L
+    var k = 0
+    while (k < n) {
+      val x = th(k)
+      var b = 0
+      while (b < SimBits) {
+        if (((x >> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      fp = (fp * 131L + x) % P
+      k += 1
+    }
+    var sim = 0L
+    var b = 0
+    while (b < SimBits) {
+      if (votes(b) > 0) sim |= (1L << b)
+      b += 1
+    }
+    InternalRow.fromSeq(mins.toSeq ++ Seq(sim, fp))
+  }
+}
+
+case class TokenHashExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = TokenHash.outputSchema
+  override def nullable: Boolean = true
+  override def prettyName: String = "token_sketches"
+  override def nullSafeEval(input: Any): Any =
+    TokenHash.compute(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.dedup.TokenHash.compute($c);")
+  override protected def withNewChildInternal(newChild: Expression): TokenHashExpr =
+    copy(child = newChild)
+}

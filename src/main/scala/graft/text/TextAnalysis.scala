@@ -119,5 +119,10 @@ object TextAnalysis {
   }
 
   def fingerprints(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      graft.dedup.TokenHash.sketches(col("text")).getField("fp").as("fp"))
+
+  /** Declarative reference (TokenHashParitySpec). */
+  def fingerprintsDeclarative(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), fingerprint(col("text")).as("fp"))
 }
