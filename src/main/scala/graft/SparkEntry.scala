@@ -277,6 +277,10 @@ object SparkEntry {
     "q41_multimodal_meta" -> ((s, d) =>
       multimodal.Multimodal.metadata(multimodal.Multimodal.asMedia(docs(s, d)))),
 
+    // frame sampling: every 2nd fixed-size frame, exploded per frame
+    "q57_frame_sample" -> ((s, d) =>
+      multimodal.Multimodal.sampleFrames(docs(s, d))),
+
     "q42_media_features" -> ((s, d) => {
       implicit val sp: SparkSession = s
       multimodal.Multimodal.features(
@@ -1090,6 +1094,17 @@ SELECT doc_id,
   CAST(floor(CAST(octet_length(encode(text)) + ${multimodal.Multimodal.FrameSize - 1} AS DOUBLE) / ${multimodal.Multimodal.FrameSize}) AS BIGINT) AS n_frames,
   CAST(unicode(substr(text, 1, 1)) AS BIGINT) AS first_code
 FROM documents""",
+
+    "q57_frame_sample" -> s"""
+SELECT doc_id, CAST(i AS BIGINT) AS frame_idx,
+  CAST(list_aggregate(list_transform(
+    string_split_regex(substr(text, i*${multimodal.Multimodal.FrameSize} + 1, ${multimodal.Multimodal.FrameSize}), ''),
+    c -> CAST(unicode(c) AS BIGINT)), 'sum') AS BIGINT) AS frame_code_sum
+FROM (
+  SELECT doc_id, text,
+    unnest(generate_series(0, CAST(ceil(length(text) / ${multimodal.Multimodal.FrameSize}.0) AS INT) - 1, 2)) AS i
+  FROM documents WHERE length(text) > 0
+) a""",
 
     "q42_media_features" -> s"""
 SELECT doc_id,

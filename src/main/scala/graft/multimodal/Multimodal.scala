@@ -1,6 +1,6 @@
 package graft.multimodal
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal column plumbing: media as opaque `binary` columns with typed
@@ -34,6 +34,30 @@ object Multimodal {
       floor((octet_length(col("media")) + lit(FrameSize - 1)) / lit(FrameSize))
         .cast("long").as("n_frames"),
       ascii(decode(col("media"), "UTF-8")).cast("long").as("first_code"))
+
+  /** Frame sampling: every `everyK`-th fixed-size frame of the payload,
+    * exploded to one row per sampled frame — the partition-friendly shape
+    * a video/audio pipeline uses to thin frames BEFORE the expensive
+    * decode (explode is per-row; no shuffle; at 100 TB the frame rows
+    * inherit the scan's partitioning). The per-frame "decode" is the
+    * deterministic stub (codepoint sum over the frame's span); swap for a
+    * real codec call when libs exist. */
+  def sampleFrames(docs: DataFrame, everyK: Int = 2): DataFrame = {
+    val n = length(col("text"))
+    val lastIdx = (ceil(n.cast("double") / FrameSize)).cast("int") - 1
+    val idxs = when(n > 0, sequence(lit(0), lastIdx, lit(everyK)))
+      .otherwise(array().cast("array<int>"))
+    val frame = (i: Column) =>
+      col("text").substr(i * FrameSize + 1, lit(FrameSize))
+    docs.select(col("doc_id"),
+      explode(transform(idxs, i => struct(
+        i.as("frame_idx"),
+        aggregate(
+          transform(split(frame(i), ""), c => ascii(c).cast("long")),
+          lit(0L), (acc, x) => acc + x).as("frame_code_sum")))).as("f"))
+      .select(col("doc_id"), col("f.frame_idx").cast("long").as("frame_idx"),
+        col("f.frame_code_sum"))
+  }
 
   /** The "decode + feature extract" path: typed Dataset mapPartitions —
     * the Scala analog of a Pandas-UDF batch loop. The per-frame decode is
