@@ -90,6 +90,42 @@ class ModsSpec extends SparkSpec {
     intercept[IllegalArgumentException] { Mods(parsed, bad) }
   }
 
+  test("JSON config file parses into ModsConfig + filter rules (S7)") {
+    import graft.sources.ConfigSource
+    val json = """{
+      "payload_field": "mssql", "timestamp_field": "@timestamp",
+      "payload_columns": ["name", "role", "principal", "tool"],
+      "adds": {"global.collector": "graft", "global.version": "'0.1'"},
+      "copies": {"mssql.principal": "global.user"},
+      "moves": {"mssql.role": "global.role"},
+      "uppercase": ["mssql.name"], "lowercase": ["global.user"],
+      "strip_crlf": true,
+      "filters": [
+        {"action": "exclude", "conditions": {"name": "wait_info"}},
+        {"action": "include", "conditions": {"name": "wait_info", "tool": "sql_query"}},
+        {"action": "exclude", "conditions": {"error_number": 18456, "role": "system"}}
+      ],
+      "sampler_duration": "minute"
+    }"""
+    val f = java.nio.file.Files.createTempFile("graft_cfg", ".json")
+    java.nio.file.Files.write(f, json.getBytes("UTF-8"))
+    val cfg = ConfigSource.load(f.toString)
+    // field-by-field: envLookup is a function and never equal by value
+    val m = cfg.mods; val d = Mods.defaultConfig
+    assert(m.payloadField == d.payloadField && m.timestampField == d.timestampField &&
+      m.payloadColumns == d.payloadColumns && m.adds == d.adds &&
+      m.copies == d.copies && m.moves == d.moves &&
+      m.uppercase == d.uppercase && m.lowercase == d.lowercase &&
+      m.stripCrlf == d.stripCrlf)
+    assert(cfg.rules == graft.operators.Filters.defaultRules)
+    assert(cfg.samplerDuration == "minute")
+    // the loaded config drives the operators end-to-end
+    val parsed = graft.functions.Grok.parse(turns)
+    val viaFile = Mods(parsed, cfg.mods).select("doc.mssql.name").collect()(0).getString(0)
+    assert(viaFile == "LOGIN")
+    java.nio.file.Files.delete(f)
+  }
+
   test("to_json drops null fields (absent-key semantics)") {
     val t2 = Seq(("c1", 0, "user", "event=wait_info wait_type=X duration=5", "t",
       java.sql.Timestamp.valueOf("2024-01-01 05:00:00")))
