@@ -79,4 +79,64 @@ class EnrichParitySpec extends SparkSpec {
     }.toDF("conv_id", "turn_idx", "role", "text", "tool", "ts")
     compareOn(df)
   }
+
+  test("fused enrichment equals declarative columns on a seeded random corpus") {
+    val rnd = new scala.util.Random(20260816L)
+    val names = Seq("login", "error_reported", "sql_batch_completed",
+      "rpc_completed", "sp_statement_completed", "sql_statement_completed",
+      "wait_info", "wait_info_external", "errorlog_written",
+      "object_altered", "object_created", "object_deleted",
+      "lock_deadlock_chain", "xml_deadlock_report",
+      "hadr_db_partner_set_sync_state", "blocked_process_report",
+      "alwayson_ddl_executed", "availability_replica_manager_state_change",
+      "availability_replica_state_change", "availability_replica_state",
+      "sp_server_diagnostics_component_result", "database_file_size_change",
+      "made_up_event", "")
+    val frags = Seq(
+      () => s"principal=u${rnd.nextInt(50)}",
+      () => s"app=a${rnd.nextInt(5)}",
+      () => s"host=h${rnd.nextInt(5)}",
+      () => s"Error: ${rnd.nextInt(30000)}, Severity: ${rnd.nextInt(30)}, State: ${rnd.nextInt(140)}.",
+      () => s"cpu_time=${rnd.nextLong(math.abs(rnd.nextLong()) % 10000000L + 1)}",
+      () => s"duration=${math.abs(rnd.nextLong()) % 5000000000L}",
+      () => s"logical_reads=${rnd.nextInt(500)}",
+      () => s"physical_reads=${rnd.nextInt(200)}",
+      () => s"writes=${rnd.nextInt(300)}",
+      () => s"wait_type=W${rnd.nextInt(9)}",
+      () => s"database_name=db_${rnd.nextInt(9)}",
+      () => s"object_name=o${rnd.nextInt(9)}",
+      () => s"object_type=T${rnd.nextInt(4)}",
+      () => s"file_name=f${rnd.nextInt(4)}",
+      () => s"size_change_kb=${Seq(0, 8, 100, 1024, 2048, 3000)(rnd.nextInt(6))}",
+      () => s"resource_description=r${rnd.nextInt(9)}",
+      () => s"lock_mode=${Seq("S", "X", "IX")(rnd.nextInt(3))}",
+      () => s"resource_owner_type=LOCK",
+      () => s"object_id=${rnd.nextInt(99999)}",
+      () => s"ag=g${rnd.nextInt(4)}",
+      () => s"previous_state=P${rnd.nextInt(3)}",
+      () => s"current_state=C${rnd.nextInt(3)}",
+      () => s"commit_policy=CP${rnd.nextInt(2)}",
+      () => s"commit_policy_target=CT${rnd.nextInt(2)}",
+      () => s"sync_state=S${rnd.nextInt(3)}",
+      () => s"ddl_phase=${Seq("begin", "commit")(rnd.nextInt(2))}",
+      () => s"component=c${rnd.nextInt(3)}",
+      () => s"state=${Seq("ERROR", "WARNING", "CLEAN", "x")(rnd.nextInt(4))}",
+      () => s"data=d${rnd.nextInt(9)}",
+      () => s"junk${rnd.nextInt(100)} noise",
+      () => "x" * (rnd.nextInt(400) + 1))
+    val tails = Seq(
+      () => s" batch_text=SELECT ${rnd.nextInt(100)}",
+      () => s" statement=EXEC p${rnd.nextInt(100)} @x = 1",
+      () => "")
+    val cases = (0 until 600).map { i =>
+      val name = names(rnd.nextInt(names.length))
+      val nFrags = rnd.nextInt(6)
+      val body = (0 until nFrags).map(_ => frags(rnd.nextInt(frags.length))())
+        .mkString(" ")
+      val tail = tails(rnd.nextInt(tails.length))()
+      (s"c", i, "user", s"event=$name $body$tail", "",
+        java.sql.Timestamp.valueOf("2024-01-01 00:00:00"))
+    }
+    compareOn(cases.toDF("conv_id", "turn_idx", "role", "text", "tool", "ts"))
+  }
 }
