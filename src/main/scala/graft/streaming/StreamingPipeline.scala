@@ -28,7 +28,10 @@ object StreamingPipeline {
   val schema: StructType = StructType(Seq(
     StructField("conv_id", StringType), StructField("turn_idx", IntegerType),
     StructField("role", StringType), StructField("text", StringType),
-    StructField("tool", StringType), StructField("ts", TimestampType),
+    // NTZ: the batch synthesis yields TIMESTAMP_NTZ from parquet, and the
+    // serialized @timestamp must be byte-identical between batch and
+    // stream (StreamingSpec multiset test caught TimestampType's 'Z')
+    StructField("tool", StringType), StructField("ts", TimestampNTZType),
     StructField("src_file", StringType), StructField("src_offset", LongType)))
 
   /** Start the streaming pipeline: inputDir → sinks under outRoot, with

@@ -62,6 +62,20 @@ class StreamingSpec extends SparkSpec {
     assert(batchCounts.except(streamCounts).count() == 0)
   }
 
+  test("streaming logstash artifacts equal batch doc_json rows as a MULTISET") {
+    // stronger than the per-sink counts: the exact serialized documents,
+    // with multiplicity, match between the streamed sink files and the
+    // batch route — the north rule's routed-row equality at row level
+    val root = "/tmp/graft_stream_spec2" // reuse artifacts from prior test
+    val artifact = spark.read.text(s"$root/sinks/logstash")
+      .groupBy(col("value").as("doc_json")).count()
+    val batch = Pipeline.routed(spark, tiny)
+      .groupBy("doc_json").count()
+    assert(artifact.except(batch).count() == 0 &&
+      batch.except(artifact).count() == 0,
+      "streamed doc_json multiset must equal the batch route multiset")
+  }
+
   test("per-turn text equality through the file sink under stable ordering") {
     // the north rule's core invariant: what comes out of the sink is the
     // same per-turn text, recoverable in (conv_id, turn_idx) order
@@ -103,9 +117,13 @@ class StreamingSpec extends SparkSpec {
     Transcripts.load(spark, tiny).write.parquet(s"$root/in")
     val stream = spark.readStream
       .schema(StreamingPipeline.schema).parquet(s"$root/in")
+    // event-time watermarks require TIMESTAMP; the transcript ts is NTZ
+    // (matching the batch synthesis), so cast for the event-time column —
+    // session tz is pinned UTC, making the reinterpretation deterministic
     val agg = stream
-      .withWatermark("ts", "2 hours")
-      .groupBy(window(col("ts"), "1 hour"), col("role"))
+      .withColumn("ts_evt", col("ts").cast("timestamp"))
+      .withWatermark("ts_evt", "2 hours")
+      .groupBy(window(col("ts_evt"), "1 hour"), col("role"))
       .agg(count(lit(1)).as("n"))
     val q = agg.writeStream.format("memory").queryName("wm_agg")
       .option("checkpointLocation", s"$root/ckpt")
