@@ -21,4 +21,17 @@ object Bucketing {
     * planner emits SortMergeJoin with zero ShuffleExchange. */
   def colocatedJoin(spark: SparkSession, left: String, right: String): DataFrame =
     spark.table(left).as("l").join(spark.table(right).as("r"), "conv_id")
+
+  /** W1 ordering straight off bucketed storage: the per-conversation
+    * ordered write is the pipeline's ONLY shuffle; reading a table already
+    * bucketed on conv_id satisfies the clustering requirement, so the
+    * ordered sink becomes exchange-free too (a per-bucket local sort at
+    * most) — at 100 TB the ordering cost moves from a full-network
+    * shuffle to zero by organizing storage. */
+  def orderedFromBucketed(spark: SparkSession, table: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    // no repartition: the bucketed scan already clusters conv_id per
+    // bucket, so only the (free, exchange-less) local sort remains
+    spark.table(table).sortWithinPartitions(col("conv_id"), col("turn_idx"))
+  }
 }

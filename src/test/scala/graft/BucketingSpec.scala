@@ -26,6 +26,23 @@ class BucketingSpec extends SparkSpec {
     }
   }
 
+  test("ordered write from bucketed storage is exchange-free (W1 at rest)") {
+    val t = sources.Transcripts.loadCanonical(spark, tiny)
+    try {
+      Bucketing.writeBucketed(t, "graft_bucketed_ord", 8)
+      val ordered = Bucketing.orderedFromBucketed(spark, "graft_bucketed_ord")
+      val plan = ordered.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"ordering off bucketed storage must not shuffle:\n${plan.take(1200)}")
+      // bucketing really clusters: every conversation lives in ONE partition
+      val spread = ordered
+        .select(col("conv_id"), spark_partition_id().as("pid"))
+        .groupBy("conv_id").agg(countDistinct("pid").as("np"))
+        .filter(col("np") > 1).count()
+      assert(spread == 0, "a conversation crossed bucket partitions")
+    } finally spark.sql("DROP TABLE IF EXISTS graft_bucketed_ord")
+  }
+
   test("hot-key detection finds the planted 20% conversation") {
     val t = sources.Transcripts.load(spark, tiny)
     val hot = TurnOrdering.detectHotKeys(t, sharePermille = 100, sampleFraction = 0.5)
