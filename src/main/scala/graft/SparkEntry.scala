@@ -145,6 +145,29 @@ object SparkEntry {
     "q26_sliding" -> ((s, d) =>
       operators.Aggregates.slidingCounts(Pipeline.parsed(s, d))),
 
+    // W4: scalable global sequence (zip-with-index, no single-partition
+    // window) — oracled against a global row_number
+    "q58_global_seq" -> ((s, d) =>
+      TurnOrdering.globalSeq(Transcripts.load(s, d))
+        .select("conv_id", "turn_idx", "seq")),
+
+    // F2: start_at / stop_at range filter
+    "q59_ts_range" -> ((s, d) =>
+      Transcripts.load(s, d)
+        .filter(Filters.tsRange(
+          Some(java.sql.Timestamp.valueOf("2024-01-03 00:00:00")),
+          Some(java.sql.Timestamp.valueOf("2024-01-07 00:00:00"))))
+        .select("conv_id", "turn_idx")),
+
+    // F6: jobs-mode gate — 'failed' keeps failed/retry/cancelled
+    "q60_jobs_failed" -> ((s, d) => {
+      Graft.prep(s)
+      functions.AgentJobs.enrich(functions.AgentJobs.withJobNames(
+        functions.AgentJobs.fromEvents(s.read.parquet(s"$d/events.parquet")), s))
+        .filter(functions.AgentJobs.jobsModeGate("failed"))
+        .select("instance_id", "job_id", "run_status", "run_status_text")
+    }),
+
     // P2: action channel merged beside event data — colliding names get
     // the `_action` suffix, non-colliding actions keep their own name
     "q52_actions" -> ((s, d) =>
@@ -704,6 +727,28 @@ SELECT win_start, name, count(*) AS n FROM (
   UNION ALL
   SELECT date_trunc('hour', ts) - INTERVAL 1 HOUR AS win_start, $oName AS name FROM transcripts
 ) a GROUP BY 1, 2"""),
+
+    "q58_global_seq" -> withTranscripts("""
+SELECT conv_id, turn_idx,
+  row_number() OVER (ORDER BY conv_id, turn_idx) AS seq
+FROM transcripts"""),
+
+    "q59_ts_range" -> withTranscripts("""
+SELECT conv_id, turn_idx FROM transcripts
+WHERE ts >= TIMESTAMP '2024-01-03 00:00:00'
+  AND ts <= TIMESTAMP '2024-01-07 00:00:00'"""),
+
+    "q60_jobs_failed" -> """
+SELECT instance_id, job_id, run_status,
+  CASE run_status WHEN 0 THEN 'Failed' WHEN 1 THEN 'Succeeded'
+       WHEN 2 THEN 'Retry' WHEN 3 THEN 'Cancelled'
+       WHEN 4 THEN 'In Progress' ELSE 'Unknown' END AS run_status_text
+FROM (
+  SELECT event_id AS instance_id, user_id % 10 AS job_id,
+    CAST(CAST(regexp_extract(props, '[0-9]+', 0) AS BIGINT) % 6 AS INT) AS run_status
+  FROM events
+) j
+WHERE run_status IN (0, 2, 3)""",
 
     "q52_actions" -> withTranscripts(s"""
 SELECT conv_id, turn_idx,
