@@ -4,7 +4,9 @@ import org.apache.spark.sql.SparkSession
 
 /** Prints formatted physical plans for the key queries — the SURVEY §4
   * audit: pushdown/pruning at the scan, broadcast joins (no shuffle in
-  * enrichment), the two-projection fused-parse structure. */
+  * enrichment), single fused parse/enrich evaluations, equi-join-only ANN
+  * paths. `runMain graft.PlanAudit [sfDir] > PLANS.md` captures the
+  * artifact the per-round review reads. */
 object PlanAudit {
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
@@ -13,13 +15,31 @@ object PlanAudit {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     Graft.prep(spark)
-    println("==== routed pipeline ====")
-    Pipeline.routed(spark, sfDir).explain("formatted")
-    println("==== route_counts ====")
-    operators.Routing.perSinkCounts(Pipeline.routed(spark, sfDir)).explain("formatted")
-    println("==== minhash signatures ====")
-    dedup.Dedup.signatures(spark.read.parquet(s"$sfDir/documents.parquet"))
-      .explain("formatted")
+    def section(name: String)(df: => org.apache.spark.sql.DataFrame): Unit = {
+      println(s"\n## $name\n\n```")
+      df.explain("formatted")
+      println("```")
+    }
+    println("# PLANS -- formatted physical plans of the key operators")
+    println("\nRegenerate with: sbt \"runMain graft.PlanAudit\" > PLANS.md")
+    section("routed pipeline (filter -> parse -> enrich -> route, map-only)") {
+      Pipeline.routed(spark, sfDir)
+        .select("conv_id", "turn_idx", "name", "sink_index", "doc_json")
+    }
+    section("route_counts (one aggregate pass + derived views)") {
+      operators.Routing.perSinkCounts(Pipeline.routed(spark, sfDir))
+    }
+    val vecs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    section("ANN near-dup (multi-probe LSH equi-join, no cartesian)") {
+      ann.Similarity.nearDupPairs(vecs)
+    }
+    section("IVF assignment (broadcast n-by-k + partial-agg max_by)") {
+      ann.Similarity.ivfAssign(vecs)
+    }
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    section("MinHash signatures (fused token-sketch expression)") {
+      dedup.Dedup.signatures(docs)
+    }
     spark.stop()
   }
 }
