@@ -68,9 +68,17 @@ object Oracle {
       CASE WHEN $wr > 0 THEN 'W: ' || ${oPagesHuman(wr)} END,
       CASE WHEN $dur IS NOT NULL THEN 'D: ' || ${oHumanDurUs(dur)} END)"""
 
-  /** Mirror of Grok.left(x, 300). */
-  def oLeft300(x: String): String =
-    s"CASE WHEN length($x) > 300 THEN substr($x, 1, 300) || '...' ELSE $x END"
+  /** Mirror of Nfc.nfcLeft(x, n) — byte-gated NFC normalization then
+    * codepoint truncation (P7, pkg/xe/xe.go:907-937). DuckDB's
+    * nfc_normalize and codepoint-counting length/substr give the oracle an
+    * independent implementation of the same definition. */
+  def oNfcLeft(x: String, n: Int): String =
+    s"""CASE WHEN strlen($x) <= $n THEN $x
+       WHEN length(nfc_normalize($x)) > $n THEN substr(nfc_normalize($x), 1, $n) || '...'
+       ELSE nfc_normalize($x) END"""
+
+  /** Mirror of Grok.nfcLeft(x, 300) / FusedEnrich.left300. */
+  def oLeft300(x: String): String = oNfcLeft(x, 300)
 
   /** Mirror of Enrich.sqlDescOf given a precomputed usage expr `ru`. */
   def oSqlDesc(ru: String, txt: String): String =

@@ -168,6 +168,22 @@ object SparkEntry {
         .select("instance_id", "job_id", "run_status", "run_status_text")
     }),
 
+    // P7 in full: NFC-aware truncation. Three arms per row: combining
+    // acute (U+0301) fusing to é under NFC with truncation; the byte-gate
+    // passthrough; normalize-without-truncate (bytes over, codepoints
+    // under after fusion)
+    "q61_nfc_trunc" -> ((s, d) => {
+      val t = Transcripts.load(s, d)
+      val comb = "e\u0301" // 'e' + combining acute: 2 codepoints, 3 bytes
+      val raw = concat(lit(s"Caf$comb "), substring(col("text"), 1, 40))
+      val stack = substr(lit(comb * 12), lit(1),
+        (lit(8) + col("turn_idx") % 5) * 2)
+      t.select(col("conv_id"), col("turn_idx"),
+        functions.Nfc.left(raw, 24).as("trunc"),
+        functions.Nfc.left(substring(col("text"), 1, 10), 24).as("gate_pass"),
+        functions.Nfc.left(stack, 12).as("norm_only"))
+    }),
+
     // P2: action channel merged beside event data — colliding names get
     // the `_action` suffix, non-colliding actions keep their own name
     "q52_actions" -> ((s, d) =>
@@ -749,6 +765,18 @@ FROM (
   FROM events
 ) j
 WHERE run_status IN (0, 2, 3)""",
+
+    "q61_nfc_trunc" -> withTranscripts(s"""
+SELECT conv_id, turn_idx,
+  ${oNfcLeft("raw1", 24)} AS trunc,
+  ${oNfcLeft("raw2", 24)} AS gate_pass,
+  ${oNfcLeft("raw3", 12)} AS norm_only
+FROM (
+  SELECT conv_id, turn_idx,
+    'Caf' || 'e' || chr(769) || ' ' || substr(text, 1, 40) AS raw1,
+    substr(text, 1, 10) AS raw2,
+    substr(repeat('e' || chr(769), 12), 1, (8 + turn_idx % 5) * 2) AS raw3
+  FROM transcripts) q"""),
 
     "q52_actions" -> withTranscripts(s"""
 SELECT conv_id, turn_idx,

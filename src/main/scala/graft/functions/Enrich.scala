@@ -80,11 +80,12 @@ object Enrich {
     when(col("duration").isNotNull, concat(lit("D: "), humanDurationUs(col("duration")))))
 
   /** "(usage) text..." — getSQLDescription (pkg/xe/xe.go:670-687): the
-    * usage prefix only when non-empty, then the 300-codepoint truncation. */
+    * usage prefix only when non-empty, then the NFC-aware 300-codepoint
+    * truncation (P7 in full). */
   def sqlDescOf(txt: Column): Column = {
     val ru = resourceUsage
     concat(when(ru === "", lit("")).otherwise(concat(lit("("), ru, lit(") "))),
-      Grok.left(txt, 300))
+      Grok.nfcLeft(txt, 300))
   }
 
   /** kbtombstring (pkg/xe/xe.go:659-668): KB unless an even MB multiple. */
@@ -102,7 +103,7 @@ object Enrich {
       when(col("app_name").isNotNull, concat(lit(" using "), col("app_name"))).otherwise(lit("")))
     val errDesc = concat(lit("(Msg "), col("error_number"), lit(", Level "),
       col("severity_num"), lit(", State "), col("state_num"), lit(") "),
-      Grok.left(col("body"), 300))
+      Grok.nfcLeft(col("body"), 300))
     val waitDesc = concat(lit("("), humanDurationUs(col("duration")), lit(") "),
       col("wait_type"))
     def objDesc(verb: String) = concat(lit(verb + " "), col("database_name"),
@@ -125,7 +126,7 @@ object Enrich {
       .when(col("name").isin("rpc_completed", "sp_statement_completed",
         "sql_statement_completed"), sqlDescOf(col("statement")))
       .when(col("name").isin("wait_info", "wait_info_external"), waitDesc)
-      .when(col("name") === "errorlog_written", Grok.left(col("errorlog_message"), 300))
+      .when(col("name") === "errorlog_written", Grok.nfcLeft(col("errorlog_message"), 300))
       .when(col("name") === "object_altered", objDesc("ALTER"))
       .when(col("name") === "object_created", objDesc("CREATE"))
       .when(col("name") === "object_deleted", objDesc("DELETE"))
@@ -148,7 +149,7 @@ object Enrich {
         concat(lit("("), col("component"), lit(":"), col("diag_state"), lit(") "),
           col("diag_data")))
       .when(col("name") === "database_file_size_change", fileSizeDesc)
-      .otherwise(Grok.left(col("body"), 300))
+      .otherwise(Grok.nfcLeft(col("body"), 300))
   }
 
   // ---- typed-cast ladder (pkg/xe/xe.go:69-107): raw captures → native

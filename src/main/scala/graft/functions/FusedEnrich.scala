@@ -87,12 +87,9 @@ object FusedEnrich {
   /** Spark's `/` is fractional division; `.cast("long")` truncates. */
   private def divTrunc(x: Long, d: Long): Long = (x.toDouble / d).toLong
 
-  /** Grok.left: codepoint-counting truncation with "..." suffix. */
-  def left300(s: String): String = {
-    if (s == null) return null
-    val n = s.codePointCount(0, s.length)
-    if (n > 300) s.substring(0, s.offsetByCodePoints(0, 300)) + "..." else s
-  }
+  /** Grok.nfcLeft / Nfc.nfcLeft: byte-gated NFC normalization + codepoint
+    * truncation with "..." suffix (P7 in full, pkg/xe/xe.go:907-937). */
+  def left300(s: String): String = Nfc.nfcLeft(s, 300)
 
   /** Enrich.humanDurationUs (µs → h+m / m+s / s / ms / us). */
   def humanDurUs(us: Long): String = {

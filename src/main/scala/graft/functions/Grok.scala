@@ -132,10 +132,24 @@ object Grok {
     ))
   }
 
-  /** Unicode-safe left-truncate with "..." suffix (pkg/xe/xe.go:907-937);
-    * Spark substring counts codepoints, matching the rune semantics. */
+  /** Codepoint left-truncate with "..." suffix; Spark substring counts
+    * codepoints, matching the reference's rune semantics. Building block of
+    * [[nfcLeft]] — use that for the full P7 contract. */
   def left(c: Column, n: Int): Column =
     when(length(c) > n, concat(substring(c, 1, n), lit("..."))).otherwise(c)
+
+  /** NFC normalize-only UDF — the declarative reference path; production
+    * uses the codegen'd [[Nfc.left]] Expression instead. */
+  private lazy val nfcNormalize = udf((s: String) =>
+    if (s == null) null
+    else java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
+
+  /** P7 in full (pkg/xe/xe.go:907-937): byte-length <= n passes through
+    * unchanged; longer strings are NFC-normalized then codepoint-truncated.
+    * Declarative reference of [[Nfc.left]] (equality via EnrichParitySpec
+    * and the DuckDB nfc_normalize oracle). */
+  def nfcLeft(c: Column, n: Int): Column =
+    when(octet_length(c) <= n, c).otherwise(left(nfcNormalize(c), n))
 
   /** P3: zero-value handle skip — hex handles that are all zeros
     * (`0x0000...`) are dropped to null (pkg/xe/xe.go:157-165). */

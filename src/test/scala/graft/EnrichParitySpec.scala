@@ -72,6 +72,11 @@ class EnrichParitySpec extends SparkSpec {
       "event=hadr_db_partner_set_sync_state database_name=d",  // partial → null
       "event=errorlog_written a b Server " + longBody,
       "event=unknown_event " + longBody,                // default arm truncation
+      // NFC arms: combining acute fuses under normalization; the first
+      // exceeds 300 codepoints even after fusion (truncate), the second
+      // only before it (normalize without suffix)
+      "event=unknown_event " + ("e\u0301" * 301),
+      "event=unknown_event " + ("e\u0301" * 200),
       "no event prefix at all"
     )
     val df = cases.zipWithIndex.map { case (t, i) =>

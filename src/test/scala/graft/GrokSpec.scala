@@ -64,6 +64,34 @@ class GrokSpec extends SparkSpec {
     assert(out(2) == "🙂🙂🙂...")
   }
 
+  test("NFC truncation: byte gate, normalize, truncate (xe.go:907-937)") {
+    val cases = Seq(
+      // (input, n, expected) — adapted from xe_left_test.go:16-45
+      ("😢✅👌❤", 5, "😢✅👌❤"),          // 14 bytes > 5 → NFC no-op, 4 cp <= 5
+      ("😢✅👌❤", 3, "😢✅👌..."),
+      ("abcdef", 6, "abcdef"),            // byte gate: 6 <= 6, untouched
+      ("abcdef", 3, "abc..."),
+      ("ăabcdef", 7, "ăabcdef"),          // 8 bytes > 7 → NFC no-op, 7 cp
+      ("ăabcdef", 3, "ăab..."),
+      ("e\u0301abc", 3, "\u00e9ab..."),        // NFC fuses, THEN truncates
+      ("e\u0301abc", 4, "\u00e9abc"),          // bytes 6 > 4; NFC → 4 cp, no trim
+      ("e\u0301ab", 5, "e\u0301ab"),      // bytes 5 <= 5: gate SKIPS NFC
+      (null, 3, null))
+    cases.foreach { case (in, n, want) =>
+      assert(functions.Nfc.nfcLeft(in, n) == want, s"nfcLeft($in, $n)")
+    }
+    // the Expression path agrees with the plain-String path
+    val df = Seq("e\u0301abc", "abcdef", "x" * 400).toDF("s")
+      .select(functions.Nfc.left(col("s"), 3).as("t"))
+    assert(df.collect().map(_.getString(0)).toSeq ==
+      Seq("\u00e9ab...", "abc...", "xxx..."))
+    // and with the declarative built-ins + normalize-UDF reference
+    val decl = Seq("e\u0301abc", "abcdef", "ab").toDF("s")
+      .select(Grok.nfcLeft(col("s"), 3).as("t"))
+    assert(decl.collect().map(_.getString(0)).toSeq ==
+      Seq("\u00e9ab...", "abc...", "ab"))
+  }
+
   test("unit gating thresholds (xe_units_test.go:11-66)") {
     val df = Seq(
       ("event=sql_batch_completed cpu_time=999999 duration=1000000 logical_reads=127 physical_reads=128 writes=256 row_count=1 db_id=1 batch_text=x")
