@@ -110,6 +110,10 @@ object Oracle {
       ${oKvStr("commit_policy_target")} AS cpolt, ${oKvStr("sync_state")} AS sstate,
       ${oKvStr("ddl_phase")} AS ddlph, ${oKvStr("component")} AS comp,
       ${oKvStr("state")} AS dstate, ${oKvStr("data")} AS ddata,
+      NULLIF(regexp_extract(text, 'sql_text=(.*)$$', 1), '') AS sqltext,
+      NULLIF(regexp_extract(text, 'hadr_message=(.*)$$', 1), '') AS hadrmsg,
+      ${oKvStr("state_change_desc")} AS scdesc,
+      ${oKvStr("shutdown_option")} AS shutopt,
       string_split(regexp_replace(regexp_replace(text, '^event=[a-z_0-9]+ ', ''), '\\s+', ' ', 'g'), ' ') AS toks
     FROM transcripts"""
 
@@ -123,6 +127,10 @@ object Oracle {
 
   /** The full E3 description CASE over oParseMid's aliases. */
   val oDescCase: String = s"""CASE
+    WHEN name = 'attention' THEN ${oSqlDesc("ru", "sqltext")}
+    WHEN name = 'hadr_trace_message' THEN hadrmsg
+    WHEN name = 'database_mirroring_state_change' THEN db || ': ' || scdesc
+    WHEN name = 'sql_exit_invoked' THEN shutopt
     WHEN name = 'login' THEN
       'Login: ' || p ||
       CASE WHEN host IS NOT NULL THEN ' from ' || host ELSE '' END ||

@@ -121,6 +121,7 @@ object Enrich {
       when(col("duration").isNotNull,
         concat(lit("("), (col("duration") / 1000L).cast("long"), lit("ms)"))))
     when(col("name") === "login", loginDesc)
+      .when(col("name") === "attention", sqlDescOf(col("sql_text")))
       .when(col("name") === "error_reported", errDesc)
       .when(col("name") === "sql_batch_completed", sqlDescOf(col("batch_text")))
       .when(col("name").isin("rpc_completed", "sp_statement_completed",
@@ -145,6 +146,10 @@ object Enrich {
           col("current_state")))
       .when(col("name") === "availability_replica_state",
         concat(col("ag_name"), lit(": "), col("current_state")))
+      .when(col("name") === "hadr_trace_message", col("hadr_message"))
+      .when(col("name") === "database_mirroring_state_change",
+        concat(col("database_name"), lit(": "), col("state_change_desc")))
+      .when(col("name") === "sql_exit_invoked", col("shutdown_option"))
       .when(col("name") === "sp_server_diagnostics_component_result",
         concat(lit("("), col("component"), lit(":"), col("diag_state"), lit(") "),
           col("diag_data")))

@@ -38,7 +38,8 @@ object FusedEnrich {
     "size_change_kb", "resource_description", "lock_mode",
     "resource_owner_type", "object_id", "ag_name", "previous_state",
     "current_state", "commit_policy", "commit_policy_target", "sync_state",
-    "ddl_phase", "component", "diag_state", "diag_data")
+    "ddl_phase", "component", "diag_state", "diag_data",
+    "sql_text", "hadr_message", "state_change_desc", "shutdown_option")
 
   private val idx: Map[String, Int] = inputCols.zipWithIndex.toMap
   // field index constants
@@ -60,6 +61,8 @@ object FusedEnrich {
   private val iCPolT = idx("commit_policy_target"); private val iSState = idx("sync_state")
   private val iDdlPh = idx("ddl_phase"); private val iComp = idx("component")
   private val iDState = idx("diag_state"); private val iDData = idx("diag_data")
+  private val iSqlText = idx("sql_text"); private val iHadrMsg = idx("hadr_message")
+  private val iScDesc = idx("state_change_desc"); private val iShutOpt = idx("shutdown_option")
 
   val outputSchema: StructType = StructType(Seq(
     StructField("xe_severity_value", IntegerType, nullable = false),
@@ -224,6 +227,7 @@ object FusedEnrich {
           if (a != null) sb.append(" using ").append(a)
           sb.toString
         }
+      case "attention" => sqlDesc(ru, gs(r, iSqlText))
       case "error_reported" =>
         cat("(Msg ", en, ", Level ", sevNum, ", State ", st, ") ",
           left300(gs(r, iBody)))
@@ -259,6 +263,10 @@ object FusedEnrich {
         cat(gs(r, iAg), ": ", gs(r, iPState), " -> ", gs(r, iCState))
       case "availability_replica_state" =>
         cat(gs(r, iAg), ": ", gs(r, iCState))
+      case "hadr_trace_message" => gs(r, iHadrMsg)
+      case "database_mirroring_state_change" =>
+        cat(gs(r, iDb), ": ", gs(r, iScDesc))
+      case "sql_exit_invoked" => gs(r, iShutOpt)
       case "sp_server_diagnostics_component_result" =>
         cat("(", gs(r, iComp), ":", gs(r, iDState), ") ", gs(r, iDData))
       case "database_file_size_change" =>

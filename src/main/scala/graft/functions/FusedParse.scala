@@ -83,7 +83,14 @@ object FusedParse {
     // its own name (pkg/xe/xe.go:155-175 merge rule, resolved at schema
     // design time because the vocabulary is static)
     StructField("session_id_action", LongType),
-    StructField("client_app_name", StringType))
+    StructField("client_app_name", StringType),
+    // final four description-arm inputs (pkg/xe/xe.go:503 attention,
+    // :617 hadr_trace_message, :629 database_mirroring_state_change,
+    // :631 sql_exit_invoked)
+    StructField("sql_text", StringType),         // sql_text=(.*)$ end-anchored
+    StructField("hadr_message", StringType),     // hadr_message=(.*)$ end-anchored
+    StructField("state_change_desc", StringType),
+    StructField("shutdown_option", StringType))
 
   val schema: StructType = StructType(fields)
 
@@ -188,7 +195,8 @@ object FusedParse {
       "data", "resource_description", "lock_mode", "resource_owner_type",
       "ag", "previous_state", "current_state", "commit_policy",
       "commit_policy_target", "sync_state", "ddl_phase", "is_system",
-      "cpu_pct", "plan_handle", "file_size", "act.client_app_name")
+      "cpu_pct", "plan_handle", "file_size", "act.client_app_name",
+      "state_change_desc", "shutdown_option")
     val NumSplit: Int = numKeys.length
     val NKeys: Int = NumSplit + strKeys.length
 
@@ -217,6 +225,8 @@ object FusedParse {
     val IsSystem = kid("is_system"); val CpuPct = kid("cpu_pct")
     val PlanHandle = kid("plan_handle"); val FileSize = kid("file_size")
     val ClientAppNameAction = kid("act.client_app_name")
+    val StateChangeDesc = kid("state_change_desc")
+    val ShutdownOption = kid("shutdown_option")
 
     // reversed-key trie over chars < 128; children(node)(char) -> node|-1
     private val children = scala.collection.mutable.ArrayBuffer[Array[Int]]()
@@ -472,7 +482,11 @@ object FusedParse {
       ks(KeyScan.IsSystem), ks(KeyScan.CpuPct),
       ks(KeyScan.PlanHandle), ks(KeyScan.FileSize),
       KeyScan.num(t, pos, KeyScan.SessionIdAction),
-      ks(KeyScan.ClientAppNameAction))
+      ks(KeyScan.ClientAppNameAction),
+      s(keyToEol(t, "sql_text=")),
+      s(keyToEol(t, "hadr_message=")),
+      ks(KeyScan.StateChangeDesc),
+      ks(KeyScan.ShutdownOption))
   }
 
   /** Event-name prefix only (^event=([a-z_0-9]+)) — the cheap extraction

@@ -101,7 +101,13 @@ object Grok {
       "file_size_raw"   -> kvStr(t, "file_size"),
       // P2 action channel ('.' escaped: the kv key is a literal substring)
       "session_id_action" -> kvNum(t, "act\\.session_id"),
-      "client_app_name"   -> kvStr(t, "act\\.client_app_name")
+      "client_app_name"   -> kvStr(t, "act\\.client_app_name"),
+      // final four description-arm inputs (attention / hadr_trace_message /
+      // database_mirroring_state_change / sql_exit_invoked)
+      "sql_text"          -> { val v = regexp_extract(t, "sql_text=(.*)$", 1); when(v === "", null).otherwise(v) },
+      "hadr_message"      -> { val v = regexp_extract(t, "hadr_message=(.*)$", 1); when(v === "", null).otherwise(v) },
+      "state_change_desc" -> kvStr(t, "state_change_desc"),
+      "shutdown_option"   -> kvStr(t, "shutdown_option")
     ))
   }
 

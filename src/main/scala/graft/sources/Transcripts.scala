@@ -38,6 +38,7 @@ SELECT
   CASE event_type
     WHEN 'error' THEN
       CASE CAST(k % 7 AS INT)
+        WHEN 4 THEN 'event=sql_exit_invoked shutdown_option=' || CASE WHEN k2 % 2 = 0 THEN 'WITH_NOWAIT' ELSE 'NORMAL' END
         WHEN 5 THEN 'event=xml_deadlock_report db_id=' || (1 + k % 8) || ' xml=<deadlock><victim-list>process ' || (k % 30) || '</victim-list><resource>KEY ' || (1 + k % 8) || ':' || (100 + k % 900) || '</resource></deadlock>'
         WHEN 6 THEN 'event=lock_deadlock_chain resource_description=keylock_' || (k % 40) || ' session_id=' || (50 + k % 40) || ' db_id=' || (1 + k % 8)
         ELSE 'event=error_reported Error: ' || (18000 + k % 500) || ', Severity: ' || (10 + k % 16) || ', State: ' || (1 + k % 60)
@@ -47,9 +48,13 @@ SELECT
       'event=login principal=u' || user_id || ' app=app_' || (k % 10) || ' host=host' || lpad(CAST(event_id % 20 AS STRING), 2, '0') || ' Login succeeded. [CLIENT: ' || client || ']'
     WHEN 'purchase' THEN
       CASE CAST(k % 9 AS INT)
-        WHEN 6 THEN 'event=' || CASE CAST(k2 % 3 AS INT) WHEN 0 THEN 'rpc_completed' WHEN 1 THEN 'sp_statement_completed' ELSE 'sql_statement_completed' END
-          || ' cpu_time=' || (k * 31013) || ' logical_reads=' || (k * 31) || ' physical_reads=' || (k % 140) || ' writes=' || (k % 260) || ' duration=' || (k * 104729 + event_id % 1000) || ' db_id=' || (1 + k % 8)
-          || ' statement=EXEC sp_task_' || (k % 50) || ' @id = ' || event_id
+        WHEN 6 THEN CASE CAST(k2 % 4 AS INT)
+          WHEN 3 THEN 'event=attention cpu_time=' || (k * 31013) || ' duration=' || (k * 104729 + event_id % 1000) || ' db_id=' || (1 + k % 8)
+            || ' sql_text=SELECT o_totalprice FROM orders WHERE o_orderkey = ' || event_id
+          ELSE 'event=' || CASE CAST(k2 % 3 AS INT) WHEN 0 THEN 'rpc_completed' WHEN 1 THEN 'sp_statement_completed' ELSE 'sql_statement_completed' END
+            || ' cpu_time=' || (k * 31013) || ' logical_reads=' || (k * 31) || ' physical_reads=' || (k % 140) || ' writes=' || (k % 260) || ' duration=' || (k * 104729 + event_id % 1000) || ' db_id=' || (1 + k % 8)
+            || ' statement=EXEC sp_task_' || (k % 50) || ' @id = ' || event_id
+        END
         WHEN 7 THEN 'event=object_' || CASE CAST(k2 % 3 AS INT) WHEN 0 THEN 'altered' WHEN 1 THEN 'created' ELSE 'deleted' END
           || ' database_name=db_' || (1 + k % 8) || ' object_name=obj_' || (k % 100)
           || ' object_type=' || CASE CAST(k2 % 5 AS INT) WHEN 0 THEN 'PROC' WHEN 1 THEN 'TABLE' WHEN 2 THEN 'VIEW' WHEN 3 THEN 'INDEX' ELSE 'TRIGGER' END || ' db_id=' || (1 + k % 8)
@@ -71,7 +76,11 @@ SELECT
           || ' object_id=' || (100000 + k % 9000)
           || ' xml=<blocked-process><process>spid ' || (50 + k % 40) || '</process></blocked-process>'
         WHEN 6 THEN
-          CASE CAST(k2 % 5 AS INT)
+          CASE CAST(k2 % 7 AS INT)
+            WHEN 5 THEN 'event=hadr_trace_message ag=ag_' || (k % 4)
+              || ' hadr_message=Lease renewal attempt ' || (k % 9) || ' for AG ag_' || (k % 4)
+            WHEN 6 THEN 'event=database_mirroring_state_change database_name=db_' || (1 + k % 8)
+              || ' state_change_desc=' || CASE CAST(k % 3 AS INT) WHEN 0 THEN 'Synchronized' WHEN 1 THEN 'Disconnected' ELSE 'Suspended' END
             WHEN 0 THEN 'event=hadr_db_partner_set_sync_state database_name=db_' || (1 + k % 8)
               || ' commit_policy=' || CASE WHEN k2 % 2 = 0 THEN 'SYNC' ELSE 'ASYNC' END
               || ' commit_policy_target=' || CASE WHEN k % 3 = 0 THEN 'SYNC' ELSE 'ASYNC' END

@@ -70,6 +70,15 @@ class EnrichParitySpec extends SparkSpec {
       "event=availability_replica_manager_state_change current_state=ONLINE",
       "event=hadr_db_partner_set_sync_state database_name=d commit_policy=S commit_policy_target=A sync_state=OK",
       "event=hadr_db_partner_set_sync_state database_name=d",  // partial → null
+      "event=attention cpu_time=5000 duration=7 sql_text=SELECT 1",
+      "event=attention sql_text=" + longBody,          // truncation via sqlDesc
+      "event=attention cpu_time=5",                    // null sql_text → null desc
+      "event=hadr_trace_message hadr_message=lease renewal 3 for ag",
+      "event=hadr_trace_message",                      // null passthrough
+      "event=database_mirroring_state_change database_name=d state_change_desc=Suspended",
+      "event=database_mirroring_state_change database_name=d", // null → null desc
+      "event=sql_exit_invoked shutdown_option=WITH_NOWAIT",
+      "event=sql_exit_invoked",
       "event=errorlog_written a b Server " + longBody,
       "event=unknown_event " + longBody,                // default arm truncation
       // NFC arms: combining acute fuses under normalization; the first
@@ -96,7 +105,8 @@ class EnrichParitySpec extends SparkSpec {
       "alwayson_ddl_executed", "availability_replica_manager_state_change",
       "availability_replica_state_change", "availability_replica_state",
       "sp_server_diagnostics_component_result", "database_file_size_change",
-      "made_up_event", "")
+      "attention", "hadr_trace_message", "database_mirroring_state_change",
+      "sql_exit_invoked", "made_up_event", "")
     val frags = Seq(
       () => s"principal=u${rnd.nextInt(50)}",
       () => s"app=a${rnd.nextInt(5)}",
@@ -127,11 +137,15 @@ class EnrichParitySpec extends SparkSpec {
       () => s"component=c${rnd.nextInt(3)}",
       () => s"state=${Seq("ERROR", "WARNING", "CLEAN", "x")(rnd.nextInt(4))}",
       () => s"data=d${rnd.nextInt(9)}",
+      () => s"state_change_desc=${Seq("Synchronized", "Disconnected", "Suspended")(rnd.nextInt(3))}",
+      () => s"shutdown_option=${Seq("WITH_NOWAIT", "NORMAL")(rnd.nextInt(2))}",
       () => s"junk${rnd.nextInt(100)} noise",
       () => "x" * (rnd.nextInt(400) + 1))
     val tails = Seq(
       () => s" batch_text=SELECT ${rnd.nextInt(100)}",
       () => s" statement=EXEC p${rnd.nextInt(100)} @x = 1",
+      () => s" sql_text=SELECT c${rnd.nextInt(9)} FROM t WHERE k = ${rnd.nextInt(100)}",
+      () => s" hadr_message=lease renewal ${rnd.nextInt(9)} attempt",
       () => "")
     val cases = (0 until 600).map { i =>
       val name = names(rnd.nextInt(names.length))
