@@ -215,6 +215,19 @@ object Oracle {
   val oShingles =
     """CASE WHEN len(th) >= 3 THEN list_transform(generate_series(1, len(th)-2), j -> ((th[j]*31 + th[j+1]) % 1000000007 * 31 + th[j+2]) % 1000000007) ELSE CAST([] AS BIGINT[]) END"""
 
+  /** MinHash signature columns over a shingle-list alias `sh` — the DuckDB
+    * twin of Dedup.minhashOver (same a_i/b_i parameters). */
+  def oMinhashCols(numHashes: Int): String =
+    (0 until numHashes).map { i =>
+      s"CAST(list_aggregate(list_transform(sh, s -> (s*${2 * i + 1} + ${7919 * i + 1}) % 1000000007), 'min') AS BIGINT) AS mh$i"
+    }.mkString(", ")
+
+  /** LSH band projection over a `sigs` CTE — twin of Dedup.bandSig. */
+  def oBandSelect(numHashes: Int): String =
+    (0 until numHashes / 2).map { b =>
+      s"SELECT doc_id, $b AS band_idx, (mh${2 * b}*31 + mh${2 * b + 1}) % 1000000007 AS band_sig FROM sigs"
+    }.mkString(" UNION ALL ")
+
   /** Dot product of two DOUBLE[] columns (ranking-safe; see Similarity). */
   def oDot(a: String, b: String) = s"list_inner_product($a, $b)"
 

@@ -260,6 +260,27 @@ object SparkEntry {
     "q54_ivf_topk" -> ((s, d) =>
       ann.Similarity.ivfTopK(vecs(s, d))),
 
+    // int8 embedding quantization (4× memory at 100 TB); the qvec is
+    // '|'-joined for the hash harness (see q49 note on ndarray cells)
+    "q63_quantize" -> ((s, d) =>
+      ann.Quantize.quantize(vecs(s, d)).select(
+        col("vec_id"),
+        array_join(transform(col("qvec"), x => x.cast("string")), "|").as("qvec"),
+        col("scale_x1e9"))),
+
+    // brute-force top-k over the quantized vectors, ranked by floored
+    // micro-cosine (integer math end to end)
+    "q65_ann_quantized" -> ((s, d) =>
+      ann.Quantize.quantizedTopK(vecs(s, d))),
+
+    // gap-based sessionization: per-session stats
+    "q62_sessionize" -> ((s, d) =>
+      operators.Sessionize.sessionStats(Transcripts.load(s, d))),
+
+    // end-to-end corpus curation: verdict per document
+    "q64_curation" -> ((s, d) =>
+      dedup.Curation.curate(docs(s, d))),
+
     // ---- widened event vocabulary (round 2) ----
     "q45_deadlock_xml" -> ((s, d) =>
       Enrich.withDerived(Pipeline.parsed(s, d))
@@ -934,12 +955,8 @@ FROM (SELECT doc_id, $oTokHashes AS th FROM documents) a"""
     },
 
     "q56_dup_clusters" -> {
-      val mhs = (0 until dedup.Dedup.NumHashes).map { i =>
-        s"CAST(list_aggregate(list_transform(sh, s -> (s*${2 * i + 1} + ${7919 * i + 1}) % 1000000007), 'min') AS BIGINT) AS mh$i"
-      }.mkString(", ")
-      val bandSel = (0 until dedup.Dedup.NumHashes / 2).map { b =>
-        s"SELECT doc_id, $b AS band_idx, (mh${2 * b}*31 + mh${2 * b + 1}) % 1000000007 AS band_sig FROM sigs"
-      }.mkString(" UNION ALL ")
+      val mhs = oMinhashCols(dedup.Dedup.NumHashes)
+      val bandSel = oBandSelect(dedup.Dedup.NumHashes)
       s"""
 WITH RECURSIVE th AS (SELECT doc_id, $oTokHashes AS th FROM documents),
 sigs AS (
@@ -1160,6 +1177,142 @@ SELECT q_id, vec_id AS neighbor_id, rank FROM (
                        ORDER BY ${oCos("q.q_emb", "b.e")} DESC, b.vec_id) AS rank
   FROM assign b JOIN q ON b.cent_id = q.cent_id AND b.vec_id != q.q_id
 ) r WHERE rank <= 5""",
+
+    "q63_quantize" -> s"""
+SELECT vec_id,
+  array_to_string(
+    CASE WHEN maxabs > 0
+         THEN list_transform(e, x -> CAST(CAST(floor(x * 127.0 / maxabs) AS BIGINT) AS VARCHAR))
+         ELSE list_transform(e, x -> '0') END, '|') AS qvec,
+  CAST(floor(maxabs * 1000000000.0 / 127.0) AS BIGINT) AS scale_x1e9
+FROM (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS maxabs
+  FROM embeddings) a""",
+
+    "q65_ann_quantized" -> s"""
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS maxabs
+  FROM embeddings),
+qv AS (
+  SELECT vec_id,
+    CASE WHEN maxabs > 0
+         THEN list_transform(e, x -> CAST(floor(x * 127.0 / maxabs) AS BIGINT))
+         ELSE list_transform(e, x -> CAST(0 AS BIGINT)) END AS q
+  FROM v),
+qs AS (SELECT vec_id AS q_id, q AS qq FROM qv WHERE vec_id % 50 = 0),
+j AS (
+  SELECT qs.q_id, qv.vec_id,
+    CAST(floor(CAST(list_inner_product(qs.qq, qv.q) AS DOUBLE)
+      / (sqrt(CAST(list_inner_product(qs.qq, qs.qq) AS DOUBLE))
+         * sqrt(CAST(list_inner_product(qv.q, qv.q) AS DOUBLE)))
+      * 1000000.0) AS BIGINT) AS qcos_x1e6
+  FROM qv CROSS JOIN qs WHERE qv.vec_id != qs.q_id
+)
+SELECT q_id, vec_id AS neighbor_id, rank, qcos_x1e6 FROM (
+  SELECT q_id, vec_id, qcos_x1e6,
+    row_number() OVER (PARTITION BY q_id ORDER BY qcos_x1e6 DESC, vec_id) AS rank
+  FROM j
+) r WHERE rank <= 5""",
+
+    "q62_sessionize" -> withTranscripts("""
+SELECT conv_id, session_idx, count(*) AS n_turns,
+  min(ts) AS ts_start, max(ts) AS ts_end
+FROM (
+  SELECT conv_id, ts,
+    CAST(sum(CASE WHEN prev_ts IS NULL OR ts > prev_ts + INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END)
+      OVER (PARTITION BY conv_id ORDER BY turn_idx) AS BIGINT) AS session_idx
+  FROM (
+    SELECT conv_id, turn_idx, ts,
+      lag(ts) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev_ts
+    FROM transcripts) a
+) b GROUP BY conv_id, session_idx"""),
+
+    "q64_curation" -> {
+      val stopCond = text.TextAnalysis.stopwords.map(w => s"t = '$w'").mkString(" OR ")
+      val langs = text.TextAnalysis.markers.map(_._1)
+      val scoreExprs = text.TextAnalysis.markers.map { case (l, ws) =>
+        val cond = ws.map(w => s"t = '$w'").mkString(" OR ")
+        s"CAST(len(list_filter($oToks, t -> $cond)) AS BIGINT) AS score_$l"
+      }.mkString(", ")
+      val langArms = langs.map { l =>
+        val others = langs.filter(_ != l).map(o => s"score_$l >= score_$o").mkString(" AND ")
+        s"WHEN score_$l > 0 AND $others THEN '$l'"
+      }.mkString(" ")
+      s"""
+WITH RECURSIVE qual AS (
+  SELECT doc_id, text,
+    CASE WHEN n_tokens < 5 THEN 'too_short'
+         WHEN n_tokens > 0 AND CAST(floor(CAST(n_stopwords * 1000 AS DOUBLE) / n_tokens) AS BIGINT) >= 400 THEN 'boilerplate'
+         WHEN n_punct * 5 > n_tokens * 2 THEN 'noisy'
+         ELSE 'ok' END AS quality_bucket
+  FROM (
+    SELECT doc_id, text,
+      CAST(len($oToks) AS BIGINT) AS n_tokens,
+      CAST(len(list_filter($oToks, t -> $stopCond)) AS BIGINT) AS n_stopwords,
+      CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS BIGINT) AS n_punct
+    FROM documents) a
+),
+langp AS (
+  SELECT doc_id, CASE $langArms ELSE 'und' END AS lang_pred
+  FROM (SELECT doc_id, $scoreExprs FROM documents) b
+),
+gated AS (
+  SELECT q.doc_id, q.text, q.quality_bucket, l.lang_pred
+  FROM qual q JOIN langp l ON q.doc_id = l.doc_id
+),
+pass AS (SELECT doc_id, text FROM gated WHERE quality_bucket = 'ok' AND lang_pred = 'en'),
+normed AS (SELECT doc_id, text, regexp_replace(lower(text), '\\s+', ' ', 'g') AS norm FROM pass),
+ek AS (SELECT norm, min(doc_id) AS exact_keeper FROM normed GROUP BY norm),
+withexact AS (SELECT n.doc_id, n.text, e.exact_keeper FROM normed n JOIN ek e ON n.norm = e.norm),
+survivors AS (SELECT doc_id, text FROM withexact WHERE doc_id = exact_keeper),
+th AS (SELECT doc_id, $oTokHashes AS th FROM survivors),
+sigs AS (
+  SELECT doc_id, ${oMinhashCols(dedup.Dedup.NumHashes)}
+  FROM (SELECT doc_id, $oShingles AS sh FROM th) x
+),
+bands AS (${oBandSelect(dedup.Dedup.NumHashes)}),
+cand AS (
+  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+  FROM bands l JOIN bands r
+    ON l.band_idx = r.band_idx AND l.band_sig = r.band_sig AND l.doc_id < r.doc_id
+),
+shs AS (
+  SELECT doc_id, list_distinct($oShingles) AS shd
+  FROM (SELECT doc_id, $oTokHashes AS th FROM survivors) y
+),
+verified AS (
+  SELECT c.doc_a, c.doc_b
+  FROM cand c
+  JOIN shs a ON c.doc_a = a.doc_id
+  JOIN shs b ON c.doc_b = b.doc_id
+  WHERE CAST(floor(CAST(len(list_intersect(a.shd, b.shd)) * 1000 AS DOUBLE)
+        / len(list_distinct(list_concat(a.shd, b.shd)))) AS BIGINT) >= 600
+),
+edges AS (
+  SELECT doc_a, doc_b FROM verified
+  UNION ALL
+  SELECT doc_b AS doc_a, doc_a AS doc_b FROM verified
+),
+nodes AS (SELECT DISTINCT doc_a AS id FROM edges),
+walk(id, r) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT e.doc_a, w.r FROM edges e JOIN walk w ON e.doc_b = w.id
+),
+clusters AS (SELECT id AS doc_id, min(r) AS near_keeper FROM walk GROUP BY id)
+SELECT g.doc_id,
+  CASE WHEN g.quality_bucket != 'ok' THEN 'quality_' || g.quality_bucket
+       WHEN g.lang_pred != 'en' THEN 'lang'
+       WHEN w.exact_keeper IS NOT NULL AND w.exact_keeper != g.doc_id THEN 'exact_dup'
+       WHEN c.near_keeper IS NOT NULL AND c.near_keeper != g.doc_id THEN 'near_dup'
+       ELSE 'kept' END AS verdict
+FROM gated g
+LEFT JOIN withexact w ON g.doc_id = w.doc_id
+LEFT JOIN clusters c ON g.doc_id = c.doc_id"""
+    },
 
     "q41_multimodal_meta" -> s"""
 SELECT doc_id,

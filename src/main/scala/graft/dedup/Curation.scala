@@ -1,0 +1,56 @@
+package graft.dedup
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.text.TextAnalysis
+
+/** End-to-end corpus curation — the composition a training-data pipeline
+  * actually ships: quality gate → language gate → exact dedup → MinHash-LSH
+  * near-dup clusters → one keeper per cluster. Every input document gets a
+  * verdict, so the kept corpus and each drop reason are one filter away.
+  *
+  * Scale design: the gates are per-row expression trees (no shuffle); exact
+  * dedup is one hash-aggregate on the normalized text; the near-dup stage
+  * sees only gate+exact survivors and pairs them through the LSH banding
+  * equi-join (never all-pairs); cluster keepers come from iterative
+  * min-label propagation over the verified pair graph. Each stage shrinks
+  * the data for the next — the whole chain is linear in input size.
+  */
+object Curation {
+
+  private def norm = regexp_replace(lower(col("text")), "\\s+", " ")
+
+  /** Verdict per document: kept | quality_<bucket> | lang | exact_dup |
+    * near_dup. Drop order matches a real pipeline: cheap gates first, then
+    * exact, then near-dup — a doc failing several stages reports the first. */
+  def curate(docs: DataFrame, jaccardPermilleMin: Int = 600): DataFrame = {
+    val qc = TextAnalysis.qualityColumns(col("text"))
+    val gated = docs.select(col("doc_id"), col("text"),
+      qc("quality_bucket").as("quality_bucket"),
+      TextAnalysis.langId(col("text")).as("lang_pred"))
+    val pass = gated
+      .filter(col("quality_bucket") === "ok" && col("lang_pred") === "en")
+    val normed = pass.select(col("doc_id"), col("text"), norm.as("norm"))
+    val exactKeeper = normed.groupBy("norm")
+      .agg(min(col("doc_id")).as("exact_keeper"))
+    val withExact = normed.join(exactKeeper, "norm")
+      .select(col("doc_id"), col("text"), col("exact_keeper"))
+    val survivors = withExact.filter(col("doc_id") === col("exact_keeper"))
+      .select("doc_id", "text")
+    val pairs = Dedup.jaccardPermille(Dedup.lshCandidates(survivors), survivors)
+      .filter(col("jaccard_permille") >= jaccardPermilleMin)
+    val clusters = Dedup.duplicateClusters(pairs)
+      .withColumnRenamed("keeper_id", "near_keeper")
+    gated.select(col("doc_id"), col("quality_bucket"), col("lang_pred"))
+      .join(withExact.select(col("doc_id"), col("exact_keeper")), Seq("doc_id"), "left")
+      .join(clusters, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("quality_bucket") =!= "ok",
+          concat(lit("quality_"), col("quality_bucket")))
+          .when(col("lang_pred") =!= "en", lit("lang"))
+          .when(col("exact_keeper") =!= col("doc_id"), lit("exact_dup"))
+          .when(col("near_keeper").isNotNull &&
+            col("near_keeper") =!= col("doc_id"), lit("near_dup"))
+          .otherwise(lit("kept")).as("verdict"))
+  }
+}

@@ -1,0 +1,92 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import graft.ann.Quantize
+import graft.dedup.Curation
+import graft.operators.Sessionize
+
+/** Specs for the round-2 additions: int8 quantization (q63/q65), gap
+  * sessionization (q62) and end-to-end curation (q64). */
+class CurationSpec extends SparkSpec {
+  import TestSpark.spark.implicits._
+
+  // ---- Quantize ----
+
+  private val vecs = Seq(
+    (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+    (1L, Array(0.9f, 0.1f, 0.0f, 0.0f)),
+    (2L, Array(0.0f, 1.0f, 0.0f, 0.0f)),
+    (3L, Array(-1.0f, 0.0f, 0.0f, 0.0f)),
+    (50L, Array(0.0f, 0.0f, 0.0f, 0.0f)) // all-zero: maxabs = 0 guard
+  ).toDF("vec_id", "embedding")
+
+  test("quantize maps maxabs component to ±127 and zero vectors to zeros") {
+    val q = Quantize.quantize(vecs).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(q(0L) == Seq(127L, 0L, 0L, 0L))
+    assert(q(3L) == Seq(-127L, 0L, 0L, 0L))
+    assert(q(50L) == Seq(0L, 0L, 0L, 0L))
+    // 0.9 maxabs: 0.9*127/0.9 = 127; 0.1*127/0.9 = 14.11 → floor 14
+    assert(q(1L) == Seq(127L, 14L, 0L, 0L))
+  }
+
+  test("quantized topk ranking matches float cosine order on separable data") {
+    val out = Quantize.quantizedTopK(vecs.filter(col("vec_id") =!= 50L),
+      k = 3, queryMod = 100)
+      .filter(col("q_id") === 0).orderBy("rank").collect()
+    // same order brute float cosine gives: 1 (close), 2 (orthogonal), 3 (opposite)
+    assert(out.map(_.getLong(1)).toSeq == Seq(1L, 2L, 3L))
+    // micro-cosines are integers and strictly ordered here
+    val qcs = out.map(_.getLong(3)).toSeq
+    assert(qcs == qcs.sorted.reverse)
+  }
+
+  // ---- Sessionize ----
+
+  private def ts(min: Int) = Timestamp.valueOf(f"2026-01-01 ${min / 60}%02d:${min % 60}%02d:00")
+
+  test("gap sessionization splits on >30min gaps, per conversation") {
+    val turns = Seq(
+      ("c1", 0L, ts(0)), ("c1", 1L, ts(10)), ("c1", 2L, ts(45)), // 35min gap → new
+      ("c1", 3L, ts(50)),
+      ("c2", 0L, ts(0)), ("c2", 1L, ts(30)) // exactly 30min: NOT a new session
+    ).toDF("conv_id", "turn_idx", "ts")
+    val idx = Sessionize.withSessionIdx(turns).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(3)).toMap
+    assert(idx(("c1", 0L)) == 1L && idx(("c1", 1L)) == 1L)
+    assert(idx(("c1", 2L)) == 2L && idx(("c1", 3L)) == 2L)
+    assert(idx(("c2", 1L)) == 1L)
+    val stats = Sessionize.sessionStats(turns)
+      .filter(col("conv_id") === "c1" && col("session_idx") === 2).collect()(0)
+    assert(stats.getLong(2) == 2L) // n_turns
+    assert(stats.getTimestamp(3) == ts(45) && stats.getTimestamp(4) == ts(50))
+  }
+
+  test("sessionize plan has a single exchange (shared conv_id clustering)") {
+    val plan = Sessionize.sessionStats(
+      sources.Transcripts.load(spark, tiny)).queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1, plan.take(2000))
+  }
+
+  // ---- Curation ----
+
+  test("curation verdicts: quality gate, lang gate, exact dup, near dup, kept") {
+    val base = "the quick brown fox jumps over the lazy dog and runs far away " * 4
+    val docs = Seq(
+      (1L, base),                        // kept (min doc_id of the exact pair)
+      (2L, base),                        // exact_dup of 1
+      (3L, base + "home"),               // near_dup of 1 (jaccard ≈ 13/14)
+      (4L, "short"),                     // quality_too_short
+      (5L, "le chat et le chien sont dans la maison avec les autres et il y a une table " * 3) // lang
+    ).toDF("doc_id", "text")
+    val v = Curation.curate(docs).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(v(1L) == "kept")
+    assert(v(2L) == "exact_dup")
+    assert(v(3L) == "near_dup")
+    assert(v(4L) == "quality_too_short")
+    assert(v(5L) == "lang")
+  }
+}
