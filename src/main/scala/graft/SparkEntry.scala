@@ -281,6 +281,31 @@ object SparkEntry {
     "q64_curation" -> ((s, d) =>
       dedup.Curation.curate(docs(s, d))),
 
+    // Gopher-style repetition signals (top-token share, dup-bigram frac)
+    "q66_repetition" -> ((s, d) =>
+      text.Repetition.signals(docs(s, d))),
+
+    // PII scrub over a deterministically PII-augmented corpus (the synth
+    // documents carry no emails/IPs, so both engines append the same
+    // doc_id-derived email + IPv4 + 7-digit ref before redacting)
+    "q67_pii_redact" -> ((s, d) =>
+      text.Redact.redactionStats(docs(s, d).withColumn("text",
+        concat(col("text"),
+          lit(" contact u"), col("doc_id").cast("string"),
+          lit("@mail.example.com at 10."),
+          (col("doc_id") % 256).cast("string"), lit("."),
+          ((col("doc_id") * 7) % 256).cast("string"),
+          lit(".4 ref "), (col("doc_id") + 1000000L).cast("string"))))),
+
+    // sequence packing: concat-and-chunk pack index/offset per document
+    "q68_packing" -> ((s, d) =>
+      text.Packing.pack(docs(s, d))),
+
+    // deterministic stratified sampling by language
+    "q69_stratified" -> ((s, d) =>
+      operators.Sampling.stratified(docs(s, d),
+        Map("en" -> 500, "de" -> 300), defaultPermille = 100)),
+
     // ---- widened event vocabulary (round 2) ----
     "q45_deadlock_xml" -> ((s, d) =>
       Enrich.withDerived(Pipeline.parsed(s, d))
@@ -1313,6 +1338,71 @@ FROM gated g
 LEFT JOIN withexact w ON g.doc_id = w.doc_id
 LEFT JOIN clusters c ON g.doc_id = c.doc_id"""
     },
+
+    "q66_repetition" -> s"""
+WITH th AS (SELECT doc_id, $oTokHashes AS th FROM documents),
+bi AS (
+  SELECT doc_id, th,
+    CASE WHEN len(th) >= 2
+         THEN list_transform(generate_series(1, len(th)-1),
+                i -> (th[i]*31 + th[i+1]) % 1000000007)
+         ELSE CAST([] AS BIGINT[]) END AS bi
+  FROM th)
+SELECT doc_id,
+  CAST(len(th) AS BIGINT) AS n_tokens,
+  CASE WHEN len(th) > 0 THEN CAST(floor(
+    CAST(list_max(list_transform(list_distinct(th),
+      d -> len(list_filter(th, x -> x = d)))) * 1000.0 AS DOUBLE)
+    / len(th)) AS BIGINT) ELSE 0 END AS top_token_permille,
+  CASE WHEN len(bi) > 0 THEN CAST(floor(
+    CAST((len(bi) - len(list_distinct(bi))) * 1000.0 AS DOUBLE)
+    / len(bi)) AS BIGINT) ELSE 0 END AS dup_bigram_permille
+FROM bi""",
+
+    "q67_pii_redact" -> s"""
+WITH aug AS (
+  SELECT doc_id,
+    text || ' contact u' || CAST(doc_id AS VARCHAR)
+      || '@mail.example.com at 10.' || CAST(doc_id % 256 AS VARCHAR)
+      || '.' || CAST((doc_id * 7) % 256 AS VARCHAR)
+      || '.4 ref ' || CAST(doc_id + 1000000 AS VARCHAR) AS text
+  FROM documents),
+s1 AS (
+  SELECT doc_id, text,
+    regexp_replace(text, '${text.Redact.EmailRe}', '<EMAIL>', 'g') AS t1
+  FROM aug),
+s2 AS (
+  SELECT doc_id, text, t1,
+    regexp_replace(t1, '${text.Redact.Ipv4Re}', '<IP>', 'g') AS t2
+  FROM s1)
+SELECT doc_id,
+  CAST(len(regexp_extract_all(text, '${text.Redact.EmailRe}')) AS BIGINT) AS n_emails,
+  CAST(len(regexp_extract_all(t1, '${text.Redact.Ipv4Re}')) AS BIGINT) AS n_ips,
+  CAST(len(regexp_extract_all(t2, '${text.Redact.LongNumRe}')) AS BIGINT) AS n_longnums,
+  regexp_replace(t2, '${text.Redact.LongNumRe}', '<NUM>', 'g') AS redacted
+FROM s2""",
+
+    "q68_packing" -> s"""
+SELECT doc_id, lang, shard, n_tokens,
+  CAST(floor(CAST(start_tok AS DOUBLE) / 256) AS BIGINT) AS pack_idx,
+  start_tok % 256 AS pack_offset
+FROM (
+  SELECT doc_id, lang, doc_id % 8 AS shard, n_tokens,
+    CAST(COALESCE(sum(n_tokens) OVER (
+      PARTITION BY lang, doc_id % 8 ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_tok
+  FROM (SELECT doc_id, lang, CAST(len($oToks) AS BIGINT) AS n_tokens
+        FROM documents) a
+) b""",
+
+    "q69_stratified" -> s"""
+SELECT doc_id, lang, sample_gate FROM (
+  SELECT doc_id, lang,
+    ((doc_id % 1000000007) * 1103515245 + 12345) % 1000 AS sample_gate,
+    CASE WHEN lang = 'en' THEN 500 WHEN lang = 'de' THEN 300
+         ELSE 100 END AS rate
+  FROM documents) a
+WHERE sample_gate < rate""",
 
     "q41_multimodal_meta" -> s"""
 SELECT doc_id,

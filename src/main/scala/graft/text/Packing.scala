@@ -1,0 +1,39 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sequence packing — the concat-and-chunk step that turns a document
+  * corpus into fixed-token-budget training sequences. Documents are laid
+  * end-to-end in a deterministic order and each is tagged with the pack
+  * (sequence) it STARTS in and its offset there.
+  *
+  * Scale design: a single global running sum would serialize on one
+  * partition, so the corpus is packed per (lang, shard) group with
+  * shard = doc_id mod `shards` — the window shuffle then spreads over
+  * lang×shards partitions, and `shards` scales with the cluster (each
+  * group packs independently, which is exactly how multi-worker training
+  * data is sharded in practice). Token counts are longs and offsets are
+  * integer arithmetic — bit-stable across engines.
+  */
+object Packing {
+
+  /** Per-document pack assignment: (lang, shard, pack_idx, pack_offset).
+    * pack_idx is the zero-based sequence the document's first token lands
+    * in; pack_offset its position inside that sequence. */
+  def pack(docs: DataFrame, budgetTokens: Int = 256, shards: Int = 8): DataFrame = {
+    val w = Window.partitionBy("lang", "shard").orderBy("doc_id")
+    docs
+      .select(col("doc_id"), col("lang"),
+        (col("doc_id") % shards).as("shard"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"))
+      .withColumn("start_tok",
+        coalesce(sum(col("n_tokens"))
+          .over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("doc_id"), col("lang"), col("shard"), col("n_tokens"),
+        floor(col("start_tok").cast("double") / budgetTokens).cast("long")
+          .as("pack_idx"),
+        (col("start_tok") % budgetTokens).as("pack_offset"))
+  }
+}

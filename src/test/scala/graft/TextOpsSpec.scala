@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Sampling
+import graft.text.{Packing, Redact, Repetition}
+
+/** Specs for the corpus-shaping operators: repetition signals (q66), PII
+  * redaction (q67), sequence packing (q68), stratified sampling (q69). */
+class TextOpsSpec extends SparkSpec {
+  import TestSpark.spark.implicits._
+
+  test("repetition signals: top-token share and duplicate-bigram fraction") {
+    val docs = Seq(
+      (1L, "a a a a b"),        // top token 4/5 = 800‰; bigrams (aa,aa,aa,ab): 4 total, 2 distinct → 500‰
+      (2L, "one two three four"), // all unique → 250‰ top, 0 dup bigrams
+      (3L, "x"),                // single token: no bigrams
+      (4L, "")                  // empty: all zeros
+    ).toDF("doc_id", "text")
+    val out = Repetition.signals(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) == ((5L, 800L, 500L)))
+    assert(out(2L) == ((4L, 250L, 0L)))
+    assert(out(3L) == ((1L, 1000L, 0L)))
+    assert(out(4L) == ((0L, 0L, 0L)))
+  }
+
+  test("redaction scrubs emails first, then IPs, then long digit runs") {
+    val docs = Seq(
+      (1L, "mail me at j.doe+x@corp.example.org or 192.168.001.200 ref 12345678"),
+      (2L, "no pii here"),
+      (3L, "two mails a@b.co c@d.io and short num 123456") // 6 digits: kept
+    ).toDF("doc_id", "text")
+    val out = Redact.redactionStats(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getLong(1) == 1L && out(1L).getLong(2) == 1L && out(1L).getLong(3) == 1L)
+    assert(out(1L).getString(4) == "mail me at <EMAIL> or <IP> ref <NUM>")
+    assert(out(2L).getString(4) == "no pii here")
+    assert(out(3L).getLong(1) == 2L && out(3L).getLong(3) == 0L)
+    assert(out(3L).getString(4) == "two mails <EMAIL> <EMAIL> and short num 123456")
+  }
+
+  test("packing assigns pack index/offset from the running token count") {
+    // one lang, shards=1 → a single deterministic chain ordered by doc_id
+    val docs = Seq(
+      (0L, "en", ("w " * 100).trim),  // 100 tokens: starts pack 0 offset 0
+      (1L, "en", ("w " * 200).trim),  // starts at 100: pack 0 offset 100
+      (2L, "en", ("w " * 10).trim)    // starts at 300: pack 1 offset 44
+    ).toDF("doc_id", "lang", "text")
+    val out = Packing.pack(docs, budgetTokens = 256, shards = 1).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(4), r.getLong(5)))).toMap
+    assert(out(0L) == ((0L, 0L)))
+    assert(out(1L) == ((0L, 100L)))
+    assert(out(2L) == ((1L, 44L)))
+  }
+
+  test("packing chains are independent per (lang, shard)") {
+    val docs = Seq(
+      (0L, "en", "w w w"), (8L, "en", "w w"),   // shard 0 chain: starts 0, 3
+      (1L, "en", "w w w w"),                    // shard 1 chain: starts 0
+      (2L, "de", "w")                           // other lang: starts 0
+    ).toDF("doc_id", "lang", "text")
+    val out = Packing.pack(docs, budgetTokens = 256, shards = 8).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(5)))).toMap
+    assert(out(0L) == ((0L, 0L)) && out(8L) == ((0L, 3L)))
+    assert(out(1L) == ((1L, 0L)))
+    assert(out(2L) == ((2L, 0L)))
+  }
+
+  test("stratified sampling is a deterministic per-stratum hash gate") {
+    val docs = (0L until 1000L).map(i =>
+      (i, if (i % 2 == 0) "en" else "zh", "t")).toDF("doc_id", "lang", "text")
+    val out = Sampling.stratified(docs, Map("en" -> 500), defaultPermille = 100)
+    val rows = out.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    // every kept row's gate is under its stratum rate
+    assert(rows.forall { case (_, l, g) => g < (if (l == "en") 500 else 100) })
+    // rates land near the nominal permille (hash gate, not exact quota)
+    val en = rows.count(_._2 == "en"); val zh = rows.count(_._2 == "zh")
+    assert(en > 200 && en < 300, s"en kept $en of 500")
+    assert(zh > 20 && zh < 80, s"zh kept $zh of 500")
+    // deterministic: same input → same kept set
+    val again = Sampling.stratified(docs, Map("en" -> 500), 100)
+      .collect().map(r => r.getLong(0)).sorted
+    assert(again.toSeq == rows.map(_._1).sorted.toSeq)
+  }
+}
