@@ -124,6 +124,44 @@ class PlanSpec extends SparkSpec {
       "q24 path must contain a real broadcast equi-join")
   }
 
+  private def finalPlanOf(df: org.apache.spark.sql.DataFrame): String = {
+    // exchanges are inserted by EnsureRequirements — only executedPlan
+    // (not sparkPlan) shows them; AQE off so the string is the real plan
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val s = df.queryExecution.executedPlan.toString
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    s
+  }
+
+  test("per-row corpus ops are exchange-free map passes") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val vecs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    Seq(
+      "repetition" -> text.Repetition.signals(docs),
+      "redact" -> text.Redact.redactionStats(docs),
+      "stratified" -> operators.Sampling.stratified(docs, Map("en" -> 500)),
+      "quantize" -> ann.Quantize.quantize(vecs)
+    ).foreach { case (nm, df) =>
+      val plan = finalPlanOf(df)
+      assert(!plan.contains("Exchange"), s"$nm must not shuffle:\n${plan.take(1500)}")
+    }
+  }
+
+  test("packing shuffles once, on the (lang, shard) window keys") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val plan = finalPlanOf(text.Packing.pack(docs))
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length == 1,
+      s"one window exchange expected:\n${plan.take(1500)}")
+    assert(plan.contains("shard"), "exchange must key on the shard column")
+  }
+
+  test("curation near-dup stage stays an equi-join (no cartesian)") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val plan = dedup.Curation.curate(docs).queryExecution.sparkPlan.toString
+    assert(!plan.contains("CartesianProduct"), "curation has a cartesian product")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), "curation nested-loop joins")
+  }
+
   test("lineage dedup-on-read collapses replayed batches (effective-once)") {
     import TestSpark.spark.implicits._
     val lineage = Seq(

@@ -141,6 +141,39 @@ class StreamingSpec extends SparkSpec {
     assert(got.except(full).count() == 0, "streamed window counts must be a subset of batch counts")
   }
 
+  test("streaming sessionization closes sessions in-batch and by watermark timeout") {
+    implicit val sp = spark
+    val root = "/tmp/graft_sess_stream_spec"
+    rm(root)
+    Transcripts.load(spark, tiny).write.parquet(s"$root/in")
+    val stream = spark.readStream
+      .schema(StreamingPipeline.schema).parquet(s"$root/in")
+    val out = graft.streaming.SessionizeStream.sessions(stream).toDF()
+    val q = out.writeStream.format("memory").queryName("sess_stream")
+      .option("checkpointLocation", s"$root/ckpt")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("sess_stream")
+
+    // with a zero-delay watermark, every session whose end + gap is at or
+    // before the corpus max ts must have been emitted (in-batch closure for
+    // non-final sessions, event-time timeout for final ones); nothing else
+    val batch = operators.Sessionize.sessionStats(Transcripts.load(spark, tiny))
+      .select(col("conv_id"), col("session_idx"), col("n_turns"),
+        col("ts_start").cast("timestamp").as("ts_start"),
+        col("ts_end").cast("timestamp").as("ts_end"))
+    val maxTs = Transcripts.load(spark, tiny)
+      .agg(max(col("ts").cast("timestamp"))).collect()(0).getTimestamp(0)
+    val eligible = batch.filter(
+      col("ts_end") + expr("INTERVAL 30 MINUTES") <= lit(maxTs))
+    assert(got.count() > 0, "stream emitted no sessions")
+    assert(got.except(eligible).count() == 0,
+      "streamed sessions must match the batch sessionizer exactly")
+    assert(eligible.except(got).count() == 0,
+      "every watermark-closed session must be emitted")
+  }
+
   test("stateful sampler emits first event per name per hour across batches") {
     import TestSpark.spark.implicits._
     implicit val sp = spark
