@@ -306,6 +306,17 @@ object SparkEntry {
       operators.Sampling.stratified(docs(s, d),
         Map("en" -> 500, "de" -> 300), defaultPermille = 100)),
 
+    // per-document top terms by integer-exact tf-idf
+    "q70_tfidf" -> ((s, d) =>
+      text.TfIdf.topTerms(docs(s, d))),
+
+    // per-group embedding centroids ('|'-joined for the hash harness)
+    "q71_centroids" -> ((s, d) =>
+      ann.Centroids.perGroup(vecs(s, d)).select(
+        col("grp"), col("n_vectors"),
+        array_join(transform(col("centroid_x1e6"), x => x.cast("string")), "|")
+          .as("centroid_x1e6"))),
+
     // ---- widened event vocabulary (round 2) ----
     "q45_deadlock_xml" -> ((s, d) =>
       Enrich.withDerived(Pipeline.parsed(s, d))
@@ -1403,6 +1414,37 @@ SELECT doc_id, lang, sample_gate FROM (
          ELSE 100 END AS rate
   FROM documents) a
 WHERE sample_gate < rate""",
+
+    "q70_tfidf" -> s"""
+WITH toks AS (SELECT doc_id, unnest($oTokHashes) AS tok FROM documents),
+tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY doc_id, tok),
+dfr AS (SELECT tok, count(DISTINCT doc_id) AS df FROM toks GROUP BY tok),
+nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.tok, tf.tf, dfr.df,
+    CAST(tf.tf * CAST(floor(CAST(1000000 * nd.n_docs AS DOUBLE) / dfr.df)
+      AS BIGINT) AS BIGINT) AS score
+  FROM tf JOIN dfr USING (tok) CROSS JOIN nd)
+SELECT doc_id, rank, tok, tf, df, score FROM (
+  SELECT doc_id, tok, tf, df, score,
+    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, tok) AS rank
+  FROM scored) r
+WHERE rank <= 3""",
+
+    "q71_centroids" -> s"""
+WITH e AS (
+  SELECT vec_id % 4 AS grp,
+    unnest(generate_series(1, len(embedding))) - 1 AS dim_idx,
+    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000.0) AS BIGINT) AS c
+  FROM embeddings),
+s AS (
+  SELECT grp, dim_idx, count(*) AS n, CAST(sum(c) AS BIGINT) AS s
+  FROM e GROUP BY grp, dim_idx)
+SELECT grp, CAST(max(n) AS BIGINT) AS n_vectors,
+  array_to_string(
+    list(CAST(CAST(floor(CAST(s AS DOUBLE) / n) AS BIGINT) AS VARCHAR)
+         ORDER BY dim_idx), '|') AS centroid_x1e6
+FROM s GROUP BY grp""",
 
     "q41_multimodal_meta" -> s"""
 SELECT doc_id,

@@ -1,0 +1,40 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Per-document top terms by tf-idf — the salient-term extraction step
+  * (topic tagging, dedup explanations, corpus exploration).
+  *
+  * Scoring is INTEGER-EXACT: score = tf · floor(1e6·N / df) with reciprocal
+  * document frequency as the idf surrogate (same ranking family as
+  * unsmoothed tf-idf; chosen over ln(N/df) because the two engines'
+  * libm `log` implementations are not bit-identical, and a correctness
+  * gate must not ride on 1-ulp luck). Ties break on the token hash.
+  *
+  * Scale shape: explode → two partial-aggregated shuffles (tf on
+  * (doc_id, tok), df on tok) → the df side is VOCABULARY-sized (sublinear
+  * in corpus size) and broadcasts back onto tf → per-doc top-k window on
+  * the doc_id clustering the tf aggregation already produced.
+  */
+object TfIdf {
+
+  def topTerms(docs: DataFrame, k: Int = 3): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      explode(TextAnalysis.tokHashes(col("text"))).as("tok"))
+    val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val df = toks.groupBy("tok").agg(countDistinct("doc_id").as("df"))
+    val n = docs.agg(countDistinct("doc_id").as("n_docs"))
+    val scored = tf
+      .join(broadcast(df), "tok")
+      .crossJoin(broadcast(n))
+      .withColumn("score",
+        col("tf") * floor(lit(1000000L) * col("n_docs") / col("df")).cast("long"))
+    val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("tok"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("rank"), col("tok"), col("tf"), col("df"),
+        col("score"))
+  }
+}

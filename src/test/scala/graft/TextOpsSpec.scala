@@ -66,6 +66,32 @@ class TextOpsSpec extends SparkSpec {
     assert(out(2L) == ((2L, 0L)))
   }
 
+  test("tf-idf ranks rare repeated terms above ubiquitous ones") {
+    val docs = Seq(
+      (1L, "rare rare common"),
+      (2L, "common other"),
+      (3L, "common third")
+    ).toDF("doc_id", "text")
+    val top1 = text.TfIdf.topTerms(docs, k = 1).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(3), r.getLong(4)))).toMap
+    // doc 1's top term must be "rare": tf=2, df=1 → score 2*3e6;
+    // "common" has df=3 → score 1e6
+    assert(top1(1L) == ((2L, 1L)))
+    // docs 2/3: their unique term (df=1) outranks "common" (df=3)
+    assert(top1(2L) == ((1L, 1L)) && top1(3L) == ((1L, 1L)))
+  }
+
+  test("centroids: element-wise integer-exact mean per group") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)), (4L, Array(0.0f, 1.0f)), // grp 0: mean (.5, .5)
+      (1L, Array(0.5f, -0.5f))                           // grp 1
+    ).toDF("vec_id", "embedding")
+    val out = graft.ann.Centroids.perGroup(vecs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getSeq[Long](2)))).toMap
+    assert(out(0L) == ((2L, Seq(500000L, 500000L))))
+    assert(out(1L) == ((1L, Seq(500000L, -500000L))))
+  }
+
   test("stratified sampling is a deterministic per-stratum hash gate") {
     val docs = (0L until 1000L).map(i =>
       (i, if (i % 2 == 0) "en" else "zh", "t")).toDF("doc_id", "lang", "text")
