@@ -149,6 +149,20 @@ object Bench {
           results("ann_topk") = timeNoop(ann.Similarity.bruteTopK(vecs))
           results("route_counts") = timeNoop(
             operators.Routing.perSinkCounts(routed))
+
+          // corpus-shaping ops: tf-idf over the replicated docs; curation
+          // on a 10× distinct-text corpus (each replica is a planted
+          // near-dup of its original, so the LSH + cluster stages do real
+          // work); sessionization over the full staged transcript corpus
+          results("tfidf") = timeNoop(text.TfIdf.topTerms(docs))
+          val docs10 = spark.read.parquet(s"$sfDir/documents.parquet")
+            .crossJoin(spark.range(0, 10L, 1, cpus).select(col("id").as("rep")))
+            .withColumn("doc_id", col("doc_id") * 16 + col("rep"))
+            .withColumn("text", concat(col("text"), lit(" r"), col("rep")))
+            .drop("rep").repartition(cpus * 2)
+          results("curation") = timeNoop(dedup.Curation.curate(docs10))
+          results("sessionize") = timeNoop(
+            operators.Sessionize.sessionStats(input))
         }
       } finally spark.stop()
     }

@@ -23,8 +23,16 @@ object TfIdf {
   def topTerms(docs: DataFrame, k: Int = 3): DataFrame = {
     val toks = docs.select(col("doc_id"),
       explode(TextAnalysis.tokHashes(col("text"))).as("tok"))
+    // tf feeds BOTH the join and the df aggregate; persisted so the
+    // explode+hash scan runs exactly once (exchange reuse does not fire
+    // across the extra final-agg level here — measured). The cache is
+    // released by the ContextCleaner once the result frame is dropped,
+    // the same lifecycle globalSeq uses.
     val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
-    val df = toks.groupBy("tok").agg(countDistinct("doc_id").as("df"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // df derives from tf — its rows are already distinct (doc, tok) pairs,
+    // so a plain count replaces a second scan with a countDistinct
+    val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
     val n = docs.agg(countDistinct("doc_id").as("n_docs"))
     val scored = tf
       .join(broadcast(df), "tok")
