@@ -273,6 +273,10 @@ object SparkEntry {
     "q65_ann_quantized" -> ((s, d) =>
       ann.Quantize.quantizedTopK(vecs(s, d))),
 
+    // the scale composition: LSH-bucket equi-join × int8 integer ranking
+    "q72_ann_bucketed_quantized" -> ((s, d) =>
+      ann.Quantize.bucketedQuantizedTopK(vecs(s, d))),
+
     // gap-based sessionization: per-session stats
     "q62_sessionize" -> ((s, d) =>
       operators.Sessionize.sessionStats(Transcripts.load(s, d))),
@@ -1245,6 +1249,33 @@ j AS (
          * sqrt(CAST(list_inner_product(qv.q, qv.q) AS DOUBLE)))
       * 1000000.0) AS BIGINT) AS qcos_x1e6
   FROM qv CROSS JOIN qs WHERE qv.vec_id != qs.q_id
+)
+SELECT q_id, vec_id AS neighbor_id, rank, qcos_x1e6 FROM (
+  SELECT q_id, vec_id, qcos_x1e6,
+    row_number() OVER (PARTITION BY q_id ORDER BY qcos_x1e6 DESC, vec_id) AS rank
+  FROM j
+) r WHERE rank <= 5""",
+
+    "q72_ann_bucketed_quantized" -> s"""
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS maxabs
+  FROM embeddings),
+qv AS (
+  SELECT vec_id, e,
+    CASE WHEN maxabs > 0
+         THEN list_transform(e, x -> CAST(floor(x * 127.0 / maxabs) AS BIGINT))
+         ELSE list_transform(e, x -> CAST(0 AS BIGINT)) END AS q
+  FROM v),
+b AS (SELECT vec_id, q, ${oBucketExpr("e")} AS bucket FROM qv),
+qs AS (SELECT vec_id AS q_id, q AS qq, bucket FROM b WHERE vec_id % 50 = 0),
+j AS (
+  SELECT qs.q_id, c.vec_id,
+    CAST(floor(CAST(list_inner_product(qs.qq, c.q) AS DOUBLE)
+      / (sqrt(CAST(list_inner_product(qs.qq, qs.qq) AS DOUBLE))
+         * sqrt(CAST(list_inner_product(c.q, c.q) AS DOUBLE)))
+      * 1000000.0) AS BIGINT) AS qcos_x1e6
+  FROM b c JOIN qs ON c.bucket = qs.bucket WHERE c.vec_id != qs.q_id
 )
 SELECT q_id, vec_id AS neighbor_id, rank, qcos_x1e6 FROM (
   SELECT q_id, vec_id, qcos_x1e6,

@@ -48,6 +48,29 @@ object Quantize {
     dot.cast("double") / (sqrt(na.cast("double")) * sqrt(nb.cast("double")))
   }
 
+  /** The 100 TB composition: int8 STORAGE × LSH PARTITIONING. Buckets come
+    * from the float embedding (assignment happens once, at ingest), the
+    * search joins on the bucket id and ranks by integer-math quantized
+    * cosine — so the big side is 4× smaller on disk AND only same-bucket
+    * candidates are scored. Mirrors Similarity.bucketedTopK's join shape. */
+  def bucketedQuantizedTopK(vecs: DataFrame, k: Int = 5, queryMod: Int = 50,
+                            dim: Int = 64): DataFrame = {
+    val withB = vecs.select(col("vec_id"),
+      Similarity.lshBucket(col("embedding"), dim).as("bucket"),
+      quantized(col("embedding")).as("qvec"))
+    val q = withB.filter(col("vec_id") % queryMod === 0)
+      .select(col("vec_id").as("q_id"), col("qvec").as("q_qvec"), col("bucket"))
+    val joined = withB.join(broadcast(q), "bucket")
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("qcos_x1e6",
+        floor(qcos(col("q_qvec"), col("qvec")) * 1e6).cast("long"))
+    val w = Window.partitionBy("q_id").orderBy(col("qcos_x1e6").desc, col("vec_id"))
+    joined.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("vec_id").as("neighbor_id"), col("rank"),
+        col("qcos_x1e6"))
+  }
+
   /** Brute-force top-k over QUANTIZED vectors (broadcast query set) —
     * mirrors Similarity.bruteTopK but moves 4× fewer bytes per row and
     * ranks by the floored micro-cosine for cross-engine determinism. */

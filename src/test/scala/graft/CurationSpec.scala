@@ -43,6 +43,25 @@ class CurationSpec extends SparkSpec {
     assert(qcs == qcs.sorted.reverse)
   }
 
+  test("bucketed quantized topk searches only same-bucket candidates, ranks like brute") {
+    // drop the zero vector; add an identical twin of id 0 so the query
+    // bucket is guaranteed non-singleton
+    val vs = vecs.filter(col("vec_id") =!= 50L)
+      .unionByName(Seq((100L, Array(1.0f, 0.0f, 0.0f, 0.0f)))
+        .toDF("vec_id", "embedding"))
+    val out = Quantize.bucketedQuantizedTopK(vs, k = 4, queryMod = 100, dim = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val buckets = graft.ann.Similarity.buckets(vs, dim = 4).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.nonEmpty)
+    out.foreach { case (q, n) => assert(buckets(q) == buckets(n)) }
+    // plan is an equi-join, never a cartesian
+    val plan = Quantize.bucketedQuantizedTopK(vs, dim = 4)
+      .queryExecution.sparkPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"))
+  }
+
   // ---- Sessionize ----
 
   private def ts(min: Int) = Timestamp.valueOf(f"2026-01-01 ${min / 60}%02d:${min % 60}%02d:00")
