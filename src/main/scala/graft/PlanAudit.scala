@@ -17,7 +17,14 @@ object PlanAudit {
     Graft.prep(spark)
     def section(name: String)(df: => org.apache.spark.sql.DataFrame): Unit = {
       println(s"\n## $name\n\n```")
-      df.explain("formatted")
+      // capture + cap: iterative plans (cluster propagation) unroll to
+      // tens of thousands of lines; the audit needs the shape, not all of it
+      val buf = new java.io.ByteArrayOutputStream()
+      Console.withOut(new java.io.PrintStream(buf)) { df.explain("formatted") }
+      val lines = buf.toString("UTF-8").linesIterator.toSeq
+      println(lines.take(220).mkString("\n"))
+      if (lines.size > 220)
+        println(s"... (${lines.size - 220} more lines truncated)")
       println("```")
     }
     println("# PLANS -- formatted physical plans of the key operators")
@@ -39,6 +46,21 @@ object PlanAudit {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     section("MinHash signatures (fused token-sketch expression)") {
       dedup.Dedup.signatures(docs)
+    }
+    section("bucketed quantized ANN (equi-join on bucket, int8 ranking)") {
+      ann.Quantize.bucketedQuantizedTopK(vecs)
+    }
+    section("sessionize (one conv_id exchange: lag + cumsum + agg)") {
+      operators.Sessionize.sessionStats(sources.Transcripts.load(spark, sfDir))
+    }
+    section("packing (per-(lang, shard) window, no global cumsum)") {
+      text.Packing.pack(docs)
+    }
+    section("tf-idf (persisted tf, broadcast vocabulary-sized df)") {
+      text.TfIdf.topTerms(docs)
+    }
+    section("curation chain (gates -> exact dedup -> LSH banding -> clusters)") {
+      dedup.Curation.curate(docs)
     }
     spark.stop()
   }
