@@ -277,6 +277,10 @@ object SparkEntry {
     "q72_ann_bucketed_quantized" -> ((s, d) =>
       ann.Quantize.bucketedQuantizedTopK(vecs(s, d))),
 
+    // exact dedup keyed on the 128-bit content hash (scale variant of q34)
+    "q73_dedup_hash" -> ((s, d) =>
+      dedup.Dedup.exactByHash(docs(s, d))),
+
     // gap-based sessionization: per-session stats
     "q62_sessionize" -> ((s, d) =>
       operators.Sessionize.sessionStats(Transcripts.load(s, d))),
@@ -1283,6 +1287,11 @@ SELECT q_id, vec_id AS neighbor_id, rank, qcos_x1e6 FROM (
   FROM j
 ) r WHERE rank <= 5""",
 
+    "q73_dedup_hash" -> """
+SELECT md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm_h,
+  min(doc_id) AS keeper_id, count(*) AS n_copies
+FROM documents GROUP BY 1""",
+
     "q62_sessionize" -> withTranscripts("""
 SELECT conv_id, session_idx, count(*) AS n_turns,
   min(ts) AS ts_start, max(ts) AS ts_end
@@ -1331,7 +1340,7 @@ gated AS (
   FROM qual q JOIN langp l ON q.doc_id = l.doc_id
 ),
 pass AS (SELECT doc_id, text FROM gated WHERE quality_bucket = 'ok' AND lang_pred = 'en'),
-normed AS (SELECT doc_id, text, regexp_replace(lower(text), '\\s+', ' ', 'g') AS norm FROM pass),
+normed AS (SELECT doc_id, text, md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm FROM pass),
 ek AS (SELECT norm, min(doc_id) AS exact_keeper FROM normed GROUP BY norm),
 withexact AS (SELECT n.doc_id, n.text, e.exact_keeper FROM normed n JOIN ek e ON n.norm = e.norm),
 survivors AS (SELECT doc_id, text FROM withexact WHERE doc_id = exact_keeper),

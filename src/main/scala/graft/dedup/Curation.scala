@@ -18,7 +18,9 @@ import graft.text.TextAnalysis
   */
 object Curation {
 
-  private def norm = regexp_replace(lower(col("text")), "\\s+", " ")
+  /** Exact-dedup key: the 128-bit content hash, not the normalized text —
+    * the grouping exchange carries 32 chars per row (see Dedup.exactKeyHash). */
+  private def norm = Dedup.exactKeyHash(col("text"))
 
   /** Verdict per document: kept | quality_<bucket> | lang | exact_dup |
     * near_dup. Drop order matches a real pipeline: cheap gates first, then

@@ -18,12 +18,28 @@ import graft.text.TextAnalysis._
 object Dedup {
 
   // ---- exact dedup -----------------------------------------------------------
-  /** Normalized-text exact dedup: keeper = min doc_id per group. */
+  /** Normalized-text exact dedup: keeper = min doc_id per group. The
+    * group key is the full normalized text — exact by definition, but the
+    * exchange carries every document body; use [[exactByHash]] at scale. */
   def exact(docs: DataFrame): DataFrame =
     docs.withColumn("norm", regexp_replace(lower(col("text")), "\\s+", " "))
       .groupBy("norm")
       .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("n_copies"))
       .select("keeper_id", "n_copies")
+
+  /** 128-bit content key for exact dedup — the 100 TB shape: the shuffle
+    * carries a 32-char key instead of the document text (MD5 is
+    * standardized, so Spark and DuckDB agree byte-for-byte; collision
+    * probability at 1e12 docs is ~1e-13, the accepted industry trade). */
+  def exactKeyHash(text: Column): Column =
+    md5(regexp_replace(lower(text), "\\s+", " ").cast("binary"))
+
+  /** Exact dedup keyed on the content hash. */
+  def exactByHash(docs: DataFrame): DataFrame =
+    docs.withColumn("norm_h", exactKeyHash(col("text")))
+      .groupBy("norm_h")
+      .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("n_copies"))
+      .select("norm_h", "keeper_id", "n_copies")
 
   // ---- shingles + minhash ----------------------------------------------------
   /** 3-token shingle hashes: s = ((h0*31 + h1) % P * 31 + h2) % P over the
