@@ -1402,9 +1402,9 @@ bi AS (
 SELECT doc_id,
   CAST(len(th) AS BIGINT) AS n_tokens,
   CASE WHEN len(th) > 0 THEN CAST(floor(
-    CAST(list_max(list_transform(list_distinct(th),
-      d -> len(list_filter(th, x -> x = d)))) * 1000.0 AS DOUBLE)
-    / len(th)) AS BIGINT) ELSE 0 END AS top_token_permille,
+    CAST(list_max(list_transform(list_distinct(th[1:${text.Repetition.TopTokenWindow}]),
+      d -> len(list_filter(th[1:${text.Repetition.TopTokenWindow}], x -> x = d)))) * 1000.0 AS DOUBLE)
+    / least(len(th), ${text.Repetition.TopTokenWindow})) AS BIGINT) ELSE 0 END AS top_token_permille,
   CASE WHEN len(bi) > 0 THEN CAST(floor(
     CAST((len(bi) - len(list_distinct(bi))) * 1000.0 AS DOUBLE)
     / len(bi)) AS BIGINT) ELSE 0 END AS dup_bigram_permille

@@ -26,14 +26,20 @@ object Repetition {
         i => (element_at(th, i) * 31L + element_at(th, i + 1)) % P))
       .otherwise(array().cast("array<bigint>"))
 
-  /** Highest single-token occurrence count. Quadratic in DISTINCT tokens ×
-    * tokens per row — bounded by document length, not corpus size, so it
-    * stays a per-row constant at scale. */
-  def topTokenCount(th: Column): Column =
+  /** Token window for the quadratic top-token scan: distinct×all is
+    * O(L²) per row, so a pathological 1M-token document would cost 1e12
+    * comparisons. The signal saturates long before that — the first 4096
+    * tokens bound the cost at ~16M ops worst case. */
+  val TopTokenWindow = 4096
+
+  /** Highest single-token occurrence count over the capped window. */
+  def topTokenCount(th: Column): Column = {
+    val w = slice(th, 1, TopTokenWindow)
     coalesce(
-      array_max(transform(array_distinct(th),
-        d => size(filter(th, x => x === d)).cast("long"))),
+      array_max(transform(array_distinct(w),
+        d => size(filter(w, x => x === d)).cast("long"))),
       lit(0L))
+  }
 
   private def permille(num: Column, den: Column): Column =
     when(den > 0, floor(num.cast("double") * 1000.0 / den.cast("double"))
@@ -53,7 +59,9 @@ object Repetition {
     withBi.select(
       col("doc_id"),
       size(col("th")).cast("long").as("n_tokens"),
-      permille(topTokenCount(col("th")), size(col("th")).cast("long"))
+      // share measured within the same capped window as the count
+      permille(topTokenCount(col("th")),
+        least(size(col("th")), lit(TopTokenWindow)).cast("long"))
         .as("top_token_permille"),
       permille(
         (size(col("bi")) - size(array_distinct(col("bi")))).cast("long"),
