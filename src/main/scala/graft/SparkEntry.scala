@@ -281,6 +281,14 @@ object SparkEntry {
     "q73_dedup_hash" -> ((s, d) =>
       dedup.Dedup.exactByHash(docs(s, d))),
 
+    // benchmark decontamination: shingle overlap vs a broadcast eval set
+    "q74_decontaminate" -> ((s, d) =>
+      text.Decontaminate.flags(docs(s, d))),
+
+    // sliding-window chunk spans (long-context splitting)
+    "q75_chunks" -> ((s, d) =>
+      text.Packing.chunkSpans(docs(s, d))),
+
     // gap-based sessionization: per-session stats
     "q62_sessionize" -> ((s, d) =>
       operators.Sessionize.sessionStats(Transcripts.load(s, d))),
@@ -1291,6 +1299,33 @@ SELECT q_id, vec_id AS neighbor_id, rank, qcos_x1e6 FROM (
 SELECT md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm_h,
   min(doc_id) AS keeper_id, count(*) AS n_copies
 FROM documents GROUP BY 1""",
+
+    "q74_decontaminate" -> s"""
+WITH th AS (SELECT doc_id, $oTokHashes AS th FROM documents),
+shd AS (SELECT doc_id, unnest(list_distinct($oShingles)) AS sh FROM th),
+bench AS (SELECT DISTINCT sh AS bsh FROM shd WHERE doc_id % 97 = 0),
+matched AS (
+  SELECT doc_id, count(*) AS n_overlap
+  FROM shd JOIN bench ON sh = bsh GROUP BY doc_id)
+SELECT d.doc_id,
+  CAST(COALESCE(m.n_overlap, 0) AS BIGINT) AS n_overlap,
+  (COALESCE(m.n_overlap, 0) >= 3 AND d.doc_id % 97 != 0) AS contaminated
+FROM documents d LEFT JOIN matched m ON d.doc_id = m.doc_id""",
+
+    "q75_chunks" -> s"""
+WITH t AS (
+  SELECT doc_id, CAST(len($oToks) AS BIGINT) AS n_tokens FROM documents),
+c AS (
+  SELECT doc_id, n_tokens,
+    CASE WHEN n_tokens <= 128 THEN 1
+         ELSE 1 + CAST(floor(CAST(n_tokens - 128 + 95 AS DOUBLE) / 96) AS BIGINT)
+    END AS n_chunks
+  FROM t)
+SELECT doc_id, n_tokens,
+  unnest(generate_series(0, n_chunks - 1)) AS chunk_idx,
+  unnest(generate_series(0, n_chunks - 1)) * 96 AS tok_start,
+  least(unnest(generate_series(0, n_chunks - 1)) * 96 + 128, n_tokens) AS tok_end
+FROM c""",
 
     "q62_sessionize" -> withTranscripts("""
 SELECT conv_id, session_idx, count(*) AS n_turns,

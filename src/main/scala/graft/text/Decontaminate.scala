@@ -1,0 +1,38 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.dedup.Dedup
+
+/** Benchmark decontamination — flag training documents that share n-gram
+  * shingles with an evaluation set, the step every serious corpus build
+  * runs before training.
+  *
+  * Scale shape: the benchmark side is tiny (eval suites are thousands of
+  * documents against a corpus of billions), so its DISTINCT shingle set
+  * broadcasts; the corpus side explodes to (doc_id, shingle) and probes
+  * the broadcast hash join — the corpus is never shuffled for matching,
+  * and only MATCHING rows (a sliver) reach the per-document count
+  * aggregation. The final flag joins back on doc_id.
+  */
+object Decontaminate {
+
+  /** Per-document overlap count and contamination flag. The benchmark set
+    * here is the deterministic doc_id mod `benchMod` stratum (callers pass
+    * a real eval table at deployment); benchmark members themselves are
+    * never flagged. */
+  def flags(docs: DataFrame, benchMod: Int = 97, minShingles: Int = 3): DataFrame = {
+    val sh = docs.select(col("doc_id"),
+      explode(array_distinct(Dedup.shingleHashes(col("text")))).as("sh"))
+    val bench = sh.filter(col("doc_id") % benchMod === 0)
+      .select(col("sh").as("bsh")).distinct()
+    val matched = sh.join(broadcast(bench), col("sh") === col("bsh"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))
+    docs.select(col("doc_id"))
+      .join(matched, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+        (coalesce(col("n_overlap"), lit(0L)) >= minShingles &&
+          col("doc_id") % benchMod =!= 0).as("contaminated"))
+  }
+}

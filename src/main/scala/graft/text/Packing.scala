@@ -36,4 +36,23 @@ object Packing {
           .as("pack_idx"),
         (col("start_tok") % budgetTokens).as("pack_offset"))
   }
+
+  /** Sliding-window chunk spans: each document yields chunks of
+    * `chunkTokens` tokens starting every `stride` tokens (overlap =
+    * chunk − stride), the long-context splitting step. Pure per-row
+    * explode — no shuffle, and chunk counts are exact integer arithmetic
+    * on both engines. */
+  def chunkSpans(docs: DataFrame, chunkTokens: Int = 128,
+                 stride: Int = 96): DataFrame = {
+    val n = size(TextAnalysis.tokens(col("text"))).cast("long")
+    val nChunks = when(n <= chunkTokens, lit(1L)).otherwise(
+      lit(1L) + floor((n - chunkTokens + stride - 1).cast("double") / stride)
+        .cast("long"))
+    docs.select(col("doc_id"), n.as("n_tokens"), nChunks.as("n_chunks"))
+      .withColumn("chunk_idx", explode(sequence(lit(0L), col("n_chunks") - 1)))
+      .select(col("doc_id"), col("n_tokens"), col("chunk_idx"),
+        (col("chunk_idx") * stride).as("tok_start"),
+        least(col("chunk_idx") * stride + chunkTokens, col("n_tokens"))
+          .as("tok_end"))
+  }
 }

@@ -66,6 +66,36 @@ class TextOpsSpec extends SparkSpec {
     assert(out(2L) == ((2L, 0L)))
   }
 
+  test("decontamination flags shingle overlap with the benchmark stratum") {
+    val bench = "alpha beta gamma delta epsilon zeta"
+    val docs = Seq(
+      (0L, bench),                       // benchmark member: never flagged
+      (97L, "eta theta iota kappa lambda mu"), // benchmark member, disjoint
+      (1L, bench + " extra"),            // 4+ shared shingles → contaminated
+      (2L, "alpha beta gamma nothing else here"), // 1 shared shingle → clean
+      (3L, "totally different words entirely now") // 0 overlap
+    ).toDF("doc_id", "text")
+    val out = text.Decontaminate.flags(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(out(0L)._2 == false && out(0L)._1 >= 4) // full self-overlap, not flagged
+    assert(out(1L) == ((4L, true)))
+    assert(out(2L) == ((1L, false)))
+    assert(out(3L) == ((0L, false)))
+  }
+
+  test("chunk spans: sliding windows with overlap, short docs get one chunk") {
+    val docs = Seq(
+      (1L, ("w " * 300).trim), // 300 tokens → 1 + ceil((300-128)/96) = 3 chunks
+      (2L, "just five little words here")
+    ).toDF("doc_id", "text")
+    val out = text.Packing.chunkSpans(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val d1 = out.filter(_._1 == 1L).sortBy(_._2)
+    assert(d1.map(c => (c._3, c._4)).toSeq ==
+      Seq((0L, 128L), (96L, 224L), (192L, 300L)))
+    assert(out.filter(_._1 == 2L).toSeq == Seq((2L, 0L, 0L, 5L)))
+  }
+
   test("tf-idf ranks rare repeated terms above ubiquitous ones") {
     val docs = Seq(
       (1L, "rare rare common"),
