@@ -289,6 +289,12 @@ object SparkEntry {
     "q75_chunks" -> ((s, d) =>
       text.Packing.chunkSpans(docs(s, d))),
 
+    // codec-free binary header parse: the oracle independently recomputes
+    // the dimensions the container was synthesized with (round-trip gate)
+    "q76_png_header" -> ((s, d) =>
+      multimodal.Multimodal.parsePngHeader(
+        multimodal.Multimodal.withPngContainer(docs(s, d)))),
+
     // gap-based sessionization: per-session stats
     "q62_sessionize" -> ((s, d) =>
       operators.Sessionize.sessionStats(Transcripts.load(s, d))),
@@ -1326,6 +1332,14 @@ SELECT doc_id, n_tokens,
   unnest(generate_series(0, n_chunks - 1)) * 96 AS tok_start,
   least(unnest(generate_series(0, n_chunks - 1)) * 96 + 128, n_tokens) AS tok_end
 FROM c""",
+
+    "q76_png_header" -> """
+SELECT doc_id,
+  doc_id % 1920 + 16 AS width,
+  doc_id % 1080 + 16 AS height,
+  CAST(octet_length(encode(text)) AS BIGINT) AS payload_bytes,
+  TRUE AS magic_ok
+FROM documents""",
 
     "q62_sessionize" -> withTranscripts("""
 SELECT conv_id, session_idx, count(*) AS n_turns,

@@ -59,6 +59,33 @@ object Multimodal {
         col("f.frame_code_sum"))
   }
 
+  // ---- codec-free binary header parsing -------------------------------------
+
+  /** Deterministic PNG-style container: 4-byte magic ‖ BE32 width ‖ BE32
+    * height ‖ payload. Dimensions derive from doc_id so the oracle can
+    * verify the ROUND TRIP (synthesize → parse) with independent
+    * arithmetic. */
+  def withPngContainer(docs: DataFrame): DataFrame = {
+    def be32(c: Column) = unhex(lpad(hex(c), 8, "0"))
+    docs.select(col("doc_id"),
+      concat(
+        lit(Array[Byte](0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte)),
+        be32(col("doc_id") % 1920 + 16),
+        be32(col("doc_id") % 1080 + 16),
+        encode(col("text"), "UTF-8")).as("media"))
+  }
+
+  /** Header parse WITHOUT a codec — the real first step of any image
+    * pipeline (route/filter on dimensions before paying for decode):
+    * big-endian uint32 fields lifted straight off the byte slices. Pure
+    * expressions (substr → hex → conv), per-row, fuses into the scan. */
+  def parsePngHeader(media: DataFrame): DataFrame =
+    media.select(col("doc_id"),
+      conv(hex(substring(col("media"), 5, 4)), 16, 10).cast("long").as("width"),
+      conv(hex(substring(col("media"), 9, 4)), 16, 10).cast("long").as("height"),
+      (octet_length(col("media")) - 12).cast("long").as("payload_bytes"),
+      (hex(substring(col("media"), 1, 4)) === "89504E47").as("magic_ok"))
+
   /** The "decode + feature extract" path: typed Dataset mapPartitions —
     * the Scala analog of a Pandas-UDF batch loop. The per-frame decode is
     * a deterministic fake (byte sum per frame); swap `decodeFrame` for a

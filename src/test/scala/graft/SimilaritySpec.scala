@@ -64,4 +64,14 @@ class SimilaritySpec extends SparkSpec {
     assert(f.first_code == 'x'.toLong)
     assert(f.code_sum_mod == 130L * 'x'.toLong % 1000000007L)
   }
+
+  test("png header round-trips: synthesized BE32 dims parse back off the bytes") {
+    val docs = Seq((5000L, "payload", "en", "s", 7L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = Multimodal.parsePngHeader(Multimodal.withPngContainer(docs)).collect()(0)
+    assert(r.getLong(1) == 5000L % 1920 + 16) // width
+    assert(r.getLong(2) == 5000L % 1080 + 16) // height
+    assert(r.getLong(3) == 7L)                // payload bytes
+    assert(r.getBoolean(4))                   // \x89PNG magic intact
+  }
 }
