@@ -295,6 +295,14 @@ object SparkEntry {
       multimodal.Multimodal.parsePngHeader(
         multimodal.Multimodal.withPngContainer(docs(s, d)))),
 
+    // exact-quota deterministic reservoir per language
+    "q77_reservoir" -> ((s, d) =>
+      operators.Sampling.reservoir(docs(s, d))),
+
+    // stable train/val/test assignment
+    "q78_split" -> ((s, d) =>
+      operators.Sampling.split(docs(s, d))),
+
     // gap-based sessionization: per-session stats
     "q62_sessionize" -> ((s, d) =>
       operators.Sessionize.sessionStats(Transcripts.load(s, d))),
@@ -1340,6 +1348,25 @@ SELECT doc_id,
   CAST(octet_length(encode(text)) AS BIGINT) AS payload_bytes,
   TRUE AS magic_ok
 FROM documents""",
+
+    "q77_reservoir" -> """
+SELECT doc_id, lang, sample_gate, rk FROM (
+  SELECT doc_id, lang, sample_gate,
+    row_number() OVER (PARTITION BY lang ORDER BY sample_gate, doc_id) AS rk
+  FROM (
+    SELECT doc_id, lang,
+      ((doc_id % 1000000007) * 1103515245 + 12345) % 1000 AS sample_gate
+    FROM documents) a
+) b WHERE rk <= 50""",
+
+    "q78_split" -> """
+SELECT doc_id, lang,
+  CASE WHEN g < 100 THEN 'val' WHEN g < 200 THEN 'test'
+       ELSE 'train' END AS split
+FROM (
+  SELECT doc_id, lang,
+    ((doc_id % 1000000007) * 1103515245 + 12345) % 1000 AS g
+  FROM documents) a""",
 
     "q62_sessionize" -> withTranscripts("""
 SELECT conv_id, session_idx, count(*) AS n_turns,

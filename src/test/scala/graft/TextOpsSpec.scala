@@ -122,6 +122,28 @@ class TextOpsSpec extends SparkSpec {
     assert(out(1L) == ((1L, Seq(500000L, -500000L))))
   }
 
+  test("reservoir takes exactly k smallest-gate rows per stratum; split is stable") {
+    val docs = (0L until 400L).map(i =>
+      (i, if (i % 2 == 0) "en" else "zh", "t")).toDF("doc_id", "lang", "text")
+    val res = Sampling.reservoir(docs, k = 10).collect()
+    assert(res.count(_.getString(1) == "en") == 10)
+    assert(res.count(_.getString(1) == "zh") == 10)
+    // the kept set is the k smallest gates of its stratum
+    val allGates = docs.withColumn("g", Sampling.gatePermille(col("doc_id")))
+      .collect().map(r => (r.getString(1), r.getLong(0), r.getLong(3)))
+    val expectEn = allGates.filter(_._1 == "en").sortBy(t => (t._3, t._2))
+      .take(10).map(_._2).toSet
+    assert(res.filter(_.getString(1) == "en").map(_.getLong(0)).toSet == expectEn)
+
+    // split: adding documents never changes an existing doc's assignment
+    val s1 = Sampling.split(docs).collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    val more = (0L until 800L).map(i =>
+      (i, if (i % 2 == 0) "en" else "zh", "t")).toDF("doc_id", "lang", "text")
+    val s2 = Sampling.split(more).collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(s1.forall { case (id, sp) => s2(id) == sp })
+    assert(Set("train", "val", "test").subsetOf(s2.values.toSet))
+  }
+
   test("stratified sampling is a deterministic per-stratum hash gate") {
     val docs = (0L until 1000L).map(i =>
       (i, if (i % 2 == 0) "en" else "zh", "t")).toDF("doc_id", "lang", "text")
