@@ -154,15 +154,17 @@ object Bench {
           // on a 10× distinct-text corpus (each replica is a planted
           // near-dup of its original, so the LSH + cluster stages do real
           // work); sessionization over the full staged transcript corpus
-          results("tfidf") = timeNoop(text.TfIdf.topTerms(docs))
+          val tfRun = () => timeNoop(text.TfIdf.topTerms(docs))
+          results("tfidf") = math.min(tfRun(), tfRun())
           val docs10 = spark.read.parquet(s"$sfDir/documents.parquet")
             .crossJoin(spark.range(0, 10L, 1, cpus).select(col("id").as("rep")))
             .withColumn("doc_id", col("doc_id") * 16 + col("rep"))
             .withColumn("text", concat(col("text"), lit(" r"), col("rep")))
             .drop("rep").repartition(cpus * 2)
-          results("curation") = timeNoop(dedup.Curation.curate(docs10))
-          results("sessionize") = timeNoop(
-            operators.Sessionize.sessionStats(input))
+          val curRun = () => timeNoop(dedup.Curation.curate(docs10))
+          results("curation") = math.min(curRun(), curRun())
+          val sessRun = () => timeNoop(operators.Sessionize.sessionStats(input))
+          results("sessionize") = math.min(sessRun(), sessRun())
         }
       } finally spark.stop()
     }
