@@ -40,7 +40,9 @@ object Quantize {
       scaleX1e9(col("embedding")).as("scale_x1e9"))
 
   /** Quantized cosine: integer dot and norms, one final double division.
-    * dim=64 · 127² keeps the accumulators far inside Long range. */
+    * dim=64 · 127² keeps the accumulators far inside Long range. This is
+    * the DECLARATIVE REFERENCE; the hot paths use the fused
+    * [[QCos.qcosFused]] (parity-tested). */
   def qcos(a: Column, b: Column): Column = {
     val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (s, v) => s + v)
     val na = aggregate(transform(a, x => x * x), lit(0L), (s, v) => s + v)
@@ -63,7 +65,7 @@ object Quantize {
     val joined = withB.join(broadcast(q), "bucket")
       .filter(col("vec_id") =!= col("q_id"))
       .withColumn("qcos_x1e6",
-        floor(qcos(col("q_qvec"), col("qvec")) * 1e6).cast("long"))
+        floor(QCos.qcosFused(col("q_qvec"), col("qvec")) * 1e6).cast("long"))
     val w = Window.partitionBy("q_id").orderBy(col("qcos_x1e6").desc, col("vec_id"))
     joined.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -81,7 +83,7 @@ object Quantize {
     val joined = q.crossJoin(broadcast(qs))
       .filter(col("vec_id") =!= col("q_id"))
       .withColumn("qcos_x1e6",
-        floor(qcos(col("q_qvec"), col("qvec")) * 1e6).cast("long"))
+        floor(QCos.qcosFused(col("q_qvec"), col("qvec")) * 1e6).cast("long"))
     val w = Window.partitionBy("q_id").orderBy(col("qcos_x1e6").desc, col("vec_id"))
     joined.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

@@ -43,6 +43,20 @@ class CurationSpec extends SparkSpec {
     assert(qcs == qcs.sorted.reverse)
   }
 
+  test("fused quantized cosine is bit-identical to the declarative chain") {
+    val vecs = TestSpark.spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = Quantize.quantize(vecs)
+    val pairs = q.select(col("vec_id"), col("qvec"))
+      .crossJoin(q.select(col("vec_id").as("id2"), col("qvec").as("q2"))
+        .filter(col("id2") < 10))
+    val n = pairs
+      .select(Quantize.qcos(col("qvec"), col("q2")).as("d"),
+        graft.ann.QCos.qcosFused(col("qvec"), col("q2")).as("f"))
+      .filter(col("d") =!= col("f")).count()
+    assert(n == 0, s"$n pairs diverge between fused and declarative qcos")
+  }
+
   test("bucketed quantized topk searches only same-bucket candidates, ranks like brute") {
     // drop the zero vector; add an identical twin of id 0 so the query
     // bucket is guaranteed non-singleton
