@@ -303,6 +303,14 @@ object SparkEntry {
     "q78_split" -> ((s, d) =>
       operators.Sampling.split(docs(s, d))),
 
+    // per-language prototypes: embeddings ⋈ document labels, one
+    // centroid per class
+    "q79_lang_centroids" -> ((s, d) =>
+      ann.Centroids.perLang(vecs(s, d), docs(s, d)).select(
+        col("grp").as("lang"), col("n_vectors"),
+        array_join(transform(col("centroid_x1e6"), x => x.cast("string")), "|")
+          .as("centroid_x1e6"))),
+
     // gap-based sessionization: per-session stats
     "q62_sessionize" -> ((s, d) =>
       operators.Sessionize.sessionStats(Transcripts.load(s, d))),
@@ -1367,6 +1375,24 @@ FROM (
   SELECT doc_id, lang,
     ((doc_id % 1000000007) * 1103515245 + 12345) % 1000 AS g
   FROM documents) a""",
+
+    "q79_lang_centroids" -> s"""
+WITH j AS (
+  SELECT d.lang, e.embedding
+  FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id),
+x AS (
+  SELECT lang,
+    unnest(generate_series(1, len(embedding))) - 1 AS dim_idx,
+    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000.0) AS BIGINT) AS c
+  FROM j),
+s AS (
+  SELECT lang, dim_idx, count(*) AS n, CAST(sum(c) AS BIGINT) AS s
+  FROM x GROUP BY lang, dim_idx)
+SELECT lang, CAST(max(n) AS BIGINT) AS n_vectors,
+  array_to_string(
+    list(CAST(CAST(floor(CAST(s AS DOUBLE) / n) AS BIGINT) AS VARCHAR)
+         ORDER BY dim_idx), '|') AS centroid_x1e6
+FROM s GROUP BY lang""",
 
     "q62_sessionize" -> withTranscripts("""
 SELECT conv_id, session_idx, count(*) AS n_turns,

@@ -21,12 +21,10 @@ import org.apache.spark.sql.functions._
   */
 object Centroids {
 
-  /** Group = vec_id mod `groups` (a self-contained stratum on the
-    * embeddings table); swap the first projection for e.g. a lang column
-    * to build per-class prototypes. */
-  def perGroup(vecs: DataFrame, groups: Int = 4): DataFrame = {
+  /** Centroid per value of `keyCol` (must exist alongside `embedding`). */
+  def perKey(vecs: DataFrame, keyCol: String): DataFrame = {
     val exploded = vecs
-      .select((col("vec_id") % groups).as("grp"),
+      .select(col(keyCol).as("grp"),
         posexplode(col("embedding")).as(Seq("dim_idx", "comp")))
       .select(col("grp"), col("dim_idx"),
         floor(col("comp").cast("double") * 1000000.0).cast("long")
@@ -41,4 +39,19 @@ object Centroids {
           e => floor(e("s").cast("double") / e("n")).cast("long"))
           .as("centroid_x1e6"))
   }
+
+  /** Group = vec_id mod `groups` (a self-contained stratum on the
+    * embeddings table). */
+  def perGroup(vecs: DataFrame, groups: Int = 4): DataFrame =
+    perKey(vecs.withColumn("grp", col("vec_id") % groups), "grp")
+
+  /** Per-class prototypes: embeddings joined to document labels on
+    * vec_id = doc_id, then one centroid per language. The label side
+    * carries two narrow columns; the join is an equi-join the planner
+    * broadcasts when the label projection is small or sort-merges on the
+    * shared id otherwise — either way no wide row ever shuffles twice. */
+  def perLang(vecs: DataFrame, docs: DataFrame): DataFrame =
+    perKey(
+      vecs.join(docs.select(col("doc_id").as("vec_id"), col("lang")), "vec_id"),
+      "lang")
 }
