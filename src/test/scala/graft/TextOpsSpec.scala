@@ -144,6 +144,20 @@ class TextOpsSpec extends SparkSpec {
     assert(Set("train", "val", "test").subsetOf(s2.values.toSet))
   }
 
+  test("corpus ops are total on an empty corpus") {
+    val empty = Seq.empty[(Long, String, String)].toDF("doc_id", "lang", "text")
+    assert(dedup.Curation.curate(empty.select("doc_id", "text")).count() == 0)
+    assert(text.Packing.pack(empty).count() == 0)
+    assert(text.Packing.chunkSpans(empty).count() == 0)
+    assert(text.TfIdf.topTerms(empty).count() == 0)
+    assert(text.Decontaminate.flags(empty).count() == 0)
+    assert(text.Repetition.signals(empty).count() == 0)
+    assert(Sampling.reservoir(empty).count() == 0)
+    val noVecs = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    assert(graft.ann.Centroids.perGroup(noVecs).count() == 0)
+    assert(graft.ann.Quantize.bucketedQuantizedTopK(noVecs, dim = 4).count() == 0)
+  }
+
   test("stratified sampling is a deterministic per-stratum hash gate") {
     val docs = (0L until 1000L).map(i =>
       (i, if (i % 2 == 0) "en" else "zh", "t")).toDF("doc_id", "lang", "text")
