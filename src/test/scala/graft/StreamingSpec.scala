@@ -174,6 +174,33 @@ class StreamingSpec extends SparkSpec {
       "every watermark-closed session must be emitted")
   }
 
+  test("streaming dedup keeps first arrival per content hash across batches") {
+    val root = "/tmp/graft_dedup_stream_spec"
+    rm(root)
+    import TestSpark.spark.implicits._
+    // two batches with overlap: batch 2 replays doc 1's text and adds new
+    Seq((1L, "alpha beta"), (2L, "gamma delta"))
+      .toDF("doc_id", "text").write.parquet(s"$root/in/b1")
+    val stream0 = () => spark.readStream
+      .schema("doc_id LONG, text STRING").parquet(s"$root/in/*")
+    def drain(): Long = {
+      val q = graft.streaming.DedupStream.distinctDocs(stream0())
+        .writeStream.format("parquet").option("path", s"$root/out")
+        .option("checkpointLocation", s"$root/ckpt")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      spark.read.parquet(s"$root/out").count()
+    }
+    assert(drain() == 2L)
+    Seq((3L, "alpha  BETA"), (4L, "epsilon zeta")) // 3 normalizes to doc 1's text
+      .toDF("doc_id", "text").write.parquet(s"$root/in/b2")
+    assert(drain() == 3L) // only doc 4 is new; the replayed content is suppressed
+    val kept = spark.read.parquet(s"$root/out").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 2L, 4L))
+  }
+
   test("stateful sampler emits first event per name per hour across batches") {
     import TestSpark.spark.implicits._
     implicit val sp = spark
