@@ -37,8 +37,14 @@ object Curation {
       .agg(min(col("doc_id")).as("exact_keeper"))
     val withExact = normed.join(exactKeeper, "norm")
       .select(col("doc_id"), col("text"), col("exact_keeper"))
+    // survivors feeds three consumers (LSH candidates + both sides of the
+    // jaccard verify); persisted so the gate+exact chain — which re-reads
+    // the FULL corpus — runs once, not three times. Locally this is
+    // timing-neutral (the sketch stages dominate); at 100 TB it removes
+    // two full-corpus re-scans. Blocks release via the ContextCleaner.
     val survivors = withExact.filter(col("doc_id") === col("exact_keeper"))
       .select("doc_id", "text")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pairs = Dedup.jaccardPermille(Dedup.lshCandidates(survivors), survivors)
       .filter(col("jaccard_permille") >= jaccardPermilleMin)
     val clusters = Dedup.duplicateClusters(pairs)
