@@ -171,8 +171,13 @@ object Dedup {
     * and the driver-side loop checkpoints via persist per round. */
   def duplicateClusters(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
     import org.apache.spark.storage.StorageLevel
+    // edges are REPARTITIONED on the join key before caching: the cached
+    // InMemoryRelation keeps that hash partitioning, so the per-iteration
+    // join never re-shuffles the (static) edge set — only the (shrinking
+    // change-front) label side moves each round
     val edges = pairs.select(col("doc_a"), col("doc_b"))
       .unionByName(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .repartition(col("doc_b"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     var labels = edges.select(col("doc_a").as("id")).distinct()
       .withColumn("label", col("id"))
@@ -184,15 +189,15 @@ object Dedup {
       val prop = edges.join(labels, edges("doc_b") === labels("id"))
         .groupBy(edges("doc_a").as("pid"))
         .agg(min(col("label")).as("nlabel"))
+      // carry the old label through so convergence is a filter over the
+      // cached frame, not a second join against the previous labels
       val updated = labels.join(prop, labels("id") === prop("pid"), "left")
-        .select(col("id"),
+        .select(col("id"), col("label").as("old"),
           least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      val changed = updated.as("u")
-        .join(labels.withColumnRenamed("label", "old"), "id")
-        .filter(col("label") =!= col("old")).count()
+      val changed = updated.filter(col("label") =!= col("old")).count()
       labels.unpersist()
-      labels = updated
+      labels = updated.select("id", "label")
       converged = changed == 0
       i += 1
     }
