@@ -311,6 +311,10 @@ object SparkEntry {
         array_join(transform(col("centroid_x1e6"), x => x.cast("string")), "|")
           .as("centroid_x1e6"))),
 
+    // corpus health report per (lang, source)
+    "q80_corpus_report" -> ((s, d) =>
+      text.TextAnalysis.corpusReport(docs(s, d))),
+
     // gap-based sessionization: per-session stats
     "q62_sessionize" -> ((s, d) =>
       operators.Sessionize.sessionStats(Transcripts.load(s, d))),
@@ -1393,6 +1397,30 @@ SELECT lang, CAST(max(n) AS BIGINT) AS n_vectors,
     list(CAST(CAST(floor(CAST(s AS DOUBLE) / n) AS BIGINT) AS VARCHAR)
          ORDER BY dim_idx), '|') AS centroid_x1e6
 FROM s GROUP BY lang""",
+
+    "q80_corpus_report" -> {
+      val stopCond = text.TextAnalysis.stopwords.map(w => s"t = '$w'").mkString(" OR ")
+      s"""
+SELECT lang, source, count(*) AS n_docs,
+  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+  CAST(floor(CAST(sum(n_tokens) AS DOUBLE) / count(*)) AS BIGINT) AS mean_tokens,
+  CAST(sum(CASE WHEN bucket = 'ok' THEN 0 ELSE 1 END) AS BIGINT) AS n_gated,
+  CAST(count(*) - count(DISTINCT norm_h) AS BIGINT) AS n_exact_dups
+FROM (
+  SELECT lang, source, n_tokens,
+    CASE WHEN n_tokens < 5 THEN 'too_short'
+         WHEN n_tokens > 0 AND CAST(floor(CAST(n_stop * 1000 AS DOUBLE) / n_tokens) AS BIGINT) >= 400 THEN 'boilerplate'
+         WHEN n_punct * 5 > n_tokens * 2 THEN 'noisy'
+         ELSE 'ok' END AS bucket,
+    md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm_h
+  FROM (
+    SELECT lang, source, text,
+      CAST(len($oToks) AS BIGINT) AS n_tokens,
+      CAST(len(list_filter($oToks, t -> $stopCond)) AS BIGINT) AS n_stop,
+      CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS BIGINT) AS n_punct
+    FROM documents) a
+) b GROUP BY lang, source"""
+    },
 
     "q62_sessionize" -> withTranscripts("""
 SELECT conv_id, session_idx, count(*) AS n_turns,

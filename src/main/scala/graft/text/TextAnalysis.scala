@@ -101,6 +101,26 @@ object TextAnalysis {
       bpeCount(col("text")).cast("long").as("n_bpe"),
       length(col("text")).cast("long").as("n_chars_m"))
 
+  /** Corpus health report per (lang, source): the aggregate a corpus
+    * owner monitors — volume, token mass, mean length, quality-gate hit
+    * rates and the exact-duplicate count (distinct md5 content keys vs
+    * rows). One hash-aggregation pass; all outputs integer-exact. */
+  def corpusReport(docs: DataFrame): DataFrame = {
+    val qc = qualityColumns(col("text"))
+    docs
+      .select(col("lang"), col("source"),
+        qc("n_tokens").as("n_tokens"), qc("quality_bucket").as("bucket"),
+        graft.dedup.Dedup.exactKeyHash(col("text")).as("norm_h"))
+      .groupBy("lang", "source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("sum_tokens"),
+        floor(sum(col("n_tokens")).cast("double") / count(lit(1)))
+          .cast("long").as("mean_tokens"),
+        sum(when(col("bucket") === "ok", 0L).otherwise(1L)).as("n_gated"),
+        (count(lit(1)) - countDistinct(col("norm_h"))).as("n_exact_dups"))
+  }
+
   def langIdDf(docs: DataFrame): DataFrame = {
     val scoreCols = markers.map { case (l, ws) =>
       langScore(col("text"), ws).cast("long").as(s"score_$l")
