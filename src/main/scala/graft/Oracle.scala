@@ -222,10 +222,10 @@ object Oracle {
       s"CAST(list_aggregate(list_transform(sh, s -> (s*${2 * i + 1} + ${7919 * i + 1}) % 1000000007), 'min') AS BIGINT) AS mh$i"
     }.mkString(", ")
 
-  /** LSH band projection over a `sigs` CTE — twin of Dedup.bandSig. */
-  def oBandSelect(numHashes: Int): String =
+  /** LSH band projection over a signature CTE — twin of Dedup.bandSig. */
+  def oBandSelect(numHashes: Int, from: String = "sigs"): String =
     (0 until numHashes / 2).map { b =>
-      s"SELECT doc_id, $b AS band_idx, (mh${2 * b}*31 + mh${2 * b + 1}) % 1000000007 AS band_sig FROM sigs"
+      s"SELECT doc_id, $b AS band_idx, (mh${2 * b}*31 + mh${2 * b + 1}) % 1000000007 AS band_sig FROM $from"
     }.mkString(" UNION ALL ")
 
   /** Dot product of two DOUBLE[] columns (ranking-safe; see Similarity). */

@@ -315,6 +315,15 @@ object SparkEntry {
     "q80_corpus_report" -> ((s, d) =>
       text.TextAnalysis.corpusReport(docs(s, d))),
 
+    // incremental batch-vs-index dedup: odd docs are the new batch,
+    // even docs the existing corpus
+    "q81_incremental_dedup" -> ((s, d) => {
+      val all = docs(s, d)
+      dedup.Curation.incrementalVerdicts(
+        all.filter(col("doc_id") % 2 === 1),
+        all.filter(col("doc_id") % 2 === 0))
+    }),
+
     // gap-based sessionization: per-session stats
     "q62_sessionize" -> ((s, d) =>
       operators.Sessionize.sessionStats(Transcripts.load(s, d))),
@@ -1421,6 +1430,41 @@ FROM (
     FROM documents) a
 ) b GROUP BY lang, source"""
     },
+
+    "q81_incremental_dedup" -> s"""
+WITH newd AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1),
+old AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
+nk AS (SELECT doc_id, md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS h FROM newd),
+okx AS (SELECT DISTINCT md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS h FROM old),
+thn AS (SELECT doc_id, $oTokHashes AS th FROM newd),
+tho AS (SELECT doc_id, $oTokHashes AS th FROM old),
+sign AS (SELECT doc_id, ${oMinhashCols(dedup.Dedup.NumHashes)}
+  FROM (SELECT doc_id, $oShingles AS sh FROM thn) x),
+sigo AS (SELECT doc_id, ${oMinhashCols(dedup.Dedup.NumHashes)}
+  FROM (SELECT doc_id, $oShingles AS sh FROM tho) y),
+bn AS (${oBandSelect(dedup.Dedup.NumHashes, "sign")}),
+bo AS (${oBandSelect(dedup.Dedup.NumHashes, "sigo")}),
+cand AS (
+  SELECT DISTINCT n.doc_id AS doc_a, o.doc_id AS doc_b
+  FROM bn n JOIN bo o
+    ON n.band_idx = o.band_idx AND n.band_sig = o.band_sig),
+shn AS (SELECT doc_id, list_distinct($oShingles) AS shd FROM thn),
+sho AS (SELECT doc_id, list_distinct($oShingles) AS shd FROM tho),
+near AS (
+  SELECT DISTINCT c.doc_a AS doc_id
+  FROM cand c
+  JOIN shn a ON c.doc_a = a.doc_id
+  JOIN sho b ON c.doc_b = b.doc_id
+  WHERE CAST(floor(CAST(len(list_intersect(a.shd, b.shd)) * 1000 AS DOUBLE)
+        / len(list_distinct(list_concat(a.shd, b.shd)))) AS BIGINT) >= 600),
+exact AS (SELECT DISTINCT nk.doc_id FROM nk JOIN okx ON nk.h = okx.h)
+SELECT n.doc_id,
+  CASE WHEN e.doc_id IS NOT NULL THEN 'exact_dup'
+       WHEN nr.doc_id IS NOT NULL THEN 'near_dup'
+       ELSE 'new' END AS verdict
+FROM newd n
+LEFT JOIN exact e ON n.doc_id = e.doc_id
+LEFT JOIN near nr ON n.doc_id = nr.doc_id""",
 
     "q62_sessionize" -> withTranscripts("""
 SELECT conv_id, session_idx, count(*) AS n_turns,

@@ -61,4 +61,42 @@ object Curation {
             col("near_keeper") =!= col("doc_id"), lit("near_dup"))
           .otherwise(lit("kept")).as("verdict"))
   }
+
+  /** Incremental batch-vs-index dedup — the shape a production corpus
+    * actually runs daily: verdict each NEW document against an EXISTING
+    * corpus without re-processing history. The existing side participates
+    * only through its md5 key set and its LSH band table
+    * ([[Dedup.bandTable]]) — at 100 TB both are stored tables appended as
+    * documents arrive, so the cost scales with the new batch (plus
+    * equi-join probes), never with the corpus.
+    *
+    * Verdicts: exact_dup (content hash already present), near_dup
+    * (shares an LSH band with an existing doc AND verifies ≥ threshold),
+    * else new. Exact wins over near. */
+  def incrementalVerdicts(newDocs: DataFrame, existing: DataFrame,
+                          jaccardPermilleMin: Int = 600): DataFrame = {
+    val newKeys = newDocs.select(col("doc_id"),
+      Dedup.exactKeyHash(col("text")).as("h"))
+    val oldKeys = existing.select(Dedup.exactKeyHash(col("text")).as("h"))
+      .distinct()
+    val exactDup = newKeys.join(oldKeys, Seq("h"), "left_semi")
+      .select(col("doc_id")).withColumn("is_exact", lit(true))
+    val candPairs = Dedup.bandTable(newDocs)
+      .withColumnRenamed("doc_id", "doc_a")
+      .join(Dedup.bandTable(existing).withColumnRenamed("doc_id", "doc_b"),
+        Seq("band_idx", "band_sig"))
+      .select("doc_a", "doc_b").distinct()
+    val near = Dedup
+      .jaccardPermille(candPairs, newDocs.unionByName(existing))
+      .filter(col("jaccard_permille") >= jaccardPermilleMin)
+      .select(col("doc_a").as("doc_id")).distinct()
+      .withColumn("is_near", lit(true))
+    newDocs.select(col("doc_id"))
+      .join(exactDup, Seq("doc_id"), "left")
+      .join(near, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("is_exact"), "exact_dup")
+          .when(col("is_near"), "near_dup")
+          .otherwise("new").as("verdict"))
+  }
 }

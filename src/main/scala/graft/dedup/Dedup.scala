@@ -83,12 +83,20 @@ object Dedup {
   def bandSig(b: Int): Column =
     (col(s"mh${2 * b}") * 31L + col(s"mh${2 * b + 1}")) % P
 
-  /** Candidate pairs: docs sharing any band signature (a < b), distinct. */
-  def lshCandidates(docs: DataFrame): DataFrame = {
+  /** LSH index rows (doc_id, band_idx, band_sig) — at scale this IS a
+    * stored table, maintained incrementally as documents arrive, which is
+    * what makes batch-vs-index dedup (Curation.incrementalVerdicts)
+    * possible without touching the historical corpus. */
+  def bandTable(docs: DataFrame): DataFrame = {
     val sigs = signatures(docs)
-    val bands = (0 until NumHashes / 2).map { b =>
+    (0 until NumHashes / 2).map { b =>
       sigs.select(col("doc_id"), lit(b).as("band_idx"), bandSig(b).as("band_sig"))
     }.reduce(_ unionByName _)
+  }
+
+  /** Candidate pairs: docs sharing any band signature (a < b), distinct. */
+  def lshCandidates(docs: DataFrame): DataFrame = {
+    val bands = bandTable(docs)
     val l = bands.as("l")
     val r = bands.as("r")
     l.join(r, col("l.band_idx") === col("r.band_idx") &&

@@ -105,6 +105,24 @@ class CurationSpec extends SparkSpec {
 
   // ---- Curation ----
 
+  test("incremental dedup verdicts a new batch against the existing index only") {
+    val base = "the quick brown fox jumps over the lazy dog and runs far away " * 4
+    val other = "completely different content about nothing in particular at all " * 4
+    val existing = Seq((0L, base), (2L, other)).toDF("doc_id", "text")
+    val newBatch = Seq(
+      (1L, base),                 // exact duplicate of existing 0
+      (3L, base + "home"),        // near-dup of existing 0
+      (5L, "some brand new text never seen before anywhere at all " * 4),
+      (7L, base)                  // also exact — exact wins over near
+    ).toDF("doc_id", "text")
+    val v = Curation.incrementalVerdicts(newBatch, existing).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(v(1L) == "exact_dup")
+    assert(v(3L) == "near_dup")
+    assert(v(5L) == "new")
+    assert(v(7L) == "exact_dup")
+  }
+
   test("curation verdicts: quality gate, lang gate, exact dup, near dup, kept") {
     val base = "the quick brown fox jumps over the lazy dog and runs far away " * 4
     val docs = Seq(
