@@ -324,6 +324,30 @@ object SparkEntry {
         all.filter(col("doc_id") % 2 === 0))
     }),
 
+    // corpus-wide boilerplate shingle detection + per-doc score
+    "q82_boilerplate" -> ((s, d) =>
+      text.Boilerplate.stats(docs(s, d))),
+
+    // data-mixture balancing to target per-language token shares
+    "q83_mixture" -> ((s, d) =>
+      operators.Sampling.mixture(docs(s, d),
+        Map("en" -> 400, "de" -> 250, "fr" -> 150, "es" -> 150, "zh" -> 50))),
+
+    // length-bucketed batch assembly + padding efficiency
+    "q84_length_batches" -> ((s, d) =>
+      text.Packing.lengthBuckets(docs(s, d))),
+
+    // ±1 random-projection reduction 64 → 16 dims (integer-exact)
+    "q85_rand_proj" -> ((s, d) =>
+      ann.RandomProjection.project(vecs(s, d)).select(
+        col("vec_id"),
+        array_join(transform(col("proj"), x => x.cast("string")), "|")
+          .as("proj"))),
+
+    // one Lloyd iteration of IVF k-means training: cell before/after
+    "q86_kmeans_step" -> ((s, d) =>
+      ann.Centroids.kmeansIteration(vecs(s, d))),
+
     // gap-based sessionization: per-session stats
     "q62_sessionize" -> ((s, d) =>
       operators.Sessionize.sessionStats(Transcripts.load(s, d))),
@@ -1659,6 +1683,103 @@ SELECT grp, CAST(max(n) AS BIGINT) AS n_vectors,
     list(CAST(CAST(floor(CAST(s AS DOUBLE) / n) AS BIGINT) AS VARCHAR)
          ORDER BY dim_idx), '|') AS centroid_x1e6
 FROM s GROUP BY grp""",
+
+    "q82_boilerplate" -> s"""
+WITH th AS (SELECT doc_id, $oTokHashes AS th FROM documents),
+sh0 AS (SELECT doc_id, unnest($oShingles) AS s FROM th),
+sh AS (SELECT DISTINCT doc_id, s FROM sh0),
+hot AS (SELECT s FROM (SELECT s, count(*) AS n FROM sh GROUP BY s) x WHERE n >= 3),
+perdoc AS (
+  SELECT sh.doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+         CAST(count(hot.s) AS BIGINT) AS n_hot
+  FROM sh LEFT JOIN hot ON sh.s = hot.s GROUP BY sh.doc_id)
+SELECT d.doc_id,
+  CAST(COALESCE(n_shingles, 0) AS BIGINT) AS n_shingles,
+  CAST(COALESCE(n_hot, 0) AS BIGINT) AS n_hot,
+  CASE WHEN COALESCE(n_shingles, 0) > 0
+       THEN CAST(floor(COALESCE(n_hot, 0) * 1000.0 / n_shingles) AS BIGINT)
+       ELSE CAST(0 AS BIGINT) END AS boilerplate_permille
+FROM documents d LEFT JOIN perdoc ON d.doc_id = perdoc.doc_id""",
+
+    "q83_mixture" -> s"""
+WITH tot AS (
+  SELECT lang, CAST(sum(len($oToks)) AS BIGINT) AS t_l,
+    CAST(CASE lang WHEN 'en' THEN 400 WHEN 'de' THEN 250 WHEN 'fr' THEN 150
+                   WHEN 'es' THEN 150 WHEN 'zh' THEN 50 ELSE 0 END AS BIGINT) AS w_l
+  FROM documents GROUP BY lang),
+tot2 AS (SELECT * FROM tot WHERE w_l > 0),
+anchor AS (SELECT t_l AS t_m, w_l AS w_m FROM tot2
+           ORDER BY CAST(t_l AS DOUBLE) / CAST(w_l AS DOUBLE), lang LIMIT 1),
+rates AS (
+  SELECT lang, least(CAST(1000 AS BIGINT),
+    CAST(floor(1000.0 * CAST(w_l AS DOUBLE) * CAST(t_m AS DOUBLE)
+      / (CAST(w_m AS DOUBLE) * CAST(t_l AS DOUBLE))) AS BIGINT)) AS keep_permille
+  FROM tot2 CROSS JOIN anchor)
+SELECT d.doc_id, d.lang, r.keep_permille,
+  CASE WHEN ((d.doc_id % 1000000007) * 1103515245 + 12345) % 1000 < r.keep_permille
+       THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS kept
+FROM documents d JOIN rates r ON d.lang = r.lang""",
+
+    "q84_length_batches" -> s"""
+WITH b AS (
+  SELECT doc_id, CAST(len($oToks) AS BIGINT) AS n_tokens, doc_id % 8 AS shard
+  FROM documents),
+b2 AS (
+  SELECT doc_id, n_tokens, shard,
+    CASE WHEN n_tokens < 16 THEN 0 WHEN n_tokens < 32 THEN 1
+         WHEN n_tokens < 64 THEN 2 WHEN n_tokens < 128 THEN 3
+         WHEN n_tokens < 256 THEN 4 WHEN n_tokens < 512 THEN 5
+         WHEN n_tokens < 1024 THEN 6 ELSE 7 END AS bucket
+  FROM b),
+r AS (
+  SELECT bucket, shard, n_tokens,
+    CAST(floor((row_number() OVER (PARTITION BY bucket, shard
+      ORDER BY n_tokens, doc_id) - 1) / 16.0) AS BIGINT) AS batch_id
+  FROM b2)
+SELECT CAST(bucket AS BIGINT) AS bucket, shard, batch_id,
+  CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+  CAST(max(n_tokens) AS BIGINT) AS max_tokens,
+  CASE WHEN max(n_tokens) > 0
+       THEN CAST(floor(sum(n_tokens) * 1000.0 / (count(*) * max(n_tokens))) AS BIGINT)
+       ELSE CAST(1000 AS BIGINT) END AS pad_eff_permille
+FROM r GROUP BY bucket, shard, batch_id""",
+
+    "q85_rand_proj" -> s"""
+WITH e AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS j,
+    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000.0) AS BIGINT) AS q
+  FROM embeddings),
+p AS (
+  SELECT vec_id, i,
+    CAST(sum(CASE WHEN (i*37 + j*17) % 2 = 0 THEN q ELSE -q END) AS BIGINT) AS v
+  FROM e CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS i) dims
+  GROUP BY vec_id, i)
+SELECT vec_id, array_to_string(list(CAST(v AS VARCHAR) ORDER BY i), '|') AS proj
+FROM p GROUP BY vec_id""",
+
+    "q86_kmeans_step" -> s"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+c0 AS (SELECT vec_id AS cent_id, e AS cent_emb FROM v WHERE vec_id % 200 = 0),
+a0 AS (SELECT vec_id, e, cent_id AS cell0 FROM (
+  SELECT v.vec_id, v.e, c0.cent_id,
+    row_number() OVER (PARTITION BY v.vec_id
+                       ORDER BY ${oCos("v.e", "c0.cent_emb")} DESC, c0.cent_id) AS rn
+  FROM v CROSS JOIN c0) x WHERE rn = 1),
+ex AS (SELECT cell0, generate_subscripts(e, 1) AS dim_idx,
+  CAST(floor(CAST(unnest(e) AS DOUBLE) * 1000000.0) AS BIGINT) AS q FROM a0),
+s AS (SELECT cell0, dim_idx, count(*) AS n, CAST(sum(q) AS BIGINT) AS sq
+      FROM ex GROUP BY cell0, dim_idx),
+c1 AS (SELECT cell0 AS cent_id,
+  list(CAST(CAST(floor(CAST(sq AS DOUBLE) / n) AS BIGINT) AS DOUBLE)
+       ORDER BY dim_idx) AS cent_emb
+  FROM s GROUP BY cell0)
+SELECT vec_id, cell0, cent_id AS cell1,
+  CASE WHEN cell0 != cent_id THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS moved
+FROM (
+  SELECT a0.vec_id, a0.cell0, c1.cent_id,
+    row_number() OVER (PARTITION BY a0.vec_id
+                       ORDER BY ${oCos("a0.e", "c1.cent_emb")} DESC, c1.cent_id) AS rn
+  FROM a0 CROSS JOIN c1) y WHERE rn = 1""",
 
     "q41_multimodal_meta" -> s"""
 SELECT doc_id,

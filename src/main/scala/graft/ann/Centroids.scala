@@ -45,6 +45,39 @@ object Centroids {
   def perGroup(vecs: DataFrame, groups: Int = 4): DataFrame =
     perKey(vecs.withColumn("grp", col("vec_id") % groups), "grp")
 
+  /** One Lloyd iteration of k-means — the IVF TRAINING step the coarse
+    * quantizer needs (assignment → centroid update → re-assignment):
+    * initial centroids are the deterministic modulus sample
+    * ([[Similarity.ivfCentroids]]), each vector is assigned to its nearest
+    * centroid by cosine, centroids are recomputed as micro-quantized means
+    * (associative long sums — bit-stable, see [[perKey]]), and vectors are
+    * re-assigned against the updated centroids. Returns per vector the
+    * before/after cell and a moved flag — the convergence signal a
+    * training loop monitors.
+    *
+    * Scale shape: two broadcast n×k assignment passes (the shuffle carries
+    * ONE row per vector — map-side partial collapses the k candidates) and
+    * one groups×dims centroid aggregation between them. k is small by
+    * construction (√n cells), so the centroid set always broadcasts;
+    * nothing quadratic, nothing keyed on the vector payload.
+    */
+  def kmeansIteration(vecs: DataFrame, centroidMod: Int = 200): DataFrame = {
+    val a0 = Similarity.ivfAssign(vecs, centroidMod)
+    val cents1 = perKey(a0.withColumn("grp", col("cent_id")), "grp")
+      .select(col("grp").as("cent_id"),
+        transform(col("centroid_x1e6"), x => x.cast("double")).as("cent_emb"))
+    a0.select(col("vec_id"), col("embedding"), col("cent_id").as("cell0"))
+      .crossJoin(broadcast(cents1))
+      .withColumn("_score", struct(
+        Similarity.cosine(col("embedding"), col("cent_emb")).as("cos"),
+        (-col("cent_id")).cast("double").as("nid")))
+      .groupBy("vec_id", "cell0")
+      .agg(max_by(col("cent_id"), col("_score")).as("cell1"))
+      .select(col("vec_id"), col("cell0"), col("cell1"),
+        when(col("cell0") =!= col("cell1"), lit(1L)).otherwise(lit(0L))
+          .as("moved"))
+  }
+
   /** Per-class prototypes: embeddings joined to document labels on
     * vec_id = doc_id, then one centroid per language. The label side
     * carries two narrow columns; the join is an equi-join the planner

@@ -1,0 +1,37 @@
+package graft.ann
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Random-projection dimensionality reduction (Achlioptas-style ±1 signs):
+  * project `dim`-component embeddings down to `outDim` components with a
+  * deterministic sign matrix `sign(i,j) = +1 iff (i·37 + j·17) mod 2 = 0`.
+  * The cheap JL-lemma step before clustering / coarse ANN — 4× fewer
+  * bytes per vector at outDim=16 while approximately preserving distances.
+  *
+  * Scale + determinism: components are micro-quantized FIRST
+  * (floor(x·1e6) — exact in both engines, same trick as [[Centroids]]),
+  * so every projected component is an exact integer sum in a fixed order:
+  * bit-stable at any parallelism. The whole operator is a per-row
+  * expression tree — no shuffle, no UDF; at 100 TB it is a map-only pass
+  * whose cost is the scan. The quantized array lives in its own projection
+  * so it computes once, not `outDim` times (CollapseProject keeps
+  * non-cheap exprs un-inlined).
+  */
+object RandomProjection {
+
+  def sign(i: Int, j: Int): Long = if ((i * 37 + j * 17) % 2 == 0) 1L else -1L
+
+  /** (vec_id, proj) with proj = outDim exact-integer components (×1e6). */
+  def project(vecs: DataFrame, outDim: Int = 16, dim: Int = 64): DataFrame = {
+    val q = transform(col("embedding"),
+      x => floor(x.cast("double") * 1000000.0).cast("long"))
+    val comps = (0 until outDim).map { i =>
+      val signs = array((0 until dim).map(j => lit(sign(i, j))): _*)
+      aggregate(zip_with(col("_q"), signs, (x, s) => x * s),
+        lit(0L), (acc, v) => acc + v)
+    }
+    vecs.select(col("vec_id"), q.as("_q"))
+      .select(col("vec_id"), array(comps: _*).as("proj"))
+  }
+}

@@ -46,6 +46,51 @@ object Sampling {
         .otherwise("train").as("split"))
   }
 
+  /** Data-mixture balancing: given TARGET corpus shares per language
+    * (weights, relative), compute each stratum's deterministic keep rate so
+    * the kept corpus matches the target mix, then gate rows. The scaling
+    * anchors on the most-constrained stratum (the one whose tokens run out
+    * first, which keeps 100%); every other stratum downsamples to
+    * `floor(1000 · w_l · T_m / (w_m · T_l))` permille, so kept-token
+    * ratios equal the target weight ratios — the standard "rebalance the
+    * crawl to the training mixture" step.
+    *
+    * Scale shape: stratum token totals are one tiny aggregate (|langs|
+    * rows) broadcast back; the gate itself is a pure per-row filter. All
+    * arithmetic on the rate is IEEE double over exact integers in a fixed
+    * association order, so both engines compute identical rates; the
+    * per-row gate is the integer LCG. (At 10^12-doc scale the products
+    * approach Long range — the doubles here absorb that safely since the
+    * final floor lands in [0, 1000].)
+    */
+  def mixture(docs: DataFrame, targets: Map[String, Int]): DataFrame = {
+    val w = targets.foldLeft(lit(0).cast("long"): Column) {
+      case (acc, (k, v)) => when(col("lang") === k, lit(v.toLong)).otherwise(acc)
+    }
+    val totals = docs
+      .select(col("lang"), size(graft.text.TextAnalysis.tokens(col("text")))
+        .cast("long").as("n_tokens"))
+      .groupBy("lang").agg(sum("n_tokens").as("t_l"))
+      .withColumn("w_l", w)
+      .filter(col("w_l") > 0)
+    // anchor stratum m = argmin T_l / w_l (exact-integer IEEE division;
+    // deterministic tie-break on lang)
+    val anchor = totals
+      .withColumn("ratio", col("t_l").cast("double") / col("w_l").cast("double"))
+      .orderBy(col("ratio"), col("lang")).limit(1)
+      .select(col("t_l").as("t_m"), col("w_l").as("w_m"))
+    val rates = totals.crossJoin(broadcast(anchor))
+      .select(col("lang"),
+        least(lit(1000L),
+          floor(lit(1000.0) * col("w_l").cast("double") * col("t_m").cast("double")
+            / (col("w_m").cast("double") * col("t_l").cast("double"))).cast("long"))
+          .as("keep_permille"))
+    docs.join(broadcast(rates), Seq("lang"), "inner")
+      .select(col("doc_id"), col("lang"), col("keep_permille"),
+        when(gatePermille(col("doc_id")) < col("keep_permille"), lit(1L))
+          .otherwise(lit(0L)).as("kept"))
+  }
+
   /** Keep a row iff its gate falls under the stratum's permille rate. */
   def stratified(docs: DataFrame, rates: Map[String, Int],
                  defaultPermille: Int = 100): DataFrame = {

@@ -1,0 +1,49 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.dedup.Dedup
+
+/** Corpus-wide boilerplate detection: flag token shingles that recur across
+  * many distinct documents (nav bars, license headers, template footers —
+  * the C4/RefinedWeb-style repeated-span signal) and score each document by
+  * the fraction of its shingles that are corpus-hot.
+  *
+  * Scale shape (the reason this works at 100 TB):
+  *  - the exploded (doc_id, shingle) pair stream is persisted and feeds BOTH
+  *    the hot-shingle aggregate and the per-doc join, so the shingle hashing
+  *    scan runs exactly once (same lifecycle as TfIdf's tf persist);
+  *  - the hot set is the ≥`minDocs` tail of the shingle frequency
+  *    distribution — orders of magnitude smaller than the vocabulary, so the
+  *    join back is AQE-broadcastable; the only full shuffles are keyed on
+  *    the shingle hash (a long), never on document text;
+  *  - per-doc scoring reuses the doc_id clustering the final aggregate
+  *    produces; docs too short to shingle surface with zero counts (LEFT
+  *    join against the input ids), so downstream filters see every doc.
+  *
+  * Output: (doc_id, n_shingles, n_hot, boilerplate_permille) — distinct
+  * shingles per doc, how many of those are corpus-hot, and the permille
+  * ratio (0 for shingle-less docs).
+  */
+object Boilerplate {
+
+  def stats(docs: DataFrame, minDocs: Int = 3): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val pairs = docs.select(col("doc_id"),
+        explode(array_distinct(Dedup.shingleHashes(col("text")))).as("sh"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val hot = pairs.groupBy("sh").agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+    val perDoc = pairs.join(hot, Seq("sh"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"), count(col("n_docs")).as("n_hot"))
+    docs.select("doc_id").join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+        coalesce(col("n_hot"), lit(0L)).as("n_hot"),
+        when(coalesce(col("n_shingles"), lit(0L)) > 0,
+          floor(coalesce(col("n_hot"), lit(0L)) * lit(1000.0) / col("n_shingles"))
+            .cast("long"))
+          .otherwise(lit(0L)).as("boilerplate_permille"))
+  }
+}

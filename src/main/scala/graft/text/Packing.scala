@@ -37,6 +37,40 @@ object Packing {
         (col("start_tok") % budgetTokens).as("pack_offset"))
   }
 
+  /** Length-bucketed batch assembly: group documents into power-of-two
+    * token-length buckets, then form fixed-size batches inside each bucket
+    * ordered by (n_tokens, doc_id) — the padding-minimizing batching step
+    * for variable-length training (batchmates have similar lengths, so
+    * pad-to-max waste stays low). Reports per-batch padding efficiency
+    * `floor(1000·Σtokens / (n·max_tokens))` permille.
+    *
+    * Scale design: like [[pack]], the window runs per (bucket, shard) with
+    * shard = doc_id mod `shards`, so no global sort and the shuffle spreads
+    * over buckets×shards partitions that scale with the cluster. All
+    * arithmetic is integer-exact.
+    */
+  def lengthBuckets(docs: DataFrame, batchSize: Int = 16,
+                    shards: Int = 8): DataFrame = {
+    val n = size(TextAnalysis.tokens(col("text"))).cast("long")
+    val bucket = when(n < 16, 0L).when(n < 32, 1L).when(n < 64, 2L)
+      .when(n < 128, 3L).when(n < 256, 4L).when(n < 512, 5L)
+      .when(n < 1024, 6L).otherwise(7L)
+    val w = Window.partitionBy("bucket", "shard").orderBy("n_tokens", "doc_id")
+    docs
+      .select(col("doc_id"), n.as("n_tokens"), bucket.as("bucket"),
+        (col("doc_id") % shards).as("shard"))
+      .withColumn("batch_id",
+        floor((row_number().over(w) - 1).cast("double") / batchSize).cast("long"))
+      .groupBy("bucket", "shard", "batch_id")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("sum_tokens"),
+        max("n_tokens").as("max_tokens"))
+      .withColumn("pad_eff_permille",
+        when(col("max_tokens") > 0,
+          floor(col("sum_tokens") * lit(1000.0) / (col("n_docs") * col("max_tokens")))
+            .cast("long"))
+          .otherwise(lit(1000L)))
+  }
+
   /** Sliding-window chunk spans: each document yields chunks of
     * `chunkTokens` tokens starting every `stride` tokens (overlap =
     * chunk − stride), the long-context splitting step. Pure per-row

@@ -140,7 +140,8 @@ class PlanSpec extends SparkSpec {
       "repetition" -> text.Repetition.signals(docs),
       "redact" -> text.Redact.redactionStats(docs),
       "stratified" -> operators.Sampling.stratified(docs, Map("en" -> 500)),
-      "quantize" -> ann.Quantize.quantize(vecs)
+      "quantize" -> ann.Quantize.quantize(vecs),
+      "rand_proj" -> ann.RandomProjection.project(vecs)
     ).foreach { case (nm, df) =>
       val plan = finalPlanOf(df)
       assert(!plan.contains("Exchange"), s"$nm must not shuffle:\n${plan.take(1500)}")

@@ -153,9 +153,92 @@ class TextOpsSpec extends SparkSpec {
     assert(text.Decontaminate.flags(empty).count() == 0)
     assert(text.Repetition.signals(empty).count() == 0)
     assert(Sampling.reservoir(empty).count() == 0)
+    assert(text.Boilerplate.stats(empty.select("doc_id", "text")).count() == 0)
+    assert(Sampling.mixture(empty, Map("en" -> 400)).count() == 0)
+    assert(text.Packing.lengthBuckets(empty).count() == 0)
     val noVecs = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
     assert(graft.ann.Centroids.perGroup(noVecs).count() == 0)
     assert(graft.ann.Quantize.bucketedQuantizedTopK(noVecs, dim = 4).count() == 0)
+    assert(graft.ann.RandomProjection.project(noVecs, dim = 4).count() == 0)
+    assert(graft.ann.Centroids.kmeansIteration(noVecs).count() == 0)
+  }
+
+  test("boilerplate: corpus-hot shingles score docs; short docs get zeros") {
+    val docs = Seq(
+      (1L, "home about contact alpha beta"),  // 3 shingles, 1 hot
+      (2L, "home about contact gamma"),       // 2 shingles, 1 hot
+      (3L, "home about contact"),             // 1 shingle, hot
+      (4L, "unique words only here"),         // 2 shingles, none hot
+      (5L, "xy")                              // too short to shingle
+    ).toDF("doc_id", "text")
+    val out = text.Boilerplate.stats(docs, minDocs = 3).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) == ((3L, 1L, 333L)))
+    assert(out(2L) == ((2L, 1L, 500L)))
+    assert(out(3L) == ((1L, 1L, 1000L)))
+    assert(out(4L) == ((2L, 0L, 0L)))
+    assert(out(5L) == ((0L, 0L, 0L)))
+  }
+
+  test("mixture balancing: anchor stratum keeps all, others scale to targets") {
+    val ten = ("w " * 10).trim
+    val docs = Seq(
+      (0L, "en", ten), (2L, "en", ten),   // T_en = 20, w_en = 400 → anchor
+      (3L, "zh", ten)                     // T_zh = 10, w_zh = 50
+    ).toDF("doc_id", "lang", "text")
+    val out = Sampling.mixture(docs, Map("en" -> 400, "zh" -> 50)).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    // anchor = argmin T_l/w_l = en (0.05 vs 0.2): keeps 1000‰
+    assert(out(0L) == (("en", 1000L, 1L)) && out(2L) == (("en", 1000L, 1L)))
+    // zh: floor(1000·50·20/(400·10)) = 250‰; gate(3) = 80 < 250 → kept
+    assert(out(3L) == (("zh", 250L, 1L)))
+  }
+
+  test("length buckets: batchmates share a bucket; padding efficiency exact") {
+    val docs = Seq(
+      (1L, ("w " * 5).trim), (2L, ("w " * 10).trim),  // bucket 0 (<16)
+      (3L, ("w " * 20).trim),                          // bucket 1
+      (4L, ("w " * 40).trim)                           // bucket 2
+    ).toDF("doc_id", "text")
+    val out = Packing.lengthBuckets(docs, batchSize = 2, shards = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) ->
+        ((r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    // bucket 0 batch 0: docs of 5+10 tokens, pad = floor(15000/(2*10)) = 750
+    assert(out((0L, 0L)) == ((2L, 15L, 10L, 750L)))
+    assert(out((1L, 0L)) == ((1L, 20L, 20L, 1000L)))
+    assert(out((2L, 0L)) == ((1L, 40L, 40L, 1000L)))
+  }
+
+  test("random projection: exact ±1 integer sums over quantized components") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 2.0f)),
+      (1L, Array(0.5f, -0.25f))
+    ).toDF("vec_id", "embedding")
+    val out = graft.ann.RandomProjection.project(vecs, outDim = 2, dim = 2)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    // sign(0,·) = (+1, −1), sign(1,·) = (−1, +1)
+    assert(out(0L) == Seq(-1000000L, 1000000L))
+    assert(out(1L) == Seq(750000L, -750000L))
+  }
+
+  test("k-means iteration: boundary vector flips after the centroid update") {
+    def ang(deg: Double): Array[Float] = {
+      val r = math.toRadians(deg)
+      Array(math.cos(r).toFloat, math.sin(r).toFloat)
+    }
+    // centroids (ids % 4 == 0): 0° and 60°; a cluster near 90° drags the
+    // 60° centroid to ~73°, so the 35° vector flips from cell 4 to cell 0
+    val vecs = Seq(
+      0L -> ang(0), 4L -> ang(60),
+      1L -> ang(85), 2L -> ang(90), 3L -> ang(95),
+      5L -> ang(35)
+    ).toDF("vec_id", "embedding")
+    val out = graft.ann.Centroids.kmeansIteration(vecs, centroidMod = 4)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(5L) == ((4L, 0L, 1L)))         // the flip
+    assert(out(0L) == ((0L, 0L, 0L)))
+    assert(out(4L) == ((4L, 4L, 0L)))
+    Seq(1L, 2L, 3L).foreach(id => assert(out(id) == ((4L, 4L, 0L))))
   }
 
   test("stratified sampling is a deterministic per-stratum hash gate") {
