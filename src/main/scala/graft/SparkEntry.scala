@@ -348,6 +348,14 @@ object SparkEntry {
     "q86_kmeans_step" -> ((s, d) =>
       ann.Centroids.kmeansIteration(vecs(s, d))),
 
+    // duplicated-span coverage via merged hot-shingle intervals
+    "q87_dup_spans" -> ((s, d) =>
+      text.Boilerplate.dupSpanCoverage(docs(s, d))),
+
+    // content-defined chunking boundaries (rolling-hash CDC)
+    "q88_cdc_chunks" -> ((s, d) =>
+      text.Packing.cdcStats(docs(s, d))),
+
     // gap-based sessionization: per-session stats
     "q62_sessionize" -> ((s, d) =>
       operators.Sessionize.sessionStats(Transcripts.load(s, d))),
@@ -1780,6 +1788,55 @@ FROM (
     row_number() OVER (PARTITION BY a0.vec_id
                        ORDER BY ${oCos("a0.e", "c1.cent_emb")} DESC, c1.cent_id) AS rn
   FROM a0 CROSS JOIN c1) y WHERE rn = 1""",
+
+    "q87_dup_spans" -> s"""
+WITH th AS (SELECT doc_id, $oTokHashes AS th FROM documents),
+sh AS (SELECT doc_id, generate_subscripts(sh_arr, 1) - 1 AS pos, unnest(sh_arr) AS s
+       FROM (SELECT doc_id, $oShingles AS sh_arr FROM th) x),
+hot AS (SELECT s FROM (SELECT s, count(DISTINCT doc_id) AS nd FROM sh GROUP BY s) y
+        WHERE nd >= 2),
+hp AS (SELECT sh.doc_id, CAST(sh.pos AS BIGINT) AS pos FROM sh JOIN hot USING (s)),
+merged AS (
+  SELECT doc_id, pos,
+    max(pos + 3) OVER (PARTITION BY doc_id ORDER BY pos
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+  FROM hp),
+cov AS (SELECT doc_id,
+  CAST(sum(greatest(0, pos + 3 - greatest(pos, COALESCE(prev_end, 0)))) AS BIGINT)
+    AS covered
+  FROM merged GROUP BY doc_id),
+nt AS (SELECT doc_id, CAST(len($oToks) AS BIGINT) AS n_tokens FROM documents)
+SELECT nt.doc_id, nt.n_tokens,
+  CAST(COALESCE(covered, 0) AS BIGINT) AS covered_dup_tokens,
+  CASE WHEN nt.n_tokens > 0
+       THEN CAST(floor(COALESCE(covered, 0) * 1000.0 / nt.n_tokens) AS BIGINT)
+       ELSE CAST(0 AS BIGINT) END AS dup_coverage_permille
+FROM nt LEFT JOIN cov ON nt.doc_id = cov.doc_id""",
+
+    "q88_cdc_chunks" -> s"""
+WITH c0 AS (
+  SELECT doc_id, regexp_replace(lower(text), '\\s+', ' ', 'g') AS norm,
+    list_transform(string_split_regex(regexp_replace(lower(text), '\\s+', ' ', 'g'), ''),
+      c -> CAST(unicode(c) AS BIGINT)) AS codes
+  FROM documents),
+h AS (
+  SELECT doc_id, CAST(length(norm) AS BIGINT) AS n_chars,
+    CASE WHEN len(codes) >= 5
+      THEN list_transform(generate_series(1, len(codes)-4),
+        i -> list_reduce(list_prepend(CAST(7 AS BIGINT), codes[i:i+4]),
+               (a,x) -> (a*31 + x) % 1000000007))
+      ELSE CAST([] AS BIGINT[]) END AS hs
+  FROM c0),
+b AS (
+  SELECT doc_id, n_chars,
+    CAST(len(list_filter(hs, x -> x % 64 = 0)) AS BIGINT) AS n_boundaries
+  FROM h)
+SELECT doc_id, n_chars, n_boundaries,
+  CASE WHEN n_chars > 0 THEN n_boundaries + 1 ELSE CAST(0 AS BIGINT) END AS n_chunks,
+  CASE WHEN n_chars > 0
+       THEN CAST(floor(n_chars * 1000.0 / (n_boundaries + 1)) AS BIGINT)
+       ELSE CAST(0 AS BIGINT) END AS mean_chunk_len_x1e3
+FROM b""",
 
     "q41_multimodal_meta" -> s"""
 SELECT doc_id,

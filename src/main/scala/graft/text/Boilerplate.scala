@@ -27,6 +27,45 @@ import graft.dedup.Dedup
   */
 object Boilerplate {
 
+  /** Duplicated-SPAN coverage: how much of each document's token stream is
+    * covered by shingles that also occur in other documents — the
+    * span-level signal behind exact-substring dedup (Lee et al.'s
+    * "Deduplicating Training Data" family): a shingle of width W appearing
+    * in ≥`minDocs` docs marks tokens [pos, pos+W) as duplicated; per doc,
+    * overlapping marked intervals are MERGED (gaps-and-islands: running
+    * max of interval ends over a per-doc window) and the union length is
+    * reported as covered tokens + permille coverage.
+    *
+    * Scale shape: the only corpus-wide exchange is keyed on the shingle
+    * hash (long); the interval merge is one per-doc window whose input is
+    * just the hot positions (a small fraction of tokens), keyed on doc_id.
+    */
+  def dupSpanCoverage(docs: DataFrame, minDocs: Int = 2, W: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pairs = docs.select(col("doc_id"),
+        posexplode(Dedup.shingleHashes(col("text"))).as(Seq("pos", "s")))
+    val hot = pairs.groupBy("s")
+      .agg(countDistinct("doc_id").as("nd")).filter(col("nd") >= minDocs)
+      .select("s")
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val contrib = greatest(lit(0L),
+      col("pos") + W - greatest(col("pos"), coalesce(max(col("pos") + W).over(w), lit(0L))))
+    val cov = pairs.join(hot, Seq("s"))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"))
+      .withColumn("c", contrib)
+      .groupBy("doc_id").agg(sum("c").as("covered"))
+    docs.select(col("doc_id"),
+        size(graft.text.TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"))
+      .join(cov, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("covered"), lit(0L)).as("covered_dup_tokens"),
+        when(col("n_tokens") > 0,
+          floor(coalesce(col("covered"), lit(0L)) * lit(1000.0) / col("n_tokens"))
+            .cast("long"))
+          .otherwise(lit(0L)).as("dup_coverage_permille"))
+  }
+
   def stats(docs: DataFrame, minDocs: Int = 3): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     val pairs = docs.select(col("doc_id"),

@@ -37,6 +37,38 @@ object Packing {
         (col("start_tok") % budgetTokens).as("pack_offset"))
   }
 
+  /** Content-defined chunking (Rabin/rolling-hash CDC): chunk boundaries
+    * fall where the rolling char-5-gram hash ≡ 0 (mod `modulus`), so
+    * boundaries depend only on LOCAL content — an insertion early in a
+    * document shifts only the chunk it lands in, which is what makes
+    * chunk-level dedup stable under edits (the storage-dedup property,
+    * here applied to corpus near-versioning). Reports per doc the chunk
+    * count and mean chunk length (×1e3, integer-exact).
+    *
+    * Scale: pure per-row expression tree over the normalized char codes —
+    * no shuffle, no UDF; the 100 TB cost is the scan itself.
+    */
+  def cdcStats(docs: DataFrame, modulus: Int = 64, n: Int = 5): DataFrame = {
+    val norm = regexp_replace(lower(col("text")), "\\s+", " ")
+    val codes = transform(split(norm, ""), c => ascii(c).cast("long"))
+    val m = size(codes)
+    val starts = when(m >= n, sequence(lit(1), m - (n - 1)))
+      .otherwise(array().cast("array<int>"))
+    val hashes = transform(starts, i =>
+      aggregate(slice(codes, i, lit(n)), lit(7L), (acc, x) => (acc * 31L + x) % graft.text.TextAnalysis.P))
+    // n_chars from length(norm), not size(codes): splitting "" by "" yields
+    // [""] (size 1) in Spark, so the array size over-counts the empty doc
+    docs.select(col("doc_id"), length(norm).cast("long").as("n_chars"),
+        size(filter(hashes, h => h % modulus === 0)).cast("long").as("n_boundaries"))
+      .select(col("doc_id"), col("n_chars"), col("n_boundaries"),
+        when(col("n_chars") > 0, col("n_boundaries") + 1).otherwise(lit(0L))
+          .as("n_chunks"))
+      .withColumn("mean_chunk_len_x1e3",
+        when(col("n_chunks") > 0,
+          floor(col("n_chars") * lit(1000.0) / col("n_chunks")).cast("long"))
+          .otherwise(lit(0L)))
+  }
+
   /** Length-bucketed batch assembly: group documents into power-of-two
     * token-length buckets, then form fixed-size batches inside each bucket
     * ordered by (n_tokens, doc_id) — the padding-minimizing batching step

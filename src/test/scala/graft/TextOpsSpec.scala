@@ -154,6 +154,8 @@ class TextOpsSpec extends SparkSpec {
     assert(text.Repetition.signals(empty).count() == 0)
     assert(Sampling.reservoir(empty).count() == 0)
     assert(text.Boilerplate.stats(empty.select("doc_id", "text")).count() == 0)
+    assert(text.Boilerplate.dupSpanCoverage(empty.select("doc_id", "text")).count() == 0)
+    assert(text.Packing.cdcStats(empty.select("doc_id", "text")).count() == 0)
     assert(Sampling.mixture(empty, Map("en" -> 400)).count() == 0)
     assert(text.Packing.lengthBuckets(empty).count() == 0)
     val noVecs = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
@@ -239,6 +241,48 @@ class TextOpsSpec extends SparkSpec {
     assert(out(0L) == ((0L, 0L, 0L)))
     assert(out(4L) == ((4L, 4L, 0L)))
     Seq(1L, 2L, 3L).foreach(id => assert(out(id) == ((4L, 4L, 0L))))
+  }
+
+  test("dup-span coverage merges overlapping hot-shingle intervals") {
+    val docs = Seq(
+      (1L, "a b c d e"),         // hot (abc)@0 + (bcd)@1 → [0,4) = 4 of 5
+      (2L, "a b c x y"),         // hot (abc)@0 → 3 of 5
+      (3L, "z z z z"),           // repeats only within itself → not hot
+      (4L, "a b c d a b c")      // [0,3)+[1,4)+[4,7) → all 7 covered
+    ).toDF("doc_id", "text")
+    val out = text.Boilerplate.dupSpanCoverage(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) == ((5L, 4L, 800L)))
+    assert(out(2L) == ((5L, 3L, 600L)))
+    assert(out(3L) == ((4L, 0L, 0L)))
+    assert(out(4L) == ((7L, 7L, 1000L)))
+  }
+
+  test("CDC chunking matches an independent rolling-hash reimplementation") {
+    val texts = Seq(
+      1L -> "The quick brown Fox jumps   over the lazy dog near the river bank",
+      2L -> "aaaa",   // shorter than the 5-gram window: zero boundaries
+      3L -> ""
+    )
+    val docs = texts.toDF("doc_id", "text")
+    // independent per-doc expectation
+    def expected(t: String): (Long, Long) = {
+      val norm = t.toLowerCase.replaceAll("\\s+", " ")
+      val codes = norm.map(_.toLong)
+      val hs = if (codes.length >= 5)
+        (0 to codes.length - 5).map(i =>
+          codes.slice(i, i + 5).foldLeft(7L)((a, x) => (a * 31 + x) % 1000000007L))
+      else Seq.empty
+      (norm.length.toLong, hs.count(_ % 64 == 0).toLong)
+    }
+    val out = text.Packing.cdcStats(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    texts.foreach { case (id, t) =>
+      val (nc, nb) = expected(t)
+      val chunks = if (nc > 0) nb + 1 else 0L
+      val mean = if (chunks > 0) math.floor(nc * 1000.0 / chunks).toLong else 0L
+      assert(out(id) == ((nc, nb, chunks, mean)), s"doc $id")
+    }
   }
 
   test("stratified sampling is a deterministic per-stratum hash gate") {
