@@ -166,6 +166,15 @@ object Bench {
           results("curation") = math.min(curRun(), curRun())
           val sessRun = () => timeNoop(operators.Sessionize.sessionStats(input))
           results("sessionize") = math.min(sessRun(), sessRun())
+
+          // round-3 corpus ops: hot-shingle aggregation + join-back
+          // (boilerplate), the same plus the interval-merge window
+          // (dup_spans), and the two-pass Lloyd step on the vectors
+          val bpRun = () => timeNoop(text.Boilerplate.stats(docs))
+          results("boilerplate") = math.min(bpRun(), bpRun())
+          val dsRun = () => timeNoop(text.Boilerplate.dupSpanCoverage(docs))
+          results("dup_spans") = math.min(dsRun(), dsRun())
+          results("kmeans_step") = timeNoop(ann.Centroids.kmeansIteration(vecs))
         }
       } finally spark.stop()
     }

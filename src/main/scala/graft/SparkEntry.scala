@@ -356,6 +356,17 @@ object SparkEntry {
     "q88_cdc_chunks" -> ((s, d) =>
       text.Packing.cdcStats(docs(s, d))),
 
+    // product-quantization codes (8 subspaces, modulus-sampled codebook)
+    "q89_pq_encode" -> ((s, d) =>
+      ann.PQ.encode(vecs(s, d)).select(
+        col("vec_id"),
+        array_join(transform(col("codes"), x => x.cast("string")), "|")
+          .as("codes"))),
+
+    // PQ ADC top-k: per-query distance-table lookups over the codes
+    "q90_pq_adc_topk" -> ((s, d) =>
+      ann.PQ.adcTopK(vecs(s, d))),
+
     // gap-based sessionization: per-session stats
     "q62_sessionize" -> ((s, d) =>
       operators.Sessionize.sessionStats(Transcripts.load(s, d))),
@@ -1837,6 +1848,56 @@ SELECT doc_id, n_chars, n_boundaries,
        THEN CAST(floor(n_chars * 1000.0 / (n_boundaries + 1)) AS BIGINT)
        ELSE CAST(0 AS BIGINT) END AS mean_chunk_len_x1e3
 FROM b""",
+
+    "q89_pq_encode" -> s"""
+WITH v AS (SELECT vec_id, list_transform(embedding,
+    x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS q
+  FROM embeddings),
+cb0 AS (SELECT vec_id // 50 AS code_idx, q AS cq FROM v WHERE vec_id % 50 = 0),
+ms AS (SELECT unnest(generate_series(0, 7)) AS m),
+cb AS (SELECT m, code_idx, cq[m*8+1 : m*8+8] AS csub FROM cb0 CROSS JOIN ms),
+enc0 AS (
+  SELECT v.vec_id, cb.m, cb.code_idx,
+    list_aggregate(list_transform(generate_series(1, 8),
+      i -> (v.q[cb.m*8+i] - cb.csub[i]) * (v.q[cb.m*8+i] - cb.csub[i])), 'sum') AS d
+  FROM v CROSS JOIN cb),
+codes AS (SELECT vec_id, m, code_idx FROM (
+  SELECT vec_id, m, code_idx,
+    row_number() OVER (PARTITION BY vec_id, m ORDER BY d, code_idx) AS rn
+  FROM enc0) x WHERE rn = 1)
+SELECT vec_id, array_to_string(list(CAST(code_idx AS VARCHAR) ORDER BY m), '|') AS codes
+FROM codes GROUP BY vec_id""",
+
+    "q90_pq_adc_topk" -> s"""
+WITH v AS (SELECT vec_id, list_transform(embedding,
+    x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS q
+  FROM embeddings),
+cb0 AS (SELECT vec_id // 50 AS code_idx, q AS cq FROM v WHERE vec_id % 50 = 0),
+ms AS (SELECT unnest(generate_series(0, 7)) AS m),
+cb AS (SELECT m, code_idx, cq[m*8+1 : m*8+8] AS csub FROM cb0 CROSS JOIN ms),
+enc0 AS (
+  SELECT v.vec_id, cb.m, cb.code_idx,
+    list_aggregate(list_transform(generate_series(1, 8),
+      i -> (v.q[cb.m*8+i] - cb.csub[i]) * (v.q[cb.m*8+i] - cb.csub[i])), 'sum') AS d
+  FROM v CROSS JOIN cb),
+codes AS (SELECT vec_id, m, code_idx FROM (
+  SELECT vec_id, m, code_idx,
+    row_number() OVER (PARTITION BY vec_id, m ORDER BY d, code_idx) AS rn
+  FROM enc0) x WHERE rn = 1),
+qs AS (SELECT vec_id AS q_id, q AS qq FROM v WHERE vec_id % 53 = 0),
+dq AS (
+  SELECT q_id, cb.m, cb.code_idx,
+    list_aggregate(list_transform(generate_series(1, 8),
+      i -> (qq[cb.m*8+i] - cb.csub[i]) * (qq[cb.m*8+i] - cb.csub[i])), 'sum') AS d
+  FROM qs CROSS JOIN cb),
+dist AS (
+  SELECT dq.q_id, codes.vec_id, CAST(sum(dq.d) AS BIGINT) AS adc_dist
+  FROM codes JOIN dq ON codes.m = dq.m AND codes.code_idx = dq.code_idx
+  GROUP BY dq.q_id, codes.vec_id)
+SELECT q_id, vec_id AS neighbor_id, rank, adc_dist FROM (
+  SELECT q_id, vec_id, adc_dist,
+    row_number() OVER (PARTITION BY q_id ORDER BY adc_dist, vec_id) AS rank
+  FROM dist WHERE vec_id != q_id) r WHERE rank <= 5""",
 
     "q41_multimodal_meta" -> s"""
 SELECT doc_id,

@@ -65,6 +65,28 @@ class SimilaritySpec extends SparkSpec {
     assert(f.code_sum_mod == 130L * 'x'.toLong % 1000000007L)
   }
 
+  test("PQ: codes pick the nearest sub-centroid; ADC ranks by table sums") {
+    def v(parts: Float*): Array[Float] =
+      parts.flatMap(p => Array.fill(8)(p)).toArray  // 8 comps per subspace
+    val pq = Seq(
+      0L  -> v(0, 0, 0, 0, 0, 0, 0, 0),   // centroid/code 0 (and query)
+      50L -> v(1, 1, 1, 1, 1, 1, 1, 1),   // centroid/code 1
+      1L  -> v(0, 0, 0, 0, 1, 1, 1, 1),   // half 0, half 1
+      2L  -> v(0.9f, 0.9f, 0.9f, 0.9f, 0.9f, 0.9f, 0.9f, 0.9f) // all code 1
+    ).toDF("vec_id", "embedding")
+    val codes = graft.ann.PQ.encode(pq).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(codes(0L) == Seq.fill(8)(0L))
+    assert(codes(50L) == Seq.fill(8)(1L))
+    assert(codes(1L) == Seq(0L, 0L, 0L, 0L, 1L, 1L, 1L, 1L))
+    assert(codes(2L) == Seq.fill(8)(1L))
+    // query id 0: id1 (4 matching subspaces) beats the all-code-1 vectors,
+    // which tie on ADC distance and break by vec_id (2 before 50)
+    val top = graft.ann.PQ.adcTopK(pq, k = 5, queryMod = 100).collect()
+      .filter(_.getLong(0) == 0L).sortBy(_.getLong(2)).map(_.getLong(1)).toSeq
+    assert(top == Seq(1L, 2L, 50L))
+  }
+
   test("png header round-trips: synthesized BE32 dims parse back off the bytes") {
     val docs = Seq((5000L, "payload", "en", "s", 7L))
       .toDF("doc_id", "text", "lang", "source", "n_chars")
