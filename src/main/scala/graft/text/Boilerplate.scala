@@ -44,14 +44,23 @@ object Boilerplate {
     import org.apache.spark.sql.expressions.Window
     val pairs = docs.select(col("doc_id"),
         posexplode(Dedup.shingleHashes(col("text"))).as(Seq("pos", "s")))
-    val hot = pairs.groupBy("s")
-      .agg(countDistinct("doc_id").as("nd")).filter(col("nd") >= minDocs)
-      .select("s")
+    // distinct-doc count per shingle WITHOUT a self-join: mark the first
+    // position of each (doc, shingle) with one window, sum those marks
+    // over the shingle partition with a second — the pair stream flows
+    // through layered windows instead of an agg + join-back (no persisted
+    // intermediate, no countDistinct expansion; positions break the
+    // exchange-reuse that makes the join formulation win in [[stats]] —
+    // measured 9.0 s vs 14.1 s join+countDistinct at 1.25M docs)
+    val firstPos = when(row_number().over(
+      Window.partitionBy("doc_id", "s").orderBy("pos")) === 1, 1L).otherwise(0L)
+    val nd = sum(col("first_pos")).over(Window.partitionBy("s"))
     val w = Window.partitionBy("doc_id").orderBy("pos")
       .rowsBetween(Window.unboundedPreceding, -1)
     val contrib = greatest(lit(0L),
       col("pos") + W - greatest(col("pos"), coalesce(max(col("pos") + W).over(w), lit(0L))))
-    val cov = pairs.join(hot, Seq("s"))
+    val cov = pairs.withColumn("first_pos", firstPos)
+      .withColumn("nd", nd)
+      .filter(col("nd") >= minDocs)
       .select(col("doc_id"), col("pos").cast("long").as("pos"))
       .withColumn("c", contrib)
       .groupBy("doc_id").agg(sum("c").as("covered"))
@@ -67,10 +76,16 @@ object Boilerplate {
   }
 
   def stats(docs: DataFrame, minDocs: Int = 3): DataFrame = {
-    import org.apache.spark.storage.StorageLevel
+    // per-doc distinct shingles means the per-shingle row count IS the
+    // distinct-doc count (hash aggregation, no sort). The hot aggregate
+    // and the join probe are the SAME pair subplan shuffled on the same
+    // key, so ReuseExchange shares one shuffle and the shingle hashing
+    // runs once — measured faster than both a persisted intermediate
+    // (which materializes the full pair stream) and a window-count
+    // formulation (which forces a sort the hash-agg avoids): 2.1 s vs
+    // 3.4 / 7.4 at 1.25M docs, local[32]
     val pairs = docs.select(col("doc_id"),
-        explode(array_distinct(Dedup.shingleHashes(col("text")))).as("sh"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      explode(array_distinct(Dedup.shingleHashes(col("text")))).as("sh"))
     val hot = pairs.groupBy("sh").agg(count(lit(1)).as("n_docs"))
       .filter(col("n_docs") >= minDocs)
     val perDoc = pairs.join(hot, Seq("sh"), "left")

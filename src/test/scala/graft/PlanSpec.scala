@@ -148,6 +148,16 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("boilerplate hot-aggregate and join probe share one shuffle (ReuseExchange)") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val df = text.Boilerplate.stats(docs)
+    df.write.format("noop").mode("overwrite").save()  // settle AQE
+    val plan = finalPlanOf(df)
+    assert(plan.contains("ReusedExchange") || plan.contains("ReusedQueryStage") ||
+      "Exchange hashpartitioning\\(sh".r.findAllIn(plan).length <= 1,
+      s"the shingle exchange must be shared:\n${plan.take(2000)}")
+  }
+
   test("packing shuffles once, on the (lang, shard) window keys") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val plan = finalPlanOf(text.Packing.pack(docs))
