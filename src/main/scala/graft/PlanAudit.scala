@@ -62,6 +62,21 @@ object PlanAudit {
     section("curation chain (gates -> exact dedup -> LSH banding -> clusters)") {
       dedup.Curation.curate(docs)
     }
+    section("boilerplate (shared shingle exchange: hot agg + join probe)") {
+      text.Boilerplate.stats(docs)
+    }
+    section("dup-span coverage (layered windows, no self-join)") {
+      text.Boilerplate.dupSpanCoverage(docs)
+    }
+    section("PQ ADC top-k (broadcast distance tables, map-only scoring)") {
+      ann.PQ.adcTopK(vecs)
+    }
+    section("k-means Lloyd step (two broadcast assigns + centroid agg)") {
+      ann.Centroids.kmeansIteration(vecs)
+    }
+    section("random projection (map-only integer expression)") {
+      ann.RandomProjection.project(vecs)
+    }
     spark.stop()
   }
 }

@@ -62,7 +62,11 @@ object Centroids {
     * nothing quadratic, nothing keyed on the vector payload.
     */
   def kmeansIteration(vecs: DataFrame, centroidMod: Int = 200): DataFrame = {
+    // a0 feeds both the centroid update and the re-assignment; persisted so
+    // the n×k assignment pass runs once (released by the ContextCleaner
+    // when the result frame drops — same lifecycle as TfIdf's tf)
     val a0 = Similarity.ivfAssign(vecs, centroidMod)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cents1 = perKey(a0.withColumn("grp", col("cent_id")), "grp")
       .select(col("grp").as("cent_id"),
         transform(col("centroid_x1e6"), x => x.cast("double")).as("cent_emb"))
