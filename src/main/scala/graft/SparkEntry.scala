@@ -367,6 +367,14 @@ object SparkEntry {
     "q90_pq_adc_topk" -> ((s, d) =>
       ann.PQ.adcTopK(vecs(s, d))),
 
+    // linear quality-classifier inference (hashed weights, map-only)
+    "q91_classifier" -> ((s, d) =>
+      text.Classifier.score(docs(s, d))),
+
+    // cross-source duplication matrix over LSH candidate pairs
+    "q92_source_matrix" -> ((s, d) =>
+      dedup.Dedup.crossSourceDupMatrix(docs(s, d))),
+
     // gap-based sessionization: per-session stats
     "q62_sessionize" -> ((s, d) =>
       operators.Sessionize.sessionStats(Transcripts.load(s, d))),
@@ -1898,6 +1906,49 @@ SELECT q_id, vec_id AS neighbor_id, rank, adc_dist FROM (
   SELECT q_id, vec_id, adc_dist,
     row_number() OVER (PARTITION BY q_id ORDER BY adc_dist, vec_id) AS rank
   FROM dist WHERE vec_id != q_id) r WHERE rank <= 5""",
+
+    "q91_classifier" -> s"""
+WITH s AS (
+  SELECT doc_id, CAST(len(th) AS BIGINT) AS n_tokens,
+    CAST(COALESCE(list_aggregate(list_transform(th, h -> (h % 2001) - 1000), 'sum'), 0)
+      AS BIGINT) AS score_sum
+  FROM (SELECT doc_id, $oTokHashes AS th FROM documents) x)
+SELECT doc_id, n_tokens, score_sum,
+  CASE WHEN n_tokens > 0
+       THEN CAST(floor(score_sum * 1000.0 / n_tokens) AS BIGINT)
+       ELSE CAST(0 AS BIGINT) END AS logit_x1e3,
+  CASE WHEN (CASE WHEN n_tokens > 0
+       THEN CAST(floor(score_sum * 1000.0 / n_tokens) AS BIGINT)
+       ELSE CAST(0 AS BIGINT) END) >= 0
+       THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS keep
+FROM s""",
+
+    "q92_source_matrix" -> {
+      val mhs = (0 until dedup.Dedup.NumHashes).map { i =>
+        s"CAST(list_aggregate(list_transform(sh, s -> (s*${2 * i + 1} + ${7919 * i + 1}) % 1000000007), 'min') AS BIGINT) AS mh$i"
+      }.mkString(", ")
+      val bandSel = (0 until dedup.Dedup.NumHashes / 2).map { b =>
+        s"SELECT doc_id, $b AS band_idx, (mh${2 * b}*31 + mh${2 * b + 1}) % 1000000007 AS band_sig FROM sigs"
+      }.mkString(" UNION ALL ")
+      s"""
+WITH th AS (SELECT doc_id, $oTokHashes AS th FROM documents),
+sigs AS (
+  SELECT doc_id, $mhs FROM (SELECT doc_id, $oShingles AS sh FROM th) x
+),
+bands AS ($bandSel),
+cand AS (
+  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+  FROM bands l JOIN bands r
+    ON l.band_idx = r.band_idx AND l.band_sig = r.band_sig AND l.doc_id < r.doc_id
+)
+SELECT least(a.source, b.source) AS src_lo,
+  greatest(a.source, b.source) AS src_hi,
+  CAST(count(*) AS BIGINT) AS n_candidate_pairs
+FROM cand c
+JOIN documents a ON c.doc_a = a.doc_id
+JOIN documents b ON c.doc_b = b.doc_id
+GROUP BY 1, 2"""
+    },
 
     "q41_multimodal_meta" -> s"""
 SELECT doc_id,

@@ -229,6 +229,24 @@ object Dedup {
           .as("ngram_jaccard_permille"))
   }
 
+  /** Cross-source duplication matrix: LSH candidate pairs labeled with
+    * their documents' sources, counted per unordered source pair — the
+    * corpus diagnostic that shows WHERE duplication comes from (mirror
+    * sites, cross-posted content, intra-source templating on the
+    * diagonal). Scale shape: the pair space is already LSH-bounded; the
+    * source labels are a two-column projection joined on the doc ids
+    * (broadcast when small, sort-merge otherwise), and the final count is
+    * a tiny |sources|² aggregate. */
+  def crossSourceDupMatrix(docs: DataFrame): DataFrame = {
+    val src = docs.select(col("doc_id"), col("source"))
+    lshCandidates(docs)
+      .join(src.select(col("doc_id").as("doc_a"), col("source").as("source_a")), "doc_a")
+      .join(src.select(col("doc_id").as("doc_b"), col("source").as("source_b")), "doc_b")
+      .groupBy(least(col("source_a"), col("source_b")).as("src_lo"),
+        greatest(col("source_a"), col("source_b")).as("src_hi"))
+      .agg(count(lit(1)).as("n_candidate_pairs"))
+  }
+
   /** Character 5-gram hash set via charwise rolling window on the whole
     * normalized text. */
   def charNgramHashes(text: Column, n: Int = 5): Column = {

@@ -285,6 +285,32 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("classifier inference matches an independent weight-sum reimplementation") {
+    val texts = Seq(1L -> "the quick brown fox", 2L -> "zz", 3L -> "")
+    val docs = texts.toDF("doc_id", "text")
+    val P = 1000000007L
+    def th(tok: String) = tok.foldLeft(7L)((a, c) => (a * 31 + c.toLong) % P)
+    val out = text.Classifier.score(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    texts.foreach { case (id, t) =>
+      val toks = t.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      val s = toks.map(tok => th(tok) % 2001 - 1000).sum
+      val logit = if (toks.nonEmpty) math.floor(s * 1000.0 / toks.length).toLong else 0L
+      assert(out(id) == ((toks.length.toLong, s, logit, if (logit >= 0) 1L else 0L)), s"doc $id")
+    }
+  }
+
+  test("cross-source matrix counts LSH candidate pairs per source pair") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon", "s2"),
+      (2L, "alpha beta gamma delta epsilon", "s1"),  // dup of 1, other source
+      (3L, "totally different words entirely here", "s1")
+    ).toDF("doc_id", "text", "source")
+    val out = dedup.Dedup.crossSourceDupMatrix(docs).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(out.toSeq == Seq(("s1", "s2", 1L)))
+  }
+
   test("stratified sampling is a deterministic per-stratum hash gate") {
     val docs = (0L until 1000L).map(i =>
       (i, if (i % 2 == 0) "en" else "zh", "t")).toDF("doc_id", "lang", "text")
