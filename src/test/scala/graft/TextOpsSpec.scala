@@ -311,6 +311,62 @@ class TextOpsSpec extends SparkSpec {
     assert(out.toSeq == Seq(("s1", "s2", 1L)))
   }
 
+  test("round-3 ops hold their invariants on a seeded random corpus") {
+    val rnd = new scala.util.Random(42)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta", "the", "of")
+    val docs = (0L until 200L).map { i =>
+      val n = rnd.nextInt(51)
+      val t = if (i % 17 == 0) "alpha beta gamma delta"  // planted dups
+              else Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      (i, if (i % 2 == 0) "en" else "zh", s"s${i % 3}", t)
+    }.toDF("doc_id", "lang", "source", "text")
+
+    val bp = text.Boilerplate.stats(docs.select("doc_id", "text")).collect()
+    assert(bp.length == 200)
+    bp.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1))                 // n_hot ≤ n_shingles
+      assert(r.getLong(3) >= 0 && r.getLong(3) <= 1000)
+    }
+    val ds = text.Boilerplate.dupSpanCoverage(docs.select("doc_id", "text")).collect()
+    assert(ds.length == 200)
+    ds.foreach(r => assert(r.getLong(2) <= r.getLong(1) && r.getLong(3) <= 1000))
+
+    val cdc = text.Packing.cdcStats(docs.select("doc_id", "text")).collect()
+    cdc.foreach { r =>
+      if (r.getLong(1) > 0) assert(r.getLong(3) == r.getLong(2) + 1)
+      else assert(r.getLong(3) == 0)
+    }
+
+    val mix = Sampling.mixture(docs, Map("en" -> 700, "zh" -> 300)).collect()
+    val rates = mix.map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(rates.values.forall(r => r >= 0 && r <= 1000))
+    assert(rates.values.exists(_ == 1000L))                // anchor keeps all
+    mix.foreach(r => assert(r.getLong(3) == 0L || r.getLong(3) == 1L))
+
+    val lb = Packing.lengthBuckets(docs.select("doc_id", "text"), batchSize = 4).collect()
+    assert(lb.map(_.getLong(3)).sum == 200)                // every doc batched
+    lb.foreach(r => assert(r.getLong(3) <= 4 && r.getLong(6) <= 1000))
+
+    val cls = text.Classifier.score(docs.select("doc_id", "text")).collect()
+    cls.foreach(r => assert(r.getLong(4) == (if (r.getLong(3) >= 0) 1L else 0L)))
+
+    val vecs = (0L until 300L).map(i =>
+      (i, Array.fill(64)(rnd.nextFloat() * 2 - 1))).toDF("vec_id", "embedding")
+    val k = 300 / 50  // centroid count
+    val pq = graft.ann.PQ.encode(vecs).collect()
+    pq.foreach { r =>
+      val cs = r.getSeq[Long](1)
+      assert(cs.length == 8 && cs.forall(c => c >= 0 && c < k))
+    }
+    val km = graft.ann.Centroids.kmeansIteration(vecs, centroidMod = 50).collect()
+    assert(km.length == 300)
+    val centIds = (0L until 300L by 50L).toSet
+    km.foreach { r =>
+      assert(centIds.contains(r.getLong(1)) && centIds.contains(r.getLong(2)))
+      assert(r.getLong(3) == (if (r.getLong(1) != r.getLong(2)) 1L else 0L))
+    }
+  }
+
   test("stratified sampling is a deterministic per-stratum hash gate") {
     val docs = (0L until 1000L).map(i =>
       (i, if (i % 2 == 0) "en" else "zh", "t")).toDF("doc_id", "lang", "text")
