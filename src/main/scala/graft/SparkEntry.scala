@@ -375,6 +375,22 @@ object SparkEntry {
     "q92_source_matrix" -> ((s, d) =>
       dedup.Dedup.crossSourceDupMatrix(docs(s, d))),
 
+    // dialogue integrity: role-alternation violations per conversation
+    "q93_dialogue_integrity" -> ((s, d) =>
+      operators.Conversations.integrity(Transcripts.load(s, d))),
+
+    // canned-turn detection across conversations
+    "q94_canned_turns" -> ((s, d) =>
+      operators.Conversations.cannedTurns(Transcripts.load(s, d))),
+
+    // vocabulary head (top-5 tokens) per language
+    "q95_vocab_topk" -> ((s, d) =>
+      text.TfIdf.vocabTopK(docs(s, d))),
+
+    // embedding QA: zero vectors + integer-exact norm stats per label
+    "q96_embed_qa" -> ((s, d) =>
+      ann.Quantize.qaStats(vecs(s, d))),
+
     // gap-based sessionization: per-session stats
     "q62_sessionize" -> ((s, d) =>
       operators.Sessionize.sessionStats(Transcripts.load(s, d))),
@@ -1949,6 +1965,56 @@ JOIN documents a ON c.doc_a = a.doc_id
 JOIN documents b ON c.doc_b = b.doc_id
 GROUP BY 1, 2"""
     },
+
+    "q93_dialogue_integrity" -> withTranscripts("""
+SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns,
+  CAST(sum(CASE WHEN role = prev_role THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_role_repeats,
+  arg_min(role, turn_idx) AS first_role
+FROM (
+  SELECT conv_id, turn_idx, role,
+    lag(role) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev_role
+  FROM transcripts) w
+GROUP BY conv_id"""),
+
+    "q94_canned_turns" -> withTranscripts("""
+, t AS (SELECT conv_id,
+    md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS h
+  FROM transcripts),
+hot AS (SELECT h FROM (
+    SELECT h, count(*) AS n_convs FROM (SELECT DISTINCT conv_id, h FROM t) d
+    GROUP BY h) x
+  WHERE n_convs >= 3)
+SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns,
+  CAST(count(hot.h) AS BIGINT) AS n_canned,
+  CAST(floor(count(hot.h) * 1000.0 / count(*)) AS BIGINT) AS canned_permille
+FROM t LEFT JOIN hot ON t.h = hot.h
+GROUP BY conv_id"""),
+
+    "q95_vocab_topk" -> s"""
+SELECT lang, tok, n, rank FROM (
+  SELECT lang, tok, n,
+    row_number() OVER (PARTITION BY lang ORDER BY n DESC, tok) AS rank
+  FROM (
+    SELECT lang, tok, CAST(count(*) AS BIGINT) AS n
+    FROM (SELECT lang, unnest($oToks) AS tok FROM documents) e
+    GROUP BY lang, tok) c
+) r WHERE rank <= 5""",
+
+    "q96_embed_qa" -> s"""
+SELECT CAST(label AS BIGINT) AS label, CAST(count(*) AS BIGINT) AS n_vecs,
+  CAST(sum(CASE WHEN norm2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+  CAST(min(norm2) AS BIGINT) AS min_norm2,
+  CAST(max(norm2) AS BIGINT) AS max_norm2,
+  CAST(floor(CAST(CAST(sum(norm2) AS BIGINT) AS DOUBLE) / count(*)) AS BIGINT)
+    AS mean_norm2
+FROM (
+  SELECT label,
+    list_aggregate(list_transform(embedding,
+      x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)
+           * CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)), 'sum') AS norm2
+  FROM embeddings) a
+GROUP BY label""",
 
     "q41_multimodal_meta" -> s"""
 SELECT doc_id,

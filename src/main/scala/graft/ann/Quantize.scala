@@ -23,6 +23,26 @@ object Quantize {
   private def maxAbs(emb: Column): Column =
     array_max(transform(emb, x => abs(x.cast("double"))))
 
+  /** Embedding QA per label: vector counts, all-zero vectors, and
+    * integer-exact squared-norm stats (×1e12 via micro-quantized
+    * components) — the sanity pass a pipeline runs before ANN indexing
+    * (zero vectors poison cosine; norm drift flags a bad encoder batch).
+    * Map-only per row + one tiny per-label aggregate. Norm² sums stay
+    * far inside Long at unit-scale embeddings; mean is floor(sum/n). */
+  def qaStats(vecs: DataFrame): DataFrame = {
+    val q = transform(col("embedding"),
+      x => floor(x.cast("double") * 1000000.0).cast("long"))
+    vecs
+      .select(col("label").cast("long").as("label"),
+        aggregate(q, lit(0L), (acc, v) => acc + v * v).as("norm2"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(when(col("norm2") === 0, 1L).otherwise(0L)).as("n_zero"),
+        min("norm2").as("min_norm2"), max("norm2").as("max_norm2"),
+        floor(sum(col("norm2")).cast("double") / count(lit(1))).cast("long")
+          .as("mean_norm2"))
+  }
+
   /** Quantized vector: floor(x * 127 / maxabs) ∈ [-127, 127]. */
   def quantized(emb: Column): Column = {
     val m = maxAbs(emb)

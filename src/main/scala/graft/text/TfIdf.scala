@@ -20,6 +20,21 @@ import org.apache.spark.sql.functions._
   */
 object TfIdf {
 
+  /** Corpus vocabulary head per language: the k most frequent tokens with
+    * counts — the heavy-hitter diagnostic behind tokenizer coverage and
+    * language-drift monitoring. Two-level shape: the (lang, token) count
+    * aggregates map-side before its shuffle, and the per-language top-k
+    * window runs over the (already lang-clustered) aggregate, which is
+    * vocabulary-sized — sublinear in the corpus. */
+  def vocabTopK(docs: DataFrame, k: Int = 5): DataFrame = {
+    val counts = docs
+      .select(col("lang"), explode(TextAnalysis.tokens(col("text"))).as("tok"))
+      .groupBy("lang", "tok").agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("lang").orderBy(col("n").desc, col("tok"))
+    counts.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
   def topTerms(docs: DataFrame, k: Int = 3): DataFrame = {
     val toks = docs.select(col("doc_id"),
       explode(TextAnalysis.tokHashes(col("text"))).as("tok"))

@@ -311,6 +311,53 @@ class TextOpsSpec extends SparkSpec {
     assert(out.toSeq == Seq(("s1", "s2", 1L)))
   }
 
+  test("dialogue integrity counts adjacent same-role turns per conversation") {
+    val t = Seq(
+      ("c1", 0, "user"), ("c1", 1, "assistant"), ("c1", 2, "user"),
+      ("c2", 0, "assistant"), ("c2", 1, "assistant"), ("c2", 2, "assistant")
+    ).toDF("conv_id", "turn_idx", "role")
+    val out = operators.Conversations.integrity(t).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out("c1") == ((3L, 0L, "user")))
+    assert(out("c2") == ((3L, 2L, "assistant")))
+  }
+
+  test("canned turns: text repeated across enough conversations is flagged") {
+    val t = Seq(
+      ("c1", "Hello  how can I help"), ("c1", "unique answer one"),
+      ("c2", "hello how can i help"),  // same normalized text, other conv
+      ("c3", "HELLO how can I help"), ("c3", "another unique thing")
+    ).toDF("conv_id", "text")
+    val out = operators.Conversations.cannedTurns(t, minConvs = 3).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out("c1") == ((2L, 1L, 500L)))
+    assert(out("c2") == ((1L, 1L, 1000L)))
+    assert(out("c3") == ((2L, 1L, 500L)))
+  }
+
+  test("vocab top-k ranks tokens per language with stable tie-break") {
+    val docs = Seq(
+      (1L, "en", "a a b"), (2L, "en", "a c"), (3L, "zh", "z")
+    ).toDF("doc_id", "lang", "text")
+    val out = text.TfIdf.vocabTopK(docs).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(out.filter(_._1 == "en").sortBy(_._4).toSeq ==
+      Seq(("en", "a", 3L, 1L), ("en", "b", 1L, 2L), ("en", "c", 1L, 3L)))
+    assert(out.filter(_._1 == "zh").toSeq == Seq(("zh", "z", 1L, 1L)))
+  }
+
+  test("embedding QA: zero vectors and integer-exact norm stats per label") {
+    val vecs = Seq(
+      (0L, Array(0.0f, 0.0f), 0), (1L, Array(1.0f, 0.0f), 0),
+      (2L, Array(0.5f, 0.5f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val out = graft.ann.Quantize.qaStats(vecs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))).toMap
+    assert(out(0L) == ((2L, 1L, 0L, 1000000000000L, 500000000000L)))
+    assert(out(1L) == ((1L, 0L, 500000000000L, 500000000000L, 500000000000L)))
+  }
+
   test("round-3 ops hold their invariants on a seeded random corpus") {
     val rnd = new scala.util.Random(42)
     val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta", "the", "of")
