@@ -82,6 +82,51 @@ object Centroids {
           .as("moved"))
   }
 
+  /** Full k-means training loop: repeat (assign → quantized-mean update)
+    * until no vector moves or `maxIter` is hit — the driver-side fixpoint
+    * pattern [[graft.dedup.Dedup.duplicateClusters]] also uses (each
+    * round is one broadcast assignment + one groups×dims aggregate;
+    * per-round frames persist and release as the loop advances; the
+    * movement count is the per-round action that decides convergence).
+    * Returns the final assignment (vec_id, cent_id) plus the iteration
+    * count that produced it, stamped on every row.
+    *
+    * No DuckDB oracle (iterative fixpoint; the single Lloyd STEP is the
+    * oracled unit — q86); CurationSpec asserts monotone convergence. */
+  def kmeansTrain(vecs: DataFrame, centroidMod: Int = 200,
+                  maxIter: Int = 5): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val q = vecs.select(col("vec_id"), col("embedding"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var assign = Similarity.ivfAssign(q, centroidMod)
+      .select(col("vec_id"), col("embedding"), col("cent_id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var iters = 1
+    var converged = false
+    while (iters < maxIter && !converged) {
+      val cents = perKey(assign.withColumn("grp", col("cent_id")), "grp")
+        .select(col("grp").as("cent_id"),
+          transform(col("centroid_x1e6"), x => x.cast("double")).as("cent_emb"))
+      val next = assign.select(col("vec_id"), col("embedding"),
+          col("cent_id").as("prev"))
+        .crossJoin(broadcast(cents))
+        .withColumn("_score", struct(
+          Similarity.cosine(col("embedding"), col("cent_emb")).as("cos"),
+          (-col("cent_id")).cast("double").as("nid")))
+        .groupBy("vec_id", "prev")
+        .agg(max_by(col("cent_id"), col("_score")).as("cent_id"),
+          first(col("embedding")).as("embedding"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val moved = next.filter(col("cent_id") =!= col("prev")).count()
+      assign.unpersist()
+      assign = next.select("vec_id", "embedding", "cent_id")
+      converged = moved == 0
+      iters += 1
+    }
+    q.unpersist()
+    assign.select(col("vec_id"), col("cent_id"), lit(iters.toLong).as("n_iters"))
+  }
+
   /** Per-class prototypes: embeddings joined to document labels on
     * vec_id = doc_id, then one centroid per language. The label side
     * carries two narrow columns; the join is an equi-join the planner

@@ -414,6 +414,25 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("k-means training converges and stabilizes the boundary flip") {
+    def ang(deg: Double): Array[Float] = {
+      val r = math.toRadians(deg)
+      Array(math.cos(r).toFloat, math.sin(r).toFloat)
+    }
+    val vecs = Seq(
+      0L -> ang(0), 4L -> ang(60),
+      1L -> ang(85), 2L -> ang(90), 3L -> ang(95),
+      5L -> ang(35)
+    ).toDF("vec_id", "embedding")
+    val out = graft.ann.Centroids.kmeansTrain(vecs, centroidMod = 4).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // round 1 flips vec 5 into cell 0 (q86's oracled step); round 2 moves
+    // nothing → converged after 3 assignment passes
+    assert(out.values.map(_._2).toSet == Set(3L))
+    assert(out(0L)._1 == 0L && out(5L)._1 == 0L)
+    Seq(1L, 2L, 3L, 4L).foreach(id => assert(out(id)._1 == 4L))
+  }
+
   test("stratified sampling is a deterministic per-stratum hash gate") {
     val docs = (0L until 1000L).map(i =>
       (i, if (i % 2 == 0) "en" else "zh", "t")).toDF("doc_id", "lang", "text")
