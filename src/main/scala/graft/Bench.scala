@@ -174,7 +174,8 @@ object Bench {
           results("boilerplate") = math.min(bpRun(), bpRun())
           val dsRun = () => timeNoop(text.Boilerplate.dupSpanCoverage(docs))
           results("dup_spans") = math.min(dsRun(), dsRun())
-          results("kmeans_step") = timeNoop(ann.Centroids.kmeansIteration(vecs))
+          val kmRun = () => timeNoop(ann.Centroids.kmeansIteration(vecs))
+          results("kmeans_step") = math.min(kmRun(), kmRun())
         }
       } finally spark.stop()
     }

@@ -1063,19 +1063,13 @@ JOIN shs a ON c.doc_a = a.doc_id
 JOIN shs b ON c.doc_b = b.doc_id"""
     },
 
-    "q55_ngram_lsh" -> {
-      val mhs = (0 until dedup.Dedup.NumHashes).map { i =>
-        s"CAST(list_aggregate(list_transform(sh, s -> (s*${2 * i + 1} + ${7919 * i + 1}) % 1000000007), 'min') AS BIGINT) AS mh$i"
-      }.mkString(", ")
-      val bandSel = (0 until dedup.Dedup.NumHashes / 2).map { b =>
-        s"SELECT doc_id, $b AS band_idx, (mh${2 * b}*31 + mh${2 * b + 1}) % 1000000007 AS band_sig FROM sigs"
-      }.mkString(" UNION ALL ")
-      s"""
+    "q55_ngram_lsh" -> s"""
 WITH th AS (SELECT doc_id, $oTokHashes AS th FROM documents),
 sigs AS (
-  SELECT doc_id, $mhs FROM (SELECT doc_id, $oShingles AS sh FROM th) x
+  SELECT doc_id, ${oMinhashCols(dedup.Dedup.NumHashes)}
+  FROM (SELECT doc_id, $oShingles AS sh FROM th) x
 ),
-bands AS ($bandSel),
+bands AS (${oBandSelect(dedup.Dedup.NumHashes)}),
 cand AS (
   SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
   FROM bands l JOIN bands r
@@ -1096,8 +1090,7 @@ SELECT c.doc_a, c.doc_b,
        / len(list_distinct(list_concat(a.ng, b.ng)))) AS BIGINT) AS ngram_jaccard_permille
 FROM cand c
 JOIN ngs a ON c.doc_a = a.doc_id
-JOIN ngs b ON c.doc_b = b.doc_id"""
-    },
+JOIN ngs b ON c.doc_b = b.doc_id""",
 
     "q37_simhash" -> {
       val terms = (0 until dedup.Dedup.SimBits).map { j =>
@@ -1750,7 +1743,7 @@ WITH tot AS (
     CAST(CASE lang WHEN 'en' THEN 400 WHEN 'de' THEN 250 WHEN 'fr' THEN 150
                    WHEN 'es' THEN 150 WHEN 'zh' THEN 50 ELSE 0 END AS BIGINT) AS w_l
   FROM documents GROUP BY lang),
-tot2 AS (SELECT * FROM tot WHERE w_l > 0),
+tot2 AS (SELECT * FROM tot WHERE w_l > 0 AND t_l > 0),
 anchor AS (SELECT t_l AS t_m, w_l AS w_m FROM tot2
            ORDER BY CAST(t_l AS DOUBLE) / CAST(w_l AS DOUBLE), lang LIMIT 1),
 rates AS (
@@ -1939,19 +1932,13 @@ SELECT doc_id, n_tokens, score_sum,
        THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS keep
 FROM s""",
 
-    "q92_source_matrix" -> {
-      val mhs = (0 until dedup.Dedup.NumHashes).map { i =>
-        s"CAST(list_aggregate(list_transform(sh, s -> (s*${2 * i + 1} + ${7919 * i + 1}) % 1000000007), 'min') AS BIGINT) AS mh$i"
-      }.mkString(", ")
-      val bandSel = (0 until dedup.Dedup.NumHashes / 2).map { b =>
-        s"SELECT doc_id, $b AS band_idx, (mh${2 * b}*31 + mh${2 * b + 1}) % 1000000007 AS band_sig FROM sigs"
-      }.mkString(" UNION ALL ")
-      s"""
+    "q92_source_matrix" -> s"""
 WITH th AS (SELECT doc_id, $oTokHashes AS th FROM documents),
 sigs AS (
-  SELECT doc_id, $mhs FROM (SELECT doc_id, $oShingles AS sh FROM th) x
+  SELECT doc_id, ${oMinhashCols(dedup.Dedup.NumHashes)}
+  FROM (SELECT doc_id, $oShingles AS sh FROM th) x
 ),
-bands AS ($bandSel),
+bands AS (${oBandSelect(dedup.Dedup.NumHashes)}),
 cand AS (
   SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
   FROM bands l JOIN bands r
@@ -1963,8 +1950,7 @@ SELECT least(a.source, b.source) AS src_lo,
 FROM cand c
 JOIN documents a ON c.doc_a = a.doc_id
 JOIN documents b ON c.doc_b = b.doc_id
-GROUP BY 1, 2"""
-    },
+GROUP BY 1, 2""",
 
     "q93_dialogue_integrity" -> withTranscripts("""
 SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns,
@@ -2011,8 +1997,8 @@ SELECT CAST(label AS BIGINT) AS label, CAST(count(*) AS BIGINT) AS n_vecs,
 FROM (
   SELECT label,
     list_aggregate(list_transform(embedding,
-      x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)
-           * CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)), 'sum') AS norm2
+      x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)
+           * CAST(floor(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)), 'sum') AS norm2
   FROM embeddings) a
 GROUP BY label""",
 

@@ -31,7 +31,12 @@ object PQ {
   val Dim = 64
   val M = 8          // subspaces
   val SubDim = 8     // Dim / M
-  val KeyStride = 1024L  // dtable key = m·stride + code (assumes K < 1024)
+  // dtable key = m·stride + code_idx. The stride bounds the codebook id
+  // space: code_idx < 2^40 (vec_id < centMod·2^40 ≈ 5.5e13 at the default)
+  // keeps keys collision-free and m·stride ≤ 8·2^40 far inside Long; real
+  // deployments additionally remap codebook ids densely, where K ≤ 65536
+  // by construction.
+  val KeyStride = 1L << 40
 
   /** Micro-quantized copy of the embeddings: (vec_id, q: array<long>). */
   def quantized(vecs: DataFrame): DataFrame =

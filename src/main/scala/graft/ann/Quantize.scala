@@ -23,15 +23,19 @@ object Quantize {
   private def maxAbs(emb: Column): Column =
     array_max(transform(emb, x => abs(x.cast("double"))))
 
-  /** Embedding QA per label: vector counts, all-zero vectors, and
-    * integer-exact squared-norm stats (×1e12 via micro-quantized
+  /** Embedding QA per label: vector counts, effectively-zero vectors, and
+    * integer-exact squared-norm stats (×1e6 via milli-quantized
     * components) — the sanity pass a pipeline runs before ANN indexing
     * (zero vectors poison cosine; norm drift flags a bad encoder batch).
-    * Map-only per row + one tiny per-label aggregate. Norm² sums stay
-    * far inside Long at unit-scale embeddings; mean is floor(sum/n). */
+    * Map-only per row + one tiny per-label aggregate; mean is
+    * floor(sum/n). The 1e3 quantization bounds per-vector norm² at
+    * ~2.6e8 for unit-scale 64-dim embeddings, so the per-label Long sum
+    * survives tens of billions of vectors per label without wrapping —
+    * milli precision is ample for a drift/zero diagnostic ("zero" means
+    * every |component| < 0.001). */
   def qaStats(vecs: DataFrame): DataFrame = {
     val q = transform(col("embedding"),
-      x => floor(x.cast("double") * 1000000.0).cast("long"))
+      x => floor(x.cast("double") * 1000.0).cast("long"))
     vecs
       .select(col("label").cast("long").as("label"),
         aggregate(q, lit(0L), (acc, v) => acc + v * v).as("norm2"))

@@ -67,12 +67,15 @@ object Sampling {
     val w = targets.foldLeft(lit(0).cast("long"): Column) {
       case (acc, (k, v)) => when(col("lang") === k, lit(v.toLong)).otherwise(acc)
     }
+    // a targeted stratum with ZERO tokens is excluded outright: it cannot
+    // anchor (0/0 rates) and has nothing to keep — its (all-empty) docs
+    // drop out via the inner rate join, on both engines
     val totals = docs
       .select(col("lang"), size(graft.text.TextAnalysis.tokens(col("text")))
         .cast("long").as("n_tokens"))
       .groupBy("lang").agg(sum("n_tokens").as("t_l"))
       .withColumn("w_l", w)
-      .filter(col("w_l") > 0)
+      .filter(col("w_l") > 0 && col("t_l") > 0)
     // anchor stratum m = argmin T_l / w_l (exact-integer IEEE division;
     // deterministic tie-break on lang)
     val anchor = totals

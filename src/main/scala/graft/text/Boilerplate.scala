@@ -10,9 +10,11 @@ import graft.dedup.Dedup
   * the fraction of its shingles that are corpus-hot.
   *
   * Scale shape (the reason this works at 100 TB):
-  *  - the exploded (doc_id, shingle) pair stream is persisted and feeds BOTH
-  *    the hot-shingle aggregate and the per-doc join, so the shingle hashing
-  *    scan runs exactly once (same lifecycle as TfIdf's tf persist);
+  *  - the exploded (doc_id, shingle) pair stream feeds BOTH the hot-shingle
+  *    aggregate and the per-doc join as the SAME subplan shuffled on the
+  *    same key, so ReuseExchange shares one shuffle and the shingle hashing
+  *    runs once — no persisted intermediate (see the measurement note in
+  *    [[stats]]);
   *  - the hot set is the ≥`minDocs` tail of the shingle frequency
   *    distribution — orders of magnitude smaller than the vocabulary, so the
   *    join back is AQE-broadcastable; the only full shuffles are keyed on

@@ -354,8 +354,8 @@ class TextOpsSpec extends SparkSpec {
     val out = graft.ann.Quantize.qaStats(vecs).collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
         r.getLong(4), r.getLong(5)))).toMap
-    assert(out(0L) == ((2L, 1L, 0L, 1000000000000L, 500000000000L)))
-    assert(out(1L) == ((1L, 0L, 500000000000L, 500000000000L, 500000000000L)))
+    assert(out(0L) == ((2L, 1L, 0L, 1000000L, 500000L)))
+    assert(out(1L) == ((1L, 0L, 500000L, 500000L, 500000L)))
   }
 
   test("round-3 ops hold their invariants on a seeded random corpus") {
