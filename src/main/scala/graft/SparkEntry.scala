@@ -391,6 +391,11 @@ object SparkEntry {
     "q96_embed_qa" -> ((s, d) =>
       ann.Quantize.qaStats(vecs(s, d))),
 
+    // WAV/RIFF little-endian header round-trip (LE complement of q76)
+    "q97_wav_header" -> ((s, d) =>
+      multimodal.Multimodal.parseWavHeader(
+        multimodal.Multimodal.withWavContainer(docs(s, d)))),
+
     // gap-based sessionization: per-session stats
     "q62_sessionize" -> ((s, d) =>
       operators.Sessionize.sessionStats(Transcripts.load(s, d))),
@@ -2001,6 +2006,14 @@ FROM (
            * CAST(floor(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)), 'sum') AS norm2
   FROM embeddings) a
 GROUP BY label""",
+
+    "q97_wav_header" -> """
+SELECT doc_id,
+  8000 + (doc_id % 5) * 8000 AS sample_rate,
+  1 + doc_id % 2 AS channels,
+  CAST(octet_length(encode(text)) AS BIGINT) AS payload_bytes,
+  TRUE AS magic_ok
+FROM documents""",
 
     "q41_multimodal_meta" -> s"""
 SELECT doc_id,

@@ -86,6 +86,49 @@ object Multimodal {
       (octet_length(col("media")) - 12).cast("long").as("payload_bytes"),
       (hex(substring(col("media"), 1, 4)) === "89504E47").as("magic_ok"))
 
+  /** Deterministic WAV/RIFF-style container — the LITTLE-endian
+    * complement of the PNG path (RIFF containers are LE on disk):
+    * "RIFF" ‖ LE32 payload size ‖ "WAVE" ‖ LE32 sample rate ‖ LE16
+    * channels ‖ payload. Field values derive from doc_id so the oracle
+    * verifies the round trip with independent arithmetic. */
+  def withWavContainer(docs: DataFrame): DataFrame = {
+    def le32(c: Column) = {
+      val h = lpad(hex(c), 8, "0")
+      unhex(concat(h.substr(7, 2), h.substr(5, 2), h.substr(3, 2), h.substr(1, 2)))
+    }
+    def le16(c: Column) = {
+      val h = lpad(hex(c), 4, "0")
+      unhex(concat(h.substr(3, 2), h.substr(1, 2)))
+    }
+    docs.select(col("doc_id"),
+      concat(
+        lit("RIFF".getBytes("US-ASCII")),
+        le32(octet_length(encode(col("text"), "UTF-8"))),
+        lit("WAVE".getBytes("US-ASCII")),
+        le32(lit(8000) + (col("doc_id") % 5) * 8000),
+        le16(lit(1) + col("doc_id") % 2),
+        encode(col("text"), "UTF-8")).as("media"))
+  }
+
+  /** LE header parse without a codec: byte-swap via hex-pair reshuffles,
+    * pure expressions per row (route/filter audio on rate/channels before
+    * paying for decode). */
+  def parseWavHeader(media: DataFrame): DataFrame = {
+    def le32at(pos: Int) = {
+      val h = hex(substring(col("media"), pos, 4))
+      conv(concat(h.substr(7, 2), h.substr(5, 2), h.substr(3, 2), h.substr(1, 2)),
+        16, 10).cast("long")
+    }
+    val h16 = hex(substring(col("media"), 17, 2))
+    media.select(col("doc_id"),
+      le32at(13).as("sample_rate"),
+      conv(concat(h16.substr(3, 2), h16.substr(1, 2)), 16, 10).cast("long")
+        .as("channels"),
+      le32at(5).as("payload_bytes"),
+      (hex(substring(col("media"), 1, 4)) === "52494646" &&
+        hex(substring(col("media"), 9, 4)) === "57415645").as("magic_ok"))
+  }
+
   /** The "decode + feature extract" path: typed Dataset mapPartitions —
     * the Scala analog of a Pandas-UDF batch loop. The per-frame decode is
     * a deterministic fake (byte sum per frame); swap `decodeFrame` for a

@@ -65,6 +65,16 @@ class SimilaritySpec extends SparkSpec {
     assert(f.code_sum_mod == 130L * 'x'.toLong % 1000000007L)
   }
 
+  test("wav header round-trips: LE32/LE16 fields parse back off the bytes") {
+    val docs = Seq((1234567L, "audio payload", "en", "s", 13L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = Multimodal.parseWavHeader(Multimodal.withWavContainer(docs)).collect()(0)
+    assert(r.getLong(1) == 8000L + (1234567L % 5) * 8000L) // sample_rate
+    assert(r.getLong(2) == 1L + 1234567L % 2)              // channels
+    assert(r.getLong(3) == 13L)                            // payload bytes
+    assert(r.getBoolean(4))                                // RIFF/WAVE magic
+  }
+
   test("PQ: codes pick the nearest sub-centroid; ADC ranks by table sums") {
     def v(parts: Float*): Array[Float] =
       parts.flatMap(p => Array.fill(8)(p)).toArray  // 8 comps per subspace
