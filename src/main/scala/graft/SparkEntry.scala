@@ -396,6 +396,12 @@ object SparkEntry {
       multimodal.Multimodal.parseWavHeader(
         multimodal.Multimodal.withWavContainer(docs(s, d)))),
 
+    // shingle containment on LSH candidates (subset-duplicate detection)
+    "q98_containment" -> ((s, d) => {
+      val dd = docs(s, d)
+      dedup.Dedup.containmentPermille(dedup.Dedup.lshCandidates(dd), dd)
+    }),
+
     // gap-based sessionization: per-session stats
     "q62_sessionize" -> ((s, d) =>
       operators.Sessionize.sessionStats(Transcripts.load(s, d))),
@@ -2006,6 +2012,30 @@ FROM (
            * CAST(floor(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)), 'sum') AS norm2
   FROM embeddings) a
 GROUP BY label""",
+
+    "q98_containment" -> s"""
+WITH th AS (SELECT doc_id, $oTokHashes AS th FROM documents),
+sigs AS (
+  SELECT doc_id, ${oMinhashCols(dedup.Dedup.NumHashes)}
+  FROM (SELECT doc_id, $oShingles AS sh FROM th) x
+),
+bands AS (${oBandSelect(dedup.Dedup.NumHashes)}),
+cand AS (
+  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+  FROM bands l JOIN bands r
+    ON l.band_idx = r.band_idx AND l.band_sig = r.band_sig AND l.doc_id < r.doc_id
+),
+shs AS (
+  SELECT doc_id, list_distinct($oShingles) AS shd
+  FROM (SELECT doc_id, $oTokHashes AS th FROM documents) y
+)
+SELECT c.doc_a, c.doc_b,
+  CAST(floor(CAST(len(list_intersect(a.shd, b.shd)) * 1000 AS DOUBLE)
+       / least(len(a.shd), len(b.shd))) AS BIGINT) AS containment_permille
+FROM cand c
+JOIN shs a ON c.doc_a = a.doc_id
+JOIN shs b ON c.doc_b = b.doc_id
+WHERE least(len(a.shd), len(b.shd)) > 0""",
 
     "q97_wav_header" -> """
 SELECT doc_id,

@@ -229,6 +229,27 @@ object Dedup {
           .as("ngram_jaccard_permille"))
   }
 
+  /** Shingle-set CONTAINMENT (permille) for LSH candidate pairs:
+    * |A∩B| / min(|A|,|B|) — the asymmetric near-dup measure that catches
+    * subset duplication (a document embedded whole inside a longer one),
+    * which symmetric Jaccard under-scores: a 50-shingle doc inside a
+    * 1000-shingle doc has Jaccard ≈ 50‰ but containment 1000‰. Runs only
+    * on the banding-bounded candidate set, same scale shape as
+    * [[jaccardPermille]]. */
+  def containmentPermille(pairs: DataFrame, docs: DataFrame): DataFrame = {
+    val sh = docs.select(col("doc_id"),
+      array_distinct(shingleHashes(col("text"))).as("sh"))
+    pairs
+      .join(sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sh_a"), "doc_a")
+      .join(sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sh", "sh_b"), "doc_b")
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+      .withColumn("mn", least(size(col("sh_a")), size(col("sh_b"))).cast("long"))
+      .filter(col("mn") > 0)
+      .select(col("doc_a"), col("doc_b"),
+        floor(col("inter") * lit(1000.0) / col("mn")).cast("long")
+          .as("containment_permille"))
+  }
+
   /** Cross-source duplication matrix: LSH candidate pairs labeled with
     * their documents' sources, counted per unordered source pair — the
     * corpus diagnostic that shows WHERE duplication comes from (mirror

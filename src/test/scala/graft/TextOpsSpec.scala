@@ -433,6 +433,32 @@ class TextOpsSpec extends SparkSpec {
     Seq(1L, 2L, 3L, 4L).foreach(id => assert(out(id)._1 == 4L))
   }
 
+  test("containment scores subset duplication that Jaccard under-scores") {
+    val docs = Seq(
+      (1L, "a b c d e f g h i j"),   // 8 shingles
+      (2L, "a b c d e"),             // 3 shingles, all contained in doc 1
+      (3L, "x y z w v")              // disjoint
+    ).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (1L, 3L)).toDF("doc_a", "doc_b")
+    val out = dedup.Dedup.containmentPermille(pairs, docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out((1L, 2L)) == 1000L)   // full containment
+    assert(out((1L, 3L)) == 0L)
+    // Jaccard on the same contained pair is far below 1000
+    val j = dedup.Dedup.jaccardPermille(pairs.limit(1), docs).collect()(0).getLong(2)
+    assert(j == 375L)                // 3/8
+  }
+
+  test("mixture excludes a targeted stratum whose corpus tokens are zero") {
+    val docs = Seq(
+      (0L, "en", "w w w w"), (1L, "en", "w w"),
+      (2L, "fr", ""), (3L, "fr", "   ")   // fr exists but has zero tokens
+    ).toDF("doc_id", "lang", "text")
+    val out = Sampling.mixture(docs, Map("en" -> 500, "fr" -> 500)).collect()
+    assert(out.forall(_.getString(1) == "en"))  // fr rows drop out
+    out.foreach(r => assert(r.getLong(2) == 1000L && r.getLong(3) == 1L))
+  }
+
   test("stratified sampling is a deterministic per-stratum hash gate") {
     val docs = (0L until 1000L).map(i =>
       (i, if (i % 2 == 0) "en" else "zh", "t")).toDF("doc_id", "lang", "text")
