@@ -402,6 +402,10 @@ object SparkEntry {
       dedup.Dedup.containmentPermille(dedup.Dedup.lshCandidates(dd), dd)
     }),
 
+    // daily content-novelty rate (first-seen-day rollup)
+    "q99_daily_novelty" -> ((s, d) =>
+      operators.Conversations.dailyNovelty(Transcripts.load(s, d))),
+
     // gap-based sessionization: per-session stats
     "q62_sessionize" -> ((s, d) =>
       operators.Sessionize.sessionStats(Transcripts.load(s, d))),
@@ -2012,6 +2016,18 @@ FROM (
            * CAST(floor(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)), 'sum') AS norm2
   FROM embeddings) a
 GROUP BY label""",
+
+    "q99_daily_novelty" -> withTranscripts("""
+, t AS (SELECT CAST(ts AS DATE) AS day,
+    md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS h
+  FROM transcripts),
+fs AS (SELECT h, min(day) AS first_day FROM t GROUP BY h)
+SELECT day, CAST(count(*) AS BIGINT) AS n_turns,
+  CAST(sum(CASE WHEN day = first_day THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+  CAST(floor(sum(CASE WHEN day = first_day THEN 1 ELSE 0 END) * 1000.0
+    / count(*)) AS BIGINT) AS novelty_permille
+FROM t JOIN fs USING (h)
+GROUP BY day"""),
 
     "q98_containment" -> s"""
 WITH th AS (SELECT doc_id, $oTokHashes AS th FROM documents),

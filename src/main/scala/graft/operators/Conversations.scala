@@ -30,6 +30,27 @@ object Conversations {
           .as("first_role"))
   }
 
+  /** Daily content-novelty rate — the ingestion-monitoring time series a
+    * continuously-fed corpus needs: per calendar day, how many arriving
+    * turns carry content never seen before vs repeats of earlier days
+    * (a collapsing novelty rate flags a looping scraper or a replayed
+    * feed). First-seen day per content hash is one aggregate on the
+    * 128-bit key; the day-level rollup joins back on the hash — the wide
+    * text never shuffles. */
+  def dailyNovelty(transcripts: DataFrame): DataFrame = {
+    val t = transcripts.select(
+      to_date(col("ts")).as("day"),
+      md5(regexp_replace(lower(col("text")), "\\s+", " ").cast("binary")).as("h"))
+    val firstSeen = t.groupBy("h").agg(min("day").as("first_day"))
+    t.join(firstSeen, Seq("h"))
+      .groupBy("day")
+      .agg(count(lit(1)).as("n_turns"),
+        sum(when(col("day") === col("first_day"), 1L).otherwise(0L))
+          .as("n_novel"))
+      .withColumn("novelty_permille",
+        floor(col("n_novel") * lit(1000.0) / col("n_turns")).cast("long"))
+  }
+
   /** Canned-turn detection: a turn whose normalized text appears in
     * ≥`minConvs` DISTINCT conversations is "canned" (template greetings,
     * boilerplate tool output); reports per conversation how much of it is

@@ -459,6 +459,20 @@ class TextOpsSpec extends SparkSpec {
     out.foreach(r => assert(r.getLong(2) == 1000L && r.getLong(3) == 1L))
   }
 
+  test("daily novelty: repeats of earlier days lower the rate") {
+    val ts = java.sql.Timestamp.valueOf(_: String)
+    val t = Seq(
+      (ts("2026-01-01 10:00:00"), "hello there"),
+      (ts("2026-01-01 11:00:00"), "first day text"),
+      (ts("2026-01-02 09:00:00"), "HELLO   THERE"),   // repeat (normalized)
+      (ts("2026-01-02 10:00:00"), "brand new words")
+    ).toDF("ts", "text")
+    val out = operators.Conversations.dailyNovelty(t).collect()
+      .map(r => r.getDate(0).toString -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out("2026-01-01") == ((2L, 2L, 1000L)))
+    assert(out("2026-01-02") == ((2L, 1L, 500L)))
+  }
+
   test("stratified sampling is a deterministic per-stratum hash gate") {
     val docs = (0L until 1000L).map(i =>
       (i, if (i % 2 == 0) "en" else "zh", "t")).toDF("doc_id", "lang", "text")
