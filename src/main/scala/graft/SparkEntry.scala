@@ -520,6 +520,46 @@ object SparkEntry {
     // checkpointed streaming pipeline, then recompute per-sink counts from
     // the sink ARTIFACTS on disk — routed-row equality through the real
     // sink path (north rule). Oracle = the same SQL as q15.
+    // streaming sessionization end-to-end: the corpus drains through the
+    // stateful flatMapGroupsWithState sessionizer (real checkpointed
+    // stream); a far-future sentinel turn per conversation closes every
+    // real session in-stream (the sentinels' own sessions stay open and
+    // never emit), so the streamed output equals the BATCH sessionizer —
+    // oracled with q62's SQL.
+    "q100_streaming_sessions" -> ((s, d) => {
+      import java.nio.file.{Files, Paths}
+      import org.apache.spark.sql.streaming.Trigger
+      val root = s"/tmp/graft_sess_${math.abs(d.hashCode)}"
+      def rm(p: java.nio.file.Path): Unit = if (Files.exists(p)) {
+        Files.walk(p).sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(x => Files.delete(x))
+      }
+      rm(Paths.get(root))
+      val t = Transcripts.load(s, d).select(col("conv_id"),
+        col("turn_idx").cast("int").as("turn_idx"),
+        col("ts").cast("timestamp").as("ts"))
+      // all sentinels share ONE global far-future ts: past every session's
+      // gap (closes them in-stream) yet AT the final watermark, so no
+      // sentinel session can itself time out and leak into the output
+      val gmax = t.agg(max(col("ts")).as("gmax"))
+      val sent = t.groupBy("conv_id").agg(
+          (max(col("turn_idx")) + 1000000).cast("int").as("turn_idx"))
+        .crossJoin(broadcast(gmax))
+        .select(col("conv_id"), col("turn_idx"),
+          (col("gmax") + expr("INTERVAL 31 MINUTES")).as("ts"))
+      t.unionByName(sent).repartition(4).write.parquet(s"$root/in")
+      val schema = s.read.parquet(s"$root/in").schema
+      implicit val sp: SparkSession = s
+      val stream = s.readStream.schema(schema).parquet(s"$root/in")
+      val q = streaming.SessionizeStream.sessions(stream).toDF()
+        .writeStream.format("parquet").option("path", s"$root/out")
+        .option("checkpointLocation", s"$root/ckpt").outputMode("append")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.read.parquet(s"$root/out").select(col("conv_id"), col("session_idx"),
+        col("n_turns"), col("ts_start"), col("ts_end"))
+    }),
+
     "q50_streaming_counts" -> ((s, d) => {
       import java.nio.file.{Files, Paths}
       val root = s"/tmp/graft_stream_${math.abs(d.hashCode)}"
@@ -1540,6 +1580,20 @@ SELECT n.doc_id,
 FROM newd n
 LEFT JOIN exact e ON n.doc_id = e.doc_id
 LEFT JOIN near nr ON n.doc_id = nr.doc_id""",
+
+    "q100_streaming_sessions" -> withTranscripts("""
+SELECT conv_id, session_idx, count(*) AS n_turns,
+  min(ts) AS ts_start, max(ts) AS ts_end
+FROM (
+  SELECT conv_id, ts,
+    CAST(sum(CASE WHEN prev_ts IS NULL OR ts > prev_ts + INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END)
+      OVER (PARTITION BY conv_id ORDER BY turn_idx) AS BIGINT) AS session_idx
+  FROM (
+    SELECT conv_id, turn_idx, ts,
+      lag(ts) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev_ts
+    FROM transcripts) a
+) b GROUP BY conv_id, session_idx"""),
 
     "q62_sessionize" -> withTranscripts("""
 SELECT conv_id, session_idx, count(*) AS n_turns,
