@@ -72,9 +72,27 @@ object ClusterBench {
     }
     System.err.println(s"warmup: ${warm.map(x => f"$x%.2f").mkString(" ")}")
     val t = math.min(warm.min, math.min(timeNoop(routed), timeNoop(routed)))
+
+    // at the larger cluster size, also exercise a REAL inter-executor
+    // shuffle (the W1 ordering exchange) plain vs salted — the skew
+    // evidence on genuine multi-JVM block transfers, not local threads
+    val executorsNow = spark.sparkContext.getExecutorMemoryStatus.size - 1
+    val shuffleTimes = if (executorsNow >= 4) {
+      val cached = routed.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      cached.count()
+      val plain = cached.repartition(col("conv_id"))
+        .sortWithinPartitions("conv_id", "turn_idx")
+      val tp = math.min(timeNoop(plain), timeNoop(plain))
+      val salted = graft.operators.TurnOrdering
+        .saltedRepartition(cached, Seq("conv_hot"), 8)
+        .sortWithinPartitions("conv_id", "_salt", "turn_idx")
+      val ts = math.min(timeNoop(salted), timeNoop(salted))
+      cached.unpersist()
+      f""","ordered_plain":$tp%.3f,"ordered_salted":$ts%.3f"""
+    } else ""
     val executors =
       spark.sparkContext.getExecutorMemoryStatus.size - 1 // minus driver
-    println(f"""{"metric":"cluster_routed_events_per_sec","value":${rows / t}%.1f,"sec":$t%.3f,"rows":$rows,"executors":$executors,"cores_max":"${spark.conf.getOption("spark.cores.max").getOrElse("?")}"}""")
+    println(f"""{"metric":"cluster_routed_events_per_sec","value":${rows / t}%.1f,"sec":$t%.3f,"rows":$rows,"executors":$executors,"cores_max":"${spark.conf.getOption("spark.cores.max").getOrElse("?")}"$shuffleTimes}""")
     spark.stop()
   }
 }

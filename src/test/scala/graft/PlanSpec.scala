@@ -158,6 +158,15 @@ class PlanSpec extends SparkSpec {
       s"the shingle exchange must be shared:\n${plan.take(2000)}")
   }
 
+  test("dialogue integrity window and aggregate share the conv_id exchange") {
+    import TestSpark.spark.implicits._
+    val t = Seq(("c1", 0, "user"), ("c1", 1, "assistant"))
+      .toDF("conv_id", "turn_idx", "role")
+    val plan = finalPlanOf(operators.Conversations.integrity(t))
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length <= 1,
+      s"one conv_id exchange expected:\n${plan.take(1500)}")
+  }
+
   test("packing shuffles once, on the (lang, shard) window keys") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val plan = finalPlanOf(text.Packing.pack(docs))
