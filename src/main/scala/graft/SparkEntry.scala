@@ -406,6 +406,10 @@ object SparkEntry {
     "q99_daily_novelty" -> ((s, d) =>
       operators.Conversations.dailyNovelty(Transcripts.load(s, d))),
 
+    // IVF search over the TRAINED (post-Lloyd-step) index
+    "q101_ivf_trained" -> ((s, d) =>
+      ann.Centroids.ivfTopKTrained(vecs(s, d))),
+
     // gap-based sessionization: per-session stats
     "q62_sessionize" -> ((s, d) =>
       operators.Sessionize.sessionStats(Transcripts.load(s, d))),
@@ -2106,6 +2110,35 @@ FROM cand c
 JOIN shs a ON c.doc_a = a.doc_id
 JOIN shs b ON c.doc_b = b.doc_id
 WHERE least(len(a.shd), len(b.shd)) > 0""",
+
+    "q101_ivf_trained" -> s"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+c0 AS (SELECT vec_id AS cent_id, e AS cent_emb FROM v WHERE vec_id % 200 = 0),
+a0 AS (SELECT vec_id, e, cent_id AS cell0 FROM (
+  SELECT v.vec_id, v.e, c0.cent_id,
+    row_number() OVER (PARTITION BY v.vec_id
+                       ORDER BY ${oCos("v.e", "c0.cent_emb")} DESC, c0.cent_id) AS rn
+  FROM v CROSS JOIN c0) x WHERE rn = 1),
+ex AS (SELECT cell0, generate_subscripts(e, 1) AS dim_idx,
+  CAST(floor(CAST(unnest(e) AS DOUBLE) * 1000000.0) AS BIGINT) AS q FROM a0),
+s AS (SELECT cell0, dim_idx, count(*) AS n, CAST(sum(q) AS BIGINT) AS sq
+      FROM ex GROUP BY cell0, dim_idx),
+c1 AS (SELECT cell0 AS cent_id,
+  list(CAST(CAST(floor(CAST(sq AS DOUBLE) / n) AS BIGINT) AS DOUBLE)
+       ORDER BY dim_idx) AS cent_emb
+  FROM s GROUP BY cell0),
+a1 AS (SELECT vec_id, e, cent_id AS cell FROM (
+  SELECT a0.vec_id, a0.e, c1.cent_id,
+    row_number() OVER (PARTITION BY a0.vec_id
+                       ORDER BY ${oCos("a0.e", "c1.cent_emb")} DESC, c1.cent_id) AS rn
+  FROM a0 CROSS JOIN c1) y WHERE rn = 1),
+qs AS (SELECT vec_id AS q_id, e AS q_emb, cell FROM a1 WHERE vec_id % 50 = 0)
+SELECT q_id, vec_id AS neighbor_id, rank FROM (
+  SELECT qs.q_id, b.vec_id,
+    row_number() OVER (PARTITION BY qs.q_id
+                       ORDER BY ${oCos("qs.q_emb", "b.e")} DESC, b.vec_id) AS rank
+  FROM a1 b JOIN qs ON b.cell = qs.cell AND b.vec_id != qs.q_id
+) r WHERE rank <= 5""",
 
     "q97_wav_header" -> """
 SELECT doc_id,

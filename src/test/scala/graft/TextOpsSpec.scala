@@ -163,6 +163,14 @@ class TextOpsSpec extends SparkSpec {
     assert(graft.ann.Quantize.bucketedQuantizedTopK(noVecs, dim = 4).count() == 0)
     assert(graft.ann.RandomProjection.project(noVecs, dim = 4).count() == 0)
     assert(graft.ann.Centroids.kmeansIteration(noVecs).count() == 0)
+    assert(text.Classifier.score(empty.select("doc_id", "text")).count() == 0)
+    assert(text.TfIdf.vocabTopK(empty).count() == 0)
+    assert(graft.ann.PQ.encode(noVecs).count() == 0)
+    val noTurns = Seq.empty[(String, Int, String, java.sql.Timestamp)]
+      .toDF("conv_id", "turn_idx", "text", "ts").withColumn("role", lit("user"))
+    assert(operators.Conversations.integrity(noTurns).count() == 0)
+    assert(operators.Conversations.cannedTurns(noTurns).count() == 0)
+    assert(operators.Conversations.dailyNovelty(noTurns).count() == 0)
   }
 
   test("boilerplate: corpus-hot shingles score docs; short docs get zeros") {
