@@ -176,6 +176,21 @@ object Bench {
           results("dup_spans") = math.min(dsRun(), dsRun())
           val kmRun = () => timeNoop(ann.Centroids.kmeansIteration(vecs))
           results("kmeans_step") = math.min(kmRun(), kmRun())
+
+          // round-4 ops: SFT rendering over the full staged transcripts
+          // (one conv_id exchange, maxTurns-bounded groups), boilerplate
+          // scrub (hot-span removal + per-row rewrite), and BM25 retrieval
+          // on the 10× docs corpus — query count is the cost knob here:
+          // the synthetic corpus's ~40-word vocabulary makes every doc a
+          // candidate for every query, so the bench probes a handful of
+          // queries (real corpora have power-law vocabularies and
+          // posting-list selectivity)
+          val renRun = () => timeNoop(operators.Conversations.renderChat(input))
+          results("chat_render") = math.min(renRun(), renRun())
+          val scrubRun = () => timeNoop(text.Boilerplate.scrub(docs))
+          results("boiler_scrub") = math.min(scrubRun(), scrubRun())
+          val bmRun = () => timeNoop(text.Bm25.topK(docs10, queryMod = 100003))
+          results("bm25_topk") = math.min(bmRun(), bmRun())
         }
       } finally spark.stop()
     }

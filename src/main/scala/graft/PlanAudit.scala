@@ -77,6 +77,15 @@ object PlanAudit {
     section("random projection (map-only integer expression)") {
       ann.RandomProjection.project(vecs)
     }
+    section("chat render (one conv_id exchange, maxTurns-bounded groups)") {
+      operators.Conversations.renderChat(sources.Transcripts.load(spark, sfDir))
+    }
+    section("BM25 top-k (broadcast query terms; corpus postings never re-shuffle)") {
+      text.Bm25.topK(docs)
+    }
+    section("boilerplate scrub (shingle-keyed exchange + per-row rewrite)") {
+      text.Boilerplate.scrub(docs)
+    }
     spark.stop()
   }
 }

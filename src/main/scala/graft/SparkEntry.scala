@@ -410,6 +410,34 @@ object SparkEntry {
     "q101_ivf_trained" -> ((s, d) =>
       ann.Centroids.ivfTopKTrained(vecs(s, d))),
 
+    // chat-template rendering: transcript → one SFT example per conversation
+    "q102_chat_render" -> ((s, d) =>
+      operators.Conversations.renderChat(Transcripts.load(s, d))),
+
+    // loss-mask spans: per-turn [start, end) offsets + train flag
+    "q103_loss_mask" -> ((s, d) =>
+      operators.Conversations.lossMaskSpans(Transcripts.load(s, d))),
+
+    // merge consecutive same-role turns (chat-format normalization)
+    "q104_merge_roles" -> ((s, d) =>
+      operators.Conversations.mergeConsecutiveRoles(Transcripts.load(s, d))),
+
+    // BM25 sparse retrieval: integer-exact top-k per query doc
+    "q105_bm25_topk" -> ((s, d) =>
+      text.Bm25.topK(docs(s, d))),
+
+    // boilerplate scrub: rewrite docs with corpus-hot spans removed
+    "q106_boiler_scrub" -> ((s, d) =>
+      text.Boilerplate.scrub(docs(s, d))),
+
+    // turn-template mining: digit-normalized canned-template detection
+    "q107_turn_templates" -> ((s, d) =>
+      operators.Conversations.turnTemplates(Transcripts.load(s, d))),
+
+    // end-to-end SFT export: gates → PII scrub → role merge → render
+    "q108_sft_export" -> ((s, d) =>
+      operators.TrainingExport.sftExamples(Transcripts.load(s, d))),
+
     // gap-based sessionization: per-session stats
     "q62_sessionize" -> ((s, d) =>
       operators.Sessionize.sessionStats(Transcripts.load(s, d))),
@@ -2174,6 +2202,182 @@ SELECT doc_id,
   CAST(CAST(list_aggregate(list_transform(string_split_regex(text, ''), c -> CAST(unicode(c) AS BIGINT)), 'sum') AS BIGINT) % 1000000007 AS BIGINT) AS code_sum_mod
 FROM documents""",
 
-    
+    "q102_chat_render" -> withTranscripts("""
+SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns,
+  string_agg('<|' || role || '|>' || text, chr(10) ORDER BY turn_idx) AS rendered,
+  CAST(length(string_agg('<|' || role || '|>' || text, chr(10) ORDER BY turn_idx)) AS BIGINT) AS n_chars
+FROM transcripts WHERE turn_idx < 4096
+GROUP BY conv_id"""),
+
+    "q103_loss_mask" -> withTranscripts("""
+SELECT conv_id, turn_idx, role,
+  CAST(span_start AS BIGINT) AS span_start,
+  CAST(span_start + seg_len AS BIGINT) AS span_end,
+  role = 'assistant' AS train
+FROM (
+  SELECT conv_id, turn_idx, role, seg_len,
+    COALESCE(sum(seg_len + 1) OVER (PARTITION BY conv_id ORDER BY turn_idx
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS span_start
+  FROM (
+    SELECT conv_id, turn_idx, role,
+      CAST(length(role) + length(text) + 4 AS BIGINT) AS seg_len
+    FROM transcripts WHERE turn_idx < 4096) s
+) w"""),
+
+    "q104_merge_roles" -> withTranscripts("""
+SELECT conv_id, CAST(grp - 1 AS BIGINT) AS merged_idx,
+  min(turn_idx) AS first_turn_idx,
+  arg_min(role, turn_idx) AS role,
+  CAST(count(*) AS BIGINT) AS n_merged,
+  string_agg(text, chr(10) ORDER BY turn_idx) AS text
+FROM (
+  SELECT conv_id, turn_idx, role, text,
+    CAST(sum(chg) OVER (PARTITION BY conv_id ORDER BY turn_idx
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS grp
+  FROM (
+    SELECT conv_id, turn_idx, role, text,
+      CASE WHEN lag(role) OVER (PARTITION BY conv_id ORDER BY turn_idx) IS NULL
+             OR lag(role) OVER (PARTITION BY conv_id ORDER BY turn_idx) != role
+           THEN 1 ELSE 0 END AS chg
+    FROM transcripts) c
+) g
+GROUP BY conv_id, grp"""),
+
+    "q105_bm25_topk" -> s"""
+WITH tf AS (
+  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, unnest($oTokHashes) AS tok FROM documents) e
+  GROUP BY doc_id, tok),
+consts AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+    CAST(sum(len($oToks)) AS BIGINT) AS t_toks
+  FROM documents),
+qterms AS (
+  SELECT doc_id AS q_id, unnest(list_distinct($oTokHashes)) AS tok
+  FROM documents WHERE doc_id % 211 = 0),
+cand AS (
+  SELECT tf.* FROM tf JOIN (SELECT DISTINCT tok FROM qterms) qt USING (tok)),
+dfq AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM cand GROUP BY tok),
+dls AS (
+  SELECT doc_id,
+    CAST(1000000 * len($oToks) * (SELECT n_docs FROM consts)
+         // (SELECT t_toks FROM consts) AS BIGINT) AS r_micro
+  FROM documents),
+base AS (
+  SELECT q.q_id, c.doc_id,
+    CAST(44000000000000 * c.tf
+         // (20000000 * c.tf + 6000000 + 18 * d.r_micro) AS BIGINT) AS tfpart_micro,
+    CAST(1000000 * (2 * (SELECT n_docs FROM consts) - 2 * f.df + 1)
+         // (2 * f.df + 1) AS BIGINT) AS idf_micro
+  FROM cand c
+  JOIN dfq f USING (tok)
+  JOIN dls d ON c.doc_id = d.doc_id
+  JOIN qterms q ON c.tok = q.tok AND c.doc_id != q.q_id),
+scored AS (
+  SELECT q_id, doc_id,
+    CAST(sum(CAST((CAST(idf_micro AS HUGEINT) * tfpart_micro) // 1000000 AS BIGINT))
+      AS BIGINT) AS score_micro
+  FROM base GROUP BY q_id, doc_id)
+SELECT q_id, CAST(rank AS BIGINT) AS rank, doc_id, score_micro FROM (
+  SELECT q_id, doc_id, score_micro,
+    row_number() OVER (PARTITION BY q_id ORDER BY score_micro DESC, doc_id) AS rank
+  FROM scored) r
+WHERE rank <= 5""",
+
+    "q106_boiler_scrub" -> s"""
+WITH sh AS (
+  SELECT doc_id, toks, $oShingles AS sh FROM (
+    SELECT doc_id, $oToks AS toks, $oTokHashes AS th FROM documents) t),
+pos AS (
+  SELECT doc_id, generate_subscripts(sh, 1) - 1 AS pos, unnest(sh) AS s FROM sh),
+hot AS (
+  SELECT s FROM (
+    SELECT s, count(*) AS nd FROM (SELECT DISTINCT doc_id, s FROM pos) d GROUP BY s
+  ) x WHERE nd >= 3),
+cov AS (
+  SELECT DISTINCT hp.doc_id, hp.pos + u.d AS i
+  FROM (SELECT p.doc_id, p.pos FROM pos p JOIN hot USING (s)) hp,
+       unnest([0, 1, 2]) AS u(d)),
+tp AS (
+  SELECT doc_id, generate_subscripts(toks, 1) - 1 AS i, unnest(toks) AS tok FROM sh),
+agg AS (
+  SELECT tp.doc_id,
+    CAST(count(*) AS BIGINT) AS n_tokens,
+    CAST(sum(CASE WHEN cov.i IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+    COALESCE(string_agg(CASE WHEN cov.i IS NULL THEN tok END, ' ' ORDER BY tp.i), '')
+      AS clean_text
+  FROM tp LEFT JOIN cov ON tp.doc_id = cov.doc_id AND tp.i = cov.i
+  GROUP BY tp.doc_id)
+SELECT d.doc_id,
+  COALESCE(a.n_tokens, 0) AS n_tokens,
+  COALESCE(a.n_removed, 0) AS n_removed,
+  COALESCE(a.clean_text, '') AS clean_text
+FROM documents d LEFT JOIN agg a USING (doc_id)""",
+
+    "q107_turn_templates" -> withTranscripts("""
+SELECT tkey, min(tmpl) AS tmpl,
+  CAST(count(*) AS BIGINT) AS n_turns,
+  CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs,
+  arg_min(conv_id, ord) AS first_conv,
+  arg_min(turn_idx, ord) AS first_turn
+FROM (
+  SELECT conv_id, turn_idx,
+    regexp_replace(lower(text), '[0-9]+', '0', 'g') AS tmpl,
+    md5(regexp_replace(lower(text), '[0-9]+', '0', 'g')) AS tkey,
+    conv_id || '#' || lpad(CAST(turn_idx AS VARCHAR), 6, '0') AS ord
+  FROM transcripts) t
+GROUP BY tkey
+HAVING count(*) >= 5 AND count(DISTINCT conv_id) >= 3"""),
+
+    "q108_sft_export" -> withCtes(
+      "th" -> """
+  SELECT conv_id,
+    md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS h
+  FROM transcripts""",
+      "hot" -> """
+  SELECT h FROM (
+    SELECT h, count(*) AS n_convs FROM (SELECT DISTINCT conv_id, h FROM th) d
+    GROUP BY h) x
+  WHERE n_convs >= 3""",
+      "cn" -> """
+  SELECT conv_id,
+    CAST(floor(count(hot.h) * 1000.0 / count(*)) AS BIGINT) AS canned_permille
+  FROM th LEFT JOIN hot ON th.h = hot.h
+  GROUP BY conv_id""",
+      "op" -> """
+  SELECT conv_id, arg_min(role, turn_idx) AS first_role
+  FROM transcripts GROUP BY conv_id""",
+      "keep" -> """
+  SELECT cn.conv_id FROM cn JOIN op USING (conv_id)
+  WHERE op.first_role IN ('user', 'system') AND cn.canned_permille < 500""",
+      "scrub" -> s"""
+  SELECT t.conv_id, t.turn_idx, t.role,
+    regexp_replace(regexp_replace(regexp_replace(t.text,
+      '${graft.text.Redact.EmailRe}', '<EMAIL>', 'g'),
+      '${graft.text.Redact.Ipv4Re}', '<IP>', 'g'),
+      '${graft.text.Redact.LongNumRe}', '<NUM>', 'g') AS text
+  FROM transcripts t JOIN keep USING (conv_id)""",
+      "g" -> """
+  SELECT conv_id, turn_idx, role, text,
+    CAST(sum(chg) OVER (PARTITION BY conv_id ORDER BY turn_idx
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS grp
+  FROM (
+    SELECT conv_id, turn_idx, role, text,
+      CASE WHEN lag(role) OVER (PARTITION BY conv_id ORDER BY turn_idx) IS NULL
+             OR lag(role) OVER (PARTITION BY conv_id ORDER BY turn_idx) != role
+           THEN 1 ELSE 0 END AS chg
+    FROM scrub) c""",
+      "m" -> """
+  SELECT conv_id, CAST(grp - 1 AS INTEGER) AS turn_idx, min(role) AS role,
+    string_agg(text, chr(10) ORDER BY turn_idx) AS text
+  FROM g GROUP BY conv_id, grp""")("""
+SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns,
+  CAST(length(string_agg('<|' || role || '|>' || text, chr(10) ORDER BY turn_idx))
+    AS BIGINT) AS n_chars,
+  CAST(COALESCE(sum(CASE WHEN role = 'assistant'
+    THEN length(role) + length(text) + 4 END), 0) AS BIGINT) AS train_chars,
+  string_agg('<|' || role || '|>' || text, chr(10) ORDER BY turn_idx) AS rendered
+FROM m WHERE turn_idx < 4096
+GROUP BY conv_id"""),
   )
 }

@@ -51,6 +51,112 @@ object Conversations {
         floor(col("n_novel") * lit(1000.0) / col("n_turns")).cast("long"))
   }
 
+  /** Chat-template rendering: one training example per conversation —
+    * the transcript → SFT-corpus materialization step. Each turn renders
+    * as `<|role|>text`, turns join with `\n` in stable `turn_idx` order
+    * (W1 — per-turn text equality under stable ordering is the north-rule
+    * invariant this op materializes).
+    *
+    * Scale shape: ONE exchange keyed on conv_id — inherent, since the
+    * output row is the concatenated conversation. Memory per group is
+    * bounded by `maxTurns` (over-long conversations truncate BEFORE the
+    * shuffle, so a hot conversation cannot blow a task: the 20%-hot-key
+    * corpus renders the first `maxTurns` turns and drops the tail — the
+    * packing op (q68) is the scale path when full monster conversations
+    * must survive).
+    */
+  def renderChat(transcripts: DataFrame, maxTurns: Int = 4096): DataFrame =
+    transcripts
+      .filter(col("turn_idx") < maxTurns)
+      .groupBy("conv_id")
+      .agg(array_sort(collect_list(struct(col("turn_idx"), col("role"), col("text"))))
+        .as("turns"))
+      .select(col("conv_id"),
+        size(col("turns")).cast("long").as("n_turns"),
+        array_join(transform(col("turns"),
+          t => concat(lit("<|"), t("role"), lit("|>"), t("text"))), "\n")
+          .as("rendered"))
+      .withColumn("n_chars", length(col("rendered")).cast("long"))
+
+  /** Loss-mask spans for the rendered conversation: per turn, the
+    * codepoint span `[span_start, span_end)` its segment occupies inside
+    * [[renderChat]]'s output, plus the `train` flag (assistant turns train,
+    * everything else is masked) — the supervision-mask computation of an
+    * SFT data pipeline, integer-exact so the gate hash-matches.
+    *
+    * Offsets are a running sum over one per-conversation window (same
+    * conv_id exchange as the renderer; segment i starts after all previous
+    * segments plus their `\n` separators). */
+  def lossMaskSpans(transcripts: DataFrame, maxTurns: Int = 4096): DataFrame = {
+    val w = Window.partitionBy("conv_id").orderBy("turn_idx")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    transcripts
+      .filter(col("turn_idx") < maxTurns)
+      .select(col("conv_id"), col("turn_idx"), col("role"),
+        (length(col("role")) + length(col("text")) + lit(4)).cast("long")
+          .as("seg_len"))
+      .withColumn("span_start",
+        coalesce(sum(col("seg_len") + 1).over(w), lit(0L)))
+      .select(col("conv_id"), col("turn_idx"), col("role"),
+        col("span_start"),
+        (col("span_start") + col("seg_len")).as("span_end"),
+        (col("role") === "assistant").as("train"))
+  }
+
+  /** Merge consecutive same-role turns (the normalization step most chat
+    * formats require before templating: N tool chunks → one tool message).
+    * Gaps-and-islands: a lag-compare marks role changes, a running sum
+    * numbers the islands, and the per-island aggregate joins texts with
+    * `\n` in turn order. All three passes share ONE conv_id exchange (the
+    * windows and the groupBy use the same partitioning). Output keeps the
+    * island's first `turn_idx` and a dense re-index `merged_idx`. */
+  def mergeConsecutiveRoles(transcripts: DataFrame): DataFrame = {
+    val wOrd = Window.partitionBy("conv_id").orderBy("turn_idx")
+    val wRun = wOrd.rowsBetween(Window.unboundedPreceding, 0)
+    transcripts
+      .select(col("conv_id"), col("turn_idx"), col("role"), col("text"))
+      .withColumn("chg",
+        when(lag(col("role"), 1).over(wOrd).isNull ||
+             lag(col("role"), 1).over(wOrd) =!= col("role"), 1L).otherwise(0L))
+      .withColumn("grp", sum(col("chg")).over(wRun))
+      .groupBy("conv_id", "grp")
+      .agg(min(col("turn_idx")).as("first_turn_idx"),
+        first(col("role")).as("role"),
+        count(lit(1)).as("n_merged"),
+        array_join(array_sort(collect_list(struct(col("turn_idx"), col("text"))))
+          .getField("text"), "\n").as("text"))
+      .select(col("conv_id"), (col("grp") - 1).as("merged_idx"),
+        col("first_turn_idx"), col("role"), col("n_merged"), col("text"))
+  }
+
+  /** Turn-TEMPLATE mining: collapse every digit run to `0` and lowercase,
+    * so turns that differ only in ids/counts/addresses share one template
+    * key — the generalization of [[cannedTurns]] from exact repeats to
+    * templated repeats (the CCNet/RefinedWeb-style boilerplate-template
+    * signal over transcripts). Reports each template appearing ≥`minTurns`
+    * times across ≥`minConvs`, with its earliest occurrence.
+    *
+    * Scale shape: ONE hash-aggregate keyed on the 128-bit template hash;
+    * the template string rides the aggregation as a constant-per-group
+    * payload (map-side partial agg collapses it per partition before the
+    * exchange), and the wide ORIGINAL text never shuffles at all. */
+  def turnTemplates(transcripts: DataFrame, minTurns: Int = 5,
+                    minConvs: Int = 3): DataFrame = {
+    val t = transcripts.select(col("conv_id"), col("turn_idx"),
+        regexp_replace(lower(col("text")), "[0-9]+", "0").as("tmpl"))
+      .withColumn("tkey", md5(col("tmpl").cast("binary")))
+      .withColumn("ord",
+        concat(col("conv_id"), lit("#"),
+          lpad(col("turn_idx").cast("string"), 6, "0")))
+    t.groupBy("tkey")
+      .agg(min(col("tmpl")).as("tmpl"),
+        count(lit(1)).as("n_turns"),
+        countDistinct(col("conv_id")).as("n_convs"),
+        min_by(col("conv_id"), col("ord")).as("first_conv"),
+        min_by(col("turn_idx"), col("ord")).as("first_turn"))
+      .filter(col("n_turns") >= minTurns && col("n_convs") >= minConvs)
+  }
+
   /** Canned-turn detection: a turn whose normalized text appears in
     * ≥`minConvs` DISTINCT conversations is "canned" (template greetings,
     * boilerplate tool output); reports per conversation how much of it is

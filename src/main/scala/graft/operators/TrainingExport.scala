@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** End-to-end SFT export — the composition a user actually runs to turn
+  * raw transcripts into a training corpus, assembled from this engine's
+  * oracled pieces:
+  *
+  *   1. GATE on structure: the conversation must open with a user/system
+  *      turn ([[Conversations.integrity]]'s first_role signal);
+  *   2. GATE on content: conversations that are mostly canned turns
+  *      (template share ≥ `cannedMaxPermille`, [[Conversations.cannedTurns]])
+  *      are dropped;
+  *   3. SCRUB PII per turn ([[graft.text.Redact]] — emails, IPv4s, long
+  *      digit runs), on the survivors only;
+  *   4. NORMALIZE: merge consecutive same-role turns
+  *      ([[Conversations.mergeConsecutiveRoles]]);
+  *   5. RENDER one example per conversation ([[Conversations.renderChat]])
+  *      plus the supervision density (`train_chars` — characters inside
+  *      assistant segments, the numerator of the loss-mask ratio).
+  *
+  * Scale shape: every stage is keyed on conv_id (the gates are per-conv
+  * aggregates joined back as an equi-join — conversation count scales with
+  * the corpus, so no broadcast) except the canned-turn hotness aggregate,
+  * which is keyed on the 128-bit content hash; the wide turn text shuffles
+  * only for the merge/render stages, where it IS the payload.
+  */
+object TrainingExport {
+
+  def sftExamples(transcripts: DataFrame, maxTurns: Int = 4096,
+                  cannedMaxPermille: Int = 500, minConvs: Int = 3): DataFrame = {
+    val opening = transcripts.groupBy("conv_id")
+      .agg(min(struct(col("turn_idx"), col("role"))).getField("role")
+        .as("first_role"))
+    val canned = Conversations.cannedTurns(transcripts, minConvs)
+    val keep = opening.join(canned, "conv_id")
+      .filter(col("first_role").isin("user", "system") &&
+        col("canned_permille") < cannedMaxPermille)
+      .select("conv_id")
+
+    val scrubbed = transcripts.join(keep, "conv_id")
+      .withColumn("text", graft.text.Redact.redact(col("text")))
+    val merged = Conversations.mergeConsecutiveRoles(scrubbed)
+      .select(col("conv_id"), col("merged_idx").cast("int").as("turn_idx"),
+        col("role"), col("text"))
+
+    val rendered = Conversations.renderChat(merged, maxTurns)
+    val trainChars = merged.filter(col("turn_idx") < maxTurns)
+      .groupBy("conv_id")
+      .agg(coalesce(sum(when(col("role") === "assistant",
+        length(col("role")).cast("long") + length(col("text")) + 4L)), lit(0L))
+        .as("train_chars"))
+    rendered.join(trainChars, "conv_id")
+      .select("conv_id", "n_turns", "n_chars", "train_chars", "rendered")
+  }
+}

@@ -71,6 +71,56 @@ object StreamingPipeline {
     q.awaitTermination()
   }
 
+  /** [[start]] with the reliability surfaces wired in (SURVEY §2.11):
+    *
+    *  - ST5: an EXISTING checkpoint is integrity-checked before resuming;
+    *    damaged state (zeroed/truncated metadata, batch-id gaps) refuses to
+    *    start instead of silently replaying from a corrupt cursor.
+    *  - ST6: an optional [[Reliability.ConfigReloader]] is polled between
+    *    micro-batches; a debounced reload swaps the config-driven event
+    *    blacklist + filter rule chain applied to each batch — the
+    *    restartless analog of the reference's fsnotify reload.
+    *  - ST8: sink writes retry with exponential backoff + jitter instead of
+    *    failing the batch on the first transient sink error.
+    *
+    * ST7 (graceful stop) is [[Reliability.stopGracefully]] on the returned
+    * query; ST9 (single instance) is enforced by Spark per checkpoint and
+    * can be made explicit with [[Reliability.withInstanceLock]] around the
+    * whole run. */
+  def startReliable(spark: SparkSession, inputDir: String, outRoot: String,
+                    checkpointDir: String,
+                    reloader: Option[Reliability.ConfigReloader] = None,
+                    maxSinkAttempts: Int = 5, sinkRetryBaseMs: Long = 1000L,
+                    availableNow: Boolean = true): StreamingQuery = {
+    import java.nio.file.{Files, Paths}
+    if (Files.exists(Paths.get(checkpointDir, "offsets")))
+      Reliability.checkpointIntegrity(checkpointDir).swap.foreach(msg =>
+        throw new IllegalStateException(s"refusing to resume: $msg"))
+
+    graft.Graft.prep(spark)
+    val src = spark.readStream.schema(schema).parquet(inputDir)
+      .withColumn("src_file", regexp_extract(input_file_name(), "([^/]+)$", 1))
+    val writer = src.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        reloader.foreach(_.poll())
+        val base = Pipeline.transform(batch, spark)
+          .repartition(col("conv_id"))
+          .sortWithinPartitions("conv_id", "turn_idx")
+        val routed = reloader.map(_.current).fold(base) { cfg =>
+          base.filter(
+            graft.operators.Filters.excludeEvents(cfg.excludedEvents) &&
+              graft.operators.Filters.filterChain(cfg.rules))
+        }
+        Reliability.withRetry(maxSinkAttempts, baseMs = sinkRetryBaseMs) { _ =>
+          Sinks.writeAll(routed, outRoot, batchId)
+        }
+        ()
+      }
+    if (availableNow) writer.trigger(Trigger.AvailableNow()).start()
+    else writer.trigger(Trigger.ProcessingTime("1 second")).start()
+  }
+
   // ---- stateful sampler (A8 via flatMapGroupsWithState) ---------------------
   final case class SampleKey(name: String)
   final case class SampleEvent(name: String, ts: java.sql.Timestamp,

@@ -1,0 +1,95 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** BM25 sparse retrieval — the lexical complement of the dense ANN stack
+  * (query docs retrieve their lexically-closest corpus docs; the standard
+  * first-stage retriever of a RAG / dedup-adjudication pipeline).
+  *
+  * Scoring is INTEGER-EXACT (same determinism discipline as
+  * [[TfIdf.topTerms]]: a correctness gate must not ride on libm-`log`
+  * 1-ulp luck, so the `ln`-based idf is replaced by the monotone rational
+  * surrogate `(2N − 2df + 1) / (2df + 1)` — the argument of BM25's
+  * `ln(1+x)` idf — micro-floored; the Robertson tf saturation
+  * `tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))` with k1=1.2, b=0.75 is
+  * computed exactly in scaled integers over a micro-quantized length
+  * ratio `R = ⌊1e6·dl·N/T⌋`):
+  *
+  *   tfpart_micro = ⌊1e6 · 44e6·tf / (20e6·tf + 6e6 + 18·R)⌋   (= 1e6·tf-part)
+  *   idf_micro    = ⌊1e6 · (2N − 2df + 1) / (2df + 1)⌋
+  *   term_score   = ⌊idf_micro · tfpart_micro / 1e6⌋           (DECIMAL(38) product)
+  *
+  * Scale shape (what survives 100 TB):
+  *  - the query side (`doc_id % queryMod = 0`, distinct tokens) is tiny and
+  *    BROADCAST; the corpus-wide (doc, tok, tf) stream is filtered to query
+  *    tokens by that broadcast join, so the full posting list never
+  *    shuffles on anything but its own aggregation key;
+  *  - df for a query token needs no corpus-wide vocabulary aggregate: the
+  *    filtered posting stream contains exactly the rows that count, so the
+  *    (tiny) df aggregate derives from the candidates themselves and
+  *    broadcasts back;
+  *  - doc lengths join candidates on doc_id (AQE-broadcastable after the
+  *    query-token filter); the final (q_id, doc_id) score agg and per-query
+  *    top-k window are candidate-sized, not corpus-sized.
+  */
+object Bm25 {
+
+  /** Top-k corpus docs per query doc by integer-exact BM25. */
+  def topK(docs: DataFrame, k: Int = 5, queryMod: Int = 211): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      explode(TextAnalysis.tokHashes(col("text"))).as("tok"))
+    val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+
+    // corpus constants: N docs, T total tokens (two scalar aggregates)
+    val consts = docs.agg(
+      count(lit(1)).as("n_docs"),
+      sum(size(TextAnalysis.tokens(col("text"))).cast("long")).as("t_toks"))
+
+    // query term set: distinct tokens of the query docs (small, broadcast)
+    val qterms = docs.filter(col("doc_id") % queryMod === 0)
+      .select(col("doc_id").as("q_id"),
+        explode(array_distinct(TextAnalysis.tokHashes(col("text")))).as("tok"))
+
+    // posting rows for query tokens only — the single corpus-wide pass;
+    // persisted because it feeds both the df aggregate and the scoring join
+    val cand = tf.join(broadcast(qterms.select("tok").distinct()), "tok")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    // df per query token: the filtered posting stream holds exactly the
+    // (doc, tok) pairs that count, so df = its per-token row count
+    val dfq = cand.groupBy("tok").agg(count(lit(1)).as("df"))
+
+    // micro-quantized doc-length ratio R = (1e6 * dl * N) DIV T — integer
+    // division throughout (long `/` is DOUBLE division in Spark, and a
+    // 4.4e16 numerator is past 2^53, so exactness requires IntegralDivide)
+    val dls = docs.select(col("doc_id"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("dl"))
+      .crossJoin(broadcast(consts))
+      .select(col("doc_id"),
+        expr("1000000 * dl * n_docs DIV t_toks").as("r_micro"))
+
+    val scored = cand
+      .join(broadcast(dfq), "tok")
+      .join(dls, "doc_id")
+      .join(broadcast(qterms), Seq("tok"))
+      .filter(col("doc_id") =!= col("q_id"))
+      .crossJoin(broadcast(consts.select("n_docs")))
+      .withColumn("tfpart_micro",
+        expr("44000000000000 * tf DIV (20000000 * tf + 6000000 + 18 * r_micro)"))
+      .withColumn("idf_micro",
+        expr("1000000 * (2 * n_docs - 2 * df + 1) DIV (2 * df + 1)"))
+      // the product can exceed int64 at planetary N — DECIMAL(38,0) before
+      // the micro-descale, BIGINT after (DECIMAL DIV returns BIGINT)
+      .withColumn("term_score",
+        expr("CAST(idf_micro AS DECIMAL(38,0)) * tfpart_micro DIV 1000000"))
+      .groupBy("q_id", "doc_id")
+      .agg(sum(col("term_score")).as("score_micro"))
+
+    val w = Window.partitionBy("q_id").orderBy(col("score_micro").desc, col("doc_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("doc_id"), col("score_micro"))
+  }
+}

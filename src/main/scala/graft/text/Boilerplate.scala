@@ -77,6 +77,59 @@ object Boilerplate {
           .otherwise(lit(0L)).as("dup_coverage_permille"))
   }
 
+  /** Boilerplate SCRUB: the transformation counterpart of [[stats]] —
+    * rewrite each document with corpus-hot spans REMOVED (the C4-style
+    * cleaning step that actually produces the training text, not just a
+    * score). A token shingle (width `W`) occurring in ≥`minDocs` distinct
+    * documents marks its `W` token positions; the cleaned text is the
+    * remaining tokens (lower-cased, space-joined — token normalization is
+    * part of this op's contract) in original order.
+    *
+    * Scale shape: the corpus-wide exchange is keyed on the shingle hash
+    * (long) — same shared-pair-stream shape as [[stats]]; the hot-position
+    * list rejoins on doc_id, and the REWRITE itself is a per-row array
+    * expression over that (small) position list — the document text never
+    * shuffles and never self-joins.
+    *
+    * Output: (doc_id, n_tokens, n_removed, clean_text).
+    */
+  def scrub(docs: DataFrame, minDocs: Int = 3, W: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pairs = docs.select(col("doc_id"),
+      posexplode(Dedup.shingleHashes(col("text"))).as(Seq("pos", "s")))
+    // distinct-doc count per shingle via the layered-window trick from
+    // [[dupSpanCoverage]] (first-pos mark summed over the shingle
+    // partition) — the distinct+agg+join-back formulation re-shuffled the
+    // full pair stream three times and measured 130 s vs ~30 s at 1.25M
+    // docs; the windows flow the stream through two exchanges total
+    val firstPos = when(row_number().over(
+      Window.partitionBy("doc_id", "s").orderBy("pos")) === 1, 1L).otherwise(0L)
+    val nd = sum(col("first_pos")).over(Window.partitionBy("s"))
+    val starts = pairs
+      .withColumn("first_pos", firstPos)
+      .withColumn("nd", nd)
+      .filter(col("nd") >= minDocs)
+      .groupBy("doc_id")
+      .agg(array_sort(collect_list(col("pos"))).as("starts"))
+    docs.join(starts, Seq("doc_id"), "left")
+      .select(col("doc_id"), graft.text.TextAnalysis.tokens(col("text")).as("toks"),
+        coalesce(col("starts"), array().cast("array<int>")).as("starts"))
+      .withColumn("covered", array_distinct(flatten(
+        transform(col("starts"), st => sequence(st, st + W - 1)))))
+      // kept = positions \ covered via hash-based array_except (order
+      // preserved), then index back into the token array — O(T+S) per row
+      // vs the O(T·S) filter+exists scan
+      .withColumn("kept", array_except(
+        when(size(col("toks")) > 0, sequence(lit(0), size(col("toks")) - 1))
+          .otherwise(array().cast("array<int>")),
+        col("covered")))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        size(col("covered")).cast("long").as("n_removed"),
+        array_join(transform(col("kept"),
+          i => element_at(col("toks"), i + 1)), " ").as("clean_text"))
+  }
+
   def stats(docs: DataFrame, minDocs: Int = 3): DataFrame = {
     // per-doc distinct shingles means the per-shingle row count IS the
     // distinct-doc count (hash aggregation, no sort). The hot aggregate

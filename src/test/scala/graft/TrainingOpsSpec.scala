@@ -1,0 +1,165 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Conversations
+import graft.text.{Bm25, Boilerplate}
+
+/** Chat rendering / loss masks / role merging / BM25 retrieval /
+  * boilerplate scrub — the transcript→training-example operators. */
+class TrainingOpsSpec extends SparkSpec {
+  import TestSpark.spark.implicits._
+
+  private val turns = Seq(
+    ("c1", 0, "user", "hi"),
+    ("c1", 1, "assistant", "hello!"),
+    ("c1", 2, "tool", "run(x)"),
+    ("c1", 3, "tool", "ok"),
+    ("c1", 4, "assistant", "done"),
+    ("c2", 0, "system", "you are kind"),
+    ("c2", 1, "user", "bye"))
+
+  private def tdf =
+    // reversed input order: the operators must impose turn order themselves
+    spark.createDataFrame(turns.reverse).toDF("conv_id", "turn_idx", "role", "text")
+
+  test("renderChat: stable turn order, role tags, newline joins") {
+    val out = Conversations.renderChat(tdf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getString(2), r.getLong(3))).toMap
+    val c1 = "<|user|>hi\n<|assistant|>hello!\n<|tool|>run(x)\n<|tool|>ok\n<|assistant|>done"
+    assert(out("c1") == ((5L, c1, c1.length.toLong)))
+    assert(out("c2") == ((2L, "<|system|>you are kind\n<|user|>bye", 34L)))
+  }
+
+  test("renderChat: maxTurns truncates before the shuffle") {
+    val out = Conversations.renderChat(tdf, maxTurns = 2).collect()
+      .map(r => r.getString(0) -> r.getString(2)).toMap
+    assert(out("c1") == "<|user|>hi\n<|assistant|>hello!")
+  }
+
+  test("lossMaskSpans: every span extracts its own segment from the render") {
+    val rendered = Conversations.renderChat(tdf).collect()
+      .map(r => r.getString(0) -> r.getString(2)).toMap
+    val spans = Conversations.lossMaskSpans(tdf).collect()
+    assert(spans.length == turns.length)
+    spans.foreach { r =>
+      val (conv, idx, role) = (r.getString(0), r.getInt(1), r.getString(2))
+      val (a, b) = (r.getLong(3).toInt, r.getLong(4).toInt)
+      val seg = rendered(conv).substring(a, b)
+      val txt = turns.find(t => t._1 == conv && t._2 == idx).get._4
+      assert(seg == s"<|$role|>$txt", s"span mismatch at $conv/$idx")
+      assert(r.getBoolean(5) == (role == "assistant"))
+    }
+  }
+
+  test("mergeConsecutiveRoles: islands merge with \\n, dense re-index") {
+    val out = Conversations.mergeConsecutiveRoles(tdf)
+      .filter($"conv_id" === "c1").orderBy("merged_idx").collect()
+      .map(r => (r.getLong(1), r.getInt(2), r.getString(3), r.getLong(4), r.getString(5)))
+    assert(out.toSeq == Seq(
+      (0L, 0, "user", 1L, "hi"),
+      (1L, 1, "assistant", 1L, "hello!"),
+      (2L, 2, "tool", 2L, "run(x)\nok"),
+      (3L, 4, "assistant", 1L, "done")))
+  }
+
+  test("bm25: lexical neighbors rank by overlap, self excluded, deterministic") {
+    val docs = Seq(
+      (0L, "apple banana cherry date"),
+      (1L, "apple banana cherry grape"),
+      (2L, "apple kiwi kiwi kiwi"),
+      (3L, "zebra yak xylophone walrus"))
+      .toDF("doc_id", "text")
+    val out = Bm25.topK(docs, k = 3, queryMod = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))) // (q_id, rank, doc_id)
+    // doc 0 is the only query (0 % 4 == 0); 3 shares nothing → absent
+    assert(out.forall(_._1 == 0L))
+    assert(!out.exists(_._3 == 0L) && !out.exists(_._3 == 3L))
+    assert(out.find(_._2 == 1L).get._3 == 1L) // 3 shared terms beats 1
+    assert(out.find(_._2 == 2L).get._3 == 2L)
+    val again = Bm25.topK(docs, k = 3, queryMod = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == again.toSeq) // integer-exact → bit-stable
+  }
+
+  test("bm25: rarer shared term outranks common one at equal tf") {
+    // "rare" appears in 2 docs, "common" in all 5 → idf(rare) > idf(common)
+    val docs = Seq(
+      (0L, "rare common aaa bbb"),
+      (1L, "rare common ccc ddd"),
+      (2L, "common eee fff ggg"),
+      (3L, "common hhh iii jjj"),
+      (4L, "common kkk lll mmm"))
+      .toDF("doc_id", "text")
+    val out = Bm25.topK(docs, k = 4, queryMod = 5).collect()
+      .map(r => (r.getLong(1), r.getLong(2))).toMap // rank -> doc_id
+    assert(out(1L) == 1L) // shares rare+common, wins
+  }
+
+  test("boilerplate scrub: hot 3-token span removed, unique text kept") {
+    val boiler = "all rights reserved"
+    val docs = Seq(
+      (0L, s"alpha beta $boiler"),
+      (1L, s"gamma delta $boiler"),
+      (2L, s"$boiler epsilon zeta"),
+      (3L, "unique text only here"))
+      .toDF("doc_id", "text")
+    val out = Boilerplate.scrub(docs, minDocs = 3).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(out(0L) == ((5L, 3L, "alpha beta")))
+    assert(out(1L) == ((5L, 3L, "gamma delta")))
+    assert(out(2L) == ((5L, 3L, "epsilon zeta")))
+    assert(out(3L) == ((4L, 0L, "unique text only here")))
+  }
+
+  test("turnTemplates: digit runs collapse to one template across conversations") {
+    val rows = Seq(
+      ("a", 0, "x", "Error: 18456, Severity: 14"),
+      ("b", 0, "x", "Error: 17, Severity: 9"),
+      ("c", 0, "x", "error: 99999, severity: 0"),
+      ("a", 1, "x", "Error: 18456, Severity: 14"), // same conv again
+      ("d", 0, "x", "totally unique line"))
+      .toDF("conv_id", "turn_idx", "role", "text")
+    val out = Conversations.turnTemplates(rows, minTurns = 4, minConvs = 3).collect()
+    assert(out.length == 1)
+    val r = out(0)
+    assert(r.getAs[String]("tmpl") == "error: 0, severity: 0")
+    assert(r.getAs[Long]("n_turns") == 4L && r.getAs[Long]("n_convs") == 3L)
+    assert(r.getAs[String]("first_conv") == "a" && r.getAs[Int]("first_turn") == 0)
+  }
+
+  test("sftExamples: gates drop bad conversations, PII scrubbed, density computed") {
+    val rows = Seq(
+      // keeper: opens with user, not canned, carries PII, merged assistants
+      ("ok", 0, "user", "hi a@b.com"),
+      ("ok", 1, "assistant", "sure 12345678"),
+      ("ok", 2, "assistant", "done"),
+      // dropped: opens with a tool turn
+      ("toolstart", 0, "tool", "run(x)"),
+      ("toolstart", 1, "assistant", "fine"),
+      // dropped: 100% canned across 3 conversations
+      ("sp1", 0, "user", "welcome!"),
+      ("sp2", 0, "user", "welcome!"),
+      ("sp3", 0, "user", "welcome!"))
+      .toDF("conv_id", "turn_idx", "role", "text")
+    val out = operators.TrainingExport.sftExamples(rows).collect()
+    assert(out.map(_.getString(0)).toSet == Set("ok"))
+    val r = out(0)
+    val rendered = "<|user|>hi <EMAIL>\n<|assistant|>sure <NUM>\ndone"
+    assert(r.getAs[String]("rendered") == rendered)
+    assert(r.getAs[Long]("n_turns") == 2L)
+    assert(r.getAs[Long]("n_chars") == rendered.length.toLong)
+    assert(r.getAs[Long]("train_chars") ==
+      ("assistant".length + "sure <NUM>\ndone".length + 4).toLong)
+  }
+
+  test("scale shapes: no cartesian product in bm25 or scrub; render is one exchange") {
+    val docs = Seq((0L, "a b c"), (1L, "a b d")).toDF("doc_id", "text")
+    val bmPlan = Bm25.topK(docs).queryExecution.executedPlan.toString
+    assert(!bmPlan.contains("CartesianProduct"))
+    val scrubPlan = Boilerplate.scrub(docs).queryExecution.executedPlan.toString
+    assert(!scrubPlan.contains("CartesianProduct"))
+    val renderPlan = Conversations.renderChat(tdf)
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(renderPlan).size == 1)
+  }
+}
