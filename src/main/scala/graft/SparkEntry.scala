@@ -438,6 +438,21 @@ object SparkEntry {
     "q108_sft_export" -> ((s, d) =>
       operators.TrainingExport.sftExamples(Transcripts.load(s, d))),
 
+    // SFT sequence packing over the export (pack idx/offset per example)
+    "q109_sft_packing" -> ((s, d) =>
+      operators.TrainingExport.packedExamples(
+        operators.TrainingExport.sftExamples(Transcripts.load(s, d)))),
+
+    // recall@k: bucketed ANN scale path vs brute-force ground truth
+    "q110_ann_recall" -> ((s, d) =>
+      ann.Similarity.recallAtK(vecs(s, d))),
+
+    // per-pack supervision density over the packed SFT export
+    "q111_pack_density" -> ((s, d) =>
+      operators.TrainingExport.packDensity(
+        operators.TrainingExport.packedExamples(
+          operators.TrainingExport.sftExamples(Transcripts.load(s, d))))),
+
     // gap-based sessionization: per-session stats
     "q62_sessionize" -> ((s, d) =>
       operators.Sessionize.sessionStats(Transcripts.load(s, d))),
@@ -2329,35 +2344,103 @@ FROM (
 GROUP BY tkey
 HAVING count(*) >= 5 AND count(DISTINCT conv_id) >= 3"""),
 
-    "q108_sft_export" -> withCtes(
-      "th" -> """
+    "q108_sft_export" -> withCtes(sftExportCtes: _*)(sftExportSelect),
+
+    "q109_sft_packing" -> withCtes(sftExportCtes ++ Seq(
+      "ex" -> sftExportSelect,
+      "shd" -> s"""
+  SELECT conv_id, n_chars, train_chars,
+    ${oTokHash("conv_id")} % 8 AS shard
+  FROM ex""",
+      "st" -> """
+  SELECT conv_id, shard, n_chars, train_chars,
+    CAST(COALESCE(sum(n_chars + 1) OVER (PARTITION BY shard ORDER BY conv_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_c
+  FROM shd"""): _*)("""
+SELECT conv_id, shard, n_chars, train_chars,
+  CAST(start_c // 4096 AS BIGINT) AS pack_idx,
+  CAST(start_c % 4096 AS BIGINT) AS pack_offset
+FROM st"""),
+
+    "q111_pack_density" -> withCtes(sftExportCtes ++ Seq(
+      "ex" -> sftExportSelect,
+      "shd" -> s"""
+  SELECT conv_id, n_chars, train_chars,
+    ${oTokHash("conv_id")} % 8 AS shard
+  FROM ex""",
+      "st" -> """
+  SELECT conv_id, shard, n_chars, train_chars,
+    CAST(COALESCE(sum(n_chars + 1) OVER (PARTITION BY shard ORDER BY conv_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_c
+  FROM shd""",
+      "pk" -> """
+  SELECT conv_id, shard, n_chars, train_chars,
+    CAST(start_c // 4096 AS BIGINT) AS pack_idx
+  FROM st"""): _*)("""
+SELECT shard, pack_idx,
+  CAST(count(*) AS BIGINT) AS n_examples,
+  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+  CAST(sum(train_chars) AS BIGINT) AS sum_train_chars,
+  CAST(floor(sum(train_chars) * 1000.0 / sum(n_chars)) AS BIGINT) AS density_permille
+FROM pk GROUP BY shard, pack_idx"""),
+
+    "q110_ann_recall" -> s"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+q AS (SELECT vec_id AS q_id, e AS q_emb FROM v WHERE vec_id % 50 = 0),
+bt AS (
+  SELECT q_id, vec_id AS neighbor_id FROM (
+    SELECT q.q_id, v.vec_id,
+      row_number() OVER (PARTITION BY q.q_id
+        ORDER BY ${oCos("q.q_emb", "v.e")} DESC, v.vec_id) AS rank
+    FROM v CROSS JOIN q WHERE v.vec_id != q.q_id
+  ) r WHERE rank <= 5),
+b AS (SELECT vec_id, e, ${oBucketExpr("e")} AS bucket FROM v),
+qb AS (SELECT vec_id AS q_id, e AS q_emb, bucket FROM b WHERE vec_id % 50 = 0),
+bk AS (
+  SELECT q_id, vec_id AS neighbor_id, 1 AS hit FROM (
+    SELECT qb.q_id, c.vec_id,
+      row_number() OVER (PARTITION BY qb.q_id
+        ORDER BY ${oCos("qb.q_emb", "c.e")} DESC, c.vec_id) AS rank
+    FROM b c JOIN qb ON c.bucket = qb.bucket WHERE c.vec_id != qb.q_id
+  ) r WHERE rank <= 5)
+SELECT bt.q_id, CAST(count(*) AS BIGINT) AS n_exact,
+  CAST(count(bk.hit) AS BIGINT) AS n_hits,
+  CAST(floor(count(bk.hit) * 1000.0 / count(*)) AS BIGINT) AS recall_permille
+FROM bt LEFT JOIN bk ON bt.q_id = bk.q_id AND bt.neighbor_id = bk.neighbor_id
+GROUP BY bt.q_id""",
+  )
+
+  /** Shared DuckDB CTE chain of the SFT export (q108) — also the prefix of
+    * the packing oracle (q109). */
+  private lazy val sftExportCtes: Seq[(String, String)] = Seq(
+    "th" -> """
   SELECT conv_id,
     md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS h
   FROM transcripts""",
-      "hot" -> """
+    "hot" -> """
   SELECT h FROM (
     SELECT h, count(*) AS n_convs FROM (SELECT DISTINCT conv_id, h FROM th) d
     GROUP BY h) x
   WHERE n_convs >= 3""",
-      "cn" -> """
+    "cn" -> """
   SELECT conv_id,
     CAST(floor(count(hot.h) * 1000.0 / count(*)) AS BIGINT) AS canned_permille
   FROM th LEFT JOIN hot ON th.h = hot.h
   GROUP BY conv_id""",
-      "op" -> """
+    "op" -> """
   SELECT conv_id, arg_min(role, turn_idx) AS first_role
   FROM transcripts GROUP BY conv_id""",
-      "keep" -> """
+    "keep" -> """
   SELECT cn.conv_id FROM cn JOIN op USING (conv_id)
   WHERE op.first_role IN ('user', 'system') AND cn.canned_permille < 500""",
-      "scrub" -> s"""
+    "scrub" -> s"""
   SELECT t.conv_id, t.turn_idx, t.role,
     regexp_replace(regexp_replace(regexp_replace(t.text,
       '${graft.text.Redact.EmailRe}', '<EMAIL>', 'g'),
       '${graft.text.Redact.Ipv4Re}', '<IP>', 'g'),
       '${graft.text.Redact.LongNumRe}', '<NUM>', 'g') AS text
   FROM transcripts t JOIN keep USING (conv_id)""",
-      "g" -> """
+    "g" -> """
   SELECT conv_id, turn_idx, role, text,
     CAST(sum(chg) OVER (PARTITION BY conv_id ORDER BY turn_idx
       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS grp
@@ -2367,10 +2450,12 @@ HAVING count(*) >= 5 AND count(DISTINCT conv_id) >= 3"""),
              OR lag(role) OVER (PARTITION BY conv_id ORDER BY turn_idx) != role
            THEN 1 ELSE 0 END AS chg
     FROM scrub) c""",
-      "m" -> """
+    "m" -> """
   SELECT conv_id, CAST(grp - 1 AS INTEGER) AS turn_idx, min(role) AS role,
     string_agg(text, chr(10) ORDER BY turn_idx) AS text
-  FROM g GROUP BY conv_id, grp""")("""
+  FROM g GROUP BY conv_id, grp""")
+
+  private lazy val sftExportSelect: String = """
 SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns,
   CAST(length(string_agg('<|' || role || '|>' || text, chr(10) ORDER BY turn_idx))
     AS BIGINT) AS n_chars,
@@ -2378,6 +2463,5 @@ SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns,
     THEN length(role) + length(text) + 4 END), 0) AS BIGINT) AS train_chars,
   string_agg('<|' || role || '|>' || text, chr(10) ORDER BY turn_idx) AS rendered
 FROM m WHERE turn_idx < 4096
-GROUP BY conv_id"""),
-  )
+GROUP BY conv_id"""
 }

@@ -73,6 +73,27 @@ object Similarity {
       .select(col("q_id"), col("vec_id").as("neighbor_id"), col("rank"))
   }
 
+  /** Recall@k of the bucketed scale path against the brute-force ground
+    * truth — the diagnostic every approximate index needs before it
+    * replaces the exact one: per query, how many of the true top-k the
+    * bucket probe found. Runs both plans over the SAME query set and
+    * semi-joins on (q_id, neighbor); both sides are query-set-sized, so
+    * the comparison itself is free at any corpus scale (the cost is the
+    * two searches). */
+  def recallAtK(vecs: DataFrame, k: Int = 5, queryMod: Int = 50,
+                dim: Int = 64): DataFrame = {
+    val exact = bruteTopK(vecs, k, queryMod).select("q_id", "neighbor_id")
+    val approx = bucketedTopK(vecs, k, queryMod, dim).select("q_id", "neighbor_id")
+    val hits = exact.join(approx, Seq("q_id", "neighbor_id"), "left_semi")
+      .groupBy("q_id").agg(count(lit(1)).as("n_hits"))
+    exact.groupBy("q_id").agg(count(lit(1)).as("n_exact"))
+      .join(hits, Seq("q_id"), "left")
+      .select(col("q_id"), col("n_exact"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+      .withColumn("recall_permille",
+        floor(col("n_hits") * lit(1000.0) / col("n_exact")).cast("long"))
+  }
+
   // ---- IVF: inverted-file coarse quantizer -----------------------------------
 
   /** Deterministic coarse centroids: a fixed modulus sample of the vectors

@@ -54,4 +54,46 @@ object TrainingExport {
     rendered.join(trainChars, "conv_id")
       .select("conv_id", "n_turns", "n_chars", "train_chars", "rendered")
   }
+
+  /** SFT sequence packing over [[sftExamples]] output: rendered examples
+    * laid end-to-end (one separator char between examples) into
+    * fixed-`budgetChars` training sequences, per shard — the same
+    * spill-across-boundary semantics as [[graft.text.Packing.pack]], with
+    * `train_chars` carried through so downstream can compute per-pack
+    * supervision density.
+    *
+    * The shard key is the charwise polynomial hash of conv_id (shared with
+    * the oracle) so no engine-specific hash leaks into the contract; like
+    * Packing.pack, the per-shard window avoids a global running sum and
+    * `shards` scales with the cluster. Offsets use integer division
+    * (IntegralDivide) — exact past 2^53 where double math would drift. */
+  def packedExamples(examples: DataFrame, budgetChars: Int = 4096,
+                     shards: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("shard").orderBy("conv_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    examples
+      .select(col("conv_id"), col("n_chars"), col("train_chars"),
+        (graft.text.TextAnalysis.tokHash(col("conv_id")) % shards).as("shard"))
+      .withColumn("start_c",
+        coalesce(sum(col("n_chars") + 1).over(w), lit(0L)))
+      .select(col("conv_id"), col("shard"), col("n_chars"), col("train_chars"),
+        expr(s"start_c DIV $budgetChars").as("pack_idx"),
+        (col("start_c") % budgetChars).as("pack_offset"))
+  }
+
+  /** Per-pack supervision density over [[packedExamples]] output: how many
+    * examples START in each pack and what fraction of their characters is
+    * supervised (assistant segments) — the batch-composition diagnostic a
+    * training run reads before setting loss scaling. Each example is
+    * attributed to the pack its first character lands in (spilled tails
+    * are not re-split — documented approximation). Pack-count-sized
+    * aggregate reusing the shard clustering the packer already produced. */
+  def packDensity(packed: DataFrame): DataFrame =
+    packed.groupBy("shard", "pack_idx")
+      .agg(count(lit(1)).as("n_examples"),
+        sum(col("n_chars")).as("sum_chars"),
+        sum(col("train_chars")).as("sum_train_chars"))
+      .withColumn("density_permille",
+        floor(col("sum_train_chars") * lit(1000.0) / col("sum_chars")).cast("long"))
 }

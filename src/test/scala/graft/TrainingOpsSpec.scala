@@ -152,6 +152,50 @@ class TrainingOpsSpec extends SparkSpec {
       ("assistant".length + "sure <NUM>\ndone".length + 4).toLong)
   }
 
+  test("packedExamples: per-shard running offsets, spill-across-boundary semantics") {
+    val examples = (0 until 40).map(i =>
+      (f"conv_$i%03d", 3L, f"conv_$i%03d".length.toLong + 700L + i * 13L, 300L))
+      .toDF("conv_id", "n_turns", "n_chars", "train_chars")
+    val budget = 512
+    val out = operators.TrainingExport.packedExamples(examples, budget).collect()
+      .map(r => (r.getLong(1), r.getString(0), r.getLong(2),
+        r.getLong(4), r.getLong(5))) // (shard, conv, n_chars, idx, off)
+    assert(out.length == 40)
+    out.groupBy(_._1).foreach { case (_, rows) =>
+      var cum = 0L
+      rows.sortBy(_._2).foreach { case (_, _, nChars, idx, off) =>
+        assert(idx == cum / budget && off == cum % budget)
+        cum += nChars + 1
+      }
+    }
+  }
+
+  test("packDensity: per-pack rollup preserves totals and bounds density") {
+    val examples = (0 until 30).map(i =>
+      (f"conv_$i%03d", 2L, 900L + i * 17L, 250L + i))
+      .toDF("conv_id", "n_turns", "n_chars", "train_chars")
+    val packed = operators.TrainingExport.packedExamples(examples, 2048)
+    val out = operators.TrainingExport.packDensity(packed).collect()
+    assert(out.map(_.getAs[Long]("n_examples")).sum == 30L)
+    assert(out.map(_.getAs[Long]("sum_train_chars")).sum ==
+      (0 until 30).map(i => 250L + i).sum)
+    out.foreach(r => assert(r.getAs[Long]("density_permille") <= 1000L))
+  }
+
+  test("recallAtK: hits bounded by exact, identical bucket contents give full recall") {
+    // 64-dim vectors in two well-separated LSH buckets; queries at % 50
+    val vecs = (0 until 120).map { i =>
+      val base = if (i % 2 == 0) 1.0f else -1.0f
+      (i.toLong, Array.tabulate(64)(j => base * (1.0f + ((i * 7 + j) % 5) * 0.01f)))
+    }.toDF("vec_id", "embedding")
+    val out = ann.Similarity.recallAtK(vecs).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1)) // n_hits <= n_exact
+      assert(r.getLong(3) >= 0L && r.getLong(3) <= 1000L)
+    }
+  }
+
   test("scale shapes: no cartesian product in bm25 or scrub; render is one exchange") {
     val docs = Seq((0L, "a b c"), (1L, "a b d")).toDF("doc_id", "text")
     val bmPlan = Bm25.topK(docs).queryExecution.executedPlan.toString
