@@ -453,6 +453,14 @@ object SparkEntry {
         operators.TrainingExport.packedExamples(
           operators.TrainingExport.sftExamples(Transcripts.load(s, d))))),
 
+    // conversation-level template dedup (whole-conversation md5 key)
+    "q112_conv_dedup" -> ((s, d) =>
+      operators.Conversations.convDedup(Transcripts.load(s, d))),
+
+    // preference-pair (chosen/rejected) export per user-prompt template
+    "q113_pref_pairs" -> ((s, d) =>
+      operators.Conversations.preferencePairs(Transcripts.load(s, d))),
+
     // gap-based sessionization: per-session stats
     "q62_sessionize" -> ((s, d) =>
       operators.Sessionize.sessionStats(Transcripts.load(s, d))),
@@ -2343,6 +2351,53 @@ FROM (
   FROM transcripts) t
 GROUP BY tkey
 HAVING count(*) >= 5 AND count(DISTINCT conv_id) >= 3"""),
+
+    "q112_conv_dedup" -> withCtes(
+      "keyed" -> """
+  SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns,
+    md5(string_agg(role || ':' || regexp_replace(lower(text), '[0-9]+', '0', 'g'),
+      chr(1) ORDER BY turn_idx)) AS conv_key
+  FROM transcripts GROUP BY conv_id""",
+      "grp" -> """
+  SELECT conv_key, min(conv_id) AS keeper_conv, CAST(count(*) AS BIGINT) AS n_dups
+  FROM keyed GROUP BY conv_key""")("""
+SELECT k.conv_id, k.conv_key, k.n_turns, g.keeper_conv, g.n_dups,
+  (k.conv_id = g.keeper_conv) AS is_keeper
+FROM keyed k JOIN grp g USING (conv_key)"""),
+
+    "q113_pref_pairs" -> withCtes(
+      "cand" -> """
+  SELECT conv_id, turn_idx, role, text,
+    lead(role) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS resp_role,
+    lead(text) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS resp_text
+  FROM transcripts""",
+      "scored" -> s"""
+  SELECT conv_id, turn_idx,
+    md5(regexp_replace(lower(prompt_text), '[0-9]+', '0', 'g')) AS prompt_key,
+    CASE WHEN len(th) > 0
+         THEN CAST(floor(list_aggregate(list_transform(th, h -> (h % 2001) - 1000), 'sum')
+           * 1000.0 / len(th)) AS BIGINT)
+         ELSE CAST(0 AS BIGINT) END AS logit_x1e3
+  FROM (
+    SELECT conv_id, turn_idx, prompt_text, $oTokHashes AS th
+    FROM (SELECT conv_id, turn_idx, text AS prompt_text, resp_text AS text
+          FROM cand WHERE role = 'user' AND resp_role = 'assistant') q
+         ) renamed""",
+      "rk" -> """
+  SELECT prompt_key, conv_id, turn_idx, logit_x1e3,
+    CAST(count(*) OVER (PARTITION BY prompt_key) AS BIGINT) AS n_candidates,
+    row_number() OVER (PARTITION BY prompt_key
+      ORDER BY logit_x1e3 DESC, conv_id DESC, turn_idx DESC) AS rmax,
+    row_number() OVER (PARTITION BY prompt_key
+      ORDER BY logit_x1e3 ASC, conv_id ASC, turn_idx ASC) AS rmin
+  FROM scored""")("""
+SELECT c.prompt_key, c.n_candidates,
+  c.conv_id AS chosen_conv, c.turn_idx AS chosen_turn, c.logit_x1e3 AS chosen_logit,
+  r.conv_id AS rejected_conv, r.turn_idx AS rejected_turn, r.logit_x1e3 AS rejected_logit,
+  c.logit_x1e3 - r.logit_x1e3 AS margin
+FROM (SELECT * FROM rk WHERE rmax = 1) c
+JOIN (SELECT * FROM rk WHERE rmin = 1) r USING (prompt_key)
+WHERE c.n_candidates >= 2"""),
 
     "q108_sft_export" -> withCtes(sftExportCtes: _*)(sftExportSelect),
 

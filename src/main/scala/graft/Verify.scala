@@ -16,7 +16,12 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     Graft.prep(spark)
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // Harness-only subset filter (comma-separated name substrings); the
+    // driver never sets it, so the full dump is the default.
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSeq)
+    SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.exists(name.contains)) }
+      .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

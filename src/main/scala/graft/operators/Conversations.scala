@@ -157,6 +157,85 @@ object Conversations {
       .filter(col("n_turns") >= minTurns && col("n_convs") >= minConvs)
   }
 
+  /** Conversation-level TEMPLATE dedup: two conversations whose full turn
+    * sequences are identical up to digit runs (ids, counts, addresses)
+    * collapse to one keeper — the whole-conversation analog of
+    * [[turnTemplates]], and the dedup granularity an SFT corpus actually
+    * wants (duplicate *conversations* leak across train/val splits even
+    * when no single turn is corpus-hot).
+    *
+    * Key = md5 over the turn sequence (`role:template` segments joined by
+    * U+0001 in stable turn order). Two exchanges, both narrow: the
+    * conv_id aggregate that builds the key (inherent — the key is a
+    * whole-conversation property), then a hash-agg keyed on the 128-bit
+    * key where only (key, conv_id) pairs move; the keeper is the smallest
+    * conv_id per key. */
+  def convDedup(transcripts: DataFrame): DataFrame = {
+    val keyed = transcripts
+      .select(col("conv_id"), col("turn_idx"), col("role"),
+        regexp_replace(lower(col("text")), "[0-9]+", "0").as("tmpl"))
+      .groupBy("conv_id")
+      .agg(array_sort(collect_list(struct(col("turn_idx"), col("role"), col("tmpl"))))
+        .as("turns"))
+      .select(col("conv_id"),
+        size(col("turns")).cast("long").as("n_turns"),
+        md5(array_join(transform(col("turns"),
+          t => concat(t("role"), lit(":"), t("tmpl"))), "\u0001")
+          .cast("binary")).as("conv_key"))
+    val groups = keyed.groupBy("conv_key")
+      .agg(min(col("conv_id")).as("keeper_conv"), count(lit(1)).as("n_dups"))
+    keyed.join(groups, Seq("conv_key"))
+      .select(col("conv_id"), col("conv_key"), col("n_turns"),
+        col("keeper_conv"), col("n_dups"),
+        (col("conv_id") === col("keeper_conv")).as("is_keeper"))
+  }
+
+  /** Preference-pair (DPO/RLHF) export: for every user-prompt TEMPLATE that
+    * elicited assistant responses in ≥2 places, pair the best- and
+    * worst-scoring responses — the chosen/rejected extraction step of a
+    * preference-data pipeline. The prompt key is the digit-normalized
+    * user-turn template ([[turnTemplates]]'s normalization); the response
+    * is the immediately following assistant turn in the same conversation;
+    * response quality is the integer-exact linear-classifier logit
+    * ([[graft.text.Classifier]]'s hashed-weight model). Ties break on
+    * (conv_id, turn_idx) so chosen/rejected are total.
+    *
+    * Scale shape: one conv_id exchange for the response `lead`, then one
+    * hash-agg keyed on the 128-bit prompt hash carrying only (hash, logit,
+    * ids) — neither prompt nor response TEXT ever shuffles; a real export
+    * joins the winning (conv_id, turn_idx) pairs back to fetch text. */
+  def preferencePairs(transcripts: DataFrame): DataFrame = {
+    val w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    val th = graft.text.TextAnalysis.tokHashes(col("resp_text"))
+    val cands = transcripts
+      .select(col("conv_id"), col("turn_idx"), col("role"), col("text"),
+        lead(col("role"), 1).over(w).as("resp_role"),
+        lead(col("text"), 1).over(w).as("resp_text"))
+      .filter(col("role") === "user" && col("resp_role") === "assistant")
+      .select(col("conv_id"), col("turn_idx"),
+        md5(regexp_replace(lower(col("text")), "[0-9]+", "0").cast("binary"))
+          .as("prompt_key"),
+        when(size(th) > 0,
+          floor(aggregate(th, lit(0L),
+            (acc, h) => acc + graft.text.Classifier.weight(h)) * lit(1000.0)
+            / size(th)).cast("long"))
+          .otherwise(lit(0L)).as("logit_x1e3"))
+    val ranked = struct(col("logit_x1e3"), col("conv_id"), col("turn_idx"))
+    cands.groupBy("prompt_key")
+      .agg(count(lit(1)).as("n_candidates"),
+        max_by(ranked, ranked).as("chosen"),
+        min_by(ranked, ranked).as("rejected"))
+      .filter(col("n_candidates") >= 2)
+      .select(col("prompt_key"), col("n_candidates"),
+        col("chosen.conv_id").as("chosen_conv"),
+        col("chosen.turn_idx").as("chosen_turn"),
+        col("chosen.logit_x1e3").as("chosen_logit"),
+        col("rejected.conv_id").as("rejected_conv"),
+        col("rejected.turn_idx").as("rejected_turn"),
+        col("rejected.logit_x1e3").as("rejected_logit"),
+        (col("chosen.logit_x1e3") - col("rejected.logit_x1e3")).as("margin"))
+  }
+
   /** Canned-turn detection: a turn whose normalized text appears in
     * ≥`minConvs` DISTINCT conversations is "canned" (template greetings,
     * boilerplate tool output); reports per conversation how much of it is

@@ -196,6 +196,71 @@ class TrainingOpsSpec extends SparkSpec {
     }
   }
 
+  test("convDedup: digit-normalized whole-conversation duplicates share a keeper") {
+    val rows = Seq(
+      // a and b: identical turn sequences up to digit runs
+      ("a", 0, "user", "order 123 failed"),
+      ("a", 1, "assistant", "retry 456 now"),
+      ("b", 0, "user", "order 999 failed"),
+      ("b", 1, "assistant", "retry 1 now"),
+      // c: same turns but different role sequence → distinct key
+      ("c", 0, "assistant", "order 123 failed"),
+      ("c", 1, "user", "retry 456 now"))
+      .toDF("conv_id", "turn_idx", "role", "text")
+    val out = Conversations.convDedup(rows).collect()
+      .map(r => r.getAs[String]("conv_id") ->
+        (r.getAs[String]("conv_key"), r.getAs[Long]("n_turns"),
+          r.getAs[String]("keeper_conv"), r.getAs[Long]("n_dups"),
+          r.getAs[Boolean]("is_keeper"))).toMap
+    assert(out("a")._1 == out("b")._1 && out("a")._1 != out("c")._1)
+    assert(out("a") == ((out("a")._1, 2L, "a", 2L, true)))
+    assert(out("b") == ((out("a")._1, 2L, "a", 2L, false)))
+    assert(out("c") == ((out("c")._1, 2L, "c", 1L, true)))
+  }
+
+  test("preferencePairs: prompt templates pair best/worst responses; ties break on ids") {
+    val rows = Seq(
+      // same prompt template (digits normalized) in three conversations,
+      // identical response text in p1/p3 (logit tie) and a distinct one in p2
+      ("p1", 0, "user", "help with ticket 111"),
+      ("p1", 1, "assistant", "same reply text"),
+      ("p2", 0, "user", "help with ticket 222"),
+      ("p2", 1, "assistant", "a different reply"),
+      ("p3", 0, "user", "help with ticket 333"),
+      ("p3", 1, "assistant", "same reply text"),
+      // singleton prompt → excluded (n_candidates < 2)
+      ("q1", 0, "user", "unique question"),
+      ("q1", 1, "assistant", "unique answer"),
+      // user turn with no assistant follow-up → not a candidate
+      ("r1", 0, "user", "help with ticket 444"))
+      .toDF("conv_id", "turn_idx", "role", "text")
+    val out = Conversations.preferencePairs(rows).collect()
+    assert(out.length == 1)
+    val r = out(0)
+    assert(r.getAs[Long]("n_candidates") == 3L)
+    assert(r.getAs[Long]("margin") ==
+      r.getAs[Long]("chosen_logit") - r.getAs[Long]("rejected_logit"))
+    assert(r.getAs[Long]("margin") >= 0L)
+    // the tie between p1 and p3 must resolve by conv_id: if the tied pair is
+    // both extremes, chosen is the larger id; either way ids are distinct
+    assert(r.getAs[String]("chosen_conv") != r.getAs[String]("rejected_conv"))
+    val tied = Set("p1", "p3")
+    val logits = Map(
+      r.getAs[String]("chosen_conv") -> r.getAs[Long]("chosen_logit"),
+      r.getAs[String]("rejected_conv") -> r.getAs[Long]("rejected_logit"))
+    if (logits.keySet == tied) // tie pair at both extremes
+      assert(r.getAs[String]("chosen_conv") == "p3" &&
+        r.getAs[String]("rejected_conv") == "p1")
+  }
+
+  test("scale shapes: conv dedup and preference pairs carry no text into the final agg") {
+    val rows = turns.toDF("conv_id", "turn_idx", "role", "text")
+    val dd = Conversations.convDedup(rows).queryExecution.executedPlan.toString
+    assert(!dd.contains("CartesianProduct"))
+    val pp = Conversations.preferencePairs(rows).queryExecution.executedPlan.toString
+    assert(!pp.contains("CartesianProduct"))
+  }
+
   test("scale shapes: no cartesian product in bm25 or scrub; render is one exchange") {
     val docs = Seq((0L, "a b c"), (1L, "a b d")).toDF("doc_id", "text")
     val bmPlan = Bm25.topK(docs).queryExecution.executedPlan.toString
