@@ -461,6 +461,24 @@ object SparkEntry {
     "q113_pref_pairs" -> ((s, d) =>
       operators.Conversations.preferencePairs(Transcripts.load(s, d))),
 
+    // fill-in-middle (PSM) restructuring over documents
+    "q114_fim" -> ((s, d) => text.CorpusOps.fim(docs(s, d))),
+
+    // per-language quality deciles from the classifier logit
+    "q115_quality_deciles" -> ((s, d) => text.CorpusOps.qualityDeciles(docs(s, d))),
+
+    // host/domain rollup with hot-host flag
+    "q116_domain_stats" -> ((s, d) => text.CorpusOps.domainStats(docs(s, d))),
+
+    // per-source language-mix L1 drift vs the corpus
+    "q117_source_divergence" -> ((s, d) => text.CorpusOps.sourceDivergence(docs(s, d))),
+
+    // duplicate-cluster downsampling weights (1/n per exact-dup cluster)
+    "q118_cluster_weights" -> ((s, d) => dedup.Dedup.clusterWeights(docs(s, d))),
+
+    // SemDeDup-style per-vector keep/drop verdict over embeddings
+    "q119_semantic_dedup" -> ((s, d) => ann.Similarity.semanticDedup(vecs(s, d))),
+
     // gap-based sessionization: per-session stats
     "q62_sessionize" -> ((s, d) =>
       operators.Sessionize.sessionStats(Transcripts.load(s, d))),
@@ -2351,6 +2369,107 @@ FROM (
   FROM transcripts) t
 GROUP BY tkey
 HAVING count(*) >= 5 AND count(DISTINCT conv_id) >= 3"""),
+
+    "q114_fim" -> """
+WITH t AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x != '') AS toks
+  FROM documents),
+c AS (
+  SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n,
+    CAST(len(toks) // 3 AS INTEGER) AS c1,
+    CAST(len(toks) * 2 // 3 AS INTEGER) AS c2
+  FROM t)
+SELECT doc_id, n AS n_tokens,
+  CAST(c1 AS BIGINT) AS n_prefix,
+  CAST(c2 - c1 AS BIGINT) AS n_middle,
+  CAST(n - c2 AS BIGINT) AS n_suffix,
+  CASE WHEN n >= 3 THEN
+    '<PRE>' || array_to_string(toks[1:c1], ' ') ||
+    '<SUF>' || array_to_string(toks[c2+1:], ' ') ||
+    '<MID>' || array_to_string(toks[c1+1:c2], ' ')
+  END AS fim_text
+FROM c""",
+
+    "q115_quality_deciles" -> s"""
+WITH sc AS (
+  SELECT doc_id, lang,
+    CASE WHEN len(th) > 0
+         THEN CAST(floor(list_aggregate(list_transform(th, h -> (h % 2001) - 1000), 'sum')
+           * 1000.0 / len(th)) AS BIGINT)
+         ELSE CAST(0 AS BIGINT) END AS logit_x1e3
+  FROM (SELECT doc_id, lang, $oTokHashes AS th FROM documents) x),
+dist AS (SELECT lang, logit_x1e3, count(*) AS n FROM sc GROUP BY 1, 2),
+b AS (
+  SELECT lang, logit_x1e3,
+    LEAST(CAST(9 AS BIGINT),
+      CAST(floor(COALESCE(sum(n) OVER (PARTITION BY lang ORDER BY logit_x1e3
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) * 10.0
+        / sum(n) OVER (PARTITION BY lang)) AS BIGINT)) AS decile
+  FROM dist)
+SELECT sc.doc_id, sc.lang, sc.logit_x1e3, b.decile
+FROM sc JOIN b USING (lang, logit_x1e3)""",
+
+    "q116_domain_stats" -> """
+WITH h AS (
+  SELECT regexp_extract('https://' || source || '-' || CAST(doc_id % 13 AS VARCHAR)
+      || '.example.com/doc/' || CAST(doc_id AS VARCHAR), '^https://([^/]+)/', 1) AS host,
+    lang, n_chars
+  FROM documents),
+a AS (
+  SELECT host, CAST(count(*) AS BIGINT) AS n_docs,
+    CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+    CAST(sum(n_chars) AS BIGINT) AS sum_chars
+  FROM h GROUP BY host),
+t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n_total FROM a)
+SELECT host, n_docs, n_langs, sum_chars,
+  CAST(floor(n_docs * 1000.0 / n_total) AS BIGINT) AS share_permille,
+  (CAST(floor(n_docs * 1000.0 / n_total) AS BIGINT) >= 100) AS is_hot
+FROM a, t""",
+
+    "q117_source_divergence" -> """
+WITH sl AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS n_sl
+  FROM documents GROUP BY 1, 2),
+s AS (SELECT source, CAST(sum(n_sl) AS BIGINT) AS n_s FROM sl GROUP BY 1),
+l AS (SELECT lang, CAST(sum(n_sl) AS BIGINT) AS n_l FROM sl GROUP BY 1),
+n AS (SELECT CAST(sum(n_sl) AS BIGINT) AS n_total FROM sl),
+grid AS (
+  SELECT s.source, s.n_s,
+    CAST(floor(COALESCE(sl.n_sl, 0) * 1000.0 / s.n_s)
+      - floor(l.n_l * 1000.0 / n.n_total) AS BIGINT) AS diff
+  FROM s CROSS JOIN l CROSS JOIN n
+  LEFT JOIN sl ON sl.source = s.source AND sl.lang = l.lang)
+SELECT source, CAST(min(n_s) AS BIGINT) AS n_docs,
+  CAST(sum(abs(diff)) AS BIGINT) AS l1_x1e3
+FROM grid GROUP BY source""",
+
+    "q118_cluster_weights" -> """
+WITH k AS (
+  SELECT doc_id, md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm_h
+  FROM documents),
+g AS (
+  SELECT norm_h, min(doc_id) AS keeper_id, CAST(count(*) AS BIGINT) AS n_copies
+  FROM k GROUP BY 1)
+SELECT k.doc_id, g.n_copies, (k.doc_id = g.keeper_id) AS is_keeper,
+  CAST(floor(1000.0 / g.n_copies) AS BIGINT) AS weight_permille
+FROM k JOIN g USING (norm_h)""",
+
+    "q119_semantic_dedup" -> {
+      val probes = (0 until ann.Similarity.NumPlanes)
+        .map(i => s", xor(bucket, ${1L << i})").mkString
+      s"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+b AS (SELECT vec_id, e, ${oBucketExpr("e")} AS bucket FROM v),
+l AS (SELECT vec_id AS id_a, e AS e_a, unnest([bucket$probes]) AS probe FROM b),
+p AS (
+  SELECT l.id_a, r.vec_id AS id_b
+  FROM l JOIN b r ON l.probe = r.bucket AND l.id_a < r.vec_id
+  WHERE CAST(floor(${oCos("l.e_a", "r.e")} * 1000.0) AS BIGINT) >= 450),
+d AS (SELECT id_b AS vec_id, CAST(count(*) AS BIGINT) AS n_dominating,
+  min(id_a) AS min_dominator FROM p GROUP BY 1)
+SELECT v.vec_id, COALESCE(d.n_dominating, CAST(0 AS BIGINT)) AS n_dominating,
+  d.min_dominator, (d.n_dominating IS NULL) AS kept
+FROM v LEFT JOIN d USING (vec_id)"""
+    },
 
     "q112_conv_dedup" -> withCtes(
       "keyed" -> """

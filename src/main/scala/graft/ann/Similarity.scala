@@ -171,4 +171,27 @@ object Similarity {
       .filter(col("cos_permille") >= thresholdPermille)
       .select("id_a", "id_b", "cos_permille")
   }
+
+  /** SemDeDup-style semantic dedup VERDICT (Abbas et al. 2023): a vector
+    * is dropped when any smaller-id vector sits within the cosine
+    * threshold — the per-document keep/drop decision derived from
+    * [[nearDupPairs]]' scale-safe candidate set (multi-probe LSH equi-join,
+    * no cartesian). Greedy-by-id transitive approximation: in a chain
+    * a<b<c with only (a,b) and (b,c) similar, both b and c drop — the
+    * standard one-pass trade (exact clustering needs connected
+    * components, which [[graft.operators.Bucketing]] covers separately).
+    *
+    * Output per vector: kept flag, how many dominating near-dups exist,
+    * and the smallest dominating id (null when kept). */
+  def semanticDedup(vecs: DataFrame, thresholdPermille: Int = 450,
+                    dim: Int = 64): DataFrame = {
+    val dom = nearDupPairs(vecs, thresholdPermille, dim)
+      .groupBy(col("id_b").as("vec_id"))
+      .agg(count(lit(1)).as("n_dominating"), min(col("id_a")).as("min_dominator"))
+    vecs.select(col("vec_id")).join(dom, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("n_dominating"), lit(0L)).as("n_dominating"),
+        col("min_dominator"),
+        col("n_dominating").isNull.as("kept"))
+  }
 }

@@ -41,6 +41,23 @@ object Dedup {
       .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("n_copies"))
       .select("norm_h", "keeper_id", "n_copies")
 
+  /** Duplicate-cluster downsampling weights — the soft alternative to
+    * dropping duplicates (each copy keeps weight 1/n_copies, so a page
+    * duplicated 1000× contributes one page's worth of gradient): every
+    * document joins back to its exact-dedup cluster and carries the
+    * cluster size, keeper flag, and floor(1000/n) permille weight. The
+    * shuffle is keyed on the 128-bit content hash both ways (group, then
+    * re-join); document text never moves. */
+  def clusterWeights(docs: DataFrame): DataFrame = {
+    val keyed = docs.select(col("doc_id"), exactKeyHash(col("text")).as("norm_h"))
+    val groups = keyed.groupBy("norm_h")
+      .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("n_copies"))
+    keyed.join(groups, Seq("norm_h"))
+      .select(col("doc_id"), col("n_copies"),
+        (col("doc_id") === col("keeper_id")).as("is_keeper"),
+        floor(lit(1000.0) / col("n_copies")).cast("long").as("weight_permille"))
+  }
+
   // ---- shingles + minhash ----------------------------------------------------
   /** 3-token shingle hashes: s = ((h0*31 + h1) % P * 31 + h2) % P over the
     * token-hash array, via sliced zip_with (no explode, no shuffle). */

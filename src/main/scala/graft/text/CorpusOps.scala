@@ -1,0 +1,141 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-shaping operators a web-scale training-data pipeline runs after
+  * cleaning: fill-in-middle restructuring, quality-quantile bucketing,
+  * host/domain rollups, and per-source distribution drift. Everything is
+  * integer-exact (permille arithmetic, floor division) so the DuckDB
+  * oracle hash-matches bit-for-bit.
+  */
+object CorpusOps {
+
+  /** Raw whitespace tokens, case preserved (FIM must reconstruct the
+    * document verbatim, unlike the lowered analysis tokens). */
+  private def rawTokens(text: Column): Column =
+    filter(split(text, "\\s+"), t => t =!= "")
+
+  /** Fill-in-middle (PSM order) restructuring: split each document's
+    * token stream at n/3 and 2n/3 and emit
+    * `<PRE>prefix<SUF>suffix<MID>middle` — the standard FIM training
+    * transform (Bavarian et al., "Efficient Training of Language Models to
+    * Fill in the Middle"). Documents under 3 tokens pass through with a
+    * null fim_text. Map-only: per-row expressions, no shuffle, no UDF —
+    * at 100 TB this is a pure scan+project whose cost is the rewrite. */
+  def fim(docs: DataFrame): DataFrame = {
+    val toks = rawTokens(col("text"))
+    val n = size(toks)
+    val cut1 = floor(n / 3).cast("int")
+    val cut2 = floor(n * 2 / 3).cast("int")
+    docs
+      .select(col("doc_id"), toks.as("toks"), n.as("n_tokens"),
+        cut1.as("c1"), cut2.as("c2"))
+      .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"),
+        col("c1").cast("long").as("n_prefix"),
+        (col("c2") - col("c1")).cast("long").as("n_middle"),
+        (col("n_tokens") - col("c2")).cast("long").as("n_suffix"),
+        when(col("n_tokens") >= 3,
+          concat(lit("<PRE>"),
+            array_join(slice(col("toks"), lit(1), col("c1")), " "),
+            lit("<SUF>"),
+            array_join(slice(col("toks"), col("c2") + 1,
+              size(col("toks")) - col("c2")), " "),
+            lit("<MID>"),
+            array_join(slice(col("toks"), col("c1") + 1,
+              col("c2") - col("c1")), " ")))
+          .as("fim_text"))
+  }
+
+  /** Per-language quality DECILES from the classifier logit — the
+    * mixture-construction step that buckets a corpus by quality before
+    * sampling. Decile = strict-rank bucket: floor(10 · |{docs in lang with
+    * smaller logit}| / n_lang), capped at 9, so equal logits share a
+    * bucket and the boundaries are integer-exact.
+    *
+    * Scale shape: the heavy pass is ONE hash-agg on (lang, logit) — at
+    * most |langs| × 2001 groups since the logit is integer permille — the
+    * cumulative window runs over that tiny aggregate, and the bucket map
+    * broadcast-joins back. No per-document window, no global sort (an
+    * ntile over partitionBy(lang) would funnel each language through one
+    * reducer — exactly the 100 TB anti-pattern this avoids). */
+  def qualityDeciles(docs: DataFrame): DataFrame = {
+    val scored = docs.select(col("doc_id"), col("lang"),
+      TextAnalysis.tokHashes(col("text")).as("th"))
+      .select(col("doc_id"), col("lang"),
+        size(col("th")).cast("long").as("n_tokens"),
+        aggregate(col("th"), lit(0L), (acc, h) => acc + Classifier.weight(h))
+          .as("score_sum"))
+      .select(col("doc_id"), col("lang"),
+        when(col("n_tokens") > 0,
+          floor(col("score_sum") * lit(1000.0) / col("n_tokens")).cast("long"))
+          .otherwise(lit(0L)).as("logit_x1e3"))
+    val dist = scored.groupBy("lang", "logit_x1e3").agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("lang").orderBy("logit_x1e3")
+    val buckets = dist
+      .withColumn("below", coalesce(
+        sum(col("n")).over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("n_lang", sum(col("n")).over(Window.partitionBy("lang")))
+      .select(col("lang"), col("logit_x1e3"),
+        least(lit(9L), floor(col("below") * lit(10.0) / col("n_lang")).cast("long"))
+          .as("decile"))
+    scored.join(broadcast(buckets), Seq("lang", "logit_x1e3"))
+      .select("doc_id", "lang", "logit_x1e3", "decile")
+  }
+
+  /** Deterministic synthetic URL for a document — the corpus carries no
+    * provenance URL, so both engines derive the same one from
+    * (source, doc_id); a real pipeline reads this column from the crawl. */
+  def syntheticUrl(source: Column, docId: Column): Column =
+    concat(lit("https://"), source, lit("-"), (docId % 13).cast("string"),
+      lit(".example.com/doc/"), docId.cast("string"))
+
+  /** Host/domain rollup — the web-pipeline view every crawl curation run
+    * needs (domain blocklists, per-host caps, spam-site detection): parse
+    * the host out of the URL, aggregate docs/langs/chars per host, and
+    * flag hosts holding more than `hotPermille` of the corpus. One
+    * hash-agg on the host key; the corpus total rides a single-row
+    * broadcast, so the plan stays two narrow exchanges at any scale. */
+  def domainStats(docs: DataFrame, hotPermille: Int = 100): DataFrame = {
+    val withHost = docs.select(
+      regexp_extract(syntheticUrl(col("source"), col("doc_id")),
+        "^https://([^/]+)/", 1).as("host"),
+      col("doc_id"), col("lang"), col("n_chars"))
+    val agg = withHost.groupBy("host").agg(
+      count(lit(1)).as("n_docs"),
+      countDistinct(col("lang")).as("n_langs"),
+      sum(col("n_chars")).as("sum_chars"))
+    val total = agg.agg(sum(col("n_docs")).as("n_total"))
+    agg.crossJoin(broadcast(total))
+      .select(col("host"), col("n_docs"), col("n_langs"), col("sum_chars"),
+        floor(col("n_docs") * lit(1000.0) / col("n_total")).cast("long")
+          .as("share_permille"))
+      .withColumn("is_hot", col("share_permille") >= hotPermille)
+  }
+
+  /** Per-source language-distribution drift vs the corpus: L1 distance in
+    * permille between each source's language mix and the global mix — the
+    * ingestion-health check that catches a feed whose language balance
+    * shifted. Terms are |floor(1000·n_sl/n_s) − floor(1000·n_l/N)| summed
+    * over the full source×lang grid (missing cells count the corpus
+    * share), all integer-exact.
+    *
+    * Scale shape: one hash-agg on (source, lang) — the grid is
+    * |sources|×|langs|, tiny at any corpus size — then broadcast joins
+    * against the three marginal aggregates. */
+  def sourceDivergence(docs: DataFrame): DataFrame = {
+    val sl = docs.groupBy("source", "lang").agg(count(lit(1)).as("n_sl"))
+    val s = sl.groupBy("source").agg(sum(col("n_sl")).as("n_s"))
+    val l = sl.groupBy("lang").agg(sum(col("n_sl")).as("n_l"))
+    val n = sl.agg(sum(col("n_sl")).as("n_total"))
+    val grid = s.crossJoin(broadcast(l)).crossJoin(broadcast(n))
+      .join(sl, Seq("source", "lang"), "left")
+      .select(col("source"), col("n_s"),
+        (floor(coalesce(col("n_sl"), lit(0L)) * lit(1000.0) / col("n_s"))
+          - floor(col("n_l") * lit(1000.0) / col("n_total"))).cast("long")
+          .as("diff"))
+    grid.groupBy("source")
+      .agg(first(col("n_s")).as("n_docs"), sum(abs(col("diff"))).as("l1_x1e3"))
+  }
+}

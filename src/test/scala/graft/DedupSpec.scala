@@ -83,4 +83,18 @@ class DedupSpec extends SparkSpec {
     assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("clusterWeights: each copy carries 1/n permille; keeper is min doc_id") {
+    import TestSpark.spark.implicits._
+    val docs = Seq(
+      (1L, "same  TEXT here"), (2L, "same text HERE"), (3L, "same text here"),
+      (7L, "unique"))
+      .toDF("doc_id", "text")
+    val out = graft.dedup.Dedup.clusterWeights(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2), r.getLong(3)))).toMap
+    assert(out(1L) == ((3L, true, 333L)))
+    assert(out(2L) == ((3L, false, 333L)))
+    assert(out(3L) == ((3L, false, 333L)))
+    assert(out(7L) == ((1L, true, 1000L)))
+  }
+
 }

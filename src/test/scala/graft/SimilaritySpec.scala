@@ -106,4 +106,24 @@ class SimilaritySpec extends SparkSpec {
     assert(r.getLong(3) == 7L)                // payload bytes
     assert(r.getBoolean(4))                   // \x89PNG magic intact
   }
+
+  test("semanticDedup: near-identical vectors drop to the smallest id, no cartesian") {
+    import TestSpark.spark.implicits._
+    // 10/11/12 near-identical (same bucket, cos≈1); 20 orthogonal-ish noise
+    val base = Array.tabulate(64)(j => 1.0f + (j % 3) * 0.01f)
+    val vecs = Seq(
+      (10L, base), (11L, base.map(_ * 2.0f)), (12L, base.map(_ * 0.5f)),
+      (20L, Array.tabulate(64)(j => if (j % 2 == 0) 1.0f else -1.0f)))
+      .toDF("vec_id", "embedding")
+    val out = graft.ann.Similarity.semanticDedup(vecs).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), Option(r.get(2)).map(_.asInstanceOf[Long]), r.getBoolean(3)))).toMap
+    assert(out(10L) == ((0L, None, true)))
+    assert(out(11L) == ((1L, Some(10L), false)))
+    assert(out(12L) == ((2L, Some(10L), false)))
+    assert(out(20L) == ((0L, None, true)))
+    val plan = graft.ann.Similarity.semanticDedup(vecs)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+  }
 }

@@ -497,4 +497,70 @@ class TextOpsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0)).sorted
     assert(again.toSeq == rows.map(_._1).sorted.toSeq)
   }
+
+  test("fim: PSM segments reconstruct the token stream; short docs pass through") {
+    val docs = Seq(
+      (1L, "a b c d e f g h i"),  // 9 tokens → 3/3/3
+      (2L, "One  Two Three Four"), // case + double space preserved per-token
+      (3L, "x y"),                 // < 3 tokens → null fim_text
+      (4L, "")).toDF("doc_id", "text")
+    val out = graft.text.CorpusOps.fim(docs).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          Option(r.getString(5))))).toMap
+    assert(out(1L) == ((9L, 3L, 3L, 3L, Some("<PRE>a b c<SUF>g h i<MID>d e f"))))
+    assert(out(2L) == ((4L, 1L, 1L, 2L, Some("<PRE>One<SUF>Three Four<MID>Two"))))
+    assert(out(3L) == ((2L, 0L, 1L, 1L, None)))
+    assert(out(4L) == ((0L, 0L, 0L, 0L, None)))
+  }
+
+  test("qualityDeciles: strict-rank buckets per language, equal logits share one") {
+    // per-lang logits are a deterministic function of the text; use distinct
+    // one-token docs so ordering is simply by each token's weight
+    val docs = (0 until 40).map(i =>
+      (i.toLong, s"tok$i tok$i", if (i < 20) "en" else "de"))
+      .toDF("doc_id", "text", "lang")
+    val out = graft.text.CorpusOps.qualityDeciles(docs).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(out.length == 40)
+    out.groupBy(_._2).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(r => (r._3, r._1))
+      // deciles are monotone in logit and bounded
+      assert(sorted.map(_._4).zip(sorted.tail.map(_._4)).forall { case (a, b) => a <= b })
+      assert(sorted.forall(r => r._4 >= 0 && r._4 <= 9))
+      // equal logits share a decile
+      sorted.groupBy(_._3).foreach { case (_, same) =>
+        assert(same.map(_._4).distinct.length == 1)
+      }
+    }
+  }
+
+  test("domainStats: hosts roll up docs/langs/chars; hot flag at share threshold") {
+    // doc_id % 13 spreads one source over hosts; same source+mod → same host
+    val docs = Seq(
+      (0L, "t", "en", "srcA", 10L), (13L, "t", "de", "srcA", 20L),
+      (26L, "t", "en", "srcA", 30L), (1L, "t", "en", "srcB", 5L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = graft.text.CorpusOps.domainStats(docs, hotPermille = 700).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(5)))).toMap
+    assert(out("srcA-0.example.com") == ((3L, 2L, 60L, 750L, true)))
+    assert(out("srcB-1.example.com") == ((1L, 1L, 5L, 250L, false)))
+  }
+
+  test("sourceDivergence: identical mix scores zero; skewed source scores positive") {
+    val docs = (
+      // srcSame mirrors the corpus-wide 50/50 en/de mix; srcSkew is all-en
+      Seq((1L, "t", "en", "srcSame"), (2L, "t", "de", "srcSame"),
+        (3L, "t", "en", "srcSame"), (4L, "t", "de", "srcSame"),
+        (5L, "t", "en", "srcSkew"), (6L, "t", "en", "srcSkew")))
+      .toDF("doc_id", "text", "lang", "source")
+    val out = graft.text.CorpusOps.sourceDivergence(docs).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // corpus: 4/6 en (666‰), 2/6 de (333‰)
+    // srcSame: 500‰/500‰ → |500-666| + |500-333| = 333
+    // srcSkew: 1000‰/0‰ → |1000-666| + |0-333| = 667
+    assert(out("srcSame") == ((4L, 333L)))
+    assert(out("srcSkew") == ((2L, 667L)))
+  }
 }
