@@ -479,6 +479,18 @@ object SparkEntry {
     // SemDeDup-style per-vector keep/drop verdict over embeddings
     "q119_semantic_dedup" -> ((s, d) => ann.Similarity.semanticDedup(vecs(s, d))),
 
+    // shared-prefix trie nodes + branch points over rollout transcripts
+    "q120_branching" -> ((s, d) =>
+      operators.Conversations.branching(Transcripts.load(s, d))),
+
+    // repeated-template loop runs per conversation
+    "q121_loop_stats" -> ((s, d) =>
+      operators.Conversations.loopStats(Transcripts.load(s, d))),
+
+    // context-window fit: longest turn suffix within the char budget
+    "q122_context_fit" -> ((s, d) =>
+      operators.Conversations.contextFit(Transcripts.load(s, d))),
+
     // gap-based sessionization: per-session stats
     "q62_sessionize" -> ((s, d) =>
       operators.Sessionize.sessionStats(Transcripts.load(s, d))),
@@ -2517,6 +2529,58 @@ SELECT c.prompt_key, c.n_candidates,
 FROM (SELECT * FROM rk WHERE rmax = 1) c
 JOIN (SELECT * FROM rk WHERE rmin = 1) r USING (prompt_key)
 WHERE c.n_candidates >= 2"""),
+
+    "q120_branching" -> withCtes(
+      "th" -> """
+  SELECT conv_id, turn_idx,
+    md5(role || ':' || regexp_replace(lower(text), '[0-9]+', '0', 'g')) AS th
+  FROM transcripts""",
+      "pfx" -> """
+  SELECT conv_id, turn_idx,
+    md5(string_agg(th, '') OVER (PARTITION BY conv_id ORDER BY turn_idx
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS prefix_key,
+    lead(th) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS next_th
+  FROM th""")("""
+SELECT turn_idx AS depth, prefix_key,
+  CAST(count(*) AS BIGINT) AS n_convs,
+  CAST(count(DISTINCT next_th) AS BIGINT) AS n_children,
+  (count(DISTINCT next_th) >= 2) AS is_branch_point
+FROM pfx GROUP BY 1, 2 HAVING count(*) >= 2"""),
+
+    "q121_loop_stats" -> withCtes(
+      "k" -> """
+  SELECT conv_id, turn_idx,
+    role || ':' || regexp_replace(lower(text), '[0-9]+', '0', 'g') AS tk
+  FROM transcripts""",
+      "r" -> """
+  SELECT conv_id, turn_idx,
+    CASE WHEN tk = lag(tk) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+         THEN 1 ELSE 0 END AS rep
+  FROM k""",
+      "i" -> """
+  SELECT conv_id, turn_idx, rep,
+    sum(CASE WHEN rep = 0 THEN 1 ELSE 0 END) OVER (PARTITION BY conv_id
+      ORDER BY turn_idx ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+  FROM r""",
+      "runs" -> """
+  SELECT conv_id, isl, CAST(count(*) AS BIGINT) AS run_len FROM i GROUP BY 1, 2""",
+      "agg" -> """
+  SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns,
+    CAST(sum(rep) AS BIGINT) AS n_repeat_turns
+  FROM i GROUP BY 1""")("""
+SELECT a.conv_id, a.n_turns, a.n_repeat_turns, m.max_run,
+  (m.max_run >= 3) AS loop_flag
+FROM agg a
+JOIN (SELECT conv_id, max(run_len) AS max_run FROM runs GROUP BY 1) m
+  USING (conv_id)"""),
+
+    "q122_context_fit" -> withTranscripts("""
+SELECT conv_id, turn_idx,
+  CAST(sum(length(text) + 1) OVER (PARTITION BY conv_id ORDER BY turn_idx DESC
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS tail_chars,
+  (sum(length(text) + 1) OVER (PARTITION BY conv_id ORDER BY turn_idx DESC
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) <= 2000) AS kept
+FROM transcripts"""),
 
     "q108_sft_export" -> withCtes(sftExportCtes: _*)(sftExportSelect),
 

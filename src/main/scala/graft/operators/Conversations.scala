@@ -236,6 +236,80 @@ object Conversations {
         (col("chosen.logit_x1e3") - col("rejected.logit_x1e3")).as("margin"))
   }
 
+  /** Shared-prefix branching analysis — the trie view of an agent-rollout
+    * corpus: at every depth, conversations sharing the same turn-template
+    * prefix form a trie node; a node where the NEXT turn diverges is a
+    * branch point (a retry, a resample, or a forked rollout). Reports
+    * every node shared by ≥2 conversations with its fan-out.
+    *
+    * The prefix key is md5 over the running `role:template` sequence —
+    * computed with a per-conversation running window, so the intermediate
+    * string is bounded by conversation length (never corpus size), and
+    * the only exchange is the conv_id window; the node aggregate then
+    * re-keys on the 128-bit (depth, prefix) pair. */
+  def branching(transcripts: DataFrame): DataFrame = {
+    val w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    transcripts
+      .select(col("conv_id"), col("turn_idx"),
+        md5(concat(col("role"), lit(":"),
+          regexp_replace(lower(col("text")), "[0-9]+", "0")).cast("binary"))
+          .as("th"))
+      .select(col("conv_id"), col("turn_idx"),
+        md5(array_join(collect_list(col("th")).over(run), "")
+          .cast("binary")).as("prefix_key"),
+        lead(col("th"), 1).over(w).as("next_th"))
+      .groupBy(col("turn_idx").as("depth"), col("prefix_key"))
+      .agg(count(lit(1)).as("n_convs"),
+        countDistinct(col("next_th")).as("n_children"))
+      .filter(col("n_convs") >= 2)
+      .withColumn("is_branch_point", col("n_children") >= 2)
+  }
+
+  /** Loop detection — the "agent stuck retrying" diagnostic: per
+    * conversation, how many turns repeat the previous turn's
+    * (role, digit-normalized template) and the longest consecutive
+    * repeat run. A run of r identical turns counts r−1 repeats and a
+    * run length of r; `loop_flag` fires at runs ≥ 3 (two repeats of the
+    * same action is retry noise; three is a loop). Gaps-and-islands on
+    * the single conv_id exchange. */
+  def loopStats(transcripts: DataFrame): DataFrame = {
+    val w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val keyed = transcripts
+      .select(col("conv_id"), col("turn_idx"),
+        concat(col("role"), lit(":"),
+          regexp_replace(lower(col("text")), "[0-9]+", "0")).as("tk"))
+      .withColumn("rep", (col("tk") === lag(col("tk"), 1).over(w)).cast("long"))
+      .withColumn("isl", sum(when(coalesce(col("rep"), lit(0L)) === 0L, 1L)
+        .otherwise(0L)).over(run))
+    val runs = keyed.groupBy("conv_id", "isl")
+      .agg(count(lit(1)).as("run_len"))
+    keyed.groupBy("conv_id")
+      .agg(count(lit(1)).as("n_turns"),
+        sum(coalesce(col("rep"), lit(0L))).as("n_repeat_turns"))
+      .join(runs.groupBy("conv_id").agg(max(col("run_len")).as("max_run")),
+        Seq("conv_id"))
+      .withColumn("loop_flag", col("max_run") >= 3)
+  }
+
+  /** Context-window fit: keep the longest SUFFIX of turns whose rendered
+    * chars (text + 1 separator each) fit `budgetChars` — the truncation
+    * every SFT/inference pipeline applies when a conversation outgrows
+    * the context window (recent turns matter; openings are droppable).
+    * Per turn: chars from the tail through this turn, and the keep flag.
+    * One conv_id exchange (a descending running sum). */
+  def contextFit(transcripts: DataFrame, budgetChars: Int = 2000): DataFrame = {
+    val wDesc = Window.partitionBy("conv_id").orderBy(col("turn_idx").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    transcripts
+      .select(col("conv_id"), col("turn_idx"),
+        (length(col("text")).cast("long") + 1L).as("turn_chars"))
+      .withColumn("tail_chars", sum(col("turn_chars")).over(wDesc))
+      .select(col("conv_id"), col("turn_idx"), col("tail_chars"),
+        (col("tail_chars") <= budgetChars).as("kept"))
+  }
+
   /** Canned-turn detection: a turn whose normalized text appears in
     * ≥`minConvs` DISTINCT conversations is "canned" (template greetings,
     * boilerplate tool output); reports per conversation how much of it is

@@ -253,6 +253,52 @@ class TrainingOpsSpec extends SparkSpec {
         r.getAs[String]("rejected_conv") == "p1")
   }
 
+  test("branching: shared prefixes form trie nodes; divergence marks branch points") {
+    val rows = Seq(
+      // three rollouts share turn 0; a/b also share turn 1 then diverge at 2
+      ("a", 0, "user", "fix bug 17"), ("a", 1, "assistant", "looking"), ("a", 2, "tool", "grep(x)"),
+      ("b", 0, "user", "fix bug 99"), ("b", 1, "assistant", "looking"), ("b", 2, "tool", "cat(y)"),
+      ("c", 0, "user", "fix bug 3"), ("c", 1, "assistant", "different path"))
+      .toDF("conv_id", "turn_idx", "role", "text")
+    val out = Conversations.branching(rows).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(2), r.getLong(3), r.getBoolean(4))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    // depth 0: one node of 3 convs, children {looking, different path} → branch
+    assert(out(0) == Set((3L, 2L, true)))
+    // depth 1: a+b share; children {grep(0), cat(y)} → branch. c's node is singleton → absent
+    assert(out(1) == Set((2L, 2L, true)))
+    // depth 2: a and b have distinct prefixes now → no shared node
+    assert(!out.contains(2))
+  }
+
+  test("loopStats: repeat runs count and flag; digit runs normalize") {
+    val rows = Seq(
+      // run of 3 identical tool calls (digits differ) → max_run 3, flag
+      ("l1", 0, "user", "go"), ("l1", 1, "tool", "retry 1"), ("l1", 2, "tool", "retry 2"),
+      ("l1", 3, "tool", "retry 3"), ("l1", 4, "assistant", "done"),
+      // no repeats at all
+      ("l2", 0, "user", "hi"), ("l2", 1, "assistant", "hello"))
+      .toDF("conv_id", "turn_idx", "role", "text")
+    val out = Conversations.loopStats(rows).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+    assert(out("l1") == ((5L, 2L, 3L, true)))
+    assert(out("l2") == ((2L, 0L, 1L, false)))
+  }
+
+  test("contextFit: tail chars accumulate from the end; budget gates the suffix") {
+    val rows = Seq(
+      ("c", 0, "user", "aaaa"),      // tail = 4+1 + 2+1 + 3+1 = 12 > 10 → dropped
+      ("c", 1, "assistant", "bb"),   // tail = 3 + 4 = 7 → kept
+      ("c", 2, "user", "ccc"))       // tail = 4 → kept
+      .toDF("conv_id", "turn_idx", "role", "text")
+    val out = Conversations.contextFit(rows, budgetChars = 10).collect()
+      .map(r => r.getInt(1) -> ((r.getLong(2), r.getBoolean(3)))).toMap
+    assert(out(2) == ((4L, true)))
+    assert(out(1) == ((7L, true)))
+    assert(out(0) == ((12L, false)))
+  }
+
   test("scale shapes: conv dedup and preference pairs carry no text into the final agg") {
     val rows = turns.toDF("conv_id", "turn_idx", "role", "text")
     val dd = Conversations.convDedup(rows).queryExecution.executedPlan.toString
