@@ -191,6 +191,18 @@ object Bench {
           results("boiler_scrub") = math.min(scrubRun(), scrubRun())
           val bmRun = () => timeNoop(text.Bm25.topK(docs10, queryMod = 100003))
           results("bm25_topk") = math.min(bmRun(), bmRun())
+
+          // round-5 ops: conversation-level dedup over the full staged
+          // transcripts (conv-key agg + 128-bit-keyed group), per-lang
+          // quality deciles over the 50× docs (tiny (lang, logit) agg +
+          // broadcast bucket join-back), and the SemDeDup verdict over
+          // the embeddings (multi-probe LSH pair probe)
+          val cdRun = () => timeNoop(operators.Conversations.convDedup(input))
+          results("conv_dedup") = math.min(cdRun(), cdRun())
+          val qdRun = () => timeNoop(text.CorpusOps.qualityDeciles(docs))
+          results("quality_deciles") = math.min(qdRun(), qdRun())
+          val sdRun = () => timeNoop(ann.Similarity.semanticDedup(vecs))
+          results("semantic_dedup") = math.min(sdRun(), sdRun())
         }
       } finally spark.stop()
     }

@@ -86,6 +86,18 @@ object PlanAudit {
     section("boilerplate scrub (shingle-keyed exchange + per-row rewrite)") {
       text.Boilerplate.scrub(docs)
     }
+    section("semantic dedup (LSH pair probe -> per-vector verdict, no cartesian)") {
+      ann.Similarity.semanticDedup(vecs)
+    }
+    section("quality deciles (tiny (lang, logit) agg + broadcast bucket map)") {
+      text.CorpusOps.qualityDeciles(docs)
+    }
+    section("conversation dedup (conv key agg + 128-bit-keyed group)") {
+      operators.Conversations.convDedup(sources.Transcripts.load(spark, sfDir))
+    }
+    section("preference pairs (conv window -> prompt-key agg, no text in agg)") {
+      operators.Conversations.preferencePairs(sources.Transcripts.load(spark, sfDir))
+    }
     spark.stop()
   }
 }

@@ -491,6 +491,14 @@ object SparkEntry {
     "q122_context_fit" -> ((s, d) =>
       operators.Conversations.contextFit(Transcripts.load(s, d))),
 
+    // preference pairs rehydrated with prompt/response texts
+    "q123_pref_pairs_text" -> ((s, d) =>
+      operators.Conversations.preferencePairsText(Transcripts.load(s, d))),
+
+    // per-tool outcome stats with next-turn error attribution
+    "q124_tool_stats" -> ((s, d) =>
+      operators.Conversations.toolStats(Transcripts.load(s, d))),
+
     // gap-based sessionization: per-session stats
     "q62_sessionize" -> ((s, d) =>
       operators.Sessionize.sessionStats(Transcripts.load(s, d))),
@@ -2486,8 +2494,8 @@ FROM v LEFT JOIN d USING (vec_id)"""
     "q112_conv_dedup" -> withCtes(
       "keyed" -> """
   SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns,
-    md5(string_agg(role || ':' || regexp_replace(lower(text), '[0-9]+', '0', 'g'),
-      chr(1) ORDER BY turn_idx)) AS conv_key
+    md5(string_agg(md5(role || ':' || regexp_replace(lower(text), '[0-9]+', '0', 'g')),
+      '' ORDER BY turn_idx)) AS conv_key
   FROM transcripts GROUP BY conv_id""",
       "grp" -> """
   SELECT conv_key, min(conv_id) AS keeper_conv, CAST(count(*) AS BIGINT) AS n_dups
@@ -2496,39 +2504,30 @@ SELECT k.conv_id, k.conv_key, k.n_turns, g.keeper_conv, g.n_dups,
   (k.conv_id = g.keeper_conv) AS is_keeper
 FROM keyed k JOIN grp g USING (conv_key)"""),
 
-    "q113_pref_pairs" -> withCtes(
-      "cand" -> """
-  SELECT conv_id, turn_idx, role, text,
-    lead(role) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS resp_role,
-    lead(text) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS resp_text
-  FROM transcripts""",
-      "scored" -> s"""
-  SELECT conv_id, turn_idx,
-    md5(regexp_replace(lower(prompt_text), '[0-9]+', '0', 'g')) AS prompt_key,
-    CASE WHEN len(th) > 0
-         THEN CAST(floor(list_aggregate(list_transform(th, h -> (h % 2001) - 1000), 'sum')
-           * 1000.0 / len(th)) AS BIGINT)
-         ELSE CAST(0 AS BIGINT) END AS logit_x1e3
-  FROM (
-    SELECT conv_id, turn_idx, prompt_text, $oTokHashes AS th
-    FROM (SELECT conv_id, turn_idx, text AS prompt_text, resp_text AS text
-          FROM cand WHERE role = 'user' AND resp_role = 'assistant') q
-         ) renamed""",
-      "rk" -> """
-  SELECT prompt_key, conv_id, turn_idx, logit_x1e3,
-    CAST(count(*) OVER (PARTITION BY prompt_key) AS BIGINT) AS n_candidates,
-    row_number() OVER (PARTITION BY prompt_key
-      ORDER BY logit_x1e3 DESC, conv_id DESC, turn_idx DESC) AS rmax,
-    row_number() OVER (PARTITION BY prompt_key
-      ORDER BY logit_x1e3 ASC, conv_id ASC, turn_idx ASC) AS rmin
-  FROM scored""")("""
-SELECT c.prompt_key, c.n_candidates,
-  c.conv_id AS chosen_conv, c.turn_idx AS chosen_turn, c.logit_x1e3 AS chosen_logit,
-  r.conv_id AS rejected_conv, r.turn_idx AS rejected_turn, r.logit_x1e3 AS rejected_logit,
-  c.logit_x1e3 - r.logit_x1e3 AS margin
-FROM (SELECT * FROM rk WHERE rmax = 1) c
-JOIN (SELECT * FROM rk WHERE rmin = 1) r USING (prompt_key)
-WHERE c.n_candidates >= 2"""),
+    "q113_pref_pairs" -> withCtes(prefPairCtes: _*)(prefPairSelect),
+
+    "q123_pref_pairs_text" -> withCtes(prefPairCtes ++ Seq(
+      "pr" -> prefPairSelect): _*)("""
+SELECT p.prompt_key, p.n_candidates, tp.text AS prompt_text,
+  tc.text AS chosen_text, tr.text AS rejected_text, p.margin
+FROM pr p
+JOIN transcripts tp ON tp.conv_id = p.chosen_conv AND tp.turn_idx = p.chosen_turn
+JOIN transcripts tc ON tc.conv_id = p.chosen_conv AND tc.turn_idx = p.chosen_turn + 1
+JOIN transcripts tr ON tr.conv_id = p.rejected_conv AND tr.turn_idx = p.rejected_turn + 1"""),
+
+    "q124_tool_stats" -> withCtes(
+      "x" -> """
+  SELECT conv_id, tool, length(text) AS n_chars,
+    lead(lower(text)) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS next_text
+  FROM transcripts""")("""
+SELECT tool, CAST(count(*) AS BIGINT) AS n_calls,
+  CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs,
+  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+  CAST(sum(CASE WHEN next_text LIKE '%error%' THEN 1 ELSE 0 END) AS BIGINT) AS n_err_next,
+  CAST(floor(sum(CASE WHEN next_text LIKE '%error%' THEN 1 ELSE 0 END) * 1000.0
+    / count(*)) AS BIGINT) AS err_permille
+FROM x WHERE tool IS NOT NULL AND tool != ''
+GROUP BY tool"""),
 
     "q120_branching" -> withCtes(
       "th" -> """
@@ -2647,6 +2646,44 @@ SELECT bt.q_id, CAST(count(*) AS BIGINT) AS n_exact,
 FROM bt LEFT JOIN bk ON bt.q_id = bk.q_id AND bt.neighbor_id = bk.neighbor_id
 GROUP BY bt.q_id""",
   )
+
+  /** Shared DuckDB CTE chain of the preference-pair export (q113) — also
+    * the prefix of the rehydrated-text oracle (q123). */
+  private lazy val prefPairCtes: Seq[(String, String)] = Seq(
+    "cand" -> """
+  SELECT conv_id, turn_idx, role, text,
+    lead(role) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS resp_role,
+    lead(text) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS resp_text
+  FROM transcripts""",
+    "scored" -> s"""
+  SELECT conv_id, turn_idx,
+    md5(regexp_replace(lower(prompt_text), '[0-9]+', '0', 'g')) AS prompt_key,
+    CASE WHEN len(th) > 0
+         THEN CAST(floor(list_aggregate(list_transform(th, h -> (h % 2001) - 1000), 'sum')
+           * 1000.0 / len(th)) AS BIGINT)
+         ELSE CAST(0 AS BIGINT) END AS logit_x1e3
+  FROM (
+    SELECT conv_id, turn_idx, prompt_text, $oTokHashes AS th
+    FROM (SELECT conv_id, turn_idx, text AS prompt_text, resp_text AS text
+          FROM cand WHERE role = 'user' AND resp_role = 'assistant') q
+         ) renamed""",
+    "rk" -> """
+  SELECT prompt_key, conv_id, turn_idx, logit_x1e3,
+    CAST(count(*) OVER (PARTITION BY prompt_key) AS BIGINT) AS n_candidates,
+    row_number() OVER (PARTITION BY prompt_key
+      ORDER BY logit_x1e3 DESC, conv_id DESC, turn_idx DESC) AS rmax,
+    row_number() OVER (PARTITION BY prompt_key
+      ORDER BY logit_x1e3 ASC, conv_id ASC, turn_idx ASC) AS rmin
+  FROM scored""")
+
+  private lazy val prefPairSelect: String = """
+SELECT c.prompt_key, c.n_candidates,
+  c.conv_id AS chosen_conv, c.turn_idx AS chosen_turn, c.logit_x1e3 AS chosen_logit,
+  r.conv_id AS rejected_conv, r.turn_idx AS rejected_turn, r.logit_x1e3 AS rejected_logit,
+  c.logit_x1e3 - r.logit_x1e3 AS margin
+FROM (SELECT * FROM rk WHERE rmax = 1) c
+JOIN (SELECT * FROM rk WHERE rmin = 1) r USING (prompt_key)
+WHERE c.n_candidates >= 2"""
 
   /** Shared DuckDB CTE chain of the SFT export (q108) — also the prefix of
     * the packing oracle (q109). */

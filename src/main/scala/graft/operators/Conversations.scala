@@ -164,23 +164,24 @@ object Conversations {
     * wants (duplicate *conversations* leak across train/val splits even
     * when no single turn is corpus-hot).
     *
-    * Key = md5 over the turn sequence (`role:template` segments joined by
-    * U+0001 in stable turn order). Two exchanges, both narrow: the
-    * conv_id aggregate that builds the key (inherent — the key is a
-    * whole-conversation property), then a hash-agg keyed on the 128-bit
-    * key where only (key, conv_id) pairs move; the keeper is the smallest
-    * conv_id per key. */
+    * Key = md5 over the sequence of per-turn `md5(role:template)` hashes
+    * in stable turn order. Hashing each turn BEFORE the conversation
+    * aggregate matters at scale: the conv_id exchange carries a fixed
+    * 32-char hash per turn instead of the turn text (bounded payload even
+    * for 100 KB turns); the second exchange is a hash-agg keyed on the
+    * 128-bit key where only (key, conv_id) pairs move; the keeper is the
+    * smallest conv_id per key. */
   def convDedup(transcripts: DataFrame): DataFrame = {
     val keyed = transcripts
-      .select(col("conv_id"), col("turn_idx"), col("role"),
-        regexp_replace(lower(col("text")), "[0-9]+", "0").as("tmpl"))
+      .select(col("conv_id"), col("turn_idx"),
+        md5(concat(col("role"), lit(":"),
+          regexp_replace(lower(col("text")), "[0-9]+", "0")).cast("binary"))
+          .as("th"))
       .groupBy("conv_id")
-      .agg(array_sort(collect_list(struct(col("turn_idx"), col("role"), col("tmpl"))))
-        .as("turns"))
-      .select(col("conv_id"),
-        size(col("turns")).cast("long").as("n_turns"),
-        md5(array_join(transform(col("turns"),
-          t => concat(t("role"), lit(":"), t("tmpl"))), "\u0001")
+      .agg(count(lit(1)).as("n_turns"),
+        array_sort(collect_list(struct(col("turn_idx"), col("th")))).as("turns"))
+      .select(col("conv_id"), col("n_turns"),
+        md5(array_join(transform(col("turns"), t => t("th")), "")
           .cast("binary")).as("conv_key"))
     val groups = keyed.groupBy("conv_key")
       .agg(min(col("conv_id")).as("keeper_conv"), count(lit(1)).as("n_dups"))
@@ -308,6 +309,55 @@ object Conversations {
       .withColumn("tail_chars", sum(col("turn_chars")).over(wDesc))
       .select(col("conv_id"), col("turn_idx"), col("tail_chars"),
         (col("tail_chars") <= budgetChars).as("kept"))
+  }
+
+  /** Preference-pair REHYDRATION — the materialization step after
+    * [[preferencePairs]]: the winning (conv, turn) coordinates join back
+    * to the transcript to fetch the prompt and both response texts. The
+    * pair table is prompt-cardinality (small); it broadcasts against the
+    * big transcript side three times, so the corpus never re-shuffles —
+    * exactly the two-phase shape the id-only export exists to enable. */
+  def preferencePairsText(transcripts: DataFrame): DataFrame = {
+    val pairs = preferencePairs(transcripts)
+    val t = transcripts.select(col("conv_id"), col("turn_idx"), col("text"))
+    // the PAIR side broadcasts at every step (each join result stays
+    // pair-cardinality); the transcript side only streams
+    val j1 = broadcast(pairs)
+      .join(t.select(col("conv_id").as("chosen_conv"),
+        col("turn_idx").as("chosen_turn"), col("text").as("prompt_text")),
+        Seq("chosen_conv", "chosen_turn"))
+    val j2 = broadcast(j1)
+      .join(t.select(col("conv_id").as("chosen_conv"),
+        (col("turn_idx") - 1).as("chosen_turn"), col("text").as("chosen_text")),
+        Seq("chosen_conv", "chosen_turn"))
+    broadcast(j2)
+      .join(t.select(col("conv_id").as("rejected_conv"),
+        (col("turn_idx") - 1).as("rejected_turn"), col("text").as("rejected_text")),
+        Seq("rejected_conv", "rejected_turn"))
+      .select(col("prompt_key"), col("n_candidates"), col("prompt_text"),
+        col("chosen_text"), col("rejected_text"), col("margin"))
+  }
+
+  /** Per-tool outcome statistics — the tool-health rollup of an agent
+    * corpus: for every tool, how often it was invoked, across how many
+    * conversations, and how often the FOLLOWING turn contains an error
+    * marker (the "this call failed" attribution). One conv_id window for
+    * the lookahead, then a hash-agg on the tool key. */
+  def toolStats(transcripts: DataFrame): DataFrame = {
+    val w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    transcripts
+      .select(col("conv_id"), col("turn_idx"), col("tool"),
+        length(col("text")).cast("long").as("n_chars"),
+        lead(lower(col("text")), 1).over(w).as("next_text"))
+      .filter(col("tool").isNotNull && col("tool") =!= "")
+      .groupBy("tool")
+      .agg(count(lit(1)).as("n_calls"),
+        countDistinct(col("conv_id")).as("n_convs"),
+        sum(col("n_chars")).as("sum_chars"),
+        sum(when(col("next_text").contains("error"), 1L).otherwise(0L))
+          .as("n_err_next"))
+      .withColumn("err_permille",
+        floor(col("n_err_next") * lit(1000.0) / col("n_calls")).cast("long"))
   }
 
   /** Canned-turn detection: a turn whose normalized text appears in

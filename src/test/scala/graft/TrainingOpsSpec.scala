@@ -299,6 +299,46 @@ class TrainingOpsSpec extends SparkSpec {
     assert(out(0) == ((12L, false)))
   }
 
+  test("preferencePairsText: ids rehydrate to the right prompt/response texts") {
+    val rows = Seq(
+      ("p1", 0, "user", "help with ticket 111"),
+      ("p1", 1, "assistant", "short"),
+      ("p2", 0, "user", "help with ticket 222"),
+      ("p2", 1, "assistant", "a much longer different reply"))
+      .toDF("conv_id", "turn_idx", "role", "text")
+    val pair = Conversations.preferencePairs(rows).collect()(0)
+    val out = Conversations.preferencePairsText(rows).collect()
+    assert(out.length == 1)
+    val r = out(0)
+    val texts = Map("p1" -> "short", "p2" -> "a much longer different reply")
+    assert(r.getAs[String]("chosen_text") ==
+      texts(pair.getAs[String]("chosen_conv")))
+    assert(r.getAs[String]("rejected_text") ==
+      texts(pair.getAs[String]("rejected_conv")))
+    assert(r.getAs[String]("prompt_text").startsWith("help with ticket"))
+    assert(r.getAs[Long]("margin") == pair.getAs[Long]("margin"))
+    // the transcript side must never be the broadcast build side
+    val plan = Conversations.preferencePairsText(rows)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("toolStats: per-tool counts and next-turn error attribution") {
+    val rows = Seq(
+      ("c1", 0, "user", "run it", null),
+      ("c1", 1, "tool", "exit 1", "grep"),
+      ("c1", 2, "assistant", "ERROR: failed", null),
+      ("c1", 3, "tool", "ok", "grep"),
+      ("c1", 4, "assistant", "fine", null),
+      ("c2", 0, "tool", "done", "cat"))
+      .toDF("conv_id", "turn_idx", "role", "text", "tool")
+    val out = Conversations.toolStats(rows).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(out("grep") == ((2L, 1L, 8L, 1L, 500L)))
+    assert(out("cat") == ((1L, 1L, 4L, 0L, 0L)))
+  }
+
   test("scale shapes: conv dedup and preference pairs carry no text into the final agg") {
     val rows = turns.toDF("conv_id", "turn_idx", "role", "text")
     val dd = Conversations.convDedup(rows).queryExecution.executedPlan.toString
