@@ -499,6 +499,14 @@ object SparkEntry {
     "q124_tool_stats" -> ((s, d) =>
       operators.Conversations.toolStats(Transcripts.load(s, d))),
 
+    // leak-safe train/val/test split keyed on the conversation content key
+    "q125_split_assign" -> ((s, d) =>
+      operators.Conversations.splitAssign(Transcripts.load(s, d))),
+
+    // hourly compaction plan for the rotating file sink
+    "q126_compaction_plan" -> ((s, d) =>
+      sinks.Sinks.compactionPlan(Transcripts.load(s, d))),
+
     // gap-based sessionization: per-session stats
     "q62_sessionize" -> ((s, d) =>
       operators.Sessionize.sessionStats(Transcripts.load(s, d))),
@@ -2491,18 +2499,32 @@ SELECT v.vec_id, COALESCE(d.n_dominating, CAST(0 AS BIGINT)) AS n_dominating,
 FROM v LEFT JOIN d USING (vec_id)"""
     },
 
-    "q112_conv_dedup" -> withCtes(
-      "keyed" -> """
-  SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns,
-    md5(string_agg(md5(role || ':' || regexp_replace(lower(text), '[0-9]+', '0', 'g')),
-      '' ORDER BY turn_idx)) AS conv_key
-  FROM transcripts GROUP BY conv_id""",
-      "grp" -> """
-  SELECT conv_key, min(conv_id) AS keeper_conv, CAST(count(*) AS BIGINT) AS n_dups
-  FROM keyed GROUP BY conv_key""")("""
+    "q112_conv_dedup" -> withCtes(convDedupCtes: _*)("""
 SELECT k.conv_id, k.conv_key, k.n_turns, g.keeper_conv, g.n_dups,
   (k.conv_id = g.keeper_conv) AS is_keeper
 FROM keyed k JOIN grp g USING (conv_key)"""),
+
+    "q125_split_assign" -> withCtes(convDedupCtes: _*)(s"""
+SELECT conv_id, conv_key, is_keeper, bucket,
+  CASE WHEN bucket < 50 THEN 'test'
+       WHEN bucket < 100 THEN 'val'
+       ELSE 'train' END AS split
+FROM (
+  SELECT k.conv_id, k.conv_key, (k.conv_id = g.keeper_conv) AS is_keeper,
+    ${oTokHash("k.conv_key")} % 1000 AS bucket
+  FROM keyed k JOIN grp g USING (conv_key)) b"""),
+
+    "q126_compaction_plan" -> withTranscripts(s"""
+SELECT name, hour, n_rows, sum_chars, n_files,
+  CAST(ceil(n_rows / CAST(n_files AS DOUBLE)) AS BIGINT) AS rows_per_file
+FROM (
+  SELECT name, hour, CAST(count(*) AS BIGINT) AS n_rows,
+    CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+    GREATEST(CAST(1 AS BIGINT),
+      CAST(ceil(sum(n_chars) / 1048576.0) AS BIGINT)) AS n_files
+  FROM (SELECT $oName AS name, date_trunc('hour', ts) AS hour,
+          length(text) AS n_chars FROM transcripts) x
+  GROUP BY 1, 2) a"""),
 
     "q113_pref_pairs" -> withCtes(prefPairCtes: _*)(prefPairSelect),
 
@@ -2646,6 +2668,18 @@ SELECT bt.q_id, CAST(count(*) AS BIGINT) AS n_exact,
 FROM bt LEFT JOIN bk ON bt.q_id = bk.q_id AND bt.neighbor_id = bk.neighbor_id
 GROUP BY bt.q_id""",
   )
+
+  /** Shared DuckDB CTE chain of conversation-level dedup (q112) — also
+    * the prefix of the leak-safe split assignment (q125). */
+  private lazy val convDedupCtes: Seq[(String, String)] = Seq(
+    "keyed" -> """
+  SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns,
+    md5(string_agg(md5(role || ':' || regexp_replace(lower(text), '[0-9]+', '0', 'g')),
+      '' ORDER BY turn_idx)) AS conv_key
+  FROM transcripts GROUP BY conv_id""",
+    "grp" -> """
+  SELECT conv_key, min(conv_id) AS keeper_conv, CAST(count(*) AS BIGINT) AS n_dups
+  FROM keyed GROUP BY conv_key""")
 
   /** Shared DuckDB CTE chain of the preference-pair export (q113) — also
     * the prefix of the rehydrated-text oracle (q123). */

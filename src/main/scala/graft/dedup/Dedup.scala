@@ -50,6 +50,9 @@ object Dedup {
     * re-join); document text never moves. */
   def clusterWeights(docs: DataFrame): DataFrame = {
     val keyed = docs.select(col("doc_id"), exactKeyHash(col("text")).as("norm_h"))
+      // feeds both the group pass and the join-back; persisted so the
+      // text scan + md5 runs once
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val groups = keyed.groupBy("norm_h")
       .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("n_copies"))
     keyed.join(groups, Seq("norm_h"))

@@ -183,6 +183,9 @@ object Conversations {
       .select(col("conv_id"), col("n_turns"),
         md5(array_join(transform(col("turns"), t => t("th")), "")
           .cast("binary")).as("conv_key"))
+      // keyed feeds BOTH the group pass and the join-back; persisted so
+      // the conversation aggregation runs once (3 narrow cols per conv)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val groups = keyed.groupBy("conv_key")
       .agg(min(col("conv_id")).as("keeper_conv"), count(lit(1)).as("n_dups"))
     keyed.join(groups, Seq("conv_key"))
@@ -310,6 +313,24 @@ object Conversations {
       .select(col("conv_id"), col("turn_idx"), col("tail_chars"),
         (col("tail_chars") <= budgetChars).as("kept"))
   }
+
+  /** Leak-safe train/val/test SPLIT assignment — the step [[convDedup]]
+    * exists to protect: the split is a deterministic hash of the
+    * conversation's CONTENT key (not its id), so template-duplicate
+    * conversations land in the same split by construction and can never
+    * leak across the train/val boundary. Buckets are permille of the
+    * polynomial hash of the key; [test | val | train) thresholds in that
+    * order. */
+  def splitAssign(transcripts: DataFrame, valPermille: Int = 50,
+                  testPermille: Int = 50): DataFrame =
+    convDedup(transcripts)
+      .withColumn("bucket",
+        graft.text.TextAnalysis.tokHash(col("conv_key")) % 1000L)
+      .withColumn("split",
+        when(col("bucket") < testPermille, "test")
+          .when(col("bucket") < testPermille + valPermille, "val")
+          .otherwise("train"))
+      .select("conv_id", "conv_key", "is_keeper", "bucket", "split")
 
   /** Preference-pair REHYDRATION — the materialization step after
     * [[preferencePairs]]: the winning (conv, turn) coordinates join back

@@ -120,6 +120,25 @@ object Sinks {
     file.unionByName(logstash).unionByName(elastic)
   }
 
+  /** Compaction PLAN for the hourly-partitioned file sink — the
+    * small-files control every rotating-sink pipeline needs at scale: per
+    * (event name, hour) partition, the event volume and how many files a
+    * `targetChars`-sized writer should emit (`ceil(chars / target)`, at
+    * least one), plus rows per file. Pure aggregate over the parsed event
+    * name — one hash-agg exchange; the planner output (one row per
+    * partition-hour) then drives `repartition(n_files)` at write time. */
+  def compactionPlan(transcripts: DataFrame, targetChars: Long = 1L << 20): DataFrame =
+    transcripts
+      .select(regexp_extract(col("text"), "^event=([a-z_0-9]+)", 1).as("name"),
+        date_trunc("hour", col("ts")).as("hour"),
+        length(col("text")).cast("long").as("n_chars"))
+      .groupBy("name", "hour")
+      .agg(count(lit(1)).as("n_rows"), sum(col("n_chars")).as("sum_chars"))
+      .withColumn("n_files",
+        greatest(lit(1L), ceil(col("sum_chars") / lit(targetChars.toDouble)).cast("long")))
+      .withColumn("rows_per_file",
+        ceil(col("n_rows") / col("n_files").cast("double")).cast("long"))
+
   private implicit class IterAsScala[A](it: java.util.Iterator[A]) {
     def asScala: Iterator[A] = new Iterator[A] {
       def hasNext = it.hasNext; def next() = it.next()

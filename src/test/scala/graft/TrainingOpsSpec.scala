@@ -339,6 +339,43 @@ class TrainingOpsSpec extends SparkSpec {
     assert(out("cat") == ((1L, 1L, 4L, 0L, 0L)))
   }
 
+  test("splitAssign: duplicate conversations share a split; thresholds partition buckets") {
+    val rows = Seq(
+      ("a", 0, "user", "order 123 failed"), ("a", 1, "assistant", "retry 456"),
+      ("b", 0, "user", "order 999 failed"), ("b", 1, "assistant", "retry 1"),
+      ("c", 0, "user", "something else"))
+      .toDF("conv_id", "turn_idx", "role", "text")
+    val out = Conversations.splitAssign(rows).collect()
+      .map(r => r.getString(0) ->
+        ((r.getString(1), r.getLong(3), r.getString(4)))).toMap
+    // a and b are template duplicates → same key, same bucket, same split
+    assert(out("a") == out("b"))
+    assert(out("a")._1 != out("c")._1)
+    out.values.foreach { case (_, bucket, split) =>
+      assert(bucket >= 0 && bucket < 1000)
+      val expected = if (bucket < 50) "test" else if (bucket < 100) "val" else "train"
+      assert(split == expected)
+    }
+  }
+
+  test("compactionPlan: file counts scale with partition volume, floor one") {
+    val ts0 = java.sql.Timestamp.valueOf("2026-01-01 10:15:00")
+    val big = "x" * 600000
+    val rows = Seq(
+      ("c1", 0, "user", s"event=login $big", ts0),
+      ("c1", 1, "user", s"event=login $big", ts0),
+      ("c1", 2, "user", s"event=login $big", ts0),   // 3 × 600012 chars → 2 files
+      ("c2", 0, "user", "event=attention tiny", ts0)) // 1 row → 1 file
+      .toDF("conv_id", "turn_idx", "role", "text", "ts")
+    val out = graft.sinks.Sinks.compactionPlan(rows).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    val loginChars = 3L * (12 + 600000)
+    assert(out("login") == ((3L, loginChars,
+      math.ceil(loginChars / 1048576.0).toLong, 2L)))
+    assert(out("attention") == ((1L, 20L, 1L, 1L)))
+  }
+
   test("scale shapes: conv dedup and preference pairs carry no text into the final agg") {
     val rows = turns.toDF("conv_id", "turn_idx", "role", "text")
     val dd = Conversations.convDedup(rows).queryExecution.executedPlan.toString
