@@ -507,6 +507,14 @@ object SparkEntry {
     "q126_compaction_plan" -> ((s, d) =>
       sinks.Sinks.compactionPlan(Transcripts.load(s, d))),
 
+    // temperature-balanced (alpha=0.5) source mixture shares
+    "q127_temp_mixture" -> ((s, d) =>
+      text.CorpusOps.temperatureMixture(docs(s, d))),
+
+    // per-event field-coverage profile (schema-drift monitor)
+    "q128_field_coverage" -> ((s, d) =>
+      operators.Aggregates.fieldCoverage(Pipeline.parsed(s, d))),
+
     // gap-based sessionization: per-session stats
     "q62_sessionize" -> ((s, d) =>
       operators.Sessionize.sessionStats(Transcripts.load(s, d))),
@@ -2469,6 +2477,35 @@ grid AS (
 SELECT source, CAST(min(n_s) AS BIGINT) AS n_docs,
   CAST(sum(abs(diff)) AS BIGINT) AS l1_x1e3
 FROM grid GROUP BY source""",
+
+    "q127_temp_mixture" -> """
+WITH s AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+    CAST(floor(sqrt(count(*)) * 1000.0) AS BIGINT) AS sq
+  FROM documents GROUP BY source),
+t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n_total,
+  CAST(sum(sq) AS BIGINT) AS sqrt_total FROM s)
+SELECT source, n_docs,
+  CAST(floor(n_docs * 1000.0 / n_total) AS BIGINT) AS raw_permille,
+  CAST(floor(sq * 1000.0 / sqrt_total) AS BIGINT) AS temp_permille
+FROM s, t""",
+
+    "q128_field_coverage" -> withTranscripts(s"""
+SELECT name, CAST(count(*) AS BIGINT) AS n_events,
+  ${Seq(
+    "error_number" -> "error_number", "duration" -> "duration",
+    "principal" -> "principal", "client_addr" -> "client_addr",
+    "wait_type" -> "wait_type", "db_id" -> "db_id")
+    .map { case (a, c) =>
+      s"CAST(floor(sum(CASE WHEN $c IS NOT NULL THEN 1 ELSE 0 END) * 1000.0 / count(*)) AS BIGINT) AS ${a}_permille"
+    }.mkString(",\n  ")}
+FROM (
+  SELECT $oName AS name, ${oTriple(1)} AS error_number,
+    ${oKvNum("duration")} AS duration, $oPrincipal AS principal,
+    $oClient AS client_addr, ${oKvStr("wait_type")} AS wait_type,
+    ${oKvNum("db_id")} AS db_id
+  FROM transcripts) p
+GROUP BY name"""),
 
     "q118_cluster_weights" -> """
 WITH k AS (

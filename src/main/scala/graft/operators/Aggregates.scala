@@ -62,6 +62,24 @@ object Aggregates {
   def lineageDeduped(lineage: DataFrame): DataFrame =
     lineage.dropDuplicates("batch_id", "src_file")
 
+  /** Field-coverage profile over the PARSED frame — the schema-drift
+    * monitor a long-running log pipeline needs: per event name, how often
+    * each key extracted field is actually present (permille). A feed
+    * whose `duration` coverage collapses for `wait_info` is emitting a
+    * changed payload shape; this catches it before the enrichment arms
+    * silently start producing nulls. One hash-agg on the (small) name
+    * key; all rates are integer permille. */
+  val CoverageFields: Seq[String] = Seq("error_number", "duration",
+    "principal", "client_addr", "wait_type", "db_id")
+  def fieldCoverage(parsed: DataFrame): DataFrame = {
+    val rates = CoverageFields.map { f =>
+      floor(sum(when(col(f).isNotNull, 1L).otherwise(0L)) * lit(1000.0)
+        / count(lit(1))).cast("long").as(s"${f}_permille")
+    }
+    parsed.groupBy("name")
+      .agg(count(lit(1)).as("n_events"), rates: _*)
+  }
+
   /** A7/E11: lineage fold — max/min offset + count per source file, the
     * `(file, offset, status)` checkpoint analog
     * (`pkg/app/process_session.go:137-177`; `pkg/status/status.go:273-297`). */

@@ -118,6 +118,28 @@ object CorpusOps {
       .withColumn("is_hot", col("share_permille") >= hotPermille)
   }
 
+  /** Temperature-balanced source mixture (α = 0.5): each source's
+    * sampling share is proportional to √(its doc count) — the standard
+    * α-temperature rebalancing multilingual/multi-source LM training uses
+    * to lift low-resource sources without flattening the mix entirely.
+    * √counts are milli-quantized to integers BEFORE the normalizing sum
+    * (floor(√n · 1000)), so the shares are integer-exact across engines
+    * (IEEE sqrt is correctly rounded; summing doubles would not be
+    * order-stable). One tiny hash-agg on source; the normalizer rides a
+    * single-row broadcast. */
+  def temperatureMixture(docs: DataFrame): DataFrame = {
+    val bySource = docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
+      .withColumn("sqrt_x1e3", floor(sqrt(col("n_docs")) * lit(1000.0)).cast("long"))
+    val tot = bySource.agg(sum(col("n_docs")).as("n_total"),
+      sum(col("sqrt_x1e3")).as("sqrt_total"))
+    bySource.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"),
+        floor(col("n_docs") * lit(1000.0) / col("n_total")).cast("long")
+          .as("raw_permille"),
+        floor(col("sqrt_x1e3") * lit(1000.0) / col("sqrt_total")).cast("long")
+          .as("temp_permille"))
+  }
+
   /** Per-source language-distribution drift vs the corpus: L1 distance in
     * permille between each source's language mix and the global mix — the
     * ingestion-health check that catches a feed whose language balance

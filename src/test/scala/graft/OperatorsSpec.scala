@@ -88,4 +88,26 @@ class OperatorsSpec extends SparkSpec {
     assert(r.get(0) != null)       // a real timestamp
     assert(r.getString(1) == "0.1.0")
   }
+
+  test("fieldCoverage: per-event presence permille over the key fields") {
+    // wait_info: duration present on 1 of 2 rows (500‰); login: principal on both (1000‰)
+    val parsed = Seq(
+      ("wait_info", Some(1L), None, Option.empty[String], None, Some("PAGEIOLATCH_SH"), None),
+      ("wait_info", None, Some(42L), Option.empty[String], None, None, None),
+      ("login", None, None, Some("sa"), Some("10.0.0.1"), None, Some(5L)),
+      ("login", None, None, Some("app"), None, None, None))
+      .toDF("name", "error_number", "duration", "principal",
+        "client_addr", "wait_type", "db_id")
+    val out = operators.Aggregates.fieldCoverage(parsed).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val w = out("wait_info")
+    assert(w.getLong(1) == 2L)
+    assert(w.getAs[Long]("error_number_permille") == 500L)
+    assert(w.getAs[Long]("duration_permille") == 500L)
+    assert(w.getAs[Long]("principal_permille") == 0L)
+    val l = out("login")
+    assert(l.getAs[Long]("principal_permille") == 1000L)
+    assert(l.getAs[Long]("client_addr_permille") == 500L)
+    assert(l.getAs[Long]("db_id_permille") == 500L)
+  }
 }

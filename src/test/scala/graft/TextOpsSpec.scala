@@ -563,4 +563,23 @@ class TextOpsSpec extends SparkSpec {
     assert(out("srcSame") == ((4L, 333L)))
     assert(out("srcSkew") == ((2L, 667L)))
   }
+
+  test("temperatureMixture: sqrt scaling lifts the small source's share") {
+    // 100 vs 4 docs: raw shares 961/38‰; sqrt shares 10000/2000 → 833/166‰
+    val docs = ((1L to 100L).map(i => (i, "t", "big")) ++
+      Seq((101L, "t", "small"), (102L, "t", "small"),
+        (103L, "t", "small"), (104L, "t", "small")))
+      .toDF("doc_id", "text", "source")
+    val out = graft.text.CorpusOps.temperatureMixture(docs).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // sqrt_x1e3: big=10000, small=2000, total=12000
+    assert(out("big") == ((100L, floorPermille(100, 104), floorPermille(10000, 12000))))
+    assert(out("small") == ((4L, floorPermille(4, 104), floorPermille(2000, 12000))))
+    // the whole point: temp share of the small source > raw share
+    assert(out("small")._3 > out("small")._2)
+    assert(out("big")._3 < out("big")._2)
+  }
+
+  private def floorPermille(n: Long, d: Long): Long =
+    math.floor(n * 1000.0 / d).toLong
 }
