@@ -515,6 +515,26 @@ object SparkEntry {
     "q128_field_coverage" -> ((s, d) =>
       operators.Aggregates.fieldCoverage(Pipeline.parsed(s, d))),
 
+    // log2-histogram P50/P95/P99 of duration (scale path for percentiles)
+    "q129_hist_percentiles" -> ((s, d) =>
+      operators.Sketches.logHistPercentiles(Pipeline.parsed(s, d))),
+
+    // per-source-file parse health / dead-letter roll-up
+    "q130_parse_health" -> ((s, d) =>
+      operators.Aggregates.parseHealth(Pipeline.parsed(s, d))),
+
+    // hourly volume-anomaly detector (trailing-3 mean ratio)
+    "q131_volume_anomaly" -> ((s, d) =>
+      operators.Aggregates.volumeAnomaly(Pipeline.parsed(s, d))),
+
+    // HLL-style distinct-conversation sketch + accuracy diagnostic
+    "q132_hll_distinct" -> ((s, d) =>
+      operators.Sketches.hllDistinct(Pipeline.parsed(s, d))),
+
+    // conversation outcome funnel (engage -> tool -> error -> recover)
+    "q133_funnel" -> ((s, d) =>
+      operators.Conversations.funnel(Pipeline.parsed(s, d))),
+
     // gap-based sessionization: per-session stats
     "q62_sessionize" -> ((s, d) =>
       operators.Sessionize.sessionStats(Transcripts.load(s, d))),
@@ -2506,6 +2526,105 @@ FROM (
     ${oKvNum("db_id")} AS db_id
   FROM transcripts) p
 GROUP BY name"""),
+
+    "q129_hist_percentiles" -> withCtes(
+      "d" -> s"SELECT $oName AS name, ${oKvNum("duration")} AS duration FROM transcripts",
+      "h" -> """SELECT name, CAST(length(bin(duration)) AS BIGINT) AS bucket,
+    CAST(count(*) AS BIGINT) AS n_bucket
+  FROM d WHERE duration >= 1 GROUP BY 1, 2""",
+      "c" -> """SELECT name, bucket, n_bucket,
+    sum(n_bucket) OVER (PARTITION BY name ORDER BY bucket) AS cum,
+    sum(n_bucket) OVER (PARTITION BY name) AS n
+  FROM h""")(s"""
+SELECT name, CAST(max(n) AS BIGINT) AS n_dur,
+  CAST(1::BIGINT << CAST(min(CASE WHEN cum >= (n*50+99)//100 THEN bucket END) - 1 AS INT) AS BIGINT) AS p50_floor,
+  CAST(1::BIGINT << CAST(min(CASE WHEN cum >= (n*95+99)//100 THEN bucket END) - 1 AS INT) AS BIGINT) AS p95_floor,
+  CAST(1::BIGINT << CAST(min(CASE WHEN cum >= (n*99+99)//100 THEN bucket END) - 1 AS INT) AS BIGINT) AS p99_floor
+FROM c GROUP BY name"""),
+
+    "q130_parse_health" -> withTranscripts(s"""
+SELECT src_file, CAST(count(*) AS BIGINT) AS n_rows,
+  CAST(floor(sum(CASE WHEN name IS NOT NULL AND name != '' THEN 1 ELSE 0 END)
+    * 1000.0 / count(*)) AS BIGINT) AS named_permille,
+  CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs,
+  CAST(floor(sum(CASE WHEN error_number IS NOT NULL THEN 1 ELSE 0 END)
+    * 1000.0 / count(*)) AS BIGINT) AS error_permille,
+  CAST(min(src_offset) AS BIGINT) AS min_offset,
+  CAST(max(src_offset) AS BIGINT) AS max_offset
+FROM (
+  SELECT src_file, src_offset, conv_id, $oName AS name,
+    ${oTriple(1)} AS error_number
+  FROM transcripts) p
+GROUP BY src_file"""),
+
+    "q131_volume_anomaly" -> withCtes(
+      "hourly" -> s"""SELECT $oName AS name, date_trunc('hour', ts) AS hour,
+    CAST(count(*) AS BIGINT) AS n
+  FROM transcripts GROUP BY 1, 2""",
+      "t" -> """SELECT name, hour, n,
+    sum(n) OVER (PARTITION BY name ORDER BY hour
+      ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS prev_sum,
+    count(n) OVER (PARTITION BY name ORDER BY hour
+      ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS prev_cnt
+  FROM hourly""")("""
+SELECT name, hour, n, CAST(prev_sum AS BIGINT) AS prev_sum,
+  CAST(CASE WHEN prev_cnt >= 1 AND prev_sum > 0
+    THEN floor(n * 1000.0 * prev_cnt / prev_sum) END AS BIGINT) AS ratio_x1e3,
+  COALESCE(CASE WHEN prev_cnt >= 1 AND prev_sum > 0
+    THEN floor(n * 1000.0 * prev_cnt / prev_sum) >= 3000 END, false) AS is_spike
+FROM t"""),
+
+    "q132_hll_distinct" -> withCtes(
+      "k" -> s"SELECT $oName AS name, conv_id, ('0x' || substr(md5(conv_id), 1, 8))::BIGINT AS h FROM transcripts",
+      "r" -> """SELECT name, h % 64 AS reg,
+    CASE WHEN h // 64 = 0 THEN 27 ELSE 27 - length(bin(h // 64)) END AS rank
+  FROM k""",
+      "m" -> "SELECT name, reg, max(rank) AS m FROM r GROUP BY 1, 2",
+      "p" -> """SELECT name, CAST(count(*) AS BIGINT) AS nonzero_regs,
+    CAST(sum(1::BIGINT << CAST(27 - m AS INT)) AS BIGINT) AS s_obs
+  FROM m GROUP BY name""",
+      "e" -> """SELECT name, CAST(count(DISTINCT conv_id) AS BIGINT) AS exact_distinct
+      FROM k GROUP BY name""",
+      "g" -> s"""SELECT p.name, e.exact_distinct, p.nonzero_regs,
+    CAST(p.s_obs + (64 - p.nonzero_regs) * 134217728 AS BIGINT) AS sum_pow,
+    CAST(floor(${operators.Sketches.HllNumerator}
+      / (p.s_obs + (64 - p.nonzero_regs) * 134217728)) AS BIGINT) AS hll_raw
+  FROM p JOIN e USING (name)""",
+      "lc" -> s"""SELECT name, exact_distinct, nonzero_regs, sum_pow,
+    CASE WHEN nonzero_regs < 64 AND hll_raw <= 160
+      THEN ${operators.Sketches.HllLinearCounting.mkString("list_value(", ", ", ")")}[CAST(64 - nonzero_regs AS INT)]
+      ELSE hll_raw END AS hll_est
+  FROM g""")("""
+SELECT name, exact_distinct, nonzero_regs, sum_pow,
+  CAST(hll_est AS BIGINT) AS hll_est,
+  CAST(floor(abs(hll_est - exact_distinct) * 1000.0 / exact_distinct)
+    AS BIGINT) AS err_x1e3
+FROM lc"""),
+
+    "q133_funnel" -> withCtes(
+      "p" -> s"""SELECT conv_id, turn_idx, role, ${oTriple(1)} AS error_number
+  FROM transcripts""",
+      "c" -> """SELECT conv_id,
+    max(CASE WHEN role = 'user' THEN 1 ELSE 0 END) AS engaged,
+    max(CASE WHEN role = 'tool' THEN 1 ELSE 0 END) AS tool_used,
+    max(CASE WHEN error_number IS NOT NULL THEN turn_idx END) AS last_err,
+    max(CASE WHEN role = 'assistant' THEN turn_idx END) AS last_asst
+  FROM p GROUP BY conv_id""",
+      "f" -> """SELECT conv_id, engaged, tool_used,
+    CASE WHEN last_err IS NOT NULL THEN 1 ELSE 0 END AS errored,
+    CASE WHEN last_err IS NOT NULL AND last_asst IS NOT NULL
+      AND last_asst > last_err THEN 1 ELSE 0 END AS recovered
+  FROM c""")("""
+SELECT CAST(count(*) AS BIGINT) AS n_convs,
+  CAST(sum(engaged) AS BIGINT) AS n_engaged,
+  CAST(sum(tool_used) AS BIGINT) AS n_tool,
+  CAST(sum(errored) AS BIGINT) AS n_errored,
+  CAST(sum(recovered) AS BIGINT) AS n_recovered,
+  CAST(floor(sum(engaged) * 1000.0 / count(*)) AS BIGINT) AS engaged_permille,
+  CAST(floor(sum(tool_used) * 1000.0 / count(*)) AS BIGINT) AS tool_used_permille,
+  CAST(floor(sum(errored) * 1000.0 / count(*)) AS BIGINT) AS errored_permille,
+  CAST(floor(sum(recovered) * 1000.0 / count(*)) AS BIGINT) AS recovered_permille
+FROM f"""),
 
     "q118_cluster_weights" -> """
 WITH k AS (

@@ -80,6 +80,52 @@ object Aggregates {
       .agg(count(lit(1)).as("n_events"), rates: _*)
   }
 
+  /** Per-source-file parse-health roll-up — the dead-letter/ops surface a
+    * long-running ingest needs per input file: row volume, how many rows
+    * yielded an event name (parse success permille — the reference logs and
+    * skips bad XML rather than aborting, `pkg/xe/xe.go:130-135`), distinct
+    * conversations, error density, and the offset span for lineage. One
+    * hash-agg keyed on src_file; count_distinct(conv_id) shuffles
+    * (file, conv) pairs — bounded by the file's own row count, never the
+    * corpus. */
+  def parseHealth(parsed: DataFrame): DataFrame =
+    parsed.groupBy("src_file").agg(
+      count(lit(1)).as("n_rows"),
+      floor(sum(when(col("name").isNotNull && col("name") =!= "", 1L)
+        .otherwise(0L)) * lit(1000.0) / count(lit(1))).cast("long")
+        .as("named_permille"),
+      countDistinct(col("conv_id")).as("n_convs"),
+      floor(sum(when(col("error_number").isNotNull, 1L).otherwise(0L))
+        * lit(1000.0) / count(lit(1))).cast("long").as("error_permille"),
+      min(col("src_offset")).as("min_offset"),
+      max(col("src_offset")).as("max_offset"))
+
+  /** Hourly event-volume anomaly detector: each (event, hour) bucket's
+    * count vs the trailing 3-bucket mean, as an integer-exact permille
+    * ratio (n·1000·prev_cnt / prev_sum — multiply before the one double
+    * divide), flagged at ≥3×. The corpus-sized pass is the hash-agg down
+    * to (name, hour); the trailing window then runs over a frame bounded
+    * by |events| × |hours|, partitioned per event — never a single global
+    * reducer, never corpus-sized state. This is the feed-health monitor
+    * that catches an error storm or a stuck producer within hours. */
+  def volumeAnomaly(parsed: DataFrame, spikeX1e3: Long = 3000L): DataFrame = {
+    val hourly = parsed
+      .groupBy(col("name"), date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).as("n"))
+    val trailing = Window.partitionBy("name").orderBy("hour")
+      .rowsBetween(-3, -1)
+    hourly
+      .withColumn("prev_sum", sum("n").over(trailing))
+      .withColumn("prev_cnt", count("n").over(trailing))
+      .withColumn("ratio_x1e3",
+        when(col("prev_cnt") >= 1L && col("prev_sum") > 0L,
+          floor(col("n") * lit(1000.0) * col("prev_cnt") / col("prev_sum"))
+            .cast("long")))
+      .withColumn("is_spike",
+        coalesce(col("ratio_x1e3") >= spikeX1e3, lit(false)))
+      .drop("prev_cnt")
+  }
+
   /** A7/E11: lineage fold — max/min offset + count per source file, the
     * `(file, offset, status)` checkpoint analog
     * (`pkg/app/process_session.go:137-177`; `pkg/status/status.go:273-297`). */

@@ -398,4 +398,36 @@ object Conversations {
       .withColumn("canned_permille",
         floor(col("n_canned") * lit(1000.0) / col("n_turns")).cast("long"))
   }
+
+  /** Conversation outcome funnel over the PARSED frame: per conversation,
+    * did a user engage → was a tool used → did an error occur → did the
+    * assistant speak again AFTER the last error (the "recovered" signal a
+    * rollout-quality dashboard keys on). One hash-agg per conv_id computes
+    * all stage flags (max-over-condition — no windows, no second pass over
+    * the corpus), then a tiny global fold emits the funnel row. The
+    * recovery comparison (max assistant turn > max error turn) happens on
+    * the per-conv aggregate, so turn ordering never needs a sort. */
+  def funnel(parsed: DataFrame): DataFrame = {
+    val perConv = parsed.groupBy("conv_id").agg(
+      max(when(col("role") === "user", 1L).otherwise(0L)).as("engaged"),
+      max(when(col("role") === "tool", 1L).otherwise(0L)).as("tool_used"),
+      max(when(col("error_number").isNotNull, col("turn_idx"))).as("last_err"),
+      max(when(col("role") === "assistant", col("turn_idx"))).as("last_asst"))
+      .withColumn("errored",
+        when(col("last_err").isNotNull, 1L).otherwise(0L))
+      .withColumn("recovered",
+        when(col("last_err").isNotNull && col("last_asst").isNotNull &&
+          col("last_asst") > col("last_err"), 1L).otherwise(0L))
+    def permille(c: String) =
+      floor(sum(col(c)) * lit(1000.0) / count(lit(1))).cast("long")
+        .as(s"${c}_permille")
+    perConv.agg(
+      count(lit(1)).as("n_convs"),
+      sum(col("engaged")).as("n_engaged"),
+      sum(col("tool_used")).as("n_tool"),
+      sum(col("errored")).as("n_errored"),
+      sum(col("recovered")).as("n_recovered"),
+      permille("engaged"), permille("tool_used"),
+      permille("errored"), permille("recovered"))
+  }
 }

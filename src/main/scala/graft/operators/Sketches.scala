@@ -1,0 +1,121 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sketch-shaped aggregates — the bounded-state summaries a 100 TB pipeline
+  * runs INSTEAD of exact single-reducer statistics. Both operators reduce to
+  * one hash-aggregate whose output is tiny (events × ≤64 rows), so the
+  * expensive pass is map-side-combinable and the final math runs on a frame
+  * that fits in one task regardless of input size.
+  *
+  * Determinism note: every derived number is integer-exact (bit-length
+  * buckets, power-of-two sums, integer thresholds), so the DuckDB oracle
+  * reproduces the results hash-for-hash — no floating-point drift.
+  */
+object Sketches {
+
+  /** Log2-histogram percentile estimator over `duration` — the scale path
+    * for A5's exact percentiles. Exact `percentile_disc` needs a full sort
+    * (or a per-group collect) of every duration value; at 100 TB that is
+    * the job. This instead buckets each value by its binary magnitude
+    * (`bucket = bitlength(duration)`, i.e. floor(log2)+1 — integer-exact
+    * via `bin()`, no FP log), hash-aggregates to a ≤64-row histogram per
+    * event, and reads P50/P95/P99 off the cumulative counts. The reported
+    * estimate is the bucket's lower bound 2^(bucket-1): a guaranteed
+    * ≤2× under-estimate, which is the right trade for monitoring
+    * dashboards watching orders of magnitude.
+    *
+    * Thresholds use IntegralDivide (`ceil(n·p/100)` as `(n·p+99) DIV 100`)
+    * so they stay exact past 2^53 rows. */
+  def logHistPercentiles(parsed: DataFrame): DataFrame = {
+    val hist = parsed
+      .filter(col("duration").isNotNull && col("duration") >= 1L)
+      .select(col("name"), length(bin(col("duration"))).cast("long").as("bucket"))
+      .groupBy("name", "bucket").agg(count(lit(1)).as("n_bucket"))
+    // tiny frame from here on: |events| × ≤64 rows
+    val byName = Window.partitionBy("name")
+    val cum = hist
+      .withColumn("cum", sum("n_bucket").over(byName.orderBy("bucket")))
+      .withColumn("n", sum("n_bucket").over(byName))
+    def bucketAt(p: Int) = {
+      val thr = expr(s"(n * $p + 99) DIV 100")
+      min(when(col("cum") >= thr, col("bucket"))).as(s"b$p")
+    }
+    cum.groupBy("name")
+      .agg(first(col("n")).as("n_dur"), bucketAt(50), bucketAt(95), bucketAt(99))
+      .select(col("name"), col("n_dur"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(b50 - 1 AS INT))").as("p50_floor"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(b95 - 1 AS INT))").as("p95_floor"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(b99 - 1 AS INT))").as("p99_floor"))
+  }
+
+  /** HyperLogLog-style distinct-count sketch (m = 64 registers, 26-bit rank
+    * field) over a key column, per event name — the mergeable one-pass
+    * alternative to `count(distinct key)`, whose exact form shuffles every
+    * distinct key. Here the only corpus-sized pass is a hash-aggregate down
+    * to (name, register) → max(rank): 64 rows per event, mergeable across
+    * partitions/days by taking element-wise max.
+    *
+    * The hash must avalanche — HLL's rank field reads leading-zero runs,
+    * which a charwise polynomial hash does NOT randomize for near-identical
+    * keys (sequential conv ids share their high bits and collapse the
+    * sketch; measured 4× under-estimate). So the 32-bit value comes from
+    * md5: h = int(md5(key)[0:8 hex]); register = h mod 64; v = h div 64
+    * (< 2^26); rank = 27 − bitlength(v) (v = 0 → 27). The harmonic
+    * denominator is exact Long arithmetic (Σ 2^(27−M_j); empty registers
+    * contribute 2^27); the only FP step is the final α·m²·2^27 / S
+    * division — done from one shared double constant so Spark and the
+    * oracle divide identical numbers.
+    *
+    * Small-range correction: below 2.5·m with empty registers present, the
+    * standard linear-counting estimate m·ln(m/V) applies (V = empty
+    * registers). ln is NOT reproducible across engines at the ulp, so the
+    * 64 possible values are precomputed once into an integer table
+    * ([[HllLinearCounting]]) that both the Spark plan and the oracle SQL
+    * embed — the correction becomes a table lookup, bit-exact by
+    * construction.
+    *
+    * The output keeps the sketch internals (non-zero registers, S, raw
+    * estimate) plus an accuracy diagnostic vs the exact distinct —
+    * affordable at test scale, exactly like the ANN recall@k surface. */
+  val HllNumerator: Double = 0.709 * 4096.0 * 134217728.0 // α_64 · m² · 2^27
+
+  /** floor(64·ln(64/V)) for V = 1..64 — the linear-counting estimates. */
+  val HllLinearCounting: Array[Long] =
+    (1 to 64).map(v => math.floor(64.0 * math.log(64.0 / v)).toLong).toArray
+
+  def hllDistinct(parsed: DataFrame, keyCol: String = "conv_id"): DataFrame = {
+    val h = conv(substring(md5(col(keyCol)), 1, 8), 16, 10).cast("long")
+    // low 6 bits pick the register; the high 26 bits feed the rank
+    val regs = parsed
+      .select(col("name"), h.bitwiseAND(lit(63L)).as("reg"),
+        shiftright(h, 6).as("v"))
+      .withColumn("rank",
+        when(col("v") === 0L, 27L)
+          .otherwise(lit(27L) - length(bin(col("v")))))
+      .groupBy("name", "reg").agg(max("rank").as("m"))
+    val perName = regs.groupBy("name").agg(
+      count(lit(1)).as("nonzero_regs"),
+      sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(27 - m AS INT))")).as("s_obs"))
+      .withColumn("sum_pow",
+        col("s_obs") + (lit(64L) - col("nonzero_regs")) * lit(134217728L))
+      .withColumn("hll_raw",
+        floor(lit(HllNumerator) / col("sum_pow")).cast("long"))
+      .withColumn("hll_est",
+        when(col("nonzero_regs") < 64L && col("hll_raw") <= 160L,
+          element_at(typedLit(HllLinearCounting),
+            (lit(64L) - col("nonzero_regs")).cast("int")))
+          .otherwise(col("hll_raw")))
+      .drop("s_obs", "hll_raw")
+    val exact = parsed.groupBy("name")
+      .agg(countDistinct(col(keyCol)).as("exact_distinct"))
+    perName.join(exact, Seq("name"))
+      .withColumn("err_x1e3",
+        floor(abs(col("hll_est") - col("exact_distinct")) * lit(1000.0)
+          / col("exact_distinct")).cast("long"))
+      .select("name", "exact_distinct", "nonzero_regs", "sum_pow",
+        "hll_est", "err_x1e3")
+  }
+}

@@ -110,4 +110,38 @@ class OperatorsSpec extends SparkSpec {
     assert(l.getAs[Long]("client_addr_permille") == 500L)
     assert(l.getAs[Long]("db_id_permille") == 500L)
   }
+
+  test("parseHealth: per-file rates, conv counts, and offset span") {
+    val parsed = Seq(
+      ("f0", 0L, "c1", Some("login"), Some(1L)),
+      ("f0", 10L, "c1", Some("login"), None),
+      ("f0", 20L, "c2", None, None),          // unnamed → parse failure
+      ("f1", 0L, "c3", Some("wait_info"), None))
+      .toDF("src_file", "src_offset", "conv_id", "name", "error_number")
+    val out = operators.Aggregates.parseHealth(parsed).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val f0 = out("f0")
+    assert(f0.getLong(1) == 3L)                        // n_rows
+    assert(f0.getLong(2) == 666L)                      // named_permille
+    assert(f0.getLong(3) == 2L)                        // n_convs
+    assert(f0.getLong(4) == 333L)                      // error_permille
+    assert(f0.getLong(5) == 0L && f0.getLong(6) == 20L)
+    assert(out("f1").getLong(2) == 1000L)
+  }
+
+  test("volumeAnomaly: trailing-3 ratio flags a 4x hour as a spike") {
+    val ts = (h: Int, m: Int) => java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    // hours 0..2 at 3 rows each, hour 3 at 12 rows (4x the trailing mean)
+    val rows = (0 to 2).flatMap(h => (0 until 3).map(m => ("e", ts(h, m)))) ++
+      (0 until 12).map(m => ("e", ts(3, m)))
+    val out = operators.Aggregates.volumeAnomaly(rows.toDF("name", "ts")).collect()
+      .map(r => r.getTimestamp(1).toString -> r).toMap
+    val first = out("2024-01-01 00:00:00.0")
+    assert(first.isNullAt(3) && first.isNullAt(4) && !first.getBoolean(5))
+    val h1 = out("2024-01-01 01:00:00.0")
+    assert(h1.getLong(3) == 3L && h1.getLong(4) == 1000L && !h1.getBoolean(5))
+    val h3 = out("2024-01-01 03:00:00.0")
+    assert(h3.getLong(2) == 12L && h3.getLong(3) == 9L)
+    assert(h3.getLong(4) == 4000L && h3.getBoolean(5))
+  }
 }

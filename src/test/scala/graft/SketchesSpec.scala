@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Sketches
+
+/** Specs for the sketch-shaped aggregates: log2-histogram percentiles
+  * (q129) and the HLL-style distinct sketch (q132). */
+class SketchesSpec extends SparkSpec {
+  import TestSpark.spark.implicits._
+
+  test("logHistPercentiles: bucket cumulative reads give power-of-2 floors") {
+    // durations 1,2,3,4,8,100 → buckets 1,2,2,3,4,7; n=6
+    // cum: b1=1 b2=3 b3=4 b4=5 b7=6; thr50=3→b2, thr95=6→b7, thr99=6→b7
+    val parsed = Seq(
+      ("e", Some(1L)), ("e", Some(2L)), ("e", Some(3L)), ("e", Some(4L)),
+      ("e", Some(8L)), ("e", Some(100L)),
+      ("e", None), ("e", Some(0L)),       // excluded: null and < 1
+      ("noDur", None))                    // excluded entirely (no durations)
+      .toDF("name", "duration")
+    val out = Sketches.logHistPercentiles(parsed).collect()
+    assert(out.length == 1)
+    val r = out(0)
+    assert(r.getString(0) == "e")
+    assert(r.getLong(1) == 6L)
+    assert(r.getLong(2) == 2L)    // p50: bucket 2 → 2^1
+    assert(r.getLong(3) == 64L)   // p95: bucket 7 → 2^6
+    assert(r.getLong(4) == 64L)   // p99
+  }
+
+  test("hllDistinct: register math is consistent and the estimate lands") {
+    // 500 distinct conversations under one event name; m=64 → expected
+    // relative error ~1.04/sqrt(64) = 13%; assert within 40%.
+    val parsed = (1 to 500).flatMap(i => Seq.fill(3)(("e", f"conv_$i%06d")))
+      .toDF("name", "conv_id")
+    val out = Sketches.hllDistinct(parsed).collect()
+    assert(out.length == 1)
+    val r = out(0)
+    val (exact, nonzero, sumPow, est) =
+      (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+    assert(exact == 500L)
+    assert(nonzero > 0L && nonzero <= 64L)
+    // sum_pow always carries 64 registers' worth of 2^(25-m) terms
+    assert(sumPow > 0L && sumPow <= 64L * 33554432L)
+    assert(math.abs(est - exact) <= 200L, s"est=$est too far from 500")
+    // duplicates don't move the sketch: same distinct set → same output
+    val again = Sketches.hllDistinct(
+      (1 to 500).map(i => ("e", f"conv_$i%06d")).toDF("name", "conv_id"))
+      .collect()(0)
+    assert(again.getLong(3) == sumPow && again.getLong(4) == est)
+  }
+
+  test("hllDistinct: registers split by event name independently, and the " +
+    "linear-counting correction makes tiny counts exact") {
+    val parsed = Seq(("a", "c1"), ("a", "c2"), ("b", "c1"))
+      .toDF("name", "conv_id")
+    val out = Sketches.hllDistinct(parsed).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(out("a").getLong(1) == 2L && out("b").getLong(1) == 1L)
+    // sub-m regime → linear counting: floor(64·ln(64/V)) with V=62 → 2,
+    // V=63 → 1 (assuming no register collision among the 2 keys)
+    if (out("a").getLong(2) == 2L) assert(out("a").getLong(4) == 2L)
+    assert(out("b").getLong(2) == 1L && out("b").getLong(4) == 1L)
+  }
+}

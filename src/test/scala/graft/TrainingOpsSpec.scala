@@ -394,4 +394,24 @@ class TrainingOpsSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert("Exchange hashpartitioning".r.findAllIn(renderPlan).size == 1)
   }
+
+  test("funnel: engage/tool/error/recover stage counts and permilles") {
+    // c1: full funnel incl. recovery (assistant after the error turn)
+    // c2: user only; c3: errors but the last assistant turn precedes it
+    val parsed = Seq(
+      ("c1", 0L, "user", Option.empty[Long]), ("c1", 1L, "tool", Some(18456L)),
+      ("c1", 2L, "assistant", None),
+      ("c2", 0L, "user", None),
+      ("c3", 0L, "user", None), ("c3", 1L, "assistant", None),
+      ("c3", 2L, "tool", Some(547L)))
+      .toDF("conv_id", "turn_idx", "role", "error_number")
+    val r = Conversations.funnel(parsed).collect()(0)
+    assert(r.getLong(0) == 3L)                       // n_convs
+    assert(r.getLong(1) == 3L && r.getLong(2) == 2L) // engaged, tool
+    assert(r.getLong(3) == 2L && r.getLong(4) == 1L) // errored, recovered
+    assert(r.getAs[Long]("engaged_permille") == 1000L)
+    assert(r.getAs[Long]("tool_used_permille") == 666L)
+    assert(r.getAs[Long]("errored_permille") == 666L)
+    assert(r.getAs[Long]("recovered_permille") == 333L)
+  }
 }
