@@ -15,6 +15,9 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     Graft.prep(spark)
+    // One materialization feeds all ~130 queries (and keeps the giant
+    // synthesis expressions out of their codegen spans — see Transcripts).
+    sources.Transcripts.materialize(spark, sfDir)
     new java.io.File(outDir).mkdirs()
     // Harness-only subset filter (comma-separated name substrings); the
     // driver never sets it, so the full dump is the default.
