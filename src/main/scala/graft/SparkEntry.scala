@@ -535,6 +535,22 @@ object SparkEntry {
     "q133_funnel" -> ((s, d) =>
       operators.Conversations.funnel(Pipeline.parsed(s, d))),
 
+    // pruned-bigram-LM quality score (the KenLM-filter shape)
+    "q134_lm_score" -> ((s, d) =>
+      text.LangModel.lmScore(docs(s, d))),
+
+    // BPE pair-merge mining: top adjacent char pairs per language
+    "q135_bpe_pairs" -> ((s, d) =>
+      text.LangModel.bpeTopPairs(docs(s, d))),
+
+    // within-document token/shingle repetition (Gopher-style rule)
+    "q136_repetition" -> ((s, d) =>
+      text.TextAnalysis.repetitionStats(docs(s, d))),
+
+    // count-min-sketch template counters probed at the exact top-20
+    "q137_cms_templates" -> ((s, d) =>
+      operators.Sketches.cmsHeavyHitters(Transcripts.load(s, d))),
+
     // gap-based sessionization: per-session stats
     "q62_sessionize" -> ((s, d) =>
       operators.Sessionize.sessionStats(Transcripts.load(s, d))),
@@ -2625,6 +2641,65 @@ SELECT CAST(count(*) AS BIGINT) AS n_convs,
   CAST(floor(sum(errored) * 1000.0 / count(*)) AS BIGINT) AS errored_permille,
   CAST(floor(sum(recovered) * 1000.0 / count(*)) AS BIGINT) AS recovered_permille
 FROM f"""),
+
+    "q134_lm_score" -> s"""
+WITH th AS (SELECT doc_id, $oTokHashes AS th FROM documents),
+p AS (SELECT doc_id, unnest(CASE WHEN len(th) >= 2
+    THEN list_transform(generate_series(1, len(th)-1), j -> [th[j], th[j+1]])
+    ELSE CAST([] AS BIGINT[][]) END) AS pr FROM th),
+pairs AS (SELECT doc_id, pr[1] AS h1, pr[2] AS h2 FROM p),
+bg AS (SELECT h1, h2, CAST(count(*) AS BIGINT) AS cb FROM pairs
+  GROUP BY 1, 2 HAVING count(*) >= 2),
+ug AS (SELECT h1, CAST(count(*) AS BIGINT) AS cu
+  FROM (SELECT unnest(th) AS h1 FROM th) GROUP BY 1 HAVING count(*) >= 2),
+sc AS (SELECT doc_id,
+    CASE WHEN cb IS NOT NULL THEN (cb * 1000) // cu ELSE 0 END AS pp
+  FROM pairs LEFT JOIN bg USING (h1, h2) LEFT JOIN ug USING (h1))
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+  CAST(sum(pp) // count(*) AS BIGINT) AS lm_score_permille
+FROM sc GROUP BY doc_id""",
+
+    "q135_bpe_pairs" -> s"""
+WITH t AS (SELECT lang, unnest($oToks) AS tok FROM documents),
+pr AS (SELECT lang, unnest(CASE WHEN length(tok) >= 2
+    THEN list_transform(generate_series(1, length(tok)-1), i -> substr(tok, i, 2))
+    ELSE CAST([] AS VARCHAR[]) END) AS pair FROM t),
+c AS (SELECT lang, pair, CAST(count(*) AS BIGINT) AS n FROM pr GROUP BY 1, 2),
+r AS (SELECT lang, pair, n,
+    CAST(row_number() OVER (PARTITION BY lang ORDER BY n DESC, pair ASC) AS INT) AS rank
+  FROM c)
+SELECT lang, pair, n, rank FROM r WHERE rank <= 5""",
+
+    "q136_repetition" -> s"""
+WITH th AS (SELECT doc_id, $oTokHashes AS th FROM documents),
+s AS (SELECT doc_id, th, $oShingles AS sh FROM th)
+SELECT doc_id,
+  CAST(len(th) AS BIGINT) AS n_tokens,
+  CAST(len(list_distinct(th)) AS BIGINT) AS n_distinct_tokens,
+  CAST(CASE WHEN len(th) > 0
+    THEN ((len(th) - len(list_distinct(th))) * 1000) // len(th)
+    ELSE 0 END AS BIGINT) AS token_dup_permille,
+  CAST(len(sh) AS BIGINT) AS n_shingles,
+  CAST(CASE WHEN len(sh) > 0
+    THEN ((len(sh) - len(list_distinct(sh))) * 1000) // len(sh)
+    ELSE 0 END AS BIGINT) AS shingle_dup_permille
+FROM s""",
+
+    "q137_cms_templates" -> withCtes(
+      "k" -> "SELECT md5(regexp_replace(lower(text), '[0-9]+', '0', 'g')) AS tkey FROM transcripts",
+      "g4" -> "SELECT unnest(generate_series(0, 3)) AS row_idx",
+      "cells" -> """SELECT k.tkey, g4.row_idx,
+    ('0x' || substr(md5(CAST(g4.row_idx AS VARCHAR) || k.tkey), 1, 8))::BIGINT % 256 AS cell
+  FROM k CROSS JOIN g4""",
+      "counters" -> "SELECT row_idx, cell, CAST(count(*) AS BIGINT) AS cnt FROM cells GROUP BY 1, 2",
+      "probes" -> """SELECT tkey, CAST(count(*) AS BIGINT) AS exact_n FROM k
+  GROUP BY tkey ORDER BY exact_n DESC, tkey ASC LIMIT 20""",
+      "pc" -> """SELECT p.tkey, p.exact_n, g4.row_idx,
+    ('0x' || substr(md5(CAST(g4.row_idx AS VARCHAR) || p.tkey), 1, 8))::BIGINT % 256 AS cell
+  FROM probes p CROSS JOIN g4""")("""
+SELECT tkey, exact_n, CAST(min(cnt) AS BIGINT) AS cms_est,
+  CAST(floor((min(cnt) - exact_n) * 1000.0 / exact_n) AS BIGINT) AS over_permille
+FROM pc JOIN counters USING (row_idx, cell) GROUP BY tkey, exact_n"""),
 
     "q118_cluster_weights" -> """
 WITH k AS (

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -117,5 +117,46 @@ object Sketches {
           / col("exact_distinct")).cast("long"))
       .select("name", "exact_distinct", "nonzero_regs", "sum_pow",
         "hll_est", "err_x1e3")
+  }
+
+  /** Count-min sketch over turn templates (depth 4 × width 256 = 1024
+    * bounded counters), probed at the exact top-`topK` hot templates —
+    * the mergeable heavy-hitter counter that replaces a full
+    * `groupBy(template)` when the template space is unbounded: every
+    * partition/day folds into the same 1024 cells by addition.
+    *
+    * Key = md5 of the digit-normalized turn text (same normalization as
+    * [[graft.operators.Conversations.turnTemplates]]); row hashes are
+    * md5(i ‖ key) so the 4 rows are independent. The CMS estimate
+    * (min over rows) over-counts, never under-counts — `over_permille`
+    * is the reported bias vs the exact count, affordable at test scale,
+    * exactly like the HLL accuracy diagnostic above.
+    *
+    * Scale shape: one posexplode(×4) into a 1024-cell hash-agg (map-side
+    * combinable); the probe side is a TakeOrderedAndProject top-K (per-
+    * partition heads merged on the driver, no global sort) joined against
+    * the tiny counter table. */
+  def cmsHeavyHitters(transcripts: DataFrame, width: Int = 256,
+                      depth: Int = 4, topK: Int = 20): DataFrame = {
+    def cells(k: Column): Column = array((0 until depth).map(i =>
+      conv(substring(md5(concat(lit(i.toString), k)), 1, 8), 16, 10)
+        .cast("long") % width): _*)
+    val keyed = transcripts.select(
+      md5(regexp_replace(lower(col("text")), "[0-9]+", "0").cast("binary"))
+        .as("tkey"))
+    val counters = keyed
+      .select(posexplode(cells(col("tkey"))))
+      .withColumnRenamed("pos", "row_idx").withColumnRenamed("col", "cell")
+      .groupBy("row_idx", "cell").agg(count(lit(1)).as("cnt"))
+    val probes = keyed.groupBy("tkey").agg(count(lit(1)).as("exact_n"))
+      .orderBy(col("exact_n").desc, col("tkey").asc).limit(topK)
+    probes
+      .select(col("tkey"), col("exact_n"), posexplode(cells(col("tkey"))))
+      .withColumnRenamed("pos", "row_idx").withColumnRenamed("col", "cell")
+      .join(counters, Seq("row_idx", "cell"))
+      .groupBy("tkey", "exact_n").agg(min(col("cnt")).as("cms_est"))
+      .select(col("tkey"), col("exact_n"), col("cms_est"),
+        floor((col("cms_est") - col("exact_n")) * lit(1000.0)
+          / col("exact_n")).cast("long").as("over_permille"))
   }
 }

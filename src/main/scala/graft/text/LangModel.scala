@@ -1,0 +1,99 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.text.TextAnalysis._
+
+/** Statistical-language-model operators over the documents table: a pruned
+  * bigram LM for perplexity-style quality scoring (the KenLM-filter shape
+  * every web-scale corpus pipeline runs) and one round of BPE pair-merge
+  * mining (the tokenizer-training step).
+  *
+  * Scale notes:
+  *  - Training explodes the corpus to token level — inherently so (that IS
+  *    tokenizer/LM training) — but partial hash-aggregation combines counts
+  *    map-side, so the exchange carries (hash, count) partials bounded by
+  *    per-partition vocabulary, never raw tokens.
+  *  - `minCount` pruning is the KenLM prune analog: the model the scoring
+  *    join consumes is vocabulary-bounded, so AQE picks a broadcast join at
+  *    any corpus size once pruned below the threshold.
+  *  - All scores are integer-exact (counts, multiply-then-DIV) — bit-equal
+  *    in Spark and DuckDB.
+  */
+object LangModel {
+
+  /** (doc_id, h1, h2) bigram stream: adjacent token-hash pairs via two
+    * slices of the per-row hash array — the explode is the ONLY row
+    * multiplication, and it carries two longs per token, not text. */
+  def bigramStream(docs: DataFrame): DataFrame = {
+    val th = docs.select(col("doc_id"), tokHashes(col("text")).as("th"))
+    val n = size(col("th"))
+    th.select(col("doc_id"),
+        explode(zip_with(
+          slice(col("th"), lit(1), greatest(n - 1, lit(0))),
+          slice(col("th"), lit(2), greatest(n - 1, lit(0))),
+          (a, b) => struct(a.as("h1"), b.as("h2")))).as("pr"))
+      .select(col("doc_id"), col("pr.h1"), col("pr.h2"))
+  }
+
+  /** Pruned bigram counts: the LM "model" table. */
+  def bigramCounts(docs: DataFrame, minCount: Int): DataFrame =
+    bigramStream(docs).groupBy("h1", "h2")
+      .agg(count(lit(1)).as("cb"))
+      .filter(col("cb") >= minCount)
+
+  /** Pruned unigram (prefix) counts. A unigram's count dominates any
+    * bigram count it prefixes, so the same `minCount` guarantees every
+    * surviving bigram finds its prefix row — no null-denominator arm. */
+  def unigramCounts(docs: DataFrame, minCount: Int): DataFrame = {
+    val th = docs.select(explode(tokHashes(col("text"))).as("h1"))
+    th.groupBy("h1").agg(count(lit(1)).as("cu"))
+      .filter(col("cu") >= minCount)
+  }
+
+  /** Per-document LM quality score: the mean conditional bigram
+    * probability (permille) under the corpus-trained pruned model —
+    * p(h2|h1) = count(h1,h2)·1000 DIV count(h1), unseen/pruned bigrams
+    * score 0. High score = text made of common continuations (fluent /
+    * templated); near-zero = improbable token soup. Docs with fewer than
+    * two tokens carry no signal and are omitted.
+    *
+    * Plan shape: bigram stream ⋈ pruned model ⋈ pruned prefixes (both
+    * vocabulary-bounded after `minCount`; AQE broadcasts them), then one
+    * hash-agg back to doc_id. */
+  def lmScore(docs: DataFrame, minCount: Int = 2): DataFrame = {
+    val pairs = bigramStream(docs)
+    val scored = pairs
+      .join(bigramCounts(docs, minCount), Seq("h1", "h2"), "left")
+      .join(unigramCounts(docs, minCount), Seq("h1"), "left")
+      .withColumn("pp",
+        when(col("cb").isNotNull, expr("cb * 1000 DIV cu")).otherwise(0L))
+    scored.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("pp")).as("sum_pp"))
+      .select(col("doc_id"), col("n_bigrams"),
+        expr("sum_pp DIV n_bigrams").as("lm_score_permille"))
+  }
+
+  /** One round of BPE pair mining per language: the most frequent adjacent
+    * character pairs INSIDE tokens — the statistic a byte-pair-encoding
+    * tokenizer trainer computes to pick its next merge rule. The per-doc
+    * pair stream is built row-local (flatten of per-token windows — no
+    * join, no UDF); the corpus-sized pass is one map-side-combinable
+    * hash-agg on (lang, pair); the ranking window runs over the tiny
+    * aggregated frame (≤ |langs| × |charset|²). Deterministic tie-break:
+    * count desc, pair asc. */
+  def bpeTopPairs(docs: DataFrame, topK: Int = 5): DataFrame = {
+    val pairsOfToken = (t: Column) =>
+      when(length(t) >= 2,
+        transform(sequence(lit(1), length(t) - 1), i => substring(t, i, lit(2))))
+        .otherwise(array().cast("array<string>"))
+    val pairStream = docs.select(col("lang"),
+        explode(flatten(transform(tokens(col("text")), pairsOfToken))).as("pair"))
+    val counted = pairStream.groupBy("lang", "pair")
+      .agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("lang")
+      .orderBy(col("n").desc, col("pair").asc)
+    counted.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+  }
+}

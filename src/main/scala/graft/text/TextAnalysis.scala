@@ -121,6 +121,28 @@ object TextAnalysis {
         (count(lit(1)) - countDistinct(col("norm_h"))).as("n_exact_dups"))
   }
 
+  /** WITHIN-document repetition (the Gopher-style quality rule the
+    * cross-document boilerplate pass can't see): the fraction of a doc's
+    * own token 3-shingles and tokens that are repeats of earlier ones.
+    * A looping generator or copy-pasted page scores high even when its
+    * content is globally unique. Pure per-row array expressions — map-only,
+    * no shuffle, no state; `dup_permille = (n − n_distinct)·1000 DIV n`. */
+  def repetitionStats(docs: DataFrame): DataFrame = {
+    val th = tokHashes(col("text"))
+    val base = docs.select(col("doc_id"), th.as("th"),
+      graft.dedup.Dedup.shingleHashes(col("text")).as("sh"))
+    def dup(n: Column, d: Column): Column =
+      when(n > 0, expr_div((n - d) * 1000, n)).otherwise(0L)
+    base.select(col("doc_id"),
+      size(col("th")).cast("long").as("n_tokens"),
+      size(array_distinct(col("th"))).cast("long").as("n_distinct_tokens"),
+      dup(size(col("th")).cast("long"),
+        size(array_distinct(col("th"))).cast("long")).as("token_dup_permille"),
+      size(col("sh")).cast("long").as("n_shingles"),
+      dup(size(col("sh")).cast("long"),
+        size(array_distinct(col("sh"))).cast("long")).as("shingle_dup_permille"))
+  }
+
   def langIdDf(docs: DataFrame): DataFrame = {
     val scoreCols = markers.map { case (l, ws) =>
       langScore(col("text"), ws).cast("long").as(s"score_$l")

@@ -1,0 +1,71 @@
+package graft
+
+import graft.text.{LangModel, TextAnalysis}
+
+/** Specs for the LM-quality / tokenizer-mining / repetition operators
+  * (q134–q136). */
+class LangModelSpec extends SparkSpec {
+  import TestSpark.spark.implicits._
+
+  test("lmScore: mean conditional bigram probability, pruned pairs score 0") {
+    // corpus counts: (x,y)=3 (y,x)=2 (q,r)=1; unigrams x=3 y=3 q=1 r=1
+    // d0 pairs: xy yx xy yx xy -> pp = 1000,666,1000,666,1000 -> 4332 DIV 5
+    // d1 pair qr pruned at minCount=2 -> pp=0
+    val docs = Seq((0L, "x y x y x y"), (1L, "q r")).toDF("doc_id", "text")
+    val out = LangModel.lmScore(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(0L).getLong(1) == 5L)
+    assert(out(0L).getLong(2) == (1000L * 3 + 666L * 2) / 5)
+    assert(out(1L).getLong(1) == 1L && out(1L).getLong(2) == 0L)
+  }
+
+  test("lmScore: docs with fewer than two tokens are omitted") {
+    val docs = Seq((0L, "only"), (1L, ""), (2L, "two words two words"))
+      .toDF("doc_id", "text")
+    val ids = LangModel.lmScore(docs).select("doc_id").as[Long].collect()
+    assert(ids.toSet == Set(2L))
+  }
+
+  test("bpeTopPairs: per-lang char-pair counts, rank by count then pair") {
+    // en: aaab -> aa,aa,ab ; aab -> aa,ab  => aa:3 ab:2
+    // de: zz zz => zz:2
+    val docs = Seq(("en", "aaab aab"), ("de", "zz zz")).toDF("lang", "text")
+    val out = LangModel.bpeTopPairs(docs).collect()
+      .map(r => (r.getString(0), r.getInt(3)) -> (r.getString(1), r.getLong(2)))
+      .toMap
+    assert(out(("en", 1)) == ("aa", 3L))
+    assert(out(("en", 2)) == ("ab", 2L))
+    assert(out(("de", 1)) == ("zz", 2L))
+    assert(out.size == 3)
+  }
+
+  test("bpeTopPairs: equal counts tie-break on pair ascending") {
+    val docs = Seq(("en", "ab cd ab cd")).toDF("lang", "text")
+    val rows = LangModel.bpeTopPairs(docs).orderBy("rank").collect()
+    assert(rows.map(_.getString(1)).toSeq == Seq("ab", "cd"))
+  }
+
+  test("scale shapes: lmScore joins are equi-joins, repetition is map-only") {
+    val docs = Seq((0L, "a b c"), (1L, "a b d")).toDF("doc_id", "text")
+    val lmPlan = LangModel.lmScore(docs).queryExecution.executedPlan.toString
+    assert(!lmPlan.contains("CartesianProduct"))
+    // repetitionStats must stay a pure projection: no exchange at all
+    val repPlan = TextAnalysis.repetitionStats(docs)
+      .queryExecution.executedPlan.toString
+    assert(!repPlan.contains("Exchange"))
+  }
+
+  test("repetitionStats: dup permilles over tokens and shingles") {
+    // 9 tokens, 3 distinct -> 666; 7 shingles, 3 distinct -> 571
+    val docs = Seq((0L, "a b c a b c a b c"), (1L, "x")).toDF("doc_id", "text")
+    val out = TextAnalysis.repetitionStats(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val d0 = out(0L)
+    assert(d0.getLong(1) == 9L && d0.getLong(2) == 3L)
+    assert(d0.getLong(3) == 666L)
+    assert(d0.getLong(4) == 7L && d0.getLong(5) == 571L)
+    val d1 = out(1L)  // 1 token, 0 shingles: no division blowup
+    assert(d1.getLong(1) == 1L && d1.getLong(3) == 0L)
+    assert(d1.getLong(4) == 0L && d1.getLong(5) == 0L)
+  }
+}

@@ -49,6 +49,23 @@ class SketchesSpec extends SparkSpec {
     assert(again.getLong(3) == sumPow && again.getLong(4) == est)
   }
 
+  test("cmsHeavyHitters: estimates never undercount; hot template leads") {
+    // digit runs normalize away: "hot row 1"/"hot row 2" are ONE template
+    val rows = Seq.fill(15)("hot row 1") ++ Seq.fill(15)("hot row 2") ++
+      Seq.fill(5)("warm row 22") ++ Seq.fill(3)("cold row 333") ++
+      ('a' to 'y').map(c => s"unique filler $c")   // 25 distinct templates
+    val t = rows.toDF("text")
+    val out = Sketches.cmsHeavyHitters(t).collect()
+    assert(out.length == 20)                     // topK probe set
+    out.foreach { r =>
+      assert(r.getLong(2) >= r.getLong(1))       // CMS never undercounts
+      assert(r.getLong(3) >= 0L)                 // over_permille
+    }
+    val top = out.maxBy(_.getLong(1))
+    assert(top.getLong(1) == 30L)                // normalized hot template
+    assert(out.map(_.getLong(1)).sorted.reverse.take(3).toSeq == Seq(30L, 5L, 3L))
+  }
+
   test("hllDistinct: registers split by event name independently, and the " +
     "linear-counting correction makes tiny counts exact") {
     val parsed = Seq(("a", "c1"), ("a", "c2"), ("b", "c1"))
