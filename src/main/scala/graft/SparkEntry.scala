@@ -551,6 +551,24 @@ object SparkEntry {
     "q137_cms_templates" -> ((s, d) =>
       operators.Sketches.cmsHeavyHitters(Transcripts.load(s, d))),
 
+    // pre-flight join-size forecast (self-join on conv_id: skew preview)
+    "q138_join_forecast" -> ((s, d) => {
+      val t = Transcripts.load(s, d)
+      operators.JoinPlanner.joinForecast(t, t, "conv_id")
+    }),
+
+    // per-shard export manifest with order-independent checksum
+    "q139_shard_manifest" -> ((s, d) =>
+      operators.TrainingExport.shardManifest(docs(s, d))),
+
+    // near-duplicate conversations: MinHash+LSH over turn-template seqs
+    "q140_conv_neardup" -> ((s, d) =>
+      operators.Conversations.convNearDup(Transcripts.load(s, d))),
+
+    // coalesced alert episodes over the volume-anomaly feed
+    "q141_alert_episodes" -> ((s, d) =>
+      operators.Aggregates.alertEpisodes(Pipeline.parsed(s, d))),
+
     // gap-based sessionization: per-session stats
     "q62_sessionize" -> ((s, d) =>
       operators.Sessionize.sessionStats(Transcripts.load(s, d))),
@@ -2700,6 +2718,71 @@ FROM s""",
 SELECT tkey, exact_n, CAST(min(cnt) AS BIGINT) AS cms_est,
   CAST(floor((min(cnt) - exact_n) * 1000.0 / exact_n) AS BIGINT) AS over_permille
 FROM pc JOIN counters USING (row_idx, cell) GROUP BY tkey, exact_n"""),
+
+    "q138_join_forecast" -> withCtes(
+      "la" -> "SELECT conv_id, CAST(count(*) AS BIGINT) AS n_left FROM transcripts GROUP BY 1",
+      "ra" -> "SELECT conv_id, CAST(count(*) AS BIGINT) AS n_right FROM transcripts GROUP BY 1")("""
+SELECT conv_id, n_left, n_right,
+  CAST(n_left * n_right AS BIGINT) AS pairs,
+  n_left * n_right >= 10000 AS exploding
+FROM la JOIN ra USING (conv_id)
+WHERE n_left * n_right >= 1000"""),
+
+    "q139_shard_manifest" -> """
+SELECT CAST(doc_id % 8 AS BIGINT) AS shard,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(length(text)) AS BIGINT) AS sum_chars,
+  CAST(min(doc_id) AS BIGINT) AS min_doc_id,
+  CAST(max(doc_id) AS BIGINT) AS max_doc_id,
+  CAST(sum(('0x' || substr(md5(text), 1, 8))::BIGINT % 1000003) % 1000003 AS BIGINT) AS checksum
+FROM documents GROUP BY 1""",
+
+    "q140_conv_neardup" -> withCtes(
+      "h" -> """SELECT conv_id, turn_idx,
+    ('0x' || substr(md5(regexp_replace(lower(text), '[0-9]+', '0', 'g')), 1, 8))::BIGINT AS h
+  FROM transcripts""",
+      "seqs" -> "SELECT conv_id, list(h ORDER BY turn_idx) AS hs FROM h GROUP BY conv_id",
+      "shx" -> """SELECT conv_id, CASE WHEN len(hs) >= 2
+    THEN list_distinct(list_transform(generate_series(1, len(hs)-1), j -> (hs[j]*31 + hs[j+1]) % 1000000007))
+    ELSE [hs[1]] END AS sh FROM seqs""",
+      "sigs" -> s"SELECT conv_id, ${Oracle.oMinhashCols(8)} FROM shx",
+      "bandt" -> (0 until 4).map(b =>
+        s"SELECT conv_id, $b AS band_idx, (mh${2 * b}*31 + mh${2 * b + 1}) % 1000000007 AS band_sig FROM sigs")
+        .mkString(" UNION ALL "),
+      "cand" -> """SELECT DISTINCT l.conv_id AS conv_a, r.conv_id AS conv_b
+  FROM bandt l JOIN bandt r ON l.band_idx = r.band_idx
+    AND l.band_sig = r.band_sig AND l.conv_id < r.conv_id""")("""
+SELECT conv_a, conv_b,
+  CAST(floor(len(list_intersect(a.sh, b.sh)) * 1000.0 / len(list_distinct(a.sh || b.sh))) AS BIGINT) AS jaccard_permille
+FROM cand JOIN shx a ON cand.conv_a = a.conv_id JOIN shx b ON cand.conv_b = b.conv_id
+WHERE floor(len(list_intersect(a.sh, b.sh)) * 1000.0 / len(list_distinct(a.sh || b.sh))) >= 100"""),
+
+    "q141_alert_episodes" -> withCtes(
+      "hourly" -> s"""SELECT $oName AS name, date_trunc('hour', ts) AS hour,
+    CAST(count(*) AS BIGINT) AS n
+  FROM transcripts GROUP BY 1, 2""",
+      "t" -> """SELECT name, hour, n,
+    sum(n) OVER (PARTITION BY name ORDER BY hour
+      ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS prev_sum,
+    count(n) OVER (PARTITION BY name ORDER BY hour
+      ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS prev_cnt
+  FROM hourly""",
+      "sp" -> """SELECT name, hour, n,
+    CAST(floor(n * 1000.0 * prev_cnt / prev_sum) AS BIGINT) AS ratio_x1e3
+  FROM t WHERE prev_cnt >= 1 AND prev_sum > 0
+    AND floor(n * 1000.0 * prev_cnt / prev_sum) >= 3000""",
+      "g" -> """SELECT name, hour, n, ratio_x1e3,
+    CASE WHEN epoch(hour) - epoch(lag(hour) OVER (PARTITION BY name ORDER BY hour)) = 3600
+      THEN 0 ELSE 1 END AS gap
+  FROM sp""",
+      "e" -> """SELECT name, hour, n, ratio_x1e3,
+    sum(gap) OVER (PARTITION BY name ORDER BY hour) AS episode
+  FROM g""")("""
+SELECT name, CAST(episode AS BIGINT) AS episode,
+  min(hour) AS alert_start, max(hour) AS alert_end,
+  CAST(count(*) AS BIGINT) AS n_hours, CAST(max(n) AS BIGINT) AS peak_n,
+  CAST(max(ratio_x1e3) AS BIGINT) AS peak_ratio_x1e3
+FROM e GROUP BY 1, 2"""),
 
     "q118_cluster_weights" -> """
 WITH k AS (

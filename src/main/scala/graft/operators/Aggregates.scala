@@ -126,6 +126,28 @@ object Aggregates {
       .drop("prev_cnt")
   }
 
+  /** Alert coalescing over the [[volumeAnomaly]] feed: consecutive spike
+    * hours for one event collapse into a single alert episode (classic
+    * gaps-and-islands — a new episode starts when the previous spike hour
+    * is more than one hour back), so an 8-hour error storm pages once
+    * with a span, not eight times. The window runs per event over the
+    * ALREADY-AGGREGATED hourly frame (|events| × |hours| rows), never
+    * the corpus. */
+  def alertEpisodes(parsed: DataFrame, spikeX1e3: Long = 3000L): DataFrame = {
+    val spikes = volumeAnomaly(parsed, spikeX1e3).filter(col("is_spike"))
+    val byName = Window.partitionBy("name").orderBy("hour")
+    spikes
+      .withColumn("gap",
+        when(unix_timestamp(col("hour")) -
+          unix_timestamp(lag(col("hour"), 1).over(byName)) === 3600L, 0L)
+          .otherwise(1L))
+      .withColumn("episode", sum(col("gap")).over(byName))
+      .groupBy("name", "episode")
+      .agg(min(col("hour")).as("alert_start"), max(col("hour")).as("alert_end"),
+        count(lit(1)).as("n_hours"), max(col("n")).as("peak_n"),
+        max(col("ratio_x1e3")).as("peak_ratio_x1e3"))
+  }
+
   /** A7/E11: lineage fold — max/min offset + count per source file, the
     * `(file, offset, status)` checkpoint analog
     * (`pkg/app/process_session.go:137-177`; `pkg/status/status.go:273-297`). */

@@ -399,6 +399,62 @@ object Conversations {
         floor(col("n_canned") * lit(1000.0) / col("n_turns")).cast("long"))
   }
 
+  /** NEAR-duplicate conversation detection: MinHash+LSH over each
+    * conversation's ordered turn-TEMPLATE sequence — the conversation-level
+    * complement of [[convDedup]] (which only catches exact template-sequence
+    * matches). Each conversation folds to a set of order-sensitive 2-turn
+    * shingles over digit-normalized template hashes; the same banding
+    * machinery as [[graft.dedup.Dedup]] turns the O(n²) conversation-pair
+    * space into an equi-join on band signatures, and exact shingle Jaccard
+    * runs only on colliding pairs.
+    *
+    * Scale shape: one conv_id exchange builds the (conv, shingle-set) frame
+    * — the reduced frame carries ≤|turns| longs per conversation, never
+    * text; signatures/bands are per-row expressions; the candidate join is
+    * keyed on band signatures (AQE bounds hot buckets); verification is
+    * candidate-sized. */
+  def convNearDup(transcripts: DataFrame,
+                  minJaccardPermille: Long = 100L): DataFrame = {
+    import graft.text.TextAnalysis.P
+    import graft.dedup.Dedup
+    val h = conv(substring(md5(
+      regexp_replace(lower(col("text")), "[0-9]+", "0").cast("binary")),
+      1, 8), 16, 10).cast("long")
+    val seqs = transcripts
+      .select(col("conv_id"), col("turn_idx"), h.as("h"))
+      .groupBy("conv_id")
+      .agg(transform(
+        sort_array(collect_list(struct(col("turn_idx"), col("h")))),
+        s => s.getField("h")).as("hs"))
+    val n = size(col("hs"))
+    val shx = seqs.select(col("conv_id"),
+      when(n >= 2, array_distinct(zip_with(
+          slice(col("hs"), lit(1), n - 1), slice(col("hs"), lit(2), n - 1),
+          (a, b) => (a * 31L + b) % P)))
+        .otherwise(array(element_at(col("hs"), 1))).as("sh"))
+    val sigs = shx.select(
+      (col("conv_id") +: (0 until Dedup.NumHashes).map(i =>
+        Dedup.minhashOver(col("sh"), i).as(s"mh$i"))): _*)
+    val bands = (0 until Dedup.NumHashes / 2).map { b =>
+      sigs.select(col("conv_id"), lit(b).as("band_idx"),
+        Dedup.bandSig(b).as("band_sig"))
+    }.reduce(_ unionByName _)
+    val cand = bands.as("l")
+      .join(bands.as("r"), col("l.band_idx") === col("r.band_idx") &&
+        col("l.band_sig") === col("r.band_sig") &&
+        col("l.conv_id") < col("r.conv_id"))
+      .select(col("l.conv_id").as("conv_a"), col("r.conv_id").as("conv_b"))
+      .distinct()
+    cand
+      .join(shx.select(col("conv_id").as("conv_a"), col("sh").as("sh_a")), "conv_a")
+      .join(shx.select(col("conv_id").as("conv_b"), col("sh").as("sh_b")), "conv_b")
+      .withColumn("jaccard_permille",
+        floor(size(array_intersect(col("sh_a"), col("sh_b"))).cast("long") * lit(1000.0)
+          / size(array_union(col("sh_a"), col("sh_b"))).cast("long")).cast("long"))
+      .filter(col("jaccard_permille") >= minJaccardPermille)
+      .select("conv_a", "conv_b", "jaccard_permille")
+  }
+
   /** Conversation outcome funnel over the PARSED frame: per conversation,
     * did a user engage → was a tool used → did an error occur → did the
     * assistant speak again AFTER the last error (the "recovered" signal a

@@ -96,4 +96,26 @@ object TrainingExport {
         sum(col("train_chars")).as("sum_train_chars"))
       .withColumn("density_permille",
         floor(col("sum_train_chars") * lit(1000.0) / col("sum_chars")).cast("long"))
+
+  /** Per-shard dataset MANIFEST — the reproducibility record shipped next
+    * to an exported corpus: row count, char mass, id span, and an
+    * ORDER-INDEPENDENT content checksum per shard, so a re-export (or a
+    * re-shuffled copy) can be byte-verified without re-sorting anything.
+    * The checksum is a mod-sum of per-doc 32-bit content hashes
+    * (Σ (md5₃₂(text) mod 1000003) mod 1000003): commutative and
+    * associative, so it map-side-combines, merges across partitions in
+    * any order, and folds incrementally as shards grow. One hash-agg
+    * total; the wrap bound (2⁶³/1000003 ≈ 9·10¹² rows per shard) is far
+    * past any real shard. */
+  def shardManifest(docs: DataFrame, nShards: Int = 8): DataFrame = {
+    val h32 = conv(substring(md5(col("text")), 1, 8), 16, 10).cast("long")
+    docs
+      .select(pmod(col("doc_id"), lit(nShards.toLong)).as("shard"),
+        col("doc_id"), length(col("text")).cast("long").as("nc"),
+        (h32 % 1000003L).as("hm"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), sum(col("nc")).as("sum_chars"),
+        min(col("doc_id")).as("min_doc_id"), max(col("doc_id")).as("max_doc_id"),
+        (sum(col("hm")) % 1000003L).as("checksum"))
+  }
 }

@@ -129,6 +129,42 @@ class OperatorsSpec extends SparkSpec {
     assert(out("f1").getLong(2) == 1000L)
   }
 
+  test("joinForecast: per-key pair products, threshold filter, exploding flag") {
+    val l = Seq("a", "a", "a", "b", "c").toDF("conv_id")
+    val r = Seq("a", "a", "b", "c").toDF("conv_id")
+    val out = operators.JoinPlanner.joinForecast(l, r, "conv_id", minPairs = 2L)
+      .collect().map(x => x.getString(0) -> x).toMap
+    assert(out.keySet == Set("a"))               // b:1, c:1 filtered
+    assert(out("a").getLong(1) == 3L && out("a").getLong(2) == 2L)
+    assert(out("a").getLong(3) == 6L && !out("a").getBoolean(4))
+    val big = operators.JoinPlanner.joinForecast(
+      Seq.fill(10)("h").toDF("conv_id"), Seq.fill(10)("h").toDF("conv_id"),
+      "conv_id", minPairs = 10L).collect()(0)
+    assert(big.getLong(3) == 100L && big.getBoolean(4))  // 100 >= 10*10
+  }
+
+  test("alertEpisodes: consecutive spike hours coalesce, gaps split") {
+    val ts = (h: Int, m: Int) => java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    // baseline 3/hr at hours 0-2; spikes at 3 (12 rows, ratio 4000) and
+    // 4 (30 rows, ratio 5000) -> one 2-hour episode; baseline 7-9, spike
+    // at 10 (12 rows) -> second episode
+    val rows =
+      (0 to 2).flatMap(h => (0 until 3).map(m => ("e", ts(h, m)))) ++
+      (0 until 12).map(m => ("e", ts(3, m))) ++
+      (0 until 30).map(m => ("e", ts(4, m))) ++
+      (7 to 9).flatMap(h => (0 until 3).map(m => ("e", ts(h, m)))) ++
+      (0 until 12).map(m => ("e", ts(10, m)))
+    val out = operators.Aggregates.alertEpisodes(rows.toDF("name", "ts"))
+      .orderBy("alert_start").collect()
+    assert(out.length == 2)
+    assert(out(0).getTimestamp(2).toString.startsWith("2024-01-01 03:00") &&
+      out(0).getTimestamp(3).toString.startsWith("2024-01-01 04:00"))
+    assert(out(0).getLong(4) == 2L && out(0).getLong(5) == 30L)
+    assert(out(0).getLong(6) == 5000L)
+    assert(out(1).getTimestamp(2).toString.startsWith("2024-01-01 10:00") &&
+      out(1).getLong(4) == 1L)
+  }
+
   test("volumeAnomaly: trailing-3 ratio flags a 4x hour as a spike") {
     val ts = (h: Int, m: Int) => java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
     // hours 0..2 at 3 rows each, hour 3 at 12 rows (4x the trailing mean)

@@ -395,6 +395,41 @@ class TrainingOpsSpec extends SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(renderPlan).size == 1)
   }
 
+  test("shardManifest: order-independent checksum, id spans, shard split") {
+    val docs = Seq((0L, "alpha"), (1L, "beta"), (2L, "gamma"), (3L, "delta"))
+      .toDF("doc_id", "text")
+    def h32(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+      java.lang.Long.parseLong(
+        d.digest(s.getBytes("UTF-8")).take(4).map(b => f"$b%02x").mkString, 16)
+    }
+    val out = operators.TrainingExport.shardManifest(docs, nShards = 2)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val s0 = out(0L)  // docs 0, 2
+    assert(s0.getLong(1) == 2L && s0.getLong(2) == 10L)   // alpha+gamma chars
+    assert(s0.getLong(3) == 0L && s0.getLong(4) == 2L)
+    assert(s0.getLong(5) == (h32("alpha") % 1000003L + h32("gamma") % 1000003L) % 1000003L)
+    // reordering the input must not move the checksum
+    val again = operators.TrainingExport.shardManifest(
+      docs.orderBy(org.apache.spark.sql.functions.col("doc_id").desc), nShards = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(5)).toMap
+    assert(again(0L) == s0.getLong(5))
+  }
+
+  test("convNearDup: digit-variant conversations pair at 1000, distinct ones don't") {
+    // c1/c2: same 3-turn template sequence modulo digits -> jaccard 1000
+    // c3: unrelated sequence -> no pair survives
+    val t = Seq(
+      ("c1", 0, "open file 12"), ("c1", 1, "run test 99"), ("c1", 2, "close it 5"),
+      ("c2", 0, "open file 7"),  ("c2", 1, "run test 3"),  ("c2", 2, "close it 88"),
+      ("c3", 0, "totally different"), ("c3", 1, "conversation here"), ("c3", 2, "third turn"))
+      .toDF("conv_id", "turn_idx", "text")
+    val out = Conversations.convNearDup(t).collect()
+    assert(out.length == 1)
+    assert(out(0).getString(0) == "c1" && out(0).getString(1) == "c2")
+    assert(out(0).getLong(2) == 1000L)
+  }
+
   test("funnel: engage/tool/error/recover stage counts and permilles") {
     // c1: full funnel incl. recovery (assistant after the error turn)
     // c2: user only; c3: errors but the last assistant turn precedes it
