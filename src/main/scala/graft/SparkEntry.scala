@@ -569,6 +569,25 @@ object SparkEntry {
     "q141_alert_episodes" -> ((s, d) =>
       operators.Aggregates.alertEpisodes(Pipeline.parsed(s, d))),
 
+    // SCD2 dimension build: principal -> app version history from logins
+    "q142_scd2_build" -> ((s, d) =>
+      operators.Scd2.build(
+        Pipeline.parsed(s, d)
+          .filter(col("name") === "login" && col("principal").isNotNull),
+        "principal", "app_name")),
+
+    // cohort retention matrix over conversation activity days
+    "q143_cohort_retention" -> ((s, d) =>
+      operators.Conversations.cohortRetention(Transcripts.load(s, d))),
+
+    // weighted deterministic sample: char mass as priority weight
+    "q144_weighted_sample" -> ((s, d) =>
+      operators.Sampling.weightedSample(docs(s, d), col("n_chars"))),
+
+    // role -> next-role transition matrix with within-role permille
+    "q145_role_transitions" -> ((s, d) =>
+      operators.Conversations.roleTransitions(Transcripts.load(s, d))),
+
     // gap-based sessionization: per-session stats
     "q62_sessionize" -> ((s, d) =>
       operators.Sessionize.sessionStats(Transcripts.load(s, d))),
@@ -2783,6 +2802,56 @@ SELECT name, CAST(episode AS BIGINT) AS episode,
   CAST(count(*) AS BIGINT) AS n_hours, CAST(max(n) AS BIGINT) AS peak_n,
   CAST(max(ratio_x1e3) AS BIGINT) AS peak_ratio_x1e3
 FROM e GROUP BY 1, 2"""),
+
+    "q142_scd2_build" -> withCtes(
+      "lg" -> s"""SELECT $oPrincipal AS principal, ${oKvStr("app")} AS app_name, ts
+  FROM transcripts
+  WHERE $oName = 'login' AND $oPrincipal IS NOT NULL""",
+      "m" -> """SELECT principal, app_name, ts AS ts_,
+    CASE WHEN lag(app_name) OVER w IS NULL
+      OR lag(app_name) OVER w != app_name THEN 1 ELSE 0 END AS chg
+  FROM lg WINDOW w AS (PARTITION BY principal ORDER BY ts, app_name)""",
+      "v" -> """SELECT principal, app_name, ts_,
+    sum(chg) OVER (PARTITION BY principal ORDER BY ts_, app_name) AS version_idx
+  FROM m""",
+      "runs" -> """SELECT principal, CAST(version_idx AS BIGINT) AS version_idx,
+    min(app_name) AS app_name, min(ts_) AS valid_from,
+    CAST(count(*) AS BIGINT) AS n_events
+  FROM v GROUP BY 1, 2""")("""
+SELECT principal, version_idx, app_name, valid_from, n_events,
+  lead(valid_from) OVER (PARTITION BY principal ORDER BY version_idx) AS valid_to,
+  lead(valid_from) OVER (PARTITION BY principal ORDER BY version_idx) IS NULL AS is_current
+FROM runs"""),
+
+    "q143_cohort_retention" -> withCtes(
+      "days" -> "SELECT DISTINCT conv_id, CAST(ts AS DATE) AS day FROM transcripts",
+      "c" -> "SELECT conv_id, min(day) AS cohort_day FROM days GROUP BY 1")("""
+SELECT cohort_day, day,
+  CAST(count(DISTINCT conv_id) AS BIGINT) AS n_active,
+  CAST(date_diff('day', cohort_day, day) AS BIGINT) AS day_offset
+FROM days JOIN c USING (conv_id) GROUP BY 1, 2"""),
+
+    "q144_weighted_sample" -> """
+WITH g AS (SELECT doc_id, lang,
+    greatest(CAST(n_chars AS BIGINT), 1) AS weight,
+    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS h
+  FROM documents),
+p AS (SELECT doc_id, lang, weight, h // weight AS priority FROM g),
+r AS (SELECT doc_id, lang, weight, priority,
+    CAST(row_number() OVER (PARTITION BY lang ORDER BY priority, doc_id) AS BIGINT) AS rk
+  FROM p)
+SELECT doc_id, lang, weight, CAST(priority AS BIGINT) AS priority, rk
+FROM r WHERE rk <= 10""",
+
+    "q145_role_transitions" -> withCtes(
+      "s" -> """SELECT conv_id, role,
+    lead(role) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS next_role
+  FROM transcripts""",
+      "c" -> """SELECT role, next_role, CAST(count(*) AS BIGINT) AS n
+  FROM s WHERE next_role IS NOT NULL GROUP BY 1, 2""")("""
+SELECT role, next_role, n,
+  CAST(floor(n * 1000.0 / sum(n) OVER (PARTITION BY role)) AS BIGINT) AS permille
+FROM c"""),
 
     "q118_cluster_weights" -> """
 WITH k AS (

@@ -399,6 +399,40 @@ object Conversations {
         floor(col("n_canned") * lit(1000.0) / col("n_turns")).cast("long"))
   }
 
+  /** Cohort retention matrix: conversations bucketed by their first-active
+    * day (cohort), counted on every later day they appear — the
+    * engagement decay surface a product/rollout owner reads. Plan:
+    * distinct (conv, day) pairs (one exchange, days-per-conv bounded by
+    * the calendar), min-day per conv reusing the SAME conv_id
+    * partitioning, join back, and a final date×date-sized aggregate. */
+  def cohortRetention(transcripts: DataFrame): DataFrame = {
+    val days = transcripts
+      .select(col("conv_id"), to_date(col("ts")).as("day")).distinct()
+    val cohorts = days.groupBy("conv_id").agg(min(col("day")).as("cohort_day"))
+    days.join(cohorts, Seq("conv_id"))
+      .groupBy("cohort_day", "day")
+      .agg(countDistinct(col("conv_id")).as("n_active"))
+      .withColumn("day_offset", datediff(col("day"), col("cohort_day")).cast("long"))
+  }
+
+  /** Role-transition matrix: counts and within-role permille of each
+    * (role → next role) step across all conversations — the Markov
+    * surface that exposes degenerate rollout loops (assistant→assistant
+    * chains, tool storms) at a glance. One conv_id-partitioned window for
+    * the lead, then a hash-agg to the |roles|² matrix; the permille
+    * normalization windows over that tiny aggregate. */
+  def roleTransitions(transcripts: DataFrame): DataFrame = {
+    val byConv = Window.partitionBy("conv_id").orderBy("turn_idx")
+    val steps = transcripts
+      .select(col("conv_id"), col("turn_idx"), col("role"),
+        lead(col("role"), 1).over(byConv).as("next_role"))
+      .filter(col("next_role").isNotNull)
+      .groupBy("role", "next_role").agg(count(lit(1)).as("n"))
+    steps.withColumn("permille",
+      floor(col("n") * lit(1000.0) /
+        sum(col("n")).over(Window.partitionBy("role"))).cast("long"))
+  }
+
   /** NEAR-duplicate conversation detection: MinHash+LSH over each
     * conversation's ordered turn-TEMPLATE sequence — the conversation-level
     * complement of [[convDedup]] (which only catches exact template-sequence

@@ -34,6 +34,29 @@ object Sampling {
         col("rk").cast("long").as("rk"))
   }
 
+  /** WEIGHTED deterministic sample (priority-sampling shape): each row's
+    * priority is `hash DIV weight` — a heavier row gets a proportionally
+    * smaller priority, so keeping the k SMALLEST priorities per stratum
+    * biases selection toward weight exactly like A-Res reservoir
+    * sampling, but deterministically (integer division of a 32-bit md5
+    * gate; no floating pow, so Spark and the oracle agree bit-for-bit).
+    * Same one-window-per-stratum shape as [[reservoir]]; ties break on
+    * (priority, doc_id) so the cut is total. Weight floors at 1. */
+  def weightedSample(docs: DataFrame, weight: Column, k: Int = 10): DataFrame = {
+    val h32 = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+      .cast("long")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("lang")
+      .orderBy(col("priority"), col("doc_id"))
+    docs
+      .withColumn("weight_", greatest(weight.cast("long"), lit(1L)))
+      .withColumn("h32_", h32)
+      .withColumn("priority", expr("h32_ DIV weight_"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("doc_id"), col("lang"), col("weight_").as("weight"),
+        col("priority"), col("rk").cast("long").as("rk"))
+  }
+
   /** Deterministic train/val/test assignment by hash permille: stable
     * under corpus growth (a document's split never changes when other
     * documents are added — the property random split lacks). */

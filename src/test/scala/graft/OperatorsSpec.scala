@@ -129,6 +129,25 @@ class OperatorsSpec extends SparkSpec {
     assert(out("f1").getLong(2) == 1000L)
   }
 
+  test("scd2 build: same-value runs merge, ranges chain, last is current") {
+    val ts = (s: Int) => java.sql.Timestamp.valueOf(f"2024-01-01 00:00:$s%02d")
+    val ev = Seq(
+      ("k1", "a", ts(1)), ("k1", "a", ts(2)), ("k1", "b", ts(3)),
+      ("k1", "a", ts(5)),
+      ("k2", "z", ts(4)))
+      .toDF("principal", "app_name", "ts")
+    val out = operators.Scd2.build(ev, "principal", "app_name")
+      .orderBy("principal", "version_idx").collect()
+    assert(out.length == 4)
+    val Array(v1, v2, v3, v4) = out
+    assert(v1.getString(2) == "a" && v1.getLong(4) == 2L)      // run of 2
+    assert(v1.getTimestamp(3) == ts(1) && v1.getTimestamp(5) == ts(3))
+    assert(!v1.getBoolean(6))
+    assert(v2.getString(2) == "b" && v2.getTimestamp(5) == ts(5))
+    assert(v3.getString(2) == "a" && v3.isNullAt(5) && v3.getBoolean(6))
+    assert(v4.getString(0) == "k2" && v4.getBoolean(6))        // single version
+  }
+
   test("joinForecast: per-key pair products, threshold filter, exploding flag") {
     val l = Seq("a", "a", "a", "b", "c").toDF("conv_id")
     val r = Seq("a", "a", "b", "c").toDF("conv_id")

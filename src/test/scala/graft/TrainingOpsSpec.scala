@@ -395,6 +395,50 @@ class TrainingOpsSpec extends SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(renderPlan).size == 1)
   }
 
+  test("cohortRetention: first-day cohorts count activity on later days") {
+    val ts = (d: Int) => java.sql.Timestamp.valueOf(f"2024-01-$d%02d 10:00:00")
+    val t = Seq(
+      ("c1", ts(1)), ("c1", ts(1)), ("c1", ts(2)),   // cohort d1, active d1+d2
+      ("c2", ts(2)))                                  // cohort d2
+      .toDF("conv_id", "ts")
+    val out = Conversations.cohortRetention(t).collect()
+      .map(r => (r.getDate(0).toString, r.getDate(1).toString) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    assert(out == Map(
+      ("2024-01-01", "2024-01-01") -> (1L, 0L),
+      ("2024-01-01", "2024-01-02") -> (1L, 1L),
+      ("2024-01-02", "2024-01-02") -> (1L, 0L)))
+  }
+
+  test("roleTransitions: counts per step, permille normalized within role") {
+    val t = Seq(
+      ("c1", 0, "user"), ("c1", 1, "assistant"), ("c1", 2, "user"),
+      ("c1", 3, "assistant"),
+      ("c2", 0, "assistant"), ("c2", 1, "tool"))
+      .toDF("conv_id", "turn_idx", "role")
+    val out = Conversations.roleTransitions(t).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(out(("user", "assistant")) == (2L, 1000L))
+    assert(out(("assistant", "user")) == (1L, 500L))
+    assert(out(("assistant", "tool")) == (1L, 500L))
+    assert(out.size == 3)
+  }
+
+  test("weightedSample: heavier rows win the per-stratum cut; weight floors at 1") {
+    val docs = Seq(
+      (1L, "en", 2000000000L),   // priority ~ h/2e9 in {0,1}
+      (2L, "en", 0L),            // floored weight 1 -> priority = full hash
+      (3L, "de", 5L))
+      .toDF("doc_id", "lang", "n_chars")
+    val out = operators.Sampling.weightedSample(
+      docs, org.apache.spark.sql.functions.col("n_chars"), k = 1)
+      .collect().map(r => r.getString(1) -> r).toMap
+    assert(out("en").getLong(0) == 1L)           // heavy doc selected
+    assert(out("en").getLong(2) == 2000000000L)  // weight column carried
+    assert(out("de").getLong(0) == 3L && out("de").getLong(4) == 1L)
+  }
+
   test("shardManifest: order-independent checksum, id spans, shard split") {
     val docs = Seq((0L, "alpha"), (1L, "beta"), (2L, "gamma"), (3L, "delta"))
       .toDF("doc_id", "text")
