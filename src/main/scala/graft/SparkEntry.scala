@@ -2688,7 +2688,7 @@ pairs AS (SELECT doc_id, pr[1] AS h1, pr[2] AS h2 FROM p),
 bg AS (SELECT h1, h2, CAST(count(*) AS BIGINT) AS cb FROM pairs
   GROUP BY 1, 2 HAVING count(*) >= 2),
 ug AS (SELECT h1, CAST(count(*) AS BIGINT) AS cu
-  FROM (SELECT unnest(th) AS h1 FROM th) GROUP BY 1 HAVING count(*) >= 2),
+  FROM pairs GROUP BY 1 HAVING count(*) >= 2),
 sc AS (SELECT doc_id,
     CASE WHEN cb IS NOT NULL THEN (cb * 1000) // cu ELSE 0 END AS pp
   FROM pairs LEFT JOIN bg USING (h1, h2) LEFT JOIN ug USING (h1))

@@ -461,18 +461,25 @@ object Conversations {
         sort_array(collect_list(struct(col("turn_idx"), col("h")))),
         s => s.getField("h")).as("hs"))
     val n = size(col("hs"))
+    // the (conv, shingle-set) frame feeds the signature pass AND both
+    // sides of the verify join — persisted so the conv_id aggregation
+    // runs once, not once per downstream plan copy
     val shx = seqs.select(col("conv_id"),
       when(n >= 2, array_distinct(zip_with(
           slice(col("hs"), lit(1), n - 1), slice(col("hs"), lit(2), n - 1),
           (a, b) => (a * 31L + b) % P)))
         .otherwise(array(element_at(col("hs"), 1))).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sigs = shx.select(
       (col("conv_id") +: (0 until Dedup.NumHashes).map(i =>
         Dedup.minhashOver(col("sh"), i).as(s"mh$i"))): _*)
-    val bands = (0 until Dedup.NumHashes / 2).map { b =>
-      sigs.select(col("conv_id"), lit(b).as("band_idx"),
-        Dedup.bandSig(b).as("band_sig"))
-    }.reduce(_ unionByName _)
+    // one posexplode instead of a 4-way union: the signature projection
+    // appears once in the plan instead of once per band
+    val bands = sigs
+      .select(col("conv_id"), posexplode(array(
+        (0 until Dedup.NumHashes / 2).map(b => Dedup.bandSig(b)): _*)))
+      .withColumnRenamed("pos", "band_idx")
+      .withColumnRenamed("col", "band_sig")
     val cand = bands.as("l")
       .join(bands.as("r"), col("l.band_idx") === col("r.band_idx") &&
         col("l.band_sig") === col("r.band_sig") &&

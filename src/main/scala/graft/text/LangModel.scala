@@ -36,36 +36,38 @@ object LangModel {
       .select(col("doc_id"), col("pr.h1"), col("pr.h2"))
   }
 
-  /** Pruned bigram counts: the LM "model" table. */
-  def bigramCounts(docs: DataFrame, minCount: Int): DataFrame =
-    bigramStream(docs).groupBy("h1", "h2")
+  /** Pruned bigram counts over an (h1, h2) pair stream: the LM "model". */
+  def bigramCounts(pairs: DataFrame, minCount: Int): DataFrame =
+    pairs.groupBy("h1", "h2")
       .agg(count(lit(1)).as("cb"))
       .filter(col("cb") >= minCount)
 
-  /** Pruned unigram (prefix) counts. A unigram's count dominates any
-    * bigram count it prefixes, so the same `minCount` guarantees every
-    * surviving bigram finds its prefix row — no null-denominator arm. */
-  def unigramCounts(docs: DataFrame, minCount: Int): DataFrame = {
-    val th = docs.select(explode(tokHashes(col("text"))).as("h1"))
-    th.groupBy("h1").agg(count(lit(1)).as("cu"))
+  /** Pruned PREFIX counts over the same pair stream: occurrences of h1 as
+    * a bigram prefix (Σ_y c(h1,y)), so p(·|h1) sums to 1. A prefix count
+    * dominates every bigram count it heads, so the same `minCount`
+    * guarantees each surviving bigram finds its denominator row. */
+  def prefixCounts(pairs: DataFrame, minCount: Int): DataFrame =
+    pairs.groupBy("h1").agg(count(lit(1)).as("cu"))
       .filter(col("cu") >= minCount)
-  }
 
   /** Per-document LM quality score: the mean conditional bigram
     * probability (permille) under the corpus-trained pruned model —
-    * p(h2|h1) = count(h1,h2)·1000 DIV count(h1), unseen/pruned bigrams
-    * score 0. High score = text made of common continuations (fluent /
-    * templated); near-zero = improbable token soup. Docs with fewer than
-    * two tokens carry no signal and are omitted.
+    * p(h2|h1) = count(h1,h2)·1000 DIV prefixCount(h1), unseen/pruned
+    * bigrams score 0. High score = text made of common continuations
+    * (fluent / templated); near-zero = improbable token soup. Docs with
+    * fewer than two tokens carry no signal and are omitted.
     *
-    * Plan shape: bigram stream ⋈ pruned model ⋈ pruned prefixes (both
-    * vocabulary-bounded after `minCount`; AQE broadcasts them), then one
-    * hash-agg back to doc_id. */
+    * Plan shape: the pair stream is persisted once (one tokenization
+    * pass feeds the model agg, the prefix agg, AND the scoring join —
+    * not three corpus re-parses); both count tables are
+    * vocabulary-bounded after `minCount`, so AQE broadcasts them; one
+    * hash-agg folds back to doc_id. */
   def lmScore(docs: DataFrame, minCount: Int = 2): DataFrame = {
     val pairs = bigramStream(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val scored = pairs
-      .join(bigramCounts(docs, minCount), Seq("h1", "h2"), "left")
-      .join(unigramCounts(docs, minCount), Seq("h1"), "left")
+      .join(bigramCounts(pairs, minCount), Seq("h1", "h2"), "left")
+      .join(prefixCounts(pairs, minCount), Seq("h1"), "left")
       .withColumn("pp",
         when(col("cb").isNotNull, expr("cb * 1000 DIV cu")).otherwise(0L))
     scored.groupBy("doc_id")

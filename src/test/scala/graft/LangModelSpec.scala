@@ -8,15 +8,21 @@ class LangModelSpec extends SparkSpec {
   import TestSpark.spark.implicits._
 
   test("lmScore: mean conditional bigram probability, pruned pairs score 0") {
-    // corpus counts: (x,y)=3 (y,x)=2 (q,r)=1; unigrams x=3 y=3 q=1 r=1
-    // d0 pairs: xy yx xy yx xy -> pp = 1000,666,1000,666,1000 -> 4332 DIV 5
+    // pair counts: (x,y)=3 (y,x)=2 (q,r)=1; prefix counts x=3 y=2 q=1
+    // d0 pairs: xy yx xy yx xy -> pp = 3000 DIV 3 = 1000, 2000 DIV 2 = 1000
     // d1 pair qr pruned at minCount=2 -> pp=0
     val docs = Seq((0L, "x y x y x y"), (1L, "q r")).toDF("doc_id", "text")
     val out = LangModel.lmScore(docs).collect()
       .map(r => r.getLong(0) -> r).toMap
     assert(out(0L).getLong(1) == 5L)
-    assert(out(0L).getLong(2) == (1000L * 3 + 666L * 2) / 5)
+    assert(out(0L).getLong(2) == 1000L)
     assert(out(1L).getLong(1) == 1L && out(1L).getLong(2) == 0L)
+    // a doc mixing seen and unseen continuations averages between them:
+    // corpus2 pairs: ab=2, bc=1 -> d3 pps = 1000, 0 -> 500
+    val docs2 = Seq((2L, "a b"), (3L, "a b c")).toDF("doc_id", "text")
+    val out2 = LangModel.lmScore(docs2).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(out2(3L) == 500L)
   }
 
   test("lmScore: docs with fewer than two tokens are omitted") {
