@@ -588,6 +588,14 @@ object SparkEntry {
     "q145_role_transitions" -> ((s, d) =>
       operators.Conversations.roleTransitions(Transcripts.load(s, d))),
 
+    // char-class decomposition: encoding-noise / gibberish detector
+    "q146_char_profile" -> ((s, d) =>
+      text.TextAnalysis.charClassProfile(docs(s, d))),
+
+    // quality-aware keeper per near-dup cluster (best logit wins)
+    "q147_quality_keeper" -> ((s, d) =>
+      dedup.Dedup.qualityKeeper(docs(s, d))),
+
     // gap-based sessionization: per-session stats
     "q62_sessionize" -> ((s, d) =>
       operators.Sessionize.sessionStats(Transcripts.load(s, d))),
@@ -2852,6 +2860,74 @@ FROM r WHERE rk <= 10""",
 SELECT role, next_role, n,
   CAST(floor(n * 1000.0 / sum(n) OVER (PARTITION BY role)) AS BIGINT) AS permille
 FROM c"""),
+
+    "q146_char_profile" -> """
+SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_m,
+  CAST(CASE WHEN length(text) > 0
+    THEN len(list_distinct(string_split_regex(text, ''))) ELSE 0 END AS BIGINT)
+    AS n_distinct_chars,
+  CAST(CASE WHEN length(text) > 0
+    THEN (len(regexp_extract_all(text, '[A-Za-z]')) * 1000) // length(text)
+    ELSE 0 END AS BIGINT) AS alpha_permille,
+  CAST(CASE WHEN length(text) > 0
+    THEN (len(regexp_extract_all(text, '[0-9]')) * 1000) // length(text)
+    ELSE 0 END AS BIGINT) AS digit_permille,
+  CAST(CASE WHEN length(text) > 0
+    THEN (len(regexp_extract_all(text, '\s')) * 1000) // length(text)
+    ELSE 0 END AS BIGINT) AS space_permille,
+  CAST(CASE WHEN length(text) > 0
+    THEN (len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) * 1000) // length(text)
+    ELSE 0 END AS BIGINT) AS other_permille
+FROM documents""",
+
+    "q147_quality_keeper" -> {
+      val mhs = oMinhashCols(dedup.Dedup.NumHashes)
+      val bandSel = oBandSelect(dedup.Dedup.NumHashes)
+      s"""
+WITH RECURSIVE th AS (SELECT doc_id, $oTokHashes AS th FROM documents),
+sigs AS (
+  SELECT doc_id, $mhs FROM (SELECT doc_id, $oShingles AS sh FROM th) x
+),
+bands AS ($bandSel),
+cand AS (
+  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+  FROM bands l JOIN bands r
+    ON l.band_idx = r.band_idx AND l.band_sig = r.band_sig AND l.doc_id < r.doc_id
+),
+shs AS (
+  SELECT doc_id, list_distinct($oShingles) AS shd
+  FROM (SELECT doc_id, $oTokHashes AS th FROM documents) y
+),
+verified AS (
+  SELECT c.doc_a, c.doc_b
+  FROM cand c
+  JOIN shs a ON c.doc_a = a.doc_id
+  JOIN shs b ON c.doc_b = b.doc_id
+  WHERE CAST(floor(CAST(len(list_intersect(a.shd, b.shd)) * 1000 AS DOUBLE)
+        / len(list_distinct(list_concat(a.shd, b.shd)))) AS BIGINT) >= 600
+),
+edges AS (
+  SELECT doc_a, doc_b FROM verified
+  UNION ALL
+  SELECT doc_b AS doc_a, doc_a AS doc_b FROM verified
+),
+nodes AS (SELECT DISTINCT doc_a AS id FROM edges),
+walk(id, r) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT e.doc_a, w.r FROM edges e JOIN walk w ON e.doc_b = w.id
+),
+clusters AS (SELECT id AS doc_id, min(r) AS cluster_id FROM walk GROUP BY id),
+logits AS (
+  SELECT doc_id, CASE WHEN len(th) > 0
+      THEN CAST(floor(CAST(COALESCE(list_aggregate(list_transform(th, h -> (h % 2001) - 1000), 'sum'), 0) AS BIGINT) * 1000.0 / len(th)) AS BIGINT)
+      ELSE CAST(0 AS BIGINT) END AS logit_x1e3
+  FROM (SELECT doc_id, $oTokHashes AS th FROM documents) z
+)
+SELECT c.cluster_id, c.doc_id, l.logit_x1e3,
+  row_number() OVER (PARTITION BY c.cluster_id ORDER BY l.logit_x1e3 DESC, c.doc_id ASC) = 1 AS is_best
+FROM clusters c JOIN logits l ON c.doc_id = l.doc_id"""
+    },
 
     "q118_cluster_weights" -> """
 WITH k AS (

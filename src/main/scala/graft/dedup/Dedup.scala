@@ -233,6 +233,35 @@ object Dedup {
     labels.select(col("id").as("doc_id"), col("label").as("keeper_id"))
   }
 
+  /** QUALITY-aware canonicalization: within each near-dup cluster keep the
+    * highest-scoring copy, not the smallest id — the choice real corpus
+    * pipelines make (the min-id keeper of [[duplicateClusters]] is
+    * arbitrary; the classifier-best keeper preserves the cleanest
+    * rendition of the duplicated content). Every clustered doc comes back
+    * with its cluster label, logit, and the `is_best` flag.
+    *
+    * Scale shape: clusters come from the LSH-bounded pipeline
+    * (candidates → Jaccard verify → min-label propagation); the logit
+    * join is id-keyed; the best-of window partitions by cluster label —
+    * near-dup clusters are shallow, so no partition outgrows its own
+    * cluster. Ties break (logit desc, doc_id asc) for a total order. */
+  def qualityKeeper(docs: DataFrame,
+                    minJaccardPermille: Long = 600L): DataFrame = {
+    val pairs = jaccardPermille(lshCandidates(docs), docs)
+      .filter(col("jaccard_permille") >= minJaccardPermille)
+    val clusters = duplicateClusters(pairs)
+    val logits = graft.text.Classifier.score(docs)
+      .select(col("doc_id"), col("logit_x1e3"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("cluster_id")
+      .orderBy(col("logit_x1e3").desc, col("doc_id").asc)
+    clusters.select(col("doc_id"), col("keeper_id").as("cluster_id"))
+      .join(logits, Seq("doc_id"))
+      .withColumn("rk", row_number().over(w))
+      .select(col("cluster_id"), col("doc_id"), col("logit_x1e3"),
+        (col("rk") === 1).as("is_best"))
+  }
+
   /** GENERAL char-n-gram near-dup pass: exact n-gram Jaccard computed only
     * on LSH candidate pairs — the banding join bounds the pair space, so
     * unlike the consecutive-pair variant this scales to arbitrary corpora

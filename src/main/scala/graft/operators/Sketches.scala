@@ -86,16 +86,29 @@ object Sketches {
   val HllLinearCounting: Array[Long] =
     (1 to 64).map(v => math.floor(64.0 * math.log(64.0 / v)).toLong).toArray
 
-  def hllDistinct(parsed: DataFrame, keyCol: String = "conv_id"): DataFrame = {
+  /** The 64-register state table (name, reg, m) — the MERGEABLE form:
+    * element-wise max of two register tables is the register table of the
+    * concatenated inputs ([[hllMergeRegs]], proven in SketchesSpec), which
+    * is what lets per-day/per-partition sketches fold without re-reading
+    * history. */
+  def hllRegs(parsed: DataFrame, keyCol: String = "conv_id"): DataFrame = {
     val h = conv(substring(md5(col(keyCol)), 1, 8), 16, 10).cast("long")
     // low 6 bits pick the register; the high 26 bits feed the rank
-    val regs = parsed
+    parsed
       .select(col("name"), h.bitwiseAND(lit(63L)).as("reg"),
         shiftright(h, 6).as("v"))
       .withColumn("rank",
         when(col("v") === 0L, 27L)
           .otherwise(lit(27L) - length(bin(col("v")))))
       .groupBy("name", "reg").agg(max("rank").as("m"))
+  }
+
+  /** Merge two register tables (element-wise max). */
+  def hllMergeRegs(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy("name", "reg").agg(max("m").as("m"))
+
+  def hllDistinct(parsed: DataFrame, keyCol: String = "conv_id"): DataFrame = {
+    val regs = hllRegs(parsed, keyCol)
     val perName = regs.groupBy("name").agg(
       count(lit(1)).as("nonzero_regs"),
       sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(27 - m AS INT))")).as("s_obs"))

@@ -143,6 +143,27 @@ object TextAnalysis {
         size(array_distinct(col("sh"))).cast("long")).as("shingle_dup_permille"))
   }
 
+  /** Character-CLASS decomposition (permille of alpha / digit / whitespace
+    * / other, plus distinct-character count) — the encoding-noise and
+    * gibberish detector: mojibake shows as a high `other` share, base64 or
+    * hex blobs as alpha+digit with near-zero whitespace, binary spill as a
+    * collapsed distinct-char set. Complements [[qualityColumns]] (token
+    * level) with the layer below tokens. Map-only expressions. */
+  def charClassProfile(docs: DataFrame): DataFrame = {
+    val t = col("text")
+    val n = length(t).cast("long")
+    def cnt(re: String) = size(regexp_extract_all(t, lit(re), lit(0))).cast("long")
+    def pm(c: Column) = when(n > 0, expr_div(c * 1000, n)).otherwise(0L)
+    docs.select(col("doc_id"), n.as("n_chars_m"),
+      // empty-text guard: Java split("") yields [""] where DuckDB yields []
+      when(n > 0, size(array_distinct(split(t, ""))).cast("long"))
+        .otherwise(0L).as("n_distinct_chars"),
+      pm(cnt("[A-Za-z]")).as("alpha_permille"),
+      pm(cnt("[0-9]")).as("digit_permille"),
+      pm(cnt("\\s")).as("space_permille"),
+      pm(cnt("[^A-Za-z0-9\\s]")).as("other_permille"))
+  }
+
   def langIdDf(docs: DataFrame): DataFrame = {
     val scoreCols = markers.map { case (l, ws) =>
       langScore(col("text"), ws).cast("long").as(s"score_$l")

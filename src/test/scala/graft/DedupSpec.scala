@@ -97,4 +97,22 @@ class DedupSpec extends SparkSpec {
     assert(out(7L) == ((1L, true, 1000L)))
   }
 
+  test("qualityKeeper: exactly one best per cluster, and it has the top logit") {
+    import TestSpark.spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val docs = Seq(
+      (1L, base), (2L, base.replace("today", "tomorrow")),
+      (3L, base.replace("quick", "rapid")),
+      (9L, "completely different words appear in this document body here now ok"))
+      .toDF("doc_id", "text")
+    val out = graft.dedup.Dedup.qualityKeeper(docs).collect()
+    val ids = out.map(_.getLong(1)).toSet
+    assert(ids.contains(1L) && ids.contains(2L) && !ids.contains(9L))
+    val byCluster = out.groupBy(_.getLong(0))
+    byCluster.foreach { case (_, rows) =>
+      val best = rows.filter(_.getBoolean(3))
+      assert(best.length == 1)
+      assert(best.head.getLong(2) == rows.map(_.getLong(2)).max)
+    }
+  }
 }

@@ -61,6 +61,18 @@ class LangModelSpec extends SparkSpec {
     assert(!repPlan.contains("Exchange"))
   }
 
+  test("charClassProfile: class permilles sum to ~1000, distinct chars counted") {
+    val docs = Seq((0L, "ab 12!"), (1L, "")).toDF("doc_id", "text")
+    val out = TextAnalysis.charClassProfile(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val d0 = out(0L)   // 6 chars: 2 alpha, 2 digit, 1 space, 1 other
+    assert(d0.getLong(1) == 6L && d0.getLong(2) == 6L)
+    assert(d0.getLong(3) == 333L && d0.getLong(4) == 333L)
+    assert(d0.getLong(5) == 166L && d0.getLong(6) == 166L)
+    val d1 = out(1L)   // empty text: all zero, no division blowup
+    assert((1 to 6).forall(i => d1.getLong(i) == 0L))
+  }
+
   test("repetitionStats: dup permilles over tokens and shingles") {
     // 9 tokens, 3 distinct -> 666; 7 shingles, 3 distinct -> 571
     val docs = Seq((0L, "a b c a b c a b c"), (1L, "x")).toDF("doc_id", "text")

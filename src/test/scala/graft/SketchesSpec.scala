@@ -49,6 +49,18 @@ class SketchesSpec extends SparkSpec {
     assert(again.getLong(3) == sumPow && again.getLong(4) == est)
   }
 
+  test("hllRegs merge: element-wise max of shard tables equals the full table") {
+    val half1 = (1 to 250).map(i => ("e", f"conv_$i%06d")).toDF("name", "conv_id")
+    val half2 = (200 to 500).map(i => ("e", f"conv_$i%06d")).toDF("name", "conv_id")
+    val full = (1 to 500).map(i => ("e", f"conv_$i%06d")).toDF("name", "conv_id")
+    val merged = Sketches.hllMergeRegs(
+      Sketches.hllRegs(half1), Sketches.hllRegs(half2))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val direct = Sketches.hllRegs(full)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(merged == direct)   // fold-by-day == recompute-from-scratch
+  }
+
   test("cmsHeavyHitters: estimates never undercount; hot template leads") {
     // digit runs normalize away: "hot row 1"/"hot row 2" are ONE template
     val rows = Seq.fill(15)("hot row 1") ++ Seq.fill(15)("hot row 2") ++
