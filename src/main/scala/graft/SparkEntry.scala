@@ -596,6 +596,10 @@ object SparkEntry {
     "q147_quality_keeper" -> ((s, d) =>
       dedup.Dedup.qualityKeeper(docs(s, d))),
 
+    // assistant->tool latency (batch form of the stream-stream join)
+    "q148_tool_latency" -> ((s, d) =>
+      streaming.LatencyStream.toolLatencyBatch(Transcripts.load(s, d))),
+
     // gap-based sessionization: per-session stats
     "q62_sessionize" -> ((s, d) =>
       operators.Sessionize.sessionStats(Transcripts.load(s, d))),
@@ -2928,6 +2932,17 @@ SELECT c.cluster_id, c.doc_id, l.logit_x1e3,
   row_number() OVER (PARTITION BY c.cluster_id ORDER BY l.logit_x1e3 DESC, c.doc_id ASC) = 1 AS is_best
 FROM clusters c JOIN logits l ON c.doc_id = l.doc_id"""
     },
+
+    "q148_tool_latency" -> withCtes(
+      "s" -> """SELECT conv_id, turn_idx, role, ts,
+    lead(role) OVER w AS next_role, lead(ts) OVER w AS next_ts
+  FROM transcripts WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)""")("""
+SELECT conv_id, turn_idx,
+  CAST(floor(epoch(next_ts)) - floor(epoch(ts)) AS BIGINT) AS latency_s
+FROM s
+WHERE role = 'assistant' AND next_role = 'tool'
+  AND floor(epoch(next_ts)) - floor(epoch(ts)) >= 0
+  AND floor(epoch(next_ts)) - floor(epoch(ts)) <= 3600"""),
 
     "q118_cluster_weights" -> """
 WITH k AS (

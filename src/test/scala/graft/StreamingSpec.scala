@@ -228,4 +228,26 @@ class StreamingSpec extends SparkSpec {
     assert(got.select("name", "conv_id", "turn_idx").except(expected).count() == 0)
     assert(expected.except(got.select("name", "conv_id", "turn_idx")).count() == 0)
   }
+
+  test("stream-stream tool-latency join equals the batch lead-window form") {
+    val root = "/tmp/graft_latency_spec"
+    rm(root)
+    val t = Transcripts.load(spark, tiny)
+      .select("conv_id", "turn_idx", "role", "ts")
+    t.write.parquet(s"$root/in")
+    val stream = spark.readStream.schema(t.schema).parquet(s"$root/in")
+    val out = graft.streaming.LatencyStream.toolLatencyStream(stream)
+    val q = out.writeStream.format("memory").queryName("tool_latency")
+      .option("checkpointLocation", s"$root/ckpt")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("tool_latency")
+    val expected = graft.streaming.LatencyStream.toolLatencyBatch(
+      Transcripts.load(spark, tiny))
+    assert(got.count() > 0, "no latency pairs emitted")
+    assert(got.except(expected).count() == 0 &&
+      expected.except(got).count() == 0,
+      "streamed join must equal the batch lead-window result")
+  }
 }
