@@ -203,6 +203,32 @@ object Bench {
           results("quality_deciles") = math.min(qdRun(), qdRun())
           val sdRun = () => timeNoop(ann.Similarity.semanticDedup(vecs))
           results("semantic_dedup") = math.min(sdRun(), sdRun())
+
+          // round-6 ops: sketch aggregates over the parsed stream (the
+          // bounded-state alternatives to exact percentiles/distincts),
+          // the pruned-bigram LM scorer over the replicated docs, and
+          // conversation-level near-dup LSH over template sequences
+          // (turn-bounded: the sequence prefix is the dedup signal; the
+          // hot conversation would otherwise collect 1M turns in one row)
+          val parsedB = Pipeline.parse(input)
+          val hlRun = () => timeNoop(operators.Sketches.hllDistinct(parsedB))
+          results("hll_sketch") = math.min(hlRun(), hlRun())
+          val lhRun = () => timeNoop(operators.Sketches.logHistPercentiles(parsedB))
+          results("log_hist") = math.min(lhRun(), lhRun())
+          val lmRun = () => timeNoop(text.LangModel.lmScore(docs))
+          results("lm_score") = math.min(lmRun(), lmRun())
+          // near-dup over the UNREPLICATED slice: the 50× bench replicas
+          // are exact copies, so every conversation sits in a 50-clique
+          // and the (correct) all-pairs output within cliques is
+          // quadratic by construction — a staging artifact, not the
+          // operator's shape on a real corpus
+          val cnRun = () => timeNoop(operators.Conversations.convNearDup(
+            input.filter((col("conv_id").endsWith("_r0") ||
+              col("conv_id") === "conv_hot") && col("turn_idx") < 256)))
+          results("conv_neardup") = math.min(cnRun(), cnRun())
+          // lmScore/convNearDup persist their reused intermediates;
+          // drop them so repeated bench runs don't accumulate cache
+          spark.catalog.clearCache()
         }
       } finally spark.stop()
     }

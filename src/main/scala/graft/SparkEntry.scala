@@ -2780,8 +2780,12 @@ FROM documents GROUP BY 1""",
       "bandt" -> (0 until 4).map(b =>
         s"SELECT conv_id, $b AS band_idx, (mh${2 * b}*31 + mh${2 * b + 1}) % 1000000007 AS band_sig FROM sigs")
         .mkString(" UNION ALL "),
+      "bandb" -> """SELECT conv_id, band_idx, band_sig
+  FROM (SELECT conv_id, band_idx, band_sig,
+      count(*) OVER (PARTITION BY band_idx, band_sig) AS bn FROM bandt) x
+  WHERE bn <= 64""",
       "cand" -> """SELECT DISTINCT l.conv_id AS conv_a, r.conv_id AS conv_b
-  FROM bandt l JOIN bandt r ON l.band_idx = r.band_idx
+  FROM bandb l JOIN bandb r ON l.band_idx = r.band_idx
     AND l.band_sig = r.band_sig AND l.conv_id < r.conv_id""")("""
 SELECT conv_a, conv_b,
   CAST(floor(len(list_intersect(a.sh, b.sh)) * 1000.0 / len(list_distinct(a.sh || b.sh))) AS BIGINT) AS jaccard_permille

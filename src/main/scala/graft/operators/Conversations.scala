@@ -448,7 +448,8 @@ object Conversations {
     * keyed on band signatures (AQE bounds hot buckets); verification is
     * candidate-sized. */
   def convNearDup(transcripts: DataFrame,
-                  minJaccardPermille: Long = 100L): DataFrame = {
+                  minJaccardPermille: Long = 100L,
+                  maxBucketSize: Long = 64L): DataFrame = {
     import graft.text.TextAnalysis.P
     import graft.dedup.Dedup
     val h = conv(substring(md5(
@@ -475,11 +476,21 @@ object Conversations {
         Dedup.minhashOver(col("sh"), i).as(s"mh$i"))): _*)
     // one posexplode instead of a 4-way union: the signature projection
     // appears once in the plan instead of once per band
-    val bands = sigs
+    val bandsAll = sigs
       .select(col("conv_id"), posexplode(array(
         (0 until Dedup.NumHashes / 2).map(b => Dedup.bandSig(b)): _*)))
       .withColumnRenamed("pos", "band_idx")
       .withColumnRenamed("col", "band_sig")
+    // drop OVERSIZED buckets before the self-join: a band signature shared
+    // by hundreds of conversations is non-discriminative (templated
+    // corpora produce them) and would blow the candidate space O(bucket²)
+    // — the standard LSH hot-bucket guard; persisted because both join
+    // sides consume it
+    val bands = bandsAll
+      .withColumn("bn", count(lit(1)).over(
+        Window.partitionBy("band_idx", "band_sig")))
+      .filter(col("bn") <= maxBucketSize).drop("bn")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cand = bands.as("l")
       .join(bands.as("r"), col("l.band_idx") === col("r.band_idx") &&
         col("l.band_sig") === col("r.band_sig") &&
