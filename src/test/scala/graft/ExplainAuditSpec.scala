@@ -15,7 +15,9 @@ class ExplainAuditSpec extends SparkSpec {
         !p.contains("BroadcastNestedLoopJoin"), s"$q has a product join")
       "Exchange hashpartitioning".r.findAllIn(p).size
     }
-    assert(audit("q140_conv_neardup") <= 5)
+    // 5 core exchanges + the hot-bucket guard's (band_idx, band_sig)
+    // window shuffle, which prints once per cached-side reference
+    assert(audit("q140_conv_neardup") <= 7)
     assert(audit("q134_lm_score") <= 3)   // model agg, prefix agg, doc agg
     assert(audit("q138_join_forecast") <= 2)  // the two histograms
   }
