@@ -226,6 +226,14 @@ object Bench {
             input.filter((col("conv_id").endsWith("_r0") ||
               col("conv_id") === "conv_hot") && col("turn_idx") < 256)))
           results("conv_neardup") = math.min(cnRun(), cnRun())
+          // round-7 ops: the Bloom prefilter over the replicated docs
+          // (shingle explode → 8 KB word table → map-only probe) and the
+          // z-order layout stats (pure map + one ≤64-row aggregate)
+          val blRun = () => timeNoop(operators.Sketches.bloomPrefilter(docs))
+          results("bloom_prefilter") = math.min(blRun(), blRun())
+          val zoRun = () => timeNoop(operators.Layout.layoutStats(docs))
+          results("zorder_layout") = math.min(zoRun(), zoRun())
+
           // lmScore/convNearDup persist their reused intermediates;
           // drop them so repeated bench runs don't accumulate cache
           spark.catalog.clearCache()

@@ -600,6 +600,15 @@ object SparkEntry {
     "q148_tool_latency" -> ((s, d) =>
       streaming.LatencyStream.toolLatencyBatch(Transcripts.load(s, d))),
 
+    // Bloom shingle prefilter: batch screened against the index's 8 KB
+    // mergeable word table, map-only probe, no corpus join
+    "q149_bloom_prefilter" -> ((s, d) =>
+      operators.Sketches.bloomPrefilter(docs(s, d))),
+
+    // Z-order layout: per-file min/max bounds + skip verdicts vs linear
+    "q150_zorder_layout" -> ((s, d) =>
+      operators.Layout.layoutStats(docs(s, d))),
+
     // gap-based sessionization: per-session stats
     "q62_sessionize" -> ((s, d) =>
       operators.Sessionize.sessionStats(Transcripts.load(s, d))),
@@ -2947,6 +2956,69 @@ FROM s
 WHERE role = 'assistant' AND next_role = 'tool'
   AND floor(epoch(next_ts)) - floor(epoch(ts)) >= 0
   AND floor(epoch(next_ts)) - floor(epoch(ts)) <= 3600"""),
+
+    "q149_bloom_prefilter" -> s"""
+WITH th AS (SELECT doc_id, $oTokHashes AS th FROM documents),
+sh0 AS (SELECT doc_id, unnest(list_distinct($oShingles)) AS sh FROM th),
+ks AS (SELECT unnest(generate_series(0, ${operators.Sketches.BloomK - 1})) AS i),
+idx AS (SELECT DISTINCT sh FROM sh0 WHERE doc_id % 2 = 0),
+pos AS (
+  SELECT ('0x' || substr(md5(CAST(sh AS VARCHAR)), 1 + 8*i, 8))::BIGINT
+    % ${operators.Sketches.BloomWords * 64} AS p
+  FROM idx CROSS JOIN ks),
+words AS (
+  -- DuckDB checks shift overflow, so bit 63 (the sign bit) is spelled as
+  -- min-long instead of 1<<63; Spark's Java shift wraps to the same value
+  SELECT p // 64 AS word,
+    bit_or(CASE WHEN p % 64 = 63 THEN (-9223372036854775807 - 1)
+                ELSE 1::BIGINT << CAST(p % 64 AS INT) END) AS bits
+  FROM pos GROUP BY 1),
+batch AS (SELECT doc_id, sh FROM sh0 WHERE doc_id % 2 = 1),
+bpos AS (
+  SELECT doc_id, sh,
+    ('0x' || substr(md5(CAST(sh AS VARCHAR)), 1 + 8*i, 8))::BIGINT
+      % ${operators.Sketches.BloomWords * 64} AS p
+  FROM batch CROSS JOIN ks),
+probe AS (
+  SELECT b.doc_id, b.sh,
+    bool_and(COALESCE(((w.bits >> CAST(b.p % 64 AS INT)) & 1) = 1, false)) AS maybe
+  FROM bpos b LEFT JOIN words w ON b.p // 64 = w.word
+  GROUP BY 1, 2),
+agg AS (
+  SELECT p.doc_id,
+    CAST(count(*) AS BIGINT) AS n_shingles,
+    CAST(sum(CASE WHEN p.maybe THEN 1 ELSE 0 END) AS BIGINT) AS n_maybe,
+    CAST(sum(CASE WHEN i.sh IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_true
+  FROM probe p LEFT JOIN idx i USING (sh)
+  GROUP BY 1)
+SELECT doc_id, n_shingles, n_maybe, n_true,
+  CAST(n_maybe - n_true AS BIGINT) AS n_false_pos,
+  n_maybe >= 3 AS needs_verify
+FROM agg""",
+
+    "q150_zorder_layout" -> {
+      def dh(e: String) = s"('0x' || substr(md5($e), 1, 8))::BIGINT % 1024"
+      s"""
+WITH dims AS (
+  SELECT doc_id, ${dh("lang")} AS ha, ${dh("source")} AS hb FROM documents),
+keyed AS (
+  SELECT doc_id, ha, hb, ${operators.Layout.zValueSql("ha", "hb")} AS z
+  FROM dims),
+files AS (
+  SELECT 'zorder' AS layout, z >> 15 AS file_id, ha, hb FROM keyed
+  UNION ALL
+  SELECT 'linear' AS layout, doc_id % 32 AS file_id, ha, hb FROM keyed),
+stats AS (
+  SELECT layout, CAST(file_id AS BIGINT) AS file_id,
+    CAST(count(*) AS BIGINT) AS n_docs,
+    CAST(min(ha) AS BIGINT) AS min_ha, CAST(max(ha) AS BIGINT) AS max_ha,
+    CAST(min(hb) AS BIGINT) AS min_hb, CAST(max(hb) AS BIGINT) AS max_hb
+  FROM files GROUP BY 1, 2)
+SELECT layout, file_id, n_docs, min_ha, max_ha, min_hb, max_hb,
+  (${dh("'en'")} < min_ha OR ${dh("'en'")} > max_ha) AS skip_lang,
+  (${dh("'src7'")} < min_hb OR ${dh("'src7'")} > max_hb) AS skip_source
+FROM stats"""
+    },
 
     "q118_cluster_weights" -> """
 WITH k AS (

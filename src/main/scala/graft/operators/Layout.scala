@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Z-order (Morton-curve) data layout — the 100 TB file-organization
+  * story. A table laid out by ONE key gives min/max file-skipping on that
+  * key only; interleaving the bits of two dimension hashes into a single
+  * sort key gives BOTH dimensions locality, so a point predicate on either
+  * one prunes most files from the scan before a single row is read.
+  *
+  * Everything here is map-only integer arithmetic: the dimension hashes
+  * come from md5 (so Spark and the DuckDB oracle agree bit-for-bit), the
+  * interleave is a static 20-term shift/mask expression inside one
+  * whole-stage-codegen span, and the file assignment is the z-value's top
+  * bits — no repartitionByRange sampling, no shuffle, deterministic under
+  * re-runs (what a production writer needs for idempotent re-exports).
+  * The per-file min/max stats are exactly what a parquet footer (or an
+  * external index) stores; `layoutStats` computes them plus the resulting
+  * skip verdicts for a probe predicate, side by side with the same stats
+  * under a naive linear (ingest-order) layout — the measured case for
+  * WHY the layout matters.
+  */
+object Layout {
+
+  /** Bits per dimension (10 → 20-bit z-values). */
+  val DimBits = 10
+
+  /** 10-bit md5 dimension hash of a string column — spreads tiny domains
+    * (5 langs, 20 sources) across the dimension range so z-prefix files
+    * get tight, discriminative min/max bounds. */
+  def dimHash(c: Column): Column =
+    conv(substring(md5(c), 1, 8), 16, 10).cast("long") % (1L << DimBits)
+
+  /** Interleave two DimBits-bit values: bit i of `a` lands at 2i+1, bit i
+    * of `b` at 2i (a's bits are the senior partner at every level). */
+  def zValue(a: Column, b: Column): Column =
+    (0 until DimBits).map { i =>
+      shiftleft(shiftright(a, i).bitwiseAND(lit(1L)), 2 * i + 1) +
+        shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), 2 * i)
+    }.reduce(_ + _)
+
+  /** DuckDB twin of [[zValue]] over two integer SQL expressions. */
+  def zValueSql(a: String, b: String): String =
+    (0 until DimBits).map { i =>
+      s"((($a >> $i) & 1) << ${2 * i + 1}) + ((($b >> $i) & 1) << ${2 * i})"
+    }.mkString("(", " + ", ")")
+
+  /** Per-file layout stats + skip verdicts for a (lang, source) probe.
+    *
+    * Files: `fileBits` top z-bits → up to 2^fileBits files (z >> shift is
+    * map-only; a production writer would sortWithinPartitions(z) and cut
+    * files on the same boundaries). For each file and each layout
+    * (`zorder` vs `linear` = doc_id order) the output carries row count,
+    * min/max of both dimension hashes, and whether a scan for
+    * `lang = probeLang` / `source = probeSource` could skip the file on
+    * those bounds. Under z-order the top bits constrain BOTH dims, so most
+    * files are skippable for either predicate; under linear layout every
+    * file spans nearly the full hash range of both dims and nothing
+    * skips — the two layouts' rows differ only in that verdict. */
+  def layoutStats(docs: DataFrame, fileBits: Int = 5,
+                  probeLang: String = "en",
+                  probeSource: String = "src7"): DataFrame = {
+    val shift = 2 * DimBits - fileBits
+    val dims = docs.select(
+      col("doc_id"),
+      dimHash(col("lang")).as("ha"),
+      dimHash(col("source")).as("hb"))
+    val keyed = dims
+      .withColumn("z", zValue(col("ha"), col("hb")))
+      .withColumn("zorder", shiftright(col("z"), shift))
+      // linear layout: same number of file slots, cut by ingest order
+      .withColumn("linear", pmod(col("doc_id"), lit(1L << fileBits)))
+    val byLayout = keyed
+      .select(col("ha"), col("hb"),
+        explode(map(lit("zorder"), col("zorder"), lit("linear"), col("linear")))
+          .as(Seq("layout", "file_id")))
+      .groupBy("layout", "file_id").agg(
+        count(lit(1)).as("n_docs"),
+        min("ha").as("min_ha"), max("ha").as("max_ha"),
+        min("hb").as("min_hb"), max("hb").as("max_hb"))
+    val qa = dimHash(lit(probeLang))
+    val qb = dimHash(lit(probeSource))
+    byLayout
+      .withColumn("skip_lang", qa < col("min_ha") || qa > col("max_ha"))
+      .withColumn("skip_source", qb < col("min_hb") || qb > col("max_hb"))
+  }
+}

@@ -132,6 +132,108 @@ object Sketches {
         "hll_est", "err_x1e3")
   }
 
+  // ---- Bloom filter ---------------------------------------------------------
+
+  /** Bloom parameters for the shingle prefilter: m = 1024 words × 64 bits
+    * = 65536 bits, k = 4 hash functions. At the test corpus' ~15k distinct
+    * index shingles the fill is ~0.5, so the false-positive diagnostic arm
+    * is non-degenerate; production callers size mWords to their index. */
+  val BloomWords = 1024
+  val BloomK = 4
+
+  /** The k ≤ 4 bit positions of a key (rendered to its canonical string
+    * form by the caller). All k positions slice ONE md5 digest — position
+    * i = int(md5(key)[8i : 8i+8 hex]) mod m·64 — so the per-row hash cost
+    * is a single md5 regardless of k (the 128-bit digest carries four
+    * independent 32-bit fields), and the arithmetic is bit-exact in any
+    * engine with md5. */
+  def bloomPositions(key: Column, mWords: Int = BloomWords,
+                     k: Int = BloomK): Column = {
+    require(k <= 4, "k>4 would re-read digest bits")
+    val digest = md5(key)
+    array((0 until k).map(i =>
+      conv(substring(digest, 8 * i + 1, 8), 16, 10)
+        .cast("long") % (mWords * 64L)): _*)
+  }
+
+  /** Build the Bloom filter WORD TABLE (word → 64-bit mask) over a string
+    * key column — the mergeable form: `bit_or` of two word tables is the
+    * word table of the concatenated inputs (same element-wise-fold shape as
+    * [[hllMergeRegs]], proven in SketchesSpec). The only corpus-sized pass
+    * is a hash-aggregate down to ≤ mWords rows (map-side combinable); the
+    * result is ~8 KB regardless of input size, so yesterday's index ships
+    * to today's batch as a broadcast instead of a join side. */
+  def bloomWordTable(keys: DataFrame, keyCol: String,
+                     mWords: Int = BloomWords, k: Int = BloomK): DataFrame =
+    keys
+      .select(explode(bloomPositions(col(keyCol), mWords, k)).as("p"))
+      .select(expr("p DIV 64").as("word"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT))").as("b"))
+      .groupBy("word").agg(bit_or(col("b")).as("bits"))
+
+  /** Merge two word tables (element-wise bit_or). */
+  def bloomMerge(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy("word").agg(bit_or(col("bits")).as("bits"))
+
+  /** Collapse a word table to ONE row holding the filter as a word→bits
+    * map — the broadcastable probe form. */
+  def bloomRow(wordTable: DataFrame): DataFrame =
+    wordTable.agg(map_from_entries(
+      collect_list(struct(col("word"), col("bits")))).as("bm"))
+
+  /** Probe: add `maybe_member` to a frame with a string key column. The
+    * filter arrives as a broadcast 1-row crossJoin (constant-size at any
+    * corpus scale) and the probe itself is map-only — all k bit tests are
+    * per-row expressions, so the batch never shuffles. No false negatives;
+    * false positives at the filter's fill-rate-determined rate. */
+  def bloomProbe(batch: DataFrame, keyCol: String, filterRow: DataFrame,
+                 mWords: Int = BloomWords, k: Int = BloomK): DataFrame =
+    batch
+      .crossJoin(broadcast(filterRow))
+      .withColumn("bloom_pos", bloomPositions(col(keyCol), mWords, k))
+      .withColumn("maybe_member",
+        expr("""forall(bloom_pos, p ->
+          (shiftright(coalesce(element_at(bm, p DIV 64), CAST(0 AS BIGINT)),
+                      CAST(p % 64 AS INT)) & 1) = 1)"""))
+      .drop("bm", "bloom_pos")
+
+  /** Bloom shingle prefilter — the constant-memory complement of
+    * [[graft.dedup.Curation.incrementalVerdicts]]: screen an incoming batch
+    * against an ALREADY-INGESTED corpus' shingle set without joining
+    * against (or even reading) the corpus. Index side (deterministic
+    * doc_id parity stratum here; a stored filter in production) folds to
+    * the 8 KB word table; batch side explodes to distinct shingles, probes
+    * the broadcast filter map-only, and aggregates per doc. A doc flagging
+    * `n_maybe ≥ minShingles` goes to the expensive verify path; the rest —
+    * the vast majority at 100 TB — skip it entirely, and Bloom's no-false-
+    * negative guarantee means nothing true is skipped. The exact-overlap
+    * arm (broadcast semi-join on real index shingles) is the accuracy
+    * diagnostic, affordable at test scale — same pattern as HLL/CMS. */
+  def bloomPrefilter(docs: DataFrame, minShingles: Int = 3): DataFrame = {
+    // persisted: the tokenize+shingle explode feeds BOTH parity branches —
+    // without the persist the (expensive) tokenization pass runs twice
+    val sh = docs.select(col("doc_id"),
+      explode(array_distinct(graft.dedup.Dedup.shingleHashes(col("text"))))
+        .as("sh"))
+      .withColumn("key", col("sh").cast("string"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // persisted: the distinct index set feeds BOTH the word-table build and
+    // the exact-arm broadcast — without the persist its shuffle runs twice
+    val index = sh.filter(col("doc_id") % 2 === 0).select("key", "sh").distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val filterRow = bloomRow(bloomWordTable(index, "key"))
+    val batch = sh.filter(col("doc_id") % 2 === 1)
+    val probed = bloomProbe(batch, "key", filterRow)
+      .join(broadcast(index.select(col("sh").as("ish"))),
+        col("sh") === col("ish"), "left")
+    probed.groupBy("doc_id").agg(
+      count(lit(1)).as("n_shingles"),
+      sum(when(col("maybe_member"), 1L).otherwise(0L)).as("n_maybe"),
+      sum(when(col("ish").isNotNull, 1L).otherwise(0L)).as("n_true"))
+      .withColumn("n_false_pos", col("n_maybe") - col("n_true"))
+      .withColumn("needs_verify", col("n_maybe") >= minShingles)
+  }
+
   /** Count-min sketch over turn templates (depth 4 × width 256 = 1024
     * bounded counters), probed at the exact top-`topK` hot templates —
     * the mergeable heavy-hitter counter that replaces a full

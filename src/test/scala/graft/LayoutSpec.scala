@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Layout
+
+/** Z-order layout (q150): interleave correctness against an independent
+  * Scala reference, the per-file bound invariants the skip verdicts rest
+  * on, and verdict soundness (a skipped file really contains no match). */
+class LayoutSpec extends SparkSpec {
+  import TestSpark.spark.implicits._
+
+  /** Independent bit-interleave reference. */
+  private def zRef(a: Long, b: Long): Long =
+    (0 until Layout.DimBits).map { i =>
+      (((a >> i) & 1L) << (2 * i + 1)) | (((b >> i) & 1L) << (2 * i))
+    }.sum
+
+  test("zValue matches the reference interleave across the dim range") {
+    val samples = Seq((0L, 0L), (1023L, 1023L), (1L, 0L), (0L, 1L),
+      (512L, 256L), (341L, 682L), (1000L, 23L), (77L, 900L))
+    val out = samples.toDF("a", "b")
+      .select(col("a"), col("b"), Layout.zValue(col("a"), col("b")).as("z"))
+      .collect()
+    out.foreach { r =>
+      assert(r.getLong(2) == zRef(r.getLong(0), r.getLong(1)),
+        s"interleave mismatch at (${r.getLong(0)}, ${r.getLong(1)})")
+    }
+    // bijectivity on the sample: distinct inputs → distinct z
+    assert(out.map(_.getLong(2)).distinct.length == samples.length)
+  }
+
+  test("layoutStats: z-prefix files carry tight bounds, linear files do " +
+    "not, and skip verdicts are sound") {
+    val langs = Seq("en", "es", "de", "fr", "zh")
+    val sources = (0 until 20).map(i => s"src$i")
+    val docs = (0L until 400L).map(i =>
+      (i, s"text $i", langs((i % 5).toInt), sources((i % 20).toInt)))
+      .toDF("doc_id", "text", "lang", "source")
+    val stats = Layout.layoutStats(docs).collect()
+    val (zrows, lrows) = stats.partition(_.getString(0) == "zorder")
+    assert(zrows.nonEmpty && lrows.nonEmpty)
+    // both layouts partition the corpus: row counts sum to |docs| each
+    assert(zrows.map(_.getLong(2)).sum == 400L)
+    assert(lrows.map(_.getLong(2)).sum == 400L)
+    // z-prefix files pin ha to 3 top bits and hb to 2 → bounded widths
+    zrows.foreach { r =>
+      assert(r.getLong(4) - r.getLong(3) <= 127L, "ha width exceeds z prefix")
+      assert(r.getLong(6) - r.getLong(5) <= 255L, "hb width exceeds z prefix")
+    }
+    // soundness: recompute each doc's file; no 'en' doc may live in a
+    // file whose zorder row claims skip_lang (same for src7 / skip_source)
+    val assigned = docs.select(
+      col("lang"), col("source"),
+      shiftright(Layout.zValue(Layout.dimHash(col("lang")),
+        Layout.dimHash(col("source"))), 15).as("file_id")).collect()
+    val skipLang = zrows.filter(_.getBoolean(7)).map(_.getLong(1)).toSet
+    val skipSrc = zrows.filter(_.getBoolean(8)).map(_.getLong(1)).toSet
+    assigned.foreach { r =>
+      if (r.getString(0) == "en")
+        assert(!skipLang.contains(r.getLong(2)), "skipped file holds an 'en' doc")
+      if (r.getString(1) == "src7")
+        assert(!skipSrc.contains(r.getLong(2)), "skipped file holds a src7 doc")
+    }
+    // the layout earns its keep: z-order skips strictly more files for the
+    // lang predicate than linear (which interleaves all langs everywhere)
+    val linSkipLang = lrows.count(_.getBoolean(7))
+    assert(skipLang.size > linSkipLang,
+      s"zorder skip_lang=${skipLang.size} not better than linear=$linSkipLang")
+  }
+}

@@ -90,4 +90,49 @@ class SketchesSpec extends SparkSpec {
     if (out("a").getLong(2) == 2L) assert(out("a").getLong(4) == 2L)
     assert(out("b").getLong(2) == 1L && out("b").getLong(4) == 1L)
   }
+
+  test("bloom: no false negatives, near-zero FPs at low fill, and the " +
+    "word-table merge equals the rebuild") {
+    val a = (1 to 5).map(i => s"member_a_$i").toDF("key")
+    val b = (1 to 5).map(i => s"member_b_$i").toDF("key")
+    val both = a.unionByName(b)
+    // merge property: bit_or of shard tables == table of the union
+    val merged = Sketches.bloomMerge(
+      Sketches.bloomWordTable(a, "key"), Sketches.bloomWordTable(b, "key"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val direct = Sketches.bloomWordTable(both, "key")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(merged == direct)
+    // no false negatives: every inserted key probes true
+    val row = Sketches.bloomRow(Sketches.bloomWordTable(both, "key"))
+    val members = Sketches.bloomProbe(both, "key", row).collect()
+    assert(members.forall(_.getBoolean(1)), "bloom false negative")
+    // 10 keys set ≤40 of 65536 bits: P(any of 200 non-members probing
+    // all-4-bits-set) < 1e-10, and md5 makes the outcome deterministic
+    val nonMembers = (1 to 200).map(i => s"outsider_$i").toDF("key")
+    val probed = Sketches.bloomProbe(nonMembers, "key", row).collect()
+    assert(probed.forall(!_.getBoolean(1)), "unexpected FP at near-zero fill")
+  }
+
+  test("bloomPrefilter: planted cross-stratum duplicate needs verify; " +
+    "novel batch doc does not") {
+    val shared = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val novel = (1 to 30).map(i => s"other$i word$i").mkString(" ")
+    val docs = Seq(
+      (2L, shared),              // index side (even)
+      (3L, shared),              // batch side: true duplicate of doc 2
+      (5L, novel)                // batch side: nothing in common
+    ).toDF("doc_id", "text")
+    val out = Sketches.bloomPrefilter(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out.keySet == Set(3L, 5L))
+    val dup = out(3L)
+    assert(dup.getLong(2) == dup.getLong(1), "all dup shingles must probe maybe")
+    assert(dup.getLong(3) == dup.getLong(1), "all dup shingles are true members")
+    assert(dup.getBoolean(5), "duplicate doc must be routed to verify")
+    val fresh = out(5L)
+    assert(fresh.getLong(3) == 0L, "novel doc shares no true shingles")
+    // n_maybe - n_true == n_false_pos by construction
+    out.values.foreach(r => assert(r.getLong(4) == r.getLong(2) - r.getLong(3)))
+  }
 }
