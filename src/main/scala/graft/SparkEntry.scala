@@ -609,6 +609,18 @@ object SparkEntry {
     "q150_zorder_layout" -> ((s, d) =>
       operators.Layout.layoutStats(docs(s, d))),
 
+    // MERGE-style latest-wins upsert: one map-side-combinable aggregate,
+    // no join, no window (change batch = every 7th turn, edited + bumped)
+    "q151_upsert_merge" -> ((s, d) => {
+      val base = Transcripts.load(s, d)
+        .select("conv_id", "turn_idx", "role", "text", "src_file", "src_offset")
+      val changes = base.filter(col("turn_idx") % 7 === 0)
+        .withColumn("text", concat(lit("edited: "), col("text")))
+        .withColumn("src_offset", col("src_offset") + 1000000L)
+      operators.Incremental.upsert(base, changes,
+        Seq("conv_id", "turn_idx"), Seq("src_offset"))
+    }),
+
     // gap-based sessionization: per-session stats
     "q62_sessionize" -> ((s, d) =>
       operators.Sessionize.sessionStats(Transcripts.load(s, d))),
@@ -3019,6 +3031,20 @@ SELECT layout, file_id, n_docs, min_ha, max_ha, min_hb, max_hb,
   (${dh("'src7'")} < min_hb OR ${dh("'src7'")} > max_hb) AS skip_source
 FROM stats"""
     },
+
+    "q151_upsert_merge" -> withCtes(
+      "base" -> """SELECT conv_id, turn_idx, role, text, src_file, src_offset
+  FROM transcripts""",
+      "ch" -> """SELECT conv_id, turn_idx, role, 'edited: ' || text AS text,
+    src_file, src_offset + 1000000 AS src_offset
+  FROM base WHERE turn_idx % 7 = 0""",
+      "u" -> """SELECT *, 0 AS pri FROM base
+  UNION ALL SELECT *, 1 AS pri FROM ch""",
+      "r" -> """SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx
+    ORDER BY src_offset DESC, pri DESC) AS rn FROM u""")("""
+SELECT conv_id, turn_idx, role, text, src_file,
+  CAST(src_offset AS BIGINT) AS src_offset
+FROM r WHERE rn = 1"""),
 
     "q118_cluster_weights" -> """
 WITH k AS (

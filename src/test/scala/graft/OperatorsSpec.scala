@@ -199,4 +199,32 @@ class OperatorsSpec extends SparkSpec {
     assert(h3.getLong(2) == 12L && h3.getLong(3) == 9L)
     assert(h3.getLong(4) == 4000L && h3.getBoolean(5))
   }
+
+  test("upsert: latest version wins, ties go to the change side, " +
+    "unmatched rows pass through both ways") {
+    import TestSpark.spark.implicits._
+    val base = Seq(
+      ("k1", 1, "old", 10L),   // updated by a higher version
+      ("k2", 1, "keep", 20L),  // no change row → passes through
+      ("k3", 1, "stale", 30L)) // change arrives with the SAME version
+      .toDF("conv_id", "turn_idx", "text", "src_offset")
+    val changes = Seq(
+      ("k1", 1, "new", 11L),
+      ("k3", 1, "reapplied", 30L),  // idempotent re-apply: must win the tie
+      ("k4", 1, "insert", 40L))     // new key → inserts
+      .toDF("conv_id", "turn_idx", "text", "src_offset")
+    val out = Incremental.upsert(base, changes,
+      Seq("conv_id", "turn_idx"), Seq("src_offset")).collect()
+      .map(r => r.getString(0) -> (r.getString(2), r.getLong(3))).toMap
+    assert(out == Map(
+      "k1" -> ("new", 11L), "k2" -> ("keep", 20L),
+      "k3" -> ("reapplied", 30L), "k4" -> ("insert", 40L)))
+    // a change OLDER than the base must lose (out-of-order replay)
+    val late = Seq(("k2", 1, "ancient", 5L))
+      .toDF("conv_id", "turn_idx", "text", "src_offset")
+    val replay = Incremental.upsert(base, late,
+      Seq("conv_id", "turn_idx"), Seq("src_offset")).collect()
+      .map(r => r.getString(0) -> r.getString(2)).toMap
+    assert(replay("k2") == "keep")
+  }
 }
