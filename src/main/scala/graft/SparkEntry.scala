@@ -609,6 +609,15 @@ object SparkEntry {
     "q150_zorder_layout" -> ((s, d) =>
       operators.Layout.layoutStats(docs(s, d))),
 
+    // skew-salted equi-join: hot conversations scatter over 8 sub-keys,
+    // cold keys pay nothing; row-identical to the plain join
+    "q152_salted_join" -> ((s, d) => {
+      val t = Transcripts.load(s, d).select("conv_id", "turn_idx", "role")
+      val profile = t.groupBy("conv_id").agg(count(lit(1)).as("n_turns"))
+      operators.JoinPlanner.saltedEquiJoinAuto(t, profile, "conv_id")
+        .select("conv_id", "turn_idx", "role", "n_turns")
+    }),
+
     // MERGE-style latest-wins upsert: one map-side-combinable aggregate,
     // no join, no window (change batch = every 7th turn, edited + bumped)
     "q151_upsert_merge" -> ((s, d) => {
@@ -3031,6 +3040,12 @@ SELECT layout, file_id, n_docs, min_ha, max_ha, min_hb, max_hb,
   (${dh("'src7'")} < min_hb OR ${dh("'src7'")} > max_hb) AS skip_source
 FROM stats"""
     },
+
+    "q152_salted_join" -> withCtes(
+      "p" -> """SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns
+  FROM transcripts GROUP BY 1""")("""
+SELECT t.conv_id, t.turn_idx, t.role, p.n_turns
+FROM transcripts t JOIN p USING (conv_id)"""),
 
     "q151_upsert_merge" -> withCtes(
       "base" -> """SELECT conv_id, turn_idx, role, text, src_file, src_offset

@@ -227,4 +227,36 @@ class OperatorsSpec extends SparkSpec {
       .map(r => r.getString(0) -> r.getString(2)).toMap
     assert(replay("k2") == "keep")
   }
+
+  test("saltedEquiJoin: row-identical to the plain join under planted " +
+    "skew, and the hot key really scatters") {
+    import TestSpark.spark.implicits._
+    val left = ((1 to 200).map(i => ("hot", i)) ++ (1 to 3).map(i => ("cold", i)))
+      .toDF("conv_id", "turn_idx")
+    val right = Seq(("hot", "H"), ("cold", "C"), ("orphan", "O"))
+      .toDF("conv_id", "tag")
+    val plain = left.join(right, Seq("conv_id"))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2))).sorted
+    val salted = operators.JoinPlanner
+      .saltedEquiJoinAuto(left, right, "conv_id", salt = 8, minCount = 100L)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2))).sorted
+    assert(salted.toSeq == plain.toSeq)
+    // the hot key occupies several salt sub-keys (scatter really happened):
+    // with 200 distinct payload hashes mod 8, all 8 sub-keys are populated
+    val hot = left.groupBy("conv_id").agg(count(lit(1)).as("_n"))
+      .filter(col("_n") >= 100L)
+    val spread = left.join(broadcast(hot.select("conv_id")
+        .withColumn("_hot", lit(true))), Seq("conv_id"), "left")
+      .withColumn("_salt", when(col("_hot"),
+        pmod(xxhash64(col("conv_id"), col("turn_idx")), lit(8)).cast("int"))
+        .otherwise(0))
+      .filter(col("conv_id") === "hot")
+      .select("_salt").distinct().count()
+    assert(spread >= 4L, s"hot key spread over only $spread sub-keys")
+    // no hot keys at all → degenerates to the plain join
+    val noHot = operators.JoinPlanner
+      .saltedEquiJoinAuto(left, right, "conv_id", salt = 8, minCount = 100000L)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2))).sorted
+    assert(noHot.toSeq == plain.toSeq)
+  }
 }
