@@ -201,6 +201,44 @@ class StreamingSpec extends SparkSpec {
     assert(kept == Set(1L, 2L, 4L))
   }
 
+  test("streaming snapshot maintenance: foreachBatch upsert converges to " +
+    "the batch merge across micro-batches") {
+    val root = "/tmp/graft_snapshot_spec"
+    rm(root)
+    import TestSpark.spark.implicits._
+    val schema = "conv_id STRING, turn_idx INT, text STRING, src_offset LONG"
+    def drain(): Unit = {
+      val changes = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$root/in/*")
+      val q = graft.streaming.SnapshotStream.start(changes,
+        s"$root/snap", s"$root/ckpt",
+        Seq("conv_id", "turn_idx"), Seq("src_offset"))
+      q.awaitTermination()
+    }
+    Seq(("k1", 1, "v1", 10L), ("k2", 1, "v1", 10L))
+      .toDF("conv_id", "turn_idx", "text", "src_offset")
+      .write.parquet(s"$root/in/b1")
+    drain()
+    val s1 = graft.streaming.SnapshotStream.snapshot(spark, s"$root/snap").get
+      .collect().map(r => r.getString(0) -> r.getString(2)).toMap
+    assert(s1 == Map("k1" -> "v1", "k2" -> "v1"))
+    // batch 2: update k1, out-of-order stale k2, insert k3
+    Seq(("k1", 1, "v2", 20L), ("k2", 1, "stale", 5L), ("k3", 1, "v1", 15L))
+      .toDF("conv_id", "turn_idx", "text", "src_offset")
+      .write.parquet(s"$root/in/b2")
+    drain()
+    val s2 = graft.streaming.SnapshotStream.snapshot(spark, s"$root/snap").get
+      .collect().map(r => r.getString(0) -> r.getString(2)).toMap
+    assert(s2 == Map("k1" -> "v2", "k2" -> "v1", "k3" -> "v1"))
+    // parity: the streamed snapshot equals the one-shot batch upsert of
+    // all changes over an empty base
+    val all = spark.read.schema(schema).parquet(s"$root/in/*")
+    val batchMerged = operators.Incremental.upsert(
+      all.limit(0), all, Seq("conv_id", "turn_idx"), Seq("src_offset"))
+      .collect().map(r => r.getString(0) -> r.getString(2)).toMap
+    assert(s2 == batchMerged)
+  }
+
   test("stateful sampler emits first event per name per hour across batches") {
     import TestSpark.spark.implicits._
     implicit val sp = spark
