@@ -609,6 +609,11 @@ object SparkEntry {
     "q150_zorder_layout" -> ((s, d) =>
       operators.Layout.layoutStats(docs(s, d))),
 
+    // BPE merge-table application: per-doc symbol compression (tokenizer
+    // APPLY step; q135 is the train step)
+    "q153_bpe_encode" -> ((s, d) =>
+      text.LangModel.bpeEncodeStats(docs(s, d))),
+
     // skew-salted equi-join: hot conversations scatter over 8 sub-keys,
     // cold keys pay nothing; row-identical to the plain join
     "q152_salted_join" -> ((s, d) => {
@@ -3039,6 +3044,34 @@ SELECT layout, file_id, n_docs, min_ha, max_ha, min_hb, max_hb,
   (${dh("'en'")} < min_ha OR ${dh("'en'")} > max_ha) AS skip_lang,
   (${dh("'src7'")} < min_hb OR ${dh("'src7'")} > max_hb) AS skip_source
 FROM stats"""
+    },
+
+    "q153_bpe_encode" -> {
+      // greedy-leftmost merge of (x, y) over a symbol-list column `src`,
+      // via position marking — equivalent to the Spark fold because every
+      // rule has x != y (a consumed y can never also start the next pair);
+      // the x == y run-parity case is covered in LangModelSpec instead
+      def oBpeMerge(src: String, x: String, y: String): String =
+        s"""list_filter(list_transform(generate_series(1, len($src)), i ->
+    CASE WHEN $src[i] = '$x' AND i < len($src) AND $src[i+1] = '$y' THEN '$x$y'
+         WHEN i > 1 AND $src[i-1] = '$x' AND $src[i] = '$y' THEN NULL
+         ELSE $src[i] END), s -> s IS NOT NULL)"""
+      val levels = text.LangModel.DefaultMerges.zipWithIndex.map {
+        case ((x, y), i) =>
+          s"c${i + 1} AS (SELECT *, ${oBpeMerge(s"m$i", x, y)} AS m${i + 1} FROM c$i)"
+      }.mkString(",\n")
+      val last = s"m${text.LangModel.DefaultMerges.length}"
+      s"""
+WITH t AS (SELECT doc_id, lang, $oToks AS toks FROM documents),
+e AS (SELECT doc_id, lang, unnest(toks) AS tok FROM t),
+c0 AS (SELECT doc_id, lang, tok,
+  list_filter(string_split_regex(tok, ''), c -> c != '') AS m0 FROM e),
+$levels
+SELECT doc_id, lang,
+  CAST(sum(length(tok)) AS BIGINT) AS n_chars,
+  CAST(sum(len($last)) AS BIGINT) AS n_symbols,
+  CAST(sum(len($last)) * 1000 // sum(length(tok)) AS BIGINT) AS compression_permille
+FROM c${text.LangModel.DefaultMerges.length} GROUP BY 1, 2"""
     },
 
     "q152_salted_join" -> withCtes(

@@ -98,4 +98,47 @@ object LangModel {
     counted.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= topK)
   }
+
+  /** The merge table a q135-style miner would emit for this corpus (top
+    * first-level pairs plus one second-level rule over a merged symbol —
+    * the layering that makes BPE BPE). All rules have x ≠ y, which the
+    * q153 oracle's position-marking formulation requires; the x == y case
+    * (run parity) is exercised against a Scala reference in LangModelSpec. */
+  val DefaultMerges: Seq[(String, String)] =
+    Seq(("e", "r"), ("o", "w"), ("i", "n"), ("s", "t"), ("er", "s"))
+
+  /** One greedy-leftmost BPE merge of the symbol pair (x, y) over a symbol
+    * array: fold left, fusing the accumulator's last symbol with the
+    * current one when they spell the rule. The accumulator is a lambda
+    * variable, so each merge level costs ONE expression node chain — no
+    * plan-tree blowup. */
+  def bpeMergeFold(syms: Column, x: String, y: String): Column =
+    aggregate(syms, array().cast("array<string>"), (acc, s) =>
+      when(size(acc) > 0 && element_at(acc, -1) === x && s === y,
+        concat(slice(acc, lit(1), size(acc) - 1), array(lit(x + y))))
+        .otherwise(concat(acc, array(s))))
+
+  /** Apply a BPE merge table to the corpus and report per-doc compression
+    * — the tokenizer-APPLY step that pairs with [[bpeTopPairs]]' training
+    * step. Tokens explode to rows and each merge level is its own column,
+    * so both the Spark plan and the DuckDB oracle stay LINEAR in the
+    * number of rules (folding nested expressions instead multiplies the
+    * innermost tree by every reference). Map-only until one
+    * doc_id hash-agg folds the stats back. */
+  def bpeEncodeStats(docs: DataFrame,
+                     merges: Seq[(String, String)] = DefaultMerges): DataFrame = {
+    val toksRows = docs.select(col("doc_id"), col("lang"),
+      explode(tokens(col("text"))).as("tok"))
+    val withChars = toksRows.withColumn("m0",
+      filter(split(col("tok"), ""), c => c =!= ""))
+    val encoded = merges.zipWithIndex.foldLeft(withChars) {
+      case (df, ((x, y), i)) =>
+        df.withColumn(s"m${i + 1}", bpeMergeFold(col(s"m$i"), x, y))
+    }
+    encoded.groupBy("doc_id", "lang").agg(
+      sum(length(col("tok"))).as("n_chars"),
+      sum(size(col(s"m${merges.length}")).cast("long")).as("n_symbols"))
+      .withColumn("compression_permille",
+        expr("(n_symbols * 1000) DIV n_chars"))
+  }
 }

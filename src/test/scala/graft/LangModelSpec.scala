@@ -86,4 +86,47 @@ class LangModelSpec extends SparkSpec {
     assert(d1.getLong(1) == 1L && d1.getLong(3) == 0L)
     assert(d1.getLong(4) == 0L && d1.getLong(5) == 0L)
   }
+
+  /** Independent greedy-leftmost BPE merge reference. */
+  private def bpeRef(syms: Seq[String], x: String, y: String): Seq[String] =
+    syms.foldLeft(Vector.empty[String]) { (acc, s) =>
+      if (acc.nonEmpty && acc.last == x && s == y) acc.init :+ (x + y)
+      else acc :+ s
+    }
+
+  test("bpeMergeFold matches the reference, including x == y run parity") {
+    import org.apache.spark.sql.functions._
+    val cases = Seq(
+      ("banana", ("a", "n")),   // b an an a
+      ("aaaa", ("a", "a")),     // aa aa — even run
+      ("aaa", ("a", "a")),      // aa a  — odd run: leftmost wins
+      ("xyxy", ("x", "y")),     // xy xy — non-adjacent repeats
+      ("xxy", ("x", "y")),      // x xy  — rule matches mid-run
+      ("zzz", ("a", "b")))      // no-op
+    val df = cases.map(_._1).toDF("tok")
+      .withColumn("syms", split(col("tok"), ""))
+    cases.foreach { case (tok, (x, y)) =>
+      val got = df.filter(col("tok") === tok)
+        .select(LangModel.bpeMergeFold(
+          filter(col("syms"), c => c =!= ""), x, y))
+        .collect()(0).getSeq[String](0)
+      val want = bpeRef(tok.split("").toSeq.filter(_.nonEmpty), x, y)
+      assert(got == want, s"merge ($x,$y) on '$tok': $got != $want")
+    }
+  }
+
+  test("bpeEncodeStats: layered merges compress and the stats are exact") {
+    // 'craters': e+r -> er, then er+s -> ers: c r a t ers = 5 symbols
+    // 'inner':   i+n -> in, e+r -> er:        in n er     = 3 symbols
+    // 'stow':    s+t -> st, o+w -> ow:        st ow       = 2 symbols
+    val docs = Seq((1L, "craters inner", "en"), (2L, "stow", "en"))
+      .toDF("doc_id", "text", "lang")
+    val out = LangModel.bpeEncodeStats(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getLong(2) == 12L)  // chars: 7 + 5
+    assert(out(1L).getLong(3) == 8L)   // symbols: 5 + 3
+    assert(out(1L).getLong(4) == 666L)
+    assert(out(2L).getLong(2) == 4L && out(2L).getLong(3) == 2L)
+    assert(out(2L).getLong(4) == 500L)
+  }
 }
