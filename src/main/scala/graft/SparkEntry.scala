@@ -614,6 +614,11 @@ object SparkEntry {
     "q153_bpe_encode" -> ((s, d) =>
       text.LangModel.bpeEncodeStats(docs(s, d))),
 
+    // rollup corpus report: cells + per-lang subtotals + grand total in
+    // one Expand + one exchange
+    "q154_corpus_rollup" -> ((s, d) =>
+      text.TextAnalysis.corpusRollup(docs(s, d))),
+
     // skew-salted equi-join: hot conversations scatter over 8 sub-keys,
     // cold keys pay nothing; row-identical to the plain join
     "q152_salted_join" -> ((s, d) => {
@@ -3045,6 +3050,15 @@ SELECT layout, file_id, n_docs, min_ha, max_ha, min_hb, max_hb,
   (${dh("'src7'")} < min_hb OR ${dh("'src7'")} > max_hb) AS skip_source
 FROM stats"""
     },
+
+    "q154_corpus_rollup" -> """
+SELECT lang, source,
+  CAST(GROUPING(lang) AS BIGINT) AS g_lang,
+  CAST(GROUPING(source) AS BIGINT) AS g_source,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+  CAST(sum(n_chars) // count(*) AS BIGINT) AS mean_chars
+FROM documents GROUP BY ROLLUP (lang, source)""",
 
     "q153_bpe_encode" -> {
       // greedy-leftmost merge of (x, y) over a symbol-list column `src`,

@@ -121,6 +121,24 @@ object TextAnalysis {
         (count(lit(1)) - countDistinct(col("norm_h"))).as("n_exact_dups"))
   }
 
+  /** Rollup form of the corpus report: per (lang, source) cells PLUS
+    * per-lang subtotals and the grand total in ONE pass — the dashboard
+    * query every corpus build ends with. Spark plans `rollup` as a single
+    * Expand (each row emitted once per grouping set) into one hash-agg —
+    * one exchange regardless of how many subtotal levels ride along,
+    * where three separate groupBy queries would scan the corpus three
+    * times. The `g_lang`/`g_source` grouping flags disambiguate subtotal
+    * rows from real NULL dimension values. */
+  def corpusRollup(docs: DataFrame): DataFrame =
+    docs
+      .rollup("lang", "source")
+      .agg(
+        grouping(col("lang")).cast("long").as("g_lang"),
+        grouping(col("source")).cast("long").as("g_source"),
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        expr("sum(n_chars) DIV count(1)").as("mean_chars"))
+
   /** WITHIN-document repetition (the Gopher-style quality rule the
     * cross-document boilerplate pass can't see): the fraction of a doc's
     * own token 3-shingles and tokens that are repeats of earlier ones.

@@ -582,4 +582,26 @@ class TextOpsSpec extends SparkSpec {
 
   private def floorPermille(n: Long, d: Long): Long =
     math.floor(n * 1000.0 / d).toLong
+
+  test("corpusRollup: one pass yields cells, per-lang subtotals, and the " +
+    "grand total with correct grouping flags") {
+    val docs = Seq(
+      (1L, "a", "en", "s1", 10L), (2L, "b", "en", "s1", 20L),
+      (3L, "c", "en", "s2", 30L), (4L, "d", "fr", "s1", 40L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = graft.text.TextAnalysis.corpusRollup(docs).collect()
+      .map(r => (Option(r.getString(0)), Option(r.getString(1)),
+        r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(out.length == 3 + 2 + 1)  // cells + lang subtotals + total
+    val cells = out.filter(r => r._3 == 0 && r._4 == 0)
+    assert(cells.toSet == Set(
+      (Some("en"), Some("s1"), 0L, 0L, 2L, 30L, 15L),
+      (Some("en"), Some("s2"), 0L, 0L, 1L, 30L, 30L),
+      (Some("fr"), Some("s1"), 0L, 0L, 1L, 40L, 40L)))
+    val enSub = out.find(r => r._1 == Some("en") && r._4 == 1).get
+    assert(enSub._5 == 3L && enSub._6 == 60L && enSub._7 == 20L)
+    val total = out.find(r => r._3 == 1 && r._4 == 1).get
+    assert(total._1.isEmpty && total._2.isEmpty)
+    assert(total._5 == 4L && total._6 == 100L && total._7 == 25L)
+  }
 }
