@@ -233,6 +233,12 @@ object Bench {
           results("bloom_prefilter") = math.min(blRun(), blRun())
           val zoRun = () => timeNoop(operators.Layout.layoutStats(docs))
           results("zorder_layout") = math.min(zoRun(), zoRun())
+          // tokenizer APPLY (explode + 5 fold levels + one agg) and the
+          // one-Expand rollup report
+          val beRun = () => timeNoop(text.LangModel.bpeEncodeStats(docs))
+          results("bpe_encode") = math.min(beRun(), beRun())
+          val crRun = () => timeNoop(text.TextAnalysis.corpusRollup(docs))
+          results("corpus_rollup") = math.min(crRun(), crRun())
 
           // lmScore/convNearDup persist their reused intermediates;
           // drop them so repeated bench runs don't accumulate cache

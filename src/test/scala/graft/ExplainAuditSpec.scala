@@ -46,4 +46,42 @@ class ExplainAuditSpec extends SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(p150).size <= 1,
       "q150: one (layout, file_id) aggregate exchange")
   }
+
+  test("plan audit: upsert, salted join, BPE encode, rollup stay bounded") {
+    val s = TestSpark.spark
+    val d = "/root/testdata/sf0.001"
+    // hide the synthesis (whose row_number window would otherwise appear
+    // in every plan) behind the cache boundary, exactly as Verify does,
+    // then audit only the text ABOVE the cached relation (whose printout
+    // embeds its own child plan, synthesis window included)
+    graft.sources.Transcripts.materialize(s, d)
+    def plan(q: String) = {
+      val full = SparkEntry.queries(q)(s, d)
+        .queryExecution.executedPlan.toString
+      val cut = full.indexOf("InMemory")
+      val p = if (cut >= 0) full.substring(0, cut) else full
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"), s"$q has a product join")
+      p
+    }
+    // upsert: union + ONE hash-agg — a join- or window-based MERGE here
+    // would be a regression
+    val p151 = plan("q151_upsert_merge")
+    assert(!p151.contains("SortMergeJoin") && !p151.contains("Window"),
+      "q151 must merge via aggregation, not join/window")
+    assert(p151.contains("max_by"), "q151 merges via max_by")
+    assert("Exchange hashpartitioning".r.findAllIn(p151).size <= 1)
+    // salted join: the hot-flag joins must ride broadcasts; only the
+    // (key, salt) equi-join and the auto histogram may shuffle
+    val p152 = plan("q152_salted_join")
+    assert(p152.contains("BroadcastHashJoin"), "hot flags must broadcast")
+    assert("Exchange hashpartitioning".r.findAllIn(p152).size <= 4)
+    // BPE encode: explode + per-level projections + ONE doc_id agg
+    assert("Exchange hashpartitioning".r
+      .findAllIn(plan("q153_bpe_encode")).size <= 1)
+    // rollup: one Expand into one exchange — NOT one scan per subtotal level
+    val p154 = plan("q154_corpus_rollup")
+    assert(p154.contains("Expand"), "rollup must plan as Expand")
+    assert("Exchange hashpartitioning".r.findAllIn(p154).size <= 1)
+  }
 }
