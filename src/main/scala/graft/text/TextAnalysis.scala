@@ -129,15 +129,21 @@ object TextAnalysis {
     * where three separate groupBy queries would scan the corpus three
     * times. The `g_lang`/`g_source` grouping flags disambiguate subtotal
     * rows from real NULL dimension values. */
-  def corpusRollup(docs: DataFrame): DataFrame =
+  def corpusRollup(docs: DataFrame): DataFrame = {
+    // rollup(col(...)) + expr-based grouping(), NOT rollup("lang", ...):
+    // the string overload resolves names through Dataset.col, which tags
+    // the attributes with __dataset_id metadata; over a join-staged input
+    // the ambiguous-self-join detector then false-positives on the Expand
+    // copies (regression-tested in TextOpsSpec on exactly the bench shape)
     docs
-      .rollup("lang", "source")
+      .rollup(col("lang"), col("source"))
       .agg(
-        grouping(col("lang")).cast("long").as("g_lang"),
-        grouping(col("source")).cast("long").as("g_source"),
+        expr("CAST(grouping(lang) AS BIGINT)").as("g_lang"),
+        expr("CAST(grouping(source) AS BIGINT)").as("g_source"),
         count(lit(1)).as("n_docs"),
         sum(col("n_chars")).as("sum_chars"),
         expr("sum(n_chars) DIV count(1)").as("mean_chars"))
+  }
 
   /** WITHIN-document repetition (the Gopher-style quality rule the
     * cross-document boilerplate pass can't see): the fraction of a doc's

@@ -583,6 +583,21 @@ class TextOpsSpec extends SparkSpec {
   private def floorPermille(n: Long, d: Long): Long =
     math.floor(n * 1000.0 / d).toLong
 
+  test("corpusRollup: survives a crossJoin-replicated input (the bench " +
+    "staging shape; grouping() once tripped the self-join ambiguity check)") {
+    val spark = TestSpark.spark
+    val docs0 = Seq((1L, "a", "en", "s1", 10L), (2L, "b", "fr", "s2", 20L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val docs = docs0
+      .crossJoin(spark.range(0, 3L, 1, 2).select(col("id").as("rep")))
+      .withColumn("doc_id", col("doc_id") + col("rep") * 1000000L)
+      .drop("rep")
+    val out = graft.text.TextAnalysis.corpusRollup(docs).collect()
+    assert(out.length == 2 + 2 + 1)
+    assert(out.filter(r => r.getLong(2) == 1 && r.getLong(3) == 1)
+      .map(_.getLong(4)).toSeq == Seq(6L))
+  }
+
   test("corpusRollup: one pass yields cells, per-lang subtotals, and the " +
     "grand total with correct grouping flags") {
     val docs = Seq(
