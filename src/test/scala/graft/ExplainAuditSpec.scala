@@ -76,9 +76,11 @@ class ExplainAuditSpec extends SparkSpec {
     val p152 = plan("q152_salted_join")
     assert(p152.contains("BroadcastHashJoin"), "hot flags must broadcast")
     assert("Exchange hashpartitioning".r.findAllIn(p152).size <= 4)
-    // BPE encode: explode + per-level projections + ONE doc_id agg
-    assert("Exchange hashpartitioning".r
-      .findAllIn(plan("q153_bpe_encode")).size <= 1)
+    // BPE encode: vocabulary distinct + doc_id agg; the encoded vocab
+    // must come back as a broadcast, never a shuffled join
+    val p153 = plan("q153_bpe_encode")
+    assert(p153.contains("BroadcastHashJoin"), "vocab must broadcast")
+    assert("Exchange hashpartitioning".r.findAllIn(p153).size <= 2)
     // rollup: one Expand into one exchange — NOT one scan per subtotal level
     val p154 = plan("q154_corpus_rollup")
     assert(p154.contains("Expand"), "rollup must plan as Expand")
