@@ -619,6 +619,11 @@ object SparkEntry {
     "q154_corpus_rollup" -> ((s, d) =>
       text.TextAnalysis.corpusRollup(docs(s, d))),
 
+    // referential-integrity audit: embeddings <-> documents key domains
+    "q155_integrity_audit" -> ((s, d) =>
+      operators.Aggregates.integrityAudit(
+        vecs(s, d), docs(s, d), "vec_id", "doc_id")),
+
     // skew-salted equi-join: hot conversations scatter over 8 sub-keys,
     // cold keys pay nothing; row-identical to the plain join
     "q152_salted_join" -> ((s, d) => {
@@ -3050,6 +3055,22 @@ SELECT layout, file_id, n_docs, min_ha, max_ha, min_hb, max_hb,
   (${dh("'src7'")} < min_hb OR ${dh("'src7'")} > max_hb) AS skip_source
 FROM stats"""
     },
+
+    "q155_integrity_audit" -> """
+WITH c AS (SELECT vec_id AS k, CAST(count(*) AS BIGINT) AS n_c
+  FROM embeddings GROUP BY 1),
+p AS (SELECT doc_id AS k, CAST(count(*) AS BIGINT) AS n_p
+  FROM documents GROUP BY 1),
+j AS (SELECT * FROM c FULL OUTER JOIN p USING (k))
+SELECT CAST(sum(COALESCE(n_c, 0)) AS BIGINT) AS n_child_rows,
+  CAST(sum(COALESCE(n_p, 0)) AS BIGINT) AS n_parent_rows,
+  CAST(count(CASE WHEN n_p IS NULL THEN 1 END) AS BIGINT) AS n_orphan_child_keys,
+  CAST(count(CASE WHEN n_c IS NULL THEN 1 END) AS BIGINT) AS n_childless_parent_keys,
+  CAST(count(CASE WHEN n_c > 1 THEN 1 END) AS BIGINT) AS n_dup_child_keys,
+  CAST(count(CASE WHEN n_p > 1 THEN 1 END) AS BIGINT) AS n_dup_parent_keys,
+  count(CASE WHEN n_p IS NULL THEN 1 END) = 0
+    AND count(CASE WHEN n_p > 1 THEN 1 END) = 0 AS is_consistent
+FROM j""",
 
     "q154_corpus_rollup" -> """
 SELECT lang, source,

@@ -156,4 +156,26 @@ object Aggregates {
       min(col("src_offset")).as("min_offset"),
       max(col("src_offset")).as("max_offset"),
       count(lit(1)).as("n_events"))
+
+  /** Referential-integrity audit between two tables — the gate a pipeline
+    * runs after every export (does each embedding have a document? each
+    * doc an embedding? any key collisions?). Both sides reduce to per-key
+    * COUNTS first (map-side-combinable hash-aggs whose size is the key
+    * domain, not the row count), then one full-outer join of the two
+    * count frames feeds a single summary row. Orphans never carry
+    * payloads — only keys and counts cross the network. */
+  def integrityAudit(child: DataFrame, parent: DataFrame,
+                     childKey: String, parentKey: String): DataFrame = {
+    val c = child.groupBy(col(childKey).as("k")).agg(count(lit(1)).as("n_c"))
+    val p = parent.groupBy(col(parentKey).as("k")).agg(count(lit(1)).as("n_p"))
+    c.join(p, Seq("k"), "full_outer").agg(
+      sum(coalesce(col("n_c"), lit(0L))).as("n_child_rows"),
+      sum(coalesce(col("n_p"), lit(0L))).as("n_parent_rows"),
+      count(when(col("n_p").isNull, 1)).as("n_orphan_child_keys"),
+      count(when(col("n_c").isNull, 1)).as("n_childless_parent_keys"),
+      count(when(col("n_c") > 1L, 1)).as("n_dup_child_keys"),
+      count(when(col("n_p") > 1L, 1)).as("n_dup_parent_keys"))
+      .withColumn("is_consistent",
+        col("n_orphan_child_keys") === 0L && col("n_dup_parent_keys") === 0L)
+  }
 }

@@ -259,4 +259,25 @@ class OperatorsSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2))).sorted
     assert(noHot.toSeq == plain.toSeq)
   }
+
+  test("integrityAudit: planted orphans, childless parents, and key dups " +
+    "are each counted; the clean case is consistent") {
+    import TestSpark.spark.implicits._
+    val parent = Seq((1L, "p"), (2L, "p"), (3L, "p"), (3L, "dup"))
+      .toDF("doc_id", "x")                       // 3 is a duplicated key
+    val child = Seq((1L, "c"), (1L, "c2"), (2L, "c"), (9L, "orphan"))
+      .toDF("vec_id", "y")                       // 9 has no parent; 1 is dup
+    val r = operators.Aggregates
+      .integrityAudit(child, parent, "vec_id", "doc_id").collect()(0)
+    assert(r.getLong(0) == 4L && r.getLong(1) == 4L)
+    assert(r.getLong(2) == 1L, "orphan child key 9")
+    assert(r.getLong(3) == 1L, "childless parent key 3")
+    assert(r.getLong(4) == 1L, "dup child key 1")
+    assert(r.getLong(5) == 1L, "dup parent key 3")
+    assert(!r.getBoolean(6))
+    val clean = operators.Aggregates.integrityAudit(
+      Seq((1L, "c")).toDF("vec_id", "y"),
+      Seq((1L, "p")).toDF("doc_id", "x"), "vec_id", "doc_id").collect()(0)
+    assert(clean.getBoolean(6))
+  }
 }
