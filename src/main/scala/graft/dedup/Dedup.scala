@@ -63,8 +63,15 @@ object Dedup {
 
   // ---- shingles + minhash ----------------------------------------------------
   /** 3-token shingle hashes: s = ((h0*31 + h1) % P * 31 + h2) % P over the
-    * token-hash array, via sliced zip_with (no explode, no shuffle). */
-  def shingleHashes(text: Column): Column = {
+    * token-hash array. Fused native pass ([[Shingles]], codegen
+    * static-call); [[shingleHashesDeclarative]] is the semantics
+    * reference, proven element-identical in TokenHashParitySpec. */
+  def shingleHashes(text: Column): Column = Shingles.shingles(text)
+
+  /** Declarative reference for [[shingleHashes]]: per-token fold +
+    * sliced zip_with (no explode, no shuffle — but interpreted
+    * higher-order functions, ~10× the fused pass). */
+  def shingleHashesDeclarative(text: Column): Column = {
     val th = tokHashes(text)
     val n = size(th)
     val a = slice(th, lit(1), greatest(n - 2, lit(0)))

@@ -100,6 +100,54 @@ object TokenHash {
   }
 }
 
+/** Fused 3-shingle hash array — the raw-shingle sibling of [[TokenHash]]
+  * for the consumers that need the shingle STREAM rather than its
+  * sketches (boilerplate hotness, dup-span positions, decontamination,
+  * Bloom prefilter, LSH candidate sets). One native pass replaces the
+  * interpreted tokenize → per-token fold → triple slice → double
+  * zip_with chain.
+  *
+  * SEMANTICS CONTRACT: element-for-element identical (same order, same
+  * values) to [[Dedup.shingleHashesDeclarative]] — proven over the corpus
+  * and adversarial strings in TokenHashParitySpec. */
+object Shingles {
+  import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+
+  def shingles(text: Column): Column = {
+    import org.apache.spark.sql.GraftBridge
+    GraftBridge.column(ShingleHashExpr(GraftBridge.expression(text)))
+  }
+
+  def compute(input: UTF8String): ArrayData = {
+    val th = TokenHash.tokHashes(input.toLowerCase.toString)
+    val P = TokenHash.P
+    val n = math.max(th.length - 2, 0)
+    val out = new Array[Long](n)
+    var j = 0
+    while (j < n) {
+      out(j) = ((th(j) * 31L + th(j + 1)) % P * 31L + th(j + 2)) % P
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+case class ShingleHashExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "shingle_hashes"
+  override def nullSafeEval(input: Any): Any =
+    Shingles.compute(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.dedup.Shingles.compute($c);")
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashExpr =
+    copy(child = newChild)
+}
+
 case class TokenHashExpr(child: Expression) extends UnaryExpression {
   override def dataType: DataType = TokenHash.outputSchema
   override def nullable: Boolean = true

@@ -18,6 +18,11 @@ class TokenHashParitySpec extends SparkSpec {
     diff(dedup.Dedup.simhashDf(docs), dedup.Dedup.simhashDfDeclarative(docs))
     diff(text.TextAnalysis.fingerprints(docs),
       text.TextAnalysis.fingerprintsDeclarative(docs))
+    // fused shingle ARRAY: element-for-element (order included)
+    diff(docs.select(col("doc_id"),
+        dedup.Dedup.shingleHashes(col("text")).as("sh")),
+      docs.select(col("doc_id"),
+        dedup.Dedup.shingleHashesDeclarative(col("text")).as("sh")))
   }
 
   test("fused sketches equal declarative chains over the documents corpus") {
