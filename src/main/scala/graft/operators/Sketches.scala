@@ -183,19 +183,26 @@ object Sketches {
 
   /** Probe: add `maybe_member` to a frame with a string key column. The
     * filter arrives as a broadcast 1-row crossJoin (constant-size at any
-    * corpus scale) and the probe itself is map-only — all k bit tests are
-    * per-row expressions, so the batch never shuffles. No false negatives;
-    * false positives at the filter's fill-rate-determined rate. */
+    * corpus scale) and the probe itself is map-only — the k bit tests are
+    * a STATIC conjunction (k is a compile-time parameter), so the whole
+    * test stays inside whole-stage codegen with subexpression elimination
+    * sharing the md5 digest, instead of an interpreted `forall` loop. No
+    * false negatives; false positives at the fill-rate-determined rate. */
   def bloomProbe(batch: DataFrame, keyCol: String, filterRow: DataFrame,
-                 mWords: Int = BloomWords, k: Int = BloomK): DataFrame =
+                 mWords: Int = BloomWords, k: Int = BloomK): DataFrame = {
+    require(k <= 4, "k>4 would re-read digest bits")
+    val m = mWords * 64L
+    val tests = (0 until k).map { i =>
+      val p = s"(CAST(conv(substring(md5($keyCol), ${8 * i + 1}, 8), 16, 10)" +
+        s" AS BIGINT) % $m)"
+      s"((shiftright(coalesce(element_at(bm, $p DIV 64), CAST(0 AS BIGINT))," +
+        s" CAST($p % 64 AS INT)) & 1) = 1)"
+    }.mkString(" AND ")
     batch
       .crossJoin(broadcast(filterRow))
-      .withColumn("bloom_pos", bloomPositions(col(keyCol), mWords, k))
-      .withColumn("maybe_member",
-        expr("""forall(bloom_pos, p ->
-          (shiftright(coalesce(element_at(bm, p DIV 64), CAST(0 AS BIGINT)),
-                      CAST(p % 64 AS INT)) & 1) = 1)"""))
-      .drop("bm", "bloom_pos")
+      .withColumn("maybe_member", expr(tests))
+      .drop("bm")
+  }
 
   /** Bloom shingle prefilter — the constant-memory complement of
     * [[graft.dedup.Curation.incrementalVerdicts]]: screen an incoming batch
@@ -222,6 +229,11 @@ object Sketches {
     val index = sh.filter(col("doc_id") % 2 === 0).select("key", "sh").distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val filterRow = bloomRow(bloomWordTable(index, "key"))
+    // the probe stays PER-INSTANCE (map-only, constant memory): shingle
+    // vocabularies grow with the corpus, so a distinct-probe-then-
+    // broadcast-verdicts "optimization" would ship a corpus-sized
+    // broadcast at 100 TB — the wrong trade even though it would flatter
+    // the (replica-heavy) bench corpus
     val batch = sh.filter(col("doc_id") % 2 === 1)
     val probed = bloomProbe(batch, "key", filterRow)
       .join(broadcast(index.select(col("sh").as("ish"))),
