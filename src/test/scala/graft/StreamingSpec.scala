@@ -239,6 +239,48 @@ class StreamingSpec extends SparkSpec {
     assert(s2 == batchMerged)
   }
 
+  test("streaming Bloom prefilter: replayed content flags on the NEXT " +
+    "batch, and the accumulated table equals the one-shot build") {
+    val root = "/tmp/graft_bloom_stream_spec"
+    rm(root)
+    import TestSpark.spark.implicits._
+    val text1 = (1 to 30).map(i => s"alpha$i beta$i").mkString(" ")
+    val text2 = (1 to 30).map(i => s"gamma$i delta$i").mkString(" ")
+    def drain(): Unit = {
+      val stream = spark.readStream.schema("doc_id LONG, text STRING")
+        .option("maxFilesPerTrigger", 1).parquet(s"$root/in/*")
+      val q = graft.streaming.BloomStream.start(
+        stream, s"$root/state", s"$root/ckpt")
+      q.awaitTermination()
+    }
+    Seq((1L, text1), (2L, text2)).toDF("doc_id", "text")
+      .write.parquet(s"$root/in/b1")
+    drain()
+    val v1 = spark.read.parquet(s"$root/state/verdicts")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    // first batch probes an EMPTY filter: nothing can flag
+    assert(v1 == Map(1L -> false, 2L -> false))
+    // batch 2: doc 3 replays doc 1's text; doc 4 is novel
+    Seq((3L, text1), (4L, "zeta eta theta iota kappa lambda"))
+      .toDF("doc_id", "text").write.parquet(s"$root/in/b2")
+    drain()
+    val v2 = spark.read.parquet(s"$root/state/verdicts")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(v2(3L), "replayed content must flag against the accumulated filter")
+    assert(!v2(4L), "novel content must pass (no FP at this fill)")
+    // mergeability across batches: the streamed table == one-shot build
+    val streamed = graft.streaming.BloomStream
+      .wordTable(spark, s"$root/state")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val oneShot = operators.Sketches.bloomWordTable(
+      spark.read.parquet(s"$root/in/*").select(
+        explode(array_distinct(dedup.Dedup.shingleHashes(col("text"))))
+          .as("sh")).select(col("sh").cast("string").as("key")),
+      "key").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(streamed == oneShot,
+      "accumulated word table must equal the batch build over all docs")
+  }
+
   test("stateful sampler emits first event per name per hour across batches") {
     import TestSpark.spark.implicits._
     implicit val sp = spark
