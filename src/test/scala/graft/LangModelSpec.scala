@@ -115,6 +115,33 @@ class LangModelSpec extends SparkSpec {
     }
   }
 
+  test("bpeMergeFold fuzz: random tokens x random rules (incl. x==y) " +
+    "match the reference") {
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(153)
+    val alphabet = "ab"
+    val cases = (0 until 60).map { i =>
+      val tok = Seq.fill(1 + rnd.nextInt(12))(
+        alphabet(rnd.nextInt(alphabet.length)).toString).mkString
+      val x = alphabet(rnd.nextInt(alphabet.length)).toString
+      val y = alphabet(rnd.nextInt(alphabet.length)).toString
+      (i, tok, x, y)
+    }
+    val df = cases.map { case (i, t, _, _) => (i, t) }.toDF("i", "tok")
+    cases.groupBy { case (_, _, x, y) => (x, y) }.foreach {
+      case ((x, y), group) =>
+        val ids = group.map(_._1).toSet
+        val got = df.filter(col("i").isin(ids.toSeq: _*))
+          .select(col("i"), LangModel.bpeMergeFold(
+            filter(split(col("tok"), ""), c => c =!= ""), x, y))
+          .collect().map(r => r.getInt(0) -> r.getSeq[String](1)).toMap
+        group.foreach { case (i, tok, _, _) =>
+          val want = bpeRef(tok.split("").toSeq.filter(_.nonEmpty), x, y)
+          assert(got(i) == want, s"rule ($x,$y) on '$tok': ${got(i)} != $want")
+        }
+    }
+  }
+
   test("bpeEncodeStats: layered merges compress and the stats are exact") {
     // 'craters': e+r -> er, then er+s -> ers: c r a t ers = 5 symbols
     // 'inner':   i+n -> in, e+r -> er:        in n er     = 3 symbols

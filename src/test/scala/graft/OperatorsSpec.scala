@@ -260,6 +260,73 @@ class OperatorsSpec extends SparkSpec {
     assert(noHot.toSeq == plain.toSeq)
   }
 
+  test("round-7 ops hold their invariants on a seeded random corpus") {
+    import TestSpark.spark.implicits._
+    val rnd = new scala.util.Random(1907)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta",
+      "the", "of", "and", "to")
+    val docs = (0L until 120L).map { i =>
+      val n = rnd.nextInt(40)
+      val t = if (i % 13 == 0) "alpha beta gamma delta eps zeta" // cross-parity dups
+              else Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      (i, t)
+    }.toDF("doc_id", "text")
+
+    // Bloom: counting invariants + NO FALSE NEGATIVES per shingle
+    val bp = operators.Sketches.bloomPrefilter(docs).collect()
+    bp.foreach { r =>
+      assert(r.getLong(3) <= r.getLong(2), "n_true > n_maybe (false negative)")
+      assert(r.getLong(2) <= r.getLong(1))
+      assert(r.getLong(4) == r.getLong(2) - r.getLong(3))
+    }
+    val sh = docs.select(col("doc_id"),
+      explode(array_distinct(dedup.Dedup.shingleHashes(col("text")))).as("sh"))
+      .withColumn("key", col("sh").cast("string"))
+    val idx = sh.filter(col("doc_id") % 2 === 0).select("key", "sh").distinct()
+    val row = operators.Sketches.bloomRow(
+      operators.Sketches.bloomWordTable(idx, "key"))
+    val fn = operators.Sketches
+      .bloomProbe(sh.filter(col("doc_id") % 2 === 1), "key", row)
+      .join(idx.select(col("sh").as("ish")), col("sh") === col("ish"), "left_semi")
+      .filter(!col("maybe_member")).count()
+    assert(fn == 0L, "a true index member failed its bloom probe")
+
+    // upsert: idempotent re-apply, one row per key, max version wins
+    val base = (0L until 80L).map(i => (s"k${i % 30}", i, s"b$i"))
+      .toDF("k", "ver", "payload")
+    val ch = (0L until 40L).map(i => (s"k${rnd.nextInt(40)}", 60L + i, s"c$i"))
+      .toDF("k", "ver", "payload")
+    val once = Incremental.upsert(base, ch, Seq("k"), Seq("ver"))
+    val twice = Incremental.upsert(once, ch, Seq("k"), Seq("ver"))
+    assert(once.collect().toSet == twice.collect().toSet, "upsert not idempotent")
+    val keys = base.select("k").union(ch.select("k")).distinct().count()
+    assert(once.count() == keys)
+    val maxVer = base.unionByName(ch).groupBy("k").agg(max("ver").as("mv"))
+    assert(once.join(maxVer, "k").filter(col("ver") =!= col("mv")).count() == 0)
+
+    // salted join: row-equal to the plain join on a random skewed frame
+    val left = (0L until 400L).map { i =>
+      (if (rnd.nextInt(100) < 60) "hot" else s"k${rnd.nextInt(20)}", i)
+    }.toDF("k", "v")
+    val right = ("hot" +: (0 until 20).map(i => s"k$i")).map(k => (k, s"p_$k"))
+      .toDF("k", "p")
+    val plain = left.join(right, Seq("k")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2))).sorted.toSeq
+    val salted = operators.JoinPlanner
+      .saltedEquiJoinAuto(left, right, "k", salt = 1 + rnd.nextInt(15),
+        minCount = 50L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+      .sorted.toSeq
+    assert(salted == plain)
+
+    // z-order: bijective over a 64x64 grid, prefix bounds hold
+    val grid = for (a <- 0L until 64L; b <- 0L until 64L) yield (a * 16, b * 16)
+    val zs = grid.toDF("a", "b")
+      .select(operators.Layout.zValue(col("a"), col("b"))).collect()
+      .map(_.getLong(0))
+    assert(zs.distinct.length == grid.length, "zValue collision on the grid")
+  }
+
   test("integrityAudit: planted orphans, childless parents, and key dups " +
     "are each counted; the clean case is consistent") {
     import TestSpark.spark.implicits._
