@@ -98,6 +98,32 @@ object PlanAudit {
     section("preference pairs (conv window -> prompt-key agg, no text in agg)") {
       operators.Conversations.preferencePairs(sources.Transcripts.load(spark, sfDir))
     }
+    section("bloom prefilter (8 KB word table broadcast, codegen bit-test probe)") {
+      operators.Sketches.bloomPrefilter(docs)
+    }
+    section("z-order layout (map-only interleave + one <=64-row aggregate)") {
+      operators.Layout.layoutStats(docs)
+    }
+    section("upsert (union + one max_by hash-agg, no join, no window)") {
+      val base = sources.Transcripts.load(spark, sfDir)
+        .select("conv_id", "turn_idx", "role", "text", "src_file", "src_offset")
+      operators.Incremental.upsert(base,
+        base.limit(10), Seq("conv_id", "turn_idx"), Seq("src_offset"))
+    }
+    section("salted equi-join (broadcast hot flags, scatter x replicate)") {
+      val t = sources.Transcripts.load(spark, sfDir)
+        .select("conv_id", "turn_idx")
+      val prof = t.groupBy("conv_id").agg(
+        org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n_turns"))
+      operators.JoinPlanner.saltedEquiJoinAuto(t, prof, "conv_id")
+    }
+    section("BPE encode (vocabulary folds + broadcast lookup + doc agg)") {
+      text.LangModel.bpeEncodeStats(docs)
+    }
+    section("corpus rollup (one Expand into one exchange)") {
+      text.TextAnalysis.corpusRollup(docs)
+    }
     spark.stop()
   }
 }
