@@ -24,5 +24,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("parse_turn"),
       new ExpressionInfo(classOf[ParseTurnExpr].getName, "parse_turn"),
       (children: Seq[Expression]) => ParseTurnExpr(children.head)))
+    // the fused dedup-stage expressions, for pure-SQL users:
+    //   SELECT token_sketches(text).mh0, shingle_hashes(text) FROM docs
+    ext.injectFunction((
+      new FunctionIdentifier("token_sketches"),
+      new ExpressionInfo(classOf[graft.dedup.TokenHashExpr].getName,
+        "token_sketches"),
+      (children: Seq[Expression]) => graft.dedup.TokenHashExpr(children.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("shingle_hashes"),
+      new ExpressionInfo(classOf[graft.dedup.ShingleHashExpr].getName,
+        "shingle_hashes"),
+      (children: Seq[Expression]) => graft.dedup.ShingleHashExpr(children.head)))
   }
 }

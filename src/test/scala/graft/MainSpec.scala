@@ -38,4 +38,29 @@ class MainSpec extends SparkSpec {
     assert(out.count() > 0)
     assert(out.filter(col("en").isNull).count() == 0)
   }
+
+  test("token_sketches and shingle_hashes are usable from SQL") {
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+    spark.sessionState.functionRegistry.registerFunction(
+      new FunctionIdentifier("token_sketches"),
+      new ExpressionInfo(classOf[dedup.TokenHashExpr].getName, "token_sketches"),
+      (children: Seq[Expression]) => dedup.TokenHashExpr(children.head))
+    spark.sessionState.functionRegistry.registerFunction(
+      new FunctionIdentifier("shingle_hashes"),
+      new ExpressionInfo(classOf[dedup.ShingleHashExpr].getName, "shingle_hashes"),
+      (children: Seq[Expression]) => dedup.ShingleHashExpr(children.head))
+    import TestSpark.spark.implicits._
+    Seq((1L, "one two three four")).toDF("doc_id", "text")
+      .createOrReplaceTempView("d_sql")
+    val r = spark.sql(
+      """SELECT token_sketches(text).fp AS fp, size(shingle_hashes(text)) AS n
+         FROM d_sql""").collect()(0)
+    assert(r.getInt(1) == 2)     // 4 tokens -> 2 shingles
+    // fp equals the declarative fingerprint on the same text
+    val want = text.TextAnalysis.fingerprintsDeclarative(
+      Seq((1L, "one two three four")).toDF("doc_id", "text"))
+      .collect()(0).getLong(1)
+    assert(r.getLong(0) == want)
+  }
 }
