@@ -624,6 +624,11 @@ object SparkEntry {
       operators.Aggregates.integrityAudit(
         vecs(s, d), docs(s, d), "vec_id", "doc_id")),
 
+    // retrieve-then-rerank: BM25 recall, classifier re-order of the
+    // candidate set only (the RAG two-stage shape)
+    "q156_rerank" -> ((s, d) =>
+      text.Bm25.rerankTopK(docs(s, d))),
+
     // skew-salted equi-join: hot conversations scatter over 8 sub-keys,
     // cold keys pay nothing; row-identical to the plain join
     "q152_salted_join" -> ((s, d) => {
@@ -832,6 +837,44 @@ object SparkEntry {
   private def vecs(s: SparkSession, d: String): DataFrame = {
     Graft.prep(s); s.read.parquet(s"$d/embeddings.parquet")
   }
+
+  /** Shared BM25 CTE pyramid (q105 top-k and the q156 rerank build on the
+    * same `scored` frame). */
+  private lazy val bm25Ctes: String = s"""
+WITH tf AS (
+  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, unnest($oTokHashes) AS tok FROM documents) e
+  GROUP BY doc_id, tok),
+consts AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+    CAST(sum(len($oToks)) AS BIGINT) AS t_toks
+  FROM documents),
+qterms AS (
+  SELECT doc_id AS q_id, unnest(list_distinct($oTokHashes)) AS tok
+  FROM documents WHERE doc_id % 211 = 0),
+cand AS (
+  SELECT tf.* FROM tf JOIN (SELECT DISTINCT tok FROM qterms) qt USING (tok)),
+dfq AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM cand GROUP BY tok),
+dls AS (
+  SELECT doc_id,
+    CAST(1000000 * len($oToks) * (SELECT n_docs FROM consts)
+         // (SELECT t_toks FROM consts) AS BIGINT) AS r_micro
+  FROM documents),
+base AS (
+  SELECT q.q_id, c.doc_id,
+    CAST(44000000000000 * c.tf
+         // (20000000 * c.tf + 6000000 + 18 * d.r_micro) AS BIGINT) AS tfpart_micro,
+    CAST(1000000 * (2 * (SELECT n_docs FROM consts) - 2 * f.df + 1)
+         // (2 * f.df + 1) AS BIGINT) AS idf_micro
+  FROM cand c
+  JOIN dfq f USING (tok)
+  JOIN dls d ON c.doc_id = d.doc_id
+  JOIN qterms q ON c.tok = q.tok AND c.doc_id != q.q_id),
+scored AS (
+  SELECT q_id, doc_id,
+    CAST(sum(CAST((CAST(idf_micro AS HUGEINT) * tfpart_micro) // 1000000 AS BIGINT))
+      AS BIGINT) AS score_micro
+  FROM base GROUP BY q_id, doc_id)"""
 
   /** Shared oracle for q15 (batch route counts) and q50 (streaming route
     * counts recomputed from sink artifacts) — identical expected output. */
@@ -2450,46 +2493,33 @@ FROM (
 ) g
 GROUP BY conv_id, grp"""),
 
-    "q105_bm25_topk" -> s"""
-WITH tf AS (
-  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
-  FROM (SELECT doc_id, unnest($oTokHashes) AS tok FROM documents) e
-  GROUP BY doc_id, tok),
-consts AS (
-  SELECT CAST(count(*) AS BIGINT) AS n_docs,
-    CAST(sum(len($oToks)) AS BIGINT) AS t_toks
-  FROM documents),
-qterms AS (
-  SELECT doc_id AS q_id, unnest(list_distinct($oTokHashes)) AS tok
-  FROM documents WHERE doc_id % 211 = 0),
-cand AS (
-  SELECT tf.* FROM tf JOIN (SELECT DISTINCT tok FROM qterms) qt USING (tok)),
-dfq AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM cand GROUP BY tok),
-dls AS (
-  SELECT doc_id,
-    CAST(1000000 * len($oToks) * (SELECT n_docs FROM consts)
-         // (SELECT t_toks FROM consts) AS BIGINT) AS r_micro
-  FROM documents),
-base AS (
-  SELECT q.q_id, c.doc_id,
-    CAST(44000000000000 * c.tf
-         // (20000000 * c.tf + 6000000 + 18 * d.r_micro) AS BIGINT) AS tfpart_micro,
-    CAST(1000000 * (2 * (SELECT n_docs FROM consts) - 2 * f.df + 1)
-         // (2 * f.df + 1) AS BIGINT) AS idf_micro
-  FROM cand c
-  JOIN dfq f USING (tok)
-  JOIN dls d ON c.doc_id = d.doc_id
-  JOIN qterms q ON c.tok = q.tok AND c.doc_id != q.q_id),
-scored AS (
-  SELECT q_id, doc_id,
-    CAST(sum(CAST((CAST(idf_micro AS HUGEINT) * tfpart_micro) // 1000000 AS BIGINT))
-      AS BIGINT) AS score_micro
-  FROM base GROUP BY q_id, doc_id)
+    "q105_bm25_topk" -> s"""$bm25Ctes
 SELECT q_id, CAST(rank AS BIGINT) AS rank, doc_id, score_micro FROM (
   SELECT q_id, doc_id, score_micro,
     row_number() OVER (PARTITION BY q_id ORDER BY score_micro DESC, doc_id) AS rank
   FROM scored) r
 WHERE rank <= 5""",
+
+    "q156_rerank" -> s"""$bm25Ctes,
+topk AS (
+  SELECT q_id, doc_id, score_micro, CAST(rank AS BIGINT) AS bm25_rank FROM (
+    SELECT q_id, doc_id, score_micro,
+      row_number() OVER (PARTITION BY q_id ORDER BY score_micro DESC, doc_id) AS rank
+    FROM scored) r
+  WHERE rank <= 5),
+cls AS (
+  SELECT doc_id,
+    CASE WHEN len(th) > 0
+         THEN CAST(floor(COALESCE(list_aggregate(
+                list_transform(th, h -> (h % 2001) - 1000), 'sum'), 0)
+              * 1000.0 / len(th)) AS BIGINT)
+         ELSE CAST(0 AS BIGINT) END AS logit_x1e3
+  FROM (SELECT doc_id, $oTokHashes AS th FROM documents) x
+  WHERE doc_id IN (SELECT doc_id FROM topk))
+SELECT t.q_id, t.doc_id, t.bm25_rank, t.score_micro, c.logit_x1e3,
+  CAST(row_number() OVER (PARTITION BY t.q_id
+    ORDER BY c.logit_x1e3 DESC, t.score_micro DESC, t.doc_id) AS BIGINT) AS rerank
+FROM topk t JOIN cls c USING (doc_id)""",
 
     "q106_boiler_scrub" -> s"""
 WITH sh AS (

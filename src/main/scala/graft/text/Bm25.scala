@@ -92,4 +92,25 @@ object Bm25 {
       .filter(col("rank") <= k)
       .select(col("q_id"), col("rank"), col("doc_id"), col("score_micro"))
   }
+
+  /** Retrieve-then-rerank — the RAG/data-curation two-stage shape: BM25
+    * recalls top-k per query, the (stronger, costlier) classifier re-orders
+    * just those candidates. Scale design: the candidate id set is
+    * queries×k (tiny), so it BROADCASTS into a semi-join that prunes the
+    * corpus before any classifier work runs — the second-stage model
+    * scores |candidates| docs, never the corpus — and the rerank window
+    * partitions candidate-sized data by query. */
+  def rerankTopK(docs: DataFrame, k: Int = 5, queryMod: Int = 211): DataFrame = {
+    val topk = topK(docs, k, queryMod)
+      .withColumnRenamed("rank", "bm25_rank")
+    val candIds = topk.select("doc_id").distinct()
+    val logits = Classifier.score(
+        docs.join(broadcast(candIds), Seq("doc_id"), "left_semi"))
+      .select("doc_id", "logit_x1e3")
+    val joined = topk.join(broadcast(logits), "doc_id")
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("logit_x1e3").desc, col("score_micro").desc, col("doc_id"))
+    joined.withColumn("rerank", row_number().over(w).cast("long"))
+      .select("q_id", "doc_id", "bm25_rank", "score_micro", "logit_x1e3", "rerank")
+  }
 }

@@ -95,6 +95,29 @@ class TrainingOpsSpec extends SparkSpec {
     assert(out(1L) == 1L) // shares rare+common, wins
   }
 
+  test("rerankTopK: classifier order overrides BM25 order on the same " +
+    "candidate set") {
+    val docs = Seq(
+      (0L, "apple banana cherry date"),
+      (1L, "apple banana cherry grape"),
+      (2L, "apple kiwi kiwi kiwi"),
+      (3L, "zebra yak xylophone walrus"))
+      .toDF("doc_id", "text")
+    val topk = Bm25.topK(docs, k = 3, queryMod = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val rr = Bm25.rerankTopK(docs, k = 3, queryMod = 4).collect()
+    // same (query, candidate) set — reranking never changes recall
+    assert(rr.map(r => (r.getLong(0), r.getLong(1))).toSet == topk)
+    // rerank is dense 1..n per query and ordered by logit desc
+    val byQ = rr.groupBy(_.getLong(0))
+    byQ.values.foreach { rows =>
+      val sorted = rows.sortBy(_.getLong(5))
+      assert(sorted.map(_.getLong(5)).toSeq == (1L to rows.length).toSeq)
+      val logits = sorted.map(_.getLong(4)).toSeq
+      assert(logits == logits.sorted.reverse, "rerank must follow logit desc")
+    }
+  }
+
   test("boilerplate scrub: hot 3-token span removed, unique text kept") {
     val boiler = "all rights reserved"
     val docs = Seq(
