@@ -629,6 +629,16 @@ object SparkEntry {
     "q156_rerank" -> ((s, d) =>
       text.Bm25.rerankTopK(docs(s, d))),
 
+    // DSIR importance weights: bucketed-feature target/raw rate table
+    // (≤1024 rows, broadcast) scores every doc's target-likeness
+    "q157_dsir_weights" -> ((s, d) =>
+      text.Selection.dsirWeights(docs(s, d))),
+
+    // one perceptron training step over bucketed token features — the
+    // TRAIN side of the q91 classifier inference
+    "q158_perceptron_step" -> ((s, d) =>
+      text.Classifier.trainStep(docs(s, d))),
+
     // skew-salted equi-join: hot conversations scatter over 8 sub-keys,
     // cold keys pay nothing; row-identical to the plain join
     "q152_salted_join" -> ((s, d) => {
@@ -2520,6 +2530,50 @@ SELECT t.q_id, t.doc_id, t.bm25_rank, t.score_micro, c.logit_x1e3,
   CAST(row_number() OVER (PARTITION BY t.q_id
     ORDER BY c.logit_x1e3 DESC, t.score_micro DESC, t.doc_id) AS BIGINT) AS rerank
 FROM topk t JOIN cls c USING (doc_id)""",
+
+    "q157_dsir_weights" -> s"""
+WITH inst AS (
+  SELECT doc_id, lang, unnest($oTokHashes) % 1024 AS b FROM documents),
+rates AS (
+  SELECT b, CAST(count(*) AS BIGINT) AS n_raw,
+    CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_target
+  FROM inst GROUP BY b),
+thr AS (
+  SELECT CAST((sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) * 1000000)
+    // count(*) AS BIGINT) AS share_micro FROM inst),
+scored AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+    CAST(sum((n_target * 1000000) // n_raw) AS BIGINT) AS weight_sum
+  FROM inst JOIN rates USING (b) GROUP BY doc_id)
+SELECT d.doc_id, d.lang,
+  COALESCE(s.n_tokens, 0) AS n_tokens,
+  COALESCE(s.weight_sum, 0) AS weight_sum,
+  COALESCE(s.weight_sum // s.n_tokens, 0) AS mean_weight_micro,
+  COALESCE(s.weight_sum // s.n_tokens, 0) >= (SELECT share_micro FROM thr)
+    AS selected
+FROM documents d LEFT JOIN scored s USING (doc_id)""",
+
+    "q158_perceptron_step" -> s"""
+WITH inst AS (
+  SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y,
+    unnest($oTokHashes) % 1024 AS b
+  FROM documents),
+wi AS (SELECT doc_id, y, b, (b*31 + 7) % 2001 - 1000 AS w0 FROM inst),
+mist AS (
+  SELECT doc_id, y FROM (
+    SELECT doc_id, y, CAST(sum(w0) AS BIGINT) AS margin
+    FROM wi GROUP BY doc_id, y) m
+  WHERE (CASE WHEN margin >= 0 THEN 1 ELSE -1 END) != y),
+deltas AS (
+  SELECT b, CAST(sum(m.y) AS BIGINT) AS delta
+  FROM wi JOIN mist m USING (doc_id) GROUP BY b),
+pres AS (
+  SELECT b, CAST(count(*) AS BIGINT) AS n_instances FROM wi GROUP BY b)
+SELECT p.b AS bucket, p.n_instances,
+  CAST((p.b*31 + 7) % 2001 - 1000 AS BIGINT) AS w_old,
+  COALESCE(d.delta, 0) AS delta,
+  CAST((p.b*31 + 7) % 2001 - 1000 AS BIGINT) + COALESCE(d.delta, 0) AS w_new
+FROM pres p LEFT JOIN deltas d USING (b)""",
 
     "q106_boiler_scrub" -> s"""
 WITH sh AS (

@@ -31,4 +31,51 @@ object Classifier {
           .otherwise(lit(0L)))
       .withColumn("keep",
         when(col("logit_x1e3") >= 0, lit(1L)).otherwise(lit(0L)))
+
+  /** One batch perceptron TRAINING step over bucketed token features —
+    * the distributed shape of training the quality filter whose inference
+    * is [[score]]. Labels here are the document's `lang == targetLang`
+    * membership (production swaps in curated labels; the dataflow is the
+    * contract).
+    *
+    * Features fold into `buckets` hash buckets so the weight vector is a
+    * bounded table; initial weights are a deterministic function of the
+    * bucket (w0(b) = (31·b+7) mod 2001 − 1000, the [[weight]] convention)
+    * so both engines share one definition without a stored model.
+    *
+    * The step: per doc, margin = Σ_instances w0(b); predict sign(margin);
+    * mispredicted docs contribute y to every one of their instances'
+    * buckets (classic perceptron update, learning rate 1, integer-exact).
+    *
+    * Scale shape: the (doc, bucket) instance stream is map-only off the
+    * scan and feeds (a) the per-doc margin aggregation and (b) the
+    * per-bucket delta aggregation; mistake verdicts rejoin the instance
+    * stream on doc_id — both sides already partition by doc_id, and the
+    * output is ≤`buckets` rows. The instance explode runs twice (two
+    * scans of the source), which at 100 TB is cheaper than materializing
+    * a corpus-sized intermediate.
+    *
+    * Output per bucket seen in the corpus: (bucket, n_instances, w_old,
+    * delta, w_new). */
+  def trainStep(docs: DataFrame, buckets: Int = 1024,
+                targetLang: String = "en"): DataFrame = {
+    val inst = docs.select(col("doc_id"),
+        when(col("lang") === targetLang, 1L).otherwise(-1L).as("y"),
+        explode(TextAnalysis.tokHashes(col("text"))).as("h"))
+      .withColumn("b", col("h") % buckets)
+      .withColumn("w0", (col("b") * 31L + 7L) % 2001L - 1000L)
+    val mistakes = inst.groupBy("doc_id", "y")
+      .agg(sum("w0").as("margin"))
+      .withColumn("pred", when(col("margin") >= 0, 1L).otherwise(-1L))
+      .filter(col("pred") =!= col("y"))
+      .select(col("doc_id"), col("y").as("y_m"))
+    val deltas = inst.join(mistakes, Seq("doc_id"))
+      .groupBy("b").agg(sum("y_m").as("delta"))
+    inst.groupBy("b").agg(count(lit(1)).as("n_instances"))
+      .join(deltas, Seq("b"), "left")
+      .select(col("b").as("bucket"), col("n_instances"),
+        ((col("b") * 31L + 7L) % 2001L - 1000L).as("w_old"),
+        coalesce(col("delta"), lit(0L)).as("delta"))
+      .withColumn("w_new", col("w_old") + col("delta"))
+  }
 }

@@ -619,4 +619,37 @@ class TextOpsSpec extends SparkSpec {
     assert(total._1.isEmpty && total._2.isEmpty)
     assert(total._5 == 4L && total._6 == 100L && total._7 == 25L)
   }
+
+  // tokHash("a") = (7*31 + 97) % P = 314 → bucket 314
+  // tokHash("b") = (7*31 + 98) % P = 315 → bucket 315
+  test("dsirWeights: per-bucket target/raw micro-ratios, corpus-share " +
+    "selection threshold, zero-token docs never selected") {
+    val docs = Seq(
+      (1L, "a a", "en"), (2L, "a", "fr"), (3L, "b", "en"), (4L, "", "fr"))
+      .toDF("doc_id", "text", "lang")
+    val out = graft.text.Selection.dsirWeights(docs).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(5)))).toMap
+    // bucket 314: n_raw=3 n_target=2 → 666666; bucket 315: 1/1 → 1000000
+    // corpus target share: 3 of 4 instances → 750000
+    assert(out(1L) == ((2L, 1333332L, 666666L, false)))
+    assert(out(2L) == ((1L, 666666L, 666666L, false)))
+    assert(out(3L) == ((1L, 1000000L, 1000000L, true)))
+    assert(out(4L) == ((0L, 0L, 0L, false)))
+  }
+
+  test("perceptron trainStep: only mispredicted docs move their buckets' " +
+    "weights, by y per instance") {
+    // w0(314) = (314*31+7) % 2001 - 1000 = 737; w0(315) = 768
+    val docs = Seq(
+      (1L, "a", "en"),   // margin 737 → pred +1 == y → no update
+      (2L, "a", "fr"),   // margin 737 → pred +1 != −1 → delta(314) −1
+      (3L, "b b", "fr")) // margin 1536 → pred +1 != −1 → delta(315) −2
+      .toDF("doc_id", "text", "lang")
+    val out = graft.text.Classifier.trainStep(docs).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out(314L) == ((2L, 737L, -1L, 736L)))
+    assert(out(315L) == ((2L, 768L, -2L, 766L)))
+  }
 }
