@@ -639,6 +639,16 @@ object SparkEntry {
     "q158_perceptron_step" -> ((s, d) =>
       text.Classifier.trainStep(docs(s, d))),
 
+    // inverted-index build: per-term df/tf/head-posting + shard (the
+    // persisted artifact q105's retriever serves from)
+    "q159_postings" -> ((s, d) =>
+      text.Bm25.postings(docs(s, d))),
+
+    // contamination spans: WHERE the eval overlap sits in each flagged
+    // doc (excise vs drop evidence; q74 is the boolean flag)
+    "q160_contamination_spans" -> ((s, d) =>
+      text.Decontaminate.spans(docs(s, d))),
+
     // skew-salted equi-join: hot conversations scatter over 8 sub-keys,
     // cold keys pay nothing; row-identical to the plain join
     "q152_salted_join" -> ((s, d) => {
@@ -2574,6 +2584,41 @@ SELECT p.b AS bucket, p.n_instances,
   COALESCE(d.delta, 0) AS delta,
   CAST((p.b*31 + 7) % 2001 - 1000 AS BIGINT) + COALESCE(d.delta, 0) AS w_new
 FROM pres p LEFT JOIN deltas d USING (b)""",
+
+    "q159_postings" -> s"""
+WITH tf AS (
+  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, unnest($oTokHashes) AS tok FROM documents) e
+  GROUP BY doc_id, tok),
+rk AS (
+  SELECT tok, doc_id, tf,
+    row_number() OVER (PARTITION BY tok ORDER BY tf DESC, doc_id) AS rk
+  FROM tf)
+SELECT tok, CAST(count(*) AS BIGINT) AS df,
+  CAST(sum(tf) AS BIGINT) AS tf_sum,
+  CAST(max(CASE WHEN rk = 1 THEN doc_id END) AS BIGINT) AS top_doc_id,
+  CAST(max(CASE WHEN rk = 1 THEN tf END) AS BIGINT) AS top_tf,
+  tok % 16 AS shard
+FROM rk GROUP BY tok""",
+
+    "q160_contamination_spans" -> s"""
+WITH t AS (SELECT doc_id, $oTokHashes AS th FROM documents),
+sharr AS (SELECT doc_id, $oShingles AS sh FROM t),
+pos AS (
+  SELECT doc_id, CAST(len(sh) AS BIGINT) AS n_shingles,
+    generate_subscripts(sh, 1) - 1 AS pos, unnest(sh) AS s
+  FROM sharr),
+bench AS (SELECT DISTINCT s FROM pos WHERE doc_id % 97 = 0)
+SELECT doc_id,
+  max(n_shingles) AS n_shingles,
+  CAST(count(*) AS BIGINT) AS n_matched,
+  CAST(min(pos) AS BIGINT) AS first_pos,
+  CAST(max(pos) AS BIGINT) AS last_pos,
+  CAST(max(pos) - min(pos) + 3 AS BIGINT) AS span_tokens,
+  (CAST(count(*) AS BIGINT) * 1000) // max(n_shingles) AS matched_permille
+FROM pos JOIN bench USING (s)
+WHERE doc_id % 97 != 0
+GROUP BY doc_id""",
 
     "q106_boiler_scrub" -> s"""
 WITH sh AS (

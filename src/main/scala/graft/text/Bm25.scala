@@ -36,6 +36,34 @@ import org.apache.spark.sql.functions._
   */
 object Bm25 {
 
+  /** Inverted-index BUILD: per-term posting statistics + shard assignment
+    * — the artifact a sparse retriever serves from (the persisted side of
+    * [[topK]]'s on-the-fly posting stream).
+    *
+    * Per term: document frequency, total term frequency, and the head
+    * posting (highest-tf doc, doc_id tie-break — what an impact-ordered
+    * index stores first); `shard = tok % shards` is the deterministic
+    * index-partition assignment, so one term's posting list always lands
+    * whole in one shard.
+    *
+    * Scale shape: the (doc, tok, tf) aggregation is the one corpus-sized
+    * shuffle (map-side combine on the natural key); the per-term window
+    * and final aggregate both partition by `tok`, so Catalyst reuses one
+    * exchange for rank + stats. Output is vocabulary-sized. */
+  def postings(docs: DataFrame, shards: Int = 16): DataFrame = {
+    val tf = docs.select(col("doc_id"),
+        explode(TextAnalysis.tokHashes(col("text"))).as("tok"))
+      .groupBy("tok", "doc_id").agg(count(lit(1)).as("tf"))
+    val w = Window.partitionBy("tok").orderBy(col("tf").desc, col("doc_id"))
+    tf.withColumn("rk", row_number().over(w))
+      .groupBy("tok").agg(
+        count(lit(1)).as("df"),
+        sum("tf").as("tf_sum"),
+        max(when(col("rk") === 1, col("doc_id"))).as("top_doc_id"),
+        max(when(col("rk") === 1, col("tf"))).as("top_tf"))
+      .withColumn("shard", col("tok") % shards)
+  }
+
   /** Top-k corpus docs per query doc by integer-exact BM25. */
   def topK(docs: DataFrame, k: Int = 5, queryMod: Int = 211): DataFrame = {
     val toks = docs.select(col("doc_id"),

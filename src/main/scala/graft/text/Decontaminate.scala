@@ -35,4 +35,35 @@ object Decontaminate {
         (coalesce(col("n_overlap"), lit(0L)) >= minShingles &&
           col("doc_id") % benchMod =!= 0).as("contaminated"))
   }
+
+  /** Contamination SPAN report — where in each flagged document the eval
+    * overlap sits, not just that it exists (the evidence a removal/redact
+    * decision needs: a quote inside a long doc can be excised; a doc that
+    * IS the benchmark answer gets dropped).
+    *
+    * Per matching non-benchmark doc: matched shingle-instance count,
+    * first/last matching shingle position, the token span those bound
+    * (3-token shingles → last − first + 3), and the matched fraction of
+    * the doc's shingles in permille.
+    *
+    * Same scale shape as [[flags]]: the benchmark shingle set broadcasts,
+    * the corpus posexplodes and probes it map-side, and only MATCHING
+    * instances (a sliver) reach the per-doc aggregation. */
+  def spans(docs: DataFrame, benchMod: Int = 97): DataFrame = {
+    val sh = docs
+      .select(col("doc_id"), Dedup.shingleHashes(col("text")).as("arr"))
+      .select(col("doc_id"), size(col("arr")).cast("long").as("n_shingles"),
+        posexplode(col("arr")).as(Seq("pos", "sh")))
+    val bench = sh.filter(col("doc_id") % benchMod === 0)
+      .select(col("sh").as("bsh")).distinct()
+    sh.filter(col("doc_id") % benchMod =!= 0)
+      .join(broadcast(bench), col("sh") === col("bsh"))
+      .groupBy("doc_id").agg(
+        max("n_shingles").as("n_shingles"),
+        count(lit(1)).as("n_matched"),
+        min("pos").cast("long").as("first_pos"),
+        max("pos").cast("long").as("last_pos"))
+      .withColumn("span_tokens", col("last_pos") - col("first_pos") + 3)
+      .withColumn("matched_permille", expr("n_matched * 1000 DIV n_shingles"))
+  }
 }

@@ -652,4 +652,35 @@ class TextOpsSpec extends SparkSpec {
     assert(out(314L) == ((2L, 737L, -1L, 736L)))
     assert(out(315L) == ((2L, 768L, -2L, 766L)))
   }
+
+  test("postings: df/tf_sum/head posting per term, tf-desc doc-asc " +
+    "tie-break, shard = tok mod shards") {
+    val docs = Seq(
+      (1L, "a a b"), (2L, "a"), (3L, "a"), (4L, "a a"))
+      .toDF("doc_id", "text")
+    val out = graft.text.Bm25.postings(docs).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    // tok 314 ("a"): df 4, tf_sum 6, tie tf=2 between docs 1 and 4 → doc 1
+    assert(out(314L) == ((4L, 6L, 1L, 2L, 314L % 16)))
+    // tok 315 ("b"): only doc 1
+    assert(out(315L) == ((1L, 1L, 1L, 1L, 315L % 16)))
+  }
+
+  test("contamination spans: matched instances, position bounds, token " +
+    "span, permille; benchmark docs never reported") {
+    val docs = Seq(
+      (0L, "x y z w"),             // benchmark member (0 % 97 == 0)
+      (1L, "q q x y z p p p"),     // one hit: xyz at shingle pos 2
+      (2L, "a b c"),               // no overlap → absent
+      (3L, "x y z w x y z"))       // xyz@0, yzw@1, xyz@4
+      .toDF("doc_id", "text")
+    val out = graft.text.Decontaminate.spans(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    assert(out.keySet == Set(1L, 3L))
+    assert(out(1L) == ((6L, 1L, 2L, 2L, 3L, 166L)))
+    assert(out(3L) == ((5L, 3L, 0L, 4L, 7L, 600L)))
+  }
 }
