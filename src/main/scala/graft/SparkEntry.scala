@@ -649,6 +649,30 @@ object SparkEntry {
     "q160_contamination_spans" -> ((s, d) =>
       text.Decontaminate.spans(docs(s, d))),
 
+    // dedup-aware deletion propagation: requested docs AND their content
+    // copies go; broadcast content-key probe, no corpus shuffle. The raw
+    // corpus has no exact-dup texts, so both engines plant clones of the
+    // %46 stratum (requested ids, clone ids NOT requested) to make the
+    // 'copy' arm observable in the gate
+    "q161_delete_propagation" -> ((s, d) => {
+      val v1 = docs(s, d)
+      val withClones = v1.unionByName(v1.filter(col("doc_id") % 46 === 0)
+        .withColumn("doc_id", col("doc_id") + 20000000L))
+      operators.Governance.deletePropagation(withClones)
+    }),
+
+    // snapshot diff between corpus versions (v2 derived from v1 by a
+    // shared deterministic edit/drop/add rule): per-doc status audit
+    "q162_snapshot_diff" -> ((s, d) => {
+      val v1 = docs(s, d)
+      val v2 = v1.filter(col("doc_id") % 13 =!= 0)
+        .withColumn("text", when(col("doc_id") % 11 === 0,
+          concat(col("text"), lit(" v2"))).otherwise(col("text")))
+        .unionByName(v1.filter(col("doc_id") % 17 === 0)
+          .withColumn("doc_id", col("doc_id") + 10000000L))
+      operators.Governance.snapshotDiff(v1, v2)
+    }),
+
     // skew-salted equi-join: hot conversations scatter over 8 sub-keys,
     // cold keys pay nothing; row-identical to the plain join
     "q152_salted_join" -> ((s, d) => {
@@ -2619,6 +2643,38 @@ SELECT doc_id,
 FROM pos JOIN bench USING (s)
 WHERE doc_id % 97 != 0
 GROUP BY doc_id""",
+
+    "q161_delete_propagation" -> """
+WITH corpus AS (
+  SELECT doc_id, source, text FROM documents
+  UNION ALL
+  SELECT doc_id + 20000000 AS doc_id, source, text
+  FROM documents WHERE doc_id % 46 = 0),
+keyed AS (
+  SELECT doc_id, source, doc_id % 23 = 0 AS requested, md5(text) AS ckey
+  FROM corpus),
+dk AS (SELECT DISTINCT ckey AS dkey FROM keyed WHERE requested)
+SELECT k.doc_id, k.source, k.requested,
+  d.dkey IS NOT NULL AS deleted,
+  CASE WHEN k.requested THEN 'direct'
+       WHEN d.dkey IS NOT NULL THEN 'copy' END AS reason
+FROM keyed k LEFT JOIN dk d ON k.ckey = d.dkey""",
+
+    "q162_snapshot_diff" -> """
+WITH v1 AS (SELECT doc_id, md5(text) AS h1 FROM documents),
+v2 AS (
+  SELECT doc_id,
+    md5(CASE WHEN doc_id % 11 = 0 THEN text || ' v2' ELSE text END) AS h2
+  FROM documents WHERE doc_id % 13 != 0
+  UNION ALL
+  SELECT doc_id + 10000000 AS doc_id, md5(text) AS h2
+  FROM documents WHERE doc_id % 17 = 0)
+SELECT COALESCE(v1.doc_id, v2.doc_id) AS doc_id,
+  CASE WHEN v1.doc_id IS NULL THEN 'added'
+       WHEN v2.doc_id IS NULL THEN 'removed'
+       WHEN h1 != h2 THEN 'changed'
+       ELSE 'same' END AS status
+FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id""",
 
     "q106_boiler_scrub" -> s"""
 WITH sh AS (

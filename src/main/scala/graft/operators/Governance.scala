@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Data-governance operators a production corpus must support: deletion
+  * propagation (right-to-be-forgotten over a deduplicated corpus) and
+  * snapshot diffing between dataset versions. Both are audit surfaces —
+  * the output is evidence, not just the mutation.
+  */
+object Governance {
+
+  /** Dedup-aware deletion propagation: a deletion request names specific
+    * documents, but a web-scale corpus carries COPIES of the same content
+    * under other ids — honoring the request means deleting every document
+    * that shares the requested content, not just the named rows.
+    *
+    * The request list here is the deterministic `doc_id % reqMod == 0`
+    * stratum (production supplies the real list; the dataflow is the
+    * contract). Per doc: whether it was named, whether it is deleted, and
+    * why (`direct` = named, `copy` = same content as a named doc).
+    *
+    * Scale shape: requests are a sliver of the corpus, so their DISTINCT
+    * md5 content keys broadcast; the corpus probes that set map-side off
+    * the scan — no corpus-wide shuffle, no self-join. The 32-char key is
+    * what moves, never the text. */
+  def deletePropagation(docs: DataFrame, reqMod: Int = 23): DataFrame = {
+    val keyed = docs.select(col("doc_id"), col("source"),
+      (col("doc_id") % reqMod === 0).as("requested"),
+      md5(col("text")).as("ckey"))
+    val delKeys = keyed.filter(col("requested"))
+      .select(col("ckey").as("dkey")).distinct()
+    keyed.join(broadcast(delKeys), col("ckey") === col("dkey"), "left")
+      .select(col("doc_id"), col("source"), col("requested"),
+        col("dkey").isNotNull.as("deleted"),
+        when(col("requested"), "direct")
+          .when(col("dkey").isNotNull, "copy").as("reason"))
+  }
+
+  /** Snapshot diff between two corpus versions: per key, whether the doc
+    * was added, removed, changed (content hash differs), or unchanged —
+    * the audit step between iterative corpus builds (what did this
+    * pipeline change, and how much re-training data does it invalidate?).
+    *
+    * Scale shape: one full-outer equi-join on the key over (key, 32-char
+    * md5) projections — the payload never moves. At 100 TB both snapshots
+    * are bucketed by key on disk, making this join shuffle-free; here it
+    * is the plain sort-merge the optimizer picks. */
+  def snapshotDiff(v1: DataFrame, v2: DataFrame,
+                   key: String = "doc_id"): DataFrame = {
+    val a = v1.select(col(key), md5(col("text")).as("h1"))
+    val b = v2.select(col(key), md5(col("text")).as("h2"))
+    a.join(b, Seq(key), "full_outer")
+      .select(col(key),
+        when(col("h1").isNull, "added")
+          .when(col("h2").isNull, "removed")
+          .when(col("h1") =!= col("h2"), "changed")
+          .otherwise("same").as("status"))
+  }
+}

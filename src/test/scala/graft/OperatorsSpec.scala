@@ -347,4 +347,32 @@ class OperatorsSpec extends SparkSpec {
       Seq((1L, "p")).toDF("doc_id", "x"), "vec_id", "doc_id").collect()(0)
     assert(clean.getBoolean(6))
   }
+
+  test("deletePropagation: requested docs delete as 'direct', content " +
+    "copies as 'copy', everything else is kept") {
+    import TestSpark.spark.implicits._
+    val docs = Seq(
+      (0L, "dup", "s1"),       // requested (0 % 23 == 0)
+      (23L, "unique23", "s1"), // requested
+      (1L, "dup", "s2"),       // copy of requested content
+      (2L, "other", "s2"))     // kept
+      .toDF("doc_id", "text", "source")
+    val out = operators.Governance.deletePropagation(docs).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getBoolean(2), r.getBoolean(3), Option(r.getString(4))))).toMap
+    assert(out(0L) == ((true, true, Some("direct"))))
+    assert(out(23L) == ((true, true, Some("direct"))))
+    assert(out(1L) == ((false, true, Some("copy"))))
+    assert(out(2L) == ((false, false, None)))
+  }
+
+  test("snapshotDiff: added/removed/changed/same per key off content hashes") {
+    import TestSpark.spark.implicits._
+    val v1 = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")).toDF("doc_id", "text")
+    val v2 = Seq((1L, "a"), (3L, "c2"), (4L, "d"), (5L, "e")).toDF("doc_id", "text")
+    val out = operators.Governance.snapshotDiff(v1, v2).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "same", 2L -> "removed", 3L -> "changed",
+      4L -> "same", 5L -> "added"))
+  }
 }
