@@ -661,6 +661,12 @@ object SparkEntry {
       operators.Governance.deletePropagation(withClones)
     }),
 
+    // JPEG-style header parse: dims behind a VARIABLE APP0 offset — the
+    // length-field indirection PNG/WAV (q76/q97) don't exercise
+    "q163_jpeg_header" -> ((s, d) =>
+      multimodal.Multimodal.parseJpegHeader(
+        multimodal.Multimodal.withJpegContainer(docs(s, d)))),
+
     // snapshot diff between corpus versions (v2 derived from v1 by a
     // shared deterministic edit/drop/add rule): per-doc status audit
     "q162_snapshot_diff" -> ((s, d) => {
@@ -2675,6 +2681,16 @@ SELECT COALESCE(v1.doc_id, v2.doc_id) AS doc_id,
        WHEN h1 != h2 THEN 'changed'
        ELSE 'same' END AS status
 FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id""",
+
+    "q163_jpeg_header" -> """
+SELECT doc_id,
+  doc_id % 1920 + 16 AS width,
+  doc_id % 1080 + 16 AS height,
+  doc_id % 13 + 6 AS app0_len,
+  CAST(octet_length(encode(text)) AS BIGINT) AS payload_bytes,
+  TRUE AS magic_ok,
+  TRUE AS sof_ok
+FROM documents""",
 
     "q106_boiler_scrub" -> s"""
 WITH sh AS (

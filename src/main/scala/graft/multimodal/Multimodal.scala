@@ -129,6 +129,47 @@ object Multimodal {
         hex(substring(col("media"), 9, 4)) === "57415645").as("magic_ok"))
   }
 
+  /** Deterministic JPEG-style container: SOI ‖ APP0 marker ‖ BE16 length
+    * (2 + a doc_id-varying pad, so every doc's SOF sits at a DIFFERENT
+    * offset) ‖ pad ‖ SOF0 marker ‖ BE16 len ‖ precision ‖ BE16 height ‖
+    * BE16 width ‖ components ‖ payload. The point vs the PNG/WAV paths:
+    * JPEG dimensions are NOT at a fixed offset — the parser must read the
+    * APP0 length field and indirect through it. */
+  def withJpegContainer(docs: DataFrame): DataFrame = {
+    def be16(c: Column) = unhex(lpad(hex(c), 4, "0"))
+    docs.select(col("doc_id"),
+      concat(
+        lit(Array[Byte](0xFF.toByte, 0xD8.toByte, 0xFF.toByte, 0xE0.toByte)),
+        be16(col("doc_id") % 13 + 6),                 // APP0 len = 2 + pad
+        encode(expr("repeat('J', CAST(doc_id % 13 + 4 AS INT))"), "US-ASCII"),
+        lit(Array[Byte](0xFF.toByte, 0xC0.toByte, 0x00.toByte, 0x0B.toByte,
+          0x08.toByte)),                              // SOF0, len 11, prec 8
+        be16(col("doc_id") % 1080 + 16),              // height
+        be16(col("doc_id") % 1920 + 16),              // width
+        lit(Array[Byte](0x03.toByte)),                // components
+        encode(col("text"), "UTF-8")).as("media"))
+  }
+
+  /** Variable-offset header parse: read the APP0 segment length off bytes
+    * 5-6, compute where the SOF0 marker lands, and lift BE16 dims from
+    * there — substr with COLUMN positions, still pure per-row expressions
+    * that fuse into the scan (the route/filter-on-dimensions step before
+    * any decode spend). */
+  def parseJpegHeader(media: DataFrame): DataFrame = {
+    def be16at(pos: Column) =
+      conv(hex(col("media").substr(pos, lit(2))), 16, 10).cast("long")
+    val app0Len = be16at(lit(5))
+    val sofPos = app0Len + 5                          // SOI(2)+marker(2)+len
+    media.select(col("doc_id"),
+      be16at(sofPos + 7).as("width"),
+      be16at(sofPos + 5).as("height"),
+      app0Len.as("app0_len"),
+      (octet_length(col("media")) - app0Len - 14).cast("long")
+        .as("payload_bytes"),
+      (hex(substring(col("media"), 1, 2)) === "FFD8").as("magic_ok"),
+      (hex(col("media").substr(sofPos, lit(2))) === "FFC0").as("sof_ok"))
+  }
+
   /** The "decode + feature extract" path: typed Dataset mapPartitions —
     * the Scala analog of a Pandas-UDF batch loop. The per-frame decode is
     * a deterministic fake (byte sum per frame); swap `decodeFrame` for a

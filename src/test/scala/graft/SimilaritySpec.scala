@@ -107,6 +107,30 @@ class SimilaritySpec extends SparkSpec {
     assert(r.getBoolean(4))                   // \x89PNG magic intact
   }
 
+  test("jpeg header: dims parse back through the variable APP0 offset; " +
+    "corrupting the length breaks sof_ok, not magic_ok") {
+    // two ids → two different pad lengths → two different SOF offsets
+    val docs = Seq((5000L, "payload", "en", "s", 7L),
+      (5003L, "pp", "en", "s", 2L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = Multimodal.parseJpegHeader(Multimodal.withJpegContainer(docs))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    for (id <- Seq(5000L, 5003L)) {
+      val r = out(id)
+      assert(r.getLong(1) == id % 1920 + 16)  // width
+      assert(r.getLong(2) == id % 1080 + 16)  // height
+      assert(r.getLong(3) == id % 13 + 6)     // app0_len
+      assert(r.getBoolean(5) && r.getBoolean(6))
+    }
+    assert(out(5000L).getLong(4) == 7L && out(5003L).getLong(4) == 2L)
+    // corrupt the APP0 length field (byte 6 += 1): SOF lookup lands wrong
+    val bad = Multimodal.withJpegContainer(docs.limit(1))
+      .withColumn("media", expr(
+        "concat(substring(media, 1, 5), X'FF', substring(media, 7))"))
+    val rb = Multimodal.parseJpegHeader(bad).collect()(0)
+    assert(rb.getBoolean(5) && !rb.getBoolean(6))
+  }
+
   test("semanticDedup: near-identical vectors drop to the smallest id, no cartesian") {
     import TestSpark.spark.implicits._
     // 10/11/12 near-identical (same bucket, cos≈1); 20 orthogonal-ish noise
