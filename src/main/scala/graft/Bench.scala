@@ -239,6 +239,13 @@ object Bench {
           results("bpe_encode") = math.min(beRun(), beRun())
           val crRun = () => timeNoop(text.TextAnalysis.corpusRollup(docs))
           results("corpus_rollup") = math.min(crRun(), crRun())
+          // round-8 ops: DSIR selection (bounded bucket table + broadcast
+          // probe) and the inverted-index build (the vocabulary-sized
+          // posting-stats artifact)
+          val dwRun = () => timeNoop(text.Selection.dsirWeights(docs))
+          results("dsir_weights") = math.min(dwRun(), dwRun())
+          val poRun = () => timeNoop(text.Bm25.postings(docs))
+          results("postings") = math.min(poRun(), poRun())
 
           // lmScore/convNearDup persist their reused intermediates;
           // drop them so repeated bench runs don't accumulate cache

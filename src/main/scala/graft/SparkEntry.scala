@@ -667,6 +667,27 @@ object SparkEntry {
       multimodal.Multimodal.parseJpegHeader(
         multimodal.Multimodal.withJpegContainer(docs(s, d)))),
 
+    // dead-letter export: the rows F7 drops, kept with lineage + reason
+    // (the synth corpus always parses, so both engines mangle the same
+    // deterministic strata: %97==13 blanked, %97==29 prefixed)
+    "q164_dead_letter" -> ((s, d) => {
+      val mangled = Transcripts.load(s, d).withColumn("text",
+        when(col("turn_idx") % 97 === 13, lit(""))
+          .when(col("turn_idx") % 97 === 29, concat(lit("garbage "), col("text")))
+          .otherwise(col("text")))
+      operators.Filters.deadLetter(Pipeline.parse(mangled))
+    }),
+
+    // partition-skew audit: where rows land under a conv_id hash
+    // partitioning (the hot conversation floods one partition)
+    "q165_partition_skew" -> ((s, d) =>
+      operators.Layout.partitionSkewStats(Transcripts.load(s, d), "conv_id")),
+
+    // Matryoshka prefix-mass: is the embedding mass front-loaded enough
+    // to serve truncated vectors from the first 16 dims?
+    "q166_prefix_mass" -> ((s, d) =>
+      ann.Quantize.prefixMassStats(vecs(s, d))),
+
     // snapshot diff between corpus versions (v2 derived from v1 by a
     // shared deterministic edit/drop/add rule): per-doc status audit
     "q162_snapshot_diff" -> ((s, d) => {
@@ -2691,6 +2712,51 @@ SELECT doc_id,
   TRUE AS magic_ok,
   TRUE AS sof_ok
 FROM documents""",
+
+    "q164_dead_letter" -> withTranscripts("""
+SELECT conv_id, turn_idx, src_file, src_offset,
+  CASE WHEN text IS NULL OR trim(text) = '' THEN 'empty_text'
+       ELSE 'unparsed' END AS reason,
+  text
+FROM (
+  SELECT conv_id, turn_idx, src_file, src_offset,
+    CASE WHEN turn_idx % 97 = 13 THEN ''
+         WHEN turn_idx % 97 = 29 THEN 'garbage ' || text
+         ELSE text END AS text
+  FROM transcripts) m
+WHERE NOT regexp_matches(text, '^event=[a-z_0-9]+')"""),
+
+    "q165_partition_skew" -> withCtes(
+      "pp" -> """
+  SELECT ('0x' || substr(md5(conv_id), 1, 8))::BIGINT % 32 AS part_id,
+    CAST(count(*) AS BIGINT) AS n_rows,
+    CAST(count(DISTINCT conv_id) AS BIGINT) AS n_keys
+  FROM transcripts GROUP BY 1""",
+      "t" -> "SELECT CAST(sum(n_rows) AS BIGINT) AS t_rows FROM pp")("""
+SELECT part_id, n_rows, n_keys,
+  (n_rows * 1000) // (SELECT t_rows FROM t) AS share_permille,
+  n_rows * 32 >= (SELECT t_rows FROM t) * 2 AS hot
+FROM pp"""),
+
+    "q166_prefix_mass" -> """
+WITH q AS (
+  SELECT vec_id,
+    list_transform(embedding,
+      x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)) AS qv
+  FROM embeddings),
+n AS (
+  SELECT vec_id,
+    CAST(list_aggregate(list_transform(qv, v -> v * v), 'sum') AS BIGINT)
+      AS norm2,
+    CAST(list_aggregate(list_transform(qv[1:16], v -> v * v), 'sum')
+      AS BIGINT) AS prefix2
+  FROM q)
+SELECT vec_id, norm2, prefix2,
+  CASE WHEN norm2 > 0 THEN (prefix2 * 1000) // norm2 ELSE 0 END
+    AS prefix_permille,
+  CASE WHEN norm2 > 0 THEN (prefix2 * 1000) // norm2 ELSE 0 END >= 500
+    AS front_loaded
+FROM n""",
 
     "q106_boiler_scrub" -> s"""
 WITH sh AS (

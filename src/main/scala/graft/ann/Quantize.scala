@@ -47,6 +47,29 @@ object Quantize {
           .as("mean_norm2"))
   }
 
+  /** Matryoshka prefix-mass diagnostic (MRL, Kusupati et al. 2022): how
+    * much of each vector's squared norm the first `prefixDims` components
+    * carry. Embeddings trained with matryoshka losses can be TRUNCATED to
+    * a prefix for cheap first-stage retrieval — but only if the mass is
+    * actually front-loaded; this op measures that before a pipeline
+    * commits to storing truncated vectors. Map-only milli-quantized
+    * integer arithmetic (the [[qaStats]] convention), one expression pass.
+    *
+    * Output per vector: full and prefix squared norms (milli²-scaled),
+    * the prefix share in permille, and a front_loaded flag at ≥500‰. */
+  def prefixMassStats(vecs: DataFrame, prefixDims: Int = 16): DataFrame = {
+    val q = transform(col("embedding"),
+      x => floor(x.cast("double") * 1000.0).cast("long"))
+    val qp = slice(q, 1, prefixDims)
+    vecs.select(col("vec_id"),
+        aggregate(q, lit(0L), (acc, v) => acc + v * v).as("norm2"),
+        aggregate(qp, lit(0L), (acc, v) => acc + v * v).as("prefix2"))
+      .withColumn("prefix_permille",
+        when(col("norm2") > 0, expr("prefix2 * 1000 DIV norm2"))
+          .otherwise(lit(0L)))
+      .withColumn("front_loaded", col("prefix_permille") >= 500L)
+  }
+
   /** Quantized vector: floor(x * 127 / maxabs) ∈ [-127, 127]. */
   def quantized(emb: Column): Column = {
     val m = maxAbs(emb)

@@ -66,6 +66,22 @@ object Filters {
     * The parse stage yields name='' for malformed text; this drops it. */
   def wellFormed: Column = col("name").isNotNull && col("name") =!= ""
 
+  /** Dead-letter export — the rows [[wellFormed]] silently drops, kept
+    * instead: the quarantine frame an operator repairs or replays from
+    * (the reference only counts these, `process_session.go:183-193`; at
+    * pipeline scale you also need the ROWS, with lineage, or the data is
+    * gone). Carries the original text plus src_file/src_offset so a fixed
+    * parser can re-run exactly the quarantined slice. Reasons: whitespace
+    * or null text → `empty_text`; anything else unnameable → `unparsed`.
+    * Map-only: the standard filter's complement on the same lite parse. */
+  def deadLetter(parsed: DataFrame): DataFrame =
+    parsed.filter(!wellFormed)
+      .select(col("conv_id"), col("turn_idx"), col("src_file"),
+        col("src_offset"),
+        when(col("text").isNull || trim(col("text")) === "", "empty_text")
+          .otherwise("unparsed").as("reason"),
+        col("text"))
+
   /** F8: duplicate-source suppression — when the same source is registered
     * twice (the reference refuses duplicate FQDNs at config load,
     * `pkg/config/config.go` dupe guard; at scale the analog is the same

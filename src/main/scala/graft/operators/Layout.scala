@@ -85,4 +85,30 @@ object Layout {
       .withColumn("skip_lang", qa < col("min_ha") || qa > col("max_ha"))
       .withColumn("skip_source", qb < col("min_hb") || qb > col("max_hb"))
   }
+
+  /** Partition-skew audit: simulate hash-partitioning a frame on `keyCol`
+    * across `nParts` partitions and report, per partition, the row count,
+    * distinct-key count, load share, and a hot flag at ≥2× the fair
+    * share. This is the "would this shuffle hold at 100 TB" preview run
+    * BEFORE committing a big groupBy/join to a key — the per-key twin is
+    * `JoinPlanner.joinForecast`; this one shows where the ROWS land.
+    *
+    * The partition function is the md5 hash the oracle can reproduce
+    * (Spark's real hashpartitioning uses Murmur3; the skew PATTERN under
+    * any decent hash is the same — a 20%-hot key floods one partition
+    * regardless of which hash picked it). One corpus-sized hash-agg down
+    * to ≤nParts·|keys-per-part| then ≤nParts rows. */
+  def partitionSkewStats(df: DataFrame, keyCol: String,
+                         nParts: Int = 32): DataFrame = {
+    val part = (conv(substring(md5(col(keyCol)), 1, 8), 16, 10)
+      .cast("long") % nParts).as("part_id")
+    val perPart = df.groupBy(part).agg(
+      count(lit(1)).as("n_rows"),
+      countDistinct(col(keyCol)).as("n_keys"))
+    val total = perPart.agg(sum("n_rows").as("t_rows"))
+    perPart.crossJoin(broadcast(total))
+      .select(col("part_id"), col("n_rows"), col("n_keys"),
+        expr("n_rows * 1000 DIV t_rows").as("share_permille"),
+        (col("n_rows") * nParts >= col("t_rows") * 2L).as("hot"))
+  }
 }

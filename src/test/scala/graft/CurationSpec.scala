@@ -140,4 +140,19 @@ class CurationSpec extends SparkSpec {
     assert(v(4L) == "quality_too_short")
     assert(v(5L) == "lang")
   }
+
+  test("prefixMassStats: front-loaded vs uniform vs zero vectors") {
+    val front = Array.tabulate(64)(i => if (i < 16) 1.0f else 0.0f)
+    val uniform = Array.fill(64)(1.0f)
+    val zero = Array.fill(64)(0.0f)
+    val vecs = Seq((1L, front), (2L, uniform), (3L, zero))
+      .toDF("vec_id", "embedding")
+    val out = graft.ann.Quantize.prefixMassStats(vecs).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+    val m = 1000L * 1000L                      // one milli-quantized 1.0f²
+    assert(out(1L) == ((16 * m, 16 * m, 1000L, true)))
+    assert(out(2L) == ((64 * m, 16 * m, 250L, false)))
+    assert(out(3L) == ((0L, 0L, 0L, false)))
+  }
 }

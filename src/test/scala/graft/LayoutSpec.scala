@@ -67,4 +67,23 @@ class LayoutSpec extends SparkSpec {
     assert(skipLang.size > linSkipLang,
       s"zorder skip_lang=${skipLang.size} not better than linear=$linSkipLang")
   }
+
+  test("partitionSkewStats: totals conserved, only the hot key's " +
+    "partition flags hot") {
+    val rows = (1 to 80).map(i => ("hot", i.toLong)) ++
+      (1 to 20).map(i => (s"k$i", i.toLong))
+    val df = rows.toDF("conv_id", "turn_idx")
+    val out = Layout.partitionSkewStats(df, "conv_id", nParts = 4).collect()
+    assert(out.map(_.getLong(1)).sum == 100L)           // rows conserved
+    assert(out.map(_.getLong(2)).sum == 21L)            // distinct keys
+    val hotPart = TestSpark.spark.range(1)
+      .select((conv(substring(md5(lit("hot")), 1, 8), 16, 10)
+        .cast("long") % 4).as("p")).collect()(0).getLong(0)
+    out.foreach { r =>
+      val isHotPart = r.getLong(0) == hotPart
+      assert(r.getBoolean(4) == isHotPart,
+        s"partition ${r.getLong(0)} hot=${r.getBoolean(4)}")
+      if (isHotPart) assert(r.getLong(3) >= 800L)       // ≥80% share
+    }
+  }
 }

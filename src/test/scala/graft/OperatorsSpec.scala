@@ -366,6 +366,21 @@ class OperatorsSpec extends SparkSpec {
     assert(out(2L) == ((false, false, None)))
   }
 
+  test("deadLetter: keeps only unnameable rows, with lineage and reason " +
+    "taxonomy") {
+    import TestSpark.spark.implicits._
+    val parsed = Seq(
+      ("c1", 1L, "f1", 10L, "event=login ok", "login"), // well-formed → out
+      ("c1", 2L, "f1", 20L, "", null),                  // empty_text
+      ("c2", 3L, "f2", 30L, "   ", ""),                 // whitespace → empty
+      ("c2", 4L, "f2", 40L, "junk no event", null))     // unparsed
+      .toDF("conv_id", "turn_idx", "src_file", "src_offset", "text", "name")
+    val out = operators.Filters.deadLetter(parsed).collect()
+      .map(r => r.getLong(1) -> r.getString(4)).toMap
+    assert(out == Map(2L -> "empty_text", 3L -> "empty_text",
+      4L -> "unparsed"))
+  }
+
   test("snapshotDiff: added/removed/changed/same per key off content hashes") {
     import TestSpark.spark.implicits._
     val v1 = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")).toDF("doc_id", "text")
