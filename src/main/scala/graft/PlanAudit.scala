@@ -124,6 +124,22 @@ object PlanAudit {
     section("corpus rollup (one Expand into one exchange)") {
       text.TextAnalysis.corpusRollup(docs)
     }
+    section("DSIR weights (<=1024-row rate table broadcast, one doc agg)") {
+      text.Selection.dsirWeights(docs)
+    }
+    section("postings build (window + final agg share one tok exchange)") {
+      text.Bm25.postings(docs)
+    }
+    section("delete propagation (broadcast content-key probe, no self-join)") {
+      operators.Governance.deletePropagation(docs)
+    }
+    section("contamination spans (broadcast eval shingles, matching sliver agg)") {
+      text.Decontaminate.spans(docs)
+    }
+    section("partition-skew audit (one hash-agg to <=nParts rows)") {
+      operators.Layout.partitionSkewStats(
+        sources.Transcripts.load(spark, sfDir), "conv_id")
+    }
     spark.stop()
   }
 }

@@ -198,4 +198,29 @@ class PlanSpec extends SparkSpec {
       .agg(sum("n_events")).collect()(0).getLong(0)
     assert(total == 15L)
   }
+
+  test("round-8 ops: bounded sides broadcast, no sort-merge in the probe " +
+    "paths, postings reuses the tok exchange") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    // DSIR: the <=1024-row rate table and the 1-row threshold broadcast;
+    // the only sort-merge allowed is the final doc_id left join
+    val dsir = finalPlanOf(text.Selection.dsirWeights(docs))
+    assert(dsir.contains("BroadcastHashJoin"), "dsir rate probe must broadcast")
+    assert(!dsir.contains("CartesianProduct"), "dsir cartesian")
+    // delete propagation / contamination spans: pure broadcast probes —
+    // a sort-merge join would mean the corpus shuffled for matching
+    Seq(
+      "deletePropagation" -> operators.Governance.deletePropagation(docs),
+      "decontaminateSpans" -> text.Decontaminate.spans(docs)
+    ).foreach { case (nm, df) =>
+      val plan = finalPlanOf(df)
+      assert(plan.contains("BroadcastHashJoin"), s"$nm must broadcast-probe")
+      assert(!plan.contains("SortMergeJoin"), s"$nm shuffles the corpus")
+    }
+    // postings: the per-term window and final agg share the tok exchange
+    // on top of the (tok, doc_id) tf agg — exactly two exchanges
+    val postings = finalPlanOf(text.Bm25.postings(docs))
+    val n = "Exchange hashpartitioning".r.findAllIn(postings).size
+    assert(n == 2, s"postings expected 2 exchanges, saw $n")
+  }
 }
