@@ -688,6 +688,15 @@ object SparkEntry {
     "q166_prefix_mass" -> ((s, d) =>
       ann.Quantize.prefixMassStats(vecs(s, d))),
 
+    // per-(event, hour) quota throttle: deterministic admit/defer plan
+    "q167_throttle" -> ((s, d) =>
+      operators.Sampling.throttle(Pipeline.parsed(s, d))),
+
+    // one power-iteration step toward the top principal component (the
+    // PCA/OPQ training pass over milli-quantized vectors)
+    "q168_power_iteration" -> ((s, d) =>
+      ann.RandomProjection.powerIterationStep(vecs(s, d))),
+
     // snapshot diff between corpus versions (v2 derived from v1 by a
     // shared deterministic edit/drop/add rule): per-doc status audit
     "q162_snapshot_diff" -> ((s, d) => {
@@ -2757,6 +2766,37 @@ SELECT vec_id, norm2, prefix2,
   CASE WHEN norm2 > 0 THEN (prefix2 * 1000) // norm2 ELSE 0 END >= 500
     AS front_loaded
 FROM n""",
+
+    "q167_throttle" -> withCtes(
+      "p" -> s"""
+  SELECT conv_id, turn_idx, $oName AS name, date_trunc('hour', ts) AS hour
+  FROM transcripts""",
+      "r" -> """
+  SELECT conv_id, turn_idx, name, hour,
+    CAST(row_number() OVER (PARTITION BY name, hour
+      ORDER BY ((CAST(turn_idx AS BIGINT) % 1000000007) * 1103515245
+          + 12345) % 1000,
+        conv_id, turn_idx) AS BIGINT) AS rk
+  FROM p""")("""
+SELECT conv_id, turn_idx, name, hour, rk, rk <= 50 AS allowed FROM r"""),
+
+    "q168_power_iteration" -> """
+WITH q AS (
+  SELECT vec_id,
+    list_transform(embedding,
+      x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)) AS qv
+  FROM embeddings),
+d AS (
+  SELECT vec_id, qv,
+    CAST(list_aggregate(list_transform(generate_series(1, len(qv)),
+      i -> qv[i] * (((i-1)*31 + 7) % 13 - 6)), 'sum') AS BIGINT) AS dot
+  FROM q),
+e AS (
+  SELECT generate_subscripts(qv, 1) - 1 AS dim_idx, unnest(qv) AS qd, dot
+  FROM d)
+SELECT CAST(dim_idx AS BIGINT) AS dim_idx,
+  CAST(sum(qd * dot) AS BIGINT) AS y
+FROM e GROUP BY dim_idx""",
 
     "q106_boiler_scrub" -> s"""
 WITH sh AS (

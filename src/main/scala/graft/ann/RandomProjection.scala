@@ -1,6 +1,6 @@
 package graft.ann
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Random-projection dimensionality reduction (Achlioptas-style ±1 signs):
@@ -33,5 +33,30 @@ object RandomProjection {
     }
     vecs.select(col("vec_id"), q.as("_q"))
       .select(col("vec_id"), array(comps: _*).as("proj"))
+  }
+
+  /** One POWER-ITERATION step toward the corpus's top principal component
+    * — the training step of a PCA/OPQ rotation (IVF and PQ both improve
+    * on decorrelated vectors; this is the distributed y = Σᵥ v·(v·x) pass
+    * that, iterated with normalization, converges to the top eigenvector
+    * of the covariance).
+    *
+    * The probe direction x is a deterministic per-dim function
+    * (x(d) = (31d+7) mod 13 − 6) so both engines share one definition;
+    * arithmetic is milli-quantized integer throughout. Scale shape: the
+    * per-vector dot is a map-only expression; the per-dim accumulation is
+    * one hash-agg down to `dim` rows with map-side combine — nothing
+    * driver-side, nothing corpus-sized after the scan. */
+  def powerIterationStep(vecs: DataFrame): DataFrame = {
+    val q = transform(col("embedding"),
+      x => floor(x.cast("double") * 1000.0).cast("long"))
+    val probe = (i: Column) => (i * 31L + 7L) % 13L - 6L
+    val dot = aggregate(transform(col("_q"), (x, i) => x * probe(i)),
+      lit(0L), (acc, v) => acc + v)
+    vecs.select(q.as("_q"))
+      .select(posexplode(col("_q")).as(Seq("dim_idx", "qd")),
+        dot.as("dot"))
+      .groupBy("dim_idx").agg(sum(col("qd") * col("dot")).as("y"))
+      .select(col("dim_idx").cast("long").as("dim_idx"), col("y"))
   }
 }

@@ -77,10 +77,21 @@ object Filters {
   def deadLetter(parsed: DataFrame): DataFrame =
     parsed.filter(!wellFormed)
       .select(col("conv_id"), col("turn_idx"), col("src_file"),
-        col("src_offset"),
-        when(col("text").isNull || trim(col("text")) === "", "empty_text")
-          .otherwise("unparsed").as("reason"),
-        col("text"))
+        col("src_offset"), deadLetterReason, col("text"))
+
+  /** [[deadLetter]] on RAW text via the lite name scanner — the streaming
+    * placement: quarantining must not pay the 51-field parse for rows that
+    * by definition don't parse. */
+  def deadLetterRaw(raw: DataFrame): DataFrame = {
+    val name = graft.functions.FusedParse.nameLite(col("text"))
+    raw.filter(name.isNull || name === "")
+      .select(col("conv_id"), col("turn_idx"), col("src_file"),
+        col("src_offset"), deadLetterReason, col("text"))
+  }
+
+  private def deadLetterReason: Column =
+    when(col("text").isNull || trim(col("text")) === "", "empty_text")
+      .otherwise("unparsed").as("reason")
 
   /** F8: duplicate-source suppression — when the same source is registered
     * twice (the reference refuses duplicate FQDNs at config load,

@@ -18,6 +18,28 @@ object Sampling {
   def gatePermille(id: Column): Column =
     ((id % 1000000007L) * 1103515245L + 12345L) % 1000L
 
+  /** Per-(event, hour) quota throttle: admit the first `quota` rows of
+    * each (name, hour) cell by a deterministic hash priority, defer the
+    * rest — the sink rate-limit plan (the reference's sampler sink keeps
+    * one event per interval, `pkg/sink/sampler`; a throttle keeps the
+    * first N and TELLS YOU what it deferred, so the deferred slice can
+    * replay off-peak).
+    *
+    * One shuffle on the (name, hour) window keys; partitions are bounded
+    * by the hour's volume per event. A cell hot enough to overwhelm one
+    * task is exactly the storm the quota exists to clip — if that
+    * becomes the bottleneck, pre-aggregate a per-cell count and admit by
+    * gate percentile instead of rank (the [[reservoir]] shape). */
+  def throttle(parsed: DataFrame, quota: Int = 50): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("name"), col("hour"))
+      .orderBy(gatePermille(col("turn_idx")), col("conv_id"), col("turn_idx"))
+    parsed.select(col("conv_id"), col("turn_idx"), col("name"),
+        date_trunc("hour", col("ts")).as("hour"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .withColumn("allowed", col("rk") <= quota)
+  }
+
   /** Exact-quota reservoir: the k rows with the smallest hash gate per
     * stratum — a deterministic reservoir sample (same k rows on every
     * engine/run/partitioning, unlike a streaming reservoir). One window

@@ -40,7 +40,8 @@ object StreamingPipeline {
     * polls like the sqlxewriter service loop. */
   def start(spark: SparkSession, inputDir: String, outRoot: String,
             checkpointDir: String, availableNow: Boolean = true,
-            maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
+            maxFilesPerTrigger: Option[Int] = None,
+            quarantineDir: Option[String] = None): StreamingQuery = {
     graft.Graft.prep(spark)
     var reader = spark.readStream.schema(schema)
     maxFilesPerTrigger.foreach(n => reader = reader.option("maxFilesPerTrigger", n))
@@ -51,6 +52,13 @@ object StreamingPipeline {
     val writer = src.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // dead-letter quarantine (the rows F7 drops), written per batch
+        // BEFORE the happy path so a sink failure can't lose them; the
+        // batch=<id> dir overwrite keeps replays effectively-once
+        quarantineDir.foreach { qd =>
+          graft.operators.Filters.deadLetterRaw(batch)
+            .write.mode("overwrite").parquet(s"$qd/batch=$batchId")
+        }
         val routed = Pipeline.transform(batch, spark)
           // stable turn ordering before routing (W1): co-locate each
           // conversation, order by turn within it

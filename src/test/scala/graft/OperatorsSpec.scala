@@ -381,6 +381,21 @@ class OperatorsSpec extends SparkSpec {
       4L -> "unparsed"))
   }
 
+  test("throttle: admits exactly the quota per (name, hour) cell, rank is " +
+    "a total order") {
+    import TestSpark.spark.implicits._
+    val ts0 = java.sql.Timestamp.valueOf("2024-01-15 10:00:00")
+    val rows = (1 to 60).map(i => ("c1", i.toLong, "login", ts0)) ++
+      (1 to 3).map(i => ("c2", i.toLong, "attention", ts0))
+    val parsed = rows.toDF("conv_id", "turn_idx", "name", "ts")
+    val out = operators.Sampling.throttle(parsed, quota = 50).collect()
+    val login = out.filter(_.getString(2) == "login")
+    assert(login.count(_.getBoolean(5)) == 50)
+    assert(login.count(!_.getBoolean(5)) == 10)
+    assert(login.map(_.getLong(4)).sorted.toSeq == (1L to 60L))
+    assert(out.filter(_.getString(2) == "attention").forall(_.getBoolean(5)))
+  }
+
   test("snapshotDiff: added/removed/changed/same per key off content hashes") {
     import TestSpark.spark.implicits._
     val v1 = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")).toDF("doc_id", "text")

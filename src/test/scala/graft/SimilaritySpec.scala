@@ -131,6 +131,20 @@ class SimilaritySpec extends SparkSpec {
     assert(rb.getBoolean(5) && !rb.getBoolean(6))
   }
 
+  test("powerIterationStep: per-dim accumulation matches the hand-computed " +
+    "y = sum v·(v·x)") {
+    import TestSpark.spark.implicits._
+    // probe x(d) = (31d+7) mod 13 - 6 → [1, 6, -2, 3] for d = 0..3
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),   // dot = 1000
+      (2L, Array(0.0f, 1.0f, 0.0f, -1.0f)))  // dot = 6000 - 3000 = 3000
+      .toDF("vec_id", "embedding")
+    val out = graft.ann.RandomProjection.powerIterationStep(vecs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(0L -> 1000000L, 1L -> 3000000L, 2L -> 0L,
+      3L -> -3000000L))
+  }
+
   test("semanticDedup: near-identical vectors drop to the smallest id, no cartesian") {
     import TestSpark.spark.implicits._
     // 10/11/12 near-identical (same bucket, cos≈1); 20 orthogonal-ish noise

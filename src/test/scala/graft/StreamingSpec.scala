@@ -51,6 +51,32 @@ class StreamingSpec extends SparkSpec {
     t.unpersist()
   }
 
+  test("streaming dead-letter quarantine captures unnameable rows with " +
+    "lineage; the happy-path sinks exclude them") {
+    val root = "/tmp/graft_stream_dlq"
+    rm(root)
+    val t = Transcripts.load(spark, tiny)
+    val mangled = t.withColumn("text",
+      when(col("turn_idx") % 50 === 7, lit(""))
+        .when(col("turn_idx") % 50 === 21, concat(lit("junk "), col("text")))
+        .otherwise(col("text")))
+    mangled.write.parquet(s"$root/in")
+    val q = StreamingPipeline.start(spark, s"$root/in", s"$root/sinks",
+      s"$root/ckpt", availableNow = true, quarantineDir = Some(s"$root/dlq"))
+    q.awaitTermination()
+    val dlq = spark.read.parquet(s"$root/dlq/batch=0")
+    val expected = mangled.filter(
+      col("turn_idx") % 50 === 7 || col("turn_idx") % 50 === 21).count()
+    assert(dlq.count() == expected && expected > 0)
+    val reasons = dlq.groupBy("reason").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(reasons.keySet == Set("empty_text", "unparsed"))
+    // quarantined rows never reach the routed sink
+    val routedRows = spark.read.text(s"$root/sinks/logstash").count()
+    val batchRouted = Pipeline.transform(mangled, spark).count()
+    assert(routedRows == batchRouted)
+  }
+
   test("streaming sink counts equal batch pipeline counts (routed-row equality)") {
     val root = "/tmp/graft_stream_spec2"
     rm(root)
