@@ -47,16 +47,47 @@ object RandomProjection {
     * per-vector dot is a map-only expression; the per-dim accumulation is
     * one hash-agg down to `dim` rows with map-side combine — nothing
     * driver-side, nothing corpus-sized after the scan. */
-  def powerIterationStep(vecs: DataFrame): DataFrame = {
+  def powerIterationStep(vecs: DataFrame): DataFrame =
+    stepWith(vecs, i => (i * 31L + 7L) % 13L - 6L)
+
+  /** [[powerIterationStep]] against an explicit integer probe vector
+    * (the loop's feedback edge). */
+  def stepWithProbe(vecs: DataFrame, probe: Array[Long]): DataFrame = {
+    val p = array(probe.map(lit(_)): _*)
+    stepWith(vecs, i => element_at(p, (i + 1).cast("int")))
+  }
+
+  private def stepWith(vecs: DataFrame,
+                       probeAt: Column => Column): DataFrame = {
     val q = transform(col("embedding"),
       x => floor(x.cast("double") * 1000.0).cast("long"))
-    val probe = (i: Column) => (i * 31L + 7L) % 13L - 6L
-    val dot = aggregate(transform(col("_q"), (x, i) => x * probe(i)),
+    val dot = aggregate(transform(col("_q"), (x, i) => x * probeAt(i)),
       lit(0L), (acc, v) => acc + v)
     vecs.select(q.as("_q"))
       .select(posexplode(col("_q")).as(Seq("dim_idx", "qd")),
         dot.as("dot"))
       .groupBy("dim_idx").agg(sum(col("qd") * col("dot")).as("y"))
       .select(col("dim_idx").cast("long").as("dim_idx"), col("y"))
+  }
+
+  /** Power-iteration LOOP: the driver-side fixpoint over the oracled step
+    * (the [[Centroids.kmeansTrain]] convention — each round is the
+    * distributed q168 pass, the ≤dim-length vector collects, normalizes
+    * to a milli-unit probe in driver doubles, and feeds back). Returns
+    * the unit-norm direction after `iters` rounds — the top principal
+    * direction the OPQ/IVF preprocessing rotates onto. */
+  def topEigenvector(vecs: DataFrame, iters: Int = 3): Array[Double] = {
+    val dim = vecs.select(size(col("embedding"))).head().getInt(0)
+    var v: Array[Double] =
+      Array.tabulate(dim)(d => ((31L * d + 7L) % 13L - 6L).toDouble)
+    (0 until iters).foreach { _ =>
+      val n = math.sqrt(v.map(x => x * x).sum)
+      val probe = v.map(x => math.floor(x / n * 1000.0).toLong)
+      v = stepWithProbe(vecs, probe).collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+        .sortBy(_._1).map(_._2.toDouble)
+    }
+    val n = math.sqrt(v.map(x => x * x).sum)
+    v.map(_ / n)
   }
 }

@@ -145,6 +145,20 @@ class SimilaritySpec extends SparkSpec {
       3L -> -3000000L))
   }
 
+  test("topEigenvector: the loop converges onto a planted dominant " +
+    "direction") {
+    import TestSpark.spark.implicits._
+    // 20 vectors hugging axis 2, light orthogonal noise elsewhere
+    val vecs = (0 until 20).map { i =>
+      val a = Array.fill(8)(0.02f * ((i * 7) % 5 - 2))
+      a(2) = if (i % 2 == 0) 0.9f else -0.9f
+      (i.toLong, a)
+    }.toDF("vec_id", "embedding")
+    val v = graft.ann.RandomProjection.topEigenvector(vecs, iters = 4)
+    assert(math.abs(v(2)) > 0.95, s"dominant axis weight ${v(2)}")
+    assert(v.zipWithIndex.filter(_._2 != 2).forall(x => math.abs(x._1) < 0.3))
+  }
+
   test("semanticDedup: near-identical vectors drop to the smallest id, no cartesian") {
     import TestSpark.spark.implicits._
     // 10/11/12 near-identical (same bucket, cos≈1); 20 orthogonal-ish noise

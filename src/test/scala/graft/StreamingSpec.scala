@@ -77,6 +77,47 @@ class StreamingSpec extends SparkSpec {
     assert(routedRows == batchRouted)
   }
 
+  test("streaming throttle: quota enforced ACROSS micro-batches; " +
+    "single-batch verdicts equal the batch plan") {
+    implicit val sp = spark
+    import TestSpark.spark.implicits._
+    val root = "/tmp/graft_throttle_stream"
+    rm(root)
+    // increasing event times inside ONE hour cell: the zero-delay
+    // watermark advances past batch 1, so batch 2 must sit later
+    def at(i: Int) = java.sql.Timestamp.valueOf(
+      f"2024-01-15 10:${i / 60}%02d:${i % 60}%02d")
+    val f1 = (1 to 60).map(i => (s"c$i", i.toLong, "login", at(i)))
+      .toDF("conv_id", "turn_idx", "name", "ts")
+    f1.write.parquet(s"$root/in/f1")
+    def run(): Unit = {
+      val stream = spark.readStream.schema(f1.schema).parquet(s"$root/in/*")
+      val q = graft.streaming.ThrottleStream.verdicts(stream).toDF()
+        .writeStream.format("parquet").option("path", s"$root/out")
+        .option("checkpointLocation", s"$root/ckpt").outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    run()
+    val got1 = spark.read.parquet(s"$root/out")
+    assert(got1.count() == 60 && got1.filter(col("allowed")).count() == 50)
+    val batch = operators.Sampling.throttle(f1)
+      .select("conv_id", "turn_idx", "name", "hour", "rk", "allowed")
+    val streamed1 = got1
+      .select("conv_id", "turn_idx", "name", "hour", "rk", "allowed")
+    assert(streamed1.except(batch).count() == 0 &&
+      batch.except(streamed1).count() == 0,
+      "one-batch streaming verdicts must equal the batch plan")
+    // second micro-batch, same cell: the counter resumes at 60 → all defer
+    (61 to 80).map(i => (s"c$i", i.toLong, "login", at(i)))
+      .toDF("conv_id", "turn_idx", "name", "ts")
+      .write.parquet(s"$root/in/f2")
+    run()
+    val got2 = spark.read.parquet(s"$root/out")
+    assert(got2.count() == 80 && got2.filter(col("allowed")).count() == 50)
+    assert(got2.filter(col("turn_idx") >= 61 && col("allowed")).count() == 0)
+  }
+
   test("streaming sink counts equal batch pipeline counts (routed-row equality)") {
     val root = "/tmp/graft_stream_spec2"
     rm(root)
