@@ -697,6 +697,21 @@ object SparkEntry {
     "q168_power_iteration" -> ((s, d) =>
       ann.RandomProjection.powerIterationStep(vecs(s, d))),
 
+    // edit-distance near-dup pairs: prefix+length-band blocked equi-join,
+    // Levenshtein DP only inside blocks
+    "q169_edit_dedup" -> ((s, d) =>
+      dedup.EditDedup.editPairs(docs(s, d))),
+
+    // weighted PageRank (3 unrolled integer fixed-point steps) over the
+    // tool-transition graph
+    "q170_pagerank" -> ((s, d) =>
+      graph.Graphs.toolPageRank(Transcripts.loadCanonical(s, d))),
+
+    // per-vertex triangle counts on the login app@host co-occurrence
+    // graph, degree-ordered wedge join
+    "q171_triangles" -> ((s, d) =>
+      graph.Graphs.loginTriangles(Pipeline.parsed(s, d))),
+
     // snapshot diff between corpus versions (v2 derived from v1 by a
     // shared deterministic edit/drop/add rule): per-doc status audit
     "q162_snapshot_diff" -> ((s, d) => {
@@ -910,6 +925,19 @@ object SparkEntry {
     }.mkString(" + ")
     s"CAST($terms AS BIGINT)"
   }
+
+  /** One integer fixed-point PageRank step as a DuckDB CTE body (mirror of
+    * graph.Graphs.pageRank's unrolled iteration: teleport + in-mass +
+    * dangling redistribution, all floor-div). */
+  private def oPageRankStep(prev: String): String = s"""SELECT v.v,
+    CAST(150000000 // (SELECT nv FROM n) AS BIGINT)
+    + COALESCE((SELECT CAST(sum(($prev.r * 850 * e.w) // (1000 * o.wout)) AS BIGINT)
+        FROM edges e JOIN $prev ON $prev.v = e.src JOIN outw o ON o.src = e.src
+        WHERE e.dst = v.v), 0)
+    + CAST((850 * COALESCE((SELECT sum($prev.r) FROM $prev
+        LEFT JOIN outw o ON o.src = $prev.v WHERE o.src IS NULL), 0))
+      // (1000 * (SELECT nv FROM n)) AS BIGINT) AS r
+  FROM verts v"""
 
   private def docs(s: SparkSession, d: String): DataFrame = {
     Graft.prep(s); s.read.parquet(s"$d/documents.parquet")
@@ -2797,6 +2825,64 @@ e AS (
 SELECT CAST(dim_idx AS BIGINT) AS dim_idx,
   CAST(sum(qd * dot) AS BIGINT) AS y
 FROM e GROUP BY dim_idx""",
+
+    "q169_edit_dedup" -> """
+WITH b AS (
+  SELECT doc_id, text,
+    md5(substr(lower(text), 1, 16)) AS pfx,
+    CAST(floor(length(text) / 32) AS BIGINT) AS band
+  FROM documents)
+SELECT l.doc_id AS doc_a, r.doc_id AS doc_b,
+  CAST(levenshtein(l.text, r.text) AS BIGINT) AS dist,
+  CAST(1000 - (levenshtein(l.text, r.text) * 1000)
+    // greatest(length(l.text), length(r.text)) AS BIGINT) AS sim_permille
+FROM b l JOIN b r
+  ON l.pfx = r.pfx AND abs(l.band - r.band) <= 1 AND l.doc_id < r.doc_id
+WHERE levenshtein(l.text, r.text) BETWEEN 1 AND 20""",
+
+    "q170_pagerank" -> withCtes(
+      "e0" -> """SELECT tool AS dst,
+    lag(tool) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS src
+  FROM transcripts""",
+      "edges" -> """SELECT src, dst, CAST(count(*) AS BIGINT) AS w
+  FROM e0 WHERE src IS NOT NULL AND src <> '' AND dst <> '' AND src <> dst
+  GROUP BY 1, 2""",
+      "verts" -> """SELECT DISTINCT v FROM
+  (SELECT src AS v FROM edges UNION SELECT dst AS v FROM edges) z""",
+      "n" -> "SELECT CAST(count(*) AS BIGINT) AS nv FROM verts",
+      "outw" -> "SELECT src, CAST(sum(w) AS BIGINT) AS wout FROM edges GROUP BY 1",
+      "r0" -> """SELECT v, CAST(1000000000 // (SELECT nv FROM n) AS BIGINT) AS r
+  FROM verts""",
+      "r1" -> oPageRankStep("r0"),
+      "r2" -> oPageRankStep("r1"),
+      "r3" -> oPageRankStep("r2"))(
+      "SELECT v, r FROM r3"),
+
+    "q171_triangles" -> withCtes(
+      "lg" -> s"""SELECT conv_id, turn_idx,
+    ${Oracle.oKvStr("app")} || '@' || ${Oracle.oKvStr("host")} AS node
+  FROM transcripts WHERE text LIKE 'event=login %'""",
+      "sq" -> """SELECT node AS b,
+    lag(node) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS a
+  FROM lg""",
+      "edges" -> """SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v
+  FROM sq WHERE a IS NOT NULL AND a <> b""",
+      "deg" -> """SELECT x AS node, CAST(count(*) AS BIGINT) AS d
+  FROM (SELECT u AS x FROM edges UNION ALL SELECT v AS x FROM edges) z
+  GROUP BY 1""",
+      "oe" -> """SELECT
+    CASE WHEN du.d < dv.d OR (du.d = dv.d AND e.u < e.v)
+      THEN e.u ELSE e.v END AS src,
+    CASE WHEN du.d < dv.d OR (du.d = dv.d AND e.u < e.v)
+      THEN e.v ELSE e.u END AS dst
+  FROM edges e JOIN deg du ON du.node = e.u JOIN deg dv ON dv.node = e.v""",
+      "tri" -> """SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+  FROM oe e1 JOIN oe e2 ON e1.src = e2.src AND e1.dst < e2.dst
+  JOIN oe e3 ON e3.src = e1.dst AND e3.dst = e2.dst""")("""
+SELECT node, CAST(count(*) AS BIGINT) AS n_tri
+FROM (SELECT a AS node FROM tri UNION ALL SELECT b FROM tri
+      UNION ALL SELECT c FROM tri) x
+GROUP BY node"""),
 
     "q106_boiler_scrub" -> s"""
 WITH sh AS (

@@ -1,0 +1,160 @@
+package graft.graph
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Graph analytics over transcript-derived graphs: weighted PageRank on the
+  * tool-transition graph and triangle counting on the login co-occurrence
+  * graph. The log-pipeline analog of the reference's server/session
+  * topology reporting (which server talks to which — summary joins in
+  * `pkg/app/program.go`), generalized to the two classic whole-graph
+  * statistics every entity-graph pipeline ships.
+  *
+  * Scale notes:
+  *  - Both graphs are AGGREGATES of the corpus (distinct edges / counted
+  *    transitions), so the corpus-sized pass is one hash-agg; every later
+  *    stage runs on the edge table, bounded by |V|² but in practice by the
+  *    co-occurrence structure, never by corpus rows.
+  *  - PageRank is the fixed-iteration unrolled loop: each step is one
+  *    equi-join (ranks ⋈ edges on src, rank side is |V|-bounded so AQE
+  *    broadcasts it) + one hash-agg on dst. Integer fixed-point (1e9
+  *    scale, multiply-then-DIV) keeps every step bit-exact in both Spark
+  *    and DuckDB — no float summation-order drift — and the per-iteration
+  *    persist cuts the lineage so step k never recomputes step k-1.
+  *  - Triangle counting uses the degree-orientation bound (orient every
+  *    edge low-degree → high-degree, ties by name): each oriented vertex
+  *    has out-degree ≤ √(2m), so the wedge join produces ≤ m·√(2m) rows —
+  *    the standard m^{3/2} triangle-join shape — instead of Σd² for hub
+  *    vertices. Both joins are equi-joins on vertex keys; AQE skew-join
+  *    splits any residual hot vertex.
+  */
+object Graphs {
+
+  /** Directed weighted tool-transition edges: tool of turn i → tool of
+    * turn i+1 within a conversation (both named, self-loops dropped).
+    * One window pass (the per-conv ordering shuffle every sequence
+    * operator shares) + one hash-agg down to |tools|² rows. */
+  def toolTransitionEdges(canonical: DataFrame): DataFrame = {
+    val w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    canonical
+      .select(col("tool").as("dst"), lag(col("tool"), 1).over(w).as("src"))
+      .filter(col("src").isNotNull && col("src") =!= "" &&
+        col("dst") =!= "" && col("src") =!= col("dst"))
+      .groupBy("src", "dst").agg(count(lit(1)).as("w"))
+  }
+
+  val RankScale = 1000000000L // fixed-point 1e9 == rank 1.0
+  val DampX1e3  = 850L        // damping 0.85 in permille
+
+  /** Weighted PageRank, `iters` unrolled power steps at damping 0.85,
+    * integer fixed-point so Spark and the SQL oracle agree bit-for-bit:
+    *
+    *   r₀(v)   = S ÷ N
+    *   rₖ₊₁(v) = (1-d)·S ÷ N  +  Σ_{(u,v)∈E} d·rₖ(u)·w(u,v) ÷ W(u)
+    *           + d·(Σ_{dangling u} rₖ(u)) ÷ N
+    *
+    * with S = 1e9 and every ÷ an integer floor-div (multiply first, one
+    * division — deterministic, order-independent). The dangling-mass term
+    * is a 1-row aggregate joined back by a literal-true broadcast, never
+    * a driver collect. Output: (v, r) at iteration `iters`. */
+  def pageRank(edges: DataFrame, iters: Int = 3): DataFrame = {
+    val spark = edges.sparkSession
+    val e = edges.persist(StorageLevel.MEMORY_AND_DISK)
+    val verts = e.select(col("src").as("v"))
+      .unionByName(e.select(col("dst").as("v")))
+      .distinct().persist(StorageLevel.MEMORY_AND_DISK)
+    val outw = e.groupBy("src").agg(sum("w").as("wout"))
+    // edge rows pre-joined with their source's total out-weight: computed
+    // once, reused by every iteration
+    val ew = e.join(outw, "src").persist(StorageLevel.MEMORY_AND_DISK)
+    val nRow = verts.agg(count(lit(1)).as("nv"))
+
+    var ranks = verts.join(broadcast(nRow))
+      .select(col("v"), expr(s"$RankScale DIV nv").as("r"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    for (_ <- 1 to iters) {
+      val contrib = ew.join(ranks.withColumnRenamed("v", "src"), "src")
+        .groupBy(col("dst").as("v"))
+        .agg(sum(expr(s"r * $DampX1e3 * w DIV (1000 * wout)")).as("in_mass"))
+      // dangling mass: rank held by vertices with no out-edges
+      val dangle = ranks.join(outw.withColumnRenamed("src", "v"), Seq("v"), "left_anti")
+        .agg(coalesce(sum("r"), lit(0L)).as("dangle"))
+      val next = verts
+        .join(contrib, Seq("v"), "left")
+        .join(broadcast(nRow)).join(broadcast(dangle))
+        .select(col("v"),
+          (expr(s"(${RankScale - RankScale * DampX1e3 / 1000}) DIV nv") +
+            coalesce(col("in_mass"), lit(0L)) +
+            expr(s"$DampX1e3 * dangle DIV (1000 * nv)")).as("r"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      next.count() // materialize before dropping the previous step
+      ranks.unpersist()
+      ranks = next
+    }
+    // final ranks are materialized; release the loop-invariant frames
+    e.unpersist(); verts.unpersist(); ew.unpersist()
+    ranks
+  }
+
+  /** PageRank over the tool-transition graph of a canonical transcript
+    * frame — the packaged query shape. */
+  def toolPageRank(canonical: DataFrame, iters: Int = 3): DataFrame =
+    pageRank(toolTransitionEdges(canonical), iters)
+      .select(col("v"), col("r"))
+
+  /** Undirected co-occurrence edges between login endpoints
+    * (`app@host`): consecutive login turns within a conversation form an
+    * edge (distinct, canonicalized u < v). The corpus pass is the shared
+    * per-conv window + one distinct. */
+  def loginCooccurrenceEdges(parsed: DataFrame): DataFrame = {
+    val w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    val nodes = parsed.filter(col("name") === "login")
+      .select(col("conv_id"), col("turn_idx"),
+        concat(col("app_name"), lit("@"), col("host_name")).as("node"))
+    nodes
+      .select(col("node").as("b"), lag(col("node"), 1).over(w).as("a"))
+      .filter(col("a").isNotNull && col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("u"),
+        greatest(col("a"), col("b")).as("v"))
+      .distinct()
+  }
+
+  /** Triangle participation counts per vertex via the degree-ordered
+    * wedge join. Orientation: every undirected edge points from its
+    * lower-degree endpoint (ties broken by name), so out-degrees are
+    * √(2m)-bounded and the wedge join can't blow up on hubs. Each
+    * triangle (a,b,c) is found exactly once (at its lowest-degree apex,
+    * wedge legs ordered b < c) and credited to all three corners.
+    * Output: (node, n_tri) for vertices in ≥1 triangle. */
+  def triangleCounts(edges: DataFrame): DataFrame = {
+    val deg = edges.select(col("u").as("x"))
+      .unionByName(edges.select(col("v").as("x")))
+      .groupBy(col("x")).agg(count(lit(1)).as("d"))
+    val oriented = edges
+      .join(deg.select(col("x").as("u"), col("d").as("du")), "u")
+      .join(deg.select(col("x").as("v"), col("d").as("dv")), "v")
+      .select(
+        when(col("du") < col("dv") ||
+          (col("du") === col("dv") && col("u") < col("v")), col("u"))
+          .otherwise(col("v")).as("src"),
+        when(col("du") < col("dv") ||
+          (col("du") === col("dv") && col("u") < col("v")), col("v"))
+          .otherwise(col("u")).as("dst"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val e1 = oriented.select(col("src"), col("dst").as("b"))
+    val e2 = oriented.select(col("src"), col("dst").as("c"))
+    val wedges = e1.join(e2, "src").filter(col("b") < col("c"))
+    val tris = wedges.join(
+      oriented.select(col("src").as("b"), col("dst").as("c")),
+      Seq("b", "c"))
+    tris.select(explode(array(col("src"), col("b"), col("c"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("n_tri"))
+  }
+
+  /** Triangle counts over the login co-occurrence graph — the packaged
+    * query shape. */
+  def loginTriangles(parsed: DataFrame): DataFrame =
+    triangleCounts(loginCooccurrenceEdges(parsed))
+}

@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.graph.Graphs
+import graft.dedup.EditDedup
+
+/** Hand-computable fixtures for the graph operators (q170/q171) and the
+  * edit-distance blocked dedup (q169) — the oracle rows cover the synthetic
+  * corpus; these pin the math on graphs small enough to verify by hand. */
+class GraphSpec extends SparkSpec {
+  import TestSpark.spark.implicits._
+
+  test("pageRank: 2-cycle splits mass evenly, bit-exact fixed point") {
+    // a <-> b: symmetric graph, every iteration keeps r(a)=r(b)=S/2.
+    val edges = Seq(("a", "b", 1L), ("b", "a", 1L)).toDF("src", "dst", "w")
+    val r = Graphs.pageRank(edges, iters = 3).collect()
+      .map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(r("a") == r("b"))
+    // total mass stays within integer floor-div loss of S (each of the 3
+    // steps can floor away at most a few units per term)
+    assert(math.abs(r.values.sum - Graphs.RankScale) < 100L)
+  }
+
+  test("pageRank: dangling sink redistributes, hub outranks leaf") {
+    // star: a->b, a->c, b->a; c is dangling (no out-edges).
+    val edges = Seq(("a", "b", 1L), ("a", "c", 1L), ("b", "a", 1L))
+      .toDF("src", "dst", "w")
+    val r = Graphs.pageRank(edges, iters = 3).collect()
+      .map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(r.keySet == Set("a", "b", "c"))
+    assert(r("a") > r("c")) // a receives b's whole rank; c only half of a's
+    assert(math.abs(r.values.sum - Graphs.RankScale) < 100L)
+  }
+
+  test("triangleCounts: one triangle plus a pendant edge") {
+    // triangle a-b-c, pendant c-d: each corner in exactly 1 triangle, d in 0.
+    val edges = Seq(("a", "b"), ("a", "c"), ("b", "c"), ("c", "d"))
+      .toDF("u", "v")
+    val out = Graphs.triangleCounts(edges).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out == Map("a" -> 1L, "b" -> 1L, "c" -> 1L))
+  }
+
+  test("triangleCounts: K4 has 3 triangles per vertex, counted once each") {
+    val vs = Seq("a", "b", "c", "d")
+    val edges = (for { i <- vs.indices; j <- vs.indices if i < j }
+      yield (vs(i), vs(j))).toDF("u", "v")
+    val out = Graphs.triangleCounts(edges).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out == vs.map(_ -> 3L).toMap) // C(3,2)=3 triangles through each
+  }
+
+  test("toolTransitionEdges: counts ordered transitions, drops self-loops") {
+    val t = Seq(
+      ("c1", 0, "grep"), ("c1", 1, "edit"), ("c1", 2, "edit"), ("c1", 3, "grep"),
+      ("c2", 0, "grep"), ("c2", 1, "edit"))
+      .toDF("conv_id", "turn_idx", "tool")
+    val e = Graphs.toolTransitionEdges(t).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(e == Map(("grep", "edit") -> 2L, ("edit", "grep") -> 1L))
+  }
+
+  test("editPairs finds small-edit neighbor sharing prefix and band") {
+    val base = "the quick brown fox jumps over the lazy dog " + ("x" * 40)
+    val d = Seq(
+      1L -> base,
+      2L -> (base + "!"),            // dist 1, same prefix, adjacent band ok
+      3L -> ("completely different prefix content here " + ("y" * 40)))
+      .toDF("doc_id", "text")
+    val pairs = EditDedup.editPairs(d).collect()
+    assert(pairs.length == 1)
+    val p = pairs.head
+    assert(p.getLong(0) == 1L && p.getLong(1) == 2L && p.getLong(2) == 1L)
+  }
+
+  test("editPairs blocking: differing prefix hides a pair (documented trade)") {
+    val a = "A" + ("z" * 60)
+    val b = "B" + ("z" * 60) // dist 1 but first char differs → different block
+    val d = Seq(1L -> a, 2L -> b).toDF("doc_id", "text")
+    assert(EditDedup.editPairs(d).count() == 0L)
+  }
+
+  test("editPairs excludes exact duplicates (dist 0)") {
+    val t = "same exact text in both documents " + ("q" * 30)
+    val d = Seq(1L -> t, 2L -> t).toDF("doc_id", "text")
+    assert(EditDedup.editPairs(d).count() == 0L)
+  }
+}
