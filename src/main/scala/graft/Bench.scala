@@ -247,6 +247,26 @@ object Bench {
           val poRun = () => timeNoop(text.Bm25.postings(docs))
           results("postings") = math.min(poRun(), poRun())
 
+          // round-9 ops: weighted PageRank over the tool-transition graph
+          // (the corpus window pass dominates; the iterations run on the
+          // |tools|²-bounded edge table) — timed as a whole build because
+          // the unrolled loop materializes eagerly; blocked edit-distance
+          // dedup on the 10× near-dup corpus (each replica differs from
+          // its base by a 2-char suffix, so the Levenshtein stage does
+          // real within-block work); triangle counting on the login
+          // co-occurrence graph (corpus pass + aggregate-sized wedge join)
+          def timeBuild(f: => DataFrame): Double = {
+            val t0 = System.nanoTime()
+            f.write.format("noop").mode("overwrite").save()
+            (System.nanoTime() - t0) / 1e9
+          }
+          val prRun = () => timeBuild(graph.Graphs.toolPageRank(input))
+          results("pagerank") = math.min(prRun(), prRun())
+          val edRun = () => timeNoop(dedup.EditDedup.editPairs(docs10))
+          results("edit_dedup") = math.min(edRun(), edRun())
+          val trRun = () => timeNoop(graph.Graphs.loginTriangles(parsedB))
+          results("triangles") = math.min(trRun(), trRun())
+
           // lmScore/convNearDup persist their reused intermediates;
           // drop them so repeated bench runs don't accumulate cache
           spark.catalog.clearCache()

@@ -21,6 +21,15 @@ object Oracle {
     s"${Transcripts.oracleCte}, $extra $sql"
   }
 
+  /** withCtes with every CTE forced MATERIALIZED — required for unrolled
+    * iterative chains (k-core peeling) where DuckDB's CTE inlining would
+    * otherwise re-evaluate the base graph exponentially many times. */
+  def withCtesMat(ctes: (String, String)*)(sql: String): String = {
+    val extra = ctes.map { case (n, q) => s"$n AS MATERIALIZED ($q)" }
+      .mkString(", ")
+    s"${Transcripts.oracleCte}, $extra $sql"
+  }
+
   // Shared oracle-side parse fragments (DuckDB dialect).
   val oName = """regexp_extract(text, '^event=([a-z_0-9]+)', 1)"""
   def oTriple(g: Int) =

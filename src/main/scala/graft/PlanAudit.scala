@@ -140,6 +140,20 @@ object PlanAudit {
       operators.Layout.partitionSkewStats(
         sources.Transcripts.load(spark, sfDir), "conv_id")
     }
+    section("edit-distance dedup (prefix+band blocked equi-join, no cartesian)") {
+      dedup.EditDedup.editPairs(docs)
+    }
+    section("triangle count (degree-ordered wedge equi-joins)") {
+      graph.Graphs.loginTriangles(Pipeline.parsed(spark, sfDir))
+    }
+    section("link prediction (wedge self-join + anti-join, aggregate-sized)") {
+      graph.Graphs.linkPredict(graph.Graphs.loginCooccurrenceEdges(
+        Pipeline.parsed(spark, sfDir)))
+    }
+    // pageRank / labelPropagation / bfsDistances / kCore are driver-side
+    // unrolled loops with per-step persist+count — explain would execute
+    // them; their per-step plan is the rank ⋈ edges equi-join + dst
+    // hash-agg shape shown by the sections above.
     spark.stop()
   }
 }

@@ -712,6 +712,30 @@ object SparkEntry {
     "q171_triangles" -> ((s, d) =>
       graph.Graphs.loginTriangles(Pipeline.parsed(s, d))),
 
+    // community detection: 3 unrolled synchronous weighted
+    // label-propagation rounds over the symmetrized tool graph
+    "q172_label_prop" -> ((s, d) =>
+      graph.Graphs.labelPropagation(
+        graph.Graphs.toolTransitionEdges(Transcripts.loadCanonical(s, d)))),
+
+    // BFS hop distances from the lexicographically-smallest tool over
+    // the directed transition graph (4 unrolled relaxation rounds)
+    "q173_bfs_dist" -> ((s, d) =>
+      graph.Graphs.bfsDistances(
+        graph.Graphs.toolTransitionEdges(Transcripts.loadCanonical(s, d)))),
+
+    // 2-core of the login co-occurrence graph: iterative degree peeling,
+    // surviving vertices with their in-core degree
+    "q174_kcore" -> ((s, d) =>
+      graph.Graphs.kCore(
+        graph.Graphs.loginCooccurrenceEdges(Pipeline.parsed(s, d)))),
+
+    // link prediction on the login graph: common-neighbor count +
+    // integer resource-allocation score for non-adjacent pairs
+    "q175_link_predict" -> ((s, d) =>
+      graph.Graphs.linkPredict(
+        graph.Graphs.loginCooccurrenceEdges(Pipeline.parsed(s, d)))),
+
     // snapshot diff between corpus versions (v2 derived from v1 by a
     // shared deterministic edit/drop/add rule): per-doc status audit
     "q162_snapshot_diff" -> ((s, d) => {
@@ -938,6 +962,60 @@ object SparkEntry {
         LEFT JOIN outw o ON o.src = $prev.v WHERE o.src IS NULL), 0))
       // (1000 * (SELECT nv FROM n)) AS BIGINT) AS r
   FROM verts v"""
+
+  /** Directed weighted tool-transition graph as DuckDB CTEs (mirror of
+    * graph.Graphs.toolTransitionEdges; shared by q170/q172/q173). */
+  private def oToolGraphCtes: Seq[(String, String)] = Seq(
+    "e0" -> """SELECT tool AS dst,
+    lag(tool) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS src
+  FROM transcripts""",
+    "edges" -> """SELECT src, dst, CAST(count(*) AS BIGINT) AS w
+  FROM e0 WHERE src IS NOT NULL AND src <> '' AND dst <> '' AND src <> dst
+  GROUP BY 1, 2""")
+
+  /** Undirected login co-occurrence graph (`ledges`: u < v, distinct) as
+    * DuckDB CTEs (mirror of graph.Graphs.loginCooccurrenceEdges; shared
+    * by q174/q175 — q171 inlines the same fragments as `edges`). */
+  private def oLoginGraphCtes: Seq[(String, String)] = Seq(
+    "lg" -> s"""SELECT conv_id, turn_idx,
+    ${Oracle.oKvStr("app")} || '@' || ${Oracle.oKvStr("host")} AS node
+  FROM transcripts WHERE text LIKE 'event=login %'""",
+    "sq" -> """SELECT node AS b,
+    lag(node) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS a
+  FROM lg""",
+    "ledges" -> """SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v
+  FROM sq WHERE a IS NOT NULL AND a <> b""")
+
+  /** One synchronous weighted label-propagation round as DuckDB CTEs
+    * (mirror of graph.Graphs.labelPropagation: vote agg + deterministic
+    * argmax by (weight desc, label asc), no-neighbor keeps own label). */
+  private def oLpaStep(prev: String, i: Int): Seq[(String, String)] = Seq(
+    s"v$i" -> s"""SELECT e.a AS v, l.lbl, CAST(sum(e.w) AS BIGINT) AS wl
+  FROM esym e JOIN $prev l ON l.v = e.b GROUP BY 1, 2""",
+    s"lbl$i" -> s"""SELECT vv.v, COALESCE(w.lbl, vv.v) AS lbl
+  FROM verts vv LEFT JOIN (
+    SELECT v, lbl FROM (SELECT v, lbl,
+      row_number() OVER (PARTITION BY v ORDER BY wl DESC, lbl ASC) AS rn
+    FROM v$i) x WHERE rn = 1) w ON w.v = vv.v""")
+
+  /** One BFS relaxation round as a DuckDB CTE (mirror of
+    * graph.Graphs.bfsDistances: reached ∪ one-hop extensions, min dist). */
+  private def oBfsStep(i: Int): (String, String) =
+    s"d$i" -> s"""SELECT v, min(dist) AS dist FROM (
+    SELECT v, dist FROM d${i - 1}
+    UNION ALL
+    SELECT e.dst AS v, p.dist + 1 AS dist
+    FROM d${i - 1} p JOIN edges e ON e.src = p.v) z GROUP BY 1"""
+
+  /** One k-core peeling round as DuckDB CTEs (mirror of
+    * graph.Graphs.kCore at k=2: degree count + both-endpoint filter). */
+  private def oPeelStep(i: Int): Seq[(String, String)] = Seq(
+    s"deg$i" -> s"""SELECT x, CAST(count(*) AS BIGINT) AS d FROM
+    (SELECT u AS x FROM e${i - 1} UNION ALL SELECT v AS x FROM e${i - 1}) z
+  GROUP BY 1""",
+    s"e$i" -> s"""SELECT u, v FROM e${i - 1}
+  WHERE u IN (SELECT x FROM deg$i WHERE d >= 2)
+    AND v IN (SELECT x FROM deg$i WHERE d >= 2)""")
 
   private def docs(s: SparkSession, d: String): DataFrame = {
     Graft.prep(s); s.read.parquet(s"$d/documents.parquet")
@@ -2883,6 +2961,42 @@ SELECT node, CAST(count(*) AS BIGINT) AS n_tri
 FROM (SELECT a AS node FROM tri UNION ALL SELECT b FROM tri
       UNION ALL SELECT c FROM tri) x
 GROUP BY node"""),
+
+    "q172_label_prop" -> withCtes((oToolGraphCtes ++ Seq(
+      "esym" -> """SELECT a, b, CAST(sum(w) AS BIGINT) AS w FROM
+    (SELECT src AS a, dst AS b, w FROM edges
+     UNION ALL SELECT dst AS a, src AS b, w FROM edges) z GROUP BY 1, 2""",
+      "verts" -> "SELECT DISTINCT a AS v FROM esym",
+      "lbl0" -> "SELECT v, v AS lbl FROM verts") ++
+      oLpaStep("lbl0", 1) ++ oLpaStep("lbl1", 2) ++ oLpaStep("lbl2", 3)): _*)(
+      "SELECT v, lbl FROM lbl3"),
+
+    "q173_bfs_dist" -> withCtes((oToolGraphCtes ++ Seq(
+      "verts" -> """SELECT DISTINCT v FROM
+    (SELECT src AS v FROM edges UNION SELECT dst AS v FROM edges) z""",
+      "d0" -> "SELECT min(v) AS v, CAST(0 AS BIGINT) AS dist FROM verts") ++
+      (1 to 4).map(oBfsStep)): _*)(
+      "SELECT v, dist FROM d4"),
+
+    "q174_kcore" -> withCtesMat((oLoginGraphCtes :+
+      ("e0" -> "SELECT u, v FROM ledges")) ++
+      oPeelStep(1) ++ oPeelStep(2) ++ oPeelStep(3) ++ oPeelStep(4): _*)("""
+SELECT node, core_deg FROM (
+  SELECT x AS node, CAST(count(*) AS BIGINT) AS core_deg FROM
+    (SELECT u AS x FROM e4 UNION ALL SELECT v AS x FROM e4) z GROUP BY 1) y
+WHERE core_deg >= 2"""),
+
+    "q175_link_predict" -> withCtes(oLoginGraphCtes ++ Seq(
+      "adj" -> """SELECT u AS z, v AS x FROM ledges
+    UNION ALL SELECT v AS z, u AS x FROM ledges""",
+      "dg" -> "SELECT z, CAST(count(*) AS BIGINT) AS d FROM adj GROUP BY 1",
+      "wedge" -> """SELECT a1.z, a1.x AS a, a2.x AS b
+    FROM adj a1 JOIN adj a2 ON a1.z = a2.z AND a1.x < a2.x""",
+      "sc" -> """SELECT a, b, CAST(count(*) AS BIGINT) AS common_n,
+      CAST(sum(1000000 // d) AS BIGINT) AS ra_score
+    FROM wedge JOIN dg USING (z) GROUP BY 1, 2"""): _*)("""
+SELECT a, b, common_n, ra_score FROM sc
+WHERE NOT EXISTS (SELECT 1 FROM ledges e WHERE e.u = sc.a AND e.v = sc.b)"""),
 
     "q106_boiler_scrub" -> s"""
 WITH sh AS (

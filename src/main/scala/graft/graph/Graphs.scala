@@ -157,4 +157,144 @@ object Graphs {
     * query shape. */
   def loginTriangles(parsed: DataFrame): DataFrame =
     triangleCounts(loginCooccurrenceEdges(parsed))
+
+  /** Symmetrized (undirected, weighted) view of a directed edge frame:
+    * w(u,v) = Σ of both directions. One hash-agg on the |tools|²-bounded
+    * edge table. */
+  def symmetrize(edges: DataFrame): DataFrame =
+    edges.select(col("src").as("a"), col("dst").as("b"), col("w"))
+      .unionByName(
+        edges.select(col("dst").as("a"), col("src").as("b"), col("w")))
+      .groupBy("a", "b").agg(sum("w").as("w"))
+
+  /** Synchronous weighted label propagation (community detection), `iters`
+    * unrolled rounds, fully deterministic:
+    *
+    *   lbl₀(v)   = v
+    *   lblₖ₊₁(v) = argmax_L Σ_{u ∈ N(v), lblₖ(u)=L} w(u,v),
+    *               ties broken by the SMALLEST label
+    *
+    * (vertices with no neighbors keep their label). Each round is one
+    * equi-join (labels ⋈ symmetric edges) + one (v, lbl) hash-agg + one
+    * per-v window for the argmax — all keyed on vertex ids over the
+    * aggregate-sized edge table, never the corpus. Fixed iteration count
+    * and the min-label tie-break make the result bit-stable across engines
+    * (synchronous LPA can oscillate on bipartite structure; the unrolled
+    * count pins WHICH snapshot is reported). */
+  def labelPropagation(directedEdges: DataFrame, iters: Int = 3): DataFrame = {
+    val sym = symmetrize(directedEdges).persist(StorageLevel.MEMORY_AND_DISK)
+    val verts = sym.select(col("a").as("v")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = verts.select(col("v"), col("v").as("lbl"))
+    for (i <- 1 to iters) {
+      val votes = sym
+        .join(labels.select(col("v").as("b"), col("lbl")), "b")
+        .groupBy(col("a").as("v"), col("lbl"))
+        .agg(sum("w").as("wl"))
+      val w = Window.partitionBy("v")
+        .orderBy(col("wl").desc, col("lbl").asc)
+      val winner = votes
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1).select(col("v"), col("lbl"))
+      val prev = labels
+      labels = verts.join(winner, Seq("v"), "left")
+        .select(col("v"), coalesce(col("lbl"), col("v")).as("lbl"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      labels.count() // cut lineage so round k never re-runs round k-1
+      if (i > 1) prev.unpersist()
+    }
+    sym.unpersist(); verts.unpersist()
+    labels
+  }
+
+  /** BFS hop distances from the lexicographically-smallest vertex over a
+    * directed edge frame, `iters` unrolled relaxation rounds. The seed is
+    * a 1-row aggregate joined by broadcast (never a driver collect); each
+    * round extends the reached set by one hop (reached ⋈ edges on src,
+    * then a min-dist hash-agg). Unreached vertices are absent from the
+    * output — at 10^12 turns the dist table is bounded by the reachable
+    * vertex set, not the corpus. */
+  def bfsDistances(edges: DataFrame, iters: Int = 4): DataFrame = {
+    val e = edges.select(col("src"), col("dst"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val seed = e.select(col("src").as("v"))
+      .unionByName(e.select(col("dst").as("v")))
+      .agg(min("v").as("v")).select(col("v"), lit(0L).as("dist"))
+    var dist = seed.persist(StorageLevel.MEMORY_AND_DISK)
+    for (_ <- 1 to iters) {
+      val prev = dist
+      dist = dist.unionByName(dist
+          .join(e.withColumnRenamed("src", "v"), "v")
+          .select(col("dst").as("v"), (col("dist") + 1L).as("dist")))
+        .groupBy("v").agg(min("dist").as("dist"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      dist.count()
+      prev.unpersist()
+    }
+    e.unpersist()
+    dist
+  }
+
+  /** k-core decomposition by `iters` unrolled peeling rounds over an
+    * undirected (u, v) edge frame: drop every vertex with degree < k,
+    * restrict edges to survivors, repeat. Output: surviving vertices with
+    * their degree INSIDE the core. Each round is one degree hash-agg +
+    * two semi-joins on vertex keys; the edge frame shrinks monotonically,
+    * so the fixed unroll is an upper bound on work, and the usual
+    * convergence (tool/entity graphs peel in 2-3 rounds) makes later
+    * rounds no-ops on an already-stable frame. */
+  def kCore(undirected: DataFrame, k: Int = 2, iters: Int = 4): DataFrame = {
+    var e = undirected.select(col("u"), col("v"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    for (_ <- 1 to iters) {
+      val deg = e.select(col("u").as("x"))
+        .unionByName(e.select(col("v").as("x")))
+        .groupBy("x").agg(count(lit(1)).as("d"))
+      val keep = deg.filter(col("d") >= k).select(col("x"))
+      val next = e
+        .join(keep.withColumnRenamed("x", "u"), Seq("u"), "left_semi")
+        .join(keep.withColumnRenamed("x", "v"), Seq("v"), "left_semi")
+        .select(col("u"), col("v"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      next.count()
+      e.unpersist()
+      e = next
+    }
+    val out = e.select(col("u").as("x"))
+      .unionByName(e.select(col("v").as("x")))
+      .groupBy(col("x").as("node")).agg(count(lit(1)).as("core_deg"))
+      .filter(col("core_deg") >= k)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    out.count() // materialize the vertex-sized result, then drop the edges
+    e.unpersist()
+    out
+  }
+
+  /** Link prediction over an undirected (u, v) edge frame: for every
+    * NON-adjacent pair with ≥1 common neighbor, the common-neighbor count
+    * and an integer resource-allocation score Σ_z 1000000 ÷ d(z) (the
+    * Adamic–Adar family with 1/d in fixed point, so Spark and SQL agree
+    * exactly). Wedges come from the adjacency self-join centered on z —
+    * Σd(z)² rows, the classic wedge bound; at 100 TB hub centers get the
+    * same cap/salt guard as the LSH hot buckets (joinForecast previews
+    * d², and a degree cap on z drops only hub-centered wedges, which
+    * carry the least per-wedge score mass: 1e6/d(z)). The candidate set
+    * is then one anti-join against the edge list. */
+  def linkPredict(undirected: DataFrame): DataFrame = {
+    // adjacency is aggregate-sized; Catalyst's exchange reuse covers the
+    // self-join, so no persist (an eager unpersist here would defeat it)
+    val adj = undirected.select(col("u").as("z"), col("v").as("x"))
+      .unionByName(undirected.select(col("v").as("z"), col("u").as("x")))
+    val deg = adj.groupBy("z").agg(count(lit(1)).as("d"))
+    val wedges = adj.select(col("z"), col("x").as("a"))
+      .join(adj.select(col("z"), col("x").as("b")), "z")
+      .filter(col("a") < col("b"))
+    val scored = wedges.join(deg, "z")
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("common_n"),
+        sum(expr("1000000 DIV d")).as("ra_score"))
+    scored.join(
+      undirected.select(col("u").as("a"), col("v").as("b")),
+      Seq("a", "b"), "left_anti")
+  }
 }

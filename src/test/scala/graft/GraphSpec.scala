@@ -85,4 +85,56 @@ class GraphSpec extends SparkSpec {
     val d = Seq(1L -> t, 2L -> t).toDF("doc_id", "text")
     assert(EditDedup.editPairs(d).count() == 0L)
   }
+
+  test("labelPropagation: disjoint communities never share labels") {
+    // two triangles with no bridge: labels stay inside each component
+    val edges = Seq(
+      ("a", "b", 5L), ("b", "c", 5L), ("c", "a", 5L),
+      ("x", "y", 5L), ("y", "z", 5L), ("z", "x", 5L))
+      .toDF("src", "dst", "w")
+    val out = Graphs.labelPropagation(edges).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    val t1 = Set("a", "b", "c"); val t2 = Set("x", "y", "z")
+    assert(t1.forall(v => t1.contains(out(v))))
+    assert(t2.forall(v => t2.contains(out(v))))
+    // deterministic: a second run produces the identical assignment
+    val out2 = Graphs.labelPropagation(edges).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(out == out2)
+  }
+
+  test("bfsDistances: chain from the smallest vertex, 4-hop horizon") {
+    val edges = Seq(("a", "b", 1L), ("b", "c", 1L), ("c", "d", 1L),
+      ("d", "e", 1L), ("e", "f", 1L)).toDF("src", "dst", "w")
+    val out = Graphs.bfsDistances(edges).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // f is 5 hops out — beyond the 4 unrolled rounds, so absent
+    assert(out == Map("a" -> 0L, "b" -> 1L, "c" -> 2L, "d" -> 3L, "e" -> 4L))
+  }
+
+  test("kCore: 2-core keeps the triangle, peels the pendant chain") {
+    val edges = Seq(("a", "b"), ("a", "c"), ("b", "c"), ("c", "d"), ("d", "e"))
+      .toDF("u", "v")
+    val out = Graphs.kCore(edges).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // e peels first (deg 1), then d; the triangle survives at degree 2
+    assert(out == Map("a" -> 2L, "b" -> 2L, "c" -> 2L))
+  }
+
+  test("linkPredict: square diagonal scores two common neighbors") {
+    // cycle a-b-c-d-a: diagonals (a,c) and (b,d) each have two common
+    // neighbors of degree 2 → common_n 2, ra_score 2·(1e6/2)
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("a", "d"))
+      .toDF("u", "v")
+    val out = Graphs.linkPredict(edges).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(out == Map(
+      ("a", "c") -> (2L, 1000000L), ("b", "d") -> (2L, 1000000L)))
+  }
+
+  test("linkPredict: adjacent pairs are excluded even with common neighbors") {
+    val edges = Seq(("a", "b"), ("b", "c"), ("a", "c")).toDF("u", "v")
+    assert(Graphs.linkPredict(edges).count() == 0L) // triangle: all adjacent
+  }
 }

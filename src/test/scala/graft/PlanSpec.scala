@@ -223,4 +223,24 @@ class PlanSpec extends SparkSpec {
     val n = "Exchange hashpartitioning".r.findAllIn(postings).size
     assert(n == 2, s"postings expected 2 exchanges, saw $n")
   }
+
+  test("graph ops: blocked edit dedup and wedge joins are equi-joins only") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    // edit dedup: the |band diff|<=1 predicate must ride the equi-join
+    // via band replication, never a nested-loop factor
+    val edit = dedup.EditDedup.editPairs(docs).queryExecution.sparkPlan.toString
+    assert(!edit.contains("CartesianProduct"), "edit dedup cartesian")
+    assert(!edit.contains("BroadcastNestedLoopJoin"), "edit dedup nested loop")
+    // triangle count + link prediction: every join keyed on vertex ids
+    val parsed = Pipeline.parsed(spark, tiny)
+    Seq(
+      "triangles" -> graph.Graphs.loginTriangles(parsed),
+      "linkPredict" -> graph.Graphs.linkPredict(
+        graph.Graphs.loginCooccurrenceEdges(parsed))
+    ).foreach { case (nm, df) =>
+      val plan = df.queryExecution.sparkPlan.toString
+      assert(!plan.contains("CartesianProduct"), s"$nm cartesian")
+      assert(!plan.contains("BroadcastNestedLoopJoin"), s"$nm nested loop")
+    }
+  }
 }
