@@ -736,6 +736,12 @@ object SparkEntry {
       graph.Graphs.linkPredict(
         graph.Graphs.loginCooccurrenceEdges(Pipeline.parsed(s, d)))),
 
+    // EXACT set-similarity self-join (PPJoin prefix filter): every pair
+    // with distinct-shingle Jaccard >= 0.6, complete — no sampling, no
+    // probabilistic recall (the exact twin of q36's LSH path)
+    "q176_setsim_join" -> ((s, d) =>
+      dedup.SetSimJoin.similarPairs(docs(s, d), tauPermille = 600L)),
+
     // snapshot diff between corpus versions (v2 derived from v1 by a
     // shared deterministic edit/drop/add rule): per-doc status audit
     "q162_snapshot_diff" -> ((s, d) => {
@@ -2985,6 +2991,26 @@ SELECT node, core_deg FROM (
   SELECT x AS node, CAST(count(*) AS BIGINT) AS core_deg FROM
     (SELECT u AS x FROM e4 UNION ALL SELECT v AS x FROM e4) z GROUP BY 1) y
 WHERE core_deg >= 2"""),
+
+    "q176_setsim_join" -> withCtesMat(
+      "tsets" -> s"""SELECT doc_id, list_distinct(${Oracle.oShingles}) AS ts
+  FROM (SELECT doc_id, ${Oracle.oTokHashes} AS th FROM documents) x""",
+      "tok" -> "SELECT doc_id, unnest(ts) AS tok FROM tsets",
+      "dft" -> "SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tok GROUP BY 1",
+      "rk" -> """SELECT t.doc_id, t.tok,
+    row_number() OVER (PARTITION BY t.doc_id ORDER BY d.df ASC, t.tok ASC) AS rn,
+    count(*) OVER (PARTITION BY t.doc_id) AS sz
+  FROM tok t JOIN dft d USING (tok)""",
+      "pref" -> """SELECT doc_id, tok FROM rk
+  WHERE rn <= sz - (sz * 600 + 999) // 1000 + 1""",
+      "cand" -> """SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM pref a JOIN pref b ON a.tok = b.tok AND a.doc_id < b.doc_id""",
+      "scored" -> """SELECT c.doc_a, c.doc_b,
+    CAST(floor(CAST(len(list_intersect(a.ts, b.ts)) * 1000 AS DOUBLE)
+         / len(list_distinct(list_concat(a.ts, b.ts)))) AS BIGINT) AS jaccard_permille
+  FROM cand c JOIN tsets a ON a.doc_id = c.doc_a
+  JOIN tsets b ON b.doc_id = c.doc_b""")(
+      "SELECT doc_a, doc_b, jaccard_permille FROM scored WHERE jaccard_permille >= 600"),
 
     "q175_link_predict" -> withCtes(oLoginGraphCtes ++ Seq(
       "adj" -> """SELECT u AS z, v AS x FROM ledges

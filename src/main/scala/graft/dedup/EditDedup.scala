@@ -69,10 +69,17 @@ object EditDedup {
   /** Verified edit-distance near-dup pairs: Levenshtein distance in
     * [1, maxDist] over candidate pairs, with an integer-exact similarity
     * permille = 1000 − dist·1000 ÷ max(len_a, len_b). Distance 0 (exact
-    * dups) is excluded — that's [[Dedup.exactByHash]]'s job. */
+    * dups) is excluded — that's [[Dedup.exactByHash]]'s job.
+    *
+    * The THRESHOLD overload runs the banded DP — O(len·maxDist) per pair
+    * instead of O(len²), ~25× on kilobyte texts — and returns -1 above
+    * the band, which the [1, maxDist] filter discards exactly as the
+    * full DP's value would be (the oracle computes the full distance and
+    * applies the same BETWEEN — identical rows). */
   def editPairs(docs: DataFrame, maxDist: Int = 20): DataFrame =
     candidatePairs(docs)
-      .withColumn("dist", levenshtein(col("text_a"), col("text_b")).cast("long"))
+      .withColumn("dist",
+        levenshtein(col("text_a"), col("text_b"), maxDist).cast("long"))
       .filter(col("dist") >= 1L && col("dist") <= maxDist)
       .withColumn("max_len",
         greatest(length(col("text_a")), length(col("text_b"))).cast("long"))

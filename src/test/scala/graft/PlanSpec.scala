@@ -242,5 +242,12 @@ class PlanSpec extends SparkSpec {
       assert(!plan.contains("CartesianProduct"), s"$nm cartesian")
       assert(!plan.contains("BroadcastNestedLoopJoin"), s"$nm nested loop")
     }
+    // exact set-similarity join: candidate generation and verify are
+    // token-/id-keyed equi-joins — the prefix filter must never fall
+    // back to an all-pairs shape
+    val ssPlan = dedup.SetSimJoin.similarPairs(docs)
+      .queryExecution.sparkPlan.toString
+    assert(!ssPlan.contains("CartesianProduct"), "setsim cartesian")
+    assert(!ssPlan.contains("BroadcastNestedLoopJoin"), "setsim nested loop")
   }
 }
