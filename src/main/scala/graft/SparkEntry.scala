@@ -742,6 +742,24 @@ object SparkEntry {
     "q176_setsim_join" -> ((s, d) =>
       dedup.SetSimJoin.similarPairs(docs(s, d), tauPermille = 600L)),
 
+    // per-community cohesion summary over the LPA assignment: vertex
+    // count + internal vs external edge mass
+    "q177_community_stats" -> ((s, d) => {
+      val e = graph.Graphs.toolTransitionEdges(Transcripts.loadCanonical(s, d))
+      graph.Graphs.communityStats(e, graph.Graphs.labelPropagation(e))
+    }),
+
+    // GNN-style 2-hop neighborhood features on the login graph: degree,
+    // neighbor-degree sum, distinct vertices within 2 hops
+    "q178_neighborhood" -> ((s, d) =>
+      graph.Graphs.neighborhoodFeatures(
+        graph.Graphs.loginCooccurrenceEdges(Pipeline.parsed(s, d)))),
+
+    // bipartite conv×tool projection: tools co-used in the same
+    // conversation, weighted by distinct conversations
+    "q179_tool_cousage" -> ((s, d) =>
+      graph.Graphs.toolCoUsage(Transcripts.loadCanonical(s, d))),
+
     // snapshot diff between corpus versions (v2 derived from v1 by a
     // shared deterministic edit/drop/add rule): per-doc status audit
     "q162_snapshot_diff" -> ((s, d) => {
@@ -2911,18 +2929,28 @@ SELECT CAST(dim_idx AS BIGINT) AS dim_idx,
 FROM e GROUP BY dim_idx""",
 
     "q169_edit_dedup" -> """
-WITH b AS (
+WITH b AS MATERIALIZED (
   SELECT doc_id, text,
     md5(substr(lower(text), 1, 16)) AS pfx,
     CAST(floor(length(text) / 32) AS BIGINT) AS band
-  FROM documents)
-SELECT l.doc_id AS doc_a, r.doc_id AS doc_b,
-  CAST(levenshtein(l.text, r.text) AS BIGINT) AS dist,
-  CAST(1000 - (levenshtein(l.text, r.text) * 1000)
-    // greatest(length(l.text), length(r.text)) AS BIGINT) AS sim_permille
-FROM b l JOIN b r
-  ON l.pfx = r.pfx AND abs(l.band - r.band) <= 1 AND l.doc_id < r.doc_id
-WHERE levenshtein(l.text, r.text) BETWEEN 1 AND 20""",
+  FROM documents),
+br AS MATERIALIZED (
+  SELECT doc_id, text, pfx, band FROM b
+  UNION ALL SELECT doc_id, text, pfx, band + 1 FROM b),
+cells AS MATERIALIZED (
+  SELECT pfx, band, count(*) AS n FROM br GROUP BY 1, 2),
+ok AS MATERIALIZED (
+  SELECT br.doc_id, br.text, br.pfx, br.band FROM br
+  JOIN cells c ON c.pfx = br.pfx AND c.band = br.band WHERE c.n <= 64),
+cand AS MATERIALIZED (
+  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b,
+    l.text AS ta, r.text AS tb
+  FROM ok l JOIN ok r ON l.pfx = r.pfx AND l.band = r.band
+    AND l.doc_id < r.doc_id)
+SELECT doc_a, doc_b, CAST(levenshtein(ta, tb) AS BIGINT) AS dist,
+  CAST(1000 - (levenshtein(ta, tb) * 1000)
+    // greatest(length(ta), length(tb)) AS BIGINT) AS sim_permille
+FROM cand WHERE levenshtein(ta, tb) BETWEEN 1 AND 20""",
 
     "q170_pagerank" -> withCtes(
       "e0" -> """SELECT tool AS dst,
@@ -3011,6 +3039,50 @@ WHERE core_deg >= 2"""),
   FROM cand c JOIN tsets a ON a.doc_id = c.doc_a
   JOIN tsets b ON b.doc_id = c.doc_b""")(
       "SELECT doc_a, doc_b, jaccard_permille FROM scored WHERE jaccard_permille >= 600"),
+
+    "q177_community_stats" -> withCtesMat((oToolGraphCtes ++ Seq(
+      "esym" -> """SELECT a, b, CAST(sum(w) AS BIGINT) AS w FROM
+    (SELECT src AS a, dst AS b, w FROM edges
+     UNION ALL SELECT dst AS a, src AS b, w FROM edges) z GROUP BY 1, 2""",
+      "verts" -> "SELECT DISTINCT a AS v FROM esym",
+      "lbl0" -> "SELECT v, v AS lbl FROM verts") ++
+      oLpaStep("lbl0", 1) ++ oLpaStep("lbl1", 2) ++ oLpaStep("lbl2", 3) ++ Seq(
+      "ei" -> """SELECT e.src, e.dst, e.w, ls.lbl AS lbl_src, ld.lbl AS lbl_dst
+  FROM edges e JOIN lbl3 ls ON ls.v = e.src JOIN lbl3 ld ON ld.v = e.dst""",
+      "inm" -> """SELECT lbl_src AS community, CAST(sum(w) AS BIGINT) AS internal_w
+  FROM ei WHERE lbl_src = lbl_dst GROUP BY 1""",
+      "exm" -> """SELECT community, CAST(sum(w) AS BIGINT) AS external_w FROM (
+    SELECT lbl_src AS community, w FROM ei WHERE lbl_src <> lbl_dst
+    UNION ALL SELECT lbl_dst AS community, w FROM ei WHERE lbl_src <> lbl_dst) z
+  GROUP BY 1""")): _*)("""
+SELECT n.community, n.n_nodes,
+  COALESCE(i.internal_w, 0) AS internal_w,
+  COALESCE(x.external_w, 0) AS external_w
+FROM (SELECT lbl AS community, CAST(count(*) AS BIGINT) AS n_nodes
+      FROM lbl3 GROUP BY 1) n
+LEFT JOIN inm i ON i.community = n.community
+LEFT JOIN exm x ON x.community = n.community"""),
+
+    "q178_neighborhood" -> withCtesMat((oLoginGraphCtes ++ Seq(
+      "adj" -> """SELECT u AS v, v AS n FROM ledges
+    UNION ALL SELECT v AS v, u AS n FROM ledges""",
+      "dg" -> "SELECT v, CAST(count(*) AS BIGINT) AS deg FROM adj GROUP BY 1",
+      "nds" -> """SELECT a.v, CAST(sum(d2.deg) AS BIGINT) AS nbr_deg_sum
+  FROM adj a JOIN dg d2 ON d2.v = a.n GROUP BY 1""",
+      "twoh" -> """SELECT v, CAST(count(*) AS BIGINT) AS n_within_2 FROM (
+    SELECT DISTINCT v, n FROM (
+      SELECT a1.v, a2.n FROM adj a1 JOIN adj a2 ON a2.v = a1.n
+      UNION ALL SELECT v, n FROM adj) z WHERE v <> n) zz GROUP BY 1""")): _*)("""
+SELECT d.v, d.deg, nds.nbr_deg_sum, twoh.n_within_2
+FROM dg d JOIN nds ON nds.v = d.v JOIN twoh ON twoh.v = d.v"""),
+
+    "q179_tool_cousage" -> withCtes(
+      "ct" -> """SELECT DISTINCT conv_id, tool FROM transcripts
+  WHERE tool <> ''""")("""
+SELECT a.tool AS tool_a, b.tool AS tool_b,
+  CAST(count(*) AS BIGINT) AS n_convs
+FROM ct a JOIN ct b ON a.conv_id = b.conv_id AND a.tool < b.tool
+GROUP BY 1, 2"""),
 
     "q175_link_predict" -> withCtes(oLoginGraphCtes ++ Seq(
       "adj" -> """SELECT u AS z, v AS x FROM ledges

@@ -53,9 +53,20 @@ object EditDedup {
     keyed.unionByName(keyed.withColumn("band", col("band") + 1L))
   }
 
-  /** Candidate pairs: distinct (doc_a < doc_b) sharing a block cell. */
-  def candidatePairs(docs: DataFrame): DataFrame = {
+  /** Candidate pairs: distinct (doc_a < doc_b) sharing a block cell.
+    *
+    * `maxBlock` is the hot-block guard: a cell holding more than
+    * `maxBlock` docs (a boilerplate prefix shared corpus-wide) would be
+    * a quadratic block — those cells are DROPPED, the same bounded-work
+    * trade every LSH hot bucket takes. A pair whose equal-band cell
+    * overflows can still surface through its adjacent-band replica cell
+    * when that one is small. The count rides a window on the exact keys
+    * the join shuffles on, so the guard adds no extra exchange. */
+  def candidatePairs(docs: DataFrame, maxBlock: Int = 64): DataFrame = {
+    val cell = org.apache.spark.sql.expressions.Window.partitionBy("pfx", "band")
     val b = blockTable(docs)
+      .withColumn("cell_n", count(lit(1)).over(cell))
+      .filter(col("cell_n") <= maxBlock)
     val l = b.select(col("pfx"), col("band"),
       col("doc_id").as("doc_a"), col("text").as("text_a"))
     val r = b.select(col("pfx"), col("band"),
@@ -76,8 +87,9 @@ object EditDedup {
     * the band, which the [1, maxDist] filter discards exactly as the
     * full DP's value would be (the oracle computes the full distance and
     * applies the same BETWEEN — identical rows). */
-  def editPairs(docs: DataFrame, maxDist: Int = 20): DataFrame =
-    candidatePairs(docs)
+  def editPairs(docs: DataFrame, maxDist: Int = 20,
+                maxBlock: Int = 64): DataFrame =
+    candidatePairs(docs, maxBlock)
       .withColumn("dist",
         levenshtein(col("text_a"), col("text_b"), maxDist).cast("long"))
       .filter(col("dist") >= 1L && col("dist") <= maxDist)

@@ -280,6 +280,78 @@ object Graphs {
     * d², and a degree cap on z drops only hub-centered wedges, which
     * carry the least per-wedge score mass: 1e6/d(z)). The candidate set
     * is then one anti-join against the edge list. */
+  /** Per-community summary over a directed weighted edge frame + a
+    * (v, lbl) label assignment (labelPropagation's output): vertex count,
+    * internal edge weight (both endpoints in the community) and external
+    * edge weight (exactly one endpoint — counted from BOTH sides, so an
+    * A→B edge adds to A's and B's external mass). The quality surface a
+    * community detector ships with: internal≫external = cohesive.
+    * All joins are vertex-keyed over aggregate-sized frames. */
+  def communityStats(edges: DataFrame, labels: DataFrame): DataFrame = {
+    val l = labels.select(col("v"), col("lbl"))
+    val e = edges
+      .join(l.select(col("v").as("src"), col("lbl").as("lbl_src")), "src")
+      .join(l.select(col("v").as("dst"), col("lbl").as("lbl_dst")), "dst")
+    val internal = e.filter(col("lbl_src") === col("lbl_dst"))
+      .groupBy(col("lbl_src").as("community"))
+      .agg(sum("w").as("internal_w"))
+    val external = e.filter(col("lbl_src") =!= col("lbl_dst"))
+      .select(col("lbl_src").as("community"), col("w"))
+      .unionByName(e.filter(col("lbl_src") =!= col("lbl_dst"))
+        .select(col("lbl_dst").as("community"), col("w")))
+      .groupBy("community").agg(sum("w").as("external_w"))
+    l.groupBy(col("lbl").as("community")).agg(count(lit(1)).as("n_nodes"))
+      .join(internal, Seq("community"), "left")
+      .join(external, Seq("community"), "left")
+      .select(col("community"), col("n_nodes"),
+        coalesce(col("internal_w"), lit(0L)).as("internal_w"),
+        coalesce(col("external_w"), lit(0L)).as("external_w"))
+  }
+
+  /** GNN-style 2-hop neighborhood features over an undirected (u, v)
+    * edge frame: per vertex, its degree, the sum of its neighbors'
+    * degrees, and the count of DISTINCT vertices within 2 hops
+    * (excluding itself). The graph-feature build a ranking/training
+    * pipeline joins back onto its entity table.
+    *
+    * Scale: the 2-hop expansion is the same wedge join triangle counting
+    * pays (Σd² rows before the distinct), keyed on vertex ids — hub
+    * vertices get the usual degree-cap/salt guard upstream. */
+  def neighborhoodFeatures(undirected: DataFrame): DataFrame = {
+    val adj = undirected.select(col("u").as("v"), col("v").as("n"))
+      .unionByName(undirected.select(col("v").as("v"), col("u").as("n")))
+    val deg = adj.groupBy("v").agg(count(lit(1)).as("deg"))
+    val nbrDeg = adj
+      .join(deg.select(col("v").as("n"), col("deg").as("nd")), "n")
+      .groupBy("v").agg(sum("nd").as("nbr_deg_sum"))
+    // distinct vertices reachable in 1 or 2 hops, self excluded
+    val twoHop = adj.select(col("v"), col("n").as("mid"))
+      .join(adj.select(col("v").as("mid"), col("n").as("far")), "mid")
+      .select(col("v"), col("far").as("n"))
+      .unionByName(adj)
+      .filter(col("v") =!= col("n"))
+      .distinct()
+      .groupBy("v").agg(count(lit(1)).as("n_within_2"))
+    deg.join(nbrDeg, "v").join(twoHop, "v")
+      .select("v", "deg", "nbr_deg_sum", "n_within_2")
+  }
+
+  /** Bipartite projection of the conversation×tool usage table: tools
+    * co-used inside the same conversation, weighted by the number of
+    * distinct conversations sharing them (the co-engagement graph build).
+    * The corpus pass is one distinct on (conv_id, tool); the self-join
+    * fans out ≤|tools-per-conv|² rows per conversation — bounded by the
+    * tool vocabulary, not turns, so a 1M-turn hot conversation
+    * contributes the same ≤k² rows as a 10-turn one. */
+  def toolCoUsage(canonical: DataFrame): DataFrame = {
+    val ct = canonical.filter(col("tool") =!= "")
+      .select(col("conv_id"), col("tool")).distinct()
+    ct.select(col("conv_id"), col("tool").as("tool_a"))
+      .join(ct.select(col("conv_id"), col("tool").as("tool_b")), "conv_id")
+      .filter(col("tool_a") < col("tool_b"))
+      .groupBy("tool_a", "tool_b").agg(count(lit(1)).as("n_convs"))
+  }
+
   def linkPredict(undirected: DataFrame): DataFrame = {
     // adjacency is aggregate-sized; Catalyst's exchange reuse covers the
     // self-join, so no persist (an eager unpersist here would defeat it)

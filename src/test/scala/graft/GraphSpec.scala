@@ -86,6 +86,16 @@ class GraphSpec extends SparkSpec {
     assert(EditDedup.editPairs(d).count() == 0L)
   }
 
+  test("editPairs hot-block guard drops oversized boilerplate cells") {
+    // 70 docs sharing prefix and length band: the cell overflows the
+    // default cap and produces nothing; a generous cap finds all pairs
+    val base = "shared boilerplate prefix " + ("z" * 40) + " tail"
+    val d = (1 to 70).map(i => i.toLong -> (base + ("%02d".format(i))))
+      .toDF("doc_id", "text")
+    assert(EditDedup.editPairs(d).count() == 0L)
+    assert(EditDedup.editPairs(d, maxBlock = 10000).count() == 70L * 69 / 2)
+  }
+
   test("labelPropagation: disjoint communities never share labels") {
     // two triangles with no bridge: labels stay inside each component
     val edges = Seq(
@@ -136,5 +146,39 @@ class GraphSpec extends SparkSpec {
   test("linkPredict: adjacent pairs are excluded even with common neighbors") {
     val edges = Seq(("a", "b"), ("b", "c"), ("a", "c")).toDF("u", "v")
     assert(Graphs.linkPredict(edges).count() == 0L) // triangle: all adjacent
+  }
+
+  test("communityStats: internal vs external mass, bridge counted twice") {
+    val edges = Seq(("a", "b", 2L), ("b", "c", 3L), ("x", "y", 4L),
+      ("c", "x", 7L)).toDF("src", "dst", "w")
+    val labels = Seq(("a", "A"), ("b", "A"), ("c", "A"), ("x", "X"),
+      ("y", "X")).toDF("v", "lbl")
+    val out = Graphs.communityStats(edges, labels).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(out == Map("A" -> ((3L, 5L, 7L)), "X" -> ((2L, 4L, 7L))))
+  }
+
+  test("neighborhoodFeatures: path graph degrees and 2-hop reach") {
+    val edges = Seq(("a", "b"), ("b", "c")).toDF("u", "v")
+    val out = Graphs.neighborhoodFeatures(edges).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(out == Map(
+      "a" -> ((1L, 2L, 2L)),  // deg 1, neighbor b has deg 2, reaches {b,c}
+      "b" -> ((2L, 2L, 2L)),  // two deg-1 neighbors, reaches {a,c}
+      "c" -> ((1L, 2L, 2L))))
+  }
+
+  test("toolCoUsage: distinct-conversation weighting, within-conv dedup") {
+    val t = Seq(
+      ("c1", 0, "t1"), ("c1", 1, "t2"), ("c1", 2, "t1"), // t1 twice, once
+      ("c2", 0, "t1"), ("c2", 1, "t2"), ("c2", 2, "t3"),
+      ("c3", 0, "t1"), ("c3", 1, ""))
+      .toDF("conv_id", "turn_idx", "tool")
+    val out = Graphs.toolCoUsage(t).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(out == Map(("t1", "t2") -> 2L, ("t1", "t3") -> 1L,
+      ("t2", "t3") -> 1L))
   }
 }
