@@ -760,6 +760,11 @@ object SparkEntry {
     "q179_tool_cousage" -> ((s, d) =>
       graph.Graphs.toolCoUsage(Transcripts.loadCanonical(s, d))),
 
+    // bucketized interval join: events → covering alert episode via
+    // bucket explosion on the episode side (range predicate as equi-join)
+    "q180_interval_join" -> ((s, d) =>
+      operators.Aggregates.episodeCoverage(Pipeline.parsed(s, d))),
+
     // snapshot diff between corpus versions (v2 derived from v1 by a
     // shared deterministic edit/drop/add rule): per-doc status audit
     "q162_snapshot_diff" -> ((s, d) => {
@@ -3468,6 +3473,40 @@ SELECT name, CAST(episode AS BIGINT) AS episode,
   CAST(count(*) AS BIGINT) AS n_hours, CAST(max(n) AS BIGINT) AS peak_n,
   CAST(max(ratio_x1e3) AS BIGINT) AS peak_ratio_x1e3
 FROM e GROUP BY 1, 2"""),
+
+    "q180_interval_join" -> withCtes(
+      "hourly" -> s"""SELECT $oName AS name, date_trunc('hour', ts) AS hour,
+    CAST(count(*) AS BIGINT) AS n
+  FROM transcripts GROUP BY 1, 2""",
+      "t" -> """SELECT name, hour, n,
+    sum(n) OVER (PARTITION BY name ORDER BY hour
+      ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS prev_sum,
+    count(n) OVER (PARTITION BY name ORDER BY hour
+      ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS prev_cnt
+  FROM hourly""",
+      "sp" -> """SELECT name, hour, n,
+    CAST(floor(n * 1000.0 * prev_cnt / prev_sum) AS BIGINT) AS ratio_x1e3
+  FROM t WHERE prev_cnt >= 1 AND prev_sum > 0
+    AND floor(n * 1000.0 * prev_cnt / prev_sum) >= 3000""",
+      "g" -> """SELECT name, hour,
+    CASE WHEN epoch(hour) - epoch(lag(hour) OVER (PARTITION BY name ORDER BY hour)) = 3600
+      THEN 0 ELSE 1 END AS gap
+  FROM sp""",
+      "e" -> """SELECT name, hour,
+    sum(gap) OVER (PARTITION BY name ORDER BY hour) AS episode
+  FROM g""",
+      "eps" -> """SELECT name, min(hour) AS alert_start, max(hour) AS alert_end
+  FROM e GROUP BY name, episode""",
+      "bkt" -> """SELECT name, alert_start, alert_end,
+    unnest(generate_series(alert_start, alert_end, INTERVAL 1 HOUR)) AS hour
+  FROM eps""",
+      "ev" -> s"""SELECT $oName AS name, date_trunc('hour', ts) AS hour, conv_id
+  FROM transcripts""")("""
+SELECT b.name, b.alert_start, b.alert_end,
+  CAST(count(*) AS BIGINT) AS n_events,
+  CAST(count(DISTINCT ev.conv_id) AS BIGINT) AS n_convs
+FROM ev JOIN bkt b ON ev.name = b.name AND ev.hour = b.hour
+GROUP BY 1, 2, 3"""),
 
     "q142_scd2_build" -> withCtes(
       "lg" -> s"""SELECT $oPrincipal AS principal, ${oKvStr("app")} AS app_name, ts

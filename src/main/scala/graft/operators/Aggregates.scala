@@ -148,6 +148,29 @@ object Aggregates {
         max(col("ratio_x1e3")).as("peak_ratio_x1e3"))
   }
 
+  /** Bucketized INTERVAL JOIN: which events fall inside which alert
+    * episode. The point-in-range predicate (hour BETWEEN alert_start AND
+    * alert_end) is turned into a pure equi-join by exploding each episode
+    * into its covered hour buckets — fanout bounded by episode length
+    * (n_hours), paid on the AGGREGATE-sized episode table, never on
+    * events. The event side computes its bucket map-side and joins on
+    * (name, hour); episodes are disjoint per name, so each event matches
+    * at most one bucket — no double counting. At 100 TB this is the
+    * standard range-join strategy: without it the range predicate forces
+    * a broadcast nested-loop over every event row. */
+  def episodeCoverage(parsed: DataFrame, spikeX1e3: Long = 3000L): DataFrame = {
+    val buckets = alertEpisodes(parsed, spikeX1e3)
+      .select(col("name"), col("alert_start"), col("alert_end"))
+      .withColumn("hour",
+        explode(expr("sequence(alert_start, alert_end, interval 1 hour)")))
+    val ev = parsed.select(col("name"),
+      date_trunc("hour", col("ts")).as("hour"), col("conv_id"))
+    ev.join(buckets, Seq("name", "hour"))
+      .groupBy("name", "alert_start", "alert_end")
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("conv_id")).as("n_convs"))
+  }
+
   /** A7/E11: lineage fold — max/min offset + count per source file, the
     * `(file, offset, status)` checkpoint analog
     * (`pkg/app/process_session.go:137-177`; `pkg/status/status.go:273-297`). */

@@ -184,6 +184,24 @@ class OperatorsSpec extends SparkSpec {
       out(1).getLong(4) == 1L)
   }
 
+  test("episodeCoverage: events land in their covering episode only") {
+    val ts = (h: Int, m: Int) => java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    // same fixture as alertEpisodes: episode 1 = hours 3-4, episode 2 =
+    // hour 10; conv ids alternate so n_convs is provable
+    val rows =
+      (0 to 2).flatMap(h => (0 until 3).map(m => ("e", ts(h, m), s"c$m"))) ++
+      (0 until 12).map(m => ("e", ts(3, m), s"c${m % 4}")) ++
+      (0 until 30).map(m => ("e", ts(4, m), s"c${m % 4}")) ++
+      (7 to 9).flatMap(h => (0 until 3).map(m => ("e", ts(h, m), s"c$m"))) ++
+      (0 until 12).map(m => ("e", ts(10, m), s"c${m % 2}"))
+    val out = operators.Aggregates
+      .episodeCoverage(rows.toDF("name", "ts", "conv_id"))
+      .orderBy("alert_start").collect()
+    assert(out.length == 2)
+    assert(out(0).getLong(3) == 42L && out(0).getLong(4) == 4L) // 12+30 events, convs c0-c3
+    assert(out(1).getLong(3) == 12L && out(1).getLong(4) == 2L) // hour-10 spike, c0/c1
+  }
+
   test("volumeAnomaly: trailing-3 ratio flags a 4x hour as a spike") {
     val ts = (h: Int, m: Int) => java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
     // hours 0..2 at 3 rows each, hour 3 at 12 rows (4x the trailing mean)
