@@ -765,6 +765,11 @@ object SparkEntry {
     "q180_interval_join" -> ((s, d) =>
       operators.Aggregates.episodeCoverage(Pipeline.parsed(s, d))),
 
+    // reliability-diagram calibration bins for the quality classifier:
+    // one map-only pass into a bin-bounded hash-agg
+    "q181_calibration" -> ((s, d) =>
+      text.Classifier.calibrationBins(docs(s, d))),
+
     // snapshot diff between corpus versions (v2 derived from v1 by a
     // shared deterministic edit/drop/add rule): per-doc status audit
     "q162_snapshot_diff" -> ((s, d) => {
@@ -2481,6 +2486,25 @@ SELECT q_id, vec_id AS neighbor_id, rank, adc_dist FROM (
   SELECT q_id, vec_id, adc_dist,
     row_number() OVER (PARTITION BY q_id ORDER BY adc_dist, vec_id) AS rank
   FROM dist WHERE vec_id != q_id) r WHERE rank <= 5""",
+
+    "q181_calibration" -> s"""
+WITH s AS (
+  SELECT CASE WHEN lang = 'en' THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS y,
+    CAST(len(th) AS BIGINT) AS n_tokens,
+    CAST(COALESCE(list_aggregate(list_transform(th, h -> (h % 2001) - 1000), 'sum'), 0)
+      AS BIGINT) AS score_sum
+  FROM (SELECT lang, $oTokHashes AS th FROM documents) x),
+l AS (
+  SELECT y, CASE WHEN n_tokens > 0
+    THEN CAST(floor(score_sum * 1000.0 / n_tokens) AS BIGINT)
+    ELSE CAST(0 AS BIGINT) END AS logit_x1e3
+  FROM s)
+SELECT CAST(floor(logit_x1e3 / 10000.0) AS BIGINT) AS bin,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(y) AS BIGINT) AS n_pos,
+  CAST(floor(sum(logit_x1e3) * 1.0 / count(*)) AS BIGINT) AS mean_logit_x1e3,
+  CAST(floor(sum(y) * 1000.0 / count(*)) AS BIGINT) AS pos_rate_permille
+FROM l GROUP BY 1""",
 
     "q91_classifier" -> s"""
 WITH s AS (

@@ -82,17 +82,20 @@ object EditDedup {
     * permille = 1000 − dist·1000 ÷ max(len_a, len_b). Distance 0 (exact
     * dups) is excluded — that's [[Dedup.exactByHash]]'s job.
     *
-    * The THRESHOLD overload runs the banded DP — O(len·maxDist) per pair
-    * instead of O(len²), ~25× on kilobyte texts — and returns -1 above
-    * the band, which the [1, maxDist] filter discards exactly as the
-    * full DP's value would be (the oracle computes the full distance and
-    * applies the same BETWEEN — identical rows). */
+    * The distance kernel is [[LevBanded]] — a custom codegen expression
+    * running the Ukkonen band (O(min(n,m)·maxDist) after a one-time
+    * codepoint decode, early abandon when a whole row exceeds the band)
+    * because the builtin's UTF8String.charAt is O(position) and
+    * degenerates superlinearly on kilobyte texts (measured ~40×). It
+    * returns −1 above the band, so the single `dist >= 1` filter is
+    * exactly the oracle's BETWEEN 1 AND maxDist (one expression
+    * reference — nothing for predicate pushdown to re-inline twice). */
   def editPairs(docs: DataFrame, maxDist: Int = 20,
                 maxBlock: Int = 64): DataFrame =
     candidatePairs(docs, maxBlock)
       .withColumn("dist",
-        levenshtein(col("text_a"), col("text_b"), maxDist).cast("long"))
-      .filter(col("dist") >= 1L && col("dist") <= maxDist)
+        LevBanded.levBanded(col("text_a"), col("text_b"), maxDist).cast("long"))
+      .filter(col("dist") >= 1L)
       .withColumn("max_len",
         greatest(length(col("text_a")), length(col("text_b"))).cast("long"))
       .select(col("doc_a"), col("doc_b"), col("dist"),

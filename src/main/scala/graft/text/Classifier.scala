@@ -78,4 +78,35 @@ object Classifier {
         coalesce(col("delta"), lit(0L)).as("delta"))
       .withColumn("w_new", col("w_old") + col("delta"))
   }
+
+  /** Calibration (reliability-diagram) bins for the quality filter: the
+    * EVAL step between [[trainStep]] and [[score]]. Documents are bucketed
+    * by predicted logit (fixed `binWidth` bins, floor division so negative
+    * logits bin down); per bin: doc count, positives (label = lang
+    * membership, the [[trainStep]] convention), observed positive rate
+    * and mean logit — a calibrated filter shows pos_rate rising with bin.
+    *
+    * Shape: ONE map-only pass (label + logit computed per row off the
+    * scan, the [[score]] formula inline — no self-join back on doc_id)
+    * into one hash-agg bounded by the bin count (~2000/binWidth · 2). */
+  def calibrationBins(docs: DataFrame, targetLang: String = "en",
+                      binWidth: Long = 10000L): DataFrame =
+    docs.select(
+        when(col("lang") === targetLang, 1L).otherwise(0L).as("y"),
+        TextAnalysis.tokHashes(col("text")).as("th"))
+      .select(col("y"), size(col("th")).cast("long").as("n_tokens"),
+        aggregate(col("th"), lit(0L), (acc, h) => acc + weight(h)).as("score_sum"))
+      .select(col("y"),
+        when(col("n_tokens") > 0,
+          floor(col("score_sum") * lit(1000.0) / col("n_tokens")).cast("long"))
+          .otherwise(lit(0L)).as("logit_x1e3"))
+      .withColumn("bin",
+        floor(col("logit_x1e3") / lit(binWidth.toDouble)).cast("long"))
+      .groupBy("bin").agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("y")).as("n_pos"),
+        floor(sum(col("logit_x1e3")) * lit(1.0) / count(lit(1))).cast("long")
+          .as("mean_logit_x1e3"))
+      .withColumn("pos_rate_permille",
+        floor(col("n_pos") * lit(1000.0) / col("n_docs")).cast("long"))
 }

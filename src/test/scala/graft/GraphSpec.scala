@@ -86,6 +86,26 @@ class GraphSpec extends SparkSpec {
     assert(EditDedup.editPairs(d).count() == 0L)
   }
 
+  test("LevBanded.dist matches the builtin 3-arg levenshtein pairwise") {
+    import graft.dedup.LevBanded
+    val pairs = Seq(
+      ("kitten", "sitting"), ("", ""), ("", "abc"), ("abc", ""),
+      ("same", "same"), ("café au lait", "cafe au lait"),
+      ("αβγδε", "αβξδε"), ("a" * 50, "a" * 50 + "bbb"),
+      ("the quick brown fox", "the quick brown cat"),
+      ("x" * 30, "y" * 30), // distance 30 > k: both must say -1
+      ("ab" * 20, "ba" * 20))
+    val df = pairs.toDF("l", "r")
+    for (k <- Seq(0, 1, 3, 20)) {
+      val got = df.select(
+        LevBanded.levBanded(col("l"), col("r"), k).as("mine"),
+        levenshtein(col("l"), col("r"), k).as("builtin")).collect()
+      got.zip(pairs).foreach { case (row, p) =>
+        assert(row.getInt(0) == row.getInt(1), s"k=$k pair=$p")
+      }
+    }
+  }
+
   test("editPairs hot-block guard drops oversized boilerplate cells") {
     // 70 docs sharing prefix and length band: the cell overflows the
     // default cap and produces nothing; a generous cap finds all pairs

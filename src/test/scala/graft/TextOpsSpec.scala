@@ -683,4 +683,21 @@ class TextOpsSpec extends SparkSpec {
     assert(out(1L) == ((6L, 1L, 2L, 2L, 3L, 166L)))
     assert(out(3L) == ((5L, 3L, 0L, 4L, 7L, 600L)))
   }
+
+  test("calibrationBins conserves docs and matches the score() recompute") {
+    val docs = spark.read.parquet(s"$tiny/documents.parquet")
+    val bins = graft.text.Classifier.calibrationBins(docs).collect()
+    assert(bins.map(_.getLong(1)).sum == docs.count())
+    bins.foreach(r => assert(r.getLong(2) <= r.getLong(1))) // n_pos <= n_docs
+    // independent recompute via the oracled score() + label join
+    val re = graft.text.Classifier.score(docs)
+      .join(docs.select(col("doc_id"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("y")), "doc_id")
+      .withColumn("bin", floor(col("logit_x1e3") / 10000.0).cast("long"))
+      .groupBy("bin").agg(count(lit(1)).as("n_docs"), sum("y").as("n_pos"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    bins.foreach { r =>
+      assert(re(r.getLong(0)) == ((r.getLong(1), r.getLong(2))))
+    }
+  }
 }
