@@ -262,6 +262,15 @@ object Bench {
           }
           val prRun = () => timeBuild(graph.Graphs.toolPageRank(input))
           results("pagerank") = math.min(prRun(), prRun())
+          // skew evidence for SEQUENCE windows (the ordered_plain/salted
+          // pair covers repartition+sort): plain per-conv lag vs the
+          // chunk-split window + boundary stitch on the same input — the
+          // hot conversation is 20% of all rows in ONE sort task
+          val tepRun = () => timeNoop(graph.Graphs.toolTransitionEdges(input))
+          results("tool_edges_plain") = math.min(tepRun(), tepRun())
+          val tesRun = () => timeNoop(
+            operators.SkewWindows.toolTransitionEdgesSalted(input))
+          results("tool_edges_salted") = math.min(tesRun(), tesRun())
           val edRun = () => timeNoop(dedup.EditDedup.editPairs(docs10))
           results("edit_dedup") = math.min(edRun(), edRun())
           val trRun = () => timeNoop(graph.Graphs.loginTriangles(parsedB))

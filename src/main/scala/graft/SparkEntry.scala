@@ -770,6 +770,14 @@ object SparkEntry {
     "q181_calibration" -> ((s, d) =>
       text.Classifier.calibrationBins(docs(s, d))),
 
+    // skew-safe chunked lag: tool-transition edges via the chunk-split
+    // window + boundary stitch; the ORACLE is the plain-lag formulation,
+    // so the green row IS the row-identity proof (chunk=8 forces many
+    // chunks even at small scale)
+    "q182_salted_edges" -> ((s, d) =>
+      operators.SkewWindows.toolTransitionEdgesSalted(
+        Transcripts.loadCanonical(s, d), chunk = 8L)),
+
     // snapshot diff between corpus versions (v2 derived from v1 by a
     // shared deterministic edit/drop/add rule): per-doc status audit
     "q162_snapshot_diff" -> ((s, d) => {
@@ -3068,6 +3076,9 @@ WHERE core_deg >= 2"""),
   FROM cand c JOIN tsets a ON a.doc_id = c.doc_a
   JOIN tsets b ON b.doc_id = c.doc_b""")(
       "SELECT doc_a, doc_b, jaccard_permille FROM scored WHERE jaccard_permille >= 600"),
+
+    "q182_salted_edges" -> withCtes(oToolGraphCtes: _*)(
+      "SELECT src, dst, w FROM edges"),
 
     "q177_community_stats" -> withCtesMat((oToolGraphCtes ++ Seq(
       "esym" -> """SELECT a, b, CAST(sum(w) AS BIGINT) AS w FROM

@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.operators.SkewWindows
+
+/** Row-identity proofs for the skew-safe chunked lag (q182): the chunked
+  * window + boundary stitch must reproduce the plain per-key lag exactly,
+  * on gapped ords, empty chunks, singleton chunks, and the real corpus. */
+class SkewWindowSpec extends SparkSpec {
+  import TestSpark.spark.implicits._
+
+  private def plainPairs(df: DataFrame): Set[(String, Long, String, String)] = {
+    val w = Window.partitionBy("k").orderBy("o")
+    df.select(col("k"), col("o"), lag(col("v"), 1).over(w).as("prev"), col("v"))
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        Option(r.getString(2)).orNull, r.getString(3))).toSet
+  }
+
+  private def chunkedPairs(df: DataFrame, chunk: Long) =
+    SkewWindows.adjacentPairs(df, "k", "o", "v", chunk)
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        Option(r.getString(2)).orNull, r.getString(3))).toSet
+
+  test("adjacentPairs == plain lag on gapped ords and empty chunks") {
+    val df = Seq(
+      ("a", 0L, "t0"), ("a", 1L, "t1"), ("a", 2L, "t2"), ("a", 3L, "t3"),
+      ("a", 4L, "t4"), ("a", 5L, "t5"),
+      ("b", 0L, "x"), ("b", 9L, "y"), ("b", 17L, "z"), // chunks 0,2,4 — 1,3 empty
+      ("c", 7L, "solo"))
+      .toDF("k", "o", "v")
+    for (chunk <- Seq(1L, 2L, 4L, 100L))
+      assert(chunkedPairs(df, chunk) == plainPairs(df), s"chunk=$chunk")
+  }
+
+  test("adjacentPairs == plain lag on the real corpus at a forcing chunk") {
+    val t = sources.Transcripts.load(spark, tiny)
+      .select(col("conv_id").as("k"), col("turn_idx").cast("long").as("o"),
+        col("tool").as("v"))
+    assert(chunkedPairs(t, 8L) == plainPairs(t))
+  }
+
+  test("toolTransitionEdgesSalted == Graphs.toolTransitionEdges") {
+    val c = sources.Transcripts.loadCanonical(spark, tiny)
+    val plain = graph.Graphs.toolTransitionEdges(c).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    val salted = SkewWindows.toolTransitionEdgesSalted(c, chunk = 8L).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(salted == plain)
+  }
+}
