@@ -14,14 +14,26 @@ import org.apache.spark.sql.functions._
   * key splits into ord-range chunks that sort independently, and the only
   * cross-chunk work is the BOUNDARY STITCH — each chunk's first row needs
   * its global predecessor, which is by construction the last row of the
-  * nearest non-empty lower chunk. The stitch runs a plain window over the
-  * chunk-EDGE rows only (≤2 rows per (key, chunk) — rows/chunk-bounded,
-  * the same reduction trick as the per-partition-counts zip), so no
-  * single task ever sees more than `chunk` full rows of one key.
+  * nearest non-empty lower chunk. Chunk first/last rows come from a
+  * map-side-combinable min_by/max_by hash-agg (NOT a second sort+window
+  * over the corpus — only per-chunk summaries shuffle), and the stitch is
+  * a lag over that rows/chunk-bounded frame, emitted as a union branch.
+  * No single task ever sorts more than `chunk` rows of one key.
   *
   * Row-identity to the plain-window lag is proven in SkewWindowSpec
   * (gapped ords, empty chunks, single-row chunks) and by the q182 oracle,
   * whose SQL is the PLAIN lag formulation.
+  *
+  * COST CROSSOVER (measured, bench corpus, local[32], 5M rows with a 20%
+  * hot conversation): plain 3.1 s vs chunked 4.1 s — the chunked form
+  * pays a second corpus scan for the edge-cell aggregate, and at this
+  * scale the hot key's 1M-row sort is only ~1 s of straggle. The operator
+  * targets the regime where the straggler dominates wall-clock: a hot key
+  * holding multi-GB of one partition on a 1000-executor cluster, where
+  * one task sorting 10^8+ rows gates the stage while the second scan is
+  * embarrassingly parallel. Use plain lag until the skew audit
+  * (`Layout.partitionSkewStats`, `JoinPlanner.joinForecast`) says
+  * otherwise.
   */
 object SkewWindows {
 
@@ -33,32 +45,29 @@ object SkewWindows {
     val base = df.select(col(key).as("k"), col(ord).as("o"),
       col(value).as("v"))
       .withColumn("bkt", floor(col("o") / chunk).cast("long"))
+    // branch A — interior pairs: one chunk-keyed sort+window; the hot
+    // key's sort is chunk-bounded. Chunk-first rows (rn=1) are emitted
+    // by branch B instead.
     val w = Window.partitionBy("k", "bkt").orderBy("o")
-    val within = base
+    val interior = base
       .withColumn("prev", lag(col("v"), 1).over(w))
       .withColumn("rn", row_number().over(w))
-      .withColumn("cnt", count(lit(1)).over(Window.partitionBy("k", "bkt")))
-    // interior rows already carry their predecessor from the chunk window
-    val interior = within.filter(col("rn") > 1)
+      .filter(col("rn") > 1)
       .select(col("k"), col("o"), col("prev"), col("v"))
-    // chunk-edge rows: first and last of every (k, bkt) — a tiny frame,
-    // so its UNSPLIT per-key window below is rows/chunk-bounded
-    val edges = within
-      .filter(col("rn") === 1 || col("rn") === col("cnt"))
-      .select(col("k"), col("o"), col("v"),
-        (col("rn") === 1).as("is_first"),
-        (col("rn") === col("cnt")).as("is_last"))
-    // nearest preceding LAST row per key = the global predecessor of a
-    // chunk-first row (chunks partition the ord range monotonically);
-    // emitted as a UNION branch, not a join back — no corpus-wide
-    // (k, o) re-shuffle
-    val stitchW = Window.partitionBy("k").orderBy("o")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val firsts = edges
-      .withColumn("lastv", when(col("is_last"), col("v")))
-      .withColumn("sprev", last(col("lastv"), ignoreNulls = true).over(stitchW))
-      .filter(col("is_first"))
-      .select(col("k"), col("o"), col("sprev").as("prev"), col("v"))
+    // branch B — chunk-edge rows via a map-side-combinable hash-agg (NO
+    // second sort+window over the corpus: min_by/max_by partial-aggregate
+    // off the scan, so only per-chunk summaries shuffle). Empty chunks
+    // are simply absent, so the nearest non-empty lower chunk is the
+    // PREVIOUS ROW of the per-key bkt order — a lag over the tiny frame.
+    val cells = base.groupBy("k", "bkt").agg(
+      min(col("o")).as("first_o"),
+      min_by(col("v"), col("o")).as("first_v"),
+      max_by(col("v"), col("o")).as("last_v"))
+    val stitchW = Window.partitionBy("k").orderBy("bkt")
+    val firsts = cells
+      .withColumn("prev", lag(col("last_v"), 1).over(stitchW))
+      .select(col("k"), col("first_o").as("o"), col("prev"),
+        col("first_v").as("v"))
     interior.unionByName(firsts)
   }
 
