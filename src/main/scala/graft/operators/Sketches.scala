@@ -263,25 +263,50 @@ object Sketches {
     * combinable); the probe side is a TakeOrderedAndProject top-K (per-
     * partition heads merged on the driver, no global sort) joined against
     * the tiny counter table. */
-  def cmsHeavyHitters(transcripts: DataFrame, width: Int = 256,
-                      depth: Int = 4, topK: Int = 20): DataFrame = {
-    def cells(k: Column): Column = array((0 until depth).map(i =>
+  /** CMS cell array for a key: depth independent row hashes mod width. */
+  def cmsCells(k: Column, width: Int = 256, depth: Int = 4): Column =
+    array((0 until depth).map(i =>
       conv(substring(md5(concat(lit(i.toString), k)), 1, 8), 16, 10)
         .cast("long") % width): _*)
-    val keyed = transcripts.select(
-      md5(regexp_replace(lower(col("text")), "[0-9]+", "0").cast("binary"))
-        .as("tkey"))
-    val counters = keyed
-      .select(posexplode(cells(col("tkey"))))
+
+  /** Digit-normalized turn-template key (the
+    * [[graft.operators.Conversations.turnTemplates]] normalization). */
+  def templateKey(text: Column): Column =
+    md5(regexp_replace(lower(text), "[0-9]+", "0").cast("binary"))
+
+  /** The (row_idx, cell, cnt) counter table for a keyed frame — the
+    * MERGEABLE CMS form: cell-wise SUM of two tables is the table of the
+    * concatenated inputs ([[cmsMerge]]), which is what lets per-batch /
+    * per-day counters fold without re-reading history. */
+  def cmsCounterTable(keyed: DataFrame, width: Int = 256,
+                      depth: Int = 4): DataFrame =
+    keyed.select(posexplode(cmsCells(col("tkey"), width, depth)))
       .withColumnRenamed("pos", "row_idx").withColumnRenamed("col", "cell")
       .groupBy("row_idx", "cell").agg(count(lit(1)).as("cnt"))
+
+  /** Merge two counter tables (cell-wise sum). */
+  def cmsMerge(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy("row_idx", "cell").agg(sum("cnt").as("cnt"))
+
+  /** CMS point estimates for distinct keys in `keys` (needs a `tkey`
+    * col): min over the depth rows — over-counts, never under-counts.
+    * Keys absent from every row cell get 0 only if some cell is empty;
+    * missing cells count as 0 via the left join + coalesce. */
+  def cmsProbe(keys: DataFrame, counters: DataFrame, width: Int = 256,
+               depth: Int = 4): DataFrame =
+    keys.select(col("tkey"), posexplode(cmsCells(col("tkey"), width, depth)))
+      .withColumnRenamed("pos", "row_idx").withColumnRenamed("col", "cell")
+      .join(counters, Seq("row_idx", "cell"), "left")
+      .groupBy("tkey")
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("cms_est"))
+
+  def cmsHeavyHitters(transcripts: DataFrame, width: Int = 256,
+                      depth: Int = 4, topK: Int = 20): DataFrame = {
+    val keyed = transcripts.select(templateKey(col("text")).as("tkey"))
+    val counters = cmsCounterTable(keyed, width, depth)
     val probes = keyed.groupBy("tkey").agg(count(lit(1)).as("exact_n"))
       .orderBy(col("exact_n").desc, col("tkey").asc).limit(topK)
-    probes
-      .select(col("tkey"), col("exact_n"), posexplode(cells(col("tkey"))))
-      .withColumnRenamed("pos", "row_idx").withColumnRenamed("col", "cell")
-      .join(counters, Seq("row_idx", "cell"))
-      .groupBy("tkey", "exact_n").agg(min(col("cnt")).as("cms_est"))
+    probes.join(cmsProbe(probes, counters, width, depth), "tkey")
       .select(col("tkey"), col("exact_n"), col("cms_est"),
         floor((col("cms_est") - col("exact_n")) * lit(1000.0)
           / col("exact_n")).cast("long").as("over_permille"))

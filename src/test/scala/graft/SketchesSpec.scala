@@ -61,6 +61,17 @@ class SketchesSpec extends SparkSpec {
     assert(merged == direct)   // fold-by-day == recompute-from-scratch
   }
 
+  test("cmsMerge: cell-wise sum of shard tables equals the full table") {
+    val mk = (lo: Int, hi: Int) => (lo to hi).map(i => s"row value $i")
+      .toDF("text").select(Sketches.templateKey(col("text")).as("tkey"))
+    val merged = Sketches.cmsMerge(
+      Sketches.cmsCounterTable(mk(1, 250)), Sketches.cmsCounterTable(mk(251, 500)))
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val direct = Sketches.cmsCounterTable(mk(1, 500))
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(merged == direct)   // fold-by-batch == recompute-from-scratch
+  }
+
   test("cmsHeavyHitters: estimates never undercount; hot template leads") {
     // digit runs normalize away: "hot row 1"/"hot row 2" are ONE template
     val rows = Seq.fill(15)("hot row 1") ++ Seq.fill(15)("hot row 2") ++

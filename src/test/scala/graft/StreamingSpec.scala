@@ -306,6 +306,47 @@ class StreamingSpec extends SparkSpec {
     assert(s2 == batchMerged)
   }
 
+  test("streaming CMS counters: history estimate sees prior batches, " +
+    "accumulated table equals the one-shot build") {
+    val root = "/tmp/graft_cms_stream_spec"
+    rm(root)
+    import TestSpark.spark.implicits._
+    def drain(): Unit = {
+      val stream = spark.readStream.schema("text STRING")
+        .option("maxFilesPerTrigger", 1).parquet(s"$root/in/*")
+      val q = graft.streaming.CmsStream.start(
+        stream, s"$root/state", s"$root/ckpt")
+      q.awaitTermination()
+    }
+    // batch 1: the "error N occurred" template twice, one other template
+    Seq("error 123 occurred", "error 999 occurred", "all good here")
+      .toDF("text").coalesce(1).write.parquet(s"$root/in/b1")
+    drain()
+    val tkeyOf = (t: String) => Seq(t).toDF("text")
+      .select(operators.Sketches.templateKey(col("text"))).collect()(0).getString(0)
+    val errKey = tkeyOf("error 1 occurred")
+    val e1 = spark.read.parquet(s"$root/state/estimates")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(e1(errKey) == ((2L, 0L))) // first batch probes EMPTY history
+    // batch 2: same template again + a novel one
+    Seq("error 7 occurred", "novel text entirely").toDF("text")
+      .coalesce(1).write.parquet(s"$root/in/b2")
+    drain()
+    val e2 = spark.read.parquet(s"$root/state/estimates")
+      .filter(col("batch_id") === 1).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(e2(errKey) == ((1L, 2L))) // history = batch 1's two instances
+    assert(e2(tkeyOf("novel text entirely"))._2 == 0L)
+    // mergeability: the accumulated counter table == one-shot build
+    val streamed = graft.streaming.CmsStream.counterTable(spark, s"$root/state")
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val oneShot = operators.Sketches.cmsCounterTable(
+      spark.read.parquet(s"$root/in/*")
+        .select(operators.Sketches.templateKey(col("text")).as("tkey")))
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(streamed == oneShot)
+  }
+
   test("streaming Bloom prefilter: replayed content flags on the NEXT " +
     "batch, and the accumulated table equals the one-shot build") {
     val root = "/tmp/graft_bloom_stream_spec"
