@@ -36,5 +36,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[graft.dedup.ShingleHashExpr].getName,
         "shingle_hashes"),
       (children: Seq[Expression]) => graft.dedup.ShingleHashExpr(children.head)))
+    // banded Levenshtein: lev_banded(l, r, k) — k a foldable int literal
+    ext.injectFunction((
+      new FunctionIdentifier("lev_banded"),
+      new ExpressionInfo(classOf[graft.dedup.LevBandedExpr].getName,
+        "lev_banded"),
+      (children: Seq[Expression]) => graft.dedup.LevBandedExpr(
+        children(0), children(1),
+        children(2).eval().asInstanceOf[Number].intValue())))
   }
 }

@@ -53,6 +53,16 @@ class MainSpec extends SparkSpec {
     import TestSpark.spark.implicits._
     Seq((1L, "one two three four")).toDF("doc_id", "text")
       .createOrReplaceTempView("d_sql")
+    spark.sessionState.functionRegistry.registerFunction(
+      new FunctionIdentifier("lev_banded"),
+      new ExpressionInfo(classOf[dedup.LevBandedExpr].getName, "lev_banded"),
+      (children: Seq[Expression]) => dedup.LevBandedExpr(
+        children(0), children(1),
+        children(2).eval().asInstanceOf[Number].intValue()))
+    val lv = spark.sql(
+      "SELECT lev_banded('kitten', 'sitting', 5) AS d, lev_banded('aa', 'zzzz', 1) AS x")
+      .collect()(0)
+    assert(lv.getInt(0) == 3 && lv.getInt(1) == -1)
     val r = spark.sql(
       """SELECT token_sketches(text).fp AS fp, size(shingle_hashes(text)) AS n
          FROM d_sql""").collect()(0)
