@@ -44,5 +44,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => graft.dedup.LevBandedExpr(
         children(0), children(1),
         children(2).eval().asInstanceOf[Number].intValue())))
+    // optimizer rule: plain-SQL bounded-levenshtein predicates run the
+    // banded kernel (see plans.BandedLevRewrite)
+    ext.injectOptimizerRule(_ => graft.plans.BandedLevRewrite)
   }
 }

@@ -63,6 +63,24 @@ class MainSpec extends SparkSpec {
       "SELECT lev_banded('kitten', 'sitting', 5) AS d, lev_banded('aa', 'zzzz', 1) AS x")
       .collect()(0)
     assert(lv.getInt(0) == 3 && lv.getInt(1) == -1)
+    // optimizer rule (GraftExtensions injectOptimizerRule): bounded
+    // builtin-levenshtein predicates rewrite to the banded kernel
+    spark.experimental.extraOptimizations = Seq(graft.plans.BandedLevRewrite)
+    try {
+      import TestSpark.spark.implicits._
+      val f = Seq(("kitten", "sitting"), ("abc", "zzzzzzzzzz")).toDF("a", "b")
+        .filter(levenshtein(col("a"), col("b")) <= 5)
+      // the rule fires on the analyzed plan (a LocalRelation source gets
+      // constant-folded away afterwards, so check the rewrite directly)
+      assert(graft.plans.BandedLevRewrite(f.queryExecution.analyzed)
+        .toString.contains("levenshtein_banded"))
+      assert(f.count() == 1)
+      val v = Seq(("kitten", "sitting")).toDF("a", "b")
+        .select(levenshtein(col("a"), col("b"), 5).as("d"))
+      assert(graft.plans.BandedLevRewrite(v.queryExecution.analyzed)
+        .toString.contains("levenshtein_banded"))
+      assert(v.collect()(0).getInt(0) == 3)
+    } finally spark.experimental.extraOptimizations = Nil
     val r = spark.sql(
       """SELECT token_sketches(text).fp AS fp, size(shingle_hashes(text)) AS n
          FROM d_sql""").collect()(0)
