@@ -276,6 +276,23 @@ object Bench {
           val trRun = () => timeNoop(graph.Graphs.loginTriangles(parsedB))
           results("triangles") = math.min(trRun(), trRun())
 
+          // round-10 ops: the generic as-of join (tool turns pick up the
+          // latest change-log row at or before their ts — one key exchange
+          // + window, no broadcast; tool cardinality is tiny, so this also
+          // stresses the few-hot-keys sort path) and fixed-k trigram
+          // mining (conv window → distinct → bounded agg)
+          val tTool = input.filter(col("tool") =!= "")
+          val changes = tTool.filter(col("turn_idx") % 37 === 0)
+            .groupBy(col("tool"), col("ts").as("cfg_ts"))
+            .agg((max(length(col("text"))).cast("long") % 997L).as("cfg_ver"))
+          val aoRun = () => timeNoop(operators.AsOf.unionAsOf(
+            tTool.select("conv_id", "turn_idx", "tool", "ts"),
+            changes, "tool", "ts", "cfg_ts"))
+          results("asof_join") = math.min(aoRun(), aoRun())
+          val tgRun = () => timeNoop(
+            operators.Conversations.frequentTrigrams(input))
+          results("action_trigrams") = math.min(tgRun(), tgRun())
+
           // lmScore/convNearDup persist their reused intermediates;
           // drop them so repeated bench runs don't accumulate cache
           spark.catalog.clearCache()

@@ -150,6 +150,21 @@ object PlanAudit {
       graph.Graphs.linkPredict(graph.Graphs.loginCooccurrenceEdges(
         Pipeline.parsed(spark, sfDir)))
     }
+    section("as-of join (union-tag, ONE key exchange + window, no broadcast of the big side)") {
+      import org.apache.spark.sql.functions._
+      val t = sources.Transcripts.loadCanonical(spark, sfDir)
+        .filter(col("tool") =!= "")
+      val changes = t.filter(col("turn_idx") % 37 === 0)
+        .groupBy(col("tool"), col("ts").as("cfg_ts"))
+        .agg((max(length(col("text"))).cast("long") % 997L).as("cfg_ver"))
+      operators.AsOf.unionAsOf(
+        t.select("conv_id", "turn_idx", "tool", "ts"),
+        changes, "tool", "ts", "cfg_ts")
+    }
+    section("action trigrams (one conv window -> distinct -> bounded hash-agg)") {
+      operators.Conversations.frequentTrigrams(
+        sources.Transcripts.loadCanonical(spark, sfDir))
+    }
     // pageRank / labelPropagation / bfsDistances / kCore are driver-side
     // unrolled loops with per-step persist+count — explain would execute
     // them; their per-step plan is the rank ⋈ edges equi-join + dst

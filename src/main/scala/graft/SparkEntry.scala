@@ -965,6 +965,38 @@ object SparkEntry {
         col("n_turns"), col("ts_start"), col("ts_end"))
     }),
 
+    // generic scalable as-of join: every tool turn picks up the latest
+    // config version published at or before its timestamp. Union-tag +
+    // ONE window shuffle, no broadcast — the big-dimension complement of
+    // q12's broadcast interval join. The oracle is DuckDB's native
+    // ASOF LEFT JOIN — an independent implementation of the semantics.
+    "q183_asof_join" -> ((s, d) => {
+      val t = Transcripts.loadCanonical(s, d).filter(col("tool") =!= "")
+      val changes = t.filter(col("turn_idx") % 37 === 0)
+        .groupBy(col("tool"), col("ts").as("cfg_ts"))
+        .agg((max(length(col("text"))).cast("long") % 997L).as("cfg_ver"))
+      operators.AsOf.unionAsOf(
+        t.select("conv_id", "turn_idx", "tool", "ts"),
+        changes, "tool", "ts", "cfg_ts")
+        .select("conv_id", "turn_idx", "tool", "cfg_ts", "cfg_ver")
+    }),
+
+    // HLL set algebra: distinct-conversation overlap between the user-turn
+    // population and the tool-turn population, from three <=64-row register
+    // tables (per-side max-merge + inclusion-exclusion). The exact columns
+    // are the test-scale verification path.
+    "q184_hll_setops" -> ((s, d) => {
+      val t = Transcripts.loadCanonical(s, d)
+      operators.Sketches.hllSetOps(
+        t.filter(col("role") === "user"),
+        t.filter(col("tool") =!= ""))
+    }),
+
+    // frequent ordered role:tool trigram mining (distinct-conv support)
+    "q185_action_trigrams" -> ((s, d) =>
+      operators.Conversations.frequentTrigrams(
+        Transcripts.loadCanonical(s, d), minSupport = 2L)),
+
     "q50_streaming_counts" -> ((s, d) => {
       import java.nio.file.{Files, Paths}
       val root = s"/tmp/graft_stream_${math.abs(d.hashCode)}"
@@ -3079,6 +3111,72 @@ WHERE core_deg >= 2"""),
 
     "q182_salted_edges" -> withCtes(oToolGraphCtes: _*)(
       "SELECT src, dst, w FROM edges"),
+
+    "q183_asof_join" -> withCtes(
+      "l" -> "SELECT conv_id, turn_idx, tool, ts FROM transcripts WHERE tool <> ''",
+      "c" -> """SELECT tool, ts AS cfg_ts,
+    CAST(max(length(text)) AS BIGINT) % 997 AS cfg_ver
+  FROM transcripts WHERE tool <> '' AND turn_idx % 37 = 0 GROUP BY 1, 2""")("""
+SELECT l.conv_id, l.turn_idx, l.tool, c.cfg_ts, c.cfg_ver
+FROM l ASOF LEFT JOIN c ON l.tool = c.tool AND l.ts >= c.cfg_ts"""),
+
+    // independent DuckDB re-derivation of the HLL set algebra: same md5
+    // register/rank split as q132, union registers as per-reg max, shared
+    // integer linear-counting table, inclusion-exclusion at the end.
+    "q184_hll_setops" -> withCtes(
+      "k" -> """SELECT s.name, s.conv_id,
+    ('0x' || substr(md5(s.conv_id), 1, 8))::BIGINT AS h
+  FROM (
+    SELECT 'a' AS name, conv_id FROM transcripts WHERE role = 'user'
+    UNION ALL
+    SELECT 'b' AS name, conv_id FROM transcripts WHERE tool <> '') s""",
+      "r" -> """SELECT name, h % 64 AS reg,
+    CASE WHEN h // 64 = 0 THEN 27 ELSE 27 - length(bin(h // 64)) END AS rank
+  FROM k""",
+      "m" -> "SELECT name, reg, max(rank) AS m FROM r GROUP BY 1, 2",
+      "m2" -> """SELECT name, reg, m FROM m
+  UNION ALL SELECT 'u' AS name, reg, max(m) AS m FROM m GROUP BY reg""",
+      "p" -> """SELECT name, CAST(count(*) AS BIGINT) AS nonzero_regs,
+    CAST(sum(1::BIGINT << CAST(27 - m AS INT)) AS BIGINT) AS s_obs
+  FROM m2 GROUP BY name""",
+      "g" -> s"""SELECT name, nonzero_regs,
+    CAST(floor(${operators.Sketches.HllNumerator}
+      / (s_obs + (64 - nonzero_regs) * 134217728)) AS BIGINT) AS hll_raw
+  FROM p""",
+      "lc" -> s"""SELECT name,
+    CASE WHEN nonzero_regs < 64 AND hll_raw <= 160
+      THEN ${operators.Sketches.HllLinearCounting.mkString("list_value(", ", ", ")")}[CAST(64 - nonzero_regs AS INT)]
+      ELSE hll_raw END AS hll_est
+  FROM g""",
+      "w" -> """SELECT
+    max(CASE WHEN name = 'a' THEN hll_est END) AS est_a,
+    max(CASE WHEN name = 'b' THEN hll_est END) AS est_b,
+    max(CASE WHEN name = 'u' THEN hll_est END) AS est_union
+  FROM lc""",
+      "e" -> """SELECT
+    CAST(count(DISTINCT CASE WHEN name = 'a' THEN conv_id END) AS BIGINT) AS exact_a,
+    CAST(count(DISTINCT CASE WHEN name = 'b' THEN conv_id END) AS BIGINT) AS exact_b,
+    CAST(count(DISTINCT conv_id) AS BIGINT) AS exact_union
+  FROM k""")("""
+SELECT CAST(est_a AS BIGINT) AS est_a, CAST(est_b AS BIGINT) AS est_b,
+  CAST(est_union AS BIGINT) AS est_union,
+  CAST(greatest(0, est_a + est_b - est_union) AS BIGINT) AS est_intersect,
+  exact_a, exact_b, exact_union,
+  CAST(exact_a + exact_b - exact_union AS BIGINT) AS exact_intersect
+FROM w, e"""),
+
+    "q185_action_trigrams" -> withCtes(
+      "tok" -> """SELECT conv_id, turn_idx,
+    role || ':' || CASE WHEN tool = '' THEN '-' ELSE tool END AS t0
+  FROM transcripts""",
+      "tri" -> """SELECT conv_id, t0,
+    lead(t0, 1) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS t1,
+    lead(t0, 2) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS t2
+  FROM tok""",
+      "pat" -> """SELECT DISTINCT conv_id, t0 || ' > ' || t1 || ' > ' || t2 AS pattern
+  FROM tri WHERE t2 IS NOT NULL""")("""
+SELECT pattern, CAST(count(*) AS BIGINT) AS support
+FROM pat GROUP BY pattern HAVING count(*) >= 2"""),
 
     "q177_community_stats" -> withCtesMat((oToolGraphCtes ++ Seq(
       "esym" -> """SELECT a, b, CAST(sum(w) AS BIGINT) AS w FROM

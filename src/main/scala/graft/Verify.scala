@@ -30,6 +30,11 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // Iterative operators (kCore, pageRank) return persisted frames the
+      // caller is meant to own; in this 180-query dump those add up to a
+      // heap OOM around query ~170. Each query is written out already —
+      // drop ALL cached blocks before the next one.
+      spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

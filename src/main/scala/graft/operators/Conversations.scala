@@ -538,4 +538,31 @@ object Conversations {
       permille("engaged"), permille("tool_used"),
       permille("errored"), permille("recovered"))
   }
+
+  /** Frequent action-trigram mining (q185): which ordered
+    * `role:tool → role:tool → role:tool` patterns recur across the corpus.
+    * Support = number of DISTINCT conversations containing the pattern at
+    * least once (the standard sequential-pattern-mining definition — a
+    * conversation that loops one pattern 50 times counts once). At fixed
+    * k there is no Apriori candidate lattice and no self-join: one window
+    * pass keyed on conv_id (the same exchange every per-conv op shares),
+    * a distinct on (pattern, conv_id), one hash-agg. Scale-out is the
+    * conversation count; the pattern space is bounded by (roles×tools)³,
+    * so the post-distinct aggregate is tiny. */
+  def frequentTrigrams(transcripts: DataFrame,
+                       minSupport: Long = 5L): DataFrame = {
+    val tok = concat_ws(":", col("role"),
+      when(col("tool") === "", lit("-")).otherwise(col("tool")))
+    val w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    transcripts
+      .withColumn("t0", tok)
+      .withColumn("t1", lead(col("t0"), 1).over(w))
+      .withColumn("t2", lead(col("t0"), 2).over(w))
+      .filter(col("t2").isNotNull)
+      .select(col("conv_id"),
+        concat_ws(" > ", col("t0"), col("t1"), col("t2")).as("pattern"))
+      .distinct()
+      .groupBy("pattern").agg(count(lit(1)).as("support"))
+      .filter(col("support") >= minSupport)
+  }
 }

@@ -107,9 +107,12 @@ object Sketches {
   def hllMergeRegs(a: DataFrame, b: DataFrame): DataFrame =
     a.unionByName(b).groupBy("name", "reg").agg(max("m").as("m"))
 
-  def hllDistinct(parsed: DataFrame, keyCol: String = "conv_id"): DataFrame = {
-    val regs = hllRegs(parsed, keyCol)
-    val perName = regs.groupBy("name").agg(
+  /** Per-name estimate off a (name, reg, m) register table — the READ side
+    * of the sketch, shared by the batch q132, the set-algebra q184, and
+    * the streaming [[graft.streaming.HllStream]]. Integer-exact: power-of-
+    * two sums, IntegralDivide, table-lookup linear counting. */
+  def hllEstimate(regs: DataFrame): DataFrame =
+    regs.groupBy("name").agg(
       count(lit(1)).as("nonzero_regs"),
       sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(27 - m AS INT))")).as("s_obs"))
       .withColumn("sum_pow",
@@ -122,6 +125,9 @@ object Sketches {
             (lit(64L) - col("nonzero_regs")).cast("int")))
           .otherwise(col("hll_raw")))
       .drop("s_obs", "hll_raw")
+
+  def hllDistinct(parsed: DataFrame, keyCol: String = "conv_id"): DataFrame = {
+    val perName = hllEstimate(hllRegs(parsed, keyCol))
     val exact = parsed.groupBy("name")
       .agg(countDistinct(col(keyCol)).as("exact_distinct"))
     perName.join(exact, Seq("name"))
@@ -130,6 +136,39 @@ object Sketches {
           / col("exact_distinct")).cast("long"))
       .select("name", "exact_distinct", "nonzero_regs", "sum_pow",
         "hll_est", "err_x1e3")
+  }
+
+  /** HLL set algebra between two key populations (q184): union registers
+    * are the element-wise MAX of the per-side registers — the defining
+    * mergeability property — and the intersection estimate falls out by
+    * inclusion-exclusion (clamped at 0; HLL cannot estimate intersections
+    * directly). One row out: per-side, union, and intersection estimates
+    * next to their exact counterparts. The exact columns are the
+    * verification path; at 100 TB you'd run only the sketch columns —
+    * three ≤64-row register tables regardless of input size. */
+  def hllSetOps(a: DataFrame, b: DataFrame,
+                keyCol: String = "conv_id"): DataFrame = {
+    val tagged = a.select(lit("a").as("name"), col(keyCol))
+      .unionByName(b.select(lit("b").as("name"), col(keyCol)))
+    val regs = hllRegs(tagged, keyCol)
+    val uRegs = regs.groupBy("reg").agg(max("m").as("m"))
+      .select(lit("u").as("name"), col("reg"), col("m"))
+    val est = hllEstimate(regs.unionByName(uRegs))
+    val wide = est.groupBy().agg(
+      max(when(col("name") === "a", col("hll_est"))).as("est_a"),
+      max(when(col("name") === "b", col("hll_est"))).as("est_b"),
+      max(when(col("name") === "u", col("hll_est"))).as("est_union"))
+      .withColumn("est_intersect",
+        greatest(lit(0L), col("est_a") + col("est_b") - col("est_union")))
+    val exact = tagged.groupBy().agg(
+      countDistinct(when(col("name") === "a", col(keyCol))).as("exact_a"),
+      countDistinct(when(col("name") === "b", col(keyCol))).as("exact_b"),
+      countDistinct(col(keyCol)).as("exact_union"))
+      .withColumn("exact_intersect",
+        col("exact_a") + col("exact_b") - col("exact_union"))
+    wide.crossJoin(exact).select(
+      "est_a", "est_b", "est_union", "est_intersect",
+      "exact_a", "exact_b", "exact_union", "exact_intersect")
   }
 
   // ---- Bloom filter ---------------------------------------------------------

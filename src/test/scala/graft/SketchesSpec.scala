@@ -61,6 +61,26 @@ class SketchesSpec extends SparkSpec {
     assert(merged == direct)   // fold-by-day == recompute-from-scratch
   }
 
+  test("hllSetOps: exact columns exact; union estimate equals the sketch " +
+    "of the concatenation; inclusion-exclusion stays in the error band") {
+    val a = (1 to 300).map(i => f"conv_$i%06d").toDF("conv_id")
+    val b = (200 to 500).map(i => f"conv_$i%06d").toDF("conv_id")
+    val r = Sketches.hllSetOps(a, b).collect()(0)
+    assert(r.getAs[Long]("exact_a") == 300L)
+    assert(r.getAs[Long]("exact_b") == 301L)
+    assert(r.getAs[Long]("exact_union") == 500L)
+    assert(r.getAs[Long]("exact_intersect") == 101L)
+    // union registers = max-merge ⇒ identical to sketching a ++ b directly
+    val direct = Sketches.hllDistinct(
+      a.unionByName(b).withColumn("name", lit("u"))).collect()(0)
+      .getAs[Long]("hll_est")
+    assert(r.getAs[Long]("est_union") == direct)
+    // m=64 ⇒ σ ≈ 13%; assert each estimate within 40% of its exact twin
+    for ((e, x) <- Seq("est_a" -> 300L, "est_b" -> 301L, "est_union" -> 500L))
+      assert(math.abs(r.getAs[Long](e) - x) <= (x * 2) / 5, s"$e off: $r")
+    assert(r.getAs[Long]("est_intersect") >= 0L)
+  }
+
   test("cmsMerge: cell-wise sum of shard tables equals the full table") {
     val mk = (lo: Int, hi: Int) => (lo to hi).map(i => s"row value $i")
       .toDF("text").select(Sketches.templateKey(col("text")).as("tkey"))

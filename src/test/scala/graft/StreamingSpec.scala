@@ -347,6 +347,45 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == oneShot)
   }
 
+  test("streaming HLL distinct: est_before sees prior batches only; " +
+    "accumulated registers equal the one-shot sketch") {
+    val root = "/tmp/graft_hll_stream_spec"
+    rm(root)
+    import TestSpark.spark.implicits._
+    def drain(): Unit = {
+      val stream = spark.readStream.schema("name STRING, conv_id STRING")
+        .option("maxFilesPerTrigger", 1).parquet(s"$root/in/*")
+      val q = graft.streaming.HllStream.start(
+        stream, s"$root/state", s"$root/ckpt")
+      q.awaitTermination()
+    }
+    def sketchOf(rows: Seq[(String, String)]): Long =
+      operators.Sketches.hllEstimate(
+        operators.Sketches.hllRegs(rows.toDF("name", "conv_id")))
+        .collect()(0).getAs[Long]("hll_est")
+    val b1 = (1 to 200).map(i => ("x", f"conv_$i%06d"))
+    b1.toDF("name", "conv_id").coalesce(1).write.parquet(s"$root/in/b1")
+    drain()
+    val e1 = spark.read.parquet(s"$root/state/estimates")
+      .filter(col("batch_id") === 0).collect()(0)
+    assert(e1.getAs[Long]("est_before") == 0L)   // empty history
+    assert(e1.getAs[Long]("est_after") == sketchOf(b1))
+    // batch 2: 50 replayed + 250 novel keys — before == batch-1 estimate,
+    // after == the sketch of the concatenation (max-merge mergeability)
+    val b2 = (151 to 450).map(i => ("x", f"conv_$i%06d"))
+    b2.toDF("name", "conv_id").coalesce(1).write.parquet(s"$root/in/b2")
+    drain()
+    val e2 = spark.read.parquet(s"$root/state/estimates")
+      .filter(col("batch_id") === 1).collect()(0)
+    assert(e2.getAs[Long]("est_before") == sketchOf(b1))
+    assert(e2.getAs[Long]("est_after") == sketchOf(b1 ++ b2))
+    val streamed = graft.streaming.HllStream.regTable(spark, s"$root/state")
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val oneShot = operators.Sketches.hllRegs((b1 ++ b2).toDF("name", "conv_id"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(streamed == oneShot)
+  }
+
   test("streaming Bloom prefilter: replayed content flags on the NEXT " +
     "batch, and the accumulated table equals the one-shot build") {
     val root = "/tmp/graft_bloom_stream_spec"

@@ -516,4 +516,22 @@ class TrainingOpsSpec extends SparkSpec {
     assert(r.getAs[Long]("errored_permille") == 666L)
     assert(r.getAs[Long]("recovered_permille") == 333L)
   }
+
+  test("frequentTrigrams: support counts distinct conversations — a " +
+    "conversation looping one pattern still counts once") {
+    // c1 and c3 contain user>assistant>tool(search) once; c2 twice (loop)
+    val t = Seq(
+      ("c1", 0L, "user", ""), ("c1", 1L, "assistant", ""),
+      ("c1", 2L, "tool", "search"), ("c1", 3L, "assistant", ""),
+      ("c2", 0L, "user", ""), ("c2", 1L, "assistant", ""),
+      ("c2", 2L, "tool", "search"), ("c2", 3L, "user", ""),
+      ("c2", 4L, "assistant", ""), ("c2", 5L, "tool", "search"),
+      ("c3", 0L, "user", ""), ("c3", 1L, "assistant", ""),
+      ("c3", 2L, "tool", "search"))
+      .toDF("conv_id", "turn_idx", "role", "tool")
+    val out = Conversations.frequentTrigrams(t, minSupport = 2L).collect()
+    assert(out.length == 1)
+    assert(out(0).getString(0) == "user:- > assistant:- > tool:search")
+    assert(out(0).getLong(1) == 3L)   // c2's loop counts once
+  }
 }
