@@ -26,25 +26,35 @@ object Curation {
     * near_dup. Drop order matches a real pipeline: cheap gates first, then
     * exact, then near-dup — a doc failing several stages reports the first. */
   def curate(docs: DataFrame, jaccardPermilleMin: Int = 600): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
     val qc = TextAnalysis.qualityColumns(col("text"))
+    // ONE corpus scan: gates + the exact-dedup key (norm only for rows
+    // that pass the gates — failed rows never pay the 128-bit hash), then
+    // cached. Every later stage reads this cache; the parquet scan and
+    // the gate expression trees run exactly once.
     val gated = docs.select(col("doc_id"), col("text"),
-      qc("quality_bucket").as("quality_bucket"),
-      TextAnalysis.langId(col("text")).as("lang_pred"))
-    val pass = gated
-      .filter(col("quality_bucket") === "ok" && col("lang_pred") === "en")
-    val normed = pass.select(col("doc_id"), col("text"), norm.as("norm"))
+        qc("quality_bucket").as("quality_bucket"),
+        TextAnalysis.langId(col("text")).as("lang_pred"))
+      .withColumn("norm",
+        when(col("quality_bucket") === "ok" && col("lang_pred") === "en", norm))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val normed = gated.filter(col("norm").isNotNull)
+      .select(col("doc_id"), col("text"), col("norm"))
     val exactKeeper = normed.groupBy("norm")
       .agg(min(col("doc_id")).as("exact_keeper"))
+    // withExact feeds the survivor sketch stages AND the final verdict
+    // join; cached so the exact-dedup shuffle (groupBy norm + join back)
+    // runs once, not once per consumer. At 100 TB these two persists
+    // replace three full corpus re-scans and a repeated exact-key
+    // exchange. Blocks release via the ContextCleaner.
     val withExact = normed.join(exactKeeper, "norm")
       .select(col("doc_id"), col("text"), col("exact_keeper"))
-    // survivors feeds three consumers (LSH candidates + both sides of the
-    // jaccard verify); persisted so the gate+exact chain — which re-reads
-    // the FULL corpus — runs once, not three times. Locally this is
-    // timing-neutral (the sketch stages dominate); at 100 TB it removes
-    // two full-corpus re-scans. Blocks release via the ContextCleaner.
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // survivors' three consumers (LSH candidates + both sides of the
+    // jaccard verify) each re-run the shingle sketch off this filter over
+    // the withExact cache — the sketch work is theirs, the scan is free.
     val survivors = withExact.filter(col("doc_id") === col("exact_keeper"))
       .select("doc_id", "text")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pairs = Dedup.jaccardPermille(Dedup.lshCandidates(survivors), survivors)
       .filter(col("jaccard_permille") >= jaccardPermilleMin)
     val clusters = Dedup.duplicateClusters(pairs)

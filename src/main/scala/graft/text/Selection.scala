@@ -13,11 +13,12 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape: features are token hashes folded into a FIXED number of
   * buckets, so the learned "model" is a ≤`buckets`-row table that
-  * broadcasts no matter how big the corpus is. The corpus explodes to
-  * (doc, bucket) instances exactly once per aggregate; bucket counts
-  * reduce with map-side combine; the per-doc score is one broadcast probe
-  * + one doc_id-keyed aggregation. Nothing corpus-sized is ever collected
-  * or broadcast.
+  * broadcasts no matter how big the corpus is. The corpus tokenizes and
+  * explodes ONCE, reduced immediately to a cached per-(doc, bucket) count
+  * frame; rates, the selection threshold, and the per-doc scores all
+  * derive from that frame (bucket counts reduce with map-side combine;
+  * the per-doc score is one broadcast probe + one doc_id-keyed
+  * aggregation). Nothing corpus-sized is ever collected or broadcast.
   *
   * All arithmetic is integer-exact (micro-ratios via IntegralDivide) so
   * the DuckDB oracle hash-matches bit-for-bit; true DSIR uses log-ratios
@@ -38,23 +39,34 @@ object Selection {
     * selected); zero-token docs keep weight 0 and are never selected. */
   def dsirWeights(docs: DataFrame, buckets: Int = 1024,
                   targetLang: String = "en"): DataFrame = {
-    val inst = docs.select(col("doc_id"), col("lang"),
+    // ONE tokenize+explode pass, reduced immediately to per-(doc, bucket)
+    // counts — every downstream consumer (rates, threshold, scores) reads
+    // this cached frame instead of re-tokenizing the corpus. The frame is
+    // corpus×distinct-buckets-per-doc rows (≤1024 per doc), far smaller
+    // than the instance level, and map-side combine shrinks the agg input
+    // before its one shuffle. Previously rates/threshold/scores each ran
+    // the explode from scratch: three full corpus passes → one.
+    val docBucket = docs.select(col("doc_id"), col("lang"),
         explode(TextAnalysis.tokHashes(col("text"))).as("h"))
       .withColumn("b", col("h") % buckets)
+      .groupBy("doc_id", "lang", "b").agg(count(lit(1)).as("cnt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // feature table: ≤`buckets` rows regardless of corpus size
-    val rates = inst.groupBy("b").agg(
-        count(lit(1)).as("n_raw"),
-        sum(when(col("lang") === targetLang, 1L).otherwise(0L)).as("n_target"))
+    val rates = docBucket.groupBy("b").agg(
+        sum("cnt").as("n_raw"),
+        sum(when(col("lang") === targetLang, col("cnt")).otherwise(0L))
+          .as("n_target"))
       .withColumn("ratio_micro", expr("n_target * 1000000 DIV n_raw"))
-    // corpus-wide target share: the selection threshold (1-row frame)
-    val thr = inst.agg(
-      expr("sum(CASE WHEN lang = '" + targetLang +
-        "' THEN 1 ELSE 0 END) * 1000000 DIV count(1)").as("share_micro"))
-    val scored = inst
+    // corpus-wide target share: the selection threshold. Derived from the
+    // rates table's totals — identical to aggregating the raw instances
+    // (both count token instances) at the cost of a ≤`buckets`-row agg.
+    val thr = rates.agg(
+      expr("sum(n_target) * 1000000 DIV sum(n_raw)").as("share_micro"))
+    val scored = docBucket
       .join(broadcast(rates.select("b", "ratio_micro")), Seq("b"))
       .groupBy("doc_id").agg(
-        count(lit(1)).as("n_tokens"),
-        sum("ratio_micro").as("weight_sum"))
+        sum("cnt").as("n_tokens"),
+        sum(col("cnt") * col("ratio_micro")).as("weight_sum"))
       .withColumn("mean_weight_micro", expr("weight_sum DIV n_tokens"))
     docs.select("doc_id", "lang")
       .join(scored, Seq("doc_id"), "left")
