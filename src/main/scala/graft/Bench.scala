@@ -293,6 +293,22 @@ object Bench {
             operators.Conversations.frequentTrigrams(input))
           results("action_trigrams") = math.min(tgRun(), tgRun())
 
+          // round-11 ops: robust median/MAD anomaly (one corpus hash-agg,
+          // percentile work on the cached hourly frame); sorted-
+          // neighborhood near-dup on the 10× suffix-edit corpus (each
+          // replica sorts adjacent to its base — candidates are LINEAR in
+          // n where a hot LSH bucket would be quadratic); the τ=0.5
+          // mixture sample (plan agg + one source-keyed admit window)
+          val raRun = () => timeNoop(
+            operators.Aggregates.robustAnomaly(parsedB))
+          results("robust_anomaly") = math.min(raRun(), raRun())
+          val snRun = () => timeNoop(
+            dedup.SortedNeighborhood.similarPairs(docs10))
+          results("snm_pairs") = math.min(snRun(), snRun())
+          val mxRun = () => timeNoop(
+            operators.Sampling.mixtureSample(docs, budget = 100000L))
+          results("mixture_sample") = math.min(mxRun(), mxRun())
+
           // lmScore/convNearDup persist their reused intermediates;
           // drop them so repeated bench runs don't accumulate cache
           spark.catalog.clearCache()

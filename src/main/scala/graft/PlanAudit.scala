@@ -165,6 +165,15 @@ object PlanAudit {
       operators.Conversations.frequentTrigrams(
         sources.Transcripts.loadCanonical(spark, sfDir))
     }
+    section("robust anomaly (one corpus hash-agg; medians on the cached hourly frame)") {
+      operators.Aggregates.robustAnomaly(Pipeline.parsed(spark, sfDir))
+    }
+    section("sorted-neighborhood pairs (block exchange + ONE window per pass, linear candidates)") {
+      dedup.SortedNeighborhood.candidates(docs)
+    }
+    section("mixture sample (aggregate-sized plan broadcast + one source-keyed admit window)") {
+      operators.Sampling.mixtureSample(docs)
+    }
     // pageRank / labelPropagation / bfsDistances / kCore are driver-side
     // unrolled loops with per-step persist+count — explain would execute
     // them; their per-step plan is the rank ⋈ edges equi-join + dst

@@ -997,6 +997,27 @@ object SparkEntry {
       operators.Conversations.frequentTrigrams(
         Transcripts.loadCanonical(s, d), minSupport = 2L)),
 
+    // robust median/MAD anomaly flags over hourly event volumes — the
+    // 50%-breakdown complement of q141's trailing-mean spike detector
+    "q186_robust_anomaly" -> ((s, d) =>
+      operators.Aggregates.robustAnomaly(Pipeline.parsed(s, d))),
+
+    // temperature-scaled (τ=0.5) mixture apportionment with exact
+    // Hamilton largest-remainder rounding; the doc_id filter skews the
+    // per-source counts so the remainder distribution does real work
+    "q187_mixture_plan" -> ((s, d) =>
+      operators.Sampling.mixturePlan(skewedSources(docs(s, d)), budget = 100L)),
+
+    // the materialized mixture: per-source smallest-gate admits, exactly
+    // target_rows from each source
+    "q188_mixture_sample" -> ((s, d) =>
+      operators.Sampling.mixtureSample(skewedSources(docs(s, d)), budget = 100L)),
+
+    // sorted-neighborhood blocking (fwd + reversed key), verified by
+    // exact shingle Jaccard — the linear-candidate complement of q36's LSH
+    "q189_snm_pairs" -> ((s, d) =>
+      dedup.SortedNeighborhood.similarPairs(docs(s, d), jaccardPermilleMin = 0)),
+
     "q50_streaming_counts" -> ((s, d) => {
       import java.nio.file.{Files, Paths}
       val root = s"/tmp/graft_stream_${math.abs(d.hashCode)}"
@@ -1091,9 +1112,35 @@ object SparkEntry {
   WHERE u IN (SELECT x FROM deg$i WHERE d >= 2)
     AND v IN (SELECT x FROM deg$i WHERE d >= 2)""")
 
+  /** Shared τ-mixture CTE pyramid (q187 plan, q188 sample): skewed-source
+    * slice → ⌊√n⌋ weights → Hamilton base/remainder shares → remainder
+    * ranking. Integer-exact throughout (IEEE sqrt is exactly rounded). */
+  private lazy val mixturePlanCtes: Seq[(String, String)] = Seq(
+    "sk" -> """SELECT doc_id, source FROM documents
+  WHERE doc_id % (1 + CAST(substr(source, 4) AS INT) % 7) = 0""",
+    "w" -> """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+    CAST(floor(sqrt(count(*))) AS BIGINT) AS weight
+  FROM sk GROUP BY 1""",
+    "tt" -> "SELECT CAST(sum(weight) AS BIGINT) AS w_tot FROM w",
+    "sh0" -> """SELECT source, n_docs, weight,
+    CAST(100 * weight // w_tot AS BIGINT) AS base,
+    CAST(100 * weight % w_tot AS BIGINT) AS rem
+  FROM w, tt""",
+    "kk" -> "SELECT 100 - sum(base) AS k FROM sh0",
+    "ranked" -> """SELECT source, n_docs, weight, base, rem,
+    CAST(row_number() OVER (ORDER BY rem DESC, source) AS BIGINT) AS rk
+  FROM sh0""")
+
   private def docs(s: SparkSession, d: String): DataFrame = {
     Graft.prep(s); s.read.parquet(s"$d/documents.parquet")
   }
+  /** q187/q188 fixture: the synthetic sources are uniform (25 docs each),
+    * so skew the per-source counts deterministically — keep doc_id ≡ 0
+    * (mod 1 + src_num % 7) — to make the τ-weights and the Hamilton
+    * remainder distribution non-trivial. */
+  private def skewedSources(docs: DataFrame): DataFrame =
+    docs.filter(col("doc_id") %
+      (lit(1) + substring(col("source"), 4, 10).cast("int") % 7) === 0)
   private def vecs(s: SparkSession, d: String): DataFrame = {
     Graft.prep(s); s.read.parquet(s"$d/embeddings.parquet")
   }
@@ -3177,6 +3224,68 @@ FROM w, e"""),
   FROM tri WHERE t2 IS NOT NULL""")("""
 SELECT pattern, CAST(count(*) AS BIGINT) AS support
 FROM pat GROUP BY pattern HAVING count(*) >= 2"""),
+
+    // interpolated medians of BIGINTs are multiples of 0.5, so 2·median
+    // is an exact integer in both engines — the oracle carries med_x2 /
+    // mad_x4 exactly like the Spark side.
+    "q186_robust_anomaly" -> withCtes(
+      "hourly" -> s"""SELECT $oName AS name, date_trunc('hour', ts) AS hour,
+    CAST(count(*) AS BIGINT) AS n
+  FROM transcripts GROUP BY 1, 2""",
+      "med" -> """SELECT name, CAST(quantile_cont(n, 0.5) * 2 AS BIGINT) AS med_x2
+  FROM hourly GROUP BY 1""",
+      "dev" -> """SELECT name, hour, n, med_x2, abs(n * 2 - med_x2) AS dev_x2
+  FROM hourly JOIN med USING (name)""",
+      "mad" -> """SELECT name, CAST(quantile_cont(dev_x2, 0.5) * 2 AS BIGINT) AS mad_x4
+  FROM dev GROUP BY 1""")("""
+SELECT name, hour, n, med_x2, mad_x4,
+  CAST(dev_x2 * 2 * 1000 // greatest(mad_x4, 1) AS BIGINT) AS z_x1e3,
+  dev_x2 * 2 * 1000 // greatest(mad_x4, 1) >= 3500 AS is_outlier
+FROM dev JOIN mad USING (name)"""),
+
+    "q187_mixture_plan" -> withCtes(mixturePlanCtes: _*)("""
+SELECT source, n_docs, weight, base, rem,
+  CAST(base + CASE WHEN rk <= k THEN 1 ELSE 0 END AS BIGINT) AS target_rows
+FROM ranked, kk"""),
+
+    "q188_mixture_sample" -> withCtes(mixturePlanCtes ++ Seq(
+      "pl" -> """SELECT source,
+    base + CASE WHEN rk <= k THEN 1 ELSE 0 END AS target_rows
+  FROM ranked, kk""",
+      "g" -> """SELECT doc_id, source,
+    ((doc_id % 1000000007) * 1103515245 + 12345) % 1000 AS gate
+  FROM sk""",
+      "adm" -> """SELECT doc_id, source, gate,
+    CAST(row_number() OVER (PARTITION BY source ORDER BY gate, doc_id)
+      AS BIGINT) AS rk
+  FROM g"""): _*)("""
+SELECT doc_id, source, CAST(gate AS BIGINT) AS gate, rk
+FROM adm JOIN pl USING (source) WHERE rk <= target_rows"""),
+
+    "q189_snm_pairs" -> withCtes(
+      "nrm" -> """SELECT doc_id,
+    regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS norm
+  FROM documents""",
+      "keys" -> """SELECT 'fwd' AS pass, doc_id, substr(norm, 1, 24) AS skey FROM nrm
+  UNION ALL SELECT 'rev', doc_id, substr(reverse(norm), 1, 24) FROM nrm""",
+      "blk" -> "SELECT pass, doc_id, skey, substr(skey, 1, 6) AS block FROM keys",
+      "led" -> """SELECT doc_id,
+    lead(doc_id, 1) OVER w AS n1, lead(doc_id, 2) OVER w AS n2,
+    lead(doc_id, 3) OVER w AS n3
+  FROM blk WINDOW w AS (PARTITION BY pass, block ORDER BY skey, doc_id)""",
+      "cand" -> """SELECT DISTINCT least(doc_id, n) AS doc_a, greatest(doc_id, n) AS doc_b
+  FROM (SELECT doc_id, n1 AS n FROM led UNION ALL
+        SELECT doc_id, n2 FROM led UNION ALL
+        SELECT doc_id, n3 FROM led) u
+  WHERE n IS NOT NULL""",
+      "shs" -> s"""SELECT doc_id, list_distinct($oShingles) AS shd
+  FROM (SELECT doc_id, $oTokHashes AS th FROM documents) y""")("""
+SELECT c.doc_a, c.doc_b,
+  CAST(floor(CAST(len(list_intersect(a.shd, b.shd)) * 1000 AS DOUBLE)
+       / len(list_distinct(list_concat(a.shd, b.shd)))) AS BIGINT) AS jaccard_permille
+FROM cand c
+JOIN shs a ON c.doc_a = a.doc_id
+JOIN shs b ON c.doc_b = b.doc_id"""),
 
     "q177_community_stats" -> withCtesMat((oToolGraphCtes ++ Seq(
       "esym" -> """SELECT a, b, CAST(sum(w) AS BIGINT) AS w FROM

@@ -1,0 +1,67 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sorted-neighborhood near-dup blocking (Hernández & Stolfo's classic
+  * record-linkage method) — the LINEAR-candidate complement of LSH
+  * banding. LSH's candidate volume depends on collision statistics (a hot
+  * band bucket yields O(bucket²) pairs); sorted-neighborhood is
+  * worst-case linear BY CONSTRUCTION: sort the corpus on a normalization
+  * key and pair each row only with its next `windowSize − 1` neighbors,
+  * so candidates ≤ passes · (windowSize−1) · n no matter how skewed the
+  * data. The recall trade runs the other way — near-dups must sort near
+  * each other — which multi-pass keys mitigate (here: the normalized
+  * text forwards, catching suffix edits, and reversed, catching prefix
+  * edits).
+  *
+  * Scale shape per pass: one map-only key projection, one exchange on the
+  * block prefix of the sort key, an in-partition sort, and all
+  * (windowSize−1) neighbor leads off ONE window pass. Blocking on the key
+  * prefix keeps partitions parallel (a single global sort would serialize
+  * into one reducer); pairs straddling a block boundary are missed — the
+  * standard trade, bounded by (passes · windowSize / avg block size) and
+  * mitigated by the multi-pass union. Verification (exact shingle
+  * Jaccard) runs only on candidates, exactly like the LSH path.
+  */
+object SortedNeighborhood {
+
+  /** Sort base: lowercased alphanumerics — whitespace/punctuation edits
+    * don't move a document in the sort order. */
+  private def normKey: Column =
+    regexp_replace(lower(col("text")), "[^a-z0-9]", "")
+
+  /** Candidate pairs from two sorted-neighborhood passes (forward and
+    * reversed key), normalized to doc_a < doc_b, distinct. */
+  def candidates(docs: DataFrame, windowSize: Int = 4,
+                 blockLen: Int = 6): DataFrame = {
+    require(windowSize >= 2 && blockLen >= 1)
+    val base = docs.select(col("doc_id"), normKey.as("norm"))
+    val passes: Seq[(String, Column)] =
+      Seq("fwd" -> col("norm"), "rev" -> reverse(col("norm")))
+    passes.map { case (_, keyCol) =>
+      val keyed = base.select(col("doc_id"),
+          substring(keyCol, 1, 24).as("skey"))
+        .withColumn("block", substring(col("skey"), 1, blockLen))
+      val w = Window.partitionBy("block").orderBy(col("skey"), col("doc_id"))
+      // all windowSize-1 neighbor leads off ONE window evaluation, packed
+      // into an array and exploded — a union of per-lead branches would
+      // re-run the block sort once per distance
+      keyed.select(col("doc_id"),
+          array((1 until windowSize).map(i =>
+            lead(col("doc_id"), i).over(w)): _*).as("ns"))
+        .select(col("doc_id"), explode(col("ns")).as("n"))
+        .filter(col("n").isNotNull)
+        .select(least(col("doc_id"), col("n")).as("doc_a"),
+          greatest(col("doc_id"), col("n")).as("doc_b"))
+    }.reduce(_ unionByName _).distinct()
+  }
+
+  /** Sorted-neighborhood near-dup pairs: candidates verified by exact
+    * shingle Jaccard (permille) at or above the threshold. */
+  def similarPairs(docs: DataFrame, windowSize: Int = 4, blockLen: Int = 6,
+                   jaccardPermilleMin: Int = 600): DataFrame =
+    Dedup.jaccardPermille(candidates(docs, windowSize, blockLen), docs)
+      .filter(col("jaccard_permille") >= jaccardPermilleMin)
+}

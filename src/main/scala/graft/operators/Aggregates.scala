@@ -171,6 +171,43 @@ object Aggregates {
         countDistinct(col("conv_id")).as("n_convs"))
   }
 
+  /** Robust (median/MAD) volume-anomaly detector — the distribution-level
+    * complement of [[volumeAnomaly]]'s trailing mean. A trailing window is
+    * blind in exactly the cases that matter most: a multi-hour error storm
+    * pollutes its own baseline (hours 2..n of the storm look "normal"
+    * vs hours 1..n-1), and a slow leak never trips a 3× step. The median
+    * and the median-absolute-deviation have a 50% breakdown point — up to
+    * half the hours can be anomalous before the baseline moves.
+    *
+    * Integer-exact across engines: the interpolated median of BIGINTs is
+    * always a multiple of 0.5, so `2·median` is an exact integer in both
+    * Spark (`percentile`) and DuckDB (`quantile_cont`) — the frame carries
+    * `med_x2` (2× the hourly-count median) and `mad_x4` (4× the MAD,
+    * because deviations are already ×2), and the robust z-score is one
+    * integer division: `z_x1e3 = 4·dev · 1000 DIV max(mad_x4, 1)`.
+    *
+    * Scale shape: ONE corpus-sized hash-agg down to (name, hour); the
+    * cached hourly frame (|events| × |hours| rows) feeds the median, the
+    * MAD, and the final join — the two percentile aggregates and both
+    * broadcast joins run on aggregate-sized data only. */
+  def robustAnomaly(parsed: DataFrame, zX1e3Min: Long = 3500L): DataFrame = {
+    val hourly = parsed
+      .groupBy(col("name"), date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).as("n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val med = hourly.groupBy("name")
+      .agg((expr("percentile(n, 0.5)") * 2).cast("long").as("med_x2"))
+    val dev = hourly.join(broadcast(med), Seq("name"))
+      .withColumn("dev_x2", abs(col("n") * 2 - col("med_x2")))
+    val mad = dev.groupBy("name")
+      .agg((expr("percentile(dev_x2, 0.5)") * 2).cast("long").as("mad_x4"))
+    dev.join(broadcast(mad), Seq("name"))
+      .withColumn("z_x1e3",
+        expr("dev_x2 * 2 * 1000 DIV greatest(mad_x4, 1L)"))
+      .withColumn("is_outlier", col("z_x1e3") >= zX1e3Min)
+      .select("name", "hour", "n", "med_x2", "mad_x4", "z_x1e3", "is_outlier")
+  }
+
   /** A7/E11: lineage fold — max/min offset + count per source file, the
     * `(file, offset, status)` checkpoint analog
     * (`pkg/app/process_session.go:137-177`; `pkg/status/status.go:273-297`). */

@@ -139,6 +139,62 @@ object Sampling {
           .otherwise(lit(0L)).as("kept"))
   }
 
+  /** Temperature-scaled mixture apportionment — the "how many rows from
+    * each source" step of a pretraining data recipe (τ-sampling, as in
+    * multilingual/multi-source training: raw proportions at τ=1 drown the
+    * small sources, uniform at τ=0 overfits them; τ=0.5 — weights
+    * proportional to √count — is the standard compromise). Given a total
+    * row `budget`, emit each source's exact integer allocation.
+    *
+    * The rounding is Hamilton largest-remainder apportionment, so the
+    * allocations sum to EXACTLY `budget` (floor shares first, then the
+    * `budget − Σ floors` leftover units go to the largest remainders,
+    * ties to the lexically-first source). All arithmetic is integer:
+    * `weight = ⌊√n_docs⌋` (IEEE sqrt is exactly rounded, so the floor is
+    * identical on every engine), `base = budget·w DIV Σw`,
+    * `rem = budget·w MOD Σw`.
+    *
+    * Scale shape: one corpus-sized hash-agg down to per-source counts;
+    * everything after — the Σw broadcast, the remainder ranking window —
+    * runs on a |sources|-row frame. The unpartitioned rank window is a
+    * single task over that aggregate-sized frame, never the corpus. */
+  def mixturePlan(docs: DataFrame, budget: Long = 1000L): DataFrame = {
+    // cached: the corpus-sized count agg runs once; the Σw total, the
+    // shares, and the leftover all read this |sources|-row frame
+    val w = docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
+      .withColumn("weight", floor(sqrt(col("n_docs").cast("double"))).cast("long"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tot = w.agg(sum("weight").as("w_tot"))
+    val shares = w.crossJoin(broadcast(tot))
+      .withColumn("base", expr(s"${budget}L * weight DIV w_tot"))
+      .withColumn("rem", expr(s"${budget}L * weight % w_tot"))
+    val leftover = shares.agg((lit(budget) - sum("base")).as("k"))
+    val rk = org.apache.spark.sql.expressions.Window
+      .orderBy(col("rem").desc, col("source"))
+    shares.crossJoin(broadcast(leftover))
+      .withColumn("rk", row_number().over(rk).cast("long"))
+      .withColumn("target_rows",
+        col("base") + when(col("rk") <= col("k"), 1L).otherwise(0L))
+      .select("source", "n_docs", "weight", "base", "rem", "target_rows")
+  }
+
+  /** Materialize a [[mixturePlan]]: per source, admit the `target_rows`
+    * docs with the smallest deterministic hash gate (ties by doc_id) —
+    * the same rows on every run at any parallelism. One window shuffle
+    * keyed on source; a source hot enough to overwhelm one sort task can
+    * switch to the gate-threshold form (admit by percentile cut off a
+    * pre-aggregated count) at the cost of approximate quota. */
+  def mixtureSample(docs: DataFrame, budget: Long = 1000L): DataFrame = {
+    val plan = mixturePlan(docs, budget).select("source", "target_rows")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("source")
+      .orderBy(col("gate"), col("doc_id"))
+    docs.join(broadcast(plan), Seq("source"))
+      .withColumn("gate", gatePermille(col("doc_id")))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= col("target_rows"))
+      .select(col("doc_id"), col("source"), col("gate"), col("rk"))
+  }
+
   /** Keep a row iff its gate falls under the stratum's permille rate. */
   def stratified(docs: DataFrame, rates: Map[String, Int],
                  defaultPermille: Int = 100): DataFrame = {

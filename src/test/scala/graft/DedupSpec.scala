@@ -115,4 +115,36 @@ class DedupSpec extends SparkSpec {
       assert(best.head.getLong(2) == rows.map(_.getLong(2)).max)
     }
   }
+
+  test("sorted-neighborhood: the fwd pass catches a suffix edit, the rev " +
+    "pass catches a prefix edit, jaccard verify drops sort-neighbors " +
+    "that are not near-dups") {
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val d = docsOf(
+      1L -> base,
+      2L -> (base + " extra tail words"),      // fwd-adjacent to 1
+      3L -> ("zzz prefix shift " + base),      // rev pass: shares NO fwd prefix
+      4L -> "completely different content about ships and harbors at dawn",
+      5L -> "yet another unrelated document mentioning mountains and snow")
+    val cands = graft.dedup.SortedNeighborhood.candidates(d)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cands.contains((1L, 2L)))   // same 24-char fwd key, adjacent
+    // rev keys of 1 and 3 share the reversed-suffix prefix ("niaga...")
+    assert(cands.contains((1L, 3L)) || cands.contains((2L, 3L)))
+    val verified = graft.dedup.SortedNeighborhood.similarPairs(d)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(verified.contains((1L, 2L)))
+    assert(!verified.exists(p => p._1 == 4L || p._2 == 4L))
+    assert(!verified.exists(p => p._1 == 5L || p._2 == 5L))
+  }
+
+  test("sorted-neighborhood: candidate volume is linear — at most " +
+    "passes x (window-1) x n pairs, even on identical keys") {
+    // 40 identical docs: LSH would emit all C(40,2)=780 pairs; SNM emits
+    // at most 2 x 3 x 40 = 240 (before the least/greatest distinct fold)
+    val d = docsOf((1L to 40L).map(i => i -> "same text every time"): _*)
+    val n = graft.dedup.SortedNeighborhood.candidates(d, windowSize = 4).count()
+    assert(n <= 2L * 3L * 40L)
+    assert(n >= 39L)   // the fwd chain alone pairs every adjacent doc
+  }
 }

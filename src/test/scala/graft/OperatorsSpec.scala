@@ -218,6 +218,75 @@ class OperatorsSpec extends SparkSpec {
     assert(h3.getLong(4) == 4000L && h3.getBoolean(5))
   }
 
+  test("robustAnomaly: a 6-hour storm is fully flagged where the " +
+    "trailing mean adapts after one hour") {
+    val ts = (h: Int, m: Int) => java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    // hours 0..11 at 10 events, hours 12..17 at 100 (a 6-hour storm)
+    val rows = (0 to 11).flatMap(h => (0 until 10).map(m => ("e", ts(h, m)))) ++
+      (12 to 17).flatMap(h => (0 until 100).map(m => ("e", ts(h, m % 60))))
+    val df = rows.toDF("name", "ts")
+    val robust = operators.Aggregates.robustAnomaly(df).collect()
+    // median of [10×12, 100×6] = 10, MAD = 0 → every storm hour scores
+    assert(robust.forall(_.getLong(3) == 20L))          // med_x2
+    assert(robust.forall(_.getLong(4) == 0L))           // mad_x4 (majority exact)
+    assert(robust.count(_.getBoolean(6)) == 6)          // all 6 storm hours
+    assert(robust.filter(_.getBoolean(6)).forall(_.getLong(2) == 100L))
+    // the trailing-mean detector self-poisons: only the storm's FIRST
+    // hour trips 3× (hour 13 trails [10,10,100] → 2.5×, then ~1×)
+    val trailing = operators.Aggregates.volumeAnomaly(df).collect()
+    assert(trailing.count(_.getBoolean(5)) == 1)
+  }
+
+  test("robustAnomaly: nonzero MAD — hand-computed z-scores") {
+    val ts = (h: Int) => java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:00:00")
+    // hourly counts 4, 6, 8, 10, 12, 100
+    val rows = Seq(4, 6, 8, 10, 12, 100).zipWithIndex.flatMap {
+      case (n, h) => (0 until n).map(_ => ("e", ts(h)))
+    }
+    val out = operators.Aggregates.robustAnomaly(rows.toDF("name", "ts"))
+      .collect().map(r => r.getLong(2) -> r).toMap
+    // median of counts = 9 → med_x2 = 18; dev_x2 = [10,6,2,2,6,182],
+    // MAD(dev_x2) = 6 → mad_x4 = 12
+    assert(out(4L).getLong(3) == 18L && out(4L).getLong(4) == 12L)
+    assert(out(100L).getLong(5) == (182L * 2000L) / 12L)  // 30333
+    assert(out(100L).getBoolean(6))
+    assert(out(4L).getLong(5) == (10L * 2000L) / 12L)     // 1666 < 3500
+    assert(Seq(4L, 6L, 8L, 10L, 12L).forall(n => !out(n).getBoolean(6)))
+  }
+
+  test("mixturePlan: Hamilton apportionment sums exactly to the budget, " +
+    "largest remainder wins the leftover unit") {
+    import TestSpark.spark.implicits._
+    // counts 100/50/10 → weights 10/7/3, Σw=20, budget 10:
+    // base 5/3/1 (Σ9), rem 0/10/10 → the 1 leftover goes to b (rem tie
+    // with c, lexically first)
+    val docs = (1 to 100).map(i => (i.toLong, "a")) ++
+      (1 to 50).map(i => (1000L + i, "b")) ++
+      (1 to 10).map(i => (2000L + i, "c"))
+    val out = operators.Sampling.mixturePlan(docs.toDF("doc_id", "source"), 10L)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(out("a") == ((10L, 5L, 0L, 5L)))
+    assert(out("b") == ((7L, 3L, 10L, 4L)))
+    assert(out("c") == ((3L, 1L, 10L, 1L)))
+    assert(out.values.map(_._4).sum == 10L)
+  }
+
+  test("mixtureSample: per-source admits equal the plan, total equals " +
+    "the budget, and the sample is partitioning-invariant") {
+    import TestSpark.spark.implicits._
+    val docs = ((1 to 100).map(i => (i.toLong, "a")) ++
+      (1 to 50).map(i => (1000L + i, "b")) ++
+      (1 to 10).map(i => (2000L + i, "c"))).toDF("doc_id", "source")
+    val out = operators.Sampling.mixtureSample(docs, 10L).collect()
+    val bySrc = out.groupBy(_.getString(1)).view.mapValues(_.length).toMap
+    assert(bySrc == Map("a" -> 5, "b" -> 4, "c" -> 1))
+    assert(out.length == 10)
+    val again = operators.Sampling.mixtureSample(docs.repartition(7), 10L)
+      .collect().map(_.getLong(0)).toSet
+    assert(again == out.map(_.getLong(0)).toSet)
+  }
+
   test("upsert: latest version wins, ties go to the change side, " +
     "unmatched rows pass through both ways") {
     import TestSpark.spark.implicits._
