@@ -308,6 +308,13 @@ object Bench {
           val mxRun = () => timeNoop(
             operators.Sampling.mixtureSample(docs, budget = 100000L))
           results("mixture_sample") = math.min(mxRun(), mxRun())
+          // per-source distinct-shingle diversity: the count-distinct
+          // two-phase expansion is the cost; one source-keyed exchange
+          val dvRun = () => timeNoop(text.CorpusOps.diversityStats(docs))
+          results("diversity") = math.min(dvRun(), dvRun())
+          val ciRun = () => timeNoop(
+            operators.TrainingExport.curriculumInterleave(docs))
+          results("curriculum") = math.min(ciRun(), ciRun())
 
           // lmScore/convNearDup persist their reused intermediates;
           // drop them so repeated bench runs don't accumulate cache

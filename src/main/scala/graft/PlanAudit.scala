@@ -174,6 +174,12 @@ object PlanAudit {
     section("mixture sample (aggregate-sized plan broadcast + one source-keyed admit window)") {
       operators.Sampling.mixtureSample(docs)
     }
+    section("diversity stats (one shingle explode, count + distinct share the source exchange)") {
+      text.CorpusOps.diversityStats(docs)
+    }
+    section("curriculum interleave (one source-keyed rank window, broadcast source dim)") {
+      operators.TrainingExport.curriculumInterleave(docs)
+    }
     // pageRank / labelPropagation / bfsDistances / kCore are driver-side
     // unrolled loops with per-step persist+count — explain would execute
     // them; their per-step plan is the rank ⋈ edges equi-join + dst

@@ -1018,6 +1018,20 @@ object SparkEntry {
     "q189_snm_pairs" -> ((s, d) =>
       dedup.SortedNeighborhood.similarPairs(docs(s, d), jaccardPermilleMin = 0)),
 
+    // per-source distinct-shingle diversity: the mode-collapse detector
+    // (cross-doc complement of q136's within-doc repetition)
+    "q190_diversity" -> ((s, d) =>
+      text.CorpusOps.diversityStats(docs(s, d))),
+
+    // curriculum interleave key: per-source easy->hard rank, sources
+    // round-robined within every difficulty tier
+    "q191_curriculum" -> ((s, d) =>
+      operators.TrainingExport.curriculumInterleave(docs(s, d))),
+
+    // k-anonymity audit over the (lang, source, length-bucket) grid
+    "q192_k_anonymity" -> ((s, d) =>
+      operators.Governance.kAnonymity(docs(s, d))),
+
     "q50_streaming_counts" -> ((s, d) => {
       import java.nio.file.{Files, Paths}
       val root = s"/tmp/graft_stream_${math.abs(d.hashCode)}"
@@ -3286,6 +3300,35 @@ SELECT c.doc_a, c.doc_b,
 FROM cand c
 JOIN shs a ON c.doc_a = a.doc_id
 JOIN shs b ON c.doc_b = b.doc_id"""),
+
+    "q190_diversity" -> withCtes(
+      "shi" -> s"""SELECT source, unnest($oShingles) AS sh
+  FROM (SELECT source, $oTokHashes AS th FROM documents) x""")("""
+SELECT source, CAST(count(*) AS BIGINT) AS n_shingles,
+  CAST(count(DISTINCT sh) AS BIGINT) AS n_distinct,
+  CAST(count(DISTINCT sh) * 1000 // greatest(count(*), 1) AS BIGINT)
+    AS distinct_permille,
+  CAST(1000 - count(DISTINCT sh) * 1000 // greatest(count(*), 1) AS BIGINT)
+    AS dup_mass_permille
+FROM shi GROUP BY source"""),
+
+    "q191_curriculum" -> withCtes(
+      "si" -> """SELECT source,
+    CAST(row_number() OVER (ORDER BY source) AS BIGINT) AS src_idx
+  FROM (SELECT DISTINCT source FROM documents) s""",
+      "ns" -> "SELECT max(src_idx) AS n_sources FROM si",
+      "r" -> """SELECT doc_id, source, CAST(length(text) AS BIGINT) AS difficulty,
+    CAST(row_number() OVER (PARTITION BY source ORDER BY length(text), doc_id)
+      AS BIGINT) AS rk
+  FROM documents""")("""
+SELECT doc_id, source, difficulty, src_idx, rk,
+  (rk - 1) * n_sources + (src_idx - 1) AS epoch_key
+FROM r JOIN si USING (source), ns"""),
+
+    "q192_k_anonymity" -> """
+SELECT lang, source, n_chars // 100 AS len_bucket,
+  CAST(count(*) AS BIGINT) AS cell_k, count(*) < 5 AS at_risk
+FROM documents GROUP BY 1, 2, 3""",
 
     "q177_community_stats" -> withCtesMat((oToolGraphCtes ++ Seq(
       "esym" -> """SELECT a, b, CAST(sum(w) AS BIGINT) AS w FROM

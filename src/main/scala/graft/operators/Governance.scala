@@ -57,4 +57,24 @@ object Governance {
           .when(col("h1") =!= col("h2"), "changed")
           .otherwise("same").as("status"))
   }
+
+  /** k-anonymity audit over quasi-identifier cells — the re-identification
+    * check a corpus with per-document metadata owes its subjects: any
+    * combination of quasi-identifiers (here language × source × a coarse
+    * length bucket — the released metadata columns) shared by fewer than
+    * `k` documents singles those documents out, even with every direct
+    * identifier scrubbed. The output is the audit evidence: every cell
+    * with its population and risk flag, so "generalize the length bucket"
+    * or "suppress the cell" decisions are one filter away.
+    *
+    * One corpus-sized hash-agg to the quasi-identifier grid (map-side
+    * combine; the grid is |langs|×|sources|×|buckets|, tiny at any corpus
+    * size); the risk flag is a per-row expression on the aggregate. */
+  def kAnonymity(docs: DataFrame, k: Long = 5L,
+                 lenBucketWidth: Long = 100L): DataFrame =
+    docs.select(col("lang"), col("source"),
+        expr(s"n_chars DIV ${lenBucketWidth}L").as("len_bucket"))
+      .groupBy("lang", "source", "len_bucket")
+      .agg(count(lit(1)).as("cell_k"))
+      .withColumn("at_risk", col("cell_k") < k)
 }

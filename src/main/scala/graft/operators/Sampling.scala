@@ -157,7 +157,10 @@ object Sampling {
     * Scale shape: one corpus-sized hash-agg down to per-source counts;
     * everything after — the Σw broadcast, the remainder ranking window —
     * runs on a |sources|-row frame. The unpartitioned rank window is a
-    * single task over that aggregate-sized frame, never the corpus. */
+    * single task over that aggregate-sized frame, never the corpus.
+    * [[graft.text.CorpusOps.temperatureMixture]] is the share-level view
+    * (permille proportions, no budget); this is the allocation step that
+    * turns those shares into exact integer row counts. */
   def mixturePlan(docs: DataFrame, budget: Long = 1000L): DataFrame = {
     // cached: the corpus-sized count agg runs once; the Σw total, the
     // shares, and the leftover all read this |sources|-row frame

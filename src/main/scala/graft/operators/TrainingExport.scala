@@ -118,4 +118,37 @@ object TrainingExport {
         min(col("doc_id")).as("min_doc_id"), max(col("doc_id")).as("max_doc_id"),
         (sum(col("hm")) % 1000003L).as("checksum"))
   }
+
+  /** Curriculum interleave key — the deterministic EPOCH ORDERING for a
+    * multi-source curriculum: within each source, docs rank easy→hard
+    * (difficulty = char length, doc_id tiebreak); the global key
+    * `(rk−1)·|sources| + (src_idx−1)` round-robins the sources within
+    * every difficulty tier, so a training run that consumes the corpus in
+    * key order sees (a) difficulty rising monotonically per source and
+    * (b) every source represented evenly throughout the epoch — the two
+    * properties a naive ORDER BY difficulty (source-clumped at equal
+    * lengths) and a random shuffle (no curriculum) each lack.
+    *
+    * Scale shape: ONE window shuffle keyed on source for the per-source
+    * rank; the source index and source count ride a broadcast of the
+    * |sources|-row dimension (its unpartitioned rank window runs on that
+    * aggregate-sized frame, never the corpus). No global sort is
+    * materialized — the key IS the order, and a partitioned writer can
+    * range-partition on it. */
+  def curriculumInterleave(docs: DataFrame): DataFrame = {
+    val srcW = org.apache.spark.sql.expressions.Window.orderBy("source")
+    val srcIdx = docs.select(col("source")).distinct()
+      .withColumn("src_idx", row_number().over(srcW).cast("long"))
+    val nSrc = srcIdx.agg(max(col("src_idx")).as("n_sources"))
+    val rkW = org.apache.spark.sql.expressions.Window.partitionBy("source")
+      .orderBy(col("difficulty"), col("doc_id"))
+    docs.select(col("doc_id"), col("source"),
+        length(col("text")).cast("long").as("difficulty"))
+      .join(broadcast(srcIdx), Seq("source"))
+      .crossJoin(broadcast(nSrc))
+      .withColumn("rk", row_number().over(rkW).cast("long"))
+      .withColumn("epoch_key",
+        (col("rk") - 1L) * col("n_sources") + (col("src_idx") - 1L))
+      .select("doc_id", "source", "difficulty", "src_idx", "rk", "epoch_key")
+  }
 }

@@ -140,6 +140,33 @@ object CorpusOps {
           .as("temp_permille"))
   }
 
+  /** Per-source corpus diversity — the mode-collapse / template-spam
+    * detector (the cross-doc complement of q136's WITHIN-doc repetition):
+    * what fraction of a source's 3-token shingle instances are distinct?
+    * A healthy crawl source sits high; a source flooding near-identical
+    * boilerplate (or a synthetic-data generator collapsing onto a few
+    * templates) collapses toward 0 — the distinct-n-gram diversity that
+    * self-BLEU measures, without the quadratic pairwise BLEU.
+    *
+    * Scale shape: one tokenize+explode pass feeds a single
+    * (source)-keyed aggregate — `count` map-side-combines and
+    * `count(DISTINCT shingle)` runs as Spark's standard two-phase
+    * partial-distinct expansion, both over the same exchange. Exact
+    * distinct is the oracle-verified semantics; at 100 TB swap the
+    * distinct for the mergeable HLL registers
+    * ([[graft.operators.Sketches.hllRegs]]) and keep the same shape. */
+  def diversityStats(docs: DataFrame): DataFrame = {
+    val inst = docs.select(col("source"),
+      explode(graft.dedup.Dedup.shingleHashes(col("text"))).as("sh"))
+    inst.groupBy("source").agg(
+        count(lit(1)).as("n_shingles"),
+        countDistinct(col("sh")).as("n_distinct"))
+      .withColumn("distinct_permille",
+        expr("n_distinct * 1000 DIV greatest(n_shingles, 1L)"))
+      .withColumn("dup_mass_permille",
+        lit(1000L) - col("distinct_permille"))
+  }
+
   /** Per-source language-distribution drift vs the corpus: L1 distance in
     * permille between each source's language mix and the global mix — the
     * ingestion-health check that catches a feed whose language balance

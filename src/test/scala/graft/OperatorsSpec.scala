@@ -483,6 +483,49 @@ class OperatorsSpec extends SparkSpec {
     assert(out.filter(_.getString(2) == "attention").forall(_.getBoolean(5)))
   }
 
+  test("kAnonymity: cells under k flag, bucket width coarsens the grid") {
+    import TestSpark.spark.implicits._
+    val docs = (
+      (1 to 10).map(i => (i.toLong, "en", "s1", 150L)) ++      // k=10 cell
+      Seq((100L, "en", "s1", 420L)) ++                         // singleton
+      (1 to 3).map(i => (200L + i, "fr", "s2", 80L))           // k=3 cell
+    ).toDF("doc_id", "lang", "source", "n_chars")
+    val out = operators.Governance.kAnonymity(docs, k = 5L).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)) ->
+        (r.getLong(3), r.getBoolean(4))).toMap
+    assert(out(("en", "s1", 1L)) == ((10L, false)))
+    assert(out(("en", "s1", 4L)) == ((1L, true)))
+    assert(out(("fr", "s2", 0L)) == ((3L, true)))
+    // widening the bucket merges the en cells: 11 docs, no longer at risk
+    val wide = operators.Governance.kAnonymity(docs, k = 5L,
+      lenBucketWidth = 1000L).collect()
+      .map(r => (r.getString(0), r.getLong(2)) -> r.getLong(3)).toMap
+    assert(wide(("en", 0L)) == 11L)
+  }
+
+  test("curriculumInterleave: difficulty rises per source, sources round-" +
+    "robin within tiers, epoch keys are unique") {
+    import TestSpark.spark.implicits._
+    // 3 sources x 4 docs, lengths so rank tiers are unambiguous
+    val docs = (for {
+      (src, base) <- Seq(("a", 0L), ("b", 100L), ("c", 200L))
+      i <- 1 to 4
+    } yield (base + i, src, "x" * (i * 10 + base.toInt / 10)))
+      .toDF("doc_id", "source", "text")
+    val out = operators.TrainingExport.curriculumInterleave(docs).collect()
+    assert(out.length == 12)
+    assert(out.map(_.getLong(5)).distinct.length == 12)   // epoch_key unique
+    // within each source, epoch order == difficulty order
+    out.groupBy(_.getString(1)).foreach { case (_, rows) =>
+      val byKey = rows.sortBy(_.getLong(5)).map(_.getLong(2))
+      assert(byKey.sorted.sameElements(byKey))
+    }
+    // tier 1 (rk=1) holds one doc per source, in src_idx order
+    val tier1 = out.filter(_.getLong(4) == 1L).sortBy(_.getLong(5))
+    assert(tier1.map(_.getString(1)).toSeq == Seq("a", "b", "c"))
+    assert(tier1.map(_.getLong(5)).toSeq == Seq(0L, 1L, 2L))
+  }
+
   test("snapshotDiff: added/removed/changed/same per key off content hashes") {
     import TestSpark.spark.implicits._
     val v1 = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")).toDF("doc_id", "text")

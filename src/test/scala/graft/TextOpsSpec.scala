@@ -700,4 +700,23 @@ class TextOpsSpec extends SparkSpec {
       assert(re(r.getLong(0)) == ((r.getLong(1), r.getLong(2))))
     }
   }
+
+  test("diversityStats: a template-spam source collapses toward 0, a " +
+    "disjoint-vocabulary source scores 1000") {
+    import TestSpark.spark.implicits._
+    // 'dup': 3 identical 4-token docs -> 2 distinct shingles of 6 total
+    // 'uniq': 2 docs over disjoint vocabularies -> every shingle distinct
+    val docs = Seq(
+      (1L, "dup", "alpha beta gamma delta"),
+      (2L, "dup", "alpha beta gamma delta"),
+      (3L, "dup", "alpha beta gamma delta"),
+      (4L, "uniq", "one two three four five"),
+      (5L, "uniq", "six seven eight nine ten"))
+      .toDF("doc_id", "source", "text")
+    val out = graft.text.CorpusOps.diversityStats(docs).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out("dup") == ((6L, 2L, 333L, 667L)))
+    assert(out("uniq") == ((6L, 6L, 1000L, 0L)))
+  }
 }
