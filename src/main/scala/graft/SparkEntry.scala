@@ -1032,6 +1032,11 @@ object SparkEntry {
     "q192_k_anonymity" -> ((s, d) =>
       operators.Governance.kAnonymity(docs(s, d))),
 
+    // per-query Kendall-style concordance between the BM25 ranking and
+    // the reranked ranking — the "did the reranker do anything" eval
+    "q193_rank_agreement" -> ((s, d) =>
+      text.Bm25.rankAgreement(docs(s, d))),
+
     "q50_streaming_counts" -> ((s, d) => {
       import java.nio.file.{Files, Paths}
       val root = s"/tmp/graft_stream_${math.abs(d.hashCode)}"
@@ -1196,6 +1201,31 @@ scored AS (
     CAST(sum(CAST((CAST(idf_micro AS HUGEINT) * tfpart_micro) // 1000000 AS BIGINT))
       AS BIGINT) AS score_micro
   FROM base GROUP BY q_id, doc_id)"""
+
+  /** Rerank CTE pyramid (q156 rerank output, q193 rank agreement): BM25
+    * top-5 + the classifier logit + the reranked row_number, exposed as
+    * the `rr` CTE. */
+  private lazy val rerankCtes: String = s"""$bm25Ctes,
+topk AS (
+  SELECT q_id, doc_id, score_micro, CAST(rank AS BIGINT) AS bm25_rank FROM (
+    SELECT q_id, doc_id, score_micro,
+      row_number() OVER (PARTITION BY q_id ORDER BY score_micro DESC, doc_id) AS rank
+    FROM scored) r
+  WHERE rank <= 5),
+cls AS (
+  SELECT doc_id,
+    CASE WHEN len(th) > 0
+         THEN CAST(floor(COALESCE(list_aggregate(
+                list_transform(th, h -> (h % 2001) - 1000), 'sum'), 0)
+              * 1000.0 / len(th)) AS BIGINT)
+         ELSE CAST(0 AS BIGINT) END AS logit_x1e3
+  FROM (SELECT doc_id, $oTokHashes AS th FROM documents) x
+  WHERE doc_id IN (SELECT doc_id FROM topk)),
+rr AS (
+  SELECT t.q_id, t.doc_id, t.bm25_rank, t.score_micro, c.logit_x1e3,
+    CAST(row_number() OVER (PARTITION BY t.q_id
+      ORDER BY c.logit_x1e3 DESC, t.score_micro DESC, t.doc_id) AS BIGINT) AS rerank
+  FROM topk t JOIN cls c USING (doc_id))"""
 
   /** Shared oracle for q15 (batch route counts) and q50 (streaming route
     * counts recomputed from sink artifacts) — identical expected output. */
@@ -2840,26 +2870,23 @@ SELECT q_id, CAST(rank AS BIGINT) AS rank, doc_id, score_micro FROM (
   FROM scored) r
 WHERE rank <= 5""",
 
-    "q156_rerank" -> s"""$bm25Ctes,
-topk AS (
-  SELECT q_id, doc_id, score_micro, CAST(rank AS BIGINT) AS bm25_rank FROM (
-    SELECT q_id, doc_id, score_micro,
-      row_number() OVER (PARTITION BY q_id ORDER BY score_micro DESC, doc_id) AS rank
-    FROM scored) r
-  WHERE rank <= 5),
-cls AS (
-  SELECT doc_id,
-    CASE WHEN len(th) > 0
-         THEN CAST(floor(COALESCE(list_aggregate(
-                list_transform(th, h -> (h % 2001) - 1000), 'sum'), 0)
-              * 1000.0 / len(th)) AS BIGINT)
-         ELSE CAST(0 AS BIGINT) END AS logit_x1e3
-  FROM (SELECT doc_id, $oTokHashes AS th FROM documents) x
-  WHERE doc_id IN (SELECT doc_id FROM topk))
-SELECT t.q_id, t.doc_id, t.bm25_rank, t.score_micro, c.logit_x1e3,
-  CAST(row_number() OVER (PARTITION BY t.q_id
-    ORDER BY c.logit_x1e3 DESC, t.score_micro DESC, t.doc_id) AS BIGINT) AS rerank
-FROM topk t JOIN cls c USING (doc_id)""",
+    "q156_rerank" -> s"""$rerankCtes
+SELECT q_id, doc_id, bm25_rank, score_micro, logit_x1e3, rerank FROM rr""",
+
+    // ranking agreement between the BM25 order and the reranked order:
+    // per-query Kendall-style concordant-pair counts over the shared
+    // candidate set (rr re-derived by the same CTE pyramid as q156)
+    "q193_rank_agreement" -> s"""$rerankCtes,
+p AS (
+  SELECT a.q_id,
+    (a.bm25_rank < b.bm25_rank) = (a.rerank < b.rerank) AS conc
+  FROM rr a JOIN rr b ON a.q_id = b.q_id AND a.doc_id < b.doc_id)
+SELECT q_id, CAST(count(*) AS BIGINT) AS n_pairs,
+  CAST(count(*) FILTER (conc) AS BIGINT) AS n_concordant,
+  CAST(count(*) - count(*) FILTER (conc) AS BIGINT) AS n_discordant,
+  CAST(count(*) FILTER (conc) * 1000 // count(*) AS BIGINT)
+    AS concordant_permille
+FROM p GROUP BY q_id""",
 
     "q157_dsir_weights" -> s"""
 WITH inst AS (

@@ -141,4 +141,40 @@ object Bm25 {
     joined.withColumn("rerank", row_number().over(w).cast("long"))
       .select("q_id", "doc_id", "bm25_rank", "score_micro", "logit_x1e3", "rerank")
   }
+
+  /** Ranking-agreement eval between the two stages of [[rerankTopK]] —
+    * the diagnostic a retrieval pipeline owes its owner: per query, how
+    * much did the reranker actually reorder the BM25 candidates?
+    * Kendall-style concordance over all candidate pairs: a pair is
+    * concordant when both orderings agree on it. `concordant_permille ==
+    * 1000` means the reranker was a no-op; near 500 means it scrambled
+    * the recall order (random agreement) — either extreme is a signal
+    * (dead reranker / reranker ignoring the recall signal entirely).
+    * Only non-negative integers are emitted (signed Kendall τ would hit
+    * the floor-vs-truncate divide divergence between engines on negative
+    * values; τ = 2·permille/1000 − 1 for anyone who wants it signed).
+    *
+    * Scale shape: the pairwise self-join runs on the CANDIDATE frame
+    * (≤ k rows per query — ≤ k² pairs per query, never corpus-sized),
+    * equi-keyed on q_id; the candidate frame is persisted so the BM25 +
+    * rerank chain executes once, not once per join side. */
+  def rankAgreement(docs: DataFrame, k: Int = 5,
+                    queryMod: Int = 211): DataFrame = {
+    val rr = rerankTopK(docs, k, queryMod)
+      .select("q_id", "doc_id", "bm25_rank", "rerank")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val a = rr.as("a")
+    val b = rr.as("b")
+    a.join(b, col("a.q_id") === col("b.q_id") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.q_id").as("q_id"),
+        ((col("a.bm25_rank") < col("b.bm25_rank")) ===
+          (col("a.rerank") < col("b.rerank"))).as("conc"))
+      .groupBy("q_id").agg(
+        count(lit(1)).as("n_pairs"),
+        sum(when(col("conc"), 1L).otherwise(0L)).as("n_concordant"))
+      .withColumn("n_discordant", col("n_pairs") - col("n_concordant"))
+      .withColumn("concordant_permille",
+        expr("n_concordant * 1000 DIV n_pairs"))
+  }
 }

@@ -701,6 +701,34 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("rankAgreement: pair counts close (C(k,2) per query), concordant + " +
+    "discordant conserve, and counts match a direct recompute") {
+    val docs = spark.read.parquet(s"$tiny/documents.parquet")
+    val out = graft.text.Bm25.rankAgreement(docs).collect()
+    assert(out.nonEmpty)
+    val perQueryK = graft.text.Bm25.rerankTopK(docs).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.length).toMap
+    out.foreach { r =>
+      val k = perQueryK(r.getLong(0)).toLong
+      assert(r.getLong(1) == k * (k - 1) / 2)                 // n_pairs
+      assert(r.getLong(2) + r.getLong(3) == r.getLong(1))     // conserve
+      assert(r.getLong(4) >= 0L && r.getLong(4) <= 1000L)
+    }
+    // independent recompute off the rerank frame
+    val rr = graft.text.Bm25.rerankTopK(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(5)))
+    val re = rr.groupBy(_._1).view.mapValues { rows =>
+      val pairs = for {
+        a <- rows; b <- rows
+        if a._2 < b._2
+      } yield (a._3 < b._3) == (a._4 < b._4)
+      (pairs.size.toLong, pairs.count(identity).toLong)
+    }.toMap
+    out.foreach { r =>
+      assert(re(r.getLong(0)) == ((r.getLong(1), r.getLong(2))))
+    }
+  }
+
   test("diversityStats: a template-spam source collapses toward 0, a " +
     "disjoint-vocabulary source scores 1000") {
     import TestSpark.spark.implicits._
