@@ -190,11 +190,25 @@ object Aggregates {
     * cached hourly frame (|events| × |hours| rows) feeds the median, the
     * MAD, and the final join — the two percentile aggregates and both
     * broadcast joins run on aggregate-sized data only. */
-  def robustAnomaly(parsed: DataFrame, zX1e3Min: Long = 3500L): DataFrame = {
-    val hourly = parsed
-      .groupBy(col("name"), date_trunc("hour", col("ts")).as("hour"))
+  def robustAnomaly(parsed: DataFrame, zX1e3Min: Long = 3500L): DataFrame =
+    robustAnomalyFromHourly(
+      hourlyCounts(parsed)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
+      zX1e3Min)
+
+  /** The corpus-sized reduction feeding [[robustAnomaly]] — also the
+    * sum-mergeable state the streaming twin
+    * ([[graft.streaming.AnomalyStream]]) folds across micro-batches. */
+  def hourlyCounts(parsed: DataFrame): DataFrame =
+    parsed.groupBy(col("name"), date_trunc("hour", col("ts")).as("hour"))
       .agg(count(lit(1)).as("n"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+  /** The percentile half of [[robustAnomaly]], off an already-aggregated
+    * (name, hour, n) frame. Callers with more than one consumer should
+    * persist the input (the frame is aggregate-sized; three consumers —
+    * median, MAD, final join — read it). */
+  def robustAnomalyFromHourly(hourly: DataFrame,
+                              zX1e3Min: Long = 3500L): DataFrame = {
     val med = hourly.groupBy("name")
       .agg((expr("percentile(n, 0.5)") * 2).cast("long").as("med_x2"))
     val dev = hourly.join(broadcast(med), Seq("name"))

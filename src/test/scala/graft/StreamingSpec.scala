@@ -386,6 +386,57 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == oneShot)
   }
 
+  test("streaming robust anomaly: batch cells judged against the ALL-" +
+    "history baseline; accumulated table equals the one-shot hourly agg") {
+    val root = "/tmp/graft_anomaly_stream_spec"
+    rm(root)
+    import TestSpark.spark.implicits._
+    val ts = (h: Int, m: Int) =>
+      java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    def drain(): Unit = {
+      val stream = spark.readStream.schema("name STRING, ts TIMESTAMP")
+        .option("maxFilesPerTrigger", 1).parquet(s"$root/in/*")
+      val q = graft.streaming.AnomalyStream.start(
+        stream, s"$root/state", s"$root/ckpt")
+      q.awaitTermination()
+    }
+    // batch 1: 12 quiet hours at 10 events
+    val b1 = (0 to 11).flatMap(h => (0 until 10).map(m => ("e", ts(h, m))))
+    b1.toDF("name", "ts").coalesce(1).write.parquet(s"$root/in/b1")
+    drain()
+    val f1 = spark.read.parquet(s"$root/state/flags")
+      .filter(col("batch_id") === 0).collect()
+    assert(f1.length == 12 && f1.forall(!_.getBoolean(6)))   // all quiet
+    // batch 2: 6 storm hours at 100 + 5 extra events into quiet hour 11
+    // (the sum-fold case: the cell must total 15, not reset to 5)
+    val b2 = (12 to 17).flatMap(h => (0 until 100).map(m => ("e", ts(h, m % 60)))) ++
+      (0 until 5).map(m => ("e", ts(11, 30 + m)))
+    b2.toDF("name", "ts").coalesce(1).write.parquet(s"$root/in/b2")
+    drain()
+    val f2 = spark.read.parquet(s"$root/state/flags")
+      .filter(col("batch_id") === 1).collect()
+      .map(r => r.getTimestamp(1).toString -> r).toMap
+    assert(f2.size == 7)                                     // 6 storm + h11
+    assert(f2("2024-01-01 11:00:00.0").getLong(2) == 15L)    // summed cell
+    assert(f2.values.count(_.getLong(2) == 100L) == 6)
+    // flags == the BATCH operator over the concatenation, on b2's cells
+    val oneShotHourly = operators.Aggregates.hourlyCounts(
+      (b1 ++ b2).toDF("name", "ts"))
+    val expect = operators.Aggregates.robustAnomalyFromHourly(oneShotHourly)
+      .collect().map(r => r.getTimestamp(1).toString ->
+        (r.getLong(2), r.getLong(5), r.getBoolean(6))).toMap
+    f2.foreach { case (hour, r) =>
+      assert(expect(hour) == ((r.getLong(2), r.getLong(5), r.getBoolean(6))))
+    }
+    // accumulated state == the one-shot hourly aggregate
+    val streamed = graft.streaming.AnomalyStream
+      .hourlyTable(spark, s"$root/state").collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).toString) -> r.getLong(2)).toMap
+    val oneShot = oneShotHourly.collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).toString) -> r.getLong(2)).toMap
+    assert(streamed == oneShot)
+  }
+
   test("streaming Bloom prefilter: replayed content flags on the NEXT " +
     "batch, and the accumulated table equals the one-shot build") {
     val root = "/tmp/graft_bloom_stream_spec"
