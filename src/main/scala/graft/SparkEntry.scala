@@ -1037,6 +1037,31 @@ object SparkEntry {
     "q193_rank_agreement" -> ((s, d) =>
       text.Bm25.rankAgreement(docs(s, d))),
 
+    // FUZZY decontamination: LSH-band collision against the eval set —
+    // catches paraphrased benchmark leakage q74's exact shingles miss
+    "q194_fuzzy_decontam" -> ((s, d) =>
+      text.Decontaminate.fuzzyFlags(docs(s, d))),
+
+    // pairwise source-overlap matrix from per-source HLL sketches over
+    // the content key — |sources|² containment without shuffling docs
+    "q195_source_overlap" -> ((s, d) =>
+      operators.Sketches.sourceOverlapMatrix(docs(s, d))),
+
+    // field-coverage drift across days: the schema-drift monitor
+    // (day-over-day presence-permille delta per event×field)
+    "q196_coverage_drift" -> ((s, d) =>
+      operators.Aggregates.coverageDrift(Pipeline.parsed(s, d))),
+
+    // DSIR importance RESAMPLE: per-lang weighted reservoir draw with the
+    // q157 weight as the sampling weight — the step after the scoring
+    "q197_dsir_sample" -> ((s, d) =>
+      text.Selection.dsirSample(docs(s, d), k = 50)),
+
+    // hard-negative mining: top-k in-bucket candidates inside the cosine
+    // band [0.1, 0.9) per anchor — contrastive-training negatives
+    "q198_hard_negatives" -> ((s, d) =>
+      ann.Similarity.hardNegatives(vecs(s, d))),
+
     "q50_streaming_counts" -> ((s, d) => {
       import java.nio.file.{Files, Paths}
       val root = s"/tmp/graft_stream_${math.abs(d.hashCode)}"
@@ -2887,6 +2912,163 @@ SELECT q_id, CAST(count(*) AS BIGINT) AS n_pairs,
   CAST(count(*) FILTER (conc) * 1000 // count(*) AS BIGINT)
     AS concordant_permille
 FROM p GROUP BY q_id""",
+
+    // fuzzy (LSH-band) decontamination: band collisions vs the eval set
+    "q194_fuzzy_decontam" -> s"""
+WITH th AS (SELECT doc_id, $oTokHashes AS th FROM documents),
+sigs AS (
+  SELECT doc_id, ${oMinhashCols(dedup.Dedup.NumHashes)}
+  FROM (SELECT doc_id, $oShingles AS sh FROM th) x),
+bands AS (${oBandSelect(dedup.Dedup.NumHashes)}),
+bench AS (
+  SELECT DISTINCT band_idx, band_sig FROM bands WHERE doc_id % 97 = 0),
+matched AS (
+  SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_bands_matched
+  FROM bands b JOIN bench USING (band_idx, band_sig)
+  WHERE b.doc_id % 97 <> 0
+  GROUP BY b.doc_id)
+SELECT d.doc_id,
+  COALESCE(m.n_bands_matched, 0) AS n_bands_matched,
+  COALESCE(m.n_bands_matched, 0) >= 2 AND d.doc_id % 97 <> 0
+    AS fuzzy_contaminated
+FROM documents d LEFT JOIN matched m USING (doc_id)""",
+
+    // per-source HLL register tables + pairwise max-merge union +
+    // inclusion-exclusion — the q184 derivation generalized to |sources|²
+    "q195_source_overlap" -> s"""
+WITH k AS (
+  SELECT source AS name,
+    ('0x' || substr(md5(md5(regexp_replace(lower(text), '\\s+', ' ', 'g'))), 1, 8))::BIGINT AS h
+  FROM documents),
+regs AS (
+  SELECT name, h % 64 AS reg,
+    max(CASE WHEN h // 64 = 0 THEN 27 ELSE 27 - length(bin(h // 64)) END) AS m
+  FROM k GROUP BY 1, 2),
+p AS (
+  SELECT name, CAST(count(*) AS BIGINT) AS nonzero_regs,
+    CAST(sum(1::BIGINT << CAST(27 - m AS INT)) AS BIGINT) AS s_obs
+  FROM regs GROUP BY name),
+g AS (
+  SELECT name, nonzero_regs,
+    CAST(floor(${operators.Sketches.HllNumerator}
+      / (s_obs + (64 - nonzero_regs) * 134217728)) AS BIGINT) AS hll_raw
+  FROM p),
+lc AS (
+  SELECT name,
+    CASE WHEN nonzero_regs < 64 AND hll_raw <= 160
+      THEN ${operators.Sketches.HllLinearCounting.mkString("list_value(", ", ", ")")}[CAST(64 - nonzero_regs AS INT)]
+      ELSE hll_raw END AS hll_est
+  FROM g),
+dense AS (
+  SELECT s.name, gs.reg, r.m
+  FROM (SELECT DISTINCT name FROM regs) s
+  CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS reg) gs
+  LEFT JOIN regs r ON r.name = s.name AND r.reg = gs.reg),
+uni AS (
+  SELECT a.name AS src_a, b.name AS src_b,
+    CASE WHEN a.m IS NULL THEN b.m WHEN b.m IS NULL THEN a.m
+         WHEN a.m >= b.m THEN a.m ELSE b.m END AS m
+  FROM dense a JOIN dense b ON a.reg = b.reg AND a.name < b.name),
+up AS (
+  SELECT src_a, src_b,
+    CAST(sum(CASE WHEN m IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS nonzero_regs,
+    CAST(sum(CASE WHEN m IS NOT NULL THEN 1::BIGINT << CAST(27 - m AS INT) ELSE 0 END) AS BIGINT) AS s_obs
+  FROM uni GROUP BY 1, 2),
+ug AS (
+  SELECT src_a, src_b, nonzero_regs,
+    CAST(floor(${operators.Sketches.HllNumerator}
+      / (s_obs + (64 - nonzero_regs) * 134217728)) AS BIGINT) AS hll_raw
+  FROM up),
+ue AS (
+  SELECT src_a, src_b,
+    CASE WHEN nonzero_regs < 64 AND hll_raw <= 160
+      THEN ${operators.Sketches.HllLinearCounting.mkString("list_value(", ", ", ")")}[CAST(64 - nonzero_regs AS INT)]
+      ELSE hll_raw END AS est_union
+  FROM ug)
+SELECT u.src_a, u.src_b,
+  CAST(ea.hll_est AS BIGINT) AS est_a, CAST(eb.hll_est AS BIGINT) AS est_b,
+  CAST(u.est_union AS BIGINT) AS est_union,
+  CAST(greatest(0, ea.hll_est + eb.hll_est - u.est_union) AS BIGINT) AS est_intersect,
+  CAST(greatest(0, ea.hll_est + eb.hll_est - u.est_union) * 1000
+    // greatest(least(ea.hll_est, eb.hll_est), 1) AS BIGINT) AS overlap_permille
+FROM ue u
+JOIN lc ea ON ea.name = u.src_a
+JOIN lc eb ON eb.name = u.src_b""",
+
+    // field-coverage drift: q128's presence permille per day, stacked to
+    // (event, field, day) long form, day-over-day delta via lag
+    "q196_coverage_drift" -> withCtes(
+      "pd" -> s"""SELECT name, CAST(ts AS DATE) AS day,
+    CAST(count(*) AS BIGINT) AS n_events,
+    ${Seq(
+        "error_number" -> "error_number", "duration" -> "duration",
+        "principal" -> "principal", "client_addr" -> "client_addr",
+        "wait_type" -> "wait_type", "db_id" -> "db_id")
+        .map { case (a, c) =>
+          s"CAST(floor(sum(CASE WHEN $c IS NOT NULL THEN 1 ELSE 0 END) * 1000.0 / count(*)) AS BIGINT) AS $a"
+        }.mkString(",\n    ")}
+  FROM (
+    SELECT $oName AS name, ts, ${oTriple(1)} AS error_number,
+      ${oKvNum("duration")} AS duration, $oPrincipal AS principal,
+      $oClient AS client_addr, ${oKvStr("wait_type")} AS wait_type,
+      ${oKvNum("db_id")} AS db_id
+    FROM transcripts) p
+  GROUP BY 1, 2""",
+      "st" -> Seq("error_number", "duration", "principal", "client_addr",
+        "wait_type", "db_id")
+        .map(f => s"SELECT name, day, n_events, '$f' AS field, $f AS permille FROM pd")
+        .mkString(" UNION ALL "),
+      "lg" -> """SELECT name, day, n_events, field, permille,
+    lag(permille) OVER (PARTITION BY name, field ORDER BY day) AS prev_permille
+  FROM st""")("""
+SELECT name, day, n_events, field, permille, prev_permille,
+  permille - prev_permille AS delta,
+  COALESCE(abs(permille - prev_permille) >= 200, FALSE) AS drifted
+FROM lg"""),
+
+    // DSIR resample: q157's weight chain + q144's hash DIV weight
+    // priority, per-lang smallest-k admit
+    "q197_dsir_sample" -> s"""
+WITH inst AS (
+  SELECT doc_id, lang, unnest($oTokHashes) % 1024 AS b FROM documents),
+rates AS (
+  SELECT b, CAST(count(*) AS BIGINT) AS n_raw,
+    CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_target
+  FROM inst GROUP BY b),
+scored AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+    CAST(sum((n_target * 1000000) // n_raw) AS BIGINT) AS weight_sum
+  FROM inst JOIN rates USING (b) GROUP BY doc_id),
+wts AS (
+  SELECT d.doc_id, d.lang,
+    greatest(COALESCE(s.weight_sum // s.n_tokens, 0), 1) AS weight,
+    ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT AS h
+  FROM documents d LEFT JOIN scored s USING (doc_id)),
+r AS (
+  SELECT doc_id, lang, weight, h // weight AS priority,
+    CAST(row_number() OVER (PARTITION BY lang ORDER BY h // weight, doc_id)
+      AS BIGINT) AS rk
+  FROM wts)
+SELECT doc_id, lang, CAST(weight AS BIGINT) AS weight,
+  CAST(priority AS BIGINT) AS priority, rk
+FROM r WHERE rk <= 50""",
+
+    // hard negatives: q44's bucket probe restricted to the floored
+    // cosine-permille band [100, 900)
+    "q198_hard_negatives" -> s"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+b AS (SELECT vec_id, e, ${oBucketExpr("e")} AS bucket FROM v),
+q AS (SELECT vec_id AS q_id, e AS q_emb, bucket FROM b WHERE vec_id % 50 = 0),
+j AS (
+  SELECT q.q_id, c.vec_id,
+    CAST(floor(${oCos("q.q_emb", "c.e")} * 1000) AS BIGINT) AS cos_permille
+  FROM b c JOIN q ON c.bucket = q.bucket WHERE c.vec_id != q.q_id),
+f AS (SELECT * FROM j WHERE cos_permille >= 100 AND cos_permille < 900)
+SELECT q_id, vec_id AS negative_id, cos_permille, rank FROM (
+  SELECT q_id, vec_id, cos_permille,
+    row_number() OVER (PARTITION BY q_id ORDER BY cos_permille DESC, vec_id) AS rank
+  FROM f
+) r WHERE rank <= 5""",
 
     "q157_dsir_weights" -> s"""
 WITH inst AS (

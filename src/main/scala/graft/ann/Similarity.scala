@@ -73,6 +73,38 @@ object Similarity {
       .select(col("q_id"), col("vec_id").as("neighbor_id"), col("rank"))
   }
 
+  /** HARD-NEGATIVE mining for contrastive/embedding training: per anchor,
+    * the top-k candidates inside a cosine BAND [lo, hi) — similar enough
+    * to be informative gradients, below the near-duplicate line so they
+    * are not false negatives (the standard retrieval-training recipe:
+    * random negatives are too easy, near-dups are actually positives).
+    *
+    * Scale shape: identical to [[bucketedTopK]] — the anchor set rides a
+    * broadcast, candidates come from the LSH sign-bucket equi-join (the
+    * corpus never self-joins), and the per-anchor band filter + rank
+    * window run on the collided sliver. The band is compared in floored
+    * permille so both engines agree bit-for-bit. */
+  def hardNegatives(vecs: DataFrame, k: Int = 5, queryMod: Int = 50,
+                    loPermille: Int = 100, hiPermille: Int = 900,
+                    dim: Int = 64): DataFrame = {
+    val withB = vecs.withColumn("bucket", lshBucket(col("embedding"), dim))
+    val q = withB.filter(col("vec_id") % queryMod === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("bucket"))
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("cos_permille").desc, col("vec_id"))
+    withB.join(broadcast(q), "bucket")
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos_permille",
+        floor(cosine(col("q_emb"), col("embedding")) * 1000.0).cast("long"))
+      .filter(col("cos_permille") >= loPermille &&
+        col("cos_permille") < hiPermille)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("vec_id").as("negative_id"),
+        col("cos_permille"), col("rank"))
+  }
+
   /** Recall@k of the bucketed scale path against the brute-force ground
     * truth — the diagnostic every approximate index needs before it
     * replaces the exact one: per query, how many of the true top-k the

@@ -80,6 +80,37 @@ object Aggregates {
       .agg(count(lit(1)).as("n_events"), rates: _*)
   }
 
+  /** Field-coverage DRIFT across days — the schema-drift monitor built on
+    * [[fieldCoverage]]'s snapshot: per (event, field, day), presence
+    * permille next to the previous day's, with the day-over-day delta and
+    * a |delta| ≥ `driftPermille` flag. An upstream producer silently
+    * dropping a field shows up here as a −1000-permille day, long before
+    * a downstream null-pointer does.
+    *
+    * Scale shape: one corpus hash-agg down to (events × days) rows with
+    * map-side combine; the stack to long format and the per-(event,
+    * field) lag window both run on that aggregate-sized frame — the
+    * corpus never shuffles. */
+  def coverageDrift(parsed: DataFrame, driftPermille: Int = 200): DataFrame = {
+    val perDay = parsed
+      .groupBy(col("name"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n_events"),
+        CoverageFields.map { f =>
+          floor(sum(when(col(f).isNotNull, 1L).otherwise(0L)) * lit(1000.0)
+            / count(lit(1))).cast("long").as(f)
+        }: _*)
+    val stacked = perDay.select(col("name"), col("day"), col("n_events"),
+      expr(s"stack(${CoverageFields.length}, " +
+        CoverageFields.map(f => s"'$f', $f").mkString(", ") +
+        ") as (field, permille)"))
+    val w = Window.partitionBy("name", "field").orderBy("day")
+    stacked
+      .withColumn("prev_permille", lag("permille", 1).over(w))
+      .withColumn("delta", col("permille") - col("prev_permille"))
+      .withColumn("drifted",
+        coalesce(abs(col("delta")) >= driftPermille, lit(false)))
+  }
+
   /** Per-source-file parse-health roll-up — the dead-letter/ops surface a
     * long-running ingest needs per input file: row volume, how many rows
     * yielded an event name (parse success permille — the reference logs and

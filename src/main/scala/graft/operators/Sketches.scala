@@ -171,6 +171,70 @@ object Sketches {
       "exact_a", "exact_b", "exact_union", "exact_intersect")
   }
 
+  /** Pairwise SOURCE-OVERLAP matrix from per-source HLL sketches over the
+    * 128-bit content key — "how much of source A's content also appears
+    * in source B" for every source pair, the diagnostic that decides
+    * which crawl snapshots/mirrors are worth ingesting at all. The
+    * |sources|²-pair generalization of [[hllSetOps]]'s single pair.
+    *
+    * Scale shape: the corpus is read ONCE into per-source register
+    * tables (≤64 rows/source, map-side combined — the only corpus-sized
+    * work is the scan+md5); every pair's union registers come from an
+    * equi-join of the DENSE per-source register grids on the register
+    * index (sources × 64 rows — aggregate-sized), so adding a source
+    * costs nothing corpus-sized. Cross-source dup-matrix (q92) answers
+    * the same question exactly via LSH candidate pairs; this sketch
+    * version never shuffles documents at all.
+    *
+    * Union registers are element-wise MAX (null = absent register loses);
+    * intersection by inclusion-exclusion clamped at 0; overlap_permille
+    * normalizes by the smaller side (containment, not Jaccard). */
+  def sourceOverlapMatrix(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    val keyed = docs.select(col("source").as("name"),
+      graft.dedup.Dedup.exactKeyHash(col("text")).as("k"))
+    val regs = hllRegs(keyed, "k") // (name, reg, m): ≤64 rows per source
+    val est = hllEstimate(regs).select(col("name"), col("hll_est"))
+    // dense 64-register grid per source so the pair union is a plain
+    // equi-join on reg (absent registers surface as null m)
+    val grid = regs.select("name").distinct()
+      .crossJoin(spark.range(64).select(col("id").as("reg")))
+      .join(regs, Seq("name", "reg"), "left")
+    val a = grid.select(col("name").as("src_a"), col("reg"), col("m").as("ma"))
+    val b = grid.select(col("name").as("src_b"), col("reg"), col("m").as("mb"))
+    val uni = a.join(b, Seq("reg")).filter(col("src_a") < col("src_b"))
+      // max rank; explicit null arms (mirrors the oracle CASE exactly)
+      .withColumn("m",
+        when(col("ma").isNull, col("mb"))
+          .when(col("mb").isNull, col("ma"))
+          .when(col("ma") >= col("mb"), col("ma")).otherwise(col("mb")))
+      .groupBy("src_a", "src_b").agg(
+        sum(when(col("m").isNotNull, 1L).otherwise(0L)).as("nonzero_regs"),
+        sum(when(col("m").isNotNull,
+          expr("shiftleft(CAST(1 AS BIGINT), CAST(27 - m AS INT))"))
+          .otherwise(0L)).as("s_obs"))
+      .withColumn("sum_pow",
+        col("s_obs") + (lit(64L) - col("nonzero_regs")) * lit(134217728L))
+      .withColumn("hll_raw",
+        floor(lit(HllNumerator) / col("sum_pow")).cast("long"))
+      .withColumn("est_union",
+        when(col("nonzero_regs") < 64L && col("hll_raw") <= 160L,
+          element_at(typedLit(HllLinearCounting),
+            (lit(64L) - col("nonzero_regs")).cast("int")))
+          .otherwise(col("hll_raw")))
+    uni
+      .join(est.select(col("name").as("src_a"), col("hll_est").as("est_a")),
+        Seq("src_a"))
+      .join(est.select(col("name").as("src_b"), col("hll_est").as("est_b")),
+        Seq("src_b"))
+      .withColumn("est_intersect",
+        greatest(lit(0L), col("est_a") + col("est_b") - col("est_union")))
+      .select(col("src_a"), col("src_b"), col("est_a"), col("est_b"),
+        col("est_union"), col("est_intersect"),
+        expr("est_intersect * 1000 DIV greatest(least(est_a, est_b), 1)")
+          .as("overlap_permille"))
+  }
+
   // ---- Bloom filter ---------------------------------------------------------
 
   /** Bloom parameters for the shingle prefilter: m = 1024 words × 64 bits

@@ -66,4 +66,39 @@ object Decontaminate {
       .withColumn("span_tokens", col("last_pos") - col("first_pos") + 3)
       .withColumn("matched_permille", expr("n_matched * 1000 DIV n_shingles"))
   }
+
+  /** FUZZY decontamination — MinHash/LSH-band match against the eval set,
+    * catching paraphrased or lightly-edited benchmark leakage that the
+    * exact-shingle probe of [[flags]] misses (an eval answer with two
+    * words changed shares few 3-token shingles but still collides on LSH
+    * bands with high probability at Jaccard ≳ 0.6).
+    *
+    * Per non-benchmark document: how many of its `NumHashes/2` LSH bands
+    * collide with ANY benchmark document's band, flagged at `minBands`.
+    * Band-level match, not pair-level: we never enumerate (train, eval)
+    * pairs, so a benchmark answer duplicated across thousands of training
+    * docs costs the same as one.
+    *
+    * Scale shape: signatures are the fused one-pass sketch expression (no
+    * shuffle); the eval side's DISTINCT (band_idx, band_sig) set is tiny
+    * (4 rows per eval doc) and broadcasts; the corpus probes it map-side
+    * and only COLLIDING band rows (a sliver) reach the per-doc count.
+    * The corpus is never shuffled. */
+  def fuzzyFlags(docs: DataFrame, benchMod: Int = 97,
+                 minBands: Int = 2): DataFrame = {
+    val bands = Dedup.bandTable(docs)
+    val benchBands = bands.filter(col("doc_id") % benchMod === 0)
+      .select(col("band_idx").as("b_idx"), col("band_sig").as("b_sig"))
+      .distinct()
+    val matched = bands.filter(col("doc_id") % benchMod =!= 0)
+      .join(broadcast(benchBands),
+        col("band_idx") === col("b_idx") && col("band_sig") === col("b_sig"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_bands_matched"))
+    docs.select(col("doc_id"))
+      .join(matched, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bands_matched"), lit(0L)).as("n_bands_matched"),
+        (coalesce(col("n_bands_matched"), lit(0L)) >= minBands &&
+          col("doc_id") % benchMod =!= 0).as("fuzzy_contaminated"))
+  }
 }

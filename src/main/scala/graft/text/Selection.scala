@@ -78,4 +78,33 @@ object Selection {
         (coalesce(col("mean_weight_micro"), lit(0L)) >= col("share_micro"))
           .as("selected"))
   }
+
+  /** The actual DSIR RESAMPLE — the second half of importance resampling
+    * that [[dsirWeights]] scores for: draw a fixed per-language budget of
+    * documents with probability proportional to the importance weight,
+    * deterministically (A-Res weighted reservoir shape, q144's hash DIV
+    * weight priority, here with the DSIR weight as the weight). Heavier
+    * (more target-like) docs win more often; any doc with nonzero weight
+    * can still win — the diversity property hard thresholding
+    * (`selected`) lacks, and the reason DSIR resamples instead of
+    * top-k'ing.
+    *
+    * Scale shape: [[dsirWeights]]'s one tokenize pass + broadcast probes;
+    * the ranking adds one lang-keyed window over the NARROW weights frame
+    * (4 columns — text never enters). */
+  def dsirSample(docs: DataFrame, k: Int = 50, buckets: Int = 1024,
+                 targetLang: String = "en"): DataFrame = {
+    val h32 = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+      .cast("long")
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy(col("priority"), col("doc_id"))
+    dsirWeights(docs, buckets, targetLang)
+      .withColumn("weight", greatest(col("mean_weight_micro"), lit(1L)))
+      .withColumn("h32_", h32)
+      .withColumn("priority", expr("h32_ DIV weight"))
+      .withColumn("rk", row_number().over(win))
+      .filter(col("rk") <= k)
+      .select(col("doc_id"), col("lang"), col("weight"),
+        col("priority"), col("rk").cast("long").as("rk"))
+  }
 }

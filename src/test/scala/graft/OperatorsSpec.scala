@@ -535,4 +535,27 @@ class OperatorsSpec extends SparkSpec {
     assert(out == Map(1L -> "same", 2L -> "removed", 3L -> "changed",
       4L -> "same", 5L -> "added"))
   }
+
+  test("coverageDrift: a field dropped by the producer flags a -1000 day") {
+    val ts1 = java.sql.Timestamp.valueOf("2026-01-01 10:00:00")
+    val ts2 = java.sql.Timestamp.valueOf("2026-01-02 10:00:00")
+    // day 1: duration always present; day 2: never (upstream drop)
+    val parsed = Seq(
+      ("ev", ts1, Some(5L)), ("ev", ts1, Some(6L)),
+      ("ev", ts2, None), ("ev", ts2, None)
+    ).toDF("name", "ts", "duration")
+      .withColumn("error_number", lit(null).cast("long"))
+      .withColumn("principal", lit(null).cast("string"))
+      .withColumn("client_addr", lit(null).cast("string"))
+      .withColumn("wait_type", lit(null).cast("string"))
+      .withColumn("db_id", lit(null).cast("long"))
+    val out = operators.Aggregates.coverageDrift(parsed).collect()
+      .map(r => (r.getString(3), r.getDate(1).toString) ->
+        ((r.getLong(4), Option(r.get(6)).map(_.asInstanceOf[Long]), r.getBoolean(7))))
+      .toMap
+    assert(out(("duration", "2026-01-01")) == ((1000L, None, false)))
+    assert(out(("duration", "2026-01-02")) == ((0L, Some(-1000L), true)))
+    // a field absent on both days never drifts
+    assert(out(("db_id", "2026-01-02")) == ((0L, Some(0L), false)))
+  }
 }

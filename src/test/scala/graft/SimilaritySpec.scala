@@ -178,4 +178,46 @@ class SimilaritySpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"))
   }
+
+  test("hardNegatives matches an independent recompute and stays in the band") {
+    import TestSpark.spark.implicits._
+    // deterministic vector families: ids % 4 == 0 get a partly-flipped
+    // tail, which lands mid-band cosines inside shared buckets
+    val raw = (0L until 40L).map { id =>
+      val v = Array.tabulate(8)(j => (1.0 + ((id * 7 + j * 3) % 5) * 0.2).toFloat)
+      (id, if (id % 4 == 0)
+        v.zipWithIndex.map { case (x, j) => if (j < 4) x else -0.2f * x }
+      else v)
+    }
+    val vecs = raw.toDF("vec_id", "embedding")
+    val out = Similarity.hardNegatives(vecs, k = 3, queryMod = 5,
+        loPermille = 100, hiPermille = 900, dim = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+
+    // independent reimplementation: plain Scala buckets + cosine
+    def bucket(v: Array[Float]): Long =
+      (0 until Similarity.NumPlanes).map { i =>
+        val p = Similarity.planeComponents(i, 8)
+        val d = v.zip(p).map { case (x, c) => x.toDouble * c }.sum
+        if (d > 0) 1L << i else 0L
+      }.sum
+    def cosPm(a: Array[Float], b: Array[Float]): Long = {
+      def dot(x: Array[Float], y: Array[Float]) =
+        x.zip(y).map { case (p, q) => p.toDouble * q }.sum
+      math.floor(dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+        * 1000.0).toLong
+    }
+    val byId = raw.toMap
+    val expected = raw.filter(_._1 % 5 == 0).flatMap { case (qid, qv) =>
+      raw.filter { case (cid, cv) => cid != qid && bucket(cv) == bucket(qv) }
+        .map { case (cid, cv) => (cid, cosPm(qv, cv)) }
+        .filter { case (_, c) => c >= 100 && c < 900 }
+        .sortBy { case (cid, c) => (-c, cid) }
+        .take(3).zipWithIndex
+        .map { case ((cid, c), i) => (qid, cid, c, i + 1) }
+    }.toSet
+    assert(expected.nonEmpty) // the fixture must actually exercise the band
+    assert(out.toSet == expected)
+    assert(out.forall(r => r._3 >= 100 && r._3 < 900))
+  }
 }

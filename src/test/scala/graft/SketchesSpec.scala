@@ -166,4 +166,24 @@ class SketchesSpec extends SparkSpec {
     // n_maybe - n_true == n_false_pos by construction
     out.values.foreach(r => assert(r.getLong(4) == r.getLong(2) - r.getLong(3)))
   }
+
+  test("sourceOverlapMatrix: identical sources overlap fully, disjoint ones barely") {
+    // 'a' and 'b' share ALL content (identical register tables -> union ==
+    // per-side estimate -> 1000 permille); 'z' is disjoint vocabulary
+    val docs = (
+      (0L until 40L).map(i => (i, "a", s"shared document number $i body")) ++
+      (0L until 40L).map(i => (i + 100L, "b", s"shared document number $i body")) ++
+      (0L until 40L).map(i => (i + 200L, "z", s"completely different corpus item $i"))
+    ).toDF("doc_id", "source", "text")
+    val out = Sketches.sourceOverlapMatrix(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    assert(out.keySet == Set(("a", "b"), ("a", "z"), ("b", "z")))
+    val ab = out(("a", "b"))
+    assert(ab._1 == ab._2 && ab._3 == ab._1, "identical content: union == side")
+    assert(ab._5 == 1000L, "full containment")
+    assert(out(("a", "z"))._5 < 1000L && out(("b", "z"))._5 < 1000L)
+    // union of disjoint sources must exceed either side's estimate
+    assert(out(("a", "z"))._3 > out(("a", "z"))._1)
+  }
 }

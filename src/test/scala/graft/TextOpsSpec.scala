@@ -747,4 +747,34 @@ class TextOpsSpec extends SparkSpec {
     assert(out("dup") == ((6L, 2L, 333L, 667L)))
     assert(out("uniq") == ((6L, 6L, 1000L, 0L)))
   }
+
+  test("fuzzy decontamination flags an exact copy of a benchmark doc, not disjoint text") {
+    val bench = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq(
+      (0L, bench),                                 // benchmark member (0 % 97 == 0)
+      (1L, bench),                                 // exact copy → all 4 bands collide
+      (2L, "totally different words entirely now appear here instead")
+    ).toDF("doc_id", "text")
+    val out = text.Decontaminate.fuzzyFlags(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(out(0L)._2 == false)          // bench member never flagged
+    assert(out(1L) == ((4L, true)))      // identical sigs → 4/4 band matches
+    assert(out(2L)._1 == 0L && !out(2L)._2)
+  }
+
+  test("dsirSample: per-lang budget respected, priorities ascend with rank") {
+    val docs = Seq.tabulate(30) { i =>
+      (i.toLong, if (i % 3 == 0) "en" else "de",
+        if (i % 3 == 0) "english english english text" else "wort anders")
+    }.toDF("doc_id", "lang", "text")
+    val out = graft.text.Selection.dsirSample(docs, k = 4).collect()
+      .map(r => (r.getString(1), r.getLong(3), r.getLong(4)))
+    val byLang = out.groupBy(_._1)
+    assert(byLang("en").length == 4 && byLang("de").length == 4)
+    byLang.values.foreach { rows =>
+      val sorted = rows.sortBy(_._3)
+      assert(sorted.map(_._3).toSeq == (1L to rows.length).toSeq)
+      assert(sorted.map(_._2).toSeq == sorted.map(_._2).sortBy(identity).toSeq)
+    }
+  }
 }
