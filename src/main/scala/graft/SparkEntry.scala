@@ -1062,6 +1062,16 @@ object SparkEntry {
     "q198_hard_negatives" -> ((s, d) =>
       ann.Similarity.hardNegatives(vecs(s, d))),
 
+    // embedding-cluster-balanced sampling: IVF cells × τ=0.5 Hamilton
+    // budgets — rebalance by CONTENT where q188 rebalances by provenance
+    "q199_cluster_sample" -> ((s, d) =>
+      operators.Sampling.clusterBalancedSample(vecs(s, d), budget = 100L)),
+
+    // retrieval eval: MRR/precision@k of the BM25 ranking against the
+    // lexical-coverage relevance oracle
+    "q200_retrieval_eval" -> ((s, d) =>
+      text.Bm25.retrievalEval(docs(s, d))),
+
     "q50_streaming_counts" -> ((s, d) => {
       import java.nio.file.{Files, Paths}
       val root = s"/tmp/graft_stream_${math.abs(d.hashCode)}"
@@ -3025,6 +3035,80 @@ SELECT name, day, n_events, field, permille, prev_permille,
   permille - prev_permille AS delta,
   COALESCE(abs(permille - prev_permille) >= 200, FALSE) AS drifted
 FROM lg"""),
+
+    // embedding-cluster-balanced sample: q53's cell assignment feeding
+    // q187/q188's Hamilton apportionment, keyed on the cell
+    "q199_cluster_sample" -> s"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+c AS (SELECT vec_id AS cent_id, e AS cent_emb FROM v WHERE vec_id % 200 = 0),
+asg AS (
+  SELECT vec_id, CAST(cent_id AS VARCHAR) AS cell FROM (
+    SELECT v.vec_id, c.cent_id,
+      row_number() OVER (PARTITION BY v.vec_id
+                         ORDER BY ${oCos("v.e", "c.cent_emb")} DESC, c.cent_id) AS rn
+    FROM v CROSS JOIN c
+  ) a WHERE rn = 1),
+w AS (
+  SELECT cell, CAST(count(*) AS BIGINT) AS n_docs,
+    CAST(floor(sqrt(count(*))) AS BIGINT) AS weight
+  FROM asg GROUP BY 1),
+tt AS (SELECT CAST(sum(weight) AS BIGINT) AS w_tot FROM w),
+sh0 AS (
+  SELECT cell, weight,
+    CAST(100 * weight // w_tot AS BIGINT) AS base,
+    CAST(100 * weight % w_tot AS BIGINT) AS rem
+  FROM w, tt),
+kk AS (SELECT 100 - sum(base) AS k FROM sh0),
+ranked AS (
+  SELECT cell, base, rem,
+    CAST(row_number() OVER (ORDER BY rem DESC, cell) AS BIGINT) AS rk
+  FROM sh0),
+pl AS (
+  SELECT cell, base + CASE WHEN rk <= k THEN 1 ELSE 0 END AS target_rows
+  FROM ranked, kk),
+g AS (
+  SELECT vec_id, cell,
+    ((vec_id % 1000000007) * 1103515245 + 12345) % 1000 AS gate
+  FROM asg),
+adm AS (
+  SELECT vec_id, cell, gate,
+    CAST(row_number() OVER (PARTITION BY cell ORDER BY gate, vec_id)
+      AS BIGINT) AS rk
+  FROM g)
+SELECT vec_id, cell, CAST(gate AS BIGINT) AS gate, rk
+FROM adm JOIN pl USING (cell) WHERE rk <= target_rows""",
+
+    // retrieval eval: BM25 top-5 judged by distinct-token coverage >= 500
+    // permille of the query vocabulary; MRR/precision integer-exact
+    "q200_retrieval_eval" -> s"""$bm25Ctes,
+topk AS (
+  SELECT q_id, doc_id, CAST(rank AS BIGINT) AS rank FROM (
+    SELECT q_id, doc_id,
+      row_number() OVER (PARTITION BY q_id ORDER BY score_micro DESC, doc_id) AS rank
+    FROM scored) r
+  WHERE rank <= 5),
+qsize AS (SELECT q_id, CAST(count(*) AS BIGINT) AS q_toks FROM qterms GROUP BY 1),
+dtok AS (
+  SELECT t.q_id, t.rank, t.doc_id, unnest(list_distinct($oTokHashes)) AS tok
+  FROM topk t JOIN documents d ON t.doc_id = d.doc_id),
+cover AS (
+  SELECT q_id, rank, doc_id, CAST(count(*) AS BIGINT) AS n_common
+  FROM dtok JOIN qterms USING (q_id, tok) GROUP BY 1, 2, 3),
+rel AS (
+  SELECT t.q_id, t.rank,
+    COALESCE(c.n_common, 0) * 1000 // s.q_toks >= 500 AS relevant
+  FROM topk t
+  LEFT JOIN cover c ON c.q_id = t.q_id AND c.rank = t.rank AND c.doc_id = t.doc_id
+  JOIN qsize s ON s.q_id = t.q_id),
+ag AS (
+  SELECT q_id, CAST(count(*) AS BIGINT) AS n_results,
+    CAST(sum(CASE WHEN relevant THEN 1 ELSE 0 END) AS BIGINT) AS n_relevant,
+    min(CASE WHEN relevant THEN rank END) AS first_rel_rank
+  FROM rel GROUP BY q_id)
+SELECT q_id, n_results, n_relevant, first_rel_rank,
+  CAST(n_relevant * 1000 // 5 AS BIGINT) AS precision_permille,
+  CAST(COALESCE(1000000 // first_rel_rank, 0) AS BIGINT) AS mrr_micro
+FROM ag""",
 
     // DSIR resample: q157's weight chain + q144's hash DIV weight
     // priority, per-lang smallest-k admit

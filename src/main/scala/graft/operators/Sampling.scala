@@ -198,6 +198,28 @@ object Sampling {
       .select(col("doc_id"), col("source"), col("gate"), col("rk"))
   }
 
+  /** Embedding-CLUSTER-balanced sampling — the semantic complement of the
+    * source-keyed mixture: assign every vector to its IVF cell, give each
+    * cell a τ=0.5 (√size) Hamilton-apportioned share of the budget, admit
+    * per-cell smallest-gate rows. Where [[mixtureSample]] rebalances
+    * by PROVENANCE, this rebalances by CONTENT — a corpus that is 90% one
+    * topic keeps at most √-proportionally more of it, the standard
+    * cluster-balanced data-selection step after embedding the corpus.
+    *
+    * Scale shape: the cell assignment is [[graft.ann.Similarity.ivfAssign]]'s
+    * broadcast n×k scan (no shuffle of the vectors); the plan is a
+    * |cells|-row aggregate; admission is ONE cell-keyed window over the
+    * narrow (vec_id, cell) projection. Exactly `budget` rows come back. */
+  def clusterBalancedSample(vecs: DataFrame, budget: Long = 100L,
+                            centroidMod: Int = 200): DataFrame = {
+    val assigned = graft.ann.Similarity.ivfAssign(vecs, centroidMod)
+      .select(col("vec_id").as("doc_id"),
+        col("cent_id").cast("string").as("source"))
+    mixtureSample(assigned, budget)
+      .select(col("doc_id").as("vec_id"), col("source").as("cell"),
+        col("gate"), col("rk"))
+  }
+
   /** Keep a row iff its gate falls under the stratum's permille rate. */
   def stratified(docs: DataFrame, rates: Map[String, Int],
                  defaultPermille: Int = 100): DataFrame = {

@@ -121,6 +121,45 @@ object Bm25 {
       .select(col("q_id"), col("rank"), col("doc_id"), col("score_micro"))
   }
 
+  /** Retrieval-quality eval — MRR and precision@k of the BM25 ranking
+    * against a deterministic relevance oracle: a result is RELEVANT when
+    * it covers ≥ `coverMin`‰ of the query's distinct tokens (the
+    * lexical-coverage ground truth every retrieval eval needs before a
+    * learned judge exists). Per query: hit count, first relevant rank,
+    * precision@k in permille, MRR in micro-units — all integer-exact.
+    *
+    * Scale shape: the ranking is [[topK]]'s posting-pruned pass; the eval
+    * itself only rehydrates the queries×k RESULT docs (the hit list
+    * broadcasts into the corpus probe), so judging cost is independent of
+    * corpus size. */
+  def retrievalEval(docs: DataFrame, k: Int = 5, queryMod: Int = 211,
+                    coverMin: Int = 500): DataFrame = {
+    val hits = topK(docs, k, queryMod).select("q_id", "rank", "doc_id")
+    val qtok = docs.filter(col("doc_id") % queryMod === 0)
+      .select(col("doc_id").as("q_id"),
+        explode(array_distinct(TextAnalysis.tokHashes(col("text")))).as("tok"))
+    val qsize = qtok.groupBy("q_id").agg(count(lit(1)).as("q_toks"))
+    // only the queries×k result docs rehydrate: hits broadcast, the
+    // corpus is probed map-side and never shuffles for the eval
+    val dtok = docs.select(col("doc_id"), col("text"))
+      .join(broadcast(hits), "doc_id")
+      .select(col("q_id"), col("rank"), col("doc_id"),
+        explode(array_distinct(TextAnalysis.tokHashes(col("text")))).as("tok"))
+    val cover = dtok.join(qtok, Seq("q_id", "tok"))
+      .groupBy("q_id", "rank", "doc_id").agg(count(lit(1)).as("n_common"))
+    hits.join(cover, Seq("q_id", "rank", "doc_id"), "left")
+      .join(broadcast(qsize), "q_id")
+      .withColumn("relevant",
+        expr("coalesce(n_common, 0) * 1000 DIV q_toks") >= coverMin)
+      .groupBy("q_id").agg(
+        count(lit(1)).as("n_results"),
+        sum(when(col("relevant"), 1L).otherwise(0L)).as("n_relevant"),
+        min(when(col("relevant"), col("rank"))).as("first_rel_rank"))
+      .withColumn("precision_permille", expr(s"n_relevant * 1000 DIV $k"))
+      .withColumn("mrr_micro",
+        coalesce(expr("1000000 DIV first_rel_rank"), lit(0L)))
+  }
+
   /** Retrieve-then-rerank — the RAG/data-curation two-stage shape: BM25
     * recalls top-k per query, the (stronger, costlier) classifier re-orders
     * just those candidates. Scale design: the candidate id set is

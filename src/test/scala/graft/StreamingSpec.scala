@@ -528,4 +528,50 @@ class StreamingSpec extends SparkSpec {
       expected.except(got).count() == 0,
       "streamed join must equal the batch lead-window result")
   }
+
+  test("streaming near-dup index: exact copies and light edits flag against " +
+    "history; the accumulated index equals the one-shot build") {
+    val root = "/tmp/graft_neardup_stream_spec"
+    rm(root)
+    import TestSpark.spark.implicits._
+    val textA = (1 to 40).map(i => s"alpha$i beta$i").mkString(" ")
+    val textB = (1 to 40).map(i => s"gamma$i delta$i").mkString(" ")
+    // light edit of A: change one word near the middle -> most shingles,
+    // and therefore most minhashes, survive
+    val textAEdit = textA.replace("alpha20", "ALPHA20X")
+    def drain(): Unit = {
+      val stream = spark.readStream.schema("doc_id LONG, text STRING")
+        .option("maxFilesPerTrigger", 1).parquet(s"$root/in/*")
+      val q = graft.streaming.NearDupStream.start(
+        stream, s"$root/state", s"$root/ckpt")
+      q.awaitTermination()
+    }
+    Seq((1L, textA), (2L, textB)).toDF("doc_id", "text")
+      .write.parquet(s"$root/in/b1")
+    drain()
+    val v1 = spark.read.parquet(s"$root/state/verdicts")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(v1 == Map(1L -> "new", 2L -> "new"), "empty index: everything new")
+    // batch 2: exact replay of A, light edit of A, novel C
+    Seq((3L, textA), (4L, textAEdit),
+        (5L, "zeta eta theta iota kappa lambda mu nu xi omicron"))
+      .toDF("doc_id", "text").write.parquet(s"$root/in/b2")
+    drain()
+    val v2 = spark.read.parquet(s"$root/state/verdicts")
+      .filter(col("batch_id") > 0)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(v2(3L) == "exact_dup", "exact replay must match the content key")
+    assert(v2(4L) == "near_dup",
+      "light edit must band-collide and agree on most minhashes")
+    assert(v2(5L) == "new")
+    // the folded index equals the one-shot build over every ingested doc
+    val streamed = graft.streaming.NearDupStream
+      .indexTable(spark, s"$root/state")
+      .collect().map(_.toSeq).toSet
+    val oneShot = graft.streaming.NearDupStream
+      .indexRows(spark.read.parquet(s"$root/in/*"))
+      .collect().map(_.toSeq).toSet
+    assert(streamed == oneShot,
+      "accumulated sketch index must equal the batch build over all docs")
+  }
 }

@@ -777,4 +777,45 @@ class TextOpsSpec extends SparkSpec {
       assert(sorted.map(_._2).toSeq == sorted.map(_._2).sortBy(identity).toSeq)
     }
   }
+
+  test("clusterBalancedSample: exactly the budget, split by cell Hamilton shares") {
+    // two IVF cells: ids 0 and 200 are the centroids (vec_id % 200 == 0);
+    // vectors near e1 join cell 0, vectors near e2 join cell 200
+    val e1 = Array.tabulate(8)(j => if (j < 4) 1.0f else 0.0f)
+    val e2 = Array.tabulate(8)(j => if (j < 4) 0.0f else 1.0f)
+    val vecs = ((0L until 90L).map(i => (if (i == 0) 0L else i + 1000L, e1)) ++
+      (0L until 10L).map(i => (if (i == 0) 200L else i + 5000L, e2)))
+      .toDF("vec_id", "embedding")
+    val out = Sampling.clusterBalancedSample(vecs, budget = 12L, centroidMod = 200)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(out.length == 12, "allocations must sum exactly to the budget")
+    // weights floor(sqrt(90))=9, floor(sqrt(10))=3 -> 12*9//12=9, 12*3//12=3
+    val byCell = out.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(byCell == Map("0" -> 9, "200" -> 3))
+    // partitioning invariance: same admits at a different layout
+    val out2 = Sampling.clusterBalancedSample(vecs.repartition(7), budget = 12L,
+      centroidMod = 200).collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(out2.toSet == out.toSet)
+  }
+
+  test("retrievalEval: full-coverage result is relevant, MRR follows first hit") {
+    // query doc 0 (doc_id % 211 == 0): vocabulary {alpha beta gamma delta}
+    // doc 1 covers 4/4 terms (relevant), doc 2 covers 1/4 (not relevant),
+    // doc 3 shares nothing (never ranked)
+    val docs = Seq(
+      (0L, "alpha beta gamma delta"),
+      (1L, "alpha beta gamma delta and much more content here"),
+      (2L, "alpha only plus unrelated words entirely"),
+      (3L, "nothing shared with the query at all")
+    ).toDF("doc_id", "text")
+    val out = graft.text.Bm25.retrievalEval(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Long]), r.getLong(4), r.getLong(5))))
+      .toMap
+    val (nRes, nRel, firstRank, prec, mrr) = out(0L)
+    assert(nRes == 2L, "docs 1 and 2 share query terms; doc 3 never scores")
+    assert(nRel == 1L && prec == 200L, "only the full-coverage doc is relevant")
+    assert(firstRank.contains(1L) && mrr == 1000000L,
+      "the covering doc outranks the 1-term doc under BM25")
+  }
 }
