@@ -1072,6 +1072,28 @@ object SparkEntry {
     "q200_retrieval_eval" -> ((s, d) =>
       text.Bm25.retrievalEval(docs(s, d))),
 
+    // duplicate-size distribution: cluster-size histogram + corpus mass
+    // share — the duplicate-explosion monitor over the exact-dedup groups.
+    // The synthetic corpus is dup-free, so plant strata: every 7th doc
+    // copied once (size-2 clusters), every 21st twice more (size-3).
+    "q201_dup_histogram" -> ((s, d) => {
+      val dd = docs(s, d)
+      dedup.Dedup.dupSizeHistogram(dd
+        .unionByName(dd.filter(col("doc_id") % 7 === 0)
+          .withColumn("doc_id", col("doc_id") + 1000000L))
+        .unionByName(dd.filter(col("doc_id") % 21 === 0)
+          .withColumn("doc_id", col("doc_id") + 2000000L)))
+    }),
+
+    // per-language robust quality z-scores (median/MAD from bounded
+    // histograms, never a per-lang value gather)
+    "q202_quality_z" -> ((s, d) =>
+      text.CorpusOps.qualityZ(docs(s, d))),
+
+    // deterministic multi-epoch shuffle plan: md5 order, shard, rank
+    "q203_epoch_shuffle" -> ((s, d) =>
+      operators.TrainingExport.epochShuffle(docs(s, d))),
+
     "q50_streaming_counts" -> ((s, d) => {
       import java.nio.file.{Files, Paths}
       val root = s"/tmp/graft_stream_${math.abs(d.hashCode)}"
@@ -3109,6 +3131,69 @@ SELECT q_id, n_results, n_relevant, first_rel_rank,
   CAST(n_relevant * 1000 // 5 AS BIGINT) AS precision_permille,
   CAST(COALESCE(1000000 // first_rel_rank, 0) AS BIGINT) AS mrr_micro
 FROM ag""",
+
+    // duplicate-size distribution off the q73 exact-dedup groups, over
+    // the dup-planted corpus (every 7th doc ×2, every 21st ×3)
+    "q201_dup_histogram" -> """
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 7 = 0
+  UNION ALL SELECT doc_id + 2000000, text FROM documents WHERE doc_id % 21 = 0),
+g AS (
+  SELECT md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS h,
+    CAST(count(*) AS BIGINT) AS n_copies
+  FROM corpus GROUP BY 1),
+hist AS (
+  SELECT n_copies AS cluster_size, CAST(count(*) AS BIGINT) AS n_clusters,
+    CAST(n_copies * count(*) AS BIGINT) AS n_docs
+  FROM g GROUP BY 1),
+tt AS (SELECT CAST(sum(n_docs) AS BIGINT) AS t FROM hist)
+SELECT cluster_size, n_clusters, n_docs,
+  CAST(n_docs * 1000 // t AS BIGINT) AS mass_permille
+FROM hist, tt""",
+
+    // per-lang robust quality z: q91's logit + q186's median/MAD framing;
+    // z is non-negative (dev-based), `above` carries the sign
+    "q202_quality_z" -> s"""
+WITH s AS (
+  SELECT doc_id, lang,
+    CASE WHEN len(th) > 0
+      THEN CAST(floor(CAST(COALESCE(list_aggregate(
+             list_transform(th, h -> (h % 2001) - 1000), 'sum'), 0) AS BIGINT)
+           * 1000.0 / len(th)) AS BIGINT)
+      ELSE CAST(0 AS BIGINT) END AS logit_x1e3
+  FROM (SELECT doc_id, lang, $oTokHashes AS th FROM documents) x),
+med AS (
+  SELECT lang, CAST(quantile_cont(logit_x1e3, 0.5) * 2 AS BIGINT) AS med_x2
+  FROM s GROUP BY 1),
+dev AS (
+  SELECT s.doc_id, s.lang, s.logit_x1e3, m.med_x2,
+    abs(s.logit_x1e3 * 2 - m.med_x2) AS dev_x2
+  FROM s JOIN med m USING (lang)),
+mad AS (
+  SELECT lang, CAST(quantile_cont(dev_x2, 0.5) * 2 AS BIGINT) AS mad_x4
+  FROM dev GROUP BY 1)
+SELECT d.doc_id, d.lang, d.logit_x1e3, d.med_x2, mad.mad_x4,
+  CAST(d.dev_x2 * 2 * 1000 // greatest(mad.mad_x4, 1) AS BIGINT) AS z_x1e3,
+  d.logit_x1e3 * 2 > d.med_x2 AS above,
+  CAST(d.dev_x2 * 2 * 1000 // greatest(mad.mad_x4, 1) AS BIGINT) >= 3000
+    AS is_outlier
+FROM dev d JOIN mad USING (lang)""",
+
+    // deterministic epoch shuffle: md5(epoch:doc) order per (epoch, shard)
+    "q203_epoch_shuffle" -> """
+WITH e AS (
+  SELECT doc_id, unnest(generate_series(0, 2)) AS epoch FROM documents),
+k AS (
+  SELECT doc_id, epoch, md5(epoch || ':' || doc_id) AS k FROM e),
+s AS (
+  SELECT doc_id, epoch, k,
+    ('0x' || substr(k, 1, 8))::BIGINT % 8 AS shard
+  FROM k)
+SELECT doc_id, CAST(epoch AS BIGINT) AS epoch, CAST(shard AS BIGINT) AS shard,
+  CAST(row_number() OVER (PARTITION BY epoch, shard ORDER BY k, doc_id)
+    AS BIGINT) AS pos
+FROM s""",
 
     // DSIR resample: q157's weight chain + q144's hash DIV weight
     // priority, per-lang smallest-k admit

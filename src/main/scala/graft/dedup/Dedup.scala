@@ -41,6 +41,27 @@ object Dedup {
       .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("n_copies"))
       .select("norm_h", "keeper_id", "n_copies")
 
+  /** Duplicate-SIZE distribution — the corpus-health report over
+    * [[exactByHash]]'s clusters: for every cluster size, how many clusters
+    * exist, how many documents they hold, and what permille of the corpus
+    * that is. The monitoring surface for duplicate explosions (a crawler
+    * stuck on a template shows up as mass shifting to huge sizes long
+    * before any per-pair dedup runs).
+    *
+    * Scale shape: one content-key hash-agg (the exact-dedup shuffle) then
+    * a ≤|distinct sizes|-row histogram — the second agg's input is
+    * cluster-count-sized, its output log-bounded in practice. */
+  def dupSizeHistogram(docs: DataFrame): DataFrame = {
+    val hist = exactByHash(docs)
+      .groupBy(col("n_copies").as("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"))
+      .withColumn("n_docs", col("cluster_size") * col("n_clusters"))
+    val tot = hist.agg(sum("n_docs").as("t"))
+    hist.crossJoin(broadcast(tot))
+      .select(col("cluster_size"), col("n_clusters"), col("n_docs"),
+        expr("n_docs * 1000 DIV t").as("mass_permille"))
+  }
+
   /** Duplicate-cluster downsampling weights — the soft alternative to
     * dropping duplicates (each copy keeps weight 1/n_copies, so a page
     * duplicated 1000× contributes one page's worth of gradient): every

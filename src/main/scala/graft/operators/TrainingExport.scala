@@ -151,4 +151,31 @@ object TrainingExport {
         (col("rk") - 1L) * col("n_sources") + (col("src_idx") - 1L))
       .select("doc_id", "source", "difficulty", "src_idx", "rk", "epoch_key")
   }
+
+  /** Deterministic multi-EPOCH shuffle plan — reproducible training-data
+    * ordering: per epoch, every document gets a fresh pseudo-random
+    * position (md5 of epoch:doc_id), a shard from the key's head bits,
+    * and its rank within (epoch, shard). Re-running the export yields the
+    * identical order — the property an ad-hoc `ORDER BY rand()` loses and
+    * the reason reproducible-training pipelines hash instead of shuffle.
+    *
+    * Scale shape: the epoch fan-out is a map-side explode (epochs is a
+    * small constant); ordering is one window per (epoch, shard) —
+    * shards × epochs independent sort tasks, each 1/shards of an epoch.
+    * No global sort ever materializes. */
+  def epochShuffle(docs: DataFrame, epochs: Int = 3,
+                   shards: Int = 8): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("epoch", "shard").orderBy(col("k"), col("doc_id"))
+    docs.select(col("doc_id"),
+        explode(expr(s"sequence(0L, ${epochs - 1}L)")).as("epoch"))
+      .withColumn("k",
+        md5(concat(col("epoch").cast("string"), lit(":"),
+          col("doc_id").cast("string"))))
+      .withColumn("shard",
+        (conv(substring(col("k"), 1, 8), 16, 10).cast("long") % shards)
+          .as("shard"))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .select("doc_id", "epoch", "shard", "pos")
+  }
 }

@@ -191,4 +191,76 @@ object CorpusOps {
     grid.groupBy("source")
       .agg(first(col("n_s")).as("n_docs"), sum(abs(col("diff"))).as("l1_x1e3"))
   }
+
+  /** Exact interpolated 2×median per key, computed FROM A COUNT HISTOGRAM
+    * (key, v, cnt) instead of the raw values — the scale-safe percentile:
+    * Spark's exact `percentile` gathers every value of a group into one
+    * reducer, which at corpus scale is the per-key single-reducer
+    * anti-pattern; when the value domain is bounded (quality logits,
+    * deviations), the histogram is aggregate-sized and the two middle
+    * order statistics fall out of a cumulative-count window. Returns
+    * (key, med_x2) with med_x2 = v_lo + v_hi (an exact integer; /2 is the
+    * interpolated median). */
+  def medX2FromHist(hist: DataFrame, keyCol: String, vCol: String): DataFrame = {
+    val w = Window.partitionBy(keyCol).orderBy(col(vCol))
+    val cum = hist.withColumn("cum", sum("cnt").over(w))
+      .withColumn("prev", col("cum") - col("cnt"))
+    val n = hist.groupBy(keyCol).agg(sum("cnt").as("n_tot"))
+    cum.join(broadcast(n), Seq(keyCol))
+      .withColumn("lo", expr("(n_tot - 1) DIV 2"))
+      .withColumn("hi", expr("n_tot DIV 2"))
+      .groupBy(keyCol).agg(
+        (sum(when(col("prev") <= col("lo") && col("lo") < col("cum"),
+          col(vCol)).otherwise(0L)) +
+          sum(when(col("prev") <= col("hi") && col("hi") < col("cum"),
+            col(vCol)).otherwise(0L))).as("med_x2"))
+  }
+
+  /** Per-language ROBUST quality z-scores — cross-language quality
+    * calibration: the same classifier logit means different things in
+    * different languages (training-data volume, tokenization), so
+    * per-doc quality is re-expressed as a median/MAD z within its
+    * language. Median/MAD over mean±stddev for the same reason as the
+    * volume detector (q186): half a language's docs can be spam before
+    * the baseline moves.
+    *
+    * Integer-exact: logits are bounded integers, so the per-lang median
+    * comes from a ≤|langs|×2001-row histogram ([[medX2FromHist]] — NOT
+    * Spark's exact `percentile`, whose per-group value gather is a
+    * single-reducer at corpus scale), deviations are ×2 integers, the MAD
+    * from a second bounded histogram, and z_x1e3 = 2000·dev_x2 DIV mad_x4
+    * (non-negative, so floor-vs-truncate divide semantics never diverge;
+    * `above` carries the sign separately).
+    *
+    * Scale shape: one map-only scoring pass (persisted — feeds the logit
+    * histogram and the final frame), two aggregate-sized histograms, two
+    * broadcast joins. The corpus never shuffles. */
+  def qualityZ(docs: DataFrame, zX1e3Min: Long = 3000L): DataFrame = {
+    val scored = docs.select(col("doc_id"), col("lang"),
+        TextAnalysis.tokHashes(col("text")).as("th"))
+      .select(col("doc_id"), col("lang"),
+        size(col("th")).cast("long").as("n_tokens"),
+        aggregate(col("th"), lit(0L),
+          (acc, h) => acc + Classifier.weight(h)).as("score_sum"))
+      .select(col("doc_id"), col("lang"),
+        when(col("n_tokens") > 0,
+          floor(col("score_sum") * lit(1000.0) / col("n_tokens")).cast("long"))
+          .otherwise(lit(0L)).as("logit_x1e3"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val lh = scored.groupBy(col("lang"), col("logit_x1e3").as("v"))
+      .agg(count(lit(1)).as("cnt"))
+    val med = medX2FromHist(lh, "lang", "v")
+    val dev = scored.join(broadcast(med), Seq("lang"))
+      .withColumn("dev_x2", abs(col("logit_x1e3") * 2 - col("med_x2")))
+    val dh = dev.groupBy(col("lang"), col("dev_x2").as("v"))
+      .agg(count(lit(1)).as("cnt"))
+    val mad = medX2FromHist(dh, "lang", "v")
+      .withColumnRenamed("med_x2", "mad_x4")
+    dev.join(broadcast(mad), Seq("lang"))
+      .withColumn("z_x1e3", expr("dev_x2 * 2 * 1000 DIV greatest(mad_x4, 1L)"))
+      .withColumn("above", col("logit_x1e3") * 2 > col("med_x2"))
+      .withColumn("is_outlier", col("z_x1e3") >= zX1e3Min)
+      .select("doc_id", "lang", "logit_x1e3", "med_x2", "mad_x4",
+        "z_x1e3", "above", "is_outlier")
+  }
 }

@@ -147,4 +147,17 @@ class DedupSpec extends SparkSpec {
     assert(n <= 2L * 3L * 40L)
     assert(n >= 39L)   // the fwd chain alone pairs every adjacent doc
   }
+
+  test("dupSizeHistogram: planted size strata and exact corpus mass shares") {
+    val docs = Seq(
+      (1L, "unique one"), (2L, "unique two"),           // 2 clusters of size 1
+      (3L, "pair text"), (4L, "pair text"),             // 1 cluster of size 2
+      (5L, "triple t"), (6L, "triple t"), (7L, "triple t")) // 1 of size 3
+      .toDF("doc_id", "text")
+    val out = graft.dedup.Dedup.dupSizeHistogram(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) == ((2L, 2L, 285L)))   // 2*1000/7
+    assert(out(2L) == ((1L, 2L, 285L)))
+    assert(out(3L) == ((1L, 3L, 428L)))   // 3*1000/7
+  }
 }

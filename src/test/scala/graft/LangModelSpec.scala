@@ -156,4 +156,33 @@ class LangModelSpec extends SparkSpec {
     assert(out(2L).getLong(2) == 4L && out(2L).getLong(3) == 2L)
     assert(out(2L).getLong(4) == 500L)
   }
+
+  test("qualityZ: histogram median equals the exact percentile; z framing holds") {
+    import org.apache.spark.sql.functions._
+    import TestSpark.spark.implicits._
+    val docs = (0L until 60L).map { i =>
+      (i, if (i % 2 == 0) "en" else "de",
+        s"word$i other${i % 7} thing${i % 3} filler${i % 11}")
+    }.toDF("doc_id", "lang", "text")
+    val out = graft.text.CorpusOps.qualityZ(docs)
+    val rows = out.collect()
+    // independent median: exact percentile over the same logits
+    val exact = out.select("lang", "logit_x1e3")
+      .groupBy("lang")
+      .agg((expr("percentile(logit_x1e3, 0.5)") * 2).cast("long").as("m"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      assert(r.getLong(3) == exact(r.getString(1)),
+        "histogram med_x2 must equal the exact interpolated median")
+      val dev = math.abs(r.getLong(2) * 2 - r.getLong(3))
+      assert(r.getLong(5) == dev * 2 * 1000 / math.max(r.getLong(4), 1L))
+      assert(r.getBoolean(6) == (r.getLong(2) * 2 > r.getLong(3)))
+    }
+    // medX2FromHist on a hand histogram: values 1,2,2,5 -> median (2+2)/2
+    val hist = Seq(("k", 1L, 1L), ("k", 2L, 2L), ("k", 5L, 1L))
+      .toDF("lang", "v", "cnt")
+    val m = graft.text.CorpusOps.medX2FromHist(hist, "lang", "v")
+      .collect().head.getLong(1)
+    assert(m == 4L)
+  }
 }

@@ -534,4 +534,27 @@ class TrainingOpsSpec extends SparkSpec {
     assert(out(0).getString(0) == "user:- > assistant:- > tool:search")
     assert(out(0).getLong(1) == 3L)   // c2's loop counts once
   }
+
+  test("epochShuffle: every doc once per epoch, contiguous ranks, stable replay") {
+    import org.apache.spark.sql.functions._
+    import TestSpark.spark.implicits._
+    val docs = (0L until 50L).map(i => (i, s"t$i")).toDF("doc_id", "text")
+    val out = graft.operators.TrainingExport.epochShuffle(docs, epochs = 2, shards = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // each doc exactly once per epoch
+    assert(out.groupBy(t => (t._1, t._2)).forall(_._2.length == 1))
+    assert(out.count(_._2 == 0L) == 50 && out.count(_._2 == 1L) == 50)
+    // ranks are 1..n within each (epoch, shard)
+    out.groupBy(t => (t._2, t._3)).values.foreach { g =>
+      assert(g.map(_._4).sorted.toSeq == (1L to g.length).toSeq)
+    }
+    // a doc's shard differs across epochs for SOME doc (fresh permutation)
+    assert(out.filter(_._2 == 0L).map(t => t._1 -> t._3).toMap !=
+      out.filter(_._2 == 1L).map(t => t._1 -> t._3).toMap)
+    // deterministic replay
+    val again = graft.operators.TrainingExport.epochShuffle(docs.repartition(5),
+      epochs = 2, shards = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(again.toSet == out.toSet)
+  }
 }
