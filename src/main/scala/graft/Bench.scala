@@ -316,6 +316,32 @@ object Bench {
             operators.TrainingExport.curriculumInterleave(docs))
           results("curriculum") = math.min(ciRun(), ciRun())
 
+          // round-12 ops: fuzzy LSH-band decontamination (eval band set
+          // broadcast, corpus map-side probe), the per-source HLL overlap
+          // matrix (one scan → register grids), per-lang robust quality z
+          // (map scoring + two bounded histograms), the duplicate-size
+          // histogram (content-key agg — the 50× replicas form real
+          // clusters), retrieval eval (queries×k rehydrate only), the
+          // cluster-balanced sample, and the 2-epoch shuffle plan
+          val fdRun = () => timeNoop(text.Decontaminate.fuzzyFlags(docs))
+          results("fuzzy_decontam") = math.min(fdRun(), fdRun())
+          val soRun = () => timeNoop(
+            operators.Sketches.sourceOverlapMatrix(docs))
+          results("source_overlap") = math.min(soRun(), soRun())
+          val qzRun = () => timeNoop(text.CorpusOps.qualityZ(docs))
+          results("quality_z") = math.min(qzRun(), qzRun())
+          val dhRun = () => timeNoop(dedup.Dedup.dupSizeHistogram(docs))
+          results("dup_histogram") = math.min(dhRun(), dhRun())
+          val reRun = () => timeNoop(
+            text.Bm25.retrievalEval(docs10, queryMod = 100003))
+          results("retrieval_eval") = math.min(reRun(), reRun())
+          val csRun = () => timeNoop(
+            operators.Sampling.clusterBalancedSample(vecs, budget = 1000L))
+          results("cluster_sample") = math.min(csRun(), csRun())
+          val esRun = () => timeNoop(
+            operators.TrainingExport.epochShuffle(docs, epochs = 2))
+          results("epoch_shuffle") = math.min(esRun(), esRun())
+
           // lmScore/convNearDup persist their reused intermediates;
           // drop them so repeated bench runs don't accumulate cache
           spark.catalog.clearCache()

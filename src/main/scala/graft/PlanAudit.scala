@@ -180,6 +180,25 @@ object PlanAudit {
     section("curriculum interleave (one source-keyed rank window, broadcast source dim)") {
       operators.TrainingExport.curriculumInterleave(docs)
     }
+    section("fuzzy decontamination (eval band set broadcast, corpus probes map-side)") {
+      text.Decontaminate.fuzzyFlags(docs)
+    }
+    section("source-overlap matrix (one corpus scan -> per-source HLL register grids)") {
+      operators.Sketches.sourceOverlapMatrix(docs)
+    }
+    section("quality z (map scoring + two bounded histograms, no per-lang value gather)") {
+      text.CorpusOps.qualityZ(docs)
+    }
+    section("hard negatives (anchor broadcast, LSH bucket equi-join, no cartesian)") {
+      ann.Similarity.hardNegatives(
+        spark.read.parquet(s"$sfDir/embeddings.parquet"))
+    }
+    section("retrieval eval (hit list broadcast; only queries x k result docs rehydrate)") {
+      text.Bm25.retrievalEval(docs)
+    }
+    section("epoch shuffle (map-side epoch explode + per-(epoch, shard) rank windows)") {
+      operators.TrainingExport.epochShuffle(docs)
+    }
     // pageRank / labelPropagation / bfsDistances / kCore are driver-side
     // unrolled loops with per-step persist+count — explain would execute
     // them; their per-step plan is the rank ⋈ edges equi-join + dst
