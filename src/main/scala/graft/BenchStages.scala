@@ -40,6 +40,22 @@ object BenchStages {
     t("enrich")(functions.Enrich.enrich(parsed, spark))
     t("filter")(Pipeline.process(input, spark))
     t("routed")(Pipeline.transform(input, spark))
+    // scoring-kernel A/B (same session, min-of-2): fused TokenScore
+    // static call vs the interpreted higher-order aggregate chain
+    args.lift(1).filter(_ == "score").foreach { _ =>
+      val docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+        .crossJoin(spark.range(0, 50L, 1, 32).select(col("id").as("rep")))
+        .withColumn("doc_id", col("doc_id") + col("rep") * 1000000L)
+        .drop("rep").repartition(64)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      docs.count()
+      t("score_fused")(graft.text.Classifier.score(docs))
+      t("score_fused")(graft.text.Classifier.score(docs))
+      t("score_decl")(graft.text.Classifier.scoreDeclarative(docs))
+      t("score_decl")(graft.text.Classifier.scoreDeclarative(docs))
+      t("quality_z")(graft.text.CorpusOps.qualityZ(docs))
+      t("quality_z")(graft.text.CorpusOps.qualityZ(docs))
+    }
     spark.stop()
   }
 }

@@ -20,8 +20,22 @@ object Classifier {
 
   def weight(h: Column): Column = (h % 2001L) - 1000L
 
-  /** (doc_id, n_tokens, score_sum, logit_x1e3, keep). */
+  /** (doc_id, n_tokens, score_sum, logit_x1e3, keep). Production path:
+    * the fused one-pass [[TokenScore]] kernel (codegen static call). */
   def score(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), TokenScore.scoreStruct(col("text")).as("_s"))
+      .select(col("doc_id"), col("_s.n_tokens").as("n_tokens"),
+        col("_s.score_sum").as("score_sum"))
+      .withColumn("logit_x1e3",
+        when(col("n_tokens") > 0,
+          floor(col("score_sum") * lit(1000.0) / col("n_tokens")).cast("long"))
+          .otherwise(lit(0L)))
+      .withColumn("keep",
+        when(col("logit_x1e3") >= 0, lit(1L)).otherwise(lit(0L)))
+
+  /** Declarative reference for [[score]] — the semantics contract the
+    * fused kernel is proven against (ScoreParitySpec). */
+  def scoreDeclarative(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), TextAnalysis.tokHashes(col("text")).as("th"))
       .select(col("doc_id"), size(col("th")).cast("long").as("n_tokens"),
         aggregate(col("th"), lit(0L), (acc, h) => acc + weight(h)).as("score_sum"))

@@ -62,18 +62,15 @@ object CorpusOps {
     * reducer — exactly the 100 TB anti-pattern this avoids). */
   def qualityDeciles(docs: DataFrame): DataFrame = {
     val scored = docs.select(col("doc_id"), col("lang"),
-      TextAnalysis.tokHashes(col("text")).as("th"))
+      TokenScore.scoreStruct(col("text")).as("_s"))
       .select(col("doc_id"), col("lang"),
-        size(col("th")).cast("long").as("n_tokens"),
-        aggregate(col("th"), lit(0L), (acc, h) => acc + Classifier.weight(h))
-          .as("score_sum"))
-      .select(col("doc_id"), col("lang"),
-        when(col("n_tokens") > 0,
-          floor(col("score_sum") * lit(1000.0) / col("n_tokens")).cast("long"))
+        when(col("_s.n_tokens") > 0,
+          floor(col("_s.score_sum") * lit(1000.0) / col("_s.n_tokens"))
+            .cast("long"))
           .otherwise(lit(0L)).as("logit_x1e3"))
       // scored feeds BOTH the distribution pass and the join-back;
-      // persisted so the expensive token-hash scoring runs once
-      // (measured 5.6 s → half on the 25k-doc bench corpus)
+      // persisted so the token-hash scoring (fused TokenScore pass) runs
+      // once (measured 5.6 s → half on the 25k-doc bench corpus)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dist = scored.groupBy("lang", "logit_x1e3").agg(count(lit(1)).as("n"))
     val w = Window.partitionBy("lang").orderBy("logit_x1e3")
@@ -237,14 +234,11 @@ object CorpusOps {
     * broadcast joins. The corpus never shuffles. */
   def qualityZ(docs: DataFrame, zX1e3Min: Long = 3000L): DataFrame = {
     val scored = docs.select(col("doc_id"), col("lang"),
-        TextAnalysis.tokHashes(col("text")).as("th"))
+        TokenScore.scoreStruct(col("text")).as("_s"))
       .select(col("doc_id"), col("lang"),
-        size(col("th")).cast("long").as("n_tokens"),
-        aggregate(col("th"), lit(0L),
-          (acc, h) => acc + Classifier.weight(h)).as("score_sum"))
-      .select(col("doc_id"), col("lang"),
-        when(col("n_tokens") > 0,
-          floor(col("score_sum") * lit(1000.0) / col("n_tokens")).cast("long"))
+        when(col("_s.n_tokens") > 0,
+          floor(col("_s.score_sum") * lit(1000.0) / col("_s.n_tokens"))
+            .cast("long"))
           .otherwise(lit(0L)).as("logit_x1e3"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val lh = scored.groupBy(col("lang"), col("logit_x1e3").as("v"))
