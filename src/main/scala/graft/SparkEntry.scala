@@ -1094,6 +1094,22 @@ object SparkEntry {
     "q203_epoch_shuffle" -> ((s, d) =>
       operators.TrainingExport.epochShuffle(docs(s, d))),
 
+    // markup strip over a markup-planted corpus (every 3rd doc wrapped in
+    // tags + entities + a script block) — the C4 cleaner
+    "q204_strip_markup" -> ((s, d) => {
+      val dd = docs(s, d).withColumn("text",
+        when(col("doc_id") % 3 === 0,
+          concat(lit("<div class=\"x\"><p>"), col("text"),
+            lit("</p>&nbsp;&amp; tail <script>var x = 1; </script></div>")))
+          .otherwise(col("text")))
+      text.TextAnalysis.stripMarkup(dd)
+    }),
+
+    // conversation-level PII rollup: governance flags at the dialogue
+    // unit (one leaked email poisons the whole conversation)
+    "q205_conv_pii" -> ((s, d) =>
+      text.Redact.convPiiRollup(Transcripts.loadCanonical(s, d))),
+
     "q50_streaming_counts" -> ((s, d) => {
       import java.nio.file.{Files, Paths}
       val root = s"/tmp/graft_stream_${math.abs(d.hashCode)}"
@@ -3194,6 +3210,58 @@ SELECT doc_id, CAST(epoch AS BIGINT) AS epoch, CAST(shard AS BIGINT) AS shard,
   CAST(row_number() OVER (PARTITION BY epoch, shard ORDER BY k, doc_id)
     AS BIGINT) AS pos
 FROM s""",
+
+    // markup strip: same regex chain in DuckDB ('g' + dotall via (?s));
+    // amp unescapes LAST (single-pass entity order)
+    "q204_strip_markup" -> """
+WITH corpus AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 3 = 0
+      THEN '<div class="x"><p>' || text ||
+           '</p>&nbsp;&amp; tail <script>var x = 1; </script></div>'
+      ELSE text END AS text
+  FROM documents),
+st AS (
+  SELECT doc_id, text,
+    regexp_replace(text, '(?s)<(script|style)[^>]*>.*?</(script|style)>', ' ', 'g') AS noblock
+  FROM corpus),
+un AS (
+  SELECT doc_id, text, noblock,
+    replace(replace(replace(replace(replace(replace(
+      regexp_replace(noblock, '<[^>]*>', ' ', 'g'),
+      '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+      '&quot;', '"'), '&#39;', ''''), '&amp;', '&') AS unescaped
+  FROM st)
+SELECT doc_id,
+  CAST(length(text) AS BIGINT) AS n_chars_raw,
+  CAST(len(regexp_extract_all(noblock, '<[^>]*>')) AS BIGINT) AS n_tags,
+  CAST(len(regexp_extract_all(text, '(?s)<(script|style)[^>]*>.*?</(script|style)>')) AS BIGINT) AS n_blocks,
+  trim(regexp_replace(unescaped, '\s+', ' ', 'g')) AS clean_text,
+  CAST(length(trim(regexp_replace(unescaped, '\s+', ' ', 'g'))) * 1000
+    // greatest(length(text), 1) AS BIGINT) AS kept_permille
+FROM un""",
+
+    // conversation PII rollup: per-turn regex counts -> one conv agg
+    "q205_conv_pii" -> withCtes(
+      "pt" -> """SELECT conv_id, turn_idx,
+    CAST(len(regexp_extract_all(text,
+      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS e,
+    CAST(len(regexp_extract_all(
+      regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS i,
+    CAST(len(regexp_extract_all(
+      regexp_replace(
+        regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+      '\d{7,}')) AS BIGINT) AS n
+  FROM transcripts""")("""
+SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns,
+  CAST(sum(CASE WHEN e + i + n > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pii_turns,
+  CAST(sum(e) AS BIGINT) AS n_emails, CAST(sum(i) AS BIGINT) AS n_ips,
+  CAST(sum(n) AS BIGINT) AS n_longnums,
+  min(CASE WHEN e + i + n > 0 THEN turn_idx END) AS first_pii_turn,
+  sum(CASE WHEN e + i + n > 0 THEN 1 ELSE 0 END) > 0 AS conv_flagged
+FROM pt GROUP BY conv_id"""),
 
     // DSIR resample: q157's weight chain + q144's hash DIV weight
     // priority, per-lang smallest-k admit

@@ -71,6 +71,41 @@ object SkewWindows {
     interior.unionByName(firsts)
   }
 
+  /** The plain-lag twin of [[adjacentPairs]] — one key-keyed sort+window,
+    * the right plan when no key is hot (it skips the chunked form's
+    * second scan for the edge-cell aggregate). */
+  def adjacentPairsPlain(df: DataFrame, key: String, ord: String,
+                         value: String): DataFrame = {
+    val w = Window.partitionBy("k").orderBy("o")
+    df.select(col(key).as("k"), col(ord).as("o"), col(value).as("v"))
+      .withColumn("prev", lag(col("v"), 1).over(w))
+      .select(col("k"), col("o"), col("prev"), col("v"))
+  }
+
+  /** Deterministic plan choice for [[adjacentPairsAuto]]: chunked iff any
+    * key holds ≥ `hotKeyRows` rows — the point where one task's sort
+    * gates the stage. One map-side-combinable key-count agg reduced to a
+    * single driver scalar (a production pipeline that already ran the
+    * layout audit passes that result instead of rescanning). */
+  def chooseChunked(df: DataFrame, key: String, hotKeyRows: Long): Boolean = {
+    val m = df.groupBy(col(key)).agg(count(lit(1)).as("n"))
+      .agg(max(col("n")).as("m")).collect()(0)
+    !m.isNullAt(0) && m.getLong(0) >= hotKeyRows
+  }
+
+  /** The measured-crossover dispatcher: plain lag until a key is hot
+    * enough that its single-task sort dominates wall-clock, chunked+stitch
+    * beyond (see the cost-crossover note above — plain wins at 5M rows /
+    * 20% skew on one box; chunked wins when the hot key holds multi-GB of
+    * one partition). Both branches are row-identical (SkewWindowSpec,
+    * q182), so the choice is purely a cost decision. */
+  def adjacentPairsAuto(df: DataFrame, key: String, ord: String,
+                        value: String, chunk: Long = 65536L,
+                        hotKeyRows: Long = 4L * 65536L): DataFrame =
+    if (chooseChunked(df, key, hotKeyRows))
+      adjacentPairs(df, key, ord, value, chunk)
+    else adjacentPairsPlain(df, key, ord, value)
+
   /** Directed weighted tool-transition edges — Graphs.toolTransitionEdges'
     * semantics via the skew-safe window (q182 proves row-identity through
     * the plain-lag oracle). */

@@ -45,4 +45,34 @@ object Redact {
       count(t2, LongNumRe).as("n_longnums"),
       regexp_replace(t2, LongNumRe, "<NUM>").as("redacted"))
   }
+
+  /** CONVERSATION-level PII rollup — the governance unit is the
+    * conversation, not the turn: one leaked email anywhere poisons the
+    * whole dialogue for training. Per conversation: turns scanned, turns
+    * with any PII, per-kind totals (same precedence as
+    * [[redactionStats]]), the earliest offending turn (where a reviewer
+    * starts), and the conversation flag.
+    *
+    * Scale shape: per-turn counts are pure regexp map work fused into the
+    * scan; ONE conv_id hash-agg (map-side combinable — the wide text
+    * never shuffles, only the small count columns do). */
+  def convPiiRollup(transcripts: DataFrame): DataFrame = {
+    val t0 = col("text")
+    val t1 = regexp_replace(t0, EmailRe, "<EMAIL>")
+    val t2 = regexp_replace(t1, Ipv4Re, "<IP>")
+    transcripts.select(
+        col("conv_id"), col("turn_idx"),
+        count(t0, EmailRe).as("e"),
+        count(t1, Ipv4Re).as("i"),
+        count(t2, LongNumRe).as("n"))
+      .groupBy("conv_id").agg(
+        org.apache.spark.sql.functions.count(lit(1)).as("n_turns"),
+        sum(when(col("e") + col("i") + col("n") > 0L, 1L).otherwise(0L))
+          .as("n_pii_turns"),
+        sum("e").as("n_emails"), sum("i").as("n_ips"),
+        sum("n").as("n_longnums"),
+        min(when(col("e") + col("i") + col("n") > 0L, col("turn_idx")))
+          .as("first_pii_turn"))
+      .withColumn("conv_flagged", col("n_pii_turns") > 0L)
+  }
 }

@@ -212,4 +212,35 @@ object TextAnalysis {
   /** Declarative reference (TokenHashParitySpec). */
   def fingerprintsDeclarative(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), fingerprint(col("text")).as("fp"))
+
+  /** Markup STRIP — the C4-style HTML cleaner between crawl and corpus:
+    * drop script/style blocks wholesale (their content is never training
+    * text), strip remaining tags, unescape the common entities (amp LAST,
+    * the standard single-pass order so `&amp;lt;` does not double-decode),
+    * collapse whitespace. Per doc: the clean text, tag/script counts, and
+    * the kept-length permille (a page that is 95% markup is itself a
+    * quality signal).
+    *
+    * Pure regexp chain in the Java-regex/RE2 common subset — map-only,
+    * fuses into the scan at any scale. */
+  def stripMarkup(docs: DataFrame): DataFrame = {
+    val t0 = col("text")
+    val blockRe = "(?s)<(script|style)[^>]*>.*?</(script|style)>"
+    val tagRe = "<[^>]*>"
+    val noBlock = regexp_replace(t0, blockRe, " ")
+    val noTags = regexp_replace(noBlock, tagRe, " ")
+    val unescaped = Seq(
+      "&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
+      "&quot;" -> "\"", "&#39;" -> "'", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (e, r)) => regexp_replace(c, e, r) }
+    docs.select(col("doc_id"),
+      length(t0).cast("long").as("n_chars_raw"),
+      size(regexp_extract_all(noBlock, lit(tagRe), lit(0))).cast("long")
+        .as("n_tags"),
+      size(regexp_extract_all(t0, lit(blockRe), lit(0))).cast("long")
+        .as("n_blocks"),
+      trim(regexp_replace(unescaped, "\\s+", " ")).as("clean_text"))
+      .withColumn("kept_permille",
+        expr("length(clean_text) * 1000 DIV greatest(n_chars_raw, 1)"))
+  }
 }

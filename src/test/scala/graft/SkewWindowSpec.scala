@@ -49,4 +49,23 @@ class SkewWindowSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
     assert(salted == plain)
   }
+
+  test("adjacentPairsAuto: count-based choice, both branches row-identical") {
+    import TestSpark.spark.implicits._
+    val df = (Seq.tabulate(20)(i => ("hot", i.toLong, s"v$i")) ++
+      Seq(("cold", 0L, "a"), ("cold", 1L, "b")))
+      .toDF("k", "o", "v")
+    // decision flips exactly at the hot key's row count
+    assert(SkewWindows.chooseChunked(df, "k", hotKeyRows = 20L))
+    assert(!SkewWindows.chooseChunked(df, "k", hotKeyRows = 21L))
+    assert(!SkewWindows.chooseChunked(df.limit(0), "k", hotKeyRows = 1L),
+      "empty input must choose plain, not NPE")
+    // both dispatch targets agree with each other on this input
+    val auto = SkewWindows.adjacentPairsAuto(df, "k", "o", "v",
+      chunk = 4L, hotKeyRows = 20L).collect()
+      .map(r => (r.getString(0), r.getLong(1), Option(r.get(2)), r.getString(3))).toSet
+    val plain = SkewWindows.adjacentPairsPlain(df, "k", "o", "v").collect()
+      .map(r => (r.getString(0), r.getLong(1), Option(r.get(2)), r.getString(3))).toSet
+    assert(auto == plain)
+  }
 }

@@ -818,4 +818,36 @@ class TextOpsSpec extends SparkSpec {
     assert(firstRank.contains(1L) && mrr == 1000000L,
       "the covering doc outranks the 1-term doc under BM25")
   }
+
+  test("stripMarkup: blocks dropped, tags stripped, entities decoded amp-last") {
+    val docs = Seq(
+      (1L, "<div class=\"a\"><p>Hello <b>world</b></p><script>var x=1;\nvar y=2;</script>&amp;lt; ok &nbsp;&quot;q&quot;</div>"),
+      (2L, "plain text with no markup")
+    ).toDF("doc_id", "text")
+    val out = graft.text.TextAnalysis.stripMarkup(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3), r.getString(4), r.getLong(5)))).toMap
+    val (tags1, blocks1, clean1, kept1) = out(1L)
+    // &amp;lt; decodes to &lt; (single pass: amp LAST), not to <
+    assert(clean1 == "Hello world &lt; ok \"q\"")
+    assert(blocks1 == 1L)
+    assert(tags1 == 6L, "div p b /b /p /div remain on the block-stripped text")
+    assert(kept1 < 300L, "mostly markup -> low kept share")
+    val (tags2, blocks2, clean2, kept2) = out(2L)
+    assert(tags2 == 0L && blocks2 == 0L && clean2 == "plain text with no markup" && kept2 == 1000L)
+  }
+
+  test("convPiiRollup: one leaked email flags the conversation at its first turn") {
+    val t = Seq(
+      ("c1", 0, "all clean here"),
+      ("c1", 1, "mail me at a@b.co and 192.168.0.1"),
+      ("c1", 2, "account 12345678 leaked"),
+      ("c2", 0, "nothing to see"),
+      ("c2", 1, "still nothing")
+    ).toDF("conv_id", "turn_idx", "text")
+    val out = graft.text.Redact.convPiiRollup(t).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), Option(r.get(6)).map(_.asInstanceOf[Int]), r.getBoolean(7)))).toMap
+    assert(out("c1") == ((3L, 2L, 1L, 1L, 1L, Some(1), true)))
+    assert(out("c2") == ((2L, 0L, 0L, 0L, 0L, None, false)))
+  }
 }
