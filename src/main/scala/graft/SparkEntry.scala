@@ -1110,6 +1110,25 @@ object SparkEntry {
     "q205_conv_pii" -> ((s, d) =>
       text.Redact.convPiiRollup(Transcripts.loadCanonical(s, d))),
 
+    // URL-canonicalization dedup over a messy-URL fixture: campaign
+    // params / fragments / case / trailing slashes collapse to one key
+    "q206_url_dedup" -> ((s, d) => {
+      val base = text.CorpusOps.syntheticUrl(col("source"), col("doc_id") % 50)
+      val messy = docs(s, d).select(col("doc_id"),
+        when(col("doc_id") % 4 === 0,
+          concat(base, lit("?utm_source=x&b=2&a=1#frag")))
+          .when(col("doc_id") % 4 === 1, concat(base, lit("?b=2&a=1")))
+          .when(col("doc_id") % 4 === 2,
+            concat(upper(base), lit("/")))
+          .otherwise(base).as("url"))
+      text.CorpusOps.urlDedup(messy)
+    }),
+
+    // principal pseudonymization audit: salted-hash actor keys, the
+    // identifier never reaches the output
+    "q207_pseudonymize" -> ((s, d) =>
+      operators.Governance.pseudonymize(Pipeline.parsed(s, d))),
+
     "q50_streaming_counts" -> ((s, d) => {
       import java.nio.file.{Files, Paths}
       val root = s"/tmp/graft_stream_${math.abs(d.hashCode)}"
@@ -3262,6 +3281,53 @@ SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns,
   min(CASE WHEN e + i + n > 0 THEN turn_idx END) AS first_pii_turn,
   sum(CASE WHEN e + i + n > 0 THEN 1 ELSE 0 END) > 0 AS conv_flagged
 FROM pt GROUP BY conv_id"""),
+
+    // URL-canonicalization dedup: the same normalize chain in DuckDB
+    "q206_url_dedup" -> """
+WITH base AS (
+  SELECT doc_id,
+    'https://' || source || '-' || CAST((doc_id % 50) % 13 AS VARCHAR) ||
+    '.example.com/doc/' || CAST(doc_id % 50 AS VARCHAR) AS b
+  FROM documents),
+messy AS (
+  SELECT doc_id, CASE
+    WHEN doc_id % 4 = 0 THEN b || '?utm_source=x&b=2&a=1#frag'
+    WHEN doc_id % 4 = 1 THEN b || '?b=2&a=1'
+    WHEN doc_id % 4 = 2 THEN upper(b) || '/'
+    ELSE b END AS url
+  FROM base),
+parts AS (
+  SELECT doc_id,
+    lower(regexp_extract(regexp_replace(url, '#.*$', ''), '^([a-zA-Z]+)://', 1)) AS scheme,
+    regexp_replace(lower(regexp_extract(regexp_replace(url, '#.*$', ''), '^[a-zA-Z]+://([^/?#]+)', 1)), ':(80|443)$', '') AS host,
+    regexp_replace(regexp_extract(regexp_replace(url, '#.*$', ''), '^[a-zA-Z]+://[^/?#]+([^?#]*)', 1), '/+$', '') AS path0,
+    regexp_extract(regexp_replace(url, '#.*$', ''), '\?([^#]*)', 1) AS q
+  FROM messy),
+norm AS (
+  SELECT doc_id,
+    scheme || '://' || host ||
+    (CASE WHEN path0 = '' THEN '/' ELSE path0 END) ||
+    (CASE WHEN ps = '' THEN '' ELSE '?' || ps END) AS norm_url
+  FROM (
+    SELECT doc_id, scheme, host, path0,
+      COALESCE(array_to_string(list_sort(list_filter(string_split(q, '&'),
+        p -> p != '' AND NOT starts_with(p, 'utm_')
+          AND NOT starts_with(p, 'fbclid=') AND NOT starts_with(p, 'gclid=')
+          AND NOT starts_with(p, 'ref='))), '&'), '') AS ps
+    FROM parts) z)
+SELECT norm_url, min(doc_id) AS keeper_id, CAST(count(*) AS BIGINT) AS n_copies
+FROM norm GROUP BY 1""",
+
+    // pseudonymization audit: salted md5 actor keys + volume/rarity
+    "q207_pseudonymize" -> withTranscripts(s"""
+SELECT pseudonym, CAST(count(*) AS BIGINT) AS n_events,
+  CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs,
+  count(*) < 5 AS rare_flag
+FROM (
+  SELECT conv_id, 'u_' || substr(md5('graft:' || p), 1, 12) AS pseudonym
+  FROM (SELECT conv_id, $oPrincipal AS p FROM transcripts) x
+  WHERE p IS NOT NULL) y
+GROUP BY pseudonym"""),
 
     // DSIR resample: q157's weight chain + q144's hash DIV weight
     // priority, per-lang smallest-k admit

@@ -77,4 +77,26 @@ object Governance {
       .groupBy("lang", "source", "len_bucket")
       .agg(count(lit(1)).as("cell_k"))
       .withColumn("at_risk", col("cell_k") < k)
+
+  /** Principal PSEUDONYMIZATION audit — the privacy-preserving join key:
+    * every login principal maps to a stable salted-hash pseudonym, so
+    * downstream analytics join and aggregate per "user" without ever
+    * carrying the identifier; the audit row per pseudonym carries its
+    * event/conversation volume and a rare-activity flag (a pseudonym
+    * with 2 events is re-identifiable the moment any quasi-identifier
+    * attaches — the k-anonymity concern at the actor level).
+    *
+    * The identifier appears in NO output column. Deterministic given the
+    * salt: re-runs and both engines produce identical pseudonyms. One
+    * hash-agg keyed on the 12-hex pseudonym; map-side combinable. */
+  def pseudonymize(parsed: DataFrame, salt: String = "graft",
+                   k: Long = 5L): DataFrame =
+    parsed.filter(col("principal").isNotNull)
+      .select(concat(lit("u_"),
+        substring(md5(concat(lit(salt), lit(":"), col("principal"))), 1, 12))
+        .as("pseudonym"), col("conv_id"))
+      .groupBy("pseudonym")
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("conv_id")).as("n_convs"))
+      .withColumn("rare_flag", col("n_events") < k)
 }

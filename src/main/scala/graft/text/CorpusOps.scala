@@ -92,6 +92,40 @@ object CorpusOps {
     concat(lit("https://"), source, lit("-"), (docId % 13).cast("string"),
       lit(".example.com/doc/"), docId.cast("string"))
 
+  /** URL canonicalization — the crawl-dedup key: lowercase scheme+host,
+    * default ports and fragments dropped, tracking parameters (utm_*,
+    * fbclid, gclid, ref) removed, remaining query params SORTED (order
+    * is presentation, not identity), trailing slashes collapsed. Two
+    * fetches of the same page via different campaign links normalize to
+    * one key. Pure expression work (regex + array ops) — map-only. */
+  def urlNormalize(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*$", "")
+    val scheme = lower(regexp_extract(noFrag, "^([a-zA-Z]+)://", 1))
+    val host = regexp_replace(
+      lower(regexp_extract(noFrag, "^[a-zA-Z]+://([^/?#]+)", 1)),
+      ":(80|443)$", "")
+    val path0 = regexp_replace(
+      regexp_extract(noFrag, "^[a-zA-Z]+://[^/?#]+([^?#]*)", 1), "/+$", "")
+    val path = when(path0 === "", lit("/")).otherwise(path0)
+    val params = array_join(array_sort(filter(
+      split(regexp_extract(noFrag, "\\?([^#]*)", 1), "&"),
+      p => p =!= "" && !startswith(p, lit("utm_")) &&
+        !startswith(p, lit("fbclid=")) && !startswith(p, lit("gclid=")) &&
+        !startswith(p, lit("ref=")))), "&")
+    concat(scheme, lit("://"), host, path,
+      when(params === "", lit("")).otherwise(concat(lit("?"), params)))
+  }
+
+  /** URL-level exact dedup over the canonical key: keeper = min doc_id,
+    * cluster size per normalized URL — the step before any content-level
+    * dedup in a crawl pipeline (refetches of one page under campaign
+    * links/fragments collapse for free, no text ever hashed or moved).
+    * One hash-agg on the normalized-URL key. */
+  def urlDedup(pages: DataFrame, urlCol: String = "url"): DataFrame =
+    pages.select(col("doc_id"), urlNormalize(col(urlCol)).as("norm_url"))
+      .groupBy("norm_url")
+      .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("n_copies"))
+
   /** Host/domain rollup — the web-pipeline view every crawl curation run
     * needs (domain blocklists, per-host caps, spam-site detection): parse
     * the host out of the URL, aggregate docs/langs/chars per host, and

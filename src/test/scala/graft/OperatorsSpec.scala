@@ -558,4 +558,104 @@ class OperatorsSpec extends SparkSpec {
     // a field absent on both days never drifts
     assert(out(("db_id", "2026-01-02")) == ((0L, Some(0L), false)))
   }
+
+  test("round-12 ops hold their invariants on a seeded random corpus") {
+    import TestSpark.spark.implicits._
+    val rnd = new scala.util.Random(2026)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta",
+      "the", "of", "and", "to", "mail", "at")
+    val docs = (0L until 150L).map { i =>
+      val n = 3 + rnd.nextInt(30)
+      val t = if (i % 97 == 0) "alpha beta gamma delta eps zeta the of and to"
+              else if (i % 19 == 3) "alpha beta gamma delta eps zeta the of and to" // copies of the bench doc
+              else Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      (i, if (i % 5 == 0) "en" else "de", s"src${i % 4}", t)
+    }.toDF("doc_id", "lang", "source", "text")
+
+    // dupSizeHistogram: docs conserved, mass shares exact
+    val hist = dedup.Dedup.dupSizeHistogram(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(hist.map(_._3).sum == 150L, "documents must be conserved")
+    hist.foreach { case (size, nc, nd, mass) =>
+      assert(nd == size * nc)
+      assert(mass == nd * 1000L / 150L)
+    }
+
+    // fuzzy decontamination: an exact copy of a benchmark doc matches on
+    // ALL bands (identical signatures) -> never a false negative
+    val ff = text.Decontaminate.fuzzyFlags(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    ff.filter(t => t._1 % 19 == 3 && t._1 % 97 != 0).foreach { t =>
+      assert(t._2 == 4L && t._3, s"planted copy ${t._1} missed")
+    }
+    ff.filter(_._1 % 97 == 0).foreach(t => assert(!t._3, "bench member flagged"))
+
+    // qualityZ: histogram medians equal exact percentiles on random data
+    val qz = text.CorpusOps.qualityZ(docs)
+    val exactMed = qz.select("lang", "logit_x1e3").groupBy("lang")
+      .agg((expr("percentile(logit_x1e3, 0.5)") * 2).cast("long").as("m"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    qz.collect().foreach { r =>
+      assert(r.getLong(3) == exactMed(r.getString(1)))
+      assert(r.getLong(5) >= 0L)
+    }
+
+    // sourceOverlapMatrix: union dominates both sides, overlap bounded
+    operators.Sketches.sourceOverlapMatrix(docs).collect().foreach { r =>
+      val (ea, eb, eu, ovl) = (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(6))
+      assert(eu >= math.max(ea, eb), "union estimate below a side")
+      assert(ovl >= 0L && ovl <= 1000L)
+    }
+
+    // coverageDrift: deltas telescope to last - first per (name, field)
+    val ts0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    val parsed = (0L until 200L).map { i =>
+      ("ev", new java.sql.Timestamp(ts0.getTime + (i % 5) * 86400000L),
+        if (rnd.nextBoolean()) Some(i) else None)
+    }.toDF("name", "ts", "duration")
+      .withColumn("error_number", lit(null).cast("long"))
+      .withColumn("principal", lit(null).cast("string"))
+      .withColumn("client_addr", lit(null).cast("string"))
+      .withColumn("wait_type", lit(null).cast("string"))
+      .withColumn("db_id", lit(null).cast("long"))
+    val cd = operators.Aggregates.coverageDrift(parsed).collect()
+      .map(r => (r.getString(3), r.getDate(1).toString, r.getLong(4),
+        Option(r.get(6)).map(_.asInstanceOf[Long])))
+    cd.groupBy(_._1).values.foreach { rows =>
+      val sorted = rows.sortBy(_._2)
+      assert(sorted.head._4.isEmpty, "first day must have null delta")
+      val telescoped = sorted.flatMap(_._4).sum
+      assert(telescoped == sorted.last._3 - sorted.head._3)
+    }
+
+    // clusterBalancedSample: EXACTLY the budget, no duplicate picks
+    val vecs = (0L until 220L).map { i =>
+      (i, Array.tabulate(8)(j => (rnd.nextInt(17) - 8).toFloat))
+    }.toDF("vec_id", "embedding")
+    val cs = operators.Sampling.clusterBalancedSample(vecs, budget = 64L,
+      centroidMod = 100).collect()
+    assert(cs.length == 64)
+    assert(cs.map(_.getLong(0)).distinct.length == 64)
+  }
+
+  test("pseudonymize: stable salted keys, no identifier in the output, rarity flag") {
+    val parsed = Seq(
+      ("c1", Some("alice")), ("c1", Some("alice")), ("c2", Some("alice")),
+      ("c2", Some("bob")), ("c3", None)
+    ).toDF("conv_id", "principal")
+    val out = operators.Governance.pseudonymize(parsed, k = 2L).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(out.size == 2, "null principals drop; two actors remain")
+    assert(!out.keySet.exists(k => k.contains("alice") || k.contains("bob")))
+    assert(out.keySet.forall(k => k.startsWith("u_") && k.length == 14))
+    // alice: 3 events over 2 convs, not rare at k=2; bob: 1 event, rare
+    assert(out.values.toSet == Set((3L, 2L, false), (1L, 1L, true)))
+    // stable across salt reuse, different under another salt
+    val again = operators.Governance.pseudonymize(parsed, k = 2L).collect()
+      .map(_.getString(0)).toSet
+    assert(again == out.keySet)
+    val other = operators.Governance.pseudonymize(parsed, salt = "other", k = 2L)
+      .collect().map(_.getString(0)).toSet
+    assert(other.intersect(out.keySet).isEmpty)
+  }
 }

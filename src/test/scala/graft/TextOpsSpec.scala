@@ -850,4 +850,25 @@ class TextOpsSpec extends SparkSpec {
     assert(out("c1") == ((3L, 2L, 1L, 1L, 1L, Some(1), true)))
     assert(out("c2") == ((2L, 0L, 0L, 0L, 0L, None, false)))
   }
+
+  test("urlNormalize: tracking params, fragments, case, ports, slashes collapse") {
+    val urls = Seq(
+      (1L, "https://Ex.COM:443/a/b/?utm_source=x&b=2&a=1#frag"),
+      (2L, "https://ex.com/a/b?a=1&b=2"),
+      (3L, "HTTP://ex.com:80"),
+      (4L, "http://ex.com/"),
+      (5L, "https://ex.com/a/b?fbclid=z&gclid=y&ref=h")
+    ).toDF("doc_id", "url")
+    val out = urls.select(col("doc_id"),
+      graft.text.CorpusOps.urlNormalize(col("url")).as("n")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "https://ex.com/a/b?a=1&b=2")
+    assert(out(1L) == out(2L), "params sort; tracking + fragment + port + case + slash drop")
+    assert(out(3L) == "http://ex.com/" && out(3L) == out(4L))
+    assert(out(5L) == "https://ex.com/a/b", "all-tracking query vanishes entirely")
+    val dedup = graft.text.CorpusOps.urlDedup(urls).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(dedup("https://ex.com/a/b?a=1&b=2") == ((1L, 2L)))
+    assert(dedup("http://ex.com/") == ((3L, 2L)))
+  }
 }
