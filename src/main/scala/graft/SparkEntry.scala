@@ -1129,6 +1129,38 @@ object SparkEntry {
     "q207_pseudonymize" -> ((s, d) =>
       operators.Governance.pseudonymize(Pipeline.parsed(s, d))),
 
+    // SEASONAL robust anomaly: per-(name, hour-of-day) median/MAD across
+    // days — "unusual for this time of day", where q186's global baseline
+    // would flag every quiet night hour on a diurnal workload
+    "q208_seasonal_anomaly" -> ((s, d) =>
+      operators.Aggregates.seasonalAnomaly(Pipeline.parsed(s, d))),
+
+    // Cohen's kappa between the heuristic quality gate and the linear
+    // classifier — chance-corrected rater agreement, per language
+    "q209_rater_agreement" -> ((s, d) =>
+      text.Classifier.raterAgreement(docs(s, d))),
+
+    // who-copies-whom: exact-dup clusters attributed to (origin_source,
+    // copier_source) pairs — the exact complement of q195's HLL
+    // containment. Planted fixture: every 7th doc mirrored into a
+    // mirror_<source> (cross-source copies), every 21st re-ingested
+    // in place (self-pairs)
+    "q210_dup_attribution" -> ((s, d) => {
+      val dd = docs(s, d)
+      dedup.Dedup.dupAttribution(dd
+        .unionByName(dd.filter(col("doc_id") % 7 === 0)
+          .withColumn("doc_id", col("doc_id") + 1000000L)
+          .withColumn("source", concat(lit("mirror_"), col("source"))))
+        .unionByName(dd.filter(col("doc_id") % 21 === 0)
+          .withColumn("doc_id", col("doc_id") + 2000000L)))
+    }),
+
+    // token-budget pruning plan: logit-bucket histogram + best-first
+    // cumulative admit; budget = a quarter of the corpus token mass so the
+    // partial bucket exercises at every SF
+    "q211_prune_plan" -> ((s, d) =>
+      text.Selection.prunePlanShare(docs(s, d))),
+
     "q50_streaming_counts" -> ((s, d) => {
       import java.nio.file.{Files, Paths}
       val root = s"/tmp/graft_stream_${math.abs(d.hashCode)}"
@@ -3328,6 +3360,140 @@ FROM (
   FROM (SELECT conv_id, $oPrincipal AS p FROM transcripts) x
   WHERE p IS NOT NULL) y
 GROUP BY pseudonym"""),
+
+    // seasonal robust anomaly: q186's med_x2/mad_x4 framing keyed on
+    // (name, hour-of-day) — baselines across days per diurnal cell
+    "q208_seasonal_anomaly" -> withCtes(
+      "hourly" -> s"""SELECT $oName AS name, date_trunc('hour', ts) AS hour,
+    CAST(count(*) AS BIGINT) AS n
+  FROM transcripts GROUP BY 1, 2""",
+      "hh" -> """SELECT name, CAST(extract('hour' FROM hour) AS BIGINT) AS hod,
+    hour, n FROM hourly""",
+      "med" -> """SELECT name, hod,
+    CAST(quantile_cont(n, 0.5) * 2 AS BIGINT) AS med_x2
+  FROM hh GROUP BY 1, 2""",
+      "dev" -> """SELECT name, hod, hour, n, med_x2,
+    abs(n * 2 - med_x2) AS dev_x2
+  FROM hh JOIN med USING (name, hod)""",
+      "mad" -> """SELECT name, hod,
+    CAST(quantile_cont(dev_x2, 0.5) * 2 AS BIGINT) AS mad_x4
+  FROM dev GROUP BY 1, 2""")("""
+SELECT name, hod, hour, n, med_x2, mad_x4,
+  CAST(dev_x2 * 2 * 1000 // greatest(mad_x4, 1) AS BIGINT) AS z_x1e3,
+  dev_x2 * 2 * 1000 // greatest(mad_x4, 1) >= 3500 AS is_outlier
+FROM dev JOIN mad USING (name, hod)"""),
+
+    // Cohen's kappa: heuristic gate (q32's bucket) vs classifier keep
+    // (q91's logit); kappa as |κ|·1000 + sign flag (all-integer)
+    "q209_rater_agreement" -> s"""
+WITH feat AS (
+  SELECT lang,
+    CAST(len($oToks) AS BIGINT) AS n_tok,
+    CAST(len(list_filter($oToks, t -> ${text.TextAnalysis.stopwords.map(w => s"t = '$w'").mkString(" OR ")})) AS BIGINT) AS n_stop,
+    CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS BIGINT) AS n_punct,
+    CAST(len(th) AS BIGINT) AS n_th,
+    CAST(COALESCE(list_aggregate(
+      list_transform(th, h -> (h % 2001) - 1000), 'sum'), 0) AS BIGINT) AS ssum
+  FROM (SELECT lang, text, $oTokHashes AS th FROM documents) x),
+rated AS (
+  SELECT lang,
+    CASE WHEN n_tok < 5 THEN 0
+         WHEN n_tok > 0 AND CAST(floor(CAST(n_stop * 1000 AS DOUBLE) / n_tok) AS BIGINT) >= 400 THEN 0
+         WHEN n_punct * 5 > n_tok * 2 THEN 0
+         ELSE 1 END AS h,
+    CASE WHEN n_th = 0 THEN 1
+         WHEN CAST(floor(CAST(ssum AS BIGINT) * 1000.0 / n_th) AS BIGINT) >= 0 THEN 1
+         ELSE 0 END AS c
+  FROM feat),
+m AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(CASE WHEN h = 1 AND c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS a,
+    CAST(sum(CASE WHEN h = 1 AND c = 0 THEN 1 ELSE 0 END) AS BIGINT) AS b,
+    CAST(sum(CASE WHEN h = 0 AND c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cc,
+    CAST(sum(CASE WHEN h = 0 AND c = 0 THEN 1 ELSE 0 END) AS BIGINT) AS d
+  FROM rated GROUP BY lang)
+SELECT lang, n, a AS n_both_keep, b AS n_heur_only, cc AS n_clf_only,
+  d AS n_both_drop,
+  CAST((a + d) * 1000 // n AS BIGINT) AS agree_permille,
+  CAST(abs(n * (a + d) - ((a + b) * (a + cc) + (d + b) * (d + cc))) * 1000
+    // greatest(n * n - ((a + b) * (a + cc) + (d + b) * (d + cc)), 1)
+    AS BIGINT) AS kappa_abs_x1e3,
+  n * (a + d) - ((a + b) * (a + cc) + (d + b) * (d + cc)) >= 0
+    AS kappa_positive
+FROM m""",
+
+    // duplication attribution: origin = source of each cluster's min
+    // doc_id; every other member attributed (origin, copier)
+    "q210_dup_attribution" -> """
+WITH corpus AS (
+  SELECT doc_id, text, source, n_chars FROM documents
+  UNION ALL SELECT doc_id + 1000000, text, 'mirror_' || source, n_chars
+    FROM documents WHERE doc_id % 7 = 0
+  UNION ALL SELECT doc_id + 2000000, text, source, n_chars
+    FROM documents WHERE doc_id % 21 = 0),
+k AS (
+  SELECT md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS h,
+    doc_id, source, n_chars
+  FROM corpus),
+per_src AS (
+  SELECT h, source, CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(n_chars) AS BIGINT) AS chars,
+    min(doc_id) AS min_doc,
+    arg_min(n_chars, doc_id) AS min_doc_chars
+  FROM k GROUP BY h, source),
+tagged AS (
+  SELECT *, min(min_doc) OVER (PARTITION BY h) AS keeper_doc,
+    sum(n) OVER (PARTITION BY h) AS group_n
+  FROM per_src),
+tagged2 AS (
+  SELECT *, max(CASE WHEN min_doc = keeper_doc THEN source END)
+    OVER (PARTITION BY h) AS origin_source
+  FROM tagged),
+copies AS (
+  SELECT origin_source, source AS copier_source, h,
+    n - CASE WHEN min_doc = keeper_doc THEN 1 ELSE 0 END AS n_copies,
+    chars - CASE WHEN min_doc = keeper_doc THEN min_doc_chars ELSE 0 END
+      AS chars_copied
+  FROM tagged2 WHERE group_n > 1)
+SELECT origin_source, copier_source,
+  CAST(sum(n_copies) AS BIGINT) AS n_copied_docs,
+  CAST(sum(chars_copied) AS BIGINT) AS chars_copied,
+  CAST(count(DISTINCT h) AS BIGINT) AS n_clusters
+FROM copies WHERE n_copies > 0
+GROUP BY origin_source, copier_source""",
+
+    // pruning plan: logit-bucket histogram, best-first cumulative admit,
+    // budget = corpus token mass // 4 (the prunePlanShare default)
+    "q211_prune_plan" -> s"""
+WITH s AS (
+  SELECT CASE WHEN len(th) > 0
+      THEN CAST(floor(CAST(COALESCE(list_aggregate(
+             list_transform(th, h -> (h % 2001) - 1000), 'sum'), 0) AS BIGINT)
+           * 1000.0 / len(th)) AS BIGINT)
+      ELSE CAST(0 AS BIGINT) END AS logit_x1e3,
+    CAST(len(th) AS BIGINT) AS n_tokens
+  FROM (SELECT $oTokHashes AS th FROM documents) x),
+b AS (
+  SELECT CAST(floor(logit_x1e3 / 50000.0) AS BIGINT) AS bucket, n_tokens
+  FROM s),
+hist AS (
+  SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
+    CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+  FROM b GROUP BY 1),
+cum AS (
+  SELECT bucket, n_docs, sum_tokens,
+    CAST(sum(sum_tokens) OVER (ORDER BY bucket DESC) AS BIGINT) AS cum_tokens,
+    CAST((SELECT sum(sum_tokens) FROM hist) AS BIGINT) // 4 AS budget
+  FROM hist)
+SELECT bucket, n_docs, sum_tokens, cum_tokens,
+  CASE WHEN cum_tokens <= budget THEN 'full'
+       WHEN cum_tokens - sum_tokens < budget THEN 'partial'
+       ELSE 'drop' END AS admit,
+  CAST(CASE WHEN cum_tokens <= budget THEN sum_tokens
+       WHEN cum_tokens - sum_tokens < budget
+         THEN budget - (cum_tokens - sum_tokens)
+       ELSE 0 END AS BIGINT) AS admit_tokens
+FROM cum""",
 
     // DSIR resample: q157's weight chain + q144's hash DIV weight
     // priority, per-lang smallest-k admit

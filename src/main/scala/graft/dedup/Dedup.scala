@@ -41,6 +41,53 @@ object Dedup {
       .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("n_copies"))
       .select("norm_h", "keeper_id", "n_copies")
 
+  /** Cross-source duplication ATTRIBUTION — who copies whom. For every
+    * exact-dup cluster (md5 content key, ≥2 docs) the keeper is the
+    * smallest doc_id (the [[exactByHash]] convention — ingestion order
+    * stands in for crawl time); its source is the cluster's ORIGIN, and
+    * every other member is a copy attributed to the (origin_source,
+    * copier_source) pair. Self-pairs (origin == copier) measure
+    * within-source re-ingestion. The output matrix is the evidence for
+    * source-level dedup policy (drop mirror sources wholesale) that the
+    * HLL overlap matrix (q195) estimates and this computes exactly.
+    *
+    * Scale shape: one map-only projection to (key, doc_id, source,
+    * n_chars), ONE corpus hash-agg to per-(key, source) rows (count,
+    * char mass, min doc + its chars via min_by), then a key-partitioned
+    * window on that REDUCED frame picks each cluster's origin; the final
+    * agg is |sources|²-bounded. The document text never shuffles — only
+    * 32-char keys. */
+  def dupAttribution(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perSrc = docs
+      .select(exactKeyHash(col("text")).as("norm_h"),
+        col("doc_id"), col("source"), col("n_chars"))
+      .groupBy("norm_h", "source")
+      .agg(count(lit(1)).as("n"), sum("n_chars").as("chars"),
+        min("doc_id").as("min_doc"),
+        min_by(col("n_chars"), col("doc_id")).as("min_doc_chars"))
+    val w = Window.partitionBy("norm_h")
+    // doc_id is unique, so exactly one (key, source) row holds the
+    // cluster-min doc — max(when(...)) is deterministic
+    val tagged = perSrc
+      .withColumn("keeper_doc", min(col("min_doc")).over(w))
+      .withColumn("group_n", sum(col("n")).over(w))
+      .withColumn("origin_source",
+        max(when(col("min_doc") === col("keeper_doc"), col("source"))).over(w))
+    tagged.filter(col("group_n") > 1)
+      .withColumn("is_origin_row", col("min_doc") === col("keeper_doc"))
+      .withColumn("n_copies",
+        col("n") - when(col("is_origin_row"), 1L).otherwise(0L))
+      .withColumn("chars_copied",
+        col("chars") - when(col("is_origin_row"), col("min_doc_chars"))
+          .otherwise(lit(0L)))
+      .filter(col("n_copies") > 0)
+      .groupBy(col("origin_source"), col("source").as("copier_source"))
+      .agg(sum("n_copies").as("n_copied_docs"),
+        sum("chars_copied").as("chars_copied"),
+        countDistinct(col("norm_h")).as("n_clusters"))
+  }
+
   /** Duplicate-SIZE distribution — the corpus-health report over
     * [[exactByHash]]'s clusters: for every cluster size, how many clusters
     * exist, how many documents they hold, and what permille of the corpus

@@ -253,6 +253,45 @@ object Aggregates {
       .select("name", "hour", "n", "med_x2", "mad_x4", "z_x1e3", "is_outlier")
   }
 
+  /** SEASONAL robust anomaly — [[robustAnomaly]] with the baseline keyed
+    * on (name, hour-of-day) instead of name alone. A global median calls
+    * every 3 a.m. quiet hour an outlier on a diurnal workload and misses
+    * a 3 a.m. spike that would be normal at 3 p.m.; here each of a name's
+    * 24 hour-of-day cells gets its own median/MAD computed across DAYS,
+    * so the detector measures "unusual for this time of day".
+    *
+    * Same integer framing as [[robustAnomaly]] (`med_x2`/`mad_x4`,
+    * `z_x1e3 = 4·dev·1000 DIV max(mad_x4,1)`) so the DuckDB oracle
+    * hash-matches. Scale shape is identical: ONE corpus hash-agg to
+    * (name, hour); the seasonal key adds no exchange — `hod` derives from
+    * `hour`, and the median/MAD aggregates still run on the cached
+    * aggregate-sized hourly frame (now into ≤ 24× more, still bounded,
+    * cells). */
+  def seasonalAnomaly(parsed: DataFrame, zX1e3Min: Long = 3500L): DataFrame =
+    seasonalAnomalyFromHourly(
+      hourlyCounts(parsed)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
+      zX1e3Min)
+
+  /** The percentile half of [[seasonalAnomaly]], off an aggregated
+    * (name, hour, n) frame (persist the input — three consumers). */
+  def seasonalAnomalyFromHourly(hourly: DataFrame,
+                                zX1e3Min: Long = 3500L): DataFrame = {
+    val h = hourly.withColumn("hod", hour(col("hour")).cast("long"))
+    val med = h.groupBy("name", "hod")
+      .agg((expr("percentile(n, 0.5)") * 2).cast("long").as("med_x2"))
+    val dev = h.join(broadcast(med), Seq("name", "hod"))
+      .withColumn("dev_x2", abs(col("n") * 2 - col("med_x2")))
+    val mad = dev.groupBy("name", "hod")
+      .agg((expr("percentile(dev_x2, 0.5)") * 2).cast("long").as("mad_x4"))
+    dev.join(broadcast(mad), Seq("name", "hod"))
+      .withColumn("z_x1e3",
+        expr("dev_x2 * 2 * 1000 DIV greatest(mad_x4, 1L)"))
+      .withColumn("is_outlier", col("z_x1e3") >= zX1e3Min)
+      .select("name", "hod", "hour", "n", "med_x2", "mad_x4", "z_x1e3",
+        "is_outlier")
+  }
+
   /** A7/E11: lineage fold — max/min offset + count per source file, the
     * `(file, offset, status)` checkpoint analog
     * (`pkg/app/process_session.go:137-177`; `pkg/status/status.go:273-297`). */

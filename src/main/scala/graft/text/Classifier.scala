@@ -123,4 +123,60 @@ object Classifier {
           .as("mean_logit_x1e3"))
       .withColumn("pos_rate_permille",
         floor(col("n_pos") * lit(1000.0) / col("n_docs")).cast("long"))
+
+  /** Inter-rater agreement (Cohen's κ) between the corpus's two quality
+    * raters — the heuristic gate (quality_bucket == "ok") and this
+    * classifier's keep verdict. Raw agreement is misleading when both
+    * raters keep almost everything (agreeing by chance); κ subtracts the
+    * chance-agreement floor: κ = (p_o − p_e)/(1 − p_e) with p_e from the
+    * marginals. The standard "can I replace the expensive rater with the
+    * cheap one" eval before swapping filters on a corpus.
+    *
+    * Integer-exact: with a=both_keep, b=heur_only, c=clf_only,
+    * d=both_drop, n=a+b+c+d, κ's numerator is n·(a+d) − p_e_num and its
+    * denominator n² − p_e_num where p_e_num = (a+b)(a+c) + (c+d)(b+d).
+    * κ may be negative and floor-vs-truncate integer division diverges on
+    * signs, so the output carries |κ|·1000 (DIV, non-negative) plus a
+    * sign flag — the q193 rank-agreement convention. Longs hold the
+    * arithmetic up to ~3·10⁹ docs per lang; beyond that widen to
+    * DECIMAL(38,0) (n² term).
+    *
+    * Shape: ONE map-only pass (both verdicts per row off the scan — the
+    * fused [[TokenScore]] kernel for the classifier side, the quality
+    * expression battery for the heuristic side, no doc_id join) into a
+    * per-lang hash-agg; everything after is arithmetic on |langs| rows. */
+  def raterAgreement(docs: DataFrame): DataFrame = {
+    val qc = TextAnalysis.qualityColumns(col("text"))
+    val rated = docs.select(col("lang"),
+        when(qc("quality_bucket") === "ok", 1L).otherwise(0L).as("h"),
+        TokenScore.scoreStruct(col("text")).as("_s"))
+      .withColumn("logit_x1e3",
+        when(col("_s.n_tokens") > 0,
+          floor(col("_s.score_sum") * lit(1000.0) / col("_s.n_tokens"))
+            .cast("long"))
+          .otherwise(lit(0L)))
+      .withColumn("c", when(col("logit_x1e3") >= 0, 1L).otherwise(0L))
+    rated.groupBy("lang").agg(
+        count(lit(1)).as("n"),
+        sum(when(col("h") === 1 && col("c") === 1, 1L).otherwise(0L))
+          .as("n_both_keep"),
+        sum(when(col("h") === 1 && col("c") === 0, 1L).otherwise(0L))
+          .as("n_heur_only"),
+        sum(when(col("h") === 0 && col("c") === 1, 1L).otherwise(0L))
+          .as("n_clf_only"),
+        sum(when(col("h") === 0 && col("c") === 0, 1L).otherwise(0L))
+          .as("n_both_drop"))
+      .withColumn("agree_permille",
+        expr("(n_both_keep + n_both_drop) * 1000 DIV n"))
+      .withColumn("pe_num",
+        expr("""(n_both_keep + n_heur_only) * (n_both_keep + n_clf_only)
+          + (n_both_drop + n_heur_only) * (n_both_drop + n_clf_only)"""))
+      .withColumn("kappa_num",
+        expr("n * (n_both_keep + n_both_drop) - pe_num"))
+      .withColumn("kappa_abs_x1e3",
+        expr("abs(kappa_num) * 1000 DIV greatest(n * n - pe_num, 1L)"))
+      .withColumn("kappa_positive", col("kappa_num") >= 0)
+      .select("lang", "n", "n_both_keep", "n_heur_only", "n_clf_only",
+        "n_both_drop", "agree_permille", "kappa_abs_x1e3", "kappa_positive")
+  }
 }

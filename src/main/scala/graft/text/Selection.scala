@@ -107,4 +107,79 @@ object Selection {
       .select(col("doc_id"), col("lang"), col("weight"),
         col("priority"), col("rk").cast("long").as("rk"))
   }
+
+  /** Quality-budget PRUNING PLAN — "we can afford B training tokens;
+    * where does the quality bar land?" Documents histogram into fixed
+    * classifier-logit buckets; admitting buckets best-first until the
+    * token budget is spent yields the global score threshold plus, per
+    * bucket, its admission verdict and exactly how many of its tokens
+    * fit. The plan (not the filtered corpus) is the product: applying it
+    * later is a map-only gate on `logit ≥ threshold-bucket` with the
+    * ≤41-row plan broadcast — the data-pruning complement of
+    * [[dsirWeights]]' distribution matching.
+    *
+    * Scale shape: ONE map-only corpus pass (fused [[TokenScore]] logit →
+    * bucket) into a hash-agg bounded by the bucket count; the cumulative
+    * sweep is a single-partition window over those ≤41 rows (the
+    * mixturePlan convention — fine because the frame is tiny by
+    * construction). Integer-exact: bucket = floor(logit_x1e3 / width),
+    * admit_tokens arithmetic is pure Long. */
+  def prunePlan(docs: DataFrame, budgetTokens: Long,
+                bucketWidthX1e3: Long = 50000L): DataFrame =
+    prunePlanCore(docs, lit(budgetTokens), bucketWidthX1e3)
+
+  /** [[prunePlan]] with the budget as a SHARE of the corpus token mass
+    * (numer/denom) — scale-free, so the same plan query exercises a
+    * partial bucket at every test SF. The share-of-total budget derives
+    * from the histogram itself (a window over the tiny frame), still no
+    * driver collect. */
+  def prunePlanShare(docs: DataFrame, shareNumer: Long = 1L,
+                     shareDenom: Long = 4L,
+                     bucketWidthX1e3: Long = 50000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tot = sum(col("sum_tokens")).over(
+      Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+    prunePlanCore(docs, expr(s"tot_ * ${shareNumer}L DIV ${shareDenom}L"),
+      bucketWidthX1e3, Some(tot))
+  }
+
+  private def prunePlanCore(docs: DataFrame, budget: org.apache.spark.sql.Column,
+                            bucketWidthX1e3: Long,
+                            totCol: Option[org.apache.spark.sql.Column] = None)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = docs
+      .select(TokenScore.scoreStruct(col("text")).as("_s"))
+      .select(col("_s.n_tokens").as("n_tokens"),
+        col("_s.score_sum").as("score_sum"))
+      .withColumn("logit_x1e3",
+        when(col("n_tokens") > 0,
+          floor(col("score_sum") * lit(1000.0) / col("n_tokens")).cast("long"))
+          .otherwise(lit(0L)))
+      .withColumn("bucket",
+        floor(col("logit_x1e3") / lit(bucketWidthX1e3.toDouble)).cast("long"))
+    val hist = scored.groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("sum_tokens"))
+    val w = Window.orderBy(col("bucket").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val withTot = totCol match {
+      case Some(t) => hist.withColumn("tot_", t)
+      case None    => hist
+    }
+    withTot
+      .withColumn("budget_", budget)
+      .withColumn("cum_tokens", sum(col("sum_tokens")).over(w))
+      .withColumn("admit",
+        when(col("cum_tokens") <= col("budget_"), "full")
+          .when(col("cum_tokens") - col("sum_tokens") < col("budget_"),
+            "partial")
+          .otherwise("drop"))
+      .withColumn("admit_tokens",
+        when(col("admit") === "full", col("sum_tokens"))
+          .when(col("admit") === "partial",
+            col("budget_") - (col("cum_tokens") - col("sum_tokens")))
+          .otherwise(lit(0L)))
+      .select("bucket", "n_docs", "sum_tokens", "cum_tokens", "admit",
+        "admit_tokens")
+  }
 }

@@ -160,4 +160,25 @@ class DedupSpec extends SparkSpec {
     assert(out(2L) == ((1L, 2L, 285L)))
     assert(out(3L) == ((1L, 3L, 428L)))   // 3*1000/7
   }
+
+  test("dupAttribution: origin = min-doc source; copies attributed per pair") {
+    val docs = Seq(
+      // cluster 1: origin A (doc 1), one copy in B (normalization folds case/ws)
+      (1L, "hello world", "A", 11L),
+      (2L, "Hello   WORLD", "B", 13L),
+      // cluster 2: origin A (doc 3); one self-copy in A, one copy in C
+      (3L, "x y", "A", 3L),
+      (4L, "x  Y", "A", 4L),
+      (5L, "x y", "C", 3L),
+      // unique doc: contributes nothing
+      (6L, "lonely", "B", 6L)
+    ).toDF("doc_id", "text", "source", "n_chars")
+    val out = graft.dedup.Dedup.dupAttribution(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out == Map(
+      ("A", "B") -> ((1L, 13L, 1L)),   // doc 2 copied from cluster-1 origin A
+      ("A", "A") -> ((1L, 4L, 1L)),    // doc 4: within-source re-ingestion
+      ("A", "C") -> ((1L, 3L, 1L))))   // doc 5 copied from cluster-2 origin A
+  }
 }

@@ -658,4 +658,35 @@ class OperatorsSpec extends SparkSpec {
       .collect().map(_.getString(0)).toSet
     assert(other.intersect(out.keySet).isEmpty)
   }
+
+  test("seasonalAnomaly: flags a night-hour spike the global baseline calls normal") {
+    // name "a", 5 days: hod 3 runs at 10/day except day 5 spikes to 100;
+    // hod 15 runs at 100/day every day. Globally 100 is a normal value
+    // (half the cells are 100) — only the seasonal per-hod baseline sees
+    // the hod-3 spike.
+    val rows = (1 to 5).flatMap { day =>
+      Seq((s"a", java.sql.Timestamp.valueOf(f"2024-01-0$day 03:00:00"),
+            if (day == 5) 100L else 10L),
+          (s"a", java.sql.Timestamp.valueOf(f"2024-01-0$day 15:00:00"), 100L))
+    }.toDF("name", "hour", "n")
+    val hourly = rows.select(col("name"), col("hour"), col("n"))
+    val seasonal = operators.Aggregates.seasonalAnomalyFromHourly(hourly)
+      .collect().map(r => (r.getLong(1), r.getTimestamp(2).toString,
+        r.getLong(3), r.getLong(7 - 1), r.getBoolean(7))).toList
+    // hod 3: median 10 (med_x2 20); spike dev_x2 = |200-20| = 180; MAD of
+    // (0,0,0,0,180) = 0 → mad_x4 clamps to 1 → z huge → flagged
+    val spike = seasonal.filter(t => t._1 == 3L && t._3 == 100L)
+    assert(spike.size == 1 && spike.head._5, s"spike must flag: $seasonal")
+    // every other cell: unflagged
+    assert(seasonal.count(_._5) == 1)
+    // contrast: the GLOBAL robust detector — four 10s vs six 100s, so the
+    // global median is 100 and MAD 0: it flags every QUIET hod-3 cell as
+    // an outlier (the diurnal false positive) and scores the actual spike
+    // z = 0 (false negative) — the failure mode the seasonal key fixes
+    val global = operators.Aggregates.robustAnomalyFromHourly(hourly)
+      .collect().map(r => (r.getLong(2), r.getBoolean(6)))
+    assert(global.count(_._2) == 4, "global flags the four quiet cells")
+    assert(global.filter(_._1 == 100L).forall(!_._2),
+      "global baseline misses the seasonal spike entirely")
+  }
 }

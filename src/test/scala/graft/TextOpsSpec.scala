@@ -871,4 +871,69 @@ class TextOpsSpec extends SparkSpec {
     assert(dedup("https://ex.com/a/b?a=1&b=2") == ((1L, 2L)))
     assert(dedup("http://ex.com/") == ((3L, 2L)))
   }
+
+  test("raterAgreement: kappa matches an independent BigInt recompute") {
+    // a deterministic mixed corpus; the two raters' verdicts are
+    // recomputed independently from the already-proven building blocks
+    // (qualityColumns / Classifier.score), then kappa by hand
+    val docs = (0L until 60L).map { i =>
+      val text =
+        if (i % 4 == 0) "the of to and in is it that for a mix" // stopword-heavy → gated
+        else if (i % 4 == 1) "short"                            // too_short
+        else s"informative sentence number $i with real words payload token$i"
+      (i, text, if (i % 2 == 0) "en" else "de")
+    }.toDF("doc_id", "text", "lang")
+    val qc = graft.text.TextAnalysis.qualityColumns(col("text"))
+    val keeps = graft.text.Classifier.score(docs).select("doc_id", "keep")
+    val hc = docs.select(col("doc_id"), col("lang"),
+        when(qc("quality_bucket") === "ok", 1L).otherwise(0L).as("h"))
+      .join(keeps, "doc_id")
+      .collect().map(r => (r.getString(1), r.getLong(2), r.getLong(3)))
+    val expected = hc.groupBy(_._1).map { case (lang, rows) =>
+      val n = BigInt(rows.length)
+      val a = BigInt(rows.count(t => t._2 == 1 && t._3 == 1))
+      val b = BigInt(rows.count(t => t._2 == 1 && t._3 == 0))
+      val c = BigInt(rows.count(t => t._2 == 0 && t._3 == 1))
+      val d = BigInt(rows.count(t => t._2 == 0 && t._3 == 0))
+      val pe = (a + b) * (a + c) + (c + d) * (b + d)
+      val num = n * (a + d) - pe
+      val den = (n * n - pe).max(BigInt(1))
+      lang -> ((n.toLong, (num.abs * 1000 / den).toLong, num >= 0))
+    }
+    val out = graft.text.Classifier.raterAgreement(docs).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(7), r.getBoolean(8)))).toMap
+    assert(out == expected, s"got $out expected $expected")
+    // marginal conservation: the four cells partition n
+    val cells = graft.text.Classifier.raterAgreement(docs).collect()
+    cells.foreach { r =>
+      assert(r.getLong(2) + r.getLong(3) + r.getLong(4) + r.getLong(5) == r.getLong(1))
+    }
+  }
+
+  test("prunePlan: budget conservation, monotone admits, one partial bucket") {
+    val docs = (0L until 200L).map(i =>
+      (i, s"document $i with payload token$i and token${i % 7} plus filler words here")
+    ).toDF("doc_id", "text")
+    val total = graft.text.TextAnalysis.tokenStats(docs)
+      .agg(sum("n_tokens")).collect()(0).getLong(0)
+    val budget = total / 3
+    val plan = graft.text.Selection.prunePlan(docs, budgetTokens = budget)
+      .orderBy(col("bucket").desc).collect()
+    // admits are a monotone full* partial? drop* sequence best-first
+    val admits = plan.map(_.getString(4)).toList
+    assert(admits.count(_ == "partial") <= 1)
+    val rankOf = Map("full" -> 0, "partial" -> 1, "drop" -> 2)
+    val ranks = admits.map(rankOf)
+    assert(ranks == ranks.sorted, s"admits must be full* partial? drop*: $admits")
+    assert(admits.contains("partial") || admits.contains("full"),
+      s"a nonzero budget admits something: $admits")
+    // admitted tokens == budget exactly (a partial bucket exists here)
+    assert(plan.map(_.getLong(5)).sum == budget)
+    // cum telescopes
+    assert(plan.last.getLong(3) == total)
+    // share variant: budget = total DIV 4
+    val share = graft.text.Selection.prunePlanShare(docs).collect()
+    assert(share.map(_.getLong(5)).sum == total / 4)
+  }
 }
