@@ -1161,6 +1161,29 @@ object SparkEntry {
     "q211_prune_plan" -> ((s, d) =>
       text.Selection.prunePlanShare(docs(s, d))),
 
+    // banned-term audit over a planted corpus (every 6th doc gets spammy
+    // phrases, every 15th a cased variant — case folding must catch it)
+    "q212_term_audit" -> ((s, d) =>
+      text.Blocklist.termAudit(docs(s, d).withColumn("text",
+        concat(col("text"),
+          when(col("doc_id") % 6 === 0,
+            lit(" click here to win free money")).otherwise(lit("")),
+          when(col("doc_id") % 15 === 0,
+            lit(" Buy NOW winner")).otherwise(lit("")))))),
+
+    // script-mix profile over planted Cyrillic/CJK contamination — the
+    // mislabel/mojibake detector the Latin-trigram langId can't see
+    "q213_script_profile" -> ((s, d) =>
+      text.TextAnalysis.scriptProfile(docs(s, d).withColumn("text",
+        concat(col("text"),
+          when(col("doc_id") % 5 === 0, lit(" Привет мир")).otherwise(lit("")),
+          when(col("doc_id") % 7 === 0, lit(" 你好世界")).otherwise(lit("")))))),
+
+    // b-bit minhash screen: 1-bit-per-hash packed signatures, popcount
+    // match count + Jaccard estimate vs the exact verify on LSH candidates
+    "q214_bbit_screen" -> ((s, d) =>
+      dedup.Dedup.bbitEstimates(docs(s, d))),
+
     "q50_streaming_counts" -> ((s, d) => {
       import java.nio.file.{Files, Paths}
       val root = s"/tmp/graft_stream_${math.abs(d.hashCode)}"
@@ -3494,6 +3517,99 @@ SELECT bucket, n_docs, sum_tokens, cum_tokens,
          THEN budget - (cum_tokens - sum_tokens)
        ELSE 0 END AS BIGINT) AS admit_tokens
 FROM cum""",
+
+    // banned-term audit: identical \b patterns, planted corpus mirrored
+    "q212_term_audit" -> {
+      val perTerm = text.Blocklist.defaultTerms.map(t =>
+        s"""SELECT '$t' AS term,
+    CAST(len(regexp_extract_all(t, '\\b$t\\b')) AS BIGINT) AS n FROM corpus""")
+        .mkString(" UNION ALL ")
+      s"""
+WITH corpus AS (
+  SELECT doc_id, lower(text ||
+    CASE WHEN doc_id % 6 = 0 THEN ' click here to win free money' ELSE '' END ||
+    CASE WHEN doc_id % 15 = 0 THEN ' Buy NOW winner' ELSE '' END) AS t
+  FROM documents),
+hits AS ($perTerm)
+SELECT term, CAST(sum(n) AS BIGINT) AS n_hits_total,
+  CAST(sum(CASE WHEN n > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_hit,
+  CAST(sum(CASE WHEN n > 0 THEN 1 ELSE 0 END) * 1000 // count(*) AS BIGINT)
+    AS hit_docs_permille
+FROM hits GROUP BY term"""
+    },
+
+    // script-mix profile: same \x{..}-range classes, planted Cyrillic/CJK
+    "q213_script_profile" -> """
+WITH corpus AS (
+  SELECT doc_id, text ||
+    CASE WHEN doc_id % 5 = 0 THEN ' Привет мир' ELSE '' END ||
+    CASE WHEN doc_id % 7 = 0 THEN ' 你好世界' ELSE '' END AS text
+  FROM documents),
+c AS (
+  SELECT doc_id, CAST(length(text) AS BIGINT) AS n,
+    CAST(length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS BIGINT) AS n_latin,
+    CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT) AS n_digit,
+    CAST(length(text) - length(regexp_replace(text, '[\x{0400}-\x{04FF}]', '', 'g')) AS BIGINT) AS n_cyrillic,
+    CAST(length(text) - length(regexp_replace(text, '[\x{4E00}-\x{9FFF}]', '', 'g')) AS BIGINT) AS n_cjk,
+    CAST(length(text) - length(regexp_replace(text, '[ \t\n\r\f]', '', 'g')) AS BIGINT) AS n_space
+  FROM corpus),
+p AS (
+  SELECT doc_id, n AS n_chars_total, n_latin, n_digit, n_cyrillic, n_cjk,
+    n_space,
+    n - n_latin - n_digit - n_cyrillic - n_cjk - n_space AS n_other
+  FROM c)
+SELECT doc_id, n_chars_total, n_latin, n_digit, n_cyrillic, n_cjk, n_space,
+  n_other,
+  CAST(n_latin * 1000 // greatest(n_chars_total, 1) AS BIGINT) AS latin_permille,
+  CAST(n_cyrillic * 1000 // greatest(n_chars_total, 1) AS BIGINT) AS cyrillic_permille,
+  CAST(n_cjk * 1000 // greatest(n_chars_total, 1) AS BIGINT) AS cjk_permille,
+  CASE WHEN n_latin >= n_digit AND n_latin >= n_cyrillic
+         AND n_latin >= n_cjk AND n_latin >= n_other THEN 'latin'
+       WHEN n_digit >= n_cyrillic AND n_digit >= n_cjk
+         AND n_digit >= n_other THEN 'digit'
+       WHEN n_cyrillic >= n_cjk AND n_cyrillic >= n_other THEN 'cyrillic'
+       WHEN n_cjk >= n_other THEN 'cjk'
+       ELSE 'other' END AS dominant_script
+FROM p""",
+
+    // b-bit minhash screen: q36's candidate scaffolding + packed low bits
+    "q214_bbit_screen" -> {
+      val bbit = (0 until dedup.Dedup.NumHashes)
+        .map(i => s"(mh$i % 2) * ${1L << i}").mkString(" + ")
+      s"""
+WITH th AS (SELECT doc_id, $oTokHashes AS th FROM documents),
+sigs AS (
+  SELECT doc_id, ${oMinhashCols(dedup.Dedup.NumHashes)}
+  FROM (SELECT doc_id, $oShingles AS sh FROM th) x
+),
+bands AS (${oBandSelect(dedup.Dedup.NumHashes)}),
+cand AS (
+  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+  FROM bands l JOIN bands r
+    ON l.band_idx = r.band_idx AND l.band_sig = r.band_sig AND l.doc_id < r.doc_id
+),
+shs AS (
+  SELECT doc_id, list_distinct($oShingles) AS shd
+  FROM (SELECT doc_id, $oTokHashes AS th FROM documents) y
+),
+ex AS (
+  SELECT c.doc_a, c.doc_b,
+    CAST(floor(CAST(len(list_intersect(a.shd, b.shd)) * 1000 AS DOUBLE)
+         / len(list_distinct(list_concat(a.shd, b.shd)))) AS BIGINT) AS jaccard_permille
+  FROM cand c
+  JOIN shs a ON c.doc_a = a.doc_id
+  JOIN shs b ON c.doc_b = b.doc_id),
+bb AS (SELECT doc_id, CAST($bbit AS BIGINT) AS bbit_sig FROM sigs)
+SELECT doc_a, doc_b, n_match,
+  CAST(greatest(0, (2 * n_match * 1000) // ${dedup.Dedup.NumHashes} - 1000)
+    AS BIGINT) AS est_jaccard_permille,
+  jaccard_permille
+FROM (
+  SELECT e.doc_a, e.doc_b,
+    ${dedup.Dedup.NumHashes} - CAST(bit_count(xor(a.bbit_sig, b.bbit_sig)) AS BIGINT) AS n_match,
+    e.jaccard_permille
+  FROM ex e JOIN bb a ON e.doc_a = a.doc_id JOIN bb b ON e.doc_b = b.doc_id) z"""
+    },
 
     // DSIR resample: q157's weight chain + q144's hash DIV weight
     // priority, per-lang smallest-k admit

@@ -243,4 +243,52 @@ object TextAnalysis {
       .withColumn("kept_permille",
         expr("length(clean_text) * 1000 DIV greatest(n_chars_raw, 1)"))
   }
+
+  /** Unicode SCRIPT-MIX profile — the wrong-language-contamination
+    * detector [[langId]]'s n-gram heuristic can't see: a doc labeled "en"
+    * that is 40% Cyrillic is mislabeled or mojibake regardless of what
+    * its Latin trigram stats say. Per doc: permille of Latin / digit /
+    * Cyrillic / CJK / whitespace / other codepoints plus the dominant
+    * script (precedence latin > digit > cyrillic > cjk > other on ties).
+    *
+    * Counting is length-minus-stripped with explicit codepoint-range
+    * classes (`\x{0400}`-style, the Java-regex/RE2 common syntax; all
+    * ranges BMP so Spark's UTF-16 length == DuckDB's codepoint length) —
+    * map-only, fuses into the scan. */
+  def scriptProfile(docs: DataFrame): DataFrame = {
+    val n = length(col("text")).cast("long")
+    def cnt(cls: String): Column =
+      (n - length(regexp_replace(col("text"), cls, ""))).cast("long")
+    def pm(c: Column): Column =
+      expr_div(c * 1000, greatest(col("n_chars_total"), lit(1L)))
+    val latin = cnt("[A-Za-z]")
+    val digit = cnt("[0-9]")
+    val cyr   = cnt("[\\x{0400}-\\x{04FF}]")
+    val cjk   = cnt("[\\x{4E00}-\\x{9FFF}]")
+    val space = cnt("[ \\t\\n\\r\\f]")
+    docs.select(col("doc_id"), n.as("n_chars_total"),
+        latin.as("n_latin"), digit.as("n_digit"), cyr.as("n_cyrillic"),
+        cjk.as("n_cjk"), space.as("n_space"))
+      .withColumn("n_other",
+        col("n_chars_total") - col("n_latin") - col("n_digit")
+          - col("n_cyrillic") - col("n_cjk") - col("n_space"))
+      .withColumn("latin_permille", pm(col("n_latin")))
+      .withColumn("cyrillic_permille", pm(col("n_cyrillic")))
+      .withColumn("cjk_permille", pm(col("n_cjk")))
+      .withColumn("dominant_script",
+        when(col("n_latin") >= col("n_digit")
+            && col("n_latin") >= col("n_cyrillic")
+            && col("n_latin") >= col("n_cjk")
+            && col("n_latin") >= col("n_other"), "latin")
+          .when(col("n_digit") >= col("n_cyrillic")
+            && col("n_digit") >= col("n_cjk")
+            && col("n_digit") >= col("n_other"), "digit")
+          .when(col("n_cyrillic") >= col("n_cjk")
+            && col("n_cyrillic") >= col("n_other"), "cyrillic")
+          .when(col("n_cjk") >= col("n_other"), "cjk")
+          .otherwise("other"))
+      .select("doc_id", "n_chars_total", "n_latin", "n_digit",
+        "n_cyrillic", "n_cjk", "n_space", "n_other", "latin_permille",
+        "cyrillic_permille", "cjk_permille", "dominant_script")
+  }
 }

@@ -161,6 +161,29 @@ class DedupSpec extends SparkSpec {
     assert(out(3L) == ((1L, 3L, 428L)))   // 3*1000/7
   }
 
+  test("bbit screen: identical docs match on all bits; estimate formula exact") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again"),
+      (3L, "completely different content about distributed query engines here")
+    ).toDF("doc_id", "text")
+    val out = graft.dedup.Dedup.bbitEstimates(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // identical pair is an LSH candidate; all 8 low bits agree
+    val (m, est, exact) = out((1L, 2L))
+    assert(m == 8L && est == 1000L && exact == 1000L)
+    // the estimator is the fixed affine map of the match count everywhere
+    out.values.foreach { case (mm, ee, _) =>
+      assert(ee == math.max(0L, (2 * mm * 1000) / 8 - 1000))
+    }
+    // signatures pack into [0, 256): one byte of state per doc
+    val sigs = graft.dedup.Dedup.bbitSignatures(docs).collect()
+      .map(_.getLong(1))
+    assert(sigs.forall(s => s >= 0L && s < 256L))
+    assert(sigs(0) == sigs(1))
+  }
+
   test("dupAttribution: origin = min-doc source; copies attributed per pair") {
     val docs = Seq(
       // cluster 1: origin A (doc 1), one copy in B (normalization folds case/ws)

@@ -911,6 +911,46 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("termAudit: word-boundary + case folding; substring must not match") {
+    val docs = Seq(
+      (1L, "Click HERE now"),         // case-folded phrase hit
+      (2L, "free money free money"),  // two hits, one doc
+      (3L, "clean doc"),
+      (4L, "subscriber unsubscribed") // \bsubscribe\b must NOT match either
+    ).toDF("doc_id", "text")
+    val out = graft.text.Blocklist.termAudit(docs).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out("click here") == ((1L, 1L, 250L)))
+    assert(out("free money") == ((2L, 1L, 250L)))
+    assert(out("subscribe") == ((0L, 0L, 0L)))
+    assert(out.size == graft.text.Blocklist.defaultTerms.size)
+    val flags = graft.text.Blocklist.docFlags(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(flags(1L) == ((1L, true)) && flags(2L) == ((2L, true)))
+    assert(flags(3L) == ((0L, false)) && flags(4L) == ((0L, false)))
+  }
+
+  test("scriptProfile: per-class counts, permilles, dominant precedence") {
+    val docs = Seq(
+      (1L, "abc 12"),   // 3 latin, 2 digit, 1 space → latin
+      (2L, "привет"),   // 6 cyrillic
+      (3L, "你好!"),     // 2 cjk, 1 other
+      (4L, ""),         // empty: all zero, precedence → latin
+      (5L, "123 你好")   // 3 digit beats 2 cjk
+    ).toDF("doc_id", "text")
+    val out = graft.text.TextAnalysis.scriptProfile(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getLong(1) == 6L && out(1L).getLong(2) == 3L
+      && out(1L).getLong(3) == 2L && out(1L).getString(11) == "latin")
+    assert(out(1L).getLong(8) == 500L, "latin permille 3000/6")
+    assert(out(2L).getLong(4) == 6L && out(2L).getString(11) == "cyrillic")
+    assert(out(2L).getLong(9) == 1000L)
+    assert(out(3L).getLong(5) == 2L && out(3L).getLong(7) == 1L
+      && out(3L).getString(11) == "cjk")
+    assert(out(4L).getLong(1) == 0L && out(4L).getString(11) == "latin")
+    assert(out(5L).getString(11) == "digit")
+  }
+
   test("prunePlan: budget conservation, monotone admits, one partial bucket") {
     val docs = (0L until 200L).map(i =>
       (i, s"document $i with payload token$i and token${i % 7} plus filler words here")
