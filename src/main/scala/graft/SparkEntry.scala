@@ -1184,6 +1184,31 @@ object SparkEntry {
     "q214_bbit_screen" -> ((s, d) =>
       dedup.Dedup.bbitEstimates(docs(s, d))),
 
+    // contamination EXCISION: cut benchmark-overlapping token spans out
+    // of training docs instead of dropping the docs (q160's remedy)
+    "q215_decontam_excise" -> ((s, d) =>
+      text.Decontaminate.excise(docs(s, d))),
+
+    // IVF cell-balance audit: per-cell share + global imbalance factor —
+    // the index-health report after every (re)build
+    "q216_ivf_cells" -> ((s, d) =>
+      ann.Similarity.ivfCellStats(vecs(s, d))),
+
+    // per-source-file freshness: newest event's lag behind the corpus
+    // high-water mark — the stuck-poller detector
+    "q217_source_freshness" -> ((s, d) =>
+      operators.Aggregates.sourceFreshness(Pipeline.parsed(s, d))),
+
+    // dead-letter triage: quarantine rows clustered by digit-collapsed
+    // failure template, over q164's mangled fixture
+    "q218_dead_letter_templates" -> ((s, d) => {
+      val mangled = Transcripts.load(s, d).withColumn("text",
+        when(col("turn_idx") % 97 === 13, lit(""))
+          .when(col("turn_idx") % 97 === 29, concat(lit("garbage "), col("text")))
+          .otherwise(col("text")))
+      operators.Filters.deadLetterTemplates(Pipeline.parse(mangled))
+    }),
+
     "q50_streaming_counts" -> ((s, d) => {
       import java.nio.file.{Files, Paths}
       val root = s"/tmp/graft_stream_${math.abs(d.hashCode)}"
@@ -3610,6 +3635,87 @@ FROM (
     e.jaccard_permille
   FROM ex e JOIN bb a ON e.doc_a = a.doc_id JOIN bb b ON e.doc_b = b.doc_id) z"""
     },
+
+    // excision: q160's positional probe + per-token span filter + rejoin
+    "q215_decontam_excise" -> s"""
+WITH t AS (SELECT doc_id, $oToks AS toks, $oTokHashes AS th FROM documents),
+sharr AS (SELECT doc_id, toks, $oShingles AS sh FROM t),
+pos AS (
+  SELECT doc_id, generate_subscripts(sh, 1) - 1 AS pos, unnest(sh) AS s
+  FROM sharr),
+bench AS (SELECT DISTINCT s FROM pos WHERE doc_id % 97 = 0),
+mp AS (
+  SELECT doc_id, list(DISTINCT pos) AS mpos
+  FROM pos JOIN bench USING (s) WHERE doc_id % 97 != 0 GROUP BY doc_id),
+base AS (
+  SELECT s2.doc_id, s2.toks, m.mpos
+  FROM (SELECT doc_id, toks FROM sharr WHERE doc_id % 97 != 0) s2
+  LEFT JOIN mp m USING (doc_id)),
+sel AS (
+  SELECT doc_id, i, tok
+  FROM (SELECT doc_id, generate_subscripts(toks, 1) - 1 AS i,
+          unnest(toks) AS tok, mpos FROM base) z
+  WHERE mpos IS NULL
+     OR len(list_filter(mpos, p -> i >= p AND i <= p + 2)) = 0),
+agg AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+    string_agg(tok, ' ' ORDER BY i) AS clean_text
+  FROM sel GROUP BY doc_id)
+SELECT b.doc_id, CAST(len(b.toks) AS BIGINT) AS n_tokens,
+  CAST(len(b.toks) - COALESCE(a.n_kept, 0) AS BIGINT) AS n_excised,
+  COALESCE(a.clean_text, '') AS clean_text,
+  CAST(COALESCE(a.n_kept, 0) * 1000 // greatest(len(b.toks), 1) AS BIGINT)
+    AS kept_permille
+FROM base b LEFT JOIN agg a USING (doc_id)""",
+
+    // IVF cell balance off q53's assignment
+    "q216_ivf_cells" -> s"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+c AS (SELECT vec_id AS cent_id, e AS cent_emb FROM v WHERE vec_id % 200 = 0),
+asg AS (
+  SELECT vec_id, cent_id FROM (
+    SELECT v.vec_id, c.cent_id,
+      row_number() OVER (PARTITION BY v.vec_id
+                         ORDER BY ${oCos("v.e", "c.cent_emb")} DESC, c.cent_id) AS rn
+    FROM v CROSS JOIN c) a WHERE rn = 1),
+cells AS (SELECT cent_id, CAST(count(*) AS BIGINT) AS n_vecs FROM asg GROUP BY 1),
+tot AS (SELECT CAST(sum(n_vecs) AS BIGINT) AS t,
+  CAST(count(*) AS BIGINT) AS n_cells, CAST(max(n_vecs) AS BIGINT) AS max_n
+  FROM cells)
+SELECT cent_id, n_vecs,
+  CAST(n_vecs * 1000 // t AS BIGINT) AS share_permille,
+  CAST(max_n * n_cells * 1000 // t AS BIGINT) AS imbalance_x1e3,
+  n_vecs * n_cells > 2 * t AS hot
+FROM cells, tot""",
+
+    // per-source freshness vs the corpus high-water mark
+    "q217_source_freshness" -> withCtes(
+      "per" -> """SELECT src_file, CAST(count(*) AS BIGINT) AS n_events,
+    max(ts) AS max_ts FROM transcripts GROUP BY 1""",
+      "g" -> "SELECT max(max_ts) AS corpus_max FROM per")("""
+SELECT src_file, n_events, max_ts,
+  CAST((CAST(epoch(corpus_max) AS BIGINT) - CAST(epoch(max_ts) AS BIGINT))
+    // 3600 AS BIGINT) AS lag_hours,
+  (CAST(epoch(corpus_max) AS BIGINT) - CAST(epoch(max_ts) AS BIGINT))
+    // 3600 >= 24 AS stale
+FROM per, g"""),
+
+    // dead-letter template triage over q164's mangled fixture
+    "q218_dead_letter_templates" -> withCtes(
+      "m" -> """SELECT src_file,
+    CASE WHEN turn_idx % 97 = 13 THEN ''
+         WHEN turn_idx % 97 = 29 THEN 'garbage ' || text
+         ELSE text END AS text
+  FROM transcripts""",
+      "dl" -> """SELECT
+    CASE WHEN text IS NULL OR trim(text) = '' THEN 'empty_text'
+         ELSE 'unparsed' END AS reason,
+    src_file,
+    regexp_replace(lower(COALESCE(text, '')), '[0-9]+', '0', 'g') AS tmpl
+  FROM m WHERE NOT regexp_matches(text, '^event=[a-z_0-9]+')""")("""
+SELECT reason, tmpl AS template, CAST(count(*) AS BIGINT) AS n_rows,
+  CAST(count(DISTINCT src_file) AS BIGINT) AS n_files
+FROM dl GROUP BY 1, 2 HAVING count(*) >= 2"""),
 
     // DSIR resample: q157's weight chain + q144's hash DIV weight
     // priority, per-lang smallest-k admit

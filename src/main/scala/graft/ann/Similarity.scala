@@ -153,6 +153,30 @@ object Similarity {
         first(col("embedding")).as("embedding"))
   }
 
+  /** IVF cell-BALANCE audit — the index-health report run after every
+    * (re)build: per non-empty cell its vector count and corpus share,
+    * plus the global imbalance factor (max cell ÷ mean cell, ×1000) and a
+    * hot flag at 2× fair share. A skewed IVF index serves its hottest
+    * cell at list-scan latency and wastes the rest — this is the signal
+    * to retrain centroids or split cells, and the ANN twin of the shuffle
+    * preview `partitionSkewStats`. Empty cells don't appear (no rows to
+    * report them by — their count is n_centroids − rows here).
+    *
+    * Shape: [[ivfAssign]]'s one linear pass, then a cell-count hash-agg;
+    * everything after runs on the |cells|-row frame with a 1-row
+    * broadcast of the totals. */
+  def ivfCellStats(vecs: DataFrame, centroidMod: Int = 200): DataFrame = {
+    val cells = ivfAssign(vecs, centroidMod)
+      .groupBy("cent_id").agg(count(lit(1)).as("n_vecs"))
+    val tot = cells.agg(sum("n_vecs").as("t"),
+      count(lit(1)).as("n_cells"), max("n_vecs").as("max_n"))
+    cells.crossJoin(broadcast(tot))
+      .withColumn("share_permille", expr("n_vecs * 1000 DIV t"))
+      .withColumn("imbalance_x1e3", expr("max_n * n_cells * 1000 DIV t"))
+      .withColumn("hot", expr("n_vecs * n_cells > 2 * t"))
+      .select("cent_id", "n_vecs", "share_permille", "imbalance_x1e3", "hot")
+  }
+
   /** IVF top-k: queries search only their own cell (nprobe=1; callers
     * union more cells for recall). Mirrors bucketedTopK with the cell id
     * as the equi-join key. */

@@ -292,6 +292,24 @@ object Aggregates {
         "is_outlier")
   }
 
+  /** Source FRESHNESS monitor — per source file: volume, newest event,
+    * and its lag behind the corpus high-water mark. A source whose
+    * max(ts) trails the rest by a day is a stuck poller / dead shipper
+    * long before its volume trend shows it (the reference surfaces this
+    * as per-session state files going stale; at table scale the same
+    * question is one aggregation). One corpus hash-agg to |files| rows +
+    * a 1-row broadcast of the global max. */
+  def sourceFreshness(parsed: DataFrame, staleHours: Long = 24L): DataFrame = {
+    val per = parsed.groupBy("src_file").agg(
+      count(lit(1)).as("n_events"), max("ts").as("max_ts"))
+    val global = per.agg(max("max_ts").as("corpus_max"))
+    per.crossJoin(broadcast(global))
+      .withColumn("lag_hours",
+        expr("(unix_timestamp(corpus_max) - unix_timestamp(max_ts)) DIV 3600"))
+      .withColumn("stale", col("lag_hours") >= staleHours)
+      .select("src_file", "n_events", "max_ts", "lag_hours", "stale")
+  }
+
   /** A7/E11: lineage fold — max/min offset + count per source file, the
     * `(file, offset, status)` checkpoint analog
     * (`pkg/app/process_session.go:137-177`; `pkg/status/status.go:273-297`). */

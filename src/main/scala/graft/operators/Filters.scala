@@ -93,6 +93,28 @@ object Filters {
     when(col("text").isNull || trim(col("text")) === "", "empty_text")
       .otherwise("unparsed").as("reason")
 
+  /** Quarantine TRIAGE — cluster [[deadLetter]] rows by failure TEMPLATE
+    * (digit runs collapsed, case folded — the turn-template convention)
+    * so a million mangled rows read as a handful of failure modes with
+    * counts and blast radius (distinct source files). This is what turns
+    * a dead-letter dump into a parser work queue: fix the top template,
+    * replay its stratum.
+    *
+    * Shape: the quarantine sliver (already tiny by definition) reduces
+    * through ONE hash-agg keyed on the 128-bit template hash; the
+    * template string rides as a constant-per-group payload. */
+  def deadLetterTemplates(parsed: DataFrame, minRows: Long = 2L): DataFrame =
+    deadLetter(parsed)
+      .select(col("reason"), col("src_file"),
+        regexp_replace(lower(coalesce(col("text"), lit(""))), "[0-9]+", "0")
+          .as("tmpl"))
+      .withColumn("tkey", md5(col("tmpl").cast("binary")))
+      .groupBy("reason", "tkey")
+      .agg(min("tmpl").as("template"), count(lit(1)).as("n_rows"),
+        countDistinct("src_file").as("n_files"))
+      .filter(col("n_rows") >= minRows)
+      .select("reason", "template", "n_rows", "n_files")
+
   /** F8: duplicate-source suppression — when the same source is registered
     * twice (the reference refuses duplicate FQDNs at config load,
     * `pkg/config/config.go` dupe guard; at scale the analog is the same

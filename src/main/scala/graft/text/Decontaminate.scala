@@ -101,4 +101,43 @@ object Decontaminate {
         (coalesce(col("n_bands_matched"), lit(0L)) >= minBands &&
           col("doc_id") % benchMod =!= 0).as("fuzzy_contaminated"))
   }
+
+  /** Contamination EXCISION — the remedy [[spans]] provides evidence for:
+    * cut the benchmark-overlapping token spans OUT of each training doc
+    * instead of dropping the doc (a 10k-token document quoting one eval
+    * answer keeps its other 9.9k tokens). Every token covered by ANY
+    * matched 3-token shingle (positions p..p+2) is removed; the cleaned
+    * text is the surviving tokens re-joined (whitespace-normalized by
+    * construction — the same normalization every token op here shares).
+    *
+    * Scale shape: the eval shingle set broadcasts; matched positions (a
+    * sliver) aggregate per doc into a small int array; the corpus then
+    * cleans itself map-only — `filter(toks, (t, i) -> ...)` probes the
+    * per-doc matched set in one pass. The full token array never
+    * shuffles. Output: every non-benchmark doc with its token counts,
+    * kept permille, and clean text. */
+  def excise(docs: DataFrame, benchMod: Int = 97): DataFrame = {
+    val sh = docs
+      .select(col("doc_id"), Dedup.shingleHashes(col("text")).as("arr"))
+      .select(col("doc_id"), posexplode(col("arr")).as(Seq("pos", "sh")))
+    val bench = sh.filter(col("doc_id") % benchMod === 0)
+      .select(col("sh").as("bsh")).distinct()
+    val matched = sh.filter(col("doc_id") % benchMod =!= 0)
+      .join(broadcast(bench), col("sh") === col("bsh"))
+      .groupBy("doc_id").agg(collect_set(col("pos")).as("mpos"))
+    docs.filter(col("doc_id") % benchMod =!= 0)
+      .join(matched, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        graft.text.TextAnalysis.tokens(col("text")).as("toks"), col("mpos"))
+      .withColumn("keep",
+        when(col("mpos").isNull, col("toks"))
+          .otherwise(filter(col("toks"), (t, i) =>
+            !exists(col("mpos"), p => i >= p && i <= p + lit(2)))))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        (size(col("toks")) - size(col("keep"))).cast("long").as("n_excised"),
+        array_join(col("keep"), " ").as("clean_text"))
+      .withColumn("kept_permille",
+        expr("(n_tokens - n_excised) * 1000 DIV greatest(n_tokens, 1)"))
+  }
 }

@@ -659,6 +659,36 @@ class OperatorsSpec extends SparkSpec {
     assert(other.intersect(out.keySet).isEmpty)
   }
 
+  test("sourceFreshness: lag vs corpus max; stale at threshold") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val parsed = Seq(
+      ("fa", ts("2024-01-10 12:00:00")), ("fa", ts("2024-01-09 00:00:00")),
+      ("fb", ts("2024-01-09 10:00:00")),   // 26 h behind → stale
+      ("fc", ts("2024-01-10 09:30:00")))   // 2.5 h behind → floor 2, fresh
+      .toDF("src_file", "ts")
+    val out = operators.Aggregates.sourceFreshness(parsed).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(3), r.getBoolean(4)))).toMap
+    assert(out("fa") == ((2L, 0L, false)))
+    assert(out("fb") == ((1L, 26L, true)))
+    assert(out("fc") == ((1L, 2L, false)))
+  }
+
+  test("deadLetterTemplates: digit-collapsed failure modes with blast radius") {
+    val parsed = Seq(
+      ("c1", 1L, "f1", 0L, null.asInstanceOf[String], "timeout after 123 ms on node 7"),
+      ("c1", 2L, "f2", 0L, "", "Timeout after 456 ms on node 9"),
+      ("c2", 1L, "f1", 1L, "", ""),
+      ("c2", 2L, "f1", 2L, "", ""),
+      ("c3", 1L, "f1", 3L, "", "solo unique failure 5"),  // below minRows
+      ("c3", 2L, "f1", 4L, "ok_event", "healthy row 1")   // well-formed
+    ).toDF("conv_id", "turn_idx", "src_file", "src_offset", "name", "text")
+    val out = operators.Filters.deadLetterTemplates(parsed, minRows = 2).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(out == Map(
+      ("unparsed", "timeout after 0 ms on node 0") -> ((2L, 2L)),
+      ("empty_text", "") -> ((2L, 1L))))
+  }
+
   test("seasonalAnomaly: flags a night-hour spike the global baseline calls normal") {
     // name "a", 5 days: hod 3 runs at 10/day except day 5 spikes to 100;
     // hod 15 runs at 100/day every day. Globally 100 is a normal value

@@ -220,4 +220,22 @@ class SimilaritySpec extends SparkSpec {
     assert(out.toSet == expected)
     assert(out.forall(r => r._3 >= 100 && r._3 < 900))
   }
+
+  test("ivfCellStats: shares, imbalance factor, hot flag at 2x fair share") {
+    import TestSpark.spark.implicits._
+    // centroids at ids 0/5/10 (mod 5... centroidMod=5 → 0,5,10); axis-
+    // aligned vectors pin the assignment: 7 docs on e1, 1 on e2, 1 on e3
+    val vecs = Seq(
+      0L -> Array(1f, 0f, 0f), 5L -> Array(0f, 1f, 0f), 10L -> Array(0f, 0f, 1f),
+      1L -> Array(1f, 0f, 0f), 2L -> Array(1f, 0f, 0f), 3L -> Array(1f, 0f, 0f),
+      4L -> Array(1f, 0f, 0f), 6L -> Array(1f, 0f, 0f), 7L -> Array(1f, 0f, 0f)
+    ).toDF("vec_id", "embedding")
+    val out = graft.ann.Similarity.ivfCellStats(vecs, centroidMod = 5).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+    // t = 9, cells = 3, max = 7 → imbalance = 7*3*1000/9 = 2333
+    assert(out(0L) == ((7L, 777L, 2333L, true)))   // 7*3 = 21 > 2*9
+    assert(out(5L) == ((1L, 111L, 2333L, false)))
+    assert(out(10L) == ((1L, 111L, 2333L, false)))
+  }
 }

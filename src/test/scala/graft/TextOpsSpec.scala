@@ -951,6 +951,23 @@ class TextOpsSpec extends SparkSpec {
     assert(out(5L).getString(11) == "digit")
   }
 
+  test("excise: benchmark-quoted token spans cut out, clean docs untouched") {
+    val docs = Seq(
+      (0L, "alpha beta gamma delta"),  // id%5==0 → the benchmark doc
+      (1L, "intro words alpha beta gamma delta closing words"), // quotes it
+      (2L, "no overlap present in this document at all")
+    ).toDF("doc_id", "text")
+    val out = graft.text.Decontaminate.excise(docs, benchMod = 5).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3), r.getLong(4)))).toMap
+    assert(!out.contains(0L), "benchmark docs are not training rows")
+    // doc 1: shingles at pos 2 (alpha beta gamma) and 3 (beta gamma delta)
+    // match → tokens 2..5 excised
+    assert(out(1L) == ((8L, 4L, "intro words closing words", 500L)))
+    assert(out(2L)._2 == 0L && out(2L)._4 == 1000L)
+    assert(out(2L)._3 == "no overlap present in this document at all")
+  }
+
   test("prunePlan: budget conservation, monotone admits, one partial bucket") {
     val docs = (0L until 200L).map(i =>
       (i, s"document $i with payload token$i and token${i % 7} plus filler words here")
