@@ -342,6 +342,30 @@ object Bench {
             operators.TrainingExport.epochShuffle(docs, epochs = 2))
           results("epoch_shuffle") = math.min(esRun(), esRun())
 
+          // round-13 ops. Excision runs on the 10× corpus and is a
+          // worst-case measure by construction: the ~40-word synthetic
+          // vocabulary makes nearly every 3-shingle benchmark-tainted, so
+          // per-doc matched-position sets approach the full shingle count
+          // (real corpora excise slivers). dup_attribution sees the 50×
+          // replicas as real 50-clusters; the b-bit screen rides the same
+          // LSH candidates curation exercises; term_audit/script_profile
+          // are pure map regex batteries; prune_plan is one fused-score
+          // pass into a ≤41-row window; seasonal reuses the parsed frame.
+          val exRun = () => timeNoop(text.Decontaminate.excise(docs10))
+          results("decontam_excise") = math.min(exRun(), exRun())
+          val daRun = () => timeNoop(dedup.Dedup.dupAttribution(docs))
+          results("dup_attribution") = math.min(daRun(), daRun())
+          val bbRun = () => timeNoop(dedup.Dedup.bbitEstimates(docs10))
+          results("bbit_screen") = math.min(bbRun(), bbRun())
+          val taRun = () => timeNoop(text.Blocklist.termAudit(docs))
+          results("term_audit") = math.min(taRun(), taRun())
+          val spRun = () => timeNoop(text.TextAnalysis.scriptProfile(docs))
+          results("script_profile") = math.min(spRun(), spRun())
+          val ppRun = () => timeNoop(text.Selection.prunePlanShare(docs))
+          results("prune_plan") = math.min(ppRun(), ppRun())
+          val saRun = () => timeNoop(operators.Aggregates.seasonalAnomaly(parsedB))
+          results("seasonal_anomaly") = math.min(saRun(), saRun())
+
           // lmScore/convNearDup persist their reused intermediates;
           // drop them so repeated bench runs don't accumulate cache
           spark.catalog.clearCache()

@@ -199,6 +199,24 @@ object PlanAudit {
     section("epoch shuffle (map-side epoch explode + per-(epoch, shard) rank windows)") {
       operators.TrainingExport.epochShuffle(docs)
     }
+    section("contamination excision (bench shingles broadcast; corpus cleans itself map-only)") {
+      text.Decontaminate.excise(docs)
+    }
+    section("dup attribution (one (key, source) hash-agg; window on the reduced frame)") {
+      dedup.Dedup.dupAttribution(docs)
+    }
+    section("b-bit screen (LSH candidate equi-join; popcount on packed byte signatures)") {
+      dedup.Dedup.bbitEstimates(docs)
+    }
+    section("prune plan (one fused-score corpus pass into a bucket-bounded histogram)") {
+      text.Selection.prunePlanShare(docs)
+    }
+    section("rater agreement (both verdicts map-side off one scan; |langs| hash-agg)") {
+      text.Classifier.raterAgreement(docs)
+    }
+    section("seasonal anomaly (one corpus hash-agg; per-hod medians on the cached hourly frame)") {
+      operators.Aggregates.seasonalAnomaly(Pipeline.parsed(spark, sfDir))
+    }
     // pageRank / labelPropagation / bfsDistances / kCore are driver-side
     // unrolled loops with per-step persist+count — explain would execute
     // them; their per-step plan is the rank ⋈ edges equi-join + dst
