@@ -1199,6 +1199,27 @@ object SparkEntry {
     "q217_source_freshness" -> ((s, d) =>
       operators.Aggregates.sourceFreshness(Pipeline.parsed(s, d))),
 
+    // blocking-quality eval: LSH candidate recall vs brute-force truth on
+    // a deterministic sample, per similarity band; planted near-dup
+    // replicas (ids shifted by 11·100000 so pairs stay inside the sample)
+    "q219_blocking_recall" -> ((s, d) => {
+      val dd = docs(s, d)
+      dedup.Dedup.blockingRecall(dd
+        .unionByName(dd.filter(col("doc_id") % 3 === 0)
+          .withColumn("doc_id", col("doc_id") + 1100000L)
+          .withColumn("text", concat(col("text"), lit(" tail marker"))))
+        .unionByName(dd.filter(col("doc_id") % 5 === 0)
+          .withColumn("doc_id", col("doc_id") + 2200000L)
+          .withColumn("text", concat(col("text"),
+            lit(" heavier edit with many extra trailing tokens appended here"
+              + " to pull the jaccard into a middle band")))))
+    }),
+
+    // language-label confusion matrix: metadata lang vs langId prediction
+    // — the label-quality audit before per-language training
+    "q220_langid_confusion" -> ((s, d) =>
+      text.TextAnalysis.langIdConfusion(docs(s, d))),
+
     // dead-letter triage: quarantine rows clustered by digit-collapsed
     // failure template, over q164's mangled fixture
     "q218_dead_letter_templates" -> ((s, d) => {
@@ -3699,6 +3720,74 @@ SELECT src_file, n_events, max_ts,
   (CAST(epoch(corpus_max) AS BIGINT) - CAST(epoch(max_ts) AS BIGINT))
     // 3600 >= 24 AS stale
 FROM per, g"""),
+
+    // blocking recall: q36's scaffolding on the sample + brute-force truth
+    "q219_blocking_recall" -> s"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL SELECT doc_id + 1100000, text || ' tail marker'
+    FROM documents WHERE doc_id % 3 = 0
+  UNION ALL SELECT doc_id + 2200000, text
+      || ' heavier edit with many extra trailing tokens appended here'
+      || ' to pull the jaccard into a middle band'
+    FROM documents WHERE doc_id % 5 = 0),
+samp AS (SELECT doc_id, text FROM corpus WHERE doc_id % 11 = 0),
+th AS (SELECT doc_id, $oTokHashes AS th FROM samp),
+shs AS (SELECT doc_id, list_distinct($oShingles) AS shd FROM th),
+tr AS (
+  SELECT doc_a, doc_b, jacc FROM (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      CAST(floor(CAST(len(list_intersect(a.shd, b.shd)) * 1000 AS DOUBLE)
+        / greatest(len(list_distinct(list_concat(a.shd, b.shd))), 1))
+        AS BIGINT) AS jacc
+    FROM shs a JOIN shs b ON a.doc_id < b.doc_id) x
+  WHERE jacc >= 500),
+sigs AS (
+  SELECT doc_id, ${oMinhashCols(dedup.Dedup.NumHashes)}
+  FROM (SELECT doc_id, $oShingles AS sh FROM th) y
+),
+bands AS (${oBandSelect(dedup.Dedup.NumHashes)}),
+cand AS (
+  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+  FROM bands l JOIN bands r
+    ON l.band_idx = r.band_idx AND l.band_sig = r.band_sig AND l.doc_id < r.doc_id)
+SELECT CAST(jacc // 100 AS BIGINT) AS band,
+  CAST(count(*) AS BIGINT) AS n_true_pairs,
+  CAST(sum(CASE WHEN c.doc_a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_caught,
+  CAST(sum(CASE WHEN c.doc_a IS NOT NULL THEN 1 ELSE 0 END) * 1000
+    // count(*) AS BIGINT) AS recall_permille
+FROM tr t LEFT JOIN cand c ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b
+GROUP BY 1""",
+
+    // langid confusion matrix off q31's prediction arms
+    "q220_langid_confusion" -> {
+      val scoreExprs = text.TextAnalysis.markers.map { case (l, ws) =>
+        val cond = ws.map(w => s"t = '$w'").mkString(" OR ")
+        s"CAST(len(list_filter($oToks, t -> $cond)) AS BIGINT) AS score_$l"
+      }.mkString(",\n  ")
+      val langs = text.TextAnalysis.markers.map(_._1)
+      val arms = langs.map { l =>
+        val others = langs.filter(_ != l)
+          .map(o => s"score_$l >= score_$o").mkString(" AND ")
+        s"WHEN score_$l > 0 AND $others THEN '$l'"
+      }.mkString(" ")
+      s"""
+WITH p AS (
+  SELECT lang_label, CASE $arms ELSE 'und' END AS lang_pred
+  FROM (SELECT lang AS lang_label, $scoreExprs FROM documents) x),
+m AS (
+  SELECT lang_label, lang_pred, CAST(count(*) AS BIGINT) AS n
+  FROM p GROUP BY 1, 2),
+m2 AS (
+  SELECT lang_label, lang_pred, n,
+    CAST(sum(n) OVER (PARTITION BY lang_label) AS BIGINT) AS label_total
+  FROM m)
+SELECT lang_label, lang_pred, n, label_total,
+  CAST(n * 1000 // label_total AS BIGINT) AS share_permille,
+  lang_label = lang_pred AS is_diagonal
+FROM m2"""
+    },
 
     // dead-letter template triage over q164's mangled fixture
     "q218_dead_letter_templates" -> withCtes(

@@ -251,6 +251,43 @@ object Dedup {
         "jaccard_permille")
   }
 
+  // ---- blocking-quality eval ---------------------------------------------------
+  /** Candidate-generation RECALL of the LSH banding, measured against
+    * brute-force truth on a deterministic document SAMPLE — the eval that
+    * justifies (or indicts) the blocking scheme before anyone trusts its
+    * dedup output. True pairs are all sample pairs with exact shingle
+    * Jaccard ≥ τ; recall is reported per 100‰ similarity band, because
+    * banding recall degrades exactly where it matters (τ-adjacent pairs)
+    * and a single global number hides that.
+    *
+    * The all-pairs truth join is QUADRATIC BY DESIGN and runs only on the
+    * `1/sampleMod` sample — an eval harness, never the production dedup
+    * path (that stays [[lshCandidates]]). At 100 TB you hold the sample
+    * to ~10⁴ docs and this whole eval is one broadcast-sized job. */
+  def blockingRecall(docs: DataFrame, sampleMod: Long = 11L,
+                     tauPermille: Long = 500L): DataFrame = {
+    val sample = docs.filter(col("doc_id") % sampleMod === 0)
+    val sh = sample.select(col("doc_id"),
+      array_distinct(shingleHashes(col("text"))).as("shd"))
+    val l = sh.select(col("doc_id").as("doc_a"), col("shd").as("sh_a"))
+    val r = sh.select(col("doc_id").as("doc_b"), col("shd").as("sh_b"))
+    val truth = l.crossJoin(r).filter(col("doc_a") < col("doc_b"))
+      .withColumn("jacc",
+        floor(size(array_intersect(col("sh_a"), col("sh_b"))) * lit(1000.0)
+          / greatest(size(array_union(col("sh_a"), col("sh_b"))), lit(1)))
+          .cast("long"))
+      .filter(col("jacc") >= tauPermille)
+      .select("doc_a", "doc_b", "jacc")
+    val cands = lshCandidates(sample).withColumn("caught", lit(1L))
+    truth.join(cands, Seq("doc_a", "doc_b"), "left")
+      .withColumn("band", expr("jacc DIV 100"))
+      .groupBy("band")
+      .agg(count(lit(1)).as("n_true_pairs"),
+        sum(coalesce(col("caught"), lit(0L))).as("n_caught"))
+      .withColumn("recall_permille",
+        expr("n_caught * 1000 DIV n_true_pairs"))
+  }
+
   // ---- simhash ----------------------------------------------------------------
   val SimBits = 16
   /** 16-bit SimHash over token hashes: bit j set iff the sum of per-token

@@ -41,9 +41,12 @@ object AnomalyStream {
   /** Start over an event stream (needs `name` and `ts` columns). Per
     * batch, `root/flags` receives one row per (name, hour) cell present
     * in the batch, scored against the accumulated baseline AFTER folding
-    * the batch in. */
+    * the batch in. With `seasonal = true` the baseline is the
+    * per-(name, hour-of-day) median/MAD (q208's detector) — same
+    * accumulated hourly state, different percentile keying; the state
+    * layout and the exactly-once discipline don't change. */
   def start(events: DataFrame, root: String, checkpoint: String,
-            zX1e3Min: Long = 3500L): StreamingQuery =
+            zX1e3Min: Long = 3500L, seasonal: Boolean = false): StreamingQuery =
     events.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
@@ -57,7 +60,9 @@ object AnomalyStream {
             .unionByName(batchHourly)
             .groupBy("name", "hour").agg(sum("n").as("n"))
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-          val flags = Aggregates.robustAnomalyFromHourly(merged, zX1e3Min)
+          val flags =
+            if (seasonal) Aggregates.seasonalAnomalyFromHourly(merged, zX1e3Min)
+            else Aggregates.robustAnomalyFromHourly(merged, zX1e3Min)
           flags.join(batchHourly.select("name", "hour"), Seq("name", "hour"),
               "left_semi")
             .withColumn("batch_id", lit(batchId))

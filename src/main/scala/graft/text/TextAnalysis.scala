@@ -196,6 +196,24 @@ object TextAnalysis {
       langId(col("text")).as("lang_pred") +: scoreCols): _*)
   }
 
+  /** Language-label CONFUSION matrix — lang metadata vs [[langId]]'s
+    * prediction, per (label, pred) cell with the within-label share. The
+    * label-quality audit run before anyone trains per-language models on
+    * the `lang` column: a source whose "en" rows predict 30% "de" has a
+    * metadata problem, not a language distribution. One map-only pass
+    * into a |langs|²-bounded hash-agg; the share window runs on that
+    * tiny frame. */
+  def langIdConfusion(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    langIdDf(docs)
+      .groupBy("lang_label", "lang_pred")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("label_total",
+        sum(col("n")).over(Window.partitionBy("lang_label")))
+      .withColumn("share_permille", expr("n * 1000 DIV label_total"))
+      .withColumn("is_diagonal", col("lang_label") === col("lang_pred"))
+  }
+
   def quality(docs: DataFrame): DataFrame = {
     val qc = qualityColumns(col("text"))
     docs.select(col("doc_id"),

@@ -184,6 +184,23 @@ class DedupSpec extends SparkSpec {
     assert(sigs(0) == sigs(1))
   }
 
+  test("blockingRecall: identical pair counted and caught; sub-tau pairs excluded") {
+    val base = "the quick brown fox jumps over the lazy dog near the riverbank today"
+    val docs = Seq(
+      (11L, base), (22L, base),                          // identical: band 10
+      (33L, "entirely unrelated content about spark physical plans and shuffles"),
+      (44L, base + " with a couple extra words")          // high-band near-dup
+    ).toDF("doc_id", "text")
+    val out = graft.dedup.Dedup.blockingRecall(docs, sampleMod = 11L).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // identical pair lands in band 10 with recall 1000
+    assert(out(10L)._1 >= 1L && out(10L)._2 == out(10L)._1 && out(10L)._3 == 1000L)
+    // every reported band is at or above tau (500 -> band >= 5)
+    assert(out.keySet.forall(_ >= 5L))
+    // no band reports more caught than true
+    out.values.foreach { case (t, c, _) => assert(c <= t) }
+  }
+
   test("dupAttribution: origin = min-doc source; copies attributed per pair") {
     val docs = Seq(
       // cluster 1: origin A (doc 1), one copy in B (normalization folds case/ws)

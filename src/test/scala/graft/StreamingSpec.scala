@@ -386,6 +386,49 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == oneShot)
   }
 
+  test("streaming seasonal anomaly: per-hod baseline across batches == " +
+    "the one-shot seasonal operator on the concatenation") {
+    val root = "/tmp/graft_seasonal_stream_spec"
+    rm(root)
+    import TestSpark.spark.implicits._
+    def ts(d: Int, h: Int, m: Int) =
+      java.sql.Timestamp.valueOf(f"2024-01-0$d $h%02d:$m%02d:00")
+    def drain(): Unit = {
+      val stream = spark.readStream.schema("name STRING, ts TIMESTAMP")
+        .option("maxFilesPerTrigger", 1).parquet(s"$root/in/*")
+      val q = graft.streaming.AnomalyStream.start(
+        stream, s"$root/state", s"$root/ckpt", seasonal = true)
+      q.awaitTermination()
+    }
+    // batch 1 = days 1..4 of the diurnal pattern: hod 3 quiet (10),
+    // hod 15 busy (100)
+    val b1 = (1 to 4).flatMap(d =>
+      (0 until 10).map(m => ("e", ts(d, 3, m))) ++
+        (0 until 100).map(m => ("e", ts(d, 15, m % 60))))
+    b1.toDF("name", "ts").coalesce(1).write.parquet(s"$root/in/b1")
+    drain()
+    // batch 2 = day 5: hod 3 SPIKES to 100 (seasonal outlier), hod 15
+    // stays at its normal 100
+    val b2 = (0 until 100).map(m => ("e", ts(5, 3, m % 60))) ++
+      (0 until 100).map(m => ("e", ts(5, 15, m % 60)))
+    b2.toDF("name", "ts").coalesce(1).write.parquet(s"$root/in/b2")
+    drain()
+    val f2 = spark.read.parquet(s"$root/state/flags")
+      .filter(col("batch_id") === 1).select("hod", "n", "is_outlier")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(f2.size == 2)
+    assert(f2(3L) == ((100L, true)), "the 3 a.m. spike flags against its hod history")
+    assert(f2(15L) == ((100L, false)), "the same count at 3 p.m. is normal")
+    // parity: flags == the one-shot seasonal operator on b1 ++ b2
+    val oneShot = graft.operators.Aggregates.seasonalAnomalyFromHourly(
+      graft.operators.Aggregates.hourlyCounts((b1 ++ b2).toDF("name", "ts")))
+      .filter(col("hour") >= ts(5, 0, 0)).select("hod", "n", "is_outlier")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(oneShot == f2)
+  }
+
   test("streaming robust anomaly: batch cells judged against the ALL-" +
     "history baseline; accumulated table equals the one-shot hourly agg") {
     val root = "/tmp/graft_anomaly_stream_spec"

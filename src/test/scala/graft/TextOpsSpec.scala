@@ -951,6 +951,21 @@ class TextOpsSpec extends SparkSpec {
     assert(out(5L).getString(11) == "digit")
   }
 
+  test("langIdConfusion: diagonal vs mislabel cells with within-label shares") {
+    val docs = Seq(
+      (1L, "the cat is on the mat and the dog is here", "en"),
+      (2L, "the cat is on the mat and the dog is there", "en"),
+      (3L, "the bird is in the tree by the house", "de"),  // mislabeled: predicts en
+      (4L, "xyzzy qwerty plugh", "en")                      // no markers: und
+    ).toDF("doc_id", "text", "lang")
+    val out = graft.text.TextAnalysis.langIdConfusion(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(5)))).toMap
+    assert(out(("en", "en")) == ((2L, 3L, 666L, true)))
+    assert(out(("en", "und")) == ((1L, 3L, 333L, false)))
+    assert(out(("de", "en")) == ((1L, 1L, 1000L, false)))
+  }
+
   test("excise: benchmark-quoted token spans cut out, clean docs untouched") {
     val docs = Seq(
       (0L, "alpha beta gamma delta"),  // id%5==0 → the benchmark doc
