@@ -1220,6 +1220,16 @@ object SparkEntry {
     "q220_langid_confusion" -> ((s, d) =>
       text.TextAnalysis.langIdConfusion(docs(s, d))),
 
+    // rank-average quality ensemble: three signals → bounded-histogram
+    // CDF ranks → mean rank (scale-free multi-filter blending)
+    "q221_ensemble_rank" -> ((s, d) =>
+      text.CorpusOps.ensembleRank(docs(s, d))),
+
+    // shared-prefix mass at depths 1..3: the prefix-cache hit estimator
+    // over template-normalized conversation openings
+    "q222_prefix_cache" -> ((s, d) =>
+      operators.Conversations.sharedPrefixMass(Transcripts.loadCanonical(s, d))),
+
     // dead-letter triage: quarantine rows clustered by digit-collapsed
     // failure template, over q164's mangled fixture
     "q218_dead_letter_templates" -> ((s, d) => {
@@ -3788,6 +3798,86 @@ SELECT lang_label, lang_pred, n, label_total,
   lang_label = lang_pred AS is_diagonal
 FROM m2"""
     },
+
+    // rank-average ensemble: three signal CDFs from bounded histograms
+    "q221_ensemble_rank" -> {
+      val stopCond = text.TextAnalysis.stopwords.map(w => s"t = '$w'").mkString(" OR ")
+      val W = text.Repetition.TopTokenWindow
+      s"""
+WITH f AS (
+  SELECT doc_id,
+    CASE WHEN len(th) > 0
+      THEN CAST(floor(CAST(COALESCE(list_aggregate(
+             list_transform(th, h -> (h % 2001) - 1000), 'sum'), 0) AS BIGINT)
+           * 1000.0 / len(th)) AS BIGINT)
+      ELSE CAST(0 AS BIGINT) END AS logit_x1e3,
+    1000 - (CASE WHEN len(toks) > 0
+      THEN CAST(floor(CAST(len(list_filter(toks, t -> $stopCond)) * 1000
+           AS DOUBLE) / len(toks)) AS BIGINT)
+      ELSE CAST(0 AS BIGINT) END) AS stop_inv,
+    1000 - (CASE WHEN len(th) > 0
+      THEN CAST(floor(CAST(list_max(list_transform(list_distinct(th[1:$W]),
+             d -> len(list_filter(th[1:$W], x -> x = d)))) * 1000.0 AS DOUBLE)
+           / least(len(th), $W)) AS BIGINT)
+      ELSE CAST(0 AS BIGINT) END) AS rep_inv
+  FROM (SELECT doc_id, $oToks AS toks, $oTokHashes AS th FROM documents) x),
+b AS (
+  SELECT doc_id, logit_x1e3, stop_inv, rep_inv,
+    CAST(floor(logit_x1e3 / 50000.0) AS BIGINT) AS b1,
+    CAST(floor(stop_inv / 25.0) AS BIGINT) AS b2,
+    CAST(floor(rep_inv / 25.0) AS BIGINT) AS b3
+  FROM f),
+h1 AS (SELECT b1 AS bucket, CAST(count(*) AS BIGINT) AS n FROM b GROUP BY 1),
+h2 AS (SELECT b2 AS bucket, CAST(count(*) AS BIGINT) AS n FROM b GROUP BY 1),
+h3 AS (SELECT b3 AS bucket, CAST(count(*) AS BIGINT) AS n FROM b GROUP BY 1),
+c1 AS (SELECT bucket, CAST(COALESCE(sum(n) OVER (ORDER BY bucket
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) * 1000
+    // CAST((SELECT sum(n) FROM h1) AS BIGINT) AS BIGINT) AS rank1 FROM h1),
+c2 AS (SELECT bucket, CAST(COALESCE(sum(n) OVER (ORDER BY bucket
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) * 1000
+    // CAST((SELECT sum(n) FROM h2) AS BIGINT) AS BIGINT) AS rank2 FROM h2),
+c3 AS (SELECT bucket, CAST(COALESCE(sum(n) OVER (ORDER BY bucket
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) * 1000
+    // CAST((SELECT sum(n) FROM h3) AS BIGINT) AS BIGINT) AS rank3 FROM h3)
+SELECT doc_id, logit_x1e3, stop_inv, rep_inv,
+  c1.rank1 AS rank_clf, c2.rank2 AS rank_stop, c3.rank3 AS rank_rep,
+  CAST((c1.rank1 + c2.rank2 + c3.rank3) // 3 AS BIGINT) AS ensemble_permille,
+  (c1.rank1 + c2.rank2 + c3.rank3) // 3 >= 500 AS keep
+FROM b JOIN c1 ON b.b1 = c1.bucket JOIN c2 ON b.b2 = c2.bucket
+  JOIN c3 ON b.b3 = c3.bucket"""
+    },
+
+    // prefix-cache mass: per-conv first-d template keys, depth 1..3
+    "q222_prefix_cache" -> withCtes(
+      "tt" -> """SELECT conv_id, turn_idx,
+    md5(role || ':' || regexp_replace(lower(text), '[0-9]+', '0', 'g')) AS tt
+  FROM transcripts WHERE turn_idx < 3""",
+      "pc" -> """SELECT conv_id, list(tt ORDER BY turn_idx) AS tts
+  FROM tt GROUP BY conv_id""",
+      "g1" -> """SELECT md5(array_to_string(tts[1:1], '|')) AS pfx,
+    CAST(count(*) AS BIGINT) AS n FROM pc WHERE len(tts) >= 1 GROUP BY 1""",
+      "g2" -> """SELECT md5(array_to_string(tts[1:2], '|')) AS pfx,
+    CAST(count(*) AS BIGINT) AS n FROM pc WHERE len(tts) >= 2 GROUP BY 1""",
+      "g3" -> """SELECT md5(array_to_string(tts[1:3], '|')) AS pfx,
+    CAST(count(*) AS BIGINT) AS n FROM pc WHERE len(tts) >= 3 GROUP BY 1""",
+      "s1" -> """SELECT CAST(1 AS BIGINT) AS depth, CAST(sum(n) AS BIGINT) AS n_convs,
+    CAST(count(*) AS BIGINT) AS n_prefixes,
+    CAST(COALESCE(sum(CASE WHEN n >= 2 THEN n END), 0) AS BIGINT) AS n_convs_shared,
+    CAST(COALESCE(sum(CASE WHEN n >= 2 THEN n - 1 END), 0) AS BIGINT) AS n_cache_hits
+  FROM g1""",
+      "s2" -> """SELECT CAST(2 AS BIGINT) AS depth, CAST(sum(n) AS BIGINT) AS n_convs,
+    CAST(count(*) AS BIGINT) AS n_prefixes,
+    CAST(COALESCE(sum(CASE WHEN n >= 2 THEN n END), 0) AS BIGINT) AS n_convs_shared,
+    CAST(COALESCE(sum(CASE WHEN n >= 2 THEN n - 1 END), 0) AS BIGINT) AS n_cache_hits
+  FROM g2""",
+      "s3" -> """SELECT CAST(3 AS BIGINT) AS depth, CAST(sum(n) AS BIGINT) AS n_convs,
+    CAST(count(*) AS BIGINT) AS n_prefixes,
+    CAST(COALESCE(sum(CASE WHEN n >= 2 THEN n END), 0) AS BIGINT) AS n_convs_shared,
+    CAST(COALESCE(sum(CASE WHEN n >= 2 THEN n - 1 END), 0) AS BIGINT) AS n_cache_hits
+  FROM g3""")("""
+SELECT depth, n_convs, n_prefixes, n_convs_shared, n_cache_hits,
+  CAST(n_cache_hits * 1000 // greatest(n_convs, 1) AS BIGINT) AS hit_permille
+FROM (SELECT * FROM s1 UNION ALL SELECT * FROM s2 UNION ALL SELECT * FROM s3) u"""),
 
     // dead-letter template triage over q164's mangled fixture
     "q218_dead_letter_templates" -> withCtes(

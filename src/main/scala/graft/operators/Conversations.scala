@@ -565,4 +565,42 @@ object Conversations {
       .groupBy("pattern").agg(count(lit(1)).as("support"))
       .filter(col("support") >= minSupport)
   }
+
+  /** Shared-PREFIX mass — the serving-side prefix-cache estimator: at
+    * each prefix depth d (the first d turns, template-normalized), how
+    * many conversations share their prefix with at least one other, and
+    * what fraction of conversations would hit a warm prefix cache
+    * (hits = Σ over shared prefixes of n−1: the first arrival seeds, the
+    * rest hit). High depth-2 mass means system-prompt + first-user-turn
+    * templating dominates — exactly what prefix caching monetizes.
+    *
+    * Shape: first-d turns only (turn_idx is 0-based) flow through ONE
+    * conv_id exchange into a per-conv template sequence; each fixed
+    * depth then aggregates the narrow |convs|-row frame by its md5
+    * prefix key. Conversations shorter than d skip depth d. */
+  def sharedPrefixMass(transcripts: DataFrame, maxDepth: Int = 3): DataFrame = {
+    val tt = md5(concat_ws(":", col("role"),
+      regexp_replace(lower(col("text")), "[0-9]+", "0")).cast("binary"))
+    val perConv = transcripts.filter(col("turn_idx") < maxDepth)
+      .select(col("conv_id"), col("turn_idx"), tt.as("tt"))
+      .groupBy("conv_id")
+      .agg(array_sort(collect_list(struct(col("turn_idx"), col("tt"))))
+        .getField("tt").as("tts"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    (1 to maxDepth).map { d =>
+      perConv.filter(size(col("tts")) >= d)
+        .select(md5(array_join(slice(col("tts"), 1, d), "|").cast("binary"))
+          .as("pfx"))
+        .groupBy("pfx").agg(count(lit(1)).as("n"))
+        .agg(sum("n").as("n_convs"),
+          count(lit(1)).as("n_prefixes"),
+          sum(when(col("n") >= 2, col("n")).otherwise(0L)).as("n_convs_shared"),
+          sum(when(col("n") >= 2, col("n") - 1).otherwise(0L)).as("n_cache_hits"))
+        .withColumn("depth", lit(d.toLong))
+    }.reduce(_ unionByName _)
+      .withColumn("hit_permille",
+        expr("n_cache_hits * 1000 DIV greatest(n_convs, 1L)"))
+      .select("depth", "n_convs", "n_prefixes", "n_convs_shared",
+        "n_cache_hits", "hit_permille")
+  }
 }

@@ -291,4 +291,70 @@ object CorpusOps {
       .select("doc_id", "lang", "logit_x1e3", "med_x2", "mad_x4",
         "z_x1e3", "above", "is_outlier")
   }
+
+  /** Multi-signal quality ENSEMBLE by rank averaging — the standard fix
+    * for "every filter has a different scale": each signal (classifier
+    * logit, inverted stopword ratio, inverted top-token repetition — all
+    * higher-better) converts to its corpus CDF rank via a BOUNDED bucket
+    * histogram, and the ensemble is the mean rank. Rank-averaging is
+    * scale-free and outlier-robust where z-averaging is neither; bucket
+    * granularity (not a corpus-wide sort) is the price that keeps it one
+    * map pass at 100 TB.
+    *
+    * Shape: ONE map pass computes all three signals off the scan
+    * (persisted, narrow); three ≤41-row histograms + CDF windows; three
+    * broadcast probes back. No corpus sort, no per-doc window. */
+  def ensembleRank(docs: DataFrame): DataFrame = {
+    val nTok = size(col("toks"))
+    val nStop = size(filter(col("toks"),
+      t => TextAnalysis.stopwords.map(w => t === w).reduce(_ || _)))
+    val stopPm = when(nTok > 0,
+      floor(nStop.cast("double") * 1000.0 / nTok).cast("long")).otherwise(0L)
+    val topPm = when(size(col("th")) > 0,
+      floor(Repetition.topTokenCount(col("th")).cast("double") * 1000.0
+        / least(size(col("th")), lit(Repetition.TopTokenWindow))).cast("long"))
+      .otherwise(0L)
+    val logit = when(col("_s.n_tokens") > 0,
+      floor(col("_s.score_sum") * lit(1000.0) / col("_s.n_tokens"))
+        .cast("long")).otherwise(0L)
+    val sig = docs
+      .select(col("doc_id"), TokenScore.scoreStruct(col("text")).as("_s"),
+        TextAnalysis.tokens(col("text")).as("toks"),
+        TextAnalysis.tokHashes(col("text")).as("th"))
+      .select(col("doc_id"), logit.as("logit_x1e3"),
+        (lit(1000L) - stopPm).as("stop_inv"), (lit(1000L) - topPm).as("rep_inv"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // CDF rank from a bounded histogram: rank = docs strictly below this
+    // bucket, as permille of the corpus (bucket-granular by design)
+    def cdf(sigCol: String, width: Long): DataFrame = {
+      val hist = sig
+        .select(floor(col(sigCol) / lit(width.toDouble)).cast("long").as("bucket"))
+        .groupBy("bucket").agg(count(lit(1)).as("n"))
+      val below = Window.orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+      hist
+        .withColumn("below", coalesce(sum("n").over(below), lit(0L)))
+        .withColumn("tot", sum("n").over(all))
+        .select(col("bucket").as(s"b_$sigCol"),
+          expr("below * 1000 DIV tot").as(s"rank_$sigCol"))
+    }
+    sig
+      .withColumn("b_logit_x1e3",
+        floor(col("logit_x1e3") / lit(50000.0)).cast("long"))
+      .withColumn("b_stop_inv", floor(col("stop_inv") / lit(25.0)).cast("long"))
+      .withColumn("b_rep_inv", floor(col("rep_inv") / lit(25.0)).cast("long"))
+      .join(broadcast(cdf("logit_x1e3", 50000L)), Seq("b_logit_x1e3"))
+      .join(broadcast(cdf("stop_inv", 25L)), Seq("b_stop_inv"))
+      .join(broadcast(cdf("rep_inv", 25L)), Seq("b_rep_inv"))
+      .withColumn("ensemble_permille",
+        expr("(rank_logit_x1e3 + rank_stop_inv + rank_rep_inv) DIV 3"))
+      .withColumn("keep", col("ensemble_permille") >= 500L)
+      .select(col("doc_id"), col("logit_x1e3"), col("stop_inv"),
+        col("rep_inv"), col("rank_logit_x1e3").as("rank_clf"),
+        col("rank_stop_inv").as("rank_stop"),
+        col("rank_rep_inv").as("rank_rep"),
+        col("ensemble_permille"), col("keep"))
+  }
 }

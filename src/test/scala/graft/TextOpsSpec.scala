@@ -951,6 +951,26 @@ class TextOpsSpec extends SparkSpec {
     assert(out(5L).getString(11) == "digit")
   }
 
+  test("ensembleRank: better signals on every axis => higher ensemble; ranks bounded") {
+    val junk = "the the the the the the the the the the"   // stopword-heavy + repetitive
+    val docs = (0L until 20L).map { i =>
+      (i, if (i < 10) junk
+          else s"informative prose number$i covering distributed shuffles topic$i cleanly")
+    }.toDF("doc_id", "text")
+    val out = graft.text.CorpusOps.ensembleRank(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(4), r.getLong(5), r.getLong(6),
+        r.getLong(7), r.getBoolean(8)))).toMap
+    out.values.foreach { case (rc, rs, rr, e, k) =>
+      assert(Seq(rc, rs, rr).forall(r => r >= 0 && r < 1000))
+      assert(e == (rc + rs + rr) / 3)
+      assert(k == (e >= 500))
+    }
+    // the junk half ranks strictly below the informative half
+    val junkMax = (0L until 10L).map(out(_)._4).max
+    val goodMin = (10L until 20L).map(out(_)._4).min
+    assert(goodMin > junkMax, s"good=$goodMin junk=$junkMax")
+  }
+
   test("langIdConfusion: diagonal vs mislabel cells with within-label shares") {
     val docs = Seq(
       (1L, "the cat is on the mat and the dog is here", "en"),

@@ -557,4 +557,23 @@ class TrainingOpsSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
     assert(again.toSet == out.toSet)
   }
+
+  test("sharedPrefixMass: template-equal openings pool; short convs skip deep levels") {
+    import TestSpark.spark.implicits._
+    val t = Seq(
+      ("c1", 0, "user", "hello 123"), ("c1", 1, "assistant", "sure 4"),
+      ("c1", 2, "user", "thanks"),
+      ("c2", 0, "user", "hello 999"), ("c2", 1, "assistant", "sure 77"),
+      ("c3", 0, "user", "different opening")
+    ).toDF("conv_id", "turn_idx", "role", "text")
+    val out = graft.operators.Conversations.sharedPrefixMass(t).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))).toMap
+    // depth 1: c1/c2 share the digit-collapsed "hello 0" opener
+    assert(out(1L) == ((3L, 2L, 2L, 1L, 333L)))
+    // depth 2: only c1/c2 are long enough, and they still share
+    assert(out(2L) == ((2L, 1L, 2L, 1L, 500L)))
+    // depth 3: c1 alone — nothing to share
+    assert(out(3L) == ((1L, 1L, 0L, 0L, 0L)))
+  }
 }
