@@ -1230,6 +1230,25 @@ object SparkEntry {
     "q222_prefix_cache" -> ((s, d) =>
       operators.Conversations.sharedPrefixMass(Transcripts.loadCanonical(s, d))),
 
+    // pairwise vocabulary TV-distance matrix between sources over the
+    // global top-K tokens + OTHER residual (frequency-shape drift)
+    "q223_vocab_drift" -> ((s, d) =>
+      text.CorpusOps.vocabDrift(docs(s, d))),
+
+    // per-source Herfindahl token concentration + effective vocabulary
+    "q224_token_concentration" -> ((s, d) =>
+      text.CorpusOps.tokenConcentration(docs(s, d))),
+
+    // inter-arrival burstiness (Fano factor) per event name from
+    // within-(name, hour) gap stats
+    "q225_inter_arrival" -> ((s, d) =>
+      operators.Aggregates.interArrival(Pipeline.parsed(s, d))),
+
+    // IVF separation margin: per-cell mean own-vs-foreign centroid cosine
+    // gap + tight-vector share (assignment-quality audit)
+    "q226_ivf_separation" -> ((s, d) =>
+      ann.Similarity.separationMargin(vecs(s, d))),
+
     // dead-letter triage: quarantine rows clustered by digit-collapsed
     // failure template, over q164's mangled fixture
     "q218_dead_letter_templates" -> ((s, d) => {
@@ -3878,6 +3897,91 @@ FROM b JOIN c1 ON b.b1 = c1.bucket JOIN c2 ON b.b2 = c2.bucket
 SELECT depth, n_convs, n_prefixes, n_convs_shared, n_cache_hits,
   CAST(n_cache_hits * 1000 // greatest(n_convs, 1) AS BIGINT) AS hit_permille
 FROM (SELECT * FROM s1 UNION ALL SELECT * FROM s2 UNION ALL SELECT * FROM s3) u"""),
+
+    // pairwise vocabulary TV distance over global top-20 tokens + OTHER
+    "q223_vocab_drift" -> s"""
+WITH cnt AS (
+  SELECT source, tok, CAST(count(*) AS BIGINT) AS n
+  FROM (SELECT source, unnest($oToks) AS tok FROM documents) e
+  GROUP BY 1, 2),
+tot AS (SELECT source, CAST(sum(n) AS BIGINT) AS tot FROM cnt GROUP BY 1),
+topk AS (
+  SELECT tok FROM (
+    SELECT tok, row_number() OVER (ORDER BY sum(n) DESC, tok) AS rk
+    FROM cnt GROUP BY tok) x
+  WHERE rk <= 20),
+grid AS (
+  SELECT t.source, k.tok,
+    CAST(COALESCE(c.n, 0) * 1000000 // t.tot AS BIGINT) AS ppm
+  FROM tot t CROSS JOIN topk k
+  LEFT JOIN cnt c ON c.source = t.source AND c.tok = k.tok),
+oth AS (
+  SELECT source, 1000000 - CAST(sum(ppm) AS BIGINT) AS other_ppm
+  FROM grid GROUP BY 1)
+SELECT a.source AS src_a, b.source AS src_b,
+  CAST((sum(abs(a.ppm - b.ppm)) + abs(oa.other_ppm - ob.other_ppm)) // 2
+    AS BIGINT) AS tv_ppm
+FROM grid a JOIN grid b ON a.tok = b.tok AND a.source < b.source
+JOIN oth oa ON oa.source = a.source
+JOIN oth ob ON ob.source = b.source
+GROUP BY a.source, b.source, oa.other_ppm, ob.other_ppm""",
+
+    // per-source Herfindahl concentration + effective vocabulary
+    "q224_token_concentration" -> s"""
+WITH cnt AS (
+  SELECT source, tok, CAST(count(*) AS BIGINT) AS n
+  FROM (SELECT source, unnest($oToks) AS tok FROM documents) e
+  GROUP BY 1, 2),
+agg AS (
+  SELECT source, CAST(sum(n) AS BIGINT) AS n_tokens,
+    CAST(count(*) AS BIGINT) AS n_distinct,
+    sum(CAST(n AS HUGEINT) * n) AS sum_sq
+  FROM cnt GROUP BY 1)
+SELECT source, n_tokens, n_distinct,
+  CAST(sum_sq * 1000000 // (CAST(n_tokens AS HUGEINT) * n_tokens)
+    AS BIGINT) AS hhi_ppm,
+  CAST(CAST(n_tokens AS HUGEINT) * n_tokens * 1000 // sum_sq
+    AS BIGINT) AS eff_vocab_x1e3
+FROM agg""",
+
+    // inter-arrival burstiness: within-(name, hour) gaps → per-name Fano
+    "q225_inter_arrival" -> withCtes(
+      "g" -> s"""SELECT name, epoch_us(ts)
+    - lag(epoch_us(ts)) OVER (PARTITION BY name, date_trunc('hour', ts)
+                              ORDER BY ts, conv_id, turn_idx) AS gap_us
+  FROM (SELECT $oName AS name, ts, conv_id, turn_idx FROM transcripts) e""",
+      "st" -> """SELECT name, CAST(count(*) AS BIGINT) AS n_gaps,
+    sum(CAST(gap_us AS HUGEINT)) AS sum_g,
+    sum(CAST(gap_us AS HUGEINT) * gap_us) AS sum_g2,
+    CAST(max(gap_us) AS BIGINT) AS max_gap_us
+  FROM g WHERE gap_us IS NOT NULL GROUP BY 1""")("""
+SELECT name, n_gaps,
+  CAST(sum_g // n_gaps AS BIGINT) AS mean_gap_us, max_gap_us,
+  CAST((n_gaps * sum_g2 - sum_g * sum_g) * 1000 // (n_gaps * sum_g)
+    AS BIGINT) AS fano_x1e3
+FROM st"""),
+
+    // IVF separation margin per cell (centroidMod=25, tight < 0.05)
+    "q226_ivf_separation" -> s"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+c AS (SELECT vec_id AS cent_id, e AS ce FROM v WHERE vec_id % 25 = 0),
+scored AS (
+  SELECT v.vec_id, c.cent_id, ${oCos("v.e", "c.ce")} AS cos,
+    row_number() OVER (PARTITION BY v.vec_id
+                       ORDER BY ${oCos("v.e", "c.ce")} DESC, c.cent_id) AS rn
+  FROM v CROSS JOIN c),
+top2 AS (
+  SELECT vec_id,
+    max(CASE WHEN rn = 1 THEN cent_id END) AS cent_id,
+    CAST(floor((max(CASE WHEN rn = 1 THEN cos END)
+      - max(CASE WHEN rn = 2 THEN cos END)) * 1000) AS BIGINT) AS margin
+  FROM scored WHERE rn <= 2 GROUP BY vec_id
+  HAVING count(*) = 2)
+SELECT cent_id, CAST(count(*) AS BIGINT) AS n_vecs,
+  CAST(sum(margin) // count(*) AS BIGINT) AS mean_margin_x1e3,
+  CAST(sum(CASE WHEN margin < 50 THEN 1 ELSE 0 END) * 1000 // count(*)
+    AS BIGINT) AS tight_permille
+FROM top2 GROUP BY cent_id""",
 
     // dead-letter template triage over q164's mangled fixture
     "q218_dead_letter_templates" -> withCtes(

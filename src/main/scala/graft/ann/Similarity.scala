@@ -177,6 +177,51 @@ object Similarity {
       .select("cent_id", "n_vecs", "share_permille", "imbalance_x1e3", "hot")
   }
 
+  /** IVF separation margin — the silhouette-style assignment-quality
+    * audit: per vector, the cosine gap between its own centroid and the
+    * best FOREIGN centroid (margin ≥ 0 by construction since assignment
+    * is argmax), rolled up per cell as mean margin and the share of
+    * "tight" vectors sitting within 0.05 cosine of a foreign centroid.
+    * ivfCellStats (q216) says whether cells are BALANCED; this says
+    * whether they are SEPARATED — a balanced index whose vectors all sit
+    * on cell borders still searches badly at nprobe=1, and a high tight
+    * share is the signal to raise nprobe or retrain with more centroids.
+    *
+    * Per-vector margin is floor(1000·(cos_best − cos_second)) — one floor
+    * over the double gap, so the per-cell sums/means stay integer-exact
+    * for the oracle. Scale shape: ivfAssign's broadcast n×k pass, but the
+    * per-vector top-2 collapses MAP-SIDE via a k-bounded collect+sort
+    * (partial aggregation: each task reduces its k candidate rows before
+    * the exchange carries one row per vector); the cell rollup is a
+    * second hash-agg to a |cells|-row frame. No window over the n×k
+    * frame, no join back. */
+  def separationMargin(vecs: DataFrame, centroidMod: Int = 25,
+                       tightX1e3: Long = 50L): DataFrame = {
+    val cents = ivfCentroids(vecs, centroidMod)
+    val top2 = vecs.crossJoin(broadcast(cents))
+      .select(col("vec_id"),
+        struct(cosine(col("embedding"), col("cent_emb")).as("cos"),
+          (-col("cent_id")).cast("double").as("nid"),
+          col("cent_id")).as("cand"))
+      .groupBy("vec_id")
+      .agg(slice(reverse(array_sort(collect_list(col("cand")))), 1, 2)
+        .as("top2"))
+      .filter(size(col("top2")) === 2)
+      .select(col("vec_id"),
+        col("top2")(0).getField("cent_id").as("cent_id"),
+        floor((col("top2")(0).getField("cos")
+          - col("top2")(1).getField("cos")) * 1000.0).cast("long")
+          .as("margin_x1e3"))
+    top2.groupBy("cent_id").agg(
+        count(lit(1)).as("n_vecs"),
+        sum("margin_x1e3").as("sum_margin"),
+        sum(when(col("margin_x1e3") < tightX1e3, 1L).otherwise(0L))
+          .as("n_tight"))
+      .select(col("cent_id"), col("n_vecs"),
+        expr("sum_margin DIV n_vecs").as("mean_margin_x1e3"),
+        expr("n_tight * 1000 DIV n_vecs").as("tight_permille"))
+  }
+
   /** IVF top-k: queries search only their own cell (nprobe=1; callers
     * union more cells for recall). Mirrors bucketedTopK with the cell id
     * as the equi-join key. */

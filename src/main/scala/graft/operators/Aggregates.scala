@@ -310,6 +310,52 @@ object Aggregates {
       .select("src_file", "n_events", "max_ts", "lag_hours", "stale")
   }
 
+  /** Inter-arrival burstiness per event name — the timing-MICROSTRUCTURE
+    * monitor: volume detectors (q141/q186/q208) see how many events land
+    * per hour; this sees HOW they land within the hour. A steady drip and
+    * a once-an-hour burst of the same volume are indistinguishable to
+    * every hourly counter but behave completely differently against
+    * sinks, rate limits, and autoscaling. The Fano factor
+    * (variance÷mean of the gap distribution, ×1000) is the standard
+    * dispersion index: ≈ mean_gap for a memoryless Poisson drip, far
+    * above it for bursty arrival, near 0 for a metronome.
+    *
+    * Gaps are within-(name, hour) only — the lag window partitions on
+    * (name, hour), so no partition outgrows one hour of one event's
+    * traffic (a per-name-only window would funnel each event's full
+    * history through one reducer: the 100 TB anti-pattern). Gap stats are
+    * sum-mergeable across hours: Σg, Σg², n pool into the per-name
+    * rollup exactly. Fano = (n·Σg² − (Σg)²) ÷ (n·Σg) with Σg² carried in
+    * DECIMAL (a long Σg² overflows at ~3 µs-gap-squared × 10⁶ rows);
+    * everything is floor division on non-negative integers so the oracle
+    * hash-matches. */
+  def interArrival(parsed: DataFrame): DataFrame = {
+    val w = Window
+      .partitionBy(col("name"), date_trunc("hour", col("ts")))
+      .orderBy(col("ts"), col("conv_id"), col("turn_idx"))
+    // ts is TIMESTAMP_NTZ; unix_micros needs TIMESTAMP — the cast is an
+    // identity relabel under the engine's fixed UTC session timezone.
+    val us = unix_micros(col("ts").cast("timestamp"))
+    val gaps = parsed
+      .select(col("name"), col("ts"), col("conv_id"), col("turn_idx"))
+      .withColumn("gap_us", us - lag(us, 1).over(w))
+      .filter(col("gap_us").isNotNull)
+    gaps.groupBy("name").agg(
+        count(lit(1)).as("n_gaps"),
+        sum(col("gap_us").cast("decimal(18,0)")).as("sum_g"),
+        sum(col("gap_us").cast("decimal(18,0)")
+          * col("gap_us").cast("decimal(18,0)")).as("sum_g2"),
+        max("gap_us").as("max_gap_us"))
+      // DIV (IntegralDivide), not floor(a/b): Spark decimal `/` rounds
+      // HALF_UP at the result scale before the floor and can cross an
+      // integer boundary; DIV is the exact integral quotient.
+      .select(col("name"), col("n_gaps"),
+        expr("sum_g DIV n_gaps").as("mean_gap_us"),
+        col("max_gap_us"),
+        expr("""(n_gaps * sum_g2 - sum_g * sum_g) * 1000
+                DIV (n_gaps * sum_g)""").as("fano_x1e3"))
+  }
+
   /** A7/E11: lineage fold — max/min offset + count per source file, the
     * `(file, offset, status)` checkpoint analog
     * (`pkg/app/process_session.go:137-177`; `pkg/status/status.go:273-297`). */

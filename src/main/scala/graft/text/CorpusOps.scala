@@ -357,4 +357,92 @@ object CorpusOps {
         col("rank_rep_inv").as("rank_rep"),
         col("ensemble_permille"), col("keep"))
   }
+
+  /** Pairwise vocabulary drift between sources: total-variation distance
+    * (in ppm) between each pair of sources' token-frequency distributions,
+    * restricted to the global top-K tokens plus an aggregated OTHER
+    * bucket. This is the distribution-SHAPE complement of q117 (which
+    * compares language mixes vs the corpus) and q195 (which compares
+    * membership via HLL): two feeds can share every token and language
+    * and still diverge hard in frequency — template spam, topic shift, a
+    * scraper that started hitting a different site section — and TV over
+    * the head vocabulary is the standard cheap detector.
+    *
+    * TV = ½·Σ|p−q| with p/q as integer ppm (cnt·10⁶ DIV total); the OTHER
+    * bucket is the exact residual 10⁶ − Σ head ppm, so both engines do
+    * identical integer arithmetic — no logs (KL/JS would need them; TV is
+    * the rational-exact member of the f-divergence family).
+    *
+    * Scale shape: ONE explode pass into a (source, tok) hash-agg (the
+    * grid is vocabulary-bounded, Zipf-small next to the corpus); the
+    * top-K pick is a window over the vocabulary aggregate; everything
+    * pairwise runs on the dense |sources|×(K+1) grid — broadcast-sized at
+    * any corpus scale. */
+  def vocabDrift(docs: DataFrame, k: Int = 20): DataFrame = {
+    val counts = docs
+      .select(col("source"), explode(TextAnalysis.tokens(col("text"))).as("tok"))
+      .groupBy("source", "tok").agg(count(lit(1)).as("n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tots = counts.groupBy("source").agg(sum("n").as("tot"))
+    val topk = counts.groupBy("tok").agg(sum("n").as("gn"))
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("gn").desc, col("tok"))))
+      .filter(col("rk") <= k).select("tok")
+    // dense grid: every source × every head token, absent counts = 0
+    val grid = tots.crossJoin(broadcast(topk))
+      .join(counts, Seq("source", "tok"), "left")
+      .select(col("source"), col("tok"),
+        expr("coalesce(n, 0L) * 1000000 DIV tot").as("ppm"))
+    val other = grid.groupBy("source")
+      .agg((lit(1000000L) - sum("ppm")).as("other_ppm"))
+    val a = grid.select(col("source").as("src_a"), col("tok"),
+      col("ppm").as("ppm_a"))
+    val b = grid.select(col("source").as("src_b"), col("tok"),
+      col("ppm").as("ppm_b"))
+    val headL1 = a.join(b, "tok").filter(col("src_a") < col("src_b"))
+      .groupBy("src_a", "src_b")
+      .agg(sum(abs(col("ppm_a") - col("ppm_b"))).as("head_l1"))
+    headL1
+      .join(broadcast(other.select(col("source").as("src_a"),
+        col("other_ppm").as("oa"))), "src_a")
+      .join(broadcast(other.select(col("source").as("src_b"),
+        col("other_ppm").as("ob"))), "src_b")
+      .select(col("src_a"), col("src_b"),
+        expr("(head_l1 + abs(oa - ob)) DIV 2").as("tv_ppm"))
+  }
+
+  /** Per-source token-concentration profile: Herfindahl index (collision
+    * probability, in ppm) of the token-frequency distribution plus the
+    * implied effective vocabulary size (1/HHI, ×1000). diversityStats
+    * (q190) reports how much of the stream is DISTINCT; this reports how
+    * the mass that remains is DISTRIBUTED — a source can be 99% distinct
+    * shingles yet have half its token mass in one token (prompt headers,
+    * boilerplate glue), which HHI flags and distinct-fraction cannot.
+    * Rational-exact Simpson/Herfindahl (Σc²/N²) instead of Shannon
+    * entropy: entropy needs logs and engine-ordered float accumulation,
+    * which breaks bit-for-bit oracle parity; 1/HHI is the Hill number of
+    * order 2, the standard log-free "effective classes" diversity.
+    *
+    * Scale shape: the same single (source, tok) hash-agg as vocabDrift;
+    * Σc² runs over the vocabulary-bounded aggregate in DECIMAL(38,0) (a
+    * long Σc² overflows once any token passes ~3×10⁹ instances). */
+  def tokenConcentration(docs: DataFrame): DataFrame = {
+    val counts = docs
+      .select(col("source"), explode(TextAnalysis.tokens(col("text"))).as("tok"))
+      .groupBy("source", "tok").agg(count(lit(1)).as("n"))
+    counts.groupBy("source").agg(
+        sum("n").as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        sum(col("n").cast("decimal(18,0)") * col("n").cast("decimal(18,0)"))
+          .as("sum_sq"))
+      // DIV (IntegralDivide), not floor(a/b): Spark decimal `/` rounds
+      // HALF_UP at the result scale BEFORE the floor, which can cross an
+      // integer boundary; DIV computes the exact integral quotient.
+      .select(col("source"), col("n_tokens"), col("n_distinct"),
+        expr("""(sum_sq * 1000000)
+                DIV (CAST(n_tokens AS DECIMAL(18,0)) * n_tokens)""")
+          .as("hhi_ppm"),
+        expr("""(CAST(n_tokens AS DECIMAL(18,0)) * n_tokens * 1000)
+                DIV sum_sq""").as("eff_vocab_x1e3"))
+  }
 }

@@ -719,4 +719,24 @@ class OperatorsSpec extends SparkSpec {
     assert(global.filter(_._1 == 100L).forall(!_._2),
       "global baseline misses the seasonal spike entirely")
   }
+
+  test("interArrival: hand-computed Fano, hour-boundary gaps excluded") {
+    import TestSpark.spark.implicits._
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val parsed = Seq(
+      ("a", t("2024-01-01 00:00:00"), "c1", 0L),
+      ("a", t("2024-01-01 00:00:10"), "c1", 1L),   // gap 1e7 µs
+      ("a", t("2024-01-01 00:00:30"), "c1", 2L),   // gap 2e7 µs
+      ("a", t("2024-01-01 01:00:05"), "c1", 3L),   // hour boundary: dropped
+      ("a", t("2024-01-01 01:00:10"), "c1", 4L),   // gap 5e6 µs
+      ("b", t("2024-01-01 00:00:00"), "c1", 5L)    // lone event: no gaps
+    ).toDF("name", "ts", "conv_id", "turn_idx")
+    val out = operators.Aggregates.interArrival(parsed).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // n=3, Σg=3.5e7, Σg²=5.25e14 → mean = 11666666,
+    // fano = (3·5.25e14 − 3.5e7²)·1000 ÷ (3·3.5e7) = 3333333333
+    assert(out("a") == ((3L, 11666666L, 20000000L, 3333333333L)))
+    assert(!out.contains("b"), "a single event has no inter-arrival gap")
+  }
 }

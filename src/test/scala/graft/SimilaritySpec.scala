@@ -238,4 +238,23 @@ class SimilaritySpec extends SparkSpec {
     assert(out(5L) == ((1L, 111L, 2333L, false)))
     assert(out(10L) == ((1L, 111L, 2333L, false)))
   }
+
+  test("separationMargin: exact margins on 3-4-5 vectors, per-cell rollup") {
+    import TestSpark.spark.implicits._
+    // centroids (ids ≡ 0 mod 25) on the axes; members with exact-norm
+    // float embeddings so every cosine is a terminating double: (3,4)/5
+    // → cos = 0.6/0.8, (5,12)/13 → 5/13 and 12/13
+    val vecs = Seq(
+      0L -> Array(1f, 0f), 25L -> Array(0f, 1f),
+      1L -> Array(3f, 4f),    // cos c25 = 0.8, c0 = 0.6 → margin 200
+      3L -> Array(5f, 12f)    // cos c25 = 12/13, c0 = 5/13 → margin 538
+    ).toDF("vec_id", "embedding")
+    val out = graft.ann.Similarity.separationMargin(vecs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    // cell 0: just the centroid itself (margin 1000)
+    assert(out(0L) == ((1L, 1000L, 0L)))
+    // cell 25: centroid (1000) + (3,4) at 200 + (5,12) at 538 → mean 579
+    assert(out(25L) == ((3L, (1000L + 200L + 538L) / 3, 0L)))
+  }
 }

@@ -1028,4 +1028,31 @@ class TextOpsSpec extends SparkSpec {
     val share = graft.text.Selection.prunePlanShare(docs).collect()
     assert(share.map(_.getLong(5)).sum == total / 4)
   }
+
+  test("vocabDrift: identical sources at 0, disjoint vocab at exactly 1e6") {
+    val docs = Seq(
+      (0L, "s1", "aa aa bb"), (1L, "s2", "aa aa bb"), (2L, "s3", "cc cc cc")
+    ).toDF("doc_id", "source", "text")
+    val out = graft.text.CorpusOps.vocabDrift(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(out(("s1", "s2")) == 0L, "identical distributions")
+    // s1 vs s3: (|666666−0| + |333333−0| + |0−1e6| + |1−0|) / 2 = 1e6
+    assert(out(("s1", "s3")) == 1000000L, "disjoint distributions")
+    assert(out.keySet == Set(("s1", "s2"), ("s1", "s3"), ("s2", "s3")),
+      "each unordered pair exactly once")
+  }
+
+  test("tokenConcentration: uniform vs single-token Herfindahl") {
+    val docs = Seq(
+      (0L, "u", "x y z w"),    // uniform over 4 tokens
+      (1L, "c", "x x x x")     // all mass on one token
+    ).toDF("doc_id", "source", "text")
+    val out = graft.text.CorpusOps.tokenConcentration(docs).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // uniform: HHI = 4·1e6/16 = 250000, effective vocab = 4.000
+    assert(out("u") == ((4L, 4L, 250000L, 4000L)))
+    // concentrated: HHI = 1e6, effective vocab = 1.000
+    assert(out("c") == ((4L, 1L, 1000000L, 1000L)))
+  }
 }
