@@ -366,6 +366,21 @@ object Bench {
           val saRun = () => timeNoop(operators.Aggregates.seasonalAnomaly(parsedB))
           results("seasonal_anomaly") = math.min(saRun(), saRun())
 
+          // round-14 ops: vocab_drift and token_concentration share the
+          // one (source, tok) explode+hash-agg shape (drift adds the
+          // dense-grid pairwise pass on the aggregate); inter_arrival is
+          // the (name, hour) lag window + per-name moment agg over the
+          // full parsed bench corpus; ivf_separation is the broadcast
+          // n×k scan with the map-side top-2 collapse.
+          val vdRun = () => timeNoop(text.CorpusOps.vocabDrift(docs))
+          results("vocab_drift") = math.min(vdRun(), vdRun())
+          val tcRun = () => timeNoop(text.CorpusOps.tokenConcentration(docs10))
+          results("token_concentration") = math.min(tcRun(), tcRun())
+          val iaRun = () => timeNoop(operators.Aggregates.interArrival(parsedB))
+          results("inter_arrival") = math.min(iaRun(), iaRun())
+          val smRun = () => timeNoop(ann.Similarity.separationMargin(vecs))
+          results("ivf_separation") = math.min(smRun(), smRun())
+
           // lmScore/convNearDup persist their reused intermediates;
           // drop them so repeated bench runs don't accumulate cache
           spark.catalog.clearCache()

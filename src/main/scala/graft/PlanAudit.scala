@@ -217,6 +217,15 @@ object PlanAudit {
     section("seasonal anomaly (one corpus hash-agg; per-hod medians on the cached hourly frame)") {
       operators.Aggregates.seasonalAnomaly(Pipeline.parsed(spark, sfDir))
     }
+    section("vocab TV-drift (one explode into the vocab-bounded (source, tok) agg; pairwise on the dense grid)") {
+      text.CorpusOps.vocabDrift(docs)
+    }
+    section("inter-arrival Fano ((name, hour) lag window; per-name moment hash-agg)") {
+      operators.Aggregates.interArrival(Pipeline.parsed(spark, sfDir))
+    }
+    section("IVF separation margin (broadcast n-by-k scan; map-side top-2 collapse, one row per vector shuffles)") {
+      ann.Similarity.separationMargin(vecs)
+    }
     // pageRank / labelPropagation / bfsDistances / kCore are driver-side
     // unrolled loops with per-step persist+count — explain would execute
     // them; their per-step plan is the rank ⋈ edges equi-join + dst

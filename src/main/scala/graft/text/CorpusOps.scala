@@ -399,7 +399,11 @@ object CorpusOps {
       col("ppm").as("ppm_a"))
     val b = grid.select(col("source").as("src_b"), col("tok"),
       col("ppm").as("ppm_b"))
-    val headL1 = a.join(b, "tok").filter(col("src_a") < col("src_b"))
+    // the grid is |sources|×(K+1) — aggregate-sized — but it descends from
+    // joins over persisted aggregates, so Spark's size estimate is too
+    // coarse to pick the broadcast on its own (planned a sort-merge join)
+    val headL1 = a.join(broadcast(b), Seq("tok"))
+      .filter(col("src_a") < col("src_b"))
       .groupBy("src_a", "src_b")
       .agg(sum(abs(col("ppm_a") - col("ppm_b"))).as("head_l1"))
     headL1
