@@ -381,6 +381,17 @@ object Bench {
           val smRun = () => timeNoop(ann.Similarity.separationMargin(vecs))
           results("ivf_separation") = math.min(smRun(), smRun())
 
+          // round-15 ops: lateness is one per-file running-max window +
+          // |names| hash-agg; tool_pareto is one corpus hash-agg with
+          // window work on |tools| rows; reword_retries is one conv
+          // window (lag of role + distinct token set) + conv hash-agg.
+          val lpRun = () => timeNoop(operators.Aggregates.latenessProfile(parsedB))
+          results("lateness_profile") = math.min(lpRun(), lpRun())
+          val tpRun = () => timeNoop(operators.Conversations.toolCostPareto(input))
+          results("tool_pareto") = math.min(tpRun(), tpRun())
+          val rrRun = () => timeNoop(operators.Conversations.rewordRetries(input))
+          results("reword_retries") = math.min(rrRun(), rrRun())
+
           // lmScore/convNearDup persist their reused intermediates;
           // drop them so repeated bench runs don't accumulate cache
           spark.catalog.clearCache()

@@ -226,6 +226,13 @@ object PlanAudit {
     section("IVF separation margin (broadcast n-by-k scan; map-side top-2 collapse, one row per vector shuffles)") {
       ann.Similarity.separationMargin(vecs)
     }
+    section("lateness profile (per-file running-max window in read order; |names| hash-agg)") {
+      operators.Aggregates.latenessProfile(Pipeline.parsed(spark, sfDir))
+    }
+    section("reword retries (ONE conv window: lag of role + distinct token set; conv hash-agg)") {
+      operators.Conversations.rewordRetries(
+        sources.Transcripts.loadCanonical(spark, sfDir))
+    }
     // pageRank / labelPropagation / bfsDistances / kCore are driver-side
     // unrolled loops with per-step persist+count — explain would execute
     // them; their per-step plan is the rank ⋈ edges equi-join + dst

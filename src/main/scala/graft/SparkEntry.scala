@@ -1249,6 +1249,27 @@ object SparkEntry {
     "q226_ivf_separation" -> ((s, d) =>
       ann.Similarity.separationMargin(vecs(s, d))),
 
+    // watermark-lateness profile: out-of-orderness vs the per-file
+    // read-order high-water mark + loss at candidate watermark delays.
+    // The synth's ts is monotone in offset order, so a deterministic
+    // disorder fixture plants stragglers in all three loss bands.
+    "q227_lateness_profile" -> ((s, d) => {
+      val delayed = Pipeline.parsed(s, d).withColumn("ts",
+        when(col("turn_idx") % 13 === 5, col("ts") - expr("INTERVAL 90 SECONDS"))
+          .when(col("turn_idx") % 13 === 7, col("ts") - expr("INTERVAL 400 SECONDS"))
+          .when(col("turn_idx") % 13 === 11, col("ts") - expr("INTERVAL 4000 SECONDS"))
+          .otherwise(col("ts")))
+      operators.Aggregates.latenessProfile(delayed)
+    }),
+
+    // Pareto cost attribution per tool (80% head flag, integer permille)
+    "q228_tool_pareto" -> ((s, d) =>
+      operators.Conversations.toolCostPareto(Transcripts.loadCanonical(s, d))),
+
+    // reword-retry detection: adjacent same-role near-match turns
+    "q229_reword_retries" -> ((s, d) =>
+      operators.Conversations.rewordRetries(Transcripts.loadCanonical(s, d))),
+
     // dead-letter triage: quarantine rows clustered by digit-collapsed
     // failure template, over q164's mangled fixture
     "q218_dead_letter_templates" -> ((s, d) => {
@@ -3982,6 +4003,76 @@ SELECT cent_id, CAST(count(*) AS BIGINT) AS n_vecs,
   CAST(sum(CASE WHEN margin < 50 THEN 1 ELSE 0 END) * 1000 // count(*)
     AS BIGINT) AS tight_permille
 FROM top2 GROUP BY cent_id""",
+
+    // watermark lateness vs per-file read-order high-water mark
+    "q227_lateness_profile" -> withCtes(
+      "dl" -> """SELECT src_file, src_offset, text,
+    CASE WHEN turn_idx % 13 = 5 THEN ts - INTERVAL 90 SECOND
+         WHEN turn_idx % 13 = 7 THEN ts - INTERVAL 400 SECOND
+         WHEN turn_idx % 13 = 11 THEN ts - INTERVAL 4000 SECOND
+         ELSE ts END AS ts
+  FROM transcripts""",
+      "lt" -> s"""SELECT $oName AS name,
+    max(epoch_us(ts)) OVER (PARTITION BY src_file ORDER BY src_offset
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      - epoch_us(ts) AS late_us
+  FROM dl""")("""
+SELECT name, CAST(count(*) AS BIGINT) AS n_events,
+  CAST(sum(CASE WHEN late_us > 0 THEN 1 ELSE 0 END) * 1000 // count(*)
+    AS BIGINT) AS late_permille,
+  CAST(max(late_us) AS BIGINT) AS max_late_us,
+  CAST(sum(CASE WHEN late_us > 60000000 THEN 1 ELSE 0 END) * 1000
+    // count(*) AS BIGINT) AS lost_1m_permille,
+  CAST(sum(CASE WHEN late_us > 300000000 THEN 1 ELSE 0 END) * 1000
+    // count(*) AS BIGINT) AS lost_5m_permille,
+  CAST(sum(CASE WHEN late_us > 3600000000 THEN 1 ELSE 0 END) * 1000
+    // count(*) AS BIGINT) AS lost_1h_permille
+FROM lt GROUP BY name"""),
+
+    // Pareto cost attribution per tool
+    "q228_tool_pareto" -> withCtes(
+      "per" -> """SELECT tool, CAST(count(*) AS BIGINT) AS n_turns,
+    CAST(sum(length(text)) AS BIGINT) AS bytes
+  FROM transcripts GROUP BY tool""",
+      "rk" -> """SELECT tool, n_turns, bytes,
+    CAST(row_number() OVER (ORDER BY bytes DESC, tool) AS BIGINT) AS rank,
+    CAST(sum(bytes) OVER (ORDER BY bytes DESC, tool
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_bytes,
+    CAST(sum(bytes) OVER () AS BIGINT) AS total
+  FROM per""")("""
+SELECT tool, n_turns, bytes, rank,
+  CAST(bytes * 1000 // total AS BIGINT) AS share_permille,
+  CAST(cum_bytes * 1000 // total AS BIGINT) AS cum_share_permille,
+  (cum_bytes - bytes) * 1000 // total < 800 AS pareto_head
+FROM rk"""),
+
+    // reword-retry detection (adjacent same-role Jaccard >= 600 permille)
+    "q229_reword_retries" -> withCtes(
+      "p" -> s"""SELECT conv_id, turn_idx, role,
+    list_distinct($oToks) AS tset
+  FROM transcripts""",
+      "l" -> """SELECT conv_id, role, tset,
+    lag(role) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev_role,
+    lag(tset) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev_tset
+  FROM p""",
+      "j" -> """SELECT conv_id,
+    CASE WHEN prev_role IS NOT NULL AND role = prev_role THEN
+      (CASE WHEN len(list_distinct(list_concat(tset, prev_tset))) > 0
+        THEN len(list_intersect(tset, prev_tset)) * 1000
+          // len(list_distinct(list_concat(tset, prev_tset)))
+        ELSE 0 END)
+    END AS jac
+  FROM l""")("""
+SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns,
+  CAST(COALESCE(sum(CASE WHEN jac IS NOT NULL THEN 1 END), 0) AS BIGINT)
+    AS n_same_role_adj,
+  CAST(COALESCE(sum(CASE WHEN jac >= 600 THEN 1 END), 0) AS BIGINT)
+    AS n_retries,
+  CAST(COALESCE(sum(CASE WHEN jac >= 600 THEN 1 END), 0) * 1000
+    // greatest(COALESCE(sum(CASE WHEN jac IS NOT NULL THEN 1 END), 0), 1)
+    AS BIGINT) AS retry_permille,
+  CAST(max(jac) AS BIGINT) AS max_jac_permille
+FROM j GROUP BY conv_id"""),
 
     // dead-letter template triage over q164's mangled fixture
     "q218_dead_letter_templates" -> withCtes(

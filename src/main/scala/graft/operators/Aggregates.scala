@@ -356,6 +356,41 @@ object Aggregates {
                 DIV (n_gaps * sum_g)""").as("fano_x1e3"))
   }
 
+  /** Watermark-lateness profile — the out-of-orderness audit that PICKS
+    * the streaming watermark delay: per event name, how far events arrive
+    * behind the high-water mark of their source file's read order, and
+    * exactly what permille of events a 1 m / 5 m / 1 h watermark would
+    * drop as late. Lateness = running max(ts) in arrival order (src_file,
+    * src_offset) minus the event's own ts — the same definition Spark's
+    * event-time watermark applies, so the loss columns read directly as
+    * "withWatermark(X) loses this much".
+    *
+    * Scale shape: the running max partitions on src_file — the reader's
+    * natural unit (files are rotation-bounded, so no partition outgrows
+    * one file); a per-file ordered pass is exactly what any offset-ordered
+    * reader already does. The rollup is one hash-agg to |names| rows.
+    * Threshold counts are sum-mergeable, so the hourly/streaming fold of
+    * this profile is the same shape as interArrival's. */
+  def latenessProfile(parsed: DataFrame): DataFrame = {
+    val us = unix_micros(col("ts").cast("timestamp"))
+    val w = Window.partitionBy("src_file").orderBy("src_offset")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val late = parsed
+      .select(col("name"), col("src_file"), col("src_offset"), us.as("us"))
+      .withColumn("late_us", max(col("us")).over(w) - col("us"))
+    late.groupBy("name").agg(
+        count(lit(1)).as("n_events"),
+        expr("sum(CASE WHEN late_us > 0 THEN 1 ELSE 0 END) * 1000" +
+          " DIV count(1)").as("late_permille"),
+        max("late_us").as("max_late_us"),
+        expr("sum(CASE WHEN late_us > 60000000 THEN 1 ELSE 0 END) * 1000" +
+          " DIV count(1)").as("lost_1m_permille"),
+        expr("sum(CASE WHEN late_us > 300000000 THEN 1 ELSE 0 END) * 1000" +
+          " DIV count(1)").as("lost_5m_permille"),
+        expr("sum(CASE WHEN late_us > 3600000000 THEN 1 ELSE 0 END) * 1000" +
+          " DIV count(1)").as("lost_1h_permille"))
+  }
+
   /** A7/E11: lineage fold — max/min offset + count per source file, the
     * `(file, offset, status)` checkpoint analog
     * (`pkg/app/process_session.go:137-177`; `pkg/status/status.go:273-297`). */

@@ -603,4 +603,78 @@ object Conversations {
       .select("depth", "n_convs", "n_prefixes", "n_convs_shared",
         "n_cache_hits", "hit_permille")
   }
+
+  /** Pareto cost attribution per tool — the "which tools produce 80% of
+    * the byte volume" capacity report that decides where parse/storage
+    * optimization effort goes. Per tool: turn count, byte mass, share,
+    * cumulative share in descending-mass order, and the Pareto-head flag
+    * (true while the mass BEFORE this tool is under 800‰, so the head
+    * always includes the tool that crosses the 80% line and the set is
+    * prefix-closed). Integer permille throughout.
+    *
+    * Shape: one corpus hash-agg to |tools| rows; the ranking window and
+    * running sum run on that aggregate — no corpus sort. */
+  def toolCostPareto(transcripts: DataFrame, headPermille: Long = 800L): DataFrame = {
+    val per = transcripts.groupBy("tool").agg(
+      count(lit(1)).as("n_turns"),
+      sum(length(col("text")).cast("long")).as("bytes"))
+    val ord = Window.orderBy(col("bytes").desc, col("tool"))
+    val cum = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    per
+      .withColumn("rank", row_number().over(ord).cast("long"))
+      .withColumn("cum_bytes", sum(col("bytes")).over(cum))
+      .withColumn("total", sum(col("bytes")).over(all))
+      .select(col("tool"), col("n_turns"), col("bytes"), col("rank"),
+        expr("bytes * 1000 DIV total").as("share_permille"),
+        expr("cum_bytes * 1000 DIV total").as("cum_share_permille"),
+        (expr("(cum_bytes - bytes) * 1000 DIV total") < headPermille)
+          .as("pareto_head"))
+  }
+
+  /** Reword-retry detection — adjacent same-role turns whose DISTINCT
+    * token sets overlap at Jaccard ≥ τ‰: the user (or tool) re-issuing a
+    * near-identical turn after a failure. loopStats (q121) catches EXACT
+    * digit-collapsed repeats; this catches the paraphrased retry those
+    * template keys miss — the same exact-vs-near split as hash dedup vs
+    * MinHash. Per conversation: turns, adjacent same-role pairs, retries
+    * among them, retry permille, and the hottest same-role Jaccard.
+    *
+    * Shape: ONE conv_id window exchange carrying only RAW text (lag of
+    * role + text) — tokenization and the set ops run map-side after the
+    * window, so no token array rides the sort/shuffle (arrays through
+    * the exchange measured ~3× the whole-query cost); the rollup is a
+    * conv-keyed hash-agg. */
+  def rewordRetries(transcripts: DataFrame,
+                    jacPermilleMin: Long = 600L): DataFrame = {
+    val w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    def tset(c: org.apache.spark.sql.Column) =
+      array_distinct(graft.text.TextAnalysis.tokens(c))
+    val paired = transcripts
+      .select(col("conv_id"), col("turn_idx"), col("role"), col("text"))
+      .withColumn("prev_role", lag(col("role"), 1).over(w))
+      .withColumn("prev_text", lag(col("text"), 1).over(w))
+    val sameRole = col("prev_role").isNotNull && col("role") === col("prev_role")
+    paired
+      .withColumn("tset", tset(col("text")))
+      .withColumn("prev_tset", tset(col("prev_text")))
+      .withColumn("_i",
+        size(array_intersect(col("tset"), col("prev_tset"))).cast("long"))
+      .withColumn("_u",
+        size(array_union(col("tset"), col("prev_tset"))).cast("long"))
+      .withColumn("jac", when(sameRole,
+        expr("CASE WHEN _u > 0 THEN _i * 1000 DIV _u ELSE 0 END")))
+      .groupBy("conv_id").agg(
+        count(lit(1)).as("n_turns"),
+        sum(when(col("jac").isNotNull, 1L).otherwise(0L)).as("n_same_role_adj"),
+        sum(when(col("jac") >= jacPermilleMin, 1L).otherwise(0L))
+          .as("n_retries"),
+        max(coalesce(col("jac"), lit(-1L))).as("_mj"))
+      .select(col("conv_id"), col("n_turns"), col("n_same_role_adj"),
+        col("n_retries"),
+        expr("n_retries * 1000 DIV greatest(n_same_role_adj, 1L)")
+          .as("retry_permille"),
+        when(col("_mj") >= 0L, col("_mj")).as("max_jac_permille"))
+  }
 }

@@ -739,4 +739,20 @@ class OperatorsSpec extends SparkSpec {
     assert(out("a") == ((3L, 11666666L, 20000000L, 3333333333L)))
     assert(!out.contains("b"), "a single event has no inter-arrival gap")
   }
+
+  test("latenessProfile: stragglers vs the offset-order high-water mark") {
+    import TestSpark.spark.implicits._
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val parsed = Seq(
+      ("a", "f1", 0L, t("2024-01-01 00:00:00")),
+      ("a", "f1", 1L, t("2024-01-01 00:01:40")),   // new high-water mark
+      ("a", "f1", 2L, t("2024-01-01 00:00:50")),   // 50 s late
+      ("a", "f1", 3L, t("2024-01-01 00:00:10"))    // 90 s late (> 1 m)
+    ).toDF("name", "src_file", "src_offset", "ts")
+    val out = operators.Aggregates.latenessProfile(parsed).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    // 2 of 4 late → 500‰; only the 90 s one exceeds the 1 m watermark
+    assert(out("a") == ((4L, 500L, 90000000L, 250L, 0L, 0L)))
+  }
 }

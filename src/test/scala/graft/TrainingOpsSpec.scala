@@ -576,4 +576,36 @@ class TrainingOpsSpec extends SparkSpec {
     // depth 3: c1 alone — nothing to share
     assert(out(3L) == ((1L, 1L, 0L, 0L, 0L)))
   }
+
+  test("toolCostPareto: prefix-closed head includes the 80%-crossing tool") {
+    import TestSpark.spark.implicits._
+    val t = Seq(
+      ("c1", 0L, "u", "aaaaaa", "t1"), ("c1", 1L, "a", "bbb", "t2"),
+      ("c2", 0L, "u", "c", "t3")
+    ).toDF("conv_id", "turn_idx", "role", "text", "tool")
+    val out = graft.operators.Conversations.toolCostPareto(t).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getBoolean(6)))).toMap
+    // total 10 bytes: t1 600‰ (head: 0 before), t2 300‰ (600 before,
+    // crosses 800 → still head), t3 100‰ (900 before → tail)
+    assert(out("t1") == ((1L, 6L, 1L, 600L, 600L, true)))
+    assert(out("t2") == ((1L, 3L, 2L, 300L, 900L, true)))
+    assert(out("t3") == ((1L, 1L, 3L, 100L, 1000L, false)))
+  }
+
+  test("rewordRetries: paraphrased same-role retry counts, role flips don't") {
+    import TestSpark.spark.implicits._
+    val t = Seq(
+      ("c1", 0L, "user", "run the query"),
+      ("c1", 1L, "user", "run the query now"),          // jac 750 → retry
+      ("c1", 2L, "assistant", "ok"),                    // role flip: skipped
+      ("c1", 3L, "assistant", "done totally different words"), // jac 0
+      ("c2", 0L, "user", "lone turn")
+    ).toDF("conv_id", "turn_idx", "role", "text")
+    val out = graft.operators.Conversations.rewordRetries(t).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), if (r.isNullAt(5)) -1L else r.getLong(5)))).toMap
+    assert(out("c1") == ((4L, 2L, 1L, 500L, 750L)))
+    assert(out("c2") == ((1L, 0L, 0L, 0L, -1L)), "no pair → null max jac")
+  }
 }
