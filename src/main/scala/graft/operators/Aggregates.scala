@@ -329,32 +329,58 @@ object Aggregates {
     * DECIMAL (a long Σg² overflows at ~3 µs-gap-squared × 10⁶ rows);
     * everything is floor division on non-negative integers so the oracle
     * hash-matches. */
-  def interArrival(parsed: DataFrame): DataFrame = {
+  def interArrival(parsed: DataFrame): DataFrame =
+    interArrivalFromMoments(gapMoments(parsed))
+
+  /** The mergeable reduction under [[interArrival]] — per (name, hour)
+    * cell: gap-moment sums (n, Σg, Σg², max) plus the cell's first/last
+    * event time. Within a cell the moments are exactly mergeable across
+    * consecutive chunks by adding ONE boundary gap (next chunk's min_us −
+    * this chunk's max_us) — the stitch [[graft.streaming.GapStream]]
+    * folds across micro-batches, same shape as SkewWindows' chunked-lag
+    * boundary stitch. Single-event cells stay in the frame with
+    * n_gaps = 0: they anchor future boundaries. */
+  def gapMoments(parsed: DataFrame): DataFrame = {
     val w = Window
       .partitionBy(col("name"), date_trunc("hour", col("ts")))
       .orderBy(col("ts"), col("conv_id"), col("turn_idx"))
     // ts is TIMESTAMP_NTZ; unix_micros needs TIMESTAMP — the cast is an
     // identity relabel under the engine's fixed UTC session timezone.
     val us = unix_micros(col("ts").cast("timestamp"))
-    val gaps = parsed
+    parsed
       .select(col("name"), col("ts"), col("conv_id"), col("turn_idx"))
-      .withColumn("gap_us", us - lag(us, 1).over(w))
-      .filter(col("gap_us").isNotNull)
-    gaps.groupBy("name").agg(
-        count(lit(1)).as("n_gaps"),
-        sum(col("gap_us").cast("decimal(18,0)")).as("sum_g"),
-        sum(col("gap_us").cast("decimal(18,0)")
-          * col("gap_us").cast("decimal(18,0)")).as("sum_g2"),
-        max("gap_us").as("max_gap_us"))
-      // DIV (IntegralDivide), not floor(a/b): Spark decimal `/` rounds
-      // HALF_UP at the result scale before the floor and can cross an
-      // integer boundary; DIV is the exact integral quotient.
+      .withColumn("us", us)
+      .withColumn("gap_us", col("us") - lag(col("us"), 1).over(w))
+      .groupBy(col("name"), date_trunc("hour", col("ts")).as("hour"))
+      .agg(
+        count(col("gap_us")).as("n_gaps"),
+        coalesce(sum(col("gap_us").cast("decimal(18,0)")),
+          lit(0L).cast("decimal(18,0)")).as("sum_g"),
+        coalesce(sum(col("gap_us").cast("decimal(18,0)")
+          * col("gap_us").cast("decimal(18,0)")),
+          lit(0L).cast("decimal(18,0)")).as("sum_g2"),
+        max(col("gap_us")).as("max_gap_us"),
+        min(col("us")).as("min_us"),
+        max(col("us")).as("max_us"))
+  }
+
+  /** The finalizer over [[gapMoments]] (or a cross-batch fold of them):
+    * per-name pooled gap stats + Fano. DIV (IntegralDivide), not
+    * floor(a/b): Spark decimal `/` rounds HALF_UP at the result scale
+    * before the floor and can cross an integer boundary; DIV is the
+    * exact integral quotient. */
+  def interArrivalFromMoments(moments: DataFrame): DataFrame =
+    moments.groupBy("name").agg(
+        sum("n_gaps").as("n_gaps"),
+        sum("sum_g").as("sum_g"),
+        sum("sum_g2").as("sum_g2"),
+        max("max_gap_us").as("max_gap_us"))
+      .filter(col("n_gaps") > 0)
       .select(col("name"), col("n_gaps"),
         expr("sum_g DIV n_gaps").as("mean_gap_us"),
         col("max_gap_us"),
         expr("""(n_gaps * sum_g2 - sum_g * sum_g) * 1000
                 DIV (n_gaps * sum_g)""").as("fano_x1e3"))
-  }
 
   /** Watermark-lateness profile — the out-of-orderness audit that PICKS
     * the streaming watermark delay: per event name, how far events arrive

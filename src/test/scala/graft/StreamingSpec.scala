@@ -617,4 +617,56 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == oneShot,
       "accumulated sketch index must equal the batch build over all docs")
   }
+
+  test("streaming gap moments: boundary gap stitched across batches; " +
+    "profile and accumulated state equal the one-shot operator") {
+    val root = "/tmp/graft_gap_stream_spec"
+    rm(root)
+    import TestSpark.spark.implicits._
+    val ts = (h: Int, m: Int, s: Int) =>
+      java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:$s%02d")
+    def drain(): Unit = {
+      val stream = spark.readStream
+        .schema("name STRING, ts TIMESTAMP, conv_id STRING, turn_idx BIGINT")
+        .option("maxFilesPerTrigger", 1).parquet(s"$root/in/*")
+      val q = graft.streaming.GapStream.start(
+        stream, s"$root/state", s"$root/ckpt")
+      q.awaitTermination()
+    }
+    // batch 1: one cell (e, hour 0) with gaps 10 s, 20 s
+    val b1 = Seq(("e", ts(0, 0, 0), "c", 0L), ("e", ts(0, 0, 10), "c", 1L),
+      ("e", ts(0, 0, 30), "c", 2L))
+    b1.toDF("name", "ts", "conv_id", "turn_idx").coalesce(1)
+      .write.parquet(s"$root/in/b1")
+    drain()
+    // batch 2 extends the SAME cell monotonically (boundary gap 15 s
+    // + one internal 15 s gap) and opens a new cell in hour 1
+    val b2 = Seq(("e", ts(0, 0, 45), "c", 3L), ("e", ts(0, 1, 0), "c", 4L),
+      ("e", ts(1, 0, 0), "c", 5L))
+    b2.toDF("name", "ts", "conv_id", "turn_idx").coalesce(1)
+      .write.parquet(s"$root/in/b2")
+    drain()
+    val streamed = spark.read.parquet(s"$root/state/fano")
+      .filter(col("batch_id") === 1)
+      .select("name", "n_gaps", "mean_gap_us", "max_gap_us", "fano_x1e3")
+      .collect().map(_.toSeq).toSet
+    val oneShot = graft.operators.Aggregates.interArrival(
+      (b1 ++ b2).toDF("name", "ts", "conv_id", "turn_idx"))
+      .collect().map(_.toSeq).toSet
+    assert(streamed == oneShot,
+      s"streamed profile must equal the batch operator: $streamed vs $oneShot")
+    // the hour-0 cell really stitched: 2 + 1 internal + 1 boundary = 4 gaps
+    val acc = graft.streaming.GapStream.momentsTable(spark, s"$root/state")
+      .collect().map(r => r.getTimestamp(1).toString -> r.getLong(2)).toMap
+    assert(acc("2024-01-01 00:00:00.0") == 4L)
+    assert(acc("2024-01-01 01:00:00.0") == 0L, "lone event anchors, no gap")
+    // accumulated moments equal the one-shot reduction
+    val accFull = graft.streaming.GapStream.momentsTable(spark, s"$root/state")
+      .collect().map(_.toSeq).toSet
+    val oneShotMoments = graft.operators.Aggregates.gapMoments(
+      (b1 ++ b2).toDF("name", "ts", "conv_id", "turn_idx"))
+      .collect().map(_.toSeq).toSet
+    assert(accFull == oneShotMoments,
+      s"accumulated moments must equal the one-shot reduction")
+  }
 }
