@@ -392,6 +392,22 @@ object Bench {
           val rrRun = () => timeNoop(operators.Conversations.rewordRetries(input))
           results("reword_retries") = math.min(rrRun(), rrRun())
 
+          // round-16 ops: the DQ rule battery is one compiled map pass +
+          // 1-row agg; star CC is a driver fixpoint loop (timed via its
+          // own action, not noop) over the chain-fixture edge set.
+          val dqRun = () => timeNoop(operators.DqRules.ruleAudit(parsedB))
+          results("dq_rules") = math.min(dqRun(), dqRun())
+          val ccEdges = docs.select(col("doc_id").as("a"),
+            (col("doc_id") + 1L).as("b"))
+            .filter((col("doc_id") + 1L) % 100 =!= 0)
+          val ccRun = () => {
+            val t0 = System.nanoTime()
+            graph.Graphs.connectedComponentsStar(ccEdges).write
+              .format("noop").mode("overwrite").save()
+            (System.nanoTime() - t0) / 1e9
+          }
+          results("connected_components") = math.min(ccRun(), ccRun())
+
           // lmScore/convNearDup persist their reused intermediates;
           // drop them so repeated bench runs don't accumulate cache
           spark.catalog.clearCache()

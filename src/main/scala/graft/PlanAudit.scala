@@ -233,6 +233,12 @@ object PlanAudit {
       operators.Conversations.rewordRetries(
         sources.Transcripts.loadCanonical(spark, sfDir))
     }
+    section("DQ rule audit (rule table compiled into one map pass; 1-row agg unpivoted)") {
+      operators.DqRules.ruleAudit(Pipeline.parsed(spark, sfDir))
+    }
+    // connectedComponentsStar is a driver fixpoint loop (localCheckpoint
+    // per round) — explain would execute it; its per-round plan is the
+    // symmetrize + min-join + distinct equi-shape shown above.
     // pageRank / labelPropagation / bfsDistances / kCore are driver-side
     // unrolled loops with per-step persist+count — explain would execute
     // them; their per-step plan is the rank ⋈ edges equi-join + dst

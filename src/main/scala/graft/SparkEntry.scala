@@ -1270,6 +1270,37 @@ object SparkEntry {
     "q229_reword_retries" -> ((s, d) =>
       operators.Conversations.rewordRetries(Transcripts.loadCanonical(s, d))),
 
+    // declarative DQ rule audit over a deterministically-corrupted frame
+    // (the clean synth violates nothing, so the fixture plants offenders
+    // for every rule: negative durations, null login principals,
+    // out-of-range severities, malformed client addresses)
+    "q230_dq_rules" -> ((s, d) => {
+      val p = Pipeline.parsed(s, d)
+        .withColumn("duration",
+          when(col("turn_idx") % 29 === 3, -col("duration"))
+            .otherwise(col("duration")))
+        .withColumn("principal",
+          when(col("turn_idx") % 31 === 7, lit(null: String))
+            .otherwise(col("principal")))
+        .withColumn("severity_num",
+          when(col("turn_idx") % 37 === 11, col("severity_num") + 100L)
+            .otherwise(col("severity_num")))
+        .withColumn("client_addr",
+          when(col("turn_idx") % 41 === 13, lit("bogus addr"))
+            .otherwise(col("client_addr")))
+      operators.DqRules.ruleAudit(p)
+    }),
+
+    // connected components via alternating star contraction over a
+    // chain fixture (100-long doc chains: diameter 99, where min-label
+    // propagation would need 99 rounds the star fixpoint takes ~7)
+    "q231_connected_components" -> ((s, d) => {
+      val edges = docs(s, d)
+        .select(col("doc_id").as("a"), (col("doc_id") + 1L).as("b"))
+        .filter((col("doc_id") + 1L) % 100 =!= 0)
+      graph.Graphs.connectedComponentsStar(edges)
+    }),
+
     // dead-letter triage: quarantine rows clustered by digit-collapsed
     // failure template, over q164's mangled fixture
     "q218_dead_letter_templates" -> ((s, d) => {
@@ -4073,6 +4104,76 @@ SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns,
     AS BIGINT) AS retry_permille,
   CAST(max(jac) AS BIGINT) AS max_jac_permille
 FROM j GROUP BY conv_id"""),
+
+    // declarative DQ rule audit over the corrupted-parsed fixture
+    "q230_dq_rules" -> withCtes(
+      "px" -> s"""SELECT conv_id, turn_idx, $oName AS name,
+    CASE WHEN turn_idx % 29 = 3 THEN -${oKvNum("duration")}
+         ELSE ${oKvNum("duration")} END AS duration,
+    CASE WHEN turn_idx % 31 = 7 THEN NULL ELSE $oPrincipal END AS principal,
+    CASE WHEN turn_idx % 37 = 11 THEN ${oTriple(2)} + 100
+         ELSE ${oTriple(2)} END AS severity_num,
+    ${oTriple(3)} AS state_num,
+    CASE WHEN turn_idx % 41 = 13 THEN 'bogus addr' ELSE $oClient END
+      AS client_addr
+  FROM transcripts""",
+      "one" -> """SELECT
+    CAST(sum(CASE WHEN severity_num IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS c_sev,
+    CAST(sum(CASE WHEN severity_num IS NOT NULL
+      AND NOT COALESCE(severity_num BETWEEN 0 AND 25, FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS v_sev,
+    min(CASE WHEN severity_num IS NOT NULL
+      AND NOT COALESCE(severity_num BETWEEN 0 AND 25, FALSE)
+      THEN conv_id || ':' || lpad(CAST(turn_idx AS VARCHAR), 6, '0') END) AS s_sev,
+    CAST(sum(CASE WHEN duration IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS c_dur,
+    CAST(sum(CASE WHEN duration IS NOT NULL
+      AND NOT COALESCE(duration >= 0, FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS v_dur,
+    min(CASE WHEN duration IS NOT NULL AND NOT COALESCE(duration >= 0, FALSE)
+      THEN conv_id || ':' || lpad(CAST(turn_idx AS VARCHAR), 6, '0') END) AS s_dur,
+    CAST(sum(CASE WHEN name = 'login' THEN 1 ELSE 0 END) AS BIGINT) AS c_log,
+    CAST(sum(CASE WHEN name = 'login'
+      AND NOT COALESCE(principal IS NOT NULL, FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS v_log,
+    min(CASE WHEN name = 'login' AND principal IS NULL
+      THEN conv_id || ':' || lpad(CAST(turn_idx AS VARCHAR), 6, '0') END) AS s_log,
+    CAST(sum(CASE WHEN name = 'error_reported' THEN 1 ELSE 0 END) AS BIGINT) AS c_err,
+    CAST(sum(CASE WHEN name = 'error_reported'
+      AND NOT COALESCE(state_num IS NOT NULL, FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS v_err,
+    min(CASE WHEN name = 'error_reported' AND state_num IS NULL
+      THEN conv_id || ':' || lpad(CAST(turn_idx AS VARCHAR), 6, '0') END) AS s_err,
+    CAST(sum(CASE WHEN client_addr IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS c_cli,
+    CAST(sum(CASE WHEN client_addr IS NOT NULL
+      AND NOT COALESCE(regexp_full_match(client_addr, '([0-9.]+|::1|<local machine>)'), FALSE)
+      THEN 1 ELSE 0 END) AS BIGINT) AS v_cli,
+    min(CASE WHEN client_addr IS NOT NULL
+      AND NOT COALESCE(regexp_full_match(client_addr, '([0-9.]+|::1|<local machine>)'), FALSE)
+      THEN conv_id || ':' || lpad(CAST(turn_idx AS VARCHAR), 6, '0') END) AS s_cli
+  FROM px""")("""
+SELECT 'severity_in_range' AS rule, c_sev AS n_checked, v_sev AS n_violations,
+  CAST(v_sev * 1000 // greatest(c_sev, 1) AS BIGINT) AS viol_permille,
+  s_sev AS first_offender FROM one
+UNION ALL SELECT 'duration_non_negative', c_dur, v_dur,
+  CAST(v_dur * 1000 // greatest(c_dur, 1) AS BIGINT), s_dur FROM one
+UNION ALL SELECT 'login_has_principal', c_log, v_log,
+  CAST(v_log * 1000 // greatest(c_log, 1) AS BIGINT), s_log FROM one
+UNION ALL SELECT 'error_has_state', c_err, v_err,
+  CAST(v_err * 1000 // greatest(c_err, 1) AS BIGINT), s_err FROM one
+UNION ALL SELECT 'client_addr_shape', c_cli, v_cli,
+  CAST(v_cli * 1000 // greatest(c_cli, 1) AS BIGINT), s_cli FROM one"""),
+
+    // connected components over the chain fixture: min reachable id via
+    // a recursive closure (the independent ground truth for the star
+    // contraction's fixpoint)
+    "q231_connected_components" -> """
+WITH RECURSIVE e AS (
+  SELECT doc_id AS a, doc_id + 1 AS b FROM documents
+  WHERE (doc_id + 1) % 100 != 0),
+s AS (SELECT a AS u, b AS v FROM e UNION ALL SELECT b, a FROM e),
+n AS (SELECT DISTINCT u AS id FROM s),
+cc AS (
+  SELECT id, id AS m FROM n
+  UNION
+  SELECT s.u, cc.m FROM s JOIN cc ON s.v = cc.id)
+SELECT CAST(id AS BIGINT) AS id, CAST(min(m) AS BIGINT) AS component
+FROM cc GROUP BY id""",
 
     // dead-letter template triage over q164's mangled fixture
     "q218_dead_letter_templates" -> withCtes(

@@ -369,4 +369,69 @@ object Graphs {
       undirected.select(col("u").as("a"), col("v").as("b")),
       Seq("a", "b"), "left_anti")
   }
+
+  /** Connected components by alternating large-star / small-star
+    * contraction (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond") — the 100 TB-shape CC: converges in O(log n) rounds on ANY
+    * topology, where min-label propagation ([[graft.dedup.Dedup
+    * .duplicateClusters]]) needs DIAMETER rounds and a chain-shaped dup
+    * component (docs copied copy-of-copy) makes diameter ~ component
+    * size. Each round is two conference-table moves: large-star hangs
+    * every node's larger neighbors off its minimum; small-star re-hangs
+    * the smaller ones; the fixpoint is a forest of stars whose centers
+    * are the component minima.
+    *
+    * Per half-round: one symmetrize + groupBy(u) min + join back on u
+    * (shared exchange) + distinct — all equi-operations on the shrinking
+    * edge frame. Convergence = (count, order-free checksum) stable, both
+    * computed on the canonical post-small-star frame. Returns (id,
+    * component) for every non-isolated vertex. */
+  def connectedComponentsStar(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+    def sym(e: DataFrame): DataFrame =
+      e.select(col("a").as("u"), col("b").as("v"))
+        .unionByName(e.select(col("b").as("u"), col("a").as("v")))
+    // large-star: v > u re-hang onto min(Γ(u) ∪ {u})
+    def largeStar(e: DataFrame): DataFrame = {
+      val s = sym(e)
+      val m = s.groupBy("u").agg(min("v").as("mv"))
+        .select(col("u"), least(col("mv"), col("u")).as("m"))
+      s.filter(col("v") > col("u")).join(m, "u")
+        .select(col("v").as("a"), col("m").as("b"))
+        .filter(col("a") =!= col("b")).distinct()
+    }
+    // small-star: v ≤ u (plus u itself) re-hang onto min(Γ≤(u) ∪ {u})
+    def smallStar(e: DataFrame): DataFrame = {
+      val s = sym(e).filter(col("v") <= col("u"))
+      val m = s.groupBy("u").agg(min("v").as("m"))
+      s.join(m, "u")
+        .select(col("v").as("a"), col("m").as("b"))
+        .unionByName(m.select(col("u").as("a"), col("m").as("b")))
+        .filter(col("a") =!= col("b")).distinct()
+    }
+    // each round references the previous frame ~20× (two symmetrizes,
+    // two min-joins, a union); a persist alone leaves the LOGICAL plan
+    // growing 20^i — analysis/planning OOMs by round ~6 even on a toy
+    // graph. localCheckpoint(eager) truncates the lineage so every
+    // round plans against a flat scan of the previous result.
+    var e = edges.select(col("a"), col("b"))
+      .filter(col("a") =!= col("b")).distinct()
+      .localCheckpoint(true)
+    var stats = (e.count(), -1L)
+    var i = 0
+    var converged = false
+    while (i < maxIter && !converged) {
+      val next = smallStar(largeStar(e)).localCheckpoint(true)
+      val row = next.agg(count(lit(1)),
+        coalesce(sum(xxhash64(col("a"), col("b"))), lit(0L))).collect()(0)
+      val nstats = (row.getLong(0), row.getLong(1))
+      converged = nstats == stats
+      stats = nstats
+      e = next
+      i += 1
+    }
+    // fixpoint edges are (child, root) stars; roots label themselves
+    e.select(col("a").as("id"), col("b").as("component"))
+      .unionByName(e.select(col("b").as("id"), col("b").as("component")))
+      .distinct()
+  }
 }

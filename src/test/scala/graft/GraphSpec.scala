@@ -201,4 +201,19 @@ class GraphSpec extends SparkSpec {
     assert(out == Map(("t1", "t2") -> 2L, ("t1", "t3") -> 1L,
       ("t2", "t3") -> 1L))
   }
+
+  test("connectedComponentsStar: 64-chain collapses to its min in " +
+    "logarithmic rounds; disjoint chains stay apart") {
+    import TestSpark.spark.implicits._
+    // a 64-long chain (diameter 63 — min-label propagation would need 63
+    // rounds), a short chain, and a 2-node component
+    val edges = ((0L until 63L).map(i => (i, i + 1)) ++
+      Seq((100L, 101L), (101L, 102L), (200L, 201L))).toDF("a", "b")
+    val out = Graphs.connectedComponentsStar(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((0L to 63L).forall(out(_) == 0L), s"chain collapses to 0: $out")
+    assert((100L to 102L).forall(out(_) == 100L))
+    assert(out(200L) == 200L && out(201L) == 200L)
+    assert(out.size == 64 + 3 + 2)
+  }
 }

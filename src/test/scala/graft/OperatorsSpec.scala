@@ -755,4 +755,24 @@ class OperatorsSpec extends SparkSpec {
     // 2 of 4 late → 500‰; only the 90 s one exceeds the 1 m watermark
     assert(out("a") == ((4L, 500L, 90000000L, 250L, 0L, 0L)))
   }
+
+  test("ruleAudit: one pass, per-rule scopes, violations, first offender") {
+    import TestSpark.spark.implicits._
+    val parsed = Seq(
+      // (conv, turn, name, severity, duration, principal, state, client)
+      ("c1", 1L, "login", Some(14L), Some(10L), Some("u1"), Some(1L), Some("::1")),
+      ("c1", 2L, "login", Some(14L), Some(-5L), None, Some(1L), Some("10.0.0.1")),
+      ("c2", 1L, "error_reported", Some(114L), None, Some("u2"), None, Some("bogus")),
+      ("c2", 2L, "wait_info", None, Some(7L), None, None, None)
+    ).toDF("conv_id", "turn_idx", "name", "severity_num", "duration",
+      "principal", "state_num", "client_addr")
+    val out = operators.DqRules.ruleAudit(parsed).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        Option(r.getString(4)).getOrElse("-")))).toMap
+    assert(out("severity_in_range") == ((3L, 1L, 333L, "c2:000001")))
+    assert(out("duration_non_negative") == ((3L, 1L, 333L, "c1:000002")))
+    assert(out("login_has_principal") == ((2L, 1L, 500L, "c1:000002")))
+    assert(out("error_has_state") == ((1L, 1L, 1000L, "c2:000001")))
+    assert(out("client_addr_shape") == ((3L, 1L, 333L, "c2:000001")))
+  }
 }
