@@ -407,6 +407,12 @@ object Bench {
             (System.nanoTime() - t0) / 1e9
           }
           results("connected_components") = math.min(ccRun(), ccRun())
+          // round-17: both detectors run on the (name, day) aggregate —
+          // the corpus cost is the one dailyCounts hash-agg each.
+          val vtRun = () => timeNoop(operators.Aggregates.volumeTrend(parsedB))
+          results("volume_trend") = math.min(vtRun(), vtRun())
+          val cuRun = () => timeNoop(operators.Aggregates.cusumChangepoints(parsedB))
+          results("cusum") = math.min(cuRun(), cuRun())
 
           // lmScore/convNearDup persist their reused intermediates;
           // drop them so repeated bench runs don't accumulate cache

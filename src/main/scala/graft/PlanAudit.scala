@@ -236,6 +236,9 @@ object PlanAudit {
     section("DQ rule audit (rule table compiled into one map pass; 1-row agg unpivoted)") {
       operators.DqRules.ruleAudit(Pipeline.parsed(spark, sfDir))
     }
+    section("CUSUM changepoints (one dailyCounts hash-agg; running windows on the per-name aggregate)") {
+      operators.Aggregates.cusumChangepoints(Pipeline.parsed(spark, sfDir))
+    }
     // connectedComponentsStar is a driver fixpoint loop (localCheckpoint
     // per round) — explain would execute it; its per-round plan is the
     // symmetrize + min-join + distinct equi-shape shown above.

@@ -1301,6 +1301,20 @@ object SparkEntry {
       graph.Graphs.connectedComponentsStar(edges)
     }),
 
+    // Theil-Sen robust volume trend over a planted upward drift (later
+    // days admit more events: turn_idx % 31 < day-of-month)
+    "q232_volume_trend" -> ((s, d) =>
+      operators.Aggregates.volumeTrend(
+        Pipeline.parsed(s, d)
+          .filter(col("turn_idx") % 31 < dayofmonth(col("ts"))))),
+
+    // CUSUM changepoints over a planted mid-month level drop (from day
+    // 15 only every third turn survives)
+    "q233_cusum" -> ((s, d) =>
+      operators.Aggregates.cusumChangepoints(
+        Pipeline.parsed(s, d).filter(
+          !(dayofmonth(col("ts")) >= 15 && col("turn_idx") % 3 =!= 0)))),
+
     // dead-letter triage: quarantine rows clustered by digit-collapsed
     // failure template, over q164's mangled fixture
     "q218_dead_letter_templates" -> ((s, d) => {
@@ -4174,6 +4188,56 @@ cc AS (
   SELECT s.u, cc.m FROM s JOIN cc ON s.v = cc.id)
 SELECT CAST(id AS BIGINT) AS id, CAST(min(m) AS BIGINT) AS component
 FROM cc GROUP BY id""",
+
+    // Theil-Sen trend over the planted-drift fixture
+    "q232_volume_trend" -> withCtes(
+      "daily" -> s"""SELECT $oName AS name, date_trunc('day', ts) AS day,
+    CAST(count(*) AS BIGINT) AS n,
+    CAST(epoch(date_trunc('day', ts)) // 86400 AS BIGINT) AS d
+  FROM transcripts WHERE turn_idx % 31 < day(ts) GROUP BY 1, 2""",
+      "slopes" -> """SELECT a.name,
+    CASE WHEN b.n >= a.n THEN (b.n - a.n) * 1000 // (b.d - a.d)
+         ELSE -((a.n - b.n) * 1000 // (b.d - a.d)) END AS slope_x1e3
+  FROM daily a JOIN daily b ON a.name = b.name AND b.d > a.d""",
+      "per" -> """SELECT name, CAST(count(*) AS BIGINT) AS n_pairs,
+    CAST(quantile_cont(slope_x1e3, 0.5) * 2 AS BIGINT) AS med_slope_x2e3
+  FROM slopes GROUP BY 1""",
+      "dys" -> """SELECT name, CAST(count(*) AS BIGINT) AS n_days
+  FROM daily GROUP BY 1""")("""
+SELECT name, n_days, n_pairs, med_slope_x2e3,
+  CASE WHEN med_slope_x2e3 >= 1000 THEN 'rising'
+       WHEN med_slope_x2e3 <= -1000 THEN 'falling'
+       ELSE 'flat' END AS trend
+FROM dys JOIN per USING (name)"""),
+
+    // CUSUM changepoints over the planted level-drop fixture
+    "q233_cusum" -> withCtes(
+      "daily" -> s"""SELECT $oName AS name, date_trunc('day', ts) AS day,
+    CAST(count(*) AS BIGINT) AS n
+  FROM transcripts WHERE NOT (day(ts) >= 15 AND turn_idx % 3 != 0)
+  GROUP BY 1, 2""",
+      "m" -> """SELECT name, CAST(sum(n) // count(*) AS BIGINT) AS mu
+  FROM daily GROUP BY 1""",
+      "c" -> """SELECT name, day, n, mu,
+    greatest(mu // 10, 1) AS k,
+    CAST(sum(n - mu - greatest(mu // 10, 1)) OVER
+      (PARTITION BY name ORDER BY day
+       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS c_up,
+    CAST(sum(mu - n - greatest(mu // 10, 1)) OVER
+      (PARTITION BY name ORDER BY day
+       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS c_dn
+  FROM daily JOIN m USING (name)""",
+      "sx" -> """SELECT name, day, n, mu,
+    c_up - least(min(c_up) OVER (PARTITION BY name ORDER BY day
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS s_up,
+    c_dn - least(min(c_dn) OVER (PARTITION BY name ORDER BY day
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS s_dn,
+    5 * greatest(mu, 1) AS h_alarm
+  FROM c""")("""
+SELECT name, day, n, mu, CAST(s_up AS BIGINT) AS s_up,
+  CAST(s_dn AS BIGINT) AS s_dn,
+  s_up > h_alarm AS alarm_up, s_dn > h_alarm AS alarm_down
+FROM sx"""),
 
     // dead-letter template triage over q164's mangled fixture
     "q218_dead_letter_templates" -> withCtes(

@@ -382,6 +382,88 @@ object Aggregates {
         expr("""(n_gaps * sum_g2 - sum_g * sum_g) * 1000
                 DIV (n_gaps * sum_g)""").as("fano_x1e3"))
 
+  /** Theil–Sen robust volume trend per event name — the GRADUAL-drift
+    * detector beside the spike detectors (q141/q186/q208 flag outlier
+    * hours; a feed slowly doubling over a month never trips them). The
+    * estimator is the median of all pairwise per-day slopes — 29%
+    * breakdown point, so storms and gaps don't bend the trend line the
+    * way a least-squares fit would. Slopes are integer ×1000 with the
+    * truncate-toward-zero division written as sign-split non-negative
+    * DIVs (Spark DIV truncates, DuckDB // floors — they differ below
+    * zero, so the query never divides a negative).
+    *
+    * The series is DAILY (not hourly): event streams are hour-sparse —
+    * empty hours leave no row, and a slope over a gapped grid of 1-2
+    * counts floors to zero — while every active day has volume, so the
+    * day grid is dense and the drift visible.
+    *
+    * Scale shape: the pairwise self-join runs on the (name, day)
+    * AGGREGATE (days², not events²); at decade-scale histories sample
+    * the day grid first — the estimator is sampling-stable by design. */
+  def volumeTrend(parsed: DataFrame, slopeX2e3Min: Long = 1000L): DataFrame = {
+    val daily = dailyCounts(parsed)
+      .withColumn("d", expr("unix_timestamp(CAST(day AS TIMESTAMP)) DIV 86400"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val a = daily.select(col("name"), col("d").as("d1"), col("n").as("n1"))
+    val b = daily.select(col("name"), col("d").as("d2"), col("n").as("n2"))
+    val slopes = a.join(b, "name").filter(col("d2") > col("d1"))
+      .withColumn("slope_x1e3", expr(
+        """CASE WHEN n2 >= n1 THEN (n2 - n1) * 1000 DIV (d2 - d1)
+                ELSE -((n1 - n2) * 1000 DIV (d2 - d1)) END"""))
+    val perName = slopes.groupBy("name").agg(
+      count(lit(1)).as("n_pairs"),
+      (expr("percentile(slope_x1e3, 0.5)") * 2).cast("long")
+        .as("med_slope_x2e3"))
+    daily.groupBy("name").agg(count(lit(1)).as("n_days"))
+      .join(perName, "name")
+      .withColumn("trend",
+        when(col("med_slope_x2e3") >= slopeX2e3Min, "rising")
+          .when(col("med_slope_x2e3") <= -slopeX2e3Min, "falling")
+          .otherwise("flat"))
+  }
+
+  /** The daily twin of [[hourlyCounts]] — the trend/changepoint grain
+    * (dense where the hour grid is gappy). */
+  def dailyCounts(parsed: DataFrame): DataFrame =
+    parsed.groupBy(col("name"), date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+
+  /** CUSUM changepoint detection per event name — the LEVEL-SHIFT
+    * detector: a feed that permanently halves never has an outlier hour
+    * (each hour is near the new level), but the cumulative drift from
+    * the old mean grows without bound. Both one-sided statistics via the
+    * prefix-sum identity S_t = C_t − min(0, min_{j≤t} C_j) (the
+    * window-expressible form of the max(0, S+y) recursion): y⁺ = n−μ−κ
+    * for upward shifts, y⁻ = μ−n−κ for drops, slack κ = max(μ/10, 1),
+    * alarm at 5·max(μ,1). Integer-exact; μ is the integral mean.
+    *
+    * The series is DAILY for the same density reason as [[volumeTrend]]
+    * (a dropped feed leaves EMPTY hours — no rows — so an hourly CUSUM
+    * never sees the post-shift level; every active day has a row).
+    *
+    * Scale shape: one corpus hash-agg to (name, day); the mean join is
+    * a broadcast of |names| rows; the two running windows order the
+    * AGGREGATE per name. */
+  def cusumChangepoints(parsed: DataFrame): DataFrame = {
+    val daily = dailyCounts(parsed)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val mu = daily.groupBy("name")
+      .agg(expr("sum(n) DIV count(1)").as("mu"))
+    val w = Window.partitionBy("name").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily.join(broadcast(mu), Seq("name"))
+      .withColumn("k", greatest(expr("mu DIV 10"), lit(1L)))
+      .withColumn("c_up", sum(expr("n - mu - k")).over(w))
+      .withColumn("c_dn", sum(expr("mu - n - k")).over(w))
+      .withColumn("s_up", col("c_up") - least(min(col("c_up")).over(w), lit(0L)))
+      .withColumn("s_dn", col("c_dn") - least(min(col("c_dn")).over(w), lit(0L)))
+      .withColumn("h_alarm", lit(5L) * greatest(col("mu"), lit(1L)))
+      .select(col("name"), col("day"), col("n"), col("mu"),
+        col("s_up"), col("s_dn"),
+        (col("s_up") > col("h_alarm")).as("alarm_up"),
+        (col("s_dn") > col("h_alarm")).as("alarm_down"))
+  }
+
   /** Watermark-lateness profile — the out-of-orderness audit that PICKS
     * the streaming watermark delay: per event name, how far events arrive
     * behind the high-water mark of their source file's read order, and

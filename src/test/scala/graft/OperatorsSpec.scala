@@ -756,6 +756,40 @@ class OperatorsSpec extends SparkSpec {
     assert(out("a") == ((4L, 500L, 90000000L, 250L, 0L, 0L)))
   }
 
+  test("volumeTrend: planted drift rises, constant is flat, decay falls") {
+    import TestSpark.spark.implicits._
+    def t(d: Int) = java.sql.Timestamp.valueOf(f"2024-01-$d%02d 12:00:00")
+    val rows =
+      (1 to 10).flatMap(d => Seq.fill(10 * d)(("r", t(d)))) ++      // +10/day
+      (1 to 10).flatMap(d => Seq.fill(5)(("f", t(d)))) ++           // constant
+      (1 to 10).flatMap(d => Seq.fill(100 - 5 * d)(("d", t(d))))    // −5/day
+    val out = operators.Aggregates.volumeTrend(rows.toDF("name", "ts"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(3), r.getString(4))))
+      .toMap
+    assert(out("r") == ((20000L, "rising")))   // every pair slope = 10/day
+    assert(out("f") == ((0L, "flat")))
+    assert(out("d") == ((-10000L, "falling")))
+  }
+
+  test("cusumChangepoints: level shift alarms both sides at hand-computed days") {
+    import TestSpark.spark.implicits._
+    def t(d: Int) = java.sql.Timestamp.valueOf(f"2024-01-$d%02d 12:00:00")
+    // 10 days at 20, then 10 days at 2: μ=11, κ=1, h=55
+    val rows = (1 to 10).flatMap(d => Seq.fill(20)(("e", t(d)))) ++
+      (11 to 20).flatMap(d => Seq.fill(2)(("e", t(d))))
+    val out = operators.Aggregates.cusumChangepoints(rows.toDF("name", "ts"))
+      .collect().map(r => r.getTimestamp(1).toString.take(10) ->
+        ((r.getLong(4), r.getLong(5), r.getBoolean(6), r.getBoolean(7)))).toMap
+    // s_up = 8/day while high, decays −10/day after; >55 on days 7..12
+    assert((7 to 12).forall(d => out(f"2024-01-$d%02d")._3), s"$out")
+    assert(out.count(_._2._3) == 6)
+    // s_dn floors at 0 while high, grows 8/day after; >55 on days 17..20
+    assert((17 to 20).forall(d => out(f"2024-01-$d%02d")._4))
+    assert(out.count(_._2._4) == 4)
+    assert(out("2024-01-10") == ((80L, 0L, true, false)))
+    assert(out("2024-01-20") == ((0L, 80L, false, true)))
+  }
+
   test("ruleAudit: one pass, per-rule scopes, violations, first offender") {
     import TestSpark.spark.implicits._
     val parsed = Seq(
