@@ -413,6 +413,12 @@ object Bench {
           results("volume_trend") = math.min(vtRun(), vtRun())
           val cuRun = () => timeNoop(operators.Aggregates.cusumChangepoints(parsedB))
           results("cusum") = math.min(cuRun(), cuRun())
+          // round-18: the phrase probe re-shuffles only the anchor
+          // sliver; KS runs one corpus hash-agg into tiny CDF windows.
+          val psRun = () => timeNoop(text.Bm25.phraseSearch(docs))
+          results("phrase_search") = math.min(psRun(), psRun())
+          val ksRun = () => timeNoop(operators.Aggregates.ksDrift(parsedB))
+          results("ks_drift") = math.min(ksRun(), ksRun())
 
           // lmScore/convNearDup persist their reused intermediates;
           // drop them so repeated bench runs don't accumulate cache

@@ -239,6 +239,9 @@ object PlanAudit {
     section("CUSUM changepoints (one dailyCounts hash-agg; running windows on the per-name aggregate)") {
       operators.Aggregates.cusumChangepoints(Pipeline.parsed(spark, sfDir))
     }
+    section("phrase search (broadcast anchor probe; adjacency equi-joins on the anchor sliver)") {
+      text.Bm25.phraseSearch(docs)
+    }
     // connectedComponentsStar is a driver fixpoint loop (localCheckpoint
     // per round) — explain would execute it; its per-round plan is the
     // symmetrize + min-join + distinct equi-shape shown above.

@@ -1315,6 +1315,19 @@ object SparkEntry {
         Pipeline.parsed(s, d).filter(
           !(dayofmonth(col("ts")) >= 15 && col("turn_idx") % 3 =!= 0)))),
 
+    // positional phrase search: 3-gram phrases over the positional
+    // inverted index (anchor probe + two adjacency joins)
+    "q234_phrase_search" -> ((s, d) =>
+      text.Bm25.phraseSearch(docs(s, d))),
+
+    // two-sample KS drift on the duration distribution per source file,
+    // vs the corpus CDF; one file's durations scaled x1000 as fixture
+    "q235_ks_drift" -> ((s, d) =>
+      operators.Aggregates.ksDrift(
+        Pipeline.parsed(s, d).withColumn("duration",
+          when(col("src_file").rlike("3"), col("duration") * 1000L)
+            .otherwise(col("duration"))))),
+
     // dead-letter triage: quarantine rows clustered by digit-collapsed
     // failure template, over q164's mangled fixture
     "q218_dead_letter_templates" -> ((s, d) => {
@@ -4238,6 +4251,54 @@ SELECT name, day, n, mu, CAST(s_up AS BIGINT) AS s_up,
   CAST(s_dn AS BIGINT) AS s_dn,
   s_up > h_alarm AS alarm_up, s_dn > h_alarm AS alarm_down
 FROM sx"""),
+
+    // positional phrase search over the same token-hash index
+    "q234_phrase_search" -> s"""
+WITH th AS (SELECT doc_id, $oTokHashes AS th FROM documents),
+p AS (SELECT doc_id, generate_subscripts(th, 1) - 1 AS pos, unnest(th) AS tok
+  FROM th),
+q AS (SELECT doc_id AS q_id, th[1] AS t0, th[2] AS t1, th[3] AS t2
+  FROM th WHERE doc_id % 211 = 0 AND len(th) >= 3)
+SELECT q.q_id, a.doc_id, CAST(count(*) AS BIGINT) AS n_matches,
+  CAST(min(a.pos) AS BIGINT) AS first_pos
+FROM p a
+JOIN q ON a.tok = q.t0
+JOIN p b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1 AND b.tok = q.t1
+JOIN p c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2 AND c.tok = q.t2
+WHERE q.q_id != a.doc_id
+GROUP BY q.q_id, a.doc_id""",
+
+    // KS drift on the log2-bucketed duration CDF, planted x1000 shift
+    "q235_ks_drift" -> withCtes(
+      "vals" -> s"""SELECT src_file,
+    CASE WHEN regexp_matches(src_file, '3')
+      THEN ${oKvNum("duration")} * 1000 ELSE ${oKvNum("duration")} END AS v
+  FROM transcripts""",
+      "hist" -> """SELECT src_file, CAST(length(bin(CAST(v AS BIGINT))) AS BIGINT) AS bucket,
+    CAST(count(*) AS BIGINT) AS n
+  FROM vals WHERE v IS NOT NULL AND v >= 1 GROUP BY 1, 2""",
+      "srcs" -> """SELECT src_file, CAST(sum(n) AS BIGINT) AS n_src
+  FROM hist GROUP BY 1""",
+      "gl" -> """SELECT bucket, CAST(sum(n) AS BIGINT) AS n_g FROM hist GROUP BY 1""",
+      "tot" -> """SELECT CAST(sum(n) AS BIGINT) AS n_tot FROM hist""",
+      "grid" -> """SELECT s.src_file, s.n_src, b.bucket, COALESCE(h.n, 0) AS n
+  FROM srcs s CROSS JOIN (SELECT DISTINCT bucket FROM hist) b
+  LEFT JOIN hist h ON h.src_file = s.src_file AND h.bucket = b.bucket""",
+      "cums" -> """SELECT src_file, n_src, bucket,
+    CAST(sum(n) OVER (PARTITION BY src_file ORDER BY bucket
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_s
+  FROM grid""",
+      "cumg" -> """SELECT bucket,
+    CAST(sum(n_g) OVER (ORDER BY bucket
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_g
+  FROM gl""")("""
+SELECT src_file, CAST(max(n_src) AS BIGINT) AS n_values,
+  CAST(max(abs(cum_s * 1000000 // n_src - cum_g * 1000000 // (SELECT n_tot FROM tot)))
+    AS BIGINT) AS ks_ppm,
+  CAST(max(abs(cum_s * 1000000 // n_src - cum_g * 1000000 // (SELECT n_tot FROM tot)))
+    AS BIGINT) >= 100000 AS drift
+FROM cums JOIN cumg USING (bucket)
+GROUP BY src_file"""),
 
     // dead-letter template triage over q164's mangled fixture
     "q218_dead_letter_templates" -> withCtes(

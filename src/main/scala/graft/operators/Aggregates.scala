@@ -422,6 +422,49 @@ object Aggregates {
           .otherwise("flat"))
   }
 
+  /** Two-sample Kolmogorov–Smirnov drift per source file on a numeric
+    * field's distribution — the NUMERIC complement of vocabDrift (q223):
+    * a source whose durations shifted from milliseconds to seconds has
+    * identical volume and vocabulary but a displaced CDF, and the KS
+    * statistic (max CDF gap, in ppm) is the standard distribution-shift
+    * test. Values bucket to log2 magnitude first (the logHistPercentiles
+    * grid), so the CDFs live on a ≤64-point grid and the statistic is
+    * bucket-granular by design — the price that keeps it integer-exact
+    * (count ratios only, no empirical-CDF interpolation) and
+    * aggregate-sized at any corpus scale.
+    *
+    * Shape: ONE corpus hash-agg to (src_file, bucket); the dense
+    * grid (sources × global buckets), cumulative windows, and the
+    * corpus-marginal comparison all run on that aggregate. */
+  def ksDrift(parsed: DataFrame, driftPpmMin: Long = 100000L): DataFrame = {
+    val hist = parsed
+      .filter(col("duration").isNotNull && col("duration") >= 1L)
+      .select(col("src_file"),
+        length(bin(col("duration"))).cast("long").as("bucket"))
+      .groupBy("src_file", "bucket").agg(count(lit(1)).as("n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val buckets = hist.select("bucket").distinct()
+    val srcs = hist.groupBy("src_file").agg(sum("n").as("n_src"))
+    val glob = hist.groupBy("bucket").agg(sum("n").as("n_g"))
+      .crossJoin(broadcast(hist.agg(sum("n").as("n_tot"))))
+    val grid = srcs.crossJoin(broadcast(buckets))
+      .join(hist, Seq("src_file", "bucket"), "left")
+      .withColumn("n", coalesce(col("n"), lit(0L)))
+    val w = Window.partitionBy("src_file").orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wg = Window.orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = grid.withColumn("cum_s", sum("n").over(w))
+    val cumG = glob.withColumn("cum_g", sum("n_g").over(wg))
+      .select("bucket", "cum_g", "n_tot")
+    cum.join(broadcast(cumG), "bucket")
+      .withColumn("gap_ppm", abs(
+        expr("cum_s * 1000000 DIV n_src") - expr("cum_g * 1000000 DIV n_tot")))
+      .groupBy("src_file")
+      .agg(first("n_src").as("n_values"), max("gap_ppm").as("ks_ppm"))
+      .withColumn("drift", col("ks_ppm") >= driftPpmMin)
+  }
+
   /** The daily twin of [[hourlyCounts]] — the trend/changepoint grain
     * (dense where the hour grid is gappy). */
   def dailyCounts(parsed: DataFrame): DataFrame =

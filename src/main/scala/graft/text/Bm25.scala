@@ -64,6 +64,46 @@ object Bm25 {
       .withColumn("shard", col("tok") % shards)
   }
 
+  /** Positional phrase search — exact 3-gram phrase retrieval over a
+    * positional inverted index, the capability BM25's bag-of-words
+    * scoring cannot express ("login failed for" as a phrase, not three
+    * independent terms). Queries are the first 3 tokens of every
+    * queryMod-th document; a corpus document matches where those tokens
+    * appear CONSECUTIVELY.
+    *
+    * Shape: the positional postings (doc, pos, tok) are the one
+    * corpus-sized frame. The anchor join probes them with the broadcast
+    * query set on the first token — only anchor-term postings survive —
+    * then two adjacency self-equi-joins on (doc_id, pos±1) verify the
+    * continuation. At 100 TB the postings partition by tok for the
+    * anchor probe and by (doc_id) for adjacency — two exchanges of the
+    * anchor-filtered sliver, never of the full index. Self-matches
+    * (a query doc finding its own opening) are excluded. */
+  def phraseSearch(docs: DataFrame, queryMod: Int = 211): DataFrame = {
+    val pos = docs.select(col("doc_id"),
+      posexplode(TextAnalysis.tokHashes(col("text"))).as(Seq("pos", "tok")))
+    val q = docs.filter(col("doc_id") % queryMod === 0)
+      .select(col("doc_id").as("q_id"), TextAnalysis.tokHashes(col("text")).as("th"))
+      .filter(size(col("th")) >= 3)
+      .select(col("q_id"), col("th")(0).as("t0"), col("th")(1).as("t1"),
+        col("th")(2).as("t2"))
+    val anchors = pos.join(broadcast(q), pos("tok") === q("t0"))
+      .select(col("q_id"), col("t1"), col("t2"), col("doc_id"), col("pos"))
+    val p1 = pos.select(col("doc_id").as("d1"), col("pos").as("pos1"),
+      col("tok").as("tok1"))
+    val p2 = pos.select(col("doc_id").as("d2"), col("pos").as("pos2"),
+      col("tok").as("tok2"))
+    anchors
+      .join(p1, col("d1") === col("doc_id")
+        && col("pos1") === col("pos") + 1 && col("tok1") === col("t1"))
+      .join(p2, col("d2") === col("doc_id")
+        && col("pos2") === col("pos") + 2 && col("tok2") === col("t2"))
+      .filter(col("q_id") =!= col("doc_id"))
+      .groupBy("q_id", "doc_id")
+      .agg(count(lit(1)).as("n_matches"),
+        min("pos").cast("long").as("first_pos"))
+  }
+
   /** Top-k corpus docs per query doc by integer-exact BM25. */
   def topK(docs: DataFrame, k: Int = 5, queryMod: Int = 211): DataFrame = {
     val toks = docs.select(col("doc_id"),

@@ -756,6 +756,21 @@ class OperatorsSpec extends SparkSpec {
     assert(out("a") == ((4L, 500L, 90000000L, 250L, 0L, 0L)))
   }
 
+  test("ksDrift: shifted magnitude distribution flags, gap hand-computed") {
+    import TestSpark.spark.implicits._
+    // src a: buckets 1,1,2,2 ; src b: all bucket 4 → pooled CDF sits
+    // between them; max gap 500000 ppm for both
+    val parsed = Seq(
+      ("a", 1L), ("a", 1L), ("a", 2L), ("a", 2L),
+      ("b", 8L), ("b", 8L), ("b", 8L), ("b", 8L)
+    ).toDF("src_file", "duration")
+    val out = operators.Aggregates.ksDrift(parsed).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3))))
+      .toMap
+    assert(out("a") == ((4L, 500000L, true)))
+    assert(out("b") == ((4L, 500000L, true)))
+  }
+
   test("volumeTrend: planted drift rises, constant is flat, decay falls") {
     import TestSpark.spark.implicits._
     def t(d: Int) = java.sql.Timestamp.valueOf(f"2024-01-$d%02d 12:00:00")

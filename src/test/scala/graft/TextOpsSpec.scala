@@ -1029,6 +1029,20 @@ class TextOpsSpec extends SparkSpec {
     assert(share.map(_.getLong(5)).sum == total / 4)
   }
 
+  test("phraseSearch: consecutive 3-gram matches, bag-of-words doesn't") {
+    val docs = Seq(
+      (0L, "alpha beta gamma tail"),          // query doc (mod 10)
+      (5L, "x alpha beta gamma y"),           // phrase at pos 1
+      (7L, "alpha beta delta gamma"),         // all terms, NOT consecutive
+      (9L, "gamma beta alpha")                // reversed
+    ).toDF("doc_id", "text")
+    val out = graft.text.Bm25.phraseSearch(docs, queryMod = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(out == Map((0L, 5L) -> ((1L, 1L))),
+      s"only the consecutive occurrence matches: $out")
+  }
+
   test("vocabDrift: identical sources at 0, disjoint vocab at exactly 1e6") {
     val docs = Seq(
       (0L, "s1", "aa aa bb"), (1L, "s2", "aa aa bb"), (2L, "s3", "cc cc cc")
