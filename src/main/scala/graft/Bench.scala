@@ -419,6 +419,12 @@ object Bench {
           results("phrase_search") = math.min(psRun(), psRun())
           val ksRun = () => timeNoop(operators.Aggregates.ksDrift(parsedB))
           results("ks_drift") = math.min(ksRun(), ksRun())
+          // round-19: homoglyph fold is the exact-dedup hash-agg with a
+          // translate() prepended; FD audit and TTL sim are aggregate work.
+          val hgRun = () => timeNoop(dedup.Dedup.homoglyphDups(docs10))
+          results("homoglyph_dups") = math.min(hgRun(), hgRun())
+          val ttlRun = () => timeNoop(operators.Governance.ttlSimulation(parsedB))
+          results("ttl_simulation") = math.min(ttlRun(), ttlRun())
 
           // lmScore/convNearDup persist their reused intermediates;
           // drop them so repeated bench runs don't accumulate cache

@@ -1328,6 +1328,25 @@ object SparkEntry {
           when(col("src_file").rlike("3"), col("duration") * 1000L)
             .otherwise(col("duration"))))),
 
+    // homoglyph-evasive duplicates: planted Cyrillic-lookalike copies
+    // collide on the folded key while raw keys differ
+    "q236_homoglyph_dups" -> ((s, d) => {
+      val base = docs(s, d).select("doc_id", "text")
+      val planted = base.filter(col("doc_id") % 50 === 7)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          translate(col("text"), "aeo", "аео").as("text"))
+      dedup.Dedup.homoglyphDups(base.unionByName(planted))
+    }),
+
+    // functional-dependency audit over candidate (det -> dep) pairs
+    "q237_fd_audit" -> ((s, d) =>
+      operators.DqRules.fdAudit(
+        Enrich.withDerived(Pipeline.parsed(s, d)))),
+
+    // TTL retention simulation per (source file x candidate TTL)
+    "q238_ttl_simulation" -> ((s, d) =>
+      operators.Governance.ttlSimulation(Pipeline.parsed(s, d))),
+
     // dead-letter triage: quarantine rows clustered by digit-collapsed
     // failure template, over q164's mangled fixture
     "q218_dead_letter_templates" -> ((s, d) => {
@@ -4299,6 +4318,92 @@ SELECT src_file, CAST(max(n_src) AS BIGINT) AS n_values,
     AS BIGINT) >= 100000 AS drift
 FROM cums JOIN cumg USING (bucket)
 GROUP BY src_file"""),
+
+    // homoglyph-evasive duplicates over the planted-lookalike fixture
+    "q236_homoglyph_dups" -> s"""
+WITH f AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, translate(text, 'aeo', 'аео')
+  FROM documents WHERE doc_id % 50 = 7),
+k AS (
+  SELECT doc_id,
+    md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS raw_h,
+    md5(regexp_replace(lower(translate(text,
+      '${graft.dedup.Dedup.HomoglyphFrom}',
+      '${graft.dedup.Dedup.HomoglyphTo}')), '\\s+', ' ', 'g')) AS fold_h
+  FROM f),
+ev AS (
+  SELECT fold_h, CAST(min(doc_id) AS BIGINT) AS keeper_id,
+    CAST(count(*) AS BIGINT) AS n_docs,
+    CAST(count(DISTINCT raw_h) AS BIGINT) AS n_raw_variants
+  FROM k GROUP BY 1
+  HAVING count(*) >= 2 AND count(DISTINCT raw_h) >= 2)
+SELECT k.doc_id, ev.keeper_id, ev.n_docs, ev.n_raw_variants
+FROM k JOIN ev USING (fold_h)""",
+
+    // FD audit: error_number->severity_num, name->category, db_id->name
+    "q237_fd_audit" -> withCtes(
+      "px" -> s"""SELECT $oName AS name, ${oTriple(1)} AS error_number,
+    ${oTriple(2)} AS severity_num, ${oKvNum("db_id")} AS db_id
+  FROM transcripts""",
+      "cx" -> """SELECT *,
+    CASE WHEN name IN ('sql_batch_completed', 'rpc_completed',
+                       'sp_statement_completed', 'sql_statement_completed') THEN 'tsql'
+         WHEN name IN ('lock_deadlock_chain', 'xml_deadlock_report') THEN 'deadlock'
+         WHEN name IN ('hadr_db_partner_set_sync_state', 'alwayson_ddl_executed',
+                       'availability_replica_manager_state_change',
+                       'availability_replica_state') THEN 'hadr'
+         WHEN name IN ('agent_job', 'agent_job_step') THEN 'agent'
+         WHEN name IN ('wait_info', 'wait_info_external') THEN 'wait'
+         ELSE name END AS xe_category
+  FROM px""",
+      "g1" -> """SELECT CAST(error_number AS VARCHAR) AS k,
+    count(DISTINCT severity_num) AS n_dep FROM cx
+  WHERE error_number IS NOT NULL AND severity_num IS NOT NULL GROUP BY 1""",
+      "g2" -> """SELECT name AS k, count(DISTINCT xe_category) AS n_dep FROM cx
+  WHERE name IS NOT NULL AND xe_category IS NOT NULL GROUP BY 1""",
+      "g3" -> """SELECT CAST(db_id AS VARCHAR) AS k,
+    count(DISTINCT name) AS n_dep FROM cx
+  WHERE db_id IS NOT NULL AND name IS NOT NULL GROUP BY 1""")("""
+SELECT 'error_number->severity_num' AS fd, CAST(count(*) AS BIGINT) AS n_keys,
+  CAST(COALESCE(sum(CASE WHEN n_dep > 1 THEN 1 END), 0) AS BIGINT) AS n_violating,
+  CAST(COALESCE(sum(CASE WHEN n_dep > 1 THEN 1 END), 0) * 1000
+    // greatest(count(*), 1) AS BIGINT) AS viol_permille,
+  min(CASE WHEN n_dep > 1 THEN k END) AS first_violating_key FROM g1
+UNION ALL
+SELECT 'name->xe_category', CAST(count(*) AS BIGINT),
+  CAST(COALESCE(sum(CASE WHEN n_dep > 1 THEN 1 END), 0) AS BIGINT),
+  CAST(COALESCE(sum(CASE WHEN n_dep > 1 THEN 1 END), 0) * 1000
+    // greatest(count(*), 1) AS BIGINT),
+  min(CASE WHEN n_dep > 1 THEN k END) FROM g2
+UNION ALL
+SELECT 'db_id->name', CAST(count(*) AS BIGINT),
+  CAST(COALESCE(sum(CASE WHEN n_dep > 1 THEN 1 END), 0) AS BIGINT),
+  CAST(COALESCE(sum(CASE WHEN n_dep > 1 THEN 1 END), 0) * 1000
+    // greatest(count(*), 1) AS BIGINT),
+  min(CASE WHEN n_dep > 1 THEN k END) FROM g3"""),
+
+    // TTL retention simulation per (source file x TTL)
+    "q238_ttl_simulation" -> withCtes(
+      "hw" -> """SELECT max(ts) AS hwm FROM transcripts""",
+      "aged" -> """SELECT src_file,
+    (epoch_us(hwm) - epoch_us(ts)) // 86400000000 AS age_d,
+    CAST(length(text) AS BIGINT) AS bytes
+  FROM transcripts CROSS JOIN hw""",
+      "cells" -> """SELECT src_file, age_d, CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(bytes) AS BIGINT) AS b
+  FROM aged GROUP BY 1, 2""",
+      "ttl" -> """SELECT * FROM (VALUES (7), (30), (90)) t(ttl_days)""")("""
+SELECT src_file, CAST(ttl_days AS BIGINT) AS ttl_days,
+  CAST(sum(n) AS BIGINT) AS n_events,
+  CAST(sum(b) AS BIGINT) AS total_bytes,
+  CAST(COALESCE(sum(CASE WHEN age_d >= ttl_days THEN n END), 0) AS BIGINT) AS n_dropped,
+  CAST(COALESCE(sum(CASE WHEN age_d >= ttl_days THEN b END), 0) AS BIGINT) AS bytes_dropped,
+  CAST(COALESCE(sum(CASE WHEN age_d >= ttl_days THEN n END), 0) * 1000
+    // greatest(sum(n), 1) AS BIGINT) AS drop_permille
+FROM cells CROSS JOIN ttl
+GROUP BY 1, 2"""),
 
     // dead-letter template triage over q164's mangled fixture
     "q218_dead_letter_templates" -> withCtes(

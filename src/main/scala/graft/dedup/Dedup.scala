@@ -34,6 +34,45 @@ object Dedup {
   def exactKeyHash(text: Column): Column =
     md5(regexp_replace(lower(text), "\\s+", " ").cast("binary"))
 
+  /** Homoglyph-confusable fold: the common Cyrillic/Greek lookalikes of
+    * Latin letters map to their Latin targets before the content key is
+    * taken. Spam/SEO mills evade exact dedup by swapping а→a-lookalikes
+    * (byte-different, pixel-identical); folding first closes the hole.
+    * Covers the high-frequency confusable set (Unicode TR39's Latin
+    * skeleton for the letters that actually collide in running text). */
+  val HomoglyphPairs: Seq[(Char, Char)] = Seq(
+    'а' -> 'a', 'е' -> 'e', 'о' -> 'o', 'р' -> 'p', 'с' -> 'c',
+    'х' -> 'x', 'у' -> 'y', 'і' -> 'i', 'ј' -> 'j', 'һ' -> 'h',
+    'ο' -> 'o', 'α' -> 'a', 'ɡ' -> 'g')
+  val HomoglyphFrom: String = HomoglyphPairs.map(_._1).mkString
+  val HomoglyphTo: String = HomoglyphPairs.map(_._2).mkString
+
+  def homoglyphFold(text: Column): Column =
+    translate(text, HomoglyphFrom, HomoglyphTo)
+
+  /** Evasive-duplicate detection: documents whose FOLDED content keys
+    * collide while their raw keys differ — exactly the homoglyph-evasion
+    * cluster exact dedup misses. Output: every member of such a cluster
+    * with the cluster keeper and the raw-variant count.
+    *
+    * Shape: same one hash-agg shuffle as [[exactByHash]], carrying the
+    * 32-char folded key; the corpus joins back to the tiny evasive-key
+    * set by key (broadcast). */
+  def homoglyphDups(docs: DataFrame): DataFrame = {
+    val keyed = docs.select(col("doc_id"),
+      exactKeyHash(col("text")).as("raw_h"),
+      exactKeyHash(homoglyphFold(col("text"))).as("fold_h"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val evasive = keyed.groupBy("fold_h").agg(
+        min(col("doc_id")).as("keeper_id"),
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("raw_h")).as("n_raw_variants"))
+      .filter(col("n_docs") >= 2 && col("n_raw_variants") >= 2)
+    keyed.join(broadcast(evasive), "fold_h")
+      .select(col("doc_id"), col("keeper_id"), col("n_docs"),
+        col("n_raw_variants"))
+  }
+
   /** Exact dedup keyed on the content hash. */
   def exactByHash(docs: DataFrame): DataFrame =
     docs.withColumn("norm_h", exactKeyHash(col("text")))

@@ -62,4 +62,37 @@ object DqRules {
         col(s"s_$name").as("first_offender"))
     }.reduce(_ unionByName _)
   }
+
+  /** Functional-dependency audit over candidate (determinant →
+    * dependent) column pairs — the schema-mining half of the contract
+    * check: "does error_number determine severity?" holds exactly when
+    * no determinant value maps to two dependent values. Per pair: keys
+    * in scope, keys violating (>1 distinct dependent), violation
+    * permille, and the smallest violating key. The FD either blesses a
+    * normalization (store the dependent once per key) or flags upstream
+    * corruption when a known dependency breaks.
+    *
+    * Shape: one hash-agg per pair on (det, dep) — vocabulary-sized for
+    * event metadata columns — then a key-level agg; the pair list is
+    * static so the union is plan-time. */
+  def fdAudit(parsed: DataFrame,
+              pairs: Seq[(String, String)] = Seq(
+                ("error_number", "severity_num"),
+                ("name", "xe_category"),
+                ("db_id", "name"))): DataFrame =
+    pairs.map { case (det, dep) =>
+      val grid = parsed
+        .filter(col(det).isNotNull && col(dep).isNotNull)
+        .groupBy(col(det).cast("string").as("k"))
+        .agg(countDistinct(col(dep)).as("n_dep"))
+      grid.agg(
+          count(lit(1)).as("n_keys"),
+          sum(when(col("n_dep") > 1, 1L).otherwise(0L)).as("n_violating"),
+          min(when(col("n_dep") > 1, col("k"))).as("first_violating_key"))
+        .select(lit(s"$det->$dep").as("fd"), col("n_keys"),
+          col("n_violating"),
+          expr("n_violating * 1000 DIV greatest(n_keys, 1L)")
+            .as("viol_permille"),
+          col("first_violating_key"))
+    }.reduce(_ unionByName _)
 }

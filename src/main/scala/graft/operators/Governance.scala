@@ -99,4 +99,38 @@ object Governance {
       .agg(count(lit(1)).as("n_events"),
         countDistinct(col("conv_id")).as("n_convs"))
       .withColumn("rare_flag", col("n_events") < k)
+
+  /** TTL retention simulation — "what would a 7/30/90-day TTL delete?"
+    * answered BEFORE the policy ships: per (source file × candidate TTL),
+    * the events and bytes dropped (event older than TTL days behind the
+    * corpus high-water mark) and the drop permille. The cost/compliance
+    * trade-off usually differs per source (an archive feed is all-old,
+    * a live feed all-new), which is why the grain is per source.
+    *
+    * Shape: one corpus hash-agg to (src_file, age-day) — bounded by
+    * files × retention horizon — then the TTL grid applies to that
+    * aggregate with a 1-row high-water-mark broadcast. */
+  def ttlSimulation(parsed: DataFrame,
+                    ttlDays: Seq[Int] = Seq(7, 30, 90)): DataFrame = {
+    val hw = parsed.agg(max(col("ts")).as("hwm"))
+    val aged = parsed.crossJoin(broadcast(hw))
+      .select(col("src_file"),
+        expr("(unix_micros(CAST(hwm AS TIMESTAMP))" +
+          " - unix_micros(CAST(ts AS TIMESTAMP))) DIV 86400000000").as("age_d"),
+        length(col("text")).cast("long").as("bytes"))
+      .groupBy("src_file", "age_d")
+      .agg(count(lit(1)).as("n"), sum("bytes").as("b"))
+    val ttls = ttlDays.map(d => s"($d)").mkString(", ")
+    val grid = aged.crossJoin(
+      aged.sparkSession.sql(s"SELECT * FROM VALUES $ttls AS t(ttl_days)"))
+    grid.groupBy("src_file", "ttl_days").agg(
+        sum("n").as("n_events"), sum("b").as("total_bytes"),
+        sum(when(col("age_d") >= col("ttl_days"), col("n")).otherwise(0L))
+          .as("n_dropped"),
+        sum(when(col("age_d") >= col("ttl_days"), col("b")).otherwise(0L))
+          .as("bytes_dropped"))
+      .withColumn("drop_permille",
+        expr("n_dropped * 1000 DIV greatest(n_events, 1L)"))
+      .withColumn("ttl_days", col("ttl_days").cast("long"))
+}
 }

@@ -221,4 +221,21 @@ class DedupSpec extends SparkSpec {
       ("A", "A") -> ((1L, 4L, 1L)),    // doc 4: within-source re-ingestion
       ("A", "C") -> ((1L, 3L, 1L))))   // doc 5 copied from cluster-2 origin A
   }
+
+  test("homoglyphDups: Cyrillic lookalike collides folded, exact copies alone don't") {
+    import TestSpark.spark.implicits._
+    val docs = Seq(
+      (0L, "hello world"),
+      (1L, "hеllo world"),   // Cyrillic е — byte-different, folds equal
+      (2L, "different text"),
+      (3L, "hello world"),        // exact copy: same RAW key as 0
+      (4L, "lone doc"), (5L, "lone doc")  // exact-dup pair, no variant
+    ).toDF("doc_id", "text")
+    val out = graft.dedup.Dedup.homoglyphDups(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    // only the {0,1,3} cluster has >= 2 RAW variants
+    assert(out == Map(0L -> ((0L, 3L, 2L)), 1L -> ((0L, 3L, 2L)),
+      3L -> ((0L, 3L, 2L))), s"got $out")
+  }
 }

@@ -756,6 +756,37 @@ class OperatorsSpec extends SparkSpec {
     assert(out("a") == ((4L, 500L, 90000000L, 250L, 0L, 0L)))
   }
 
+  test("fdAudit: broken dependency flags its smallest key, intact holds") {
+    import TestSpark.spark.implicits._
+    val parsed = Seq(
+      (Some(1L), Some(10L), "a", "cat_a", Some(1L)),
+      (Some(1L), Some(11L), "a", "cat_a", Some(1L)),   // err 1 → two sevs
+      (Some(2L), Some(10L), "b", "cat_b", Some(1L)),   // db 1 → a and b
+      (None, None, "b", "cat_b", Some(2L))
+    ).toDF("error_number", "severity_num", "name", "xe_category", "db_id")
+    val out = operators.DqRules.fdAudit(parsed).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        Option(r.getString(4)).getOrElse("-")))).toMap
+    assert(out("error_number->severity_num") == ((2L, 1L, 500L, "1")))
+    assert(out("name->xe_category") == ((2L, 0L, 0L, "-")))
+    assert(out("db_id->name") == ((2L, 1L, 500L, "1")))
+  }
+
+  test("ttlSimulation: per-(file, ttl) drops exactly the over-age mass") {
+    import TestSpark.spark.implicits._
+    def t(d: Int) = java.sql.Timestamp.valueOf(f"2024-01-$d%02d 00:00:00")
+    val parsed = Seq(
+      ("f1", t(20), "abcd"), ("f1", t(10), "ab"),   // 0 and 10 days old
+      ("f2", t(1), "abcdefgh")                       // 19 days old
+    ).toDF("src_file", "ts", "text")
+    val out = operators.Governance.ttlSimulation(parsed, Seq(7))
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))))
+      .toMap
+    assert(out(("f1", 7L)) == ((2L, 6L, 1L, 2L, 500L)))
+    assert(out(("f2", 7L)) == ((1L, 8L, 1L, 8L, 1000L)))
+  }
+
   test("ksDrift: shifted magnitude distribution flags, gap hand-computed") {
     import TestSpark.spark.implicits._
     // src a: buckets 1,1,2,2 ; src b: all bucket 4 → pooled CDF sits
