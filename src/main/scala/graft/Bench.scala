@@ -425,6 +425,12 @@ object Bench {
           results("homoglyph_dups") = math.min(hgRun(), hgRun())
           val ttlRun = () => timeNoop(operators.Governance.ttlSimulation(parsedB))
           results("ttl_simulation") = math.min(ttlRun(), ttlRun())
+          // round-20: injection is a map-only regex battery + conv agg;
+          // salient passage is the df agg + chunk explode + doc window.
+          val injRun = () => timeNoop(text.Injection.scan(input))
+          results("injection_scan") = math.min(injRun(), injRun())
+          val spRun2 = () => timeNoop(text.TfIdf.salientPassage(docs))
+          results("salient_passage") = math.min(spRun2(), spRun2())
 
           // lmScore/convNearDup persist their reused intermediates;
           // drop them so repeated bench runs don't accumulate cache

@@ -255,6 +255,22 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard_permille")
   }
 
+  /** End-to-end near-dup CLUSTERS at the 100 TB shape: LSH-banded
+    * candidates (q36's equi-join, no cartesian) → exact-Jaccard verify ≥
+    * τ‰ → star-contraction connected components
+    * ([[graft.graph.Graphs.connectedComponentsStar]], O(log n) rounds
+    * regardless of chain diameter). This is the composition a production
+    * dedup pass actually runs — pairs alone under-count (copy-of-copy
+    * chains must collapse to ONE keeper), and min-label propagation
+    * over the pair graph stalls on exactly those chains. */
+  def nearDupClusters(docs: DataFrame,
+                      jaccardPermilleMin: Long = 500L): DataFrame = {
+    val pairs = jaccardPermille(lshCandidates(docs), docs)
+      .filter(col("jaccard_permille") >= jaccardPermilleMin)
+      .select(col("doc_a").as("a"), col("doc_b").as("b"))
+    graft.graph.Graphs.connectedComponentsStar(pairs)
+  }
+
   // ---- b-bit minhash ----------------------------------------------------------
   /** b-bit MinHash signatures (Li & König 2010, b = 1): keep only the
     * lowest bit of each of the [[NumHashes]] minhash values and pack them

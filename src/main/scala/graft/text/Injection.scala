@@ -1,0 +1,56 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Prompt-injection heuristic scan over agent transcripts — the
+  * agent-pipeline governance audit beside PII redaction (q67) and the
+  * banned-term blocklist (q212): turns that try to OVERRIDE the system
+  * prompt, EXFILTRATE hidden instructions, smuggle payloads through
+  * ENCODING, or re-ROLE the assistant are flagged per category, and the
+  * conversation rollup carries counts plus the first offending turn —
+  * the unit a quarantine acts on (one injected turn taints the dialogue
+  * downstream of it).
+  *
+  * The category patterns compile into the plan as constant regexes (the
+  * Blocklist shape) restricted to RE2-safe syntax — no lookaround — so
+  * the Spark (Java regex) and DuckDB (RE2) evaluations agree. Map-only
+  * per-turn work + ONE conv hash-agg; text never shuffles.
+  */
+object Injection {
+
+  /** (category, RE2-safe case-insensitive pattern). */
+  val Patterns: Seq[(String, String)] = Seq(
+    ("override",
+      "(?i)(ignore (all |the )?(previous|prior|above) (instructions|messages)|disregard (your|the) (system prompt|instructions))"),
+    ("exfil",
+      "(?i)(reveal|print|show|repeat)[a-z ]{0,30}(system prompt|hidden instructions|initial prompt)"),
+    ("encoding",
+      "[A-Za-z0-9+/]{48,}={0,2}"),
+    ("roleplay",
+      "(?i)(you are now|pretend to be|jailbreak|developer mode|do anything now)"))
+
+  def turnFlags(text: Column): Seq[(String, Column)] =
+    Patterns.map { case (cat, re) => cat -> text.rlike(re) }
+
+  /** Per-conversation injection report: per-category turn counts, total
+    * flagged turns, first offending turn index, and the conversation
+    * flag. Only conversations with at least one hit are returned — the
+    * quarantine work-list, not a corpus-sized report. */
+  def scan(transcripts: DataFrame): DataFrame = {
+    val flags = turnFlags(col("text"))
+    val any = flags.map(_._2).reduce(_ || _)
+    val perTurn = transcripts.select(
+      col("conv_id") +: col("turn_idx") +:
+        flags.map { case (c, f) => f.as(s"f_$c") } :+ any.as("f_any"): _*)
+    perTurn.groupBy("conv_id").agg(
+        count(lit(1)).as("n_turns"),
+        sum(when(col("f_override"), 1L).otherwise(0L)).as("n_override"),
+        sum(when(col("f_exfil"), 1L).otherwise(0L)).as("n_exfil"),
+        sum(when(col("f_encoding"), 1L).otherwise(0L)).as("n_encoding"),
+        sum(when(col("f_roleplay"), 1L).otherwise(0L)).as("n_roleplay"),
+        sum(when(col("f_any"), 1L).otherwise(0L)).as("n_flagged"),
+        min(when(col("f_any"), col("turn_idx"))).as("first_offending_turn"))
+      .filter(col("n_flagged") > 0)
+  }
+}

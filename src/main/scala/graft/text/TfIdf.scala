@@ -60,4 +60,46 @@ object TfIdf {
       .select(col("doc_id"), col("rank"), col("tok"), col("tf"), col("df"),
         col("score"))
   }
+
+  /** Salient-passage selection: each document's most INFORMATIVE
+    * fixed-size token window, scored by summed token rarity
+    * (Σ over the chunk's DISTINCT tokens of 10⁶ DIV document-frequency)
+    * — the lead-bias-free snippet extractor a retrieval/training
+    * pipeline uses where "first N tokens" would systematically pick
+    * boilerplate openings. Rational rarity instead of log-idf keeps the
+    * score integer-exact across engines. Ties break to the earlier
+    * chunk.
+    *
+    * Shape: one (doc, tok) explode for document frequencies
+    * (vocabulary-bounded agg), one chunk explode whose (chunk, tok)
+    * stream joins the df frame on tok, then a per-doc rank window on
+    * the chunk-level frame (≤ len/chunk rows per doc). */
+  def salientPassage(docs: DataFrame, chunk: Int = 20): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+        TextAnalysis.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val df = toks.select(col("doc_id"),
+        explode(array_distinct(col("toks"))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("df"))
+    val chunks = toks.select(col("doc_id"),
+        posexplode(transform(
+          sequence(lit(0), expr(s"CAST((size(toks) - 1) DIV $chunk AS INT)")),
+          i => slice(col("toks"), i * chunk + 1, lit(chunk))))
+          .as(Seq("chunk_idx", "carr")))
+    val scored = chunks
+      .select(col("doc_id"), col("chunk_idx"),
+        array_join(col("carr"), " ").as("passage"),
+        explode(array_distinct(col("carr"))).as("tok"))
+      .join(df, "tok")
+      .groupBy("doc_id", "chunk_idx")
+      .agg(first(col("passage")).as("passage"),
+        sum(expr("1000000 DIV df")).as("rarity_score"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("rarity_score").desc, col("chunk_idx"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+        col("rarity_score"), col("passage"))
+  }
 }

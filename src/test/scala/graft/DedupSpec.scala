@@ -37,6 +37,19 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(r => r.getLong(1) == 3L && r.getLong(2) > 300))
   }
 
+  test("nearDupClusters: copy-chain collapses to one component via star CC") {
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val edit1 = base.replace("today", "tomorrow")
+    val edit2 = edit1.replace("quick", "speedy")   // chains 1-2-3
+    val other = "completely different words appear in this document body here now ok fine"
+    val d = docsOf(1L -> base, 2L -> edit1, 3L -> edit2, 4L -> other)
+    val out = graft.dedup.Dedup.nearDupClusters(d).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.getOrElse(1L, -1L) == 1L && out.getOrElse(2L, -1L) == 1L,
+      s"chain must share component 1: $out")
+    assert(!out.contains(4L), "the unrelated doc joins no cluster")
+  }
+
   test("simhash: near-identical docs have small hamming distance") {
     val d = docsOf(
       1L -> "alpha beta gamma delta epsilon zeta eta theta iota kappa",
