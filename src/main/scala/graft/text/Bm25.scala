@@ -80,28 +80,63 @@ object Bm25 {
     * anchor-filtered sliver, never of the full index. Self-matches
     * (a query doc finding its own opening) are excluded. */
   def phraseSearch(docs: DataFrame, queryMod: Int = 211): DataFrame = {
-    val pos = docs.select(col("doc_id"),
+    import org.apache.spark.storage.StorageLevel
+    val posAll = docs.select(col("doc_id"),
       posexplode(TextAnalysis.tokHashes(col("text"))).as(Seq("pos", "tok")))
     val q = docs.filter(col("doc_id") % queryMod === 0)
       .select(col("doc_id").as("q_id"), TextAnalysis.tokHashes(col("text")).as("th"))
       .filter(size(col("th")) >= 3)
       .select(col("q_id"), col("th")(0).as("t0"), col("th")(1).as("t1"),
         col("th")(2).as("t2"))
-    val anchors = pos.join(broadcast(q), pos("tok") === q("t0"))
-      .select(col("q_id"), col("t1"), col("t2"), col("doc_id"), col("pos"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // postings pruned to query terms ONCE — everything downstream runs
+    // on the sliver, never the full positional index
+    val qterms = q.select(col("t0").as("tok"))
+      .unionByName(q.select(col("t1").as("tok")))
+      .unionByName(q.select(col("t2").as("tok"))).distinct()
+    val pos = posAll.join(broadcast(qterms), Seq("tok"), "left_semi")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // anchor each query on its LEAST-FREQUENT term (the classic phrase-
+    // eval trick): candidate starts per query shrink from df(first term)
+    // to df(rarest term) — on template-heavy corpora the difference is
+    // the whole game. Offsets stay explicit so matches are identical.
+    val dfq = pos.groupBy("tok").agg(count(lit(1)).as("df"))
+    def dfOf(t: String) = {
+      val d = dfq.select(col("tok").as(t), col("df").as(s"df_$t"))
+      (qq: DataFrame) => qq.join(broadcast(d), Seq(t), "left")
+        .withColumn(s"df_$t", coalesce(col(s"df_$t"), lit(0L)))
+    }
+    val qd = dfOf("t2")(dfOf("t1")(dfOf("t0")(q)))
+      .withColumn("anchor_off",
+        when(col("df_t0") <= col("df_t1") && col("df_t0") <= col("df_t2"), 0)
+          .when(col("df_t1") <= col("df_t2"), 1).otherwise(2))
+      .withColumn("anchor_tok",
+        when(col("anchor_off") === 0, col("t0"))
+          .when(col("anchor_off") === 1, col("t1")).otherwise(col("t2")))
+    val anchors = pos.join(broadcast(qd), pos("tok") === qd("anchor_tok"))
+      .select(col("q_id"), col("t0"), col("t1"), col("t2"), col("doc_id"),
+        (col("pos") - col("anchor_off")).as("start"), col("anchor_off"))
+      .filter(col("start") >= 0)
     val p1 = pos.select(col("doc_id").as("d1"), col("pos").as("pos1"),
       col("tok").as("tok1"))
     val p2 = pos.select(col("doc_id").as("d2"), col("pos").as("pos2"),
       col("tok").as("tok2"))
+    // verify the two NON-anchor offsets (the anchor position is proven)
     anchors
       .join(p1, col("d1") === col("doc_id")
-        && col("pos1") === col("pos") + 1 && col("tok1") === col("t1"))
+        && col("pos1") === col("start")
+          + when(col("anchor_off") === 0, 1).otherwise(0)
+        && col("tok1") === when(col("anchor_off") === 0, col("t1"))
+          .otherwise(col("t0")))
       .join(p2, col("d2") === col("doc_id")
-        && col("pos2") === col("pos") + 2 && col("tok2") === col("t2"))
+        && col("pos2") === col("start")
+          + when(col("anchor_off") === 2, 1).otherwise(2)
+        && col("tok2") === when(col("anchor_off") === 2, col("t1"))
+          .otherwise(col("t2")))
       .filter(col("q_id") =!= col("doc_id"))
       .groupBy("q_id", "doc_id")
       .agg(count(lit(1)).as("n_matches"),
-        min("pos").cast("long").as("first_pos"))
+        min("start").cast("long").as("first_pos"))
   }
 
   /** Top-k corpus docs per query doc by integer-exact BM25. */
