@@ -431,6 +431,12 @@ object Bench {
           results("injection_scan") = math.min(injRun(), injRun())
           val spRun2 = () => timeNoop(text.TfIdf.salientPassage(docs))
           results("salient_passage") = math.min(spRun2(), spRun2())
+          // round-21: pass@k is one conv agg + task window on conv rows;
+          // collocations is the bigram/unigram agg pair.
+          val pkRun = () => timeNoop(operators.Conversations.passAtK(parsedB))
+          results("pass_at_k") = math.min(pkRun(), pkRun())
+          val clRun = () => timeNoop(text.LangModel.collocations(docs))
+          results("collocations") = math.min(clRun(), clRun())
 
           // lmScore/convNearDup persist their reused intermediates;
           // drop them so repeated bench runs don't accumulate cache

@@ -1371,6 +1371,15 @@ object SparkEntry {
     "q241_salient_passage" -> ((s, d) =>
       text.TfIdf.salientPassage(docs(s, d))),
 
+    // pass@k over (task = first tool, trial = conversation, success =
+    // funnel criterion), exact falling-factorial arithmetic
+    "q242_pass_at_k" -> ((s, d) =>
+      operators.Conversations.passAtK(Pipeline.parsed(s, d))),
+
+    // collocation mining by integer lift over adjacent token pairs
+    "q243_collocations" -> ((s, d) =>
+      text.LangModel.collocations(docs(s, d))),
+
     // dead-letter triage: quarantine rows clustered by digit-collapsed
     // failure template, over q164's mangled fixture
     "q218_dead_letter_templates" -> ((s, d) => {
@@ -4528,6 +4537,54 @@ FROM (
     ORDER BY rarity_score DESC, chunk_idx) AS rk
   FROM scored) r
 WHERE rk = 1""",
+
+    // pass@k with the same reservoir cap and funnel success criterion
+    "q242_pass_at_k" -> withCtes(
+      "cv" -> s"""SELECT conv_id,
+    arg_min(tool, turn_idx) FILTER (WHERE tool != '') AS task,
+    max(CASE WHEN ${oTriple(1)} IS NOT NULL THEN turn_idx END) AS last_err,
+    max(CASE WHEN role = 'assistant' THEN turn_idx END) AS last_asst
+  FROM transcripts GROUP BY conv_id""",
+      "sc" -> """SELECT conv_id, task,
+    (last_err IS NULL OR (last_asst IS NOT NULL AND last_asst > last_err))
+      AS success
+  FROM cv WHERE task IS NOT NULL""",
+      "cp" -> """SELECT task, success,
+    row_number() OVER (PARTITION BY task ORDER BY md5(conv_id), conv_id) AS rk
+  FROM sc""",
+      "ag" -> """SELECT task, CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(CASE WHEN success THEN 1 ELSE 0 END) AS BIGINT) AS c
+  FROM cp WHERE rk <= 200 GROUP BY task""")("""
+SELECT task, n, c,
+  CAST(c * 1000000 // n AS BIGINT) AS pass1_ppm,
+  CAST(CASE WHEN n >= 5 THEN
+    1000000 - (CASE WHEN n - c >= 5
+      THEN CAST(n - c AS HUGEINT) * (n-c-1) * (n-c-2) * (n-c-3) * (n-c-4)
+      ELSE CAST(0 AS HUGEINT) END) * 1000000
+    // (CAST(n AS HUGEINT) * (n-1) * (n-2) * (n-3) * (n-4))
+  END AS BIGINT) AS pass5_ppm
+FROM ag"""),
+
+    // collocation lift over adjacent token pairs
+    "q243_collocations" -> s"""
+WITH t AS (SELECT $oToks AS toks FROM documents WHERE len($oToks) >= 2),
+bg AS (
+  SELECT toks[j] AS w1, toks[j + 1] AS w2
+  FROM (SELECT toks, unnest(generate_series(1, len(toks) - 1)) AS j FROM t) x),
+nb AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS n_ab FROM bg
+  GROUP BY 1, 2 HAVING count(*) >= 5),
+uni AS (SELECT w, CAST(count(*) AS BIGINT) AS n_w
+  FROM (SELECT unnest(toks) AS w FROM t) u GROUP BY 1),
+tot AS (SELECT CAST(sum(n_w) AS BIGINT) AS n_total FROM uni),
+lifted AS (
+  SELECT nb.w1, nb.w2, nb.n_ab,
+    CAST(CAST(nb.n_ab AS HUGEINT) * (SELECT n_total FROM tot) * 1000
+      // (CAST(a.n_w AS HUGEINT) * b.n_w) AS BIGINT) AS lift_x1e3
+  FROM nb JOIN uni a ON nb.w1 = a.w JOIN uni b ON nb.w2 = b.w)
+SELECT CAST(row_number() OVER (ORDER BY lift_x1e3 DESC, w1, w2) AS BIGINT)
+    AS rank, w1, w2, n_ab, lift_x1e3
+FROM lifted
+QUALIFY rank <= 20""",
 
     // dead-letter template triage over q164's mangled fixture
     "q218_dead_letter_templates" -> withCtes(

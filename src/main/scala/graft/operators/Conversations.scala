@@ -604,6 +604,51 @@ object Conversations {
         "n_cache_hits", "hit_permille")
   }
 
+  /** pass@k — the canonical sampled-evaluation metric, computed exactly:
+    * tasks are keyed by the conversation's FIRST tool, a trial is one
+    * conversation, success is the funnel criterion (no error, or an
+    * assistant turn after the last error). pass@k = 1 − C(n−c, k)/C(n, k)
+    * via the falling-factorial product — integer-exact in DECIMAL, no
+    * floats (the binomial ratio telescopes to Π(n−c−i)/(n−i)).
+    *
+    * Trials per task are capped at `trialCap` by smallest md5(conv_id)
+    * (the reservoir gate): the estimator is sampling-based by definition
+    * (Chen et al., "Evaluating LLMs Trained on Code" estimate pass@k on
+    * n ≤ 200 samples), and the cap is what keeps the falling factorials
+    * inside DECIMAL(38) and the per-task window bounded at scale — gate
+    * by hash threshold first on a 100 TB corpus, then rank the sliver.
+    *
+    * Shape: one conv hash-agg (the shared conv exchange), a per-task
+    * rank window on the CONV-level frame, then a |tasks|-row report. */
+  def passAtK(parsed: DataFrame, trialCap: Int = 200): DataFrame = {
+    val conv = parsed.groupBy("conv_id").agg(
+        min(when(col("tool") =!= "", struct(col("turn_idx"), col("tool"))))
+          .as("ft"),
+        max(when(col("error_number").isNotNull, col("turn_idx"))).as("last_err"),
+        max(when(col("role") === "assistant", col("turn_idx"))).as("last_asst"))
+      .filter(col("ft").isNotNull)
+      .select(col("conv_id"), col("ft.tool").as("task"),
+        (col("last_err").isNull ||
+          (col("last_asst").isNotNull && col("last_asst") > col("last_err")))
+          .as("success"))
+    val w = Window.partitionBy("task")
+      .orderBy(md5(col("conv_id").cast("binary")), col("conv_id"))
+    conv.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= trialCap)
+      .groupBy("task").agg(
+        count(lit(1)).as("n"),
+        sum(when(col("success"), 1L).otherwise(0L)).as("c"))
+      .select(col("task"), col("n"), col("c"),
+        expr("c * 1000000 DIV n").as("pass1_ppm"),
+        expr("""CASE WHEN n >= 5 THEN
+            1000000 - (CASE WHEN n - c >= 5
+              THEN CAST(n - c AS DECIMAL(38,0)) * (n-c-1) * (n-c-2)
+                   * (n-c-3) * (n-c-4)
+              ELSE CAST(0 AS DECIMAL(38,0)) END) * 1000000
+            DIV (CAST(n AS DECIMAL(38,0)) * (n-1) * (n-2) * (n-3) * (n-4))
+          END""").as("pass5_ppm"))
+  }
+
   /** Pareto cost attribution per tool — the "which tools produce 80% of
     * the byte volume" capacity report that decides where parse/storage
     * optimization effort goes. Per tool: turn count, byte mass, share,

@@ -118,6 +118,49 @@ object LangModel {
         concat(slice(acc, lit(1), size(acc) - 1), array(lit(x + y))))
         .otherwise(concat(acc, array(s))))
 
+  /** Collocation mining by integer LIFT — which adjacent token pairs
+    * co-occur far above chance: lift = P(ab) / (P(a)·P(b)) framed as
+    * n_ab·N·1000 DIV (n_a·n_b), the rational stand-in for PMI (PMI's log
+    * changes no ranking, and logs break engine parity). bpeTopPairs
+    * ranks bigrams by RAW count — frequency finds "of the"; lift finds
+    * the pairs that are glued together relative to their parts (named
+    * entities, idioms, template fragments). Min support keeps the
+    * unstable 1-occurrence tail out.
+    *
+    * Shape: one bigram explode into a vocabulary²-bounded (Zipf-small)
+    * hash-agg + one unigram agg; lift and the global top-k rank run on
+    * the filtered aggregate. */
+  def collocations(docs: DataFrame, minSupport: Long = 5L,
+                   topK: Int = 20): DataFrame = {
+    val toks = docs.select(TextAnalysis.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bigrams = toks.select(explode(zip_with(
+        slice(col("toks"), 1, Int.MaxValue - 1),
+        slice(col("toks"), 2, Int.MaxValue - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+      .filter(col("bg.w2").isNotNull)
+      .groupBy(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= minSupport)
+    val uni = toks.select(explode(col("toks")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("n_w"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val total = uni.agg(sum("n_w").as("n_total"))
+    val lifted = bigrams
+      .join(uni.select(col("w").as("w1"), col("n_w").as("n_a")), "w1")
+      .join(uni.select(col("w").as("w2"), col("n_w").as("n_b")), "w2")
+      .crossJoin(broadcast(total))
+      .withColumn("lift_x1e3", expr(
+        """(CAST(n_ab AS DECIMAL(19,0)) * n_total * 1000)
+           DIV (CAST(n_a AS DECIMAL(19,0)) * n_b)"""))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("lift_x1e3").desc, col("w1"), col("w2"))
+    lifted.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topK)
+      .select("rank", "w1", "w2", "n_ab", "lift_x1e3")
+  }
+
   /** Apply a BPE merge table to the corpus and report per-doc compression
     * — the tokenizer-APPLY step that pairs with [[bpeTopPairs]]' training
     * step. The folds run over the DISTINCT vocabulary, not the token

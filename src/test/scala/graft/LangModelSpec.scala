@@ -185,4 +185,19 @@ class LangModelSpec extends SparkSpec {
       .collect().head.getLong(1)
     assert(m == 4L)
   }
+
+  test("collocations: lift ranks the glued pair above the frequent one") {
+    import TestSpark.spark.implicits._
+    // "x y" always together (5×); "f f" frequent but f is everywhere
+    val docs = ((1 to 5).map(i => (i.toLong, "x y")) :+
+      (6L, "f f f f f f")).toDF("doc_id", "text")
+    val out = graft.text.LangModel.collocations(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(4)))).toMap
+    // N=16: lift(x,y) = 5·16·1000 DIV 25 = 3200; lift(f,f) = 5·16·1000
+    // DIV 36 = 2222
+    assert(out(1L) == (("x", "y", 5L, 3200L)))
+    assert(out(2L) == (("f", "f", 5L, 2222L)))
+    assert(out.size == 2, "pairs under min support stay out")
+  }
 }

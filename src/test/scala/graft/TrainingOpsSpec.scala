@@ -577,6 +577,28 @@ class TrainingOpsSpec extends SparkSpec {
     assert(out(3L) == ((1L, 1L, 0L, 0L, 0L)))
   }
 
+  test("passAtK: exact falling-factorial pass@5, degenerate cases pinned") {
+    import TestSpark.spark.implicits._
+    // task t1: 10 trials, 2 successes → pass@5 = 1 − C(8,5)/C(10,5)
+    //   = 1 − 56/252 → 1e6 − 222222 = 777778
+    // task t2: 6 trials, 6 successes (n−c=0 < 5) → pass@5 = 1e6
+    // task t3: 2 trials → pass@5 null
+    def conv(id: String, task: String, ok: Boolean) = Seq(
+      (id, 0L, "user", task, None: Option[Long]),
+      (id, 1L, "assistant", "", if (ok) None else Some(18456L)))
+    val rows =
+      (1 to 10).flatMap(i => conv(s"a$i", "t1", i <= 2)) ++
+      (1 to 6).flatMap(i => conv(s"b$i", "t2", ok = true)) ++
+      (1 to 2).flatMap(i => conv(s"c$i", "t3", ok = false))
+    val parsed = rows.toDF("conv_id", "turn_idx", "role", "tool", "error_number")
+    val out = operators.Conversations.passAtK(parsed).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) -1L else r.getLong(4)))).toMap
+    assert(out("t1") == ((10L, 2L, 200000L, 777778L)))
+    assert(out("t2") == ((6L, 6L, 1000000L, 1000000L)))
+    assert(out("t3") == ((2L, 0L, 0L, -1L)))
+  }
+
   test("toolCostPareto: prefix-closed head includes the 80%-crossing tool") {
     import TestSpark.spark.implicits._
     val t = Seq(
