@@ -1380,6 +1380,32 @@ object SparkEntry {
     "q243_collocations" -> ((s, d) =>
       text.LangModel.collocations(docs(s, d))),
 
+    // KMV bottom-k sketch set algebra: per-source-pair union /
+    // intersection / difference estimates — the subtractive algebra
+    // HLL's registers can't express
+    "q245_kmv_sketch" -> ((s, d) =>
+      operators.Sketches.kmvSetOps(docs(s, d))),
+
+    // incremental view maintenance: late-insert + retraction delta
+    // applied to the materialized daily aggregate without re-scanning
+    // the base corpus
+    "q246_ivm_refresh" -> ((s, d) => {
+      val p = Pipeline.parsed(s, d).select("name", "ts", "turn_idx")
+      val base = p.filter(col("turn_idx") % 7 =!= 3)
+      val oldAgg = operators.Aggregates.dailyCounts(base)
+      val delta = p.filter(col("turn_idx") % 7 === 3)
+        .withColumn("sign", lit(1L))
+        .unionByName(base.filter(col("turn_idx") % 11 === 5)
+          .withColumn("sign", lit(-1L)))
+        .select("name", "ts", "sign")
+      operators.Aggregates.incrementalRefresh(oldAgg, delta)
+    }),
+
+    // tokenizer fertility per language: sub-tokens per word + chars per
+    // sub-token, the multilingual-tokenizer-equity audit
+    "q247_fertility" -> ((s, d) =>
+      text.LangModel.fertility(docs(s, d))),
+
     // dead-letter triage: quarantine rows clustered by digit-collapsed
     // failure template, over q164's mangled fixture
     "q218_dead_letter_templates" -> ((s, d) => {
@@ -4585,6 +4611,83 @@ SELECT CAST(row_number() OVER (ORDER BY lift_x1e3 DESC, w1, w2) AS BIGINT)
     AS rank, w1, w2, n_ab, lift_x1e3
 FROM lifted
 QUALIFY rank <= 20""",
+
+    // KMV bottom-k sketch set algebra over per-source content keys
+    "q245_kmv_sketch" -> s"""
+WITH v AS (SELECT DISTINCT source,
+    ('0x' || substr(md5(text), 1, 8))::BIGINT AS h FROM documents),
+sk AS (SELECT * FROM (
+    SELECT source, h,
+      row_number() OVER (PARTITION BY source ORDER BY h) AS rk FROM v)
+  WHERE rk <= 32),
+est AS (SELECT source, CAST(count(*) AS BIGINT) AS nv, max(h) AS hk
+  FROM sk GROUP BY source),
+e2 AS (SELECT source,
+    CASE WHEN nv < 32 THEN nv ELSE (31 * 4294967296) // hk END AS kmv_est
+  FROM est),
+pairs AS (SELECT a.source AS src_a, b.source AS src_b,
+    a.kmv_est AS est_a, b.kmv_est AS est_b
+  FROM e2 a JOIN e2 b ON a.source < b.source),
+m AS (
+  SELECT p.src_a, p.src_b, s.h, 1 AS side
+  FROM pairs p JOIN sk s ON s.source = p.src_a
+  UNION ALL
+  SELECT p.src_a, p.src_b, s.h, 2 AS side
+  FROM pairs p JOIN sk s ON s.source = p.src_b),
+g AS (SELECT src_a, src_b, h, CAST(sum(side) AS BIGINT) AS sides
+  FROM m GROUP BY 1, 2, 3),
+u AS (SELECT * FROM (
+    SELECT src_a, src_b, h, sides,
+      row_number() OVER (PARTITION BY src_a, src_b ORDER BY h) AS rk FROM g)
+  WHERE rk <= 32),
+ua AS (SELECT src_a, src_b, CAST(count(*) AS BIGINT) AS nu, max(h) AS hku,
+    CAST(sum(CASE WHEN sides = 3 THEN 1 ELSE 0 END) AS BIGINT) AS matched
+  FROM u GROUP BY 1, 2),
+ue AS (SELECT src_a, src_b, nu, matched,
+    CASE WHEN nu < 32 THEN nu ELSE (31 * 4294967296) // hku END AS est_union
+  FROM ua)
+SELECT p.src_a, p.src_b, p.est_a, p.est_b,
+  CAST(est_union AS BIGINT) AS est_union,
+  CAST((matched * 1000) // nu AS BIGINT) AS jaccard_permille,
+  CAST((matched * est_union) // nu AS BIGINT) AS est_intersect,
+  CAST(greatest(0, p.est_a - (matched * est_union) // nu) AS BIGINT)
+    AS est_diff_a
+FROM pairs p JOIN ue USING (src_a, src_b)""",
+
+    // IVM refresh: old daily aggregate + signed CDC delta == recompute
+    "q246_ivm_refresh" -> withCtes(
+      "p" -> s"SELECT $oName AS name, ts, turn_idx FROM transcripts",
+      "oldagg" -> """SELECT name, date_trunc('day', ts) AS day,
+    CAST(count(*) AS BIGINT) AS n_old
+  FROM p WHERE turn_idx % 7 != 3 GROUP BY 1, 2""",
+      "delta" -> """SELECT name, date_trunc('day', ts) AS day,
+    CAST(sum(sign) AS BIGINT) AS d_net
+  FROM (
+    SELECT name, ts, 1 AS sign FROM p WHERE turn_idx % 7 = 3
+    UNION ALL
+    SELECT name, ts, -1 AS sign FROM p
+    WHERE turn_idx % 7 != 3 AND turn_idx % 11 = 5) x
+  GROUP BY 1, 2""")("""
+SELECT COALESCE(o.name, d.name) AS name, COALESCE(o.day, d.day) AS day,
+  CAST(COALESCE(n_old, 0) AS BIGINT) AS n_old,
+  CAST(COALESCE(d_net, 0) AS BIGINT) AS d_net,
+  CAST(COALESCE(n_old, 0) + COALESCE(d_net, 0) AS BIGINT) AS n_new
+FROM oldagg o FULL OUTER JOIN delta d ON o.name = d.name AND o.day = d.day
+WHERE COALESCE(n_old, 0) + COALESCE(d_net, 0) != 0"""),
+
+    // tokenizer fertility per language
+    "q247_fertility" -> s"""
+WITH t AS (SELECT lang, len($oToks) AS ws,
+    len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS bpe,
+    length(text) AS chars
+  FROM documents)
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(ws) AS BIGINT) AS ws_tokens,
+  CAST(sum(bpe) AS BIGINT) AS bpe_tokens,
+  CAST(sum(chars) AS BIGINT) AS n_chars,
+  CAST(sum(bpe) * 1000 // sum(ws) AS BIGINT) AS fertility_x1000,
+  CAST(sum(chars) * 1000 // sum(bpe) AS BIGINT) AS chars_per_subtok_x1000
+FROM t GROUP BY lang HAVING sum(ws) > 0""",
 
     // dead-letter template triage over q164's mangled fixture
     "q218_dead_letter_templates" -> withCtes(

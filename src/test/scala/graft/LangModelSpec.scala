@@ -200,4 +200,17 @@ class LangModelSpec extends SparkSpec {
     assert(out(2L) == (("f", "f", 5L, 2222L)))
     assert(out.size == 2, "pairs under min support stay out")
   }
+
+  test("fertility: splintering text scores high, plain words at 1000") {
+    import TestSpark.spark.implicits._
+    // en: "hello world" -> 2 ws tokens, 2 bpe sub-tokens -> fertility 1000
+    // xx: "a-b c.d" -> 2 ws tokens, 6 bpe sub-tokens (a,-,b / c,.,d) -> 3000
+    val docs = Seq((1L, "hello world", "en"), (2L, "a-b c.d", "xx"))
+      .toDF("doc_id", "text", "lang")
+    val out = graft.text.LangModel.fertility(docs).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    assert(out("en") == ((1L, 2L, 2L, 11L, 1000L, 5500L)))
+    assert(out("xx") == ((1L, 2L, 6L, 7L, 3000L, 1166L)))
+  }
 }

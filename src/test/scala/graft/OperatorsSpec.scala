@@ -855,4 +855,31 @@ class OperatorsSpec extends SparkSpec {
     assert(out("error_has_state") == ((1L, 1L, 1000L, "c2:000001")))
     assert(out("client_addr_shape") == ((3L, 1L, 333L, "c2:000001")))
   }
+
+  test("incrementalRefresh: delta-applied aggregate == full recompute; zero rows drop") {
+    import TestSpark.spark.implicits._
+    def ts(d: Int) = java.sql.Timestamp.valueOf(f"2024-01-$d%02d 10:00:00")
+    val base = Seq(("a", ts(1)), ("a", ts(1)), ("a", ts(2)), ("b", ts(1)))
+      .toDF("name", "ts")
+    val oldAgg = operators.Aggregates.dailyCounts(base)
+    // delta: +2 late 'a' day-2 rows, -1 'a' day-1, -1 'b' day-1 (retracts
+    // b's only row -> key must vanish), +1 brand-new 'c' day-3
+    val delta = Seq(
+      ("a", ts(2), 1L), ("a", ts(2), 1L), ("a", ts(1), -1L),
+      ("b", ts(1), -1L), ("c", ts(3), 1L)).toDF("name", "ts", "sign")
+    val out = operators.Aggregates.incrementalRefresh(oldAgg, delta)
+      .collect().map(r => (r.getString(0), r.getTimestamp(1).toString.take(10)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out(("a", "2024-01-01")) == ((2L, -1L, 1L)))
+    assert(out(("a", "2024-01-02")) == ((1L, 2L, 3L)))
+    assert(out(("c", "2024-01-03")) == ((0L, 1L, 1L)))
+    assert(!out.contains(("b", "2024-01-01")), "fully-retracted key drops")
+    // identity: n_new == full recompute over (base minus deletes plus inserts)
+    val recomputed = operators.Aggregates.dailyCounts(
+      Seq(("a", ts(1)), ("a", ts(2)), ("a", ts(2)), ("a", ts(2)), ("c", ts(3)))
+        .toDF("name", "ts"))
+      .collect().map(r => (r.getString(0), r.getTimestamp(1).toString.take(10)) ->
+        r.getLong(2)).toMap
+    assert(out.map { case (k, v) => k -> v._3 } == recomputed)
+  }
 }

@@ -186,4 +186,45 @@ class SketchesSpec extends SparkSpec {
     // union of disjoint sources must exceed either side's estimate
     assert(out(("a", "z"))._3 > out(("a", "z"))._1)
   }
+
+  test("kmvSetOps: identical sources intersect fully, disjoint ones at zero") {
+    // 'a' and 'b' carry IDENTICAL content (same hash sets -> sketch
+    // jaccard 1000, intersection == union == side estimate, diff 0);
+    // 'z' is disjoint (jaccard 0, intersection 0, diff == est_a).
+    val docs = (
+      (0L until 50L).map(i => (i, "a", s"shared document number $i body")) ++
+      (0L until 50L).map(i => (i + 100L, "b", s"shared document number $i body")) ++
+      (0L until 50L).map(i => (i + 200L, "z", s"completely different corpus item $i"))
+    ).toDF("doc_id", "source", "text")
+    val out = Sketches.kmvSetOps(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getLong(6), r.getLong(7)))).toMap
+    assert(out.keySet == Set(("a", "b"), ("a", "z"), ("b", "z")))
+    val (estA, estB, estU, jac, estI, diffA) = out(("a", "b"))
+    assert(estA == estB && estU == estA, "identical content: union == side")
+    assert(jac == 1000L && estI == estU && diffA == 0L)
+    val az = out(("a", "z"))
+    assert(az._4 == 0L && az._5 == 0L, "disjoint: jaccard and intersect 0")
+    assert(az._6 == az._1, "disjoint: difference is the whole side")
+    assert(az._3 > az._1, "union exceeds either disjoint side")
+  }
+
+  test("kmvSketch/kmvEstimates: exact below k, order-stat estimate near truth above") {
+    // 10 distinct values (< k=32): the sketch IS the value set, estimate
+    // exact; 5000 distinct values: estimate within 40% (k=32 -> ~18% rel err)
+    val small = (0L until 10L).map(i => (i, "s", s"tiny $i"))
+      .toDF("doc_id", "source", "text")
+    val es = Sketches.kmvEstimates(Sketches.kmvSketch(small)).collect()(0)
+    assert(es.getLong(1) == 10L && es.getAs[Long]("kmv_est") == 10L)
+    val big = (0L until 5000L).map(i => (i, "b", s"corpus document $i"))
+      .toDF("doc_id", "source", "text")
+    val eb = Sketches.kmvEstimates(Sketches.kmvSketch(big)).collect()(0)
+    val est = eb.getAs[Long]("kmv_est")
+    assert(math.abs(est - 5000L) < 2000L, s"est=$est too far from 5000")
+    // duplicates never move the sketch
+    val dup = big.unionByName(big)
+    val ed = Sketches.kmvEstimates(Sketches.kmvSketch(dup)).collect()(0)
+    assert(ed.getAs[Long]("kmv_est") == est)
+  }
 }
