@@ -247,6 +247,15 @@ object Oracle {
     * generated from the same table as the Spark chain. Extracting the
     * integers FIRST matters: inlining the regex into the 26-arm CASE makes
     * DuckDB re-evaluate it per arm (measured +1.3 GB RSS at sf0.01). */
+  /** Truncated discrete-Laplace noise draw over a micro-uniform alias —
+    * generated from the SAME threshold table as Governance.dpCounts
+    * (shared constants = parity by construction). */
+  def oDpNoise(u: String, epsX1000: Long): String = {
+    val arms = graft.operators.Governance.dpNoiseCdfMicro(epsX1000)
+      .map { case (k, thr) => s"WHEN $u < $thr THEN $k" }.mkString(" ")
+    s"CASE $arms END"
+  }
+
   val oState18456OverEnSt: String = {
     val arms = Lookups.state18456
       .map { case (s, d) => s"WHEN $s THEN '${d.replace("'", "''")}'" }

@@ -1406,6 +1406,21 @@ object SparkEntry {
     "q247_fertility" -> ((s, d) =>
       text.LangModel.fertility(docs(s, d))),
 
+    // differentially-private count release (audit form): truncated
+    // discrete-Laplace noise from a shared constant threshold table
+    "q248_dp_counts" -> ((s, d) =>
+      operators.Governance.dpCounts(docs(s, d))),
+
+    // greedy k-center coreset selection over embeddings (Gonzalez
+    // farthest-point, integer-exact milli-quantized distances)
+    "q249_kcenter" -> ((s, d) =>
+      ann.Centroids.kCenterSelect(vecs(s, d))),
+
+    // typed-schema inference from the raw k=v payload: per (event, key)
+    // value-shape census with majority type + conflict flag
+    "q250_arg_schema" -> ((s, d) =>
+      operators.DqRules.inferSchema(Transcripts.loadCanonical(s, d))),
+
     // dead-letter triage: quarantine rows clustered by digit-collapsed
     // failure template, over q164's mangled fixture
     "q218_dead_letter_templates" -> ((s, d) => {
@@ -4688,6 +4703,84 @@ SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
   CAST(sum(bpe) * 1000 // sum(ws) AS BIGINT) AS fertility_x1000,
   CAST(sum(chars) * 1000 // sum(bpe) AS BIGINT) AS chars_per_subtok_x1000
 FROM t GROUP BY lang HAVING sum(ws) > 0""",
+
+    // DP noisy counts: same threshold table rendered as a CASE ladder
+    "q248_dp_counts" -> s"""
+WITH cells AS (SELECT lang, source, CAST(count(*) AS BIGINT) AS n_true
+  FROM documents GROUP BY 1, 2),
+u AS (SELECT lang, source, n_true,
+  ('0x' || substr(md5(lang || '|' || source || '|graft-dp'), 1, 8))::BIGINT
+    % 1000000 AS uv
+  FROM cells)
+SELECT lang, source, n_true,
+  CAST(${oDpNoise("uv", 500L)} AS BIGINT) AS noise,
+  CAST(greatest(0, n_true + ${oDpNoise("uv", 500L)}) AS BIGINT) AS n_noisy,
+  CAST(500 AS BIGINT) AS eps_x1000
+FROM u""",
+
+    // greedy k-center: 4 unrolled farthest-point rounds; d² via the
+    // inner-product identity on milli-quantized integer vectors
+    "q249_kcenter" -> {
+      def d2(a: String, b: String, aq: String, bq: String) =
+        s"($aq + $bq - 2 * CAST(list_inner_product($a, $b) AS BIGINT))"
+      def round(i: Int) = Seq(
+        s"d$i" -> s"""SELECT n.vec_id,
+    min(${d2("n.q", "c.q", "n.qq", "c.qq")}) AS mind2
+  FROM n JOIN c$i c ON n.vec_id != c.vec_id GROUP BY n.vec_id""",
+        s"p$i" -> s"""SELECT d.vec_id, d.mind2 FROM d$i d
+  WHERE d.vec_id NOT IN (SELECT vec_id FROM c$i)
+  ORDER BY d.mind2 DESC, d.vec_id LIMIT 1""",
+        s"c${i + 1}" -> s"""SELECT * FROM c$i UNION ALL
+  SELECT n.vec_id, n.q, n.qq FROM n JOIN p$i USING (vec_id)""")
+      val ctes = Seq(
+        "qm" -> """SELECT vec_id, list_transform(embedding,
+      x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+  FROM embeddings""",
+        "n" -> """SELECT vec_id, q,
+    CAST(list_inner_product(q, q) AS BIGINT) AS qq FROM qm""",
+        "c1" -> "SELECT vec_id, q, qq FROM n ORDER BY vec_id LIMIT 1"
+      ) ++ (1 to 3).flatMap(round)
+      val body = """
+SELECT CAST(1 AS BIGINT) AS sel_idx, vec_id, CAST(0 AS BIGINT) AS sel_dist2
+FROM c1
+UNION ALL SELECT 2, vec_id, CAST(mind2 AS BIGINT) FROM p1
+UNION ALL SELECT 3, vec_id, CAST(mind2 AS BIGINT) FROM p2
+UNION ALL SELECT 4, vec_id, CAST(mind2 AS BIGINT) FROM p3"""
+      val extra = ctes.map { case (nm, q) => s"$nm AS MATERIALIZED ($q)" }
+        .mkString(", ")
+      s"WITH $extra $body"
+    },
+
+    // typed-schema inference from the raw k=v payload
+    "q250_arg_schema" -> withCtes(
+      "pr" -> """SELECT regexp_extract(text, '^event=([a-z_0-9]+)', 1) AS name,
+    unnest(regexp_extract_all(text, '([a-z_0-9]+)=([^ ]*)')) AS kv
+  FROM transcripts""",
+      "kvp" -> """SELECT name,
+    regexp_extract(kv, '^([a-z_0-9]+)=', 1) AS pkey,
+    regexp_extract(kv, '^[a-z_0-9]+=(.*)$', 1) AS pval
+  FROM pr WHERE name != ''""",
+      "ty" -> """SELECT name, pkey,
+    CASE WHEN pval = '' THEN 'empty'
+         WHEN regexp_matches(pval, '^-?[0-9]+$') THEN 'int'
+         WHEN regexp_matches(pval, '^0x[0-9a-fA-F]+$') THEN 'hex'
+         WHEN regexp_matches(pval, '^-?[0-9]+\.[0-9]+$') THEN 'float'
+         WHEN pval IN ('true', 'false') THEN 'bool'
+         ELSE 'string' END AS vtype
+  FROM kvp WHERE pkey != 'event'""",
+      "g" -> """SELECT name, pkey, vtype, CAST(count(*) AS BIGINT) AS n
+  FROM ty GROUP BY 1, 2, 3""",
+      "r" -> """SELECT *, row_number() OVER (PARTITION BY name, pkey
+    ORDER BY n DESC, vtype) AS rk FROM g""")("""
+SELECT name, pkey AS key, CAST(sum(n) AS BIGINT) AS n_obs,
+  CAST(sum(CASE WHEN vtype != 'empty' THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_types,
+  max(CASE WHEN rk = 1 THEN vtype END) AS majority_type,
+  CAST(max(CASE WHEN rk = 1 THEN n END) AS BIGINT) AS n_majority,
+  CAST(max(CASE WHEN rk = 1 THEN n END) * 1000 // sum(n) AS BIGINT)
+    AS majority_permille,
+  (sum(CASE WHEN vtype != 'empty' THEN 1 ELSE 0 END) > 1) AS conflict
+FROM r GROUP BY 1, 2"""),
 
     // dead-letter template triage over q164's mangled fixture
     "q218_dead_letter_templates" -> withCtes(

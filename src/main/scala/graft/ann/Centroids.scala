@@ -169,4 +169,62 @@ object Centroids {
     perKey(
       vecs.join(docs.select(col("doc_id").as("vec_id"), col("lang")), "vec_id"),
       "lang")
+
+  /** Greedy k-center coreset selection (Gonzalez farthest-point): pick
+    * the `k` vectors that 2-approximate the optimal covering radius —
+    * the DIVERSE-subset selector a training pipeline runs when it can
+    * afford n exemplars and wants them spread over embedding space, the
+    * geometric complement of [[graft.operators.Sampling]]'s
+    * provenance/cluster-balanced samplers (which balance by metadata,
+    * not by geometry).
+    *
+    * Round r: every vector's distance to its NEAREST chosen center
+    * (a join against the ≤r-row broadcast center set — map-only over
+    * the corpus), then ONE 1-row argmax picks the farthest vector
+    * (deterministic tie-break: smallest vec_id via struct ordering).
+    * k unrolled rounds = k corpus passes, each exchange-free except
+    * the 1-row aggregate — no quadratic pair join anywhere.
+    *
+    * Distances are squared-Euclidean over milli-quantized components
+    * (the [[perKey]] determinism convention): integer-exact, so the
+    * argmax — and therefore the selected set — is bit-stable across
+    * engines and partitionings. Seed = smallest vec_id (sel_dist2 0).
+    * Output: (sel_idx, vec_id, sel_dist2) — sel_dist2 is the covering
+    * radius² at selection time, non-increasing over rounds. */
+  def kCenterSelect(vecs: DataFrame, k: Int = 4): DataFrame = {
+    val q = vecs.select(col("vec_id"),
+        transform(col("embedding"),
+          x => floor(x.cast("double") * 1000.0).cast("long")).as("q"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val d2 = (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =>
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), _ + _)
+    val seed = q.orderBy("vec_id").limit(1)
+      .select(lit(1L).as("sel_idx"), col("vec_id"), col("q"),
+        lit(0L).as("sel_dist2"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val chosen = (2 to k).foldLeft(seed) { case (centers, idx) =>
+      val c = broadcast(
+        centers.select(col("vec_id").as("c_id"), col("q").as("cq")))
+      val far = q.join(c, col("vec_id") =!= col("c_id"))
+        .groupBy("vec_id").agg(
+          min(d2(col("q"), col("cq"))).as("mind2"),
+          first(col("q")).as("q"))
+        .join(c.select("c_id"), col("vec_id") === col("c_id"), "left_anti")
+        .agg(
+          max(struct(col("mind2").as("d"), (-col("vec_id")).as("nid"))).as("m"),
+          max_by(col("q"),
+            struct(col("mind2").as("d"), (-col("vec_id")).as("nid"))).as("q"))
+        .select(lit(idx.toLong).as("sel_idx"), (-col("m.nid")).as("vec_id"),
+          col("q"), col("m.d").as("sel_dist2"))
+      // persist each round: the next round's broadcast re-reads the
+      // chosen set, and without it the plan re-runs all prior argmaxes
+      centers.unionByName(far)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+    val out = chosen.select("sel_idx", "vec_id", "sel_dist2")
+      .orderBy("sel_idx")
+    out.count() // force before unpersisting the inputs
+    q.unpersist()
+    out
+  }
 }

@@ -95,4 +95,49 @@ object DqRules {
             .as("viol_permille"),
           col("first_violating_key"))
     }.reduce(_ unionByName _)
+
+  /** Typed-schema inference from the raw k=v payload — the DISCOVERY
+    * side of the type dictionary the parse stage (J1) hardcodes: per
+    * (event name, payload key), how often the key appears and which
+    * value shape it carries (int / hex / float / bool / empty / string),
+    * with the majority type and a conflict flag when a key is seen with
+    * more than one non-empty type. Run on a new feed BEFORE committing
+    * a parse schema; a conflict row is an upstream contract break
+    * ([[ruleAudit]] then enforces what this op discovered).
+    *
+    * Shape: the k=v explode is the only row multiplication (constant
+    * per-row fan-out — the payload's own pair count); type tags are
+    * constant regexes in the same pass; two hash-aggs land on the
+    * (names × keys × 6)-bounded grid, the majority window runs on the
+    * (names × keys) aggregate. */
+  def inferSchema(transcripts: DataFrame): DataFrame = {
+    val pairs = transcripts.select(
+        regexp_extract(col("text"), "^event=([a-z_0-9]+)", 1).as("name"),
+        explode(regexp_extract_all(col("text"),
+          lit("([a-z_0-9]+)=([^ ]*)"), lit(0))).as("kv"))
+      .filter(col("name") =!= "")
+      .select(col("name"),
+        regexp_extract(col("kv"), "^([a-z_0-9]+)=", 1).as("key"),
+        regexp_extract(col("kv"), "^[a-z_0-9]+=(.*)$", 1).as("value"))
+      .filter(col("key") =!= "event")
+    val typed = pairs.withColumn("vtype",
+      when(col("value") === "", "empty")
+        .when(col("value").rlike("^-?[0-9]+$"), "int")
+        .when(col("value").rlike("^0x[0-9a-fA-F]+$"), "hex")
+        .when(col("value").rlike("^-?[0-9]+\\.[0-9]+$"), "float")
+        .when(col("value").isin("true", "false"), "bool")
+        .otherwise("string"))
+    val grid = typed.groupBy("name", "key", "vtype")
+      .agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("name", "key")
+      .orderBy(col("n").desc, col("vtype"))
+    grid.withColumn("rk", row_number().over(w))
+      .groupBy("name", "key").agg(
+        sum("n").as("n_obs"),
+        sum(when(col("vtype") =!= "empty", 1L).otherwise(0L)).as("n_types"),
+        max(when(col("rk") === 1, col("vtype"))).as("majority_type"),
+        max(when(col("rk") === 1, col("n"))).as("n_majority"))
+      .withColumn("majority_permille", expr("n_majority * 1000 DIV n_obs"))
+      .withColumn("conflict", col("n_types") > 1L)
+  }
 }

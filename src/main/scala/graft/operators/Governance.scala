@@ -133,4 +133,49 @@ object Governance {
         expr("n_dropped * 1000 DIV greatest(n_events, 1L)"))
       .withColumn("ttl_days", col("ttl_days").cast("long"))
 }
+
+  /** Truncated discrete-Laplace inverse-CDF thresholds for ε·1000:
+    * p(k) ∝ exp(−ε·|k|), k ∈ [−bound, bound], cumulative in micro-units.
+    * Computed ONCE here and embedded as constants in BOTH the Spark plan
+    * and the DuckDB oracle — the noise draw itself is then pure integer
+    * comparison, so determinism/parity is by construction (the
+    * Lookups.state18456 pattern applied to a sampling table). The last
+    * threshold is pinned to 1e6 so every uniform value maps. */
+  def dpNoiseCdfMicro(epsX1000: Long, bound: Int = 15): Seq[(Int, Long)] = {
+    val eps = epsX1000.toDouble / 1000.0
+    val ws = (-bound to bound).map(k => math.exp(-eps * math.abs(k)))
+    val total = ws.sum
+    val cum = ws.scanLeft(0.0)(_ + _).tail
+    (-bound to bound).zip(cum).map { case (k, c) =>
+      k -> (if (k == bound) 1000000L
+            else math.rint(c / total * 1000000.0).toLong)
+    }
+  }
+
+  /** Differentially-private count release (simulation/audit form): per
+    * (lang, source) cell, the true count plus truncated discrete-Laplace
+    * noise at sensitivity 1 — the mechanism a corpus-stats dashboard
+    * runs before publishing per-cohort counts. The per-cell uniform
+    * comes from the salted md5 of the cell key (deterministic, so the
+    * release is reproducible and oracle-checkable; a production release
+    * would use a fresh secret salt per epoch and DROP n_true/noise —
+    * this audit form keeps them so the gate can verify the mechanism).
+    * Noise is clamped to ±bound by the truncated table; negative noisy
+    * counts clamp at 0 (standard post-processing, DP-safe).
+    *
+    * Shape: ONE corpus hash-agg to the |langs|×|sources| grid; the
+    * noise draw is a constant CASE ladder over the aggregate. */
+  def dpCounts(docs: DataFrame, epsX1000: Long = 500L,
+               salt: String = "graft-dp"): DataFrame = {
+    val cells = docs.groupBy("lang", "source").agg(count(lit(1)).as("n_true"))
+    val u = conv(substring(md5(concat_ws("|",
+      col("lang"), col("source"), lit(salt))), 1, 8), 16, 10)
+      .cast("long") % 1000000L
+    val noise = dpNoiseCdfMicro(epsX1000).foldRight(lit(null).cast("long")) {
+      case ((k, thr), acc) => when(u < thr, lit(k.toLong)).otherwise(acc)
+    }
+    cells.withColumn("noise", noise)
+      .withColumn("n_noisy", greatest(lit(0L), col("n_true") + col("noise")))
+      .withColumn("eps_x1000", lit(epsX1000))
+  }
 }

@@ -882,4 +882,51 @@ class OperatorsSpec extends SparkSpec {
         r.getLong(2)).toMap
     assert(out.map { case (k, v) => k -> v._3 } == recomputed)
   }
+
+  test("dpCounts: bounded deterministic noise, clamped release, exact CDF table") {
+    import TestSpark.spark.implicits._
+    val cdf = operators.Governance.dpNoiseCdfMicro(500L)
+    assert(cdf.length == 31 && cdf.last == ((15, 1000000L)))
+    assert(cdf.sliding(2).forall { case Seq((_, a), (_, b)) => a <= b })
+    // symmetric mechanism: P(noise=+k) == P(noise=-k) in table mass
+    val mass = cdf.map(_._2).zip(0L +: cdf.map(_._2)).map { case (a, b) => a - b }
+    assert(mass == mass.reverse)
+    val docs = ((1 to 40).map(i => (i.toLong, "en", "src1")) ++
+      (1 to 3).map(i => (i + 100L, "de", "src2")))
+      .map { case (id, l, s) => (id, s"doc $id", l, s) }
+      .toDF("doc_id", "text", "lang", "source")
+    val out = operators.Governance.dpCounts(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val (n1, e1, r1) = out(("en", "src1"))
+    assert(n1 == 40L && e1 >= -15L && e1 <= 15L && r1 == math.max(0L, n1 + e1))
+    val (n2, e2, r2) = out(("de", "src2"))
+    assert(n2 == 3L && r2 == math.max(0L, n2 + e2), "small cell clamps at 0")
+    // deterministic: rerun produces the identical release
+    val again = operators.Governance.dpCounts(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(4)).toMap
+    assert(again(("en", "src1")) == r1 && again(("de", "src2")) == r2)
+  }
+
+  test("inferSchema: value-shape census with majority + conflict flag") {
+    import TestSpark.spark.implicits._
+    val t = Seq(
+      "event=login db_id=5 ok=true handle=0x1f score=1.5 note=",
+      "event=login db_id=6 ok=false handle=0x2a score=2.0 note=hello",
+      "event=login db_id=oops ok=true",
+      "event=other db_id=7").toDF("text")
+    val out = operators.DqRules.inferSchema(t).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getString(4), r.getLong(6),
+          r.getBoolean(7)))).toMap
+    // login.db_id: 2 int + 1 string -> majority int, conflict
+    assert(out(("login", "db_id")) == ((3L, 2L, "int", 666L, true)))
+    assert(out(("login", "ok")) == ((3L, 1L, "bool", 1000L, false)))
+    assert(out(("login", "handle")) == ((2L, 1L, "hex", 1000L, false)))
+    assert(out(("login", "score")) == ((2L, 1L, "float", 1000L, false)))
+    // note: one empty + one string -> tie broken by type name ('empty' <
+    // 'string'), still 1 non-empty type so no conflict
+    assert(out(("login", "note")) == ((2L, 1L, "empty", 500L, false)))
+    assert(out(("other", "db_id")) == ((1L, 1L, "int", 1000L, false)))
+  }
 }

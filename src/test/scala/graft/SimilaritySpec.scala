@@ -257,4 +257,29 @@ class SimilaritySpec extends SparkSpec {
     // cell 25: centroid (1000) + (3,4) at 200 + (5,12) at 538 → mean 579
     assert(out(25L) == ((3L, (1000L + 200L + 538L) / 3, 0L)))
   }
+
+  test("kCenterSelect: farthest-point picks the spread corners, not the cluster") {
+    import TestSpark.spark.implicits._
+    // a dense cluster near the origin plus three far-flung corners: the
+    // greedy selection must be seed(min id, in cluster) then the three
+    // corners — never a second cluster point — with non-increasing radius
+    val cluster = (1L to 20L).map(i =>
+      i -> Array(0.001f * i, 0.001f * i))
+    val corners = Seq(
+      100L -> Array(10f, 0f), 101L -> Array(0f, 10f), 102L -> Array(10f, 10f))
+    val vecs = (cluster ++ corners).toDF("vec_id", "embedding")
+    val out = graft.ann.Centroids.kCenterSelect(vecs, k = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.map(_._1).toSeq == Seq(1L, 2L, 3L, 4L))
+    assert(out(0)._2 == 1L && out(0)._3 == 0L, "seed = min vec_id at dist 0")
+    assert(out.drop(1).map(_._2).toSet == Set(100L, 101L, 102L),
+      s"corners selected, got ${out.toSeq}")
+    val radii = out.drop(1).map(_._3)
+    assert(radii.sliding(2).forall { case Array(a, b) => b <= a },
+      "covering radius non-increasing")
+    // determinism: identical rerun
+    val again = graft.ann.Centroids.kCenterSelect(vecs, k = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(again.toSeq == out.toSeq)
+  }
 }
