@@ -446,6 +446,39 @@ object Bench {
           val clRun = () => timeNoop(text.LangModel.collocations(docs))
           results("collocations") = math.min(clRun(), clRun())
 
+          // round-22: KMV set algebra / fertility / DP counts / k=v
+          // schema census are each ONE corpus pass into a bounded agg;
+          // IVM applies a signed delta to the pre-materialized daily
+          // aggregate (the view exists before the refresh starts, so
+          // only delta-agg + merge is timed); k-center is k driver-
+          // sequenced corpus passes timed around its own actions.
+          val kvRun = () => timeNoop(operators.Sketches.kmvSetOps(docs))
+          results("kmv_sketch") = math.min(kvRun(), kvRun())
+          val ftRun = () => timeNoop(text.LangModel.fertility(docs))
+          results("fertility") = math.min(ftRun(), ftRun())
+          val dpRun = () => timeNoop(operators.Governance.dpCounts(docs))
+          results("dp_counts") = math.min(dpRun(), dpRun())
+          val asRun = () => timeNoop(operators.DqRules.inferSchema(input))
+          results("arg_schema") = math.min(asRun(), asRun())
+          val ivmCols = parsedB.select("name", "ts", "turn_idx")
+          val ivmOld = operators.Aggregates
+            .dailyCounts(ivmCols.filter(col("turn_idx") % 7 =!= 3))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          ivmOld.count()
+          val ivmDelta = ivmCols.filter(col("turn_idx") % 7 === 3)
+            .withColumn("sign", lit(1L)).select("name", "ts", "sign")
+          val ivRun = () => timeNoop(
+            operators.Aggregates.incrementalRefresh(ivmOld, ivmDelta))
+          results("ivm_refresh") = math.min(ivRun(), ivRun())
+          ivmOld.unpersist()
+          val kcRun = () => {
+            val t0 = System.nanoTime()
+            ann.Centroids.kCenterSelect(vecs).write
+              .format("noop").mode("overwrite").save()
+            (System.nanoTime() - t0) / 1e9
+          }
+          results("kcenter") = math.min(kcRun(), kcRun())
+
           // lmScore/convNearDup persist their reused intermediates;
           // drop them so repeated bench runs don't accumulate cache
           spark.catalog.clearCache()

@@ -1421,6 +1421,16 @@ object SparkEntry {
     "q250_arg_schema" -> ((s, d) =>
       operators.DqRules.inferSchema(Transcripts.loadCanonical(s, d))),
 
+    // leakage-safe train/val/test split: assignment gated on the exact-dup
+    // content key so copies co-assign; carries the id-gate tear audit
+    "q251_leak_safe_split" -> ((s, d) =>
+      operators.Sampling.leakSafeSplit(docs(s, d))),
+
+    // Pareto frontier over (stopword-permille quality ↑, token count ↓)
+    // via the bounded staircase — never the O(n²) pair definition
+    "q252_pareto_frontier" -> ((s, d) =>
+      text.Selection.paretoFrontier(docs(s, d))),
+
     // dead-letter triage: quarantine rows clustered by digit-collapsed
     // failure template, over q164's mangled fixture
     "q218_dead_letter_templates" -> ((s, d) => {
@@ -4781,6 +4791,46 @@ SELECT name, pkey AS key, CAST(sum(n) AS BIGINT) AS n_obs,
     AS majority_permille,
   (sum(CASE WHEN vtype != 'empty' THEN 1 ELSE 0 END) > 1) AS conflict
 FROM r GROUP BY 1, 2"""),
+
+    // leakage-safe split: content-key gate + id-gate tear audit
+    "q251_leak_safe_split" -> s"""
+WITH n AS (
+  SELECT doc_id,
+    md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS ckey,
+    ((doc_id % 1000000007) * 1103515245 + 12345) % 1000 AS g
+  FROM documents),
+l AS (
+  SELECT doc_id, ckey,
+    CASE WHEN kg < 100 THEN 'val' WHEN kg < 200 THEN 'test'
+         ELSE 'train' END AS split,
+    CASE WHEN g < 100 THEN 'val' WHEN g < 200 THEN 'test'
+         ELSE 'train' END AS naive_split
+  FROM (SELECT *, ('0x' || substr(ckey, 1, 8))::BIGINT % 1000 AS kg FROM n))
+SELECT doc_id, split, naive_split,
+  CAST(count(*) OVER (PARTITION BY ckey) AS BIGINT) AS cluster_size,
+  (min(naive_split) OVER (PARTITION BY ckey)
+     <> max(naive_split) OVER (PARTITION BY ckey)) AS naive_torn
+FROM l""",
+
+    // Pareto frontier: staircase on the bounded quality grid
+    "q252_pareto_frontier" -> s"""
+WITH pts AS (
+  SELECT doc_id,
+    CASE WHEN len($oToks) > 0 THEN CAST(floor(CAST(
+        len(list_filter($oToks, t -> ${text.TextAnalysis.stopwords
+          .map(w => s"t = '$w'").mkString(" OR ")})) * 1000 AS DOUBLE)
+      / len($oToks)) AS BIGINT) ELSE 0 END AS stop_permille,
+    CAST(len($oToks) AS BIGINT) AS n_tokens
+  FROM documents),
+grid AS (SELECT stop_permille, min(n_tokens) AS minlen FROM pts GROUP BY 1),
+fr AS (SELECT stop_permille, minlen,
+    min(minlen) OVER (ORDER BY stop_permille DESC
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS min_above
+  FROM grid)
+SELECT p.doc_id, p.stop_permille, p.n_tokens
+FROM pts p
+JOIN fr f ON p.stop_permille = f.stop_permille AND p.n_tokens = f.minlen
+WHERE f.min_above IS NULL OR f.minlen < f.min_above""",
 
     // dead-letter template triage over q164's mangled fixture
     "q218_dead_letter_templates" -> withCtes(

@@ -231,4 +231,40 @@ object Sampling {
       .filter(col("sample_gate") < rate)
       .select(col("doc_id"), col("lang"), col("sample_gate"))
   }
+
+  /** Leakage-safe train/val/test split: the assignment gate hashes the
+    * CONTENT key (exact-dup normalization, [[graft.dedup.Dedup.exactKeyHash]])
+    * instead of the doc id, so every copy of the same text lands in the
+    * SAME split by construction — the eval-set hygiene [[split]]'s
+    * id-gate cannot give (a duplicated document crossing train→val
+    * inflates eval scores exactly like benchmark contamination). Each
+    * row also carries the audit evidence: its id-gate split, the size of
+    * its exact-dup cluster, and whether the id gate TORE that cluster
+    * across splits (`naive_torn` — the leaks this operator closes;
+    * singleton clusters can never tear).
+    *
+    * Scale shape: key + both gates are map-side expressions off the scan;
+    * ONE exchange on the 32-char key (the exact-dedup shuffle) carries
+    * (doc_id, key, 2 small labels) — the text never shuffles. The
+    * cluster audit is a window on that narrow frame. */
+  def leakSafeSplit(docs: DataFrame, valPermille: Int = 100,
+                    testPermille: Int = 100): DataFrame = {
+    def label(g: Column): Column =
+      when(g < valPermille, "val")
+        .when(g < valPermille + testPermille, "test")
+        .otherwise("train")
+    val narrow = docs.select(
+      col("doc_id"),
+      graft.dedup.Dedup.exactKeyHash(col("text")).as("ckey"),
+      label(gatePermille(col("doc_id"))).as("naive_split"))
+    val keyGate =
+      conv(substring(col("ckey"), 1, 8), 16, 10).cast("long") % 1000L
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("ckey")
+    narrow
+      .withColumn("split", label(keyGate))
+      .withColumn("cluster_size", count(lit(1)).over(w))
+      .withColumn("naive_torn",
+        size(collect_set(col("naive_split")).over(w)) > 1)
+      .select("doc_id", "split", "naive_split", "cluster_size", "naive_torn")
+  }
 }

@@ -182,4 +182,40 @@ object Selection {
       .select("bucket", "n_docs", "sum_tokens", "cum_tokens", "admit",
         "admit_tokens")
   }
+
+  /** Pareto frontier over (quality ↑, length ↓): the documents no other
+    * document beats on BOTH axes — the exemplar set a few-shot/SFT
+    * curator wants ("the most prose-like document at every length
+    * budget"), where a single blended score ([[graft.text.CorpusOps]]'
+    * ensembleRank) must pick one trade-off. Quality = stopword permille
+    * (the prose-likeness heuristic, bounded 0..1000), cost = token count.
+    * A doc is dominated iff some other doc has ≥ quality and ≤ tokens
+    * with at least one strict; ties on both axes are mutually
+    * non-dominating (both kept — the standard skyline definition).
+    *
+    * Scale shape: the O(n²) pair definition NEVER runs. Quality is a
+    * bounded integer, so the frontier collapses to a ≤1001-row staircase:
+    * per quality value the min token count (map-side-combined hash-agg),
+    * a running strictly-above min on that aggregate, then one broadcast
+    * semi-join admits exactly the frontier docs. Corpus cost = one
+    * map-only pass + one grid agg, at any corpus size. */
+  def paretoFrontier(docs: DataFrame): DataFrame = {
+    val qc = graft.text.TextAnalysis.qualityColumns(col("text"))
+    val pts = docs.select(col("doc_id"),
+      qc("stop_permille").as("stop_permille"),
+      qc("n_tokens").as("n_tokens"))
+    val grid = pts.groupBy("stop_permille")
+      .agg(min(col("n_tokens")).as("minlen"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("stop_permille").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val frontier = grid
+      .withColumn("min_above", min(col("minlen")).over(w))
+      .filter(col("min_above").isNull || col("minlen") < col("min_above"))
+      .select(col("stop_permille").as("fr_q"), col("minlen").as("fr_len"))
+    pts.join(broadcast(frontier),
+        col("stop_permille") === col("fr_q") &&
+          col("n_tokens") === col("fr_len"))
+      .select("doc_id", "stop_permille", "n_tokens")
+  }
 }

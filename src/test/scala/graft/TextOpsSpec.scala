@@ -144,6 +144,47 @@ class TextOpsSpec extends SparkSpec {
     assert(Set("train", "val", "test").subsetOf(s2.values.toSet))
   }
 
+  test("leakSafeSplit co-assigns exact-dup copies and audits id-gate tears") {
+    // 40 copies of one text (whitespace variants included), plus singletons
+    val copies = (0L until 40L).map(i =>
+      (i, if (i % 2 == 0) "dup dup text" else "dup  dup   text"))
+    val singles = (100L until 120L).map(i => (i, s"unique text $i"))
+    val docs = (copies ++ singles).toDF("doc_id", "text")
+    val out = Sampling.leakSafeSplit(docs).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getBoolean(4)))
+    val dupRows = out.filter(_._1 < 100L)
+    // every copy (incl. whitespace variants) lands in the SAME split
+    assert(dupRows.map(_._2).toSet.size == 1)
+    assert(dupRows.forall(_._4 == 40L))
+    // the id gate tears a 40-copy cluster across splits with ~certainty
+    // given these ids; the audit must agree with the naive assignments
+    val torn = dupRows.map(_._3).toSet.size > 1
+    assert(dupRows.forall(_._5 == torn) && torn)
+    // singletons can never tear and report cluster_size 1
+    val sRows = out.filter(_._1 >= 100L)
+    assert(sRows.forall(r => r._4 == 1L && !r._5))
+    // assignment depends only on content: re-keying ids leaves splits put
+    val shifted = docs.withColumn("doc_id", col("doc_id") + 5000L)
+    val out2 = Sampling.leakSafeSplit(shifted).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    out.foreach { case (id, sp, _, _, _) => assert(out2(id + 5000L) == sp) }
+  }
+
+  test("paretoFrontier keeps exactly the non-dominated (quality, length) docs") {
+    val docs = Seq(
+      (1L, "the of and in to"),        // 1000‰, 5 tokens — frontier
+      (2L, "the of and in to xyz"),    // 833‰, 6 tokens — dominated by 1
+      (3L, "zz yy"),                   // 0‰, 2 tokens — frontier (shorter)
+      (4L, "aa bb cc"),                // 0‰, 3 tokens — dominated by 3
+      (5L, "ww vv"),                   // 0‰, 2 tokens — tie with 3: kept
+      (6L, "the qq rr ss")             // 250‰, 4 tokens — frontier
+    ).toDF("doc_id", "text")
+    val kept = text.Selection.paretoFrontier(docs).collect()
+      .map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 3L, 5L, 6L))
+  }
+
   test("corpus ops are total on an empty corpus") {
     val empty = Seq.empty[(Long, String, String)].toDF("doc_id", "lang", "text")
     assert(dedup.Curation.curate(empty.select("doc_id", "text")).count() == 0)
