@@ -479,6 +479,16 @@ object Bench {
           }
           results("kcenter") = math.min(kcRun(), kcRun())
 
+          // round-23: bootstrap CI fans the 2-int projection 64× and
+          // map-side-combines into a 64-row agg — near the cost of 64
+          // corpus passes compressed into one scan
+          val bcRun = () => timeNoop(operators.Sampling.bootstrapCI(docs))
+          results("bootstrap_ci") = math.min(bcRun(), bcRun())
+          // winnowing: O(n·w) per-row selection, census only on the
+          // ~2/(w+1) winnowed sample
+          val wnRun = () => timeNoop(dedup.Dedup.winnowStats(docs))
+          results("winnow") = math.min(wnRun(), wnRun())
+
           // lmScore/convNearDup persist their reused intermediates;
           // drop them so repeated bench runs don't accumulate cache
           spark.catalog.clearCache()

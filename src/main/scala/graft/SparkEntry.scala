@@ -1431,6 +1431,16 @@ object SparkEntry {
     "q252_pareto_frontier" -> ((s, d) =>
       text.Selection.paretoFrontier(docs(s, d))),
 
+    // Poisson-bootstrap CI for the corpus mean-quality metric: 64
+    // deterministic replicate re-weightings + order-statistic bounds
+    "q253_bootstrap_ci" -> ((s, d) =>
+      operators.Sampling.bootstrapCI(docs(s, d))),
+
+    // MOSS winnowing: rightmost-min fingerprint per shingle window +
+    // cross-doc shared-fingerprint census
+    "q254_winnow" -> ((s, d) =>
+      dedup.Dedup.winnowStats(docs(s, d))),
+
     // dead-letter triage: quarantine rows clustered by digit-collapsed
     // failure template, over q164's mangled fixture
     "q218_dead_letter_templates" -> ((s, d) => {
@@ -4831,6 +4841,65 @@ SELECT p.doc_id, p.stop_permille, p.n_tokens
 FROM pts p
 JOIN fr f ON p.stop_permille = f.stop_permille AND p.n_tokens = f.minlen
 WHERE f.min_above IS NULL OR f.minlen < f.min_above""",
+
+    // Poisson-bootstrap CI: the weight ladder renders from the SAME
+    // Scala-computed CDF table the Spark plan uses (parity by construction)
+    "q253_bootstrap_ci" -> {
+      val ladder = operators.Sampling.bootWeightCdfMicro()
+        .map { case (k, thr) => s"WHEN uv < $thr THEN $k" }.mkString(" ")
+      s"""
+WITH pts AS (
+  SELECT doc_id,
+    CASE WHEN len($oToks) > 0 THEN CAST(floor(CAST(
+        len(list_filter($oToks, t -> ${text.TextAnalysis.stopwords
+          .map(w => s"t = '$w'").mkString(" OR ")})) * 1000 AS DOUBLE)
+      / len($oToks)) AS BIGINT) ELSE 0 END AS sp
+  FROM documents),
+fan AS (
+  SELECT doc_id, sp, r.range AS rep,
+    ('0x' || substr(md5(doc_id || '|' || r.range || '|graft-boot'), 1, 8))
+      ::BIGINT % 1000000 AS uv
+  FROM pts CROSS JOIN range(64) r),
+agg AS (
+  SELECT rep,
+    CAST(sum(CASE $ladder ELSE 7 END) AS BIGINT) AS n_eff,
+    CAST(sum((CASE $ladder ELSE 7 END) * sp) AS BIGINT) AS sum_stop
+  FROM fan GROUP BY 1),
+rk AS (
+  SELECT *, CAST(sum_stop AS DOUBLE) / n_eff AS mean_stop,
+    row_number() OVER (ORDER BY CAST(sum_stop AS DOUBLE) / n_eff, rep) AS rn
+  FROM agg)
+SELECT CAST(rep AS BIGINT) AS rep, n_eff, sum_stop, mean_stop,
+  max(CASE WHEN rn = 2 THEN mean_stop END) OVER () AS ci_lo,
+  max(CASE WHEN rn = 63 THEN mean_stop END) OVER () AS ci_hi
+FROM rk"""
+    },
+
+    // MOSS winnowing: per-window rightmost-min selection mirrored as a
+    // window-grid join; fp census over the DISTINCT winnowed pairs
+    "q254_winnow" -> s"""
+WITH th AS (SELECT doc_id, ${Oracle.oTokHashes} AS th FROM documents),
+shl AS (SELECT doc_id, ${Oracle.oShingles} AS sh FROM th),
+base AS (SELECT doc_id, len(sh) AS n FROM shl),
+g AS (SELECT doc_id, generate_subscripts(sh, 1) AS pos, unnest(sh) AS v
+      FROM shl),
+ws AS (SELECT doc_id, n, unnest(generate_series(1,
+         CASE WHEN n >= 4 THEN n - 3 ELSE least(n, 1) END)) AS wstart
+       FROM base),
+win AS (SELECT w.doc_id, w.wstart, g.v
+        FROM ws w JOIN g ON g.doc_id = w.doc_id
+          AND g.pos BETWEEN w.wstart
+            AND w.wstart + (CASE WHEN w.n >= 4 THEN 4 ELSE w.n END) - 1),
+fpv AS (SELECT DISTINCT doc_id, mn AS fp FROM
+          (SELECT doc_id, wstart, min(v) AS mn FROM win GROUP BY 1, 2) m),
+nf AS (SELECT doc_id, count(*) AS n_fps FROM fpv GROUP BY 1),
+fc AS (SELECT fp, count(*) AS nd FROM fpv GROUP BY 1),
+nsh AS (SELECT doc_id, sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS n_shared
+        FROM fpv JOIN fc USING (fp) GROUP BY 1)
+SELECT b.doc_id, CAST(b.n AS BIGINT) AS n_grams,
+  CAST(coalesce(nf.n_fps, 0) AS BIGINT) AS n_fps,
+  CAST(coalesce(nsh.n_shared, 0) AS BIGINT) AS n_shared
+FROM base b LEFT JOIN nf USING (doc_id) LEFT JOIN nsh USING (doc_id)""",
 
     // dead-letter template triage over q164's mangled fixture
     "q218_dead_letter_templates" -> withCtes(

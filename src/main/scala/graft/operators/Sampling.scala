@@ -247,6 +247,75 @@ object Sampling {
     * ONE exchange on the 32-char key (the exact-dedup shuffle) carries
     * (doc_id, key, 2 small labels) — the text never shuffles. The
     * cluster audit is a window on that narrow frame. */
+  /** Poisson(1) inverse-CDF thresholds in micro-units (cumulative
+    * P(X<=k) * 1e6, floored), for the bootstrap weight ladder. The table
+    * is computed ONCE here and rendered into BOTH the Spark CASE ladder
+    * and the DuckDB oracle (the [[Governance.dpNoiseCdfMicro]] pattern),
+    * so weight parity across engines is by construction. Draws above the
+    * last threshold take weight capK (P ≈ 8e-5 at capK=7 — negligible
+    * bias, bounded fanout). */
+  def bootWeightCdfMicro(capK: Int = 7): Seq[(Int, Long)] = {
+    val pmf = (0 until capK).scanLeft(math.exp(-1.0)) {
+      case (p, k) => p / (k + 1.0)
+    }.take(capK)
+    val cum = pmf.scanLeft(0.0)(_ + _).tail
+    (0 until capK).zip(cum.map(c => math.floor(c * 1000000.0).toLong))
+  }
+
+  /** Poisson-bootstrap confidence interval for a corpus metric (mean
+    * stopword permille — the corpus-quality headline number): each of
+    * `reps` replicates re-weights every document by an independent
+    * Poisson(1) draw, the replicate means form the sampling distribution,
+    * and the (loRank, hiRank) order statistics are the ~95% CI — the
+    * error bar a corpus-stats report should carry before anyone compares
+    * two pipeline versions on a point estimate. Poisson bootstrap IS the
+    * distributed form of the classic resample-n-of-n bootstrap: weights
+    * are per-row independent, so no global resampling pass exists.
+    *
+    * Determinism: the per-(doc, replicate) uniform is a salted md5 (same
+    * on any engine/partitioning) pushed through the shared
+    * [[bootWeightCdfMicro]] ladder; replicate means are exact-integer
+    * sums divided once at the end, so the order statistics are
+    * bit-stable. Output: one row per replicate (n_eff, sum_stop,
+    * mean_stop) with the corpus-wide ci_lo/ci_hi repeated on each row.
+    *
+    * Scale shape: the corpus is read ONCE; the `reps`-way fanout happens
+    * on a (doc_id, stop_permille) 2-int projection and partial-aggregates
+    * map-side into a `reps`-row frame, so the shuffle carries ~reps rows
+    * per task. The rank window runs on the `reps`-row aggregate. */
+  def bootstrapCI(docs: DataFrame, reps: Int = 64,
+                  salt: String = "graft-boot"): DataFrame = {
+    val qc = graft.text.TextAnalysis.qualityColumns(col("text"))
+    val fan = docs
+      .select(col("doc_id"), qc("stop_permille").as("sp"))
+      .withColumn("rep", explode(sequence(lit(0L), lit(reps - 1L))))
+    val u = conv(substring(md5(concat_ws("|",
+      col("doc_id"), col("rep"), lit(salt))), 1, 8), 16, 10)
+      .cast("long") % 1000000L
+    val w = bootWeightCdfMicro().foldRight(lit(7L).cast("long")) {
+      case ((k, thr), acc) => when(u < thr, lit(k.toLong)).otherwise(acc)
+    }
+    val loRank = (0.025 * reps).toInt + 1  // 2 at reps=64
+    val hiRank = reps - loRank + 1         // 63 at reps=64
+    val byMean = org.apache.spark.sql.expressions.Window
+      .orderBy(col("mean_stop"), col("rep"))
+    val all = byMean.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding,
+      org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    fan.withColumn("w", w)
+      .groupBy("rep")
+      .agg(sum(col("w")).as("n_eff"),
+        sum(col("w") * col("sp")).as("sum_stop"))
+      .withColumn("mean_stop",
+        col("sum_stop").cast("double") / col("n_eff"))
+      .withColumn("rk", row_number().over(byMean))
+      .withColumn("ci_lo",
+        max(when(col("rk") === loRank, col("mean_stop"))).over(all))
+      .withColumn("ci_hi",
+        max(when(col("rk") === hiRank, col("mean_stop"))).over(all))
+      .select("rep", "n_eff", "sum_stop", "mean_stop", "ci_lo", "ci_hi")
+  }
+
   def leakSafeSplit(docs: DataFrame, valPermille: Int = 100,
                     testPermille: Int = 100): DataFrame = {
     def label(g: Column): Column =

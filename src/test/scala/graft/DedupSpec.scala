@@ -235,6 +235,34 @@ class DedupSpec extends SparkSpec {
       ("A", "C") -> ((1L, 3L, 1L))))   // doc 5 copied from cluster-2 origin A
   }
 
+  test("winnowStats: shared-run guarantee, density bound, short-doc arms") {
+    import TestSpark.spark.implicits._
+    val run = "alpha beta gamma delta epsilon zeta eta theta"  // 8 tokens
+    val docs = Seq(
+      (0L, s"one two $run"),          // shares the 8-token run with 1
+      (1L, s"$run nine ten eleven"),
+      (2L, "totally different words here without any overlap present"),
+      (3L, "a b c d"),                // 2 grams < w=4: whole-array window
+      (4L, "a b")                     // 0 grams
+    ).toDF("doc_id", "text")
+    val out = graft.dedup.Dedup.winnowStats(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    // a shared token run of >= w+2 tokens guarantees >= 1 shared winnowed
+    // fingerprint on both sides (a full window fits inside the shared grams)
+    assert(out(0L)._3 >= 1L && out(1L)._3 >= 1L)
+    // unique doc shares nothing; 8 tokens => 6 grams
+    assert(out(2L) == ((6L, out(2L)._2, 0L)))
+    // density: never more fingerprints than grams, at least one per window
+    out.filterKeys(_ <= 2L).values.foreach { case (ng, nf, _) =>
+      assert(nf >= 1L && nf <= ng)
+    }
+    // short doc: single whole-array window => exactly 1 fingerprint
+    assert(out(3L) == ((2L, 1L, 0L)))
+    // sub-shingle doc: nothing selected
+    assert(out(4L) == ((0L, 0L, 0L)))
+  }
+
   test("homoglyphDups: Cyrillic lookalike collides folded, exact copies alone don't") {
     import TestSpark.spark.implicits._
     val docs = Seq(

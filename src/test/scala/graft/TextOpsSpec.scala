@@ -185,6 +185,30 @@ class TextOpsSpec extends SparkSpec {
     assert(kept == Set(1L, 3L, 5L, 6L))
   }
 
+  test("bootstrapCI: ladder constants, order-stat bounds, determinism") {
+    // CDF table must match Poisson(1) cumulative micro-units (floored)
+    assert(Sampling.bootWeightCdfMicro() == Seq(0 -> 367879L, 1 -> 735758L,
+      2 -> 919698L, 3 -> 981011L, 4 -> 996340L, 5 -> 999405L, 6 -> 999916L))
+    val docs = (0L until 200L).map(i =>
+      (i, if (i % 4 == 0) "the of and in" else "aa bb cc dd"))
+      .toDF("doc_id", "text")
+    val out = Sampling.bootstrapCI(docs).collect()
+    assert(out.length == 64)
+    val means = out.map(_.getDouble(3)).sorted
+    out.foreach { r =>
+      // exact-integer sums; mean is the single final division
+      assert(r.getDouble(3) == r.getLong(2).toDouble / r.getLong(1))
+      // n_eff concentrates around n=200 (Poisson(1) weights, sd ~ 14)
+      assert(r.getLong(1) > 140L && r.getLong(1) < 260L)
+      // every row carries the same order-statistic CI (ranks 2 and 63)
+      assert(r.getDouble(4) == means(1) && r.getDouble(5) == means(62))
+    }
+    assert(means.head <= means.last)
+    // fully deterministic re-run
+    val out2 = Sampling.bootstrapCI(docs).collect()
+    assert(out.map(_.toString).sorted.sameElements(out2.map(_.toString).sorted))
+  }
+
   test("corpus ops are total on an empty corpus") {
     val empty = Seq.empty[(Long, String, String)].toDF("doc_id", "lang", "text")
     assert(dedup.Curation.curate(empty.select("doc_id", "text")).count() == 0)
