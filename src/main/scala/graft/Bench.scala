@@ -488,6 +488,13 @@ object Bench {
           // ~2/(w+1) winnowed sample
           val wnRun = () => timeNoop(dedup.Dedup.winnowStats(docs))
           results("winnow") = math.min(wnRun(), wnRun())
+          // rolling distinct: one corpus pass into the day×64 register
+          // grid; the 7-day merge is a window on that aggregate (the
+          // exact column intentionally included — it IS the recount
+          // this sketch replaces, so the gap is visible in the timing)
+          val rdRun = () =>
+            timeNoop(operators.Sketches.hllRollingDistinct(input))
+          results("rolling_distinct") = math.min(rdRun(), rdRun())
 
           // lmScore/convNearDup persist their reused intermediates;
           // drop them so repeated bench runs don't accumulate cache

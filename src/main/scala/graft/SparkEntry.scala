@@ -1441,6 +1441,11 @@ object SparkEntry {
     "q254_winnow" -> ((s, d) =>
       dedup.Dedup.winnowStats(docs(s, d))),
 
+    // rolling 7-day distinct conversations (WAU family) by register-grid
+    // window merge of daily HLL sketches
+    "q255_rolling_distinct" -> ((s, d) =>
+      operators.Sketches.hllRollingDistinct(Transcripts.loadCanonical(s, d))),
+
     // dead-letter triage: quarantine rows clustered by digit-collapsed
     // failure template, over q164's mangled fixture
     "q218_dead_letter_templates" -> ((s, d) => {
@@ -4900,6 +4905,50 @@ SELECT b.doc_id, CAST(b.n AS BIGINT) AS n_grams,
   CAST(coalesce(nf.n_fps, 0) AS BIGINT) AS n_fps,
   CAST(coalesce(nsh.n_shared, 0) AS BIGINT) AS n_shared
 FROM base b LEFT JOIN nf USING (doc_id) LEFT JOIN nsh USING (doc_id)""",
+
+    // rolling 7-day HLL distinct: same register/rank/estimate math as
+    // q132, densified to the day×64 grid + RANGE-framed window max
+    "q255_rolling_distinct" -> withCtes(
+      // epoch() returns fractional-second DOUBLE and DuckDB's `//` does
+      // NOT floor doubles — an explicit floor is required for day parity
+      "k" -> """SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day_num,
+    conv_id, ('0x' || substr(md5(conv_id), 1, 8))::BIGINT AS h
+  FROM transcripts""",
+      "r" -> """SELECT day_num, h % 64 AS reg,
+    CASE WHEN h // 64 = 0 THEN 27 ELSE 27 - length(bin(h // 64)) END AS rank
+  FROM k""",
+      "m" -> "SELECT day_num, reg, max(rank) AS m FROM r GROUP BY 1, 2",
+      "d" -> "SELECT DISTINCT day_num FROM m",
+      "grid" -> """SELECT d.day_num, g.range AS reg, coalesce(m.m, 0) AS m
+  FROM d CROSS JOIN range(64) g
+  LEFT JOIN m ON m.day_num = d.day_num AND m.reg = g.range""",
+      "roll" -> """SELECT day_num, reg,
+    max(m) OVER (PARTITION BY reg ORDER BY day_num
+      RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS mr
+  FROM grid""",
+      "p" -> """SELECT day_num, CAST(count(*) AS BIGINT) AS nonzero_regs,
+    CAST(sum(1::BIGINT << CAST(27 - mr AS INT)) AS BIGINT) AS s_obs
+  FROM roll WHERE mr > 0 GROUP BY 1""",
+      "e" -> """SELECT d.day_num,
+    CAST(count(DISTINCT kp.conv_id) AS BIGINT) AS exact_distinct
+  FROM d JOIN (SELECT DISTINCT day_num AS kday, conv_id FROM k) kp
+    ON kp.kday BETWEEN d.day_num - 6 AND d.day_num
+  GROUP BY 1""",
+      "g2" -> s"""SELECT p.day_num, e.exact_distinct, p.nonzero_regs,
+    CAST(p.s_obs + (64 - p.nonzero_regs) * 134217728 AS BIGINT) AS sum_pow,
+    CAST(floor(${operators.Sketches.HllNumerator}
+      / (p.s_obs + (64 - p.nonzero_regs) * 134217728)) AS BIGINT) AS hll_raw
+  FROM p JOIN e USING (day_num)""",
+      "lc" -> s"""SELECT day_num, exact_distinct, nonzero_regs, sum_pow,
+    CASE WHEN nonzero_regs < 64 AND hll_raw <= 160
+      THEN ${operators.Sketches.HllLinearCounting.mkString("list_value(", ", ", ")")}[CAST(64 - nonzero_regs AS INT)]
+      ELSE hll_raw END AS hll_est
+  FROM g2""")("""
+SELECT CAST(day_num AS BIGINT) AS day_num, exact_distinct, nonzero_regs,
+  sum_pow, CAST(hll_est AS BIGINT) AS hll_est,
+  CAST(floor(abs(hll_est - exact_distinct) * 1000.0 / exact_distinct)
+    AS BIGINT) AS err_x1e3
+FROM lc"""),
 
     // dead-letter template triage over q164's mangled fixture
     "q218_dead_letter_templates" -> withCtes(

@@ -171,6 +171,57 @@ object Sketches {
       "exact_a", "exact_b", "exact_union", "exact_intersect")
   }
 
+  /** Rolling k-day distinct (the WAU/DAU family) via the mergeable
+    * register grid: per (day, register) max rank off ONE corpus pass,
+    * densified to a days×64 grid, then per-register window-MAX over the
+    * k-day RANGE frame — merging k daily sketches per day for the cost
+    * of a window over an aggregate-sized grid. The exact recount this
+    * replaces re-reads k days of raw keys for EVERY output day (k×
+    * amplification of the biggest table); the sketch path touches the
+    * corpus once and the rolling merge never sees a raw key. RANGE (not
+    * ROWS) framing keeps calendar gaps honest — a missing day still ages
+    * out of the window on schedule.
+    *
+    * Output per observed day: the k-day estimate + sketch internals +
+    * the exact rolling distinct as the accuracy diagnostic (verification
+    * column, affordable at test scale — at 100 TB you'd drop it). */
+  def hllRollingDistinct(transcripts: DataFrame, keyCol: String = "conv_id",
+                         windowDays: Int = 7): DataFrame = {
+    val h = conv(substring(md5(col(keyCol)), 1, 8), 16, 10).cast("long")
+    val dayNum = (unix_timestamp(col("ts")) / 86400L).cast("long")
+    val dayRegs = transcripts
+      .select(dayNum.as("day_num"), h.bitwiseAND(lit(63L)).as("reg"),
+        shiftright(h, 6).as("v"))
+      .withColumn("rank",
+        when(col("v") === 0L, 27L)
+          .otherwise(lit(27L) - length(bin(col("v")))))
+      .groupBy("day_num", "reg").agg(max("rank").as("m"))
+    val days = dayRegs.select("day_num").distinct()
+    val grid = days
+      .withColumn("reg", explode(sequence(lit(0L), lit(63L))))
+      .join(dayRegs, Seq("day_num", "reg"), "left")
+      .na.fill(0L, Seq("m"))
+    val frame = Window.partitionBy("reg").orderBy(col("day_num"))
+      .rangeBetween(-(windowDays - 1L), 0L)
+    val rolled = grid.withColumn("mr", max("m").over(frame))
+      .filter(col("mr") > 0L)
+    val est = hllEstimate(rolled.select(col("day_num").as("name"),
+        col("reg"), col("mr").as("m")))
+      .withColumnRenamed("name", "day_num")
+    val pairs = transcripts
+      .select(dayNum.as("kday"), col(keyCol).as("k")).distinct()
+    val exact = broadcast(days)
+      .join(pairs, col("kday").between(
+        col("day_num") - (windowDays - 1L), col("day_num")))
+      .groupBy("day_num").agg(countDistinct("k").as("exact_distinct"))
+    est.join(exact, Seq("day_num"))
+      .withColumn("err_x1e3",
+        floor(abs(col("hll_est") - col("exact_distinct")) * lit(1000.0)
+          / col("exact_distinct")).cast("long"))
+      .select("day_num", "exact_distinct", "nonzero_regs", "sum_pow",
+        "hll_est", "err_x1e3")
+  }
+
   /** Pairwise SOURCE-OVERLAP matrix from per-source HLL sketches over the
     * 128-bit content key — "how much of source A's content also appears
     * in source B" for every source pair, the diagnostic that decides

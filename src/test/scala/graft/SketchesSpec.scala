@@ -210,6 +210,32 @@ class SketchesSpec extends SparkSpec {
     assert(az._3 > az._1, "union exceeds either disjoint side")
   }
 
+  test("hllRollingDistinct: exact 7-day rollups, estimate lands, gaps age out") {
+    // 10 calendar days, 10 fresh conversations per day, with day 5 MISSING
+    // (ingestion gap): rolling exact = 10·(days observed in [d-6, d])
+    val rows = for {
+      d <- 0 to 10 if d != 5
+      c <- 0 until 10
+    } yield (s"conv-$d-$c", d)
+    val df = rows.toDF("conv_id", "d")
+      .withColumn("ts", timestamp_seconds(col("d") * 86400L + 3600L))
+      .drop("d")
+    val out = Sketches.hllRollingDistinct(df).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(4), r.getLong(5))))
+      .toMap
+    assert(out.size == 10)               // only observed days emit a row
+    // window [d-6, d]: day 4 sees days 0-4 (50); day 10 sees [4..10] minus
+    // the missing 5 => {4,6,7,8,9,10} = 60; day 6 sees {0,1,2,3,4,6} = 60
+    assert(out(4L)._1 == 50L && out(10L)._1 == 60L && out(6L)._1 == 60L)
+    // estimates stay honest (64-register HLL on <=70 keys: small-range
+    // linear counting territory, well under 40% error)
+    out.values.foreach { case (_, _, err) => assert(err < 400L, s"err=$err") }
+    // rolling distinct never drops below the densest single day (10)
+    out.values.foreach { case (exact, est, _) =>
+      assert(exact >= 10L && est >= 5L)
+    }
+  }
+
   test("kmvSketch/kmvEstimates: exact below k, order-stat estimate near truth above") {
     // 10 distinct values (< k=32): the sketch IS the value set, estimate
     // exact; 5000 distinct values: estimate within 40% (k=32 -> ~18% rel err)
