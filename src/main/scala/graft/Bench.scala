@@ -495,6 +495,15 @@ object Bench {
           val rdRun = () =>
             timeNoop(operators.Sketches.hllRollingDistinct(input))
           results("rolling_distinct") = math.min(rdRun(), rdRun())
+          // max-coverage runs k driver-sequenced rounds and returns a
+          // local frame — time around its own actions, like kcenter
+          val mcRun = () => {
+            val t0 = System.nanoTime()
+            text.Selection.maxCoverageSelect(docs).write
+              .format("noop").mode("overwrite").save()
+            (System.nanoTime() - t0) / 1e9
+          }
+          results("max_coverage") = math.min(mcRun(), mcRun())
 
           // lmScore/convNearDup persist their reused intermediates;
           // drop them so repeated bench runs don't accumulate cache

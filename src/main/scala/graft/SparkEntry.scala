@@ -1446,6 +1446,11 @@ object SparkEntry {
     "q255_rolling_distinct" -> ((s, d) =>
       operators.Sketches.hllRollingDistinct(Transcripts.loadCanonical(s, d))),
 
+    // greedy max-coverage: k docs picked to maximize marginal vocabulary
+    // coverage (the discrete twin of q249's geometric k-center)
+    "q256_max_coverage" -> ((s, d) =>
+      text.Selection.maxCoverageSelect(docs(s, d))),
+
     // dead-letter triage: quarantine rows clustered by digit-collapsed
     // failure template, over q164's mangled fixture
     "q218_dead_letter_templates" -> ((s, d) => {
@@ -4949,6 +4954,30 @@ SELECT CAST(day_num AS BIGINT) AS day_num, exact_distinct, nonzero_regs,
   CAST(floor(abs(hll_est - exact_distinct) * 1000.0 / exact_distinct)
     AS BIGINT) AS err_x1e3
 FROM lc"""),
+
+    // greedy max-coverage: the k rounds unroll into a chained CTE ladder,
+    // each picking (max gain, min doc_id) against the prior covered set
+    "q256_max_coverage" -> {
+      val k = 6
+      val ctes = new StringBuilder
+      ctes ++= s"th AS (SELECT doc_id, ${Oracle.oTokHashes} AS th FROM documents)"
+      ctes ++= s", ex AS (SELECT doc_id, unnest(list_distinct(${Oracle.oShingles})) AS tok FROM th)"
+      ctes ++= ", cov0 AS (SELECT CAST(NULL AS BIGINT) AS tok WHERE 1 = 0)"
+      for (i <- 1 to k) {
+        ctes ++= s""",
+pick$i AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS gain FROM ex
+  WHERE tok NOT IN (SELECT tok FROM cov${i - 1})
+  GROUP BY doc_id ORDER BY gain DESC, doc_id LIMIT 1)"""
+        ctes ++= s""",
+cov$i AS (SELECT tok FROM cov${i - 1}
+  UNION SELECT tok FROM ex WHERE doc_id = (SELECT doc_id FROM pick$i))"""
+      }
+      val sel = (1 to k).map(i =>
+        s"""SELECT CAST($i AS BIGINT) AS round, doc_id, gain,
+  (SELECT CAST(count(*) AS BIGINT) FROM cov$i) AS covered_total
+FROM pick$i""").mkString(" UNION ALL ")
+      s"WITH $ctes $sel"
+    },
 
     // dead-letter template triage over q164's mangled fixture
     "q218_dead_letter_templates" -> withCtes(

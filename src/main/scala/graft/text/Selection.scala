@@ -199,6 +199,55 @@ object Selection {
     * a running strictly-above min on that aggregate, then one broadcast
     * semi-join admits exactly the frontier docs. Corpus cost = one
     * map-only pass + one grid agg, at any corpus size. */
+  /** Greedy maximum-coverage selection: k documents chosen one at a time,
+    * each maximizing the count of 3-token shingles NOT yet covered by the
+    * previous picks (ties to the lower doc_id) — the classic (1 - 1/e)
+    * greedy for the NP-hard max-coverage problem, and the DISCRETE
+    * counterpart of [[graft.ann.Centroids.kCenterSelect]]'s geometric
+    * diversity: k-center spreads picks in embedding space, this spreads
+    * them across distinct PHRASING (the few-shot/eval-set curation
+    * question "which k docs show the most distinct material?"; shingles,
+    * not unigrams — a small closed vocabulary saturates in one pick while
+    * its phrase space stays rich). Selection stops early when no document
+    * adds anything new. Output per round: the pick, its marginal gain,
+    * and the running covered-phrase count.
+    *
+    * Scale shape: k driver-sequenced rounds over the persisted distinct
+    * (doc_id, shingle) projection. The covered set is the union of ≤k doc
+    * phrase sets — broadcast-sized by construction — so each round is
+    * one broadcast anti-join + hash-agg + 1-row argmax; no quadratic
+    * doc-pair work, nothing corpus-sized ever sits on the driver. */
+  def maxCoverageSelect(docs: DataFrame, k: Int = 6): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val ex = docs.select(col("doc_id"), explode(array_distinct(
+        graft.dedup.Dedup.shingleHashes(col("text")))).as("tok"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    ex.count()
+    var chosen = Vector.empty[Long]
+    val rows = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+    var round = 1
+    var done = false
+    while (round <= k && !done) {
+      val gains =
+        if (chosen.isEmpty) ex
+        else ex.join(broadcast(ex.filter(col("doc_id").isin(chosen: _*))
+          .select("tok").distinct()), Seq("tok"), "left_anti")
+      val top = gains.groupBy("doc_id").agg(count(lit(1)).as("gain"))
+        .orderBy(col("gain").desc, col("doc_id")).limit(1).collect()
+      if (top.isEmpty) done = true
+      else {
+        chosen :+= top(0).getLong(0)
+        val covTotal = ex.filter(col("doc_id").isin(chosen: _*))
+          .select("tok").distinct().count()
+        rows += ((round.toLong, top(0).getLong(0), top(0).getLong(1), covTotal))
+        round += 1
+      }
+    }
+    ex.unpersist()
+    rows.toSeq.toDF("round", "doc_id", "gain", "covered_total")
+  }
+
   def paretoFrontier(docs: DataFrame): DataFrame = {
     val qc = graft.text.TextAnalysis.qualityColumns(col("text"))
     val pts = docs.select(col("doc_id"),

@@ -209,6 +209,25 @@ class TextOpsSpec extends SparkSpec {
     assert(out.map(_.toString).sorted.sameElements(out2.map(_.toString).sorted))
   }
 
+  test("maxCoverageSelect: greedy marginal gains, early stop when covered") {
+    // coverage universe = 3-token shingles:
+    //  doc 1: {abc, bcd, cde}; doc 2: {abc, bcx}; doc 3: {xyz, yzw};
+    //  doc 4: {xyz} (subset of 3)
+    val docs = Seq(
+      (1L, "a b c d e"),
+      (2L, "a b c x"),
+      (3L, "x y z w"),
+      (4L, "x y z")
+    ).toDF("doc_id", "text")
+    val out = text.Selection.maxCoverageSelect(docs, k = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // round 1: doc 1 gain 3; round 2: doc 3 gain 2 (total 5);
+    // round 3: doc 2 adds only bcx (total 6); round 4: doc 4 fully
+    // covered => early stop at 3 rows
+    assert(out.toSeq == Seq((1L, 1L, 3L, 3L), (2L, 3L, 2L, 5L),
+      (3L, 2L, 1L, 6L)))
+  }
+
   test("corpus ops are total on an empty corpus") {
     val empty = Seq.empty[(Long, String, String)].toDF("doc_id", "lang", "text")
     assert(dedup.Curation.curate(empty.select("doc_id", "text")).count() == 0)
