@@ -250,4 +250,35 @@ class PlanSpec extends SparkSpec {
     assert(!ssPlan.contains("CartesianProduct"), "setsim cartesian")
     assert(!ssPlan.contains("BroadcastNestedLoopJoin"), "setsim nested loop")
   }
+
+  test("round-23 ops: narrow-key shuffles only, frontier broadcasts, " +
+    "rolling merge stays aggregate-sized") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    // leak-safe split: ONE corpus exchange (the ckey window) — the text
+    // column must never be part of the shuffled frame
+    val split = finalPlanOf(operators.Sampling.leakSafeSplit(docs))
+    val nSplit = "Exchange hashpartitioning".r.findAllIn(split).size
+    assert(nSplit == 1, s"leakSafeSplit expected 1 exchange, saw $nSplit")
+    assert(!"Exchange hashpartitioning\\([^)]*text".r
+      .findFirstIn(split).isDefined, "leakSafeSplit shuffles the text")
+    // Pareto frontier: the <=1001-row staircase broadcasts back; the only
+    // corpus exchange is the quality-grid aggregation
+    val pareto = finalPlanOf(text.Selection.paretoFrontier(docs))
+    assert(pareto.contains("BroadcastHashJoin"), "frontier must broadcast")
+    assert(!pareto.contains("SortMergeJoin"), "frontier shuffled the corpus")
+    // bootstrap CI: the 64x fanout partial-aggregates map-side into the
+    // 64-row frame — exactly one corpus exchange (groupBy rep)
+    val boot = finalPlanOf(operators.Sampling.bootstrapCI(docs))
+    val nBoot = "Exchange hashpartitioning".r.findAllIn(boot).size
+    assert(nBoot == 1, s"bootstrapCI expected 1 exchange, saw $nBoot")
+    // winnowing census: fp-keyed equi-joins only
+    val winnow = finalPlanOf(dedup.Dedup.winnowStats(docs))
+    assert(!winnow.contains("CartesianProduct"), "winnow cartesian")
+    assert(!winnow.contains("BroadcastNestedLoopJoin"), "winnow nested loop")
+    // rolling distinct: the only non-equi join is the exact-recount
+    // diagnostic, and it must build the tiny day list, never the pairs
+    val roll = finalPlanOf(operators.Sketches.hllRollingDistinct(
+      Transcripts.load(spark, tiny)))
+    assert(!roll.contains("CartesianProduct"), "rolling distinct cartesian")
+  }
 }
