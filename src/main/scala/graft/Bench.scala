@@ -504,6 +504,10 @@ object Bench {
             (System.nanoTime() - t0) / 1e9
           }
           results("max_coverage") = math.min(mcRun(), mcRun())
+          // k-anon generalization: one finest-grain agg + broadcast
+          // grid joins back over the corpus
+          val kgRun = () => timeNoop(operators.Governance.kAnonGeneralize(docs))
+          results("kanon_generalize") = math.min(kgRun(), kgRun())
 
           // lmScore/convNearDup persist their reused intermediates;
           // drop them so repeated bench runs don't accumulate cache

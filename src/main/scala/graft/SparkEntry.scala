@@ -1451,6 +1451,11 @@ object SparkEntry {
     "q256_max_coverage" -> ((s, d) =>
       text.Selection.maxCoverageSelect(docs(s, d))),
 
+    // k-anonymity generalization: per-doc finest safe rung of the
+    // doubling length-bucket ladder (local recoding; q192's fix)
+    "q257_kanon_generalize" -> ((s, d) =>
+      operators.Governance.kAnonGeneralize(docs(s, d))),
+
     // dead-letter triage: quarantine rows clustered by digit-collapsed
     // failure template, over q164's mangled fixture
     "q218_dead_letter_templates" -> ((s, d) => {
@@ -4978,6 +4983,38 @@ cov$i AS (SELECT tok FROM cov${i - 1}
 FROM pick$i""").mkString(" UNION ALL ")
       s"WITH $ctes $sel"
     },
+
+    // k-anonymity generalization: nested roll-ups off one finest-grain
+    // census; rung choice by the same CASE ladder
+    "q257_kanon_generalize" -> withCtes(
+      "base" -> "SELECT doc_id, lang, source, n_chars // 100 AS b0 FROM documents",
+      "g0" -> """SELECT lang, source, b0, CAST(count(*) AS BIGINT) AS k0
+  FROM base GROUP BY 1, 2, 3""",
+      "g1" -> """SELECT lang, source, b0 // 2 AS b1, CAST(sum(k0) AS BIGINT) AS k1
+  FROM g0 GROUP BY 1, 2, 3""",
+      "g2" -> """SELECT lang, source, b1 // 2 AS b2, CAST(sum(k1) AS BIGINT) AS k2
+  FROM g1 GROUP BY 1, 2, 3""",
+      "g3" -> """SELECT lang, source, b2 // 2 AS b3, CAST(sum(k2) AS BIGINT) AS k3
+  FROM g2 GROUP BY 1, 2, 3""",
+      "ga" -> """SELECT lang, source, CAST(sum(k3) AS BIGINT) AS k_all
+  FROM g3 GROUP BY 1, 2""")("""
+SELECT b.doc_id, b.lang, b.source,
+  CASE WHEN k0 >= 5 THEN 'w100' WHEN k1 >= 5 THEN 'w200'
+       WHEN k2 >= 5 THEN 'w400' WHEN k3 >= 5 THEN 'w800'
+       WHEN k_all >= 5 THEN 'len_dropped' ELSE 'suppressed' END AS gen_label,
+  CAST(CASE WHEN k0 >= 5 THEN b.b0 * 100
+       WHEN k1 >= 5 THEN (b.b0 // 2) * 200
+       WHEN k2 >= 5 THEN (b.b0 // 4) * 400
+       WHEN k3 >= 5 THEN (b.b0 // 8) * 800 END AS BIGINT) AS bucket_lo,
+  CAST(CASE WHEN k0 >= 5 THEN k0 WHEN k1 >= 5 THEN k1
+       WHEN k2 >= 5 THEN k2 WHEN k3 >= 5 THEN k3
+       WHEN k_all >= 5 THEN k_all END AS BIGINT) AS cell_k
+FROM base b
+JOIN g0 USING (lang, source, b0)
+JOIN g1 ON g1.lang = b.lang AND g1.source = b.source AND g1.b1 = b.b0 // 2
+JOIN g2 ON g2.lang = b.lang AND g2.source = b.source AND g2.b2 = b.b0 // 4
+JOIN g3 ON g3.lang = b.lang AND g3.source = b.source AND g3.b3 = b.b0 // 8
+JOIN ga ON ga.lang = b.lang AND ga.source = b.source"""),
 
     // dead-letter template triage over q164's mangled fixture
     "q218_dead_letter_templates" -> withCtes(

@@ -78,6 +78,66 @@ object Governance {
       .agg(count(lit(1)).as("cell_k"))
       .withColumn("at_risk", col("cell_k") < k)
 
+  /** k-anonymity GENERALIZATION (local recoding) — the fix for what
+    * [[kAnonymity]] audits: each document's length quasi-identifier is
+    * released at the FINEST rung of a doubling bucket ladder
+    * (base, 2·base, 4·base, 8·base, then "length dropped entirely")
+    * whose cell still holds ≥ k documents; rows whose lang×source cell is
+    * itself below k are suppressed outright. Doubling buckets NEST
+    * (b/2 rolls 100-buckets into 200-buckets exactly), so every ladder
+    * level's census derives from ONE finest-grain aggregate — no second
+    * corpus pass per rung, and the release is deterministic (no
+    * data-order-dependent splits as in Mondrian partitioning).
+    *
+    * Output per doc: the released rung (`gen_label`), the released bucket
+    * lower bound (null once length is dropped/suppressed), and the cell
+    * population backing the release (null when suppressed).
+    *
+    * Scale shape: one corpus hash-agg to the finest grid; the roll-ups
+    * and the per-rung census live on that aggregate (≤ |langs|×|sources|×
+    * buckets rows); the rung choice joins the grids back broadcast. */
+  def kAnonGeneralize(docs: DataFrame, k: Long = 5L,
+                      baseWidth: Long = 100L): DataFrame = {
+    val base = docs.select(col("doc_id"), col("lang"), col("source"),
+      expr(s"n_chars DIV $baseWidth").as("b0"))
+    val g0 = base.groupBy("lang", "source", "b0")
+      .agg(count(lit(1)).as("k0"))
+    val g1 = g0.groupBy(col("lang"), col("source"),
+        expr("b0 DIV 2").as("b1")).agg(sum("k0").as("k1"))
+    val g2 = g1.groupBy(col("lang"), col("source"),
+        expr("b1 DIV 2").as("b2")).agg(sum("k1").as("k2"))
+    val g3 = g2.groupBy(col("lang"), col("source"),
+        expr("b2 DIV 2").as("b3")).agg(sum("k2").as("k3"))
+    val gAll = g3.groupBy("lang", "source").agg(sum("k3").as("k_all"))
+    val joined = base
+      .join(broadcast(g0), Seq("lang", "source", "b0"))
+      .withColumn("b1", expr("b0 DIV 2"))
+      .join(broadcast(g1), Seq("lang", "source", "b1"))
+      .withColumn("b2", expr("b1 DIV 2"))
+      .join(broadcast(g2), Seq("lang", "source", "b2"))
+      .withColumn("b3", expr("b2 DIV 2"))
+      .join(broadcast(g3), Seq("lang", "source", "b3"))
+      .join(broadcast(gAll), Seq("lang", "source"))
+    joined.select(col("doc_id"), col("lang"), col("source"),
+      when(col("k0") >= k, s"w$baseWidth")
+        .when(col("k1") >= k, s"w${baseWidth * 2}")
+        .when(col("k2") >= k, s"w${baseWidth * 4}")
+        .when(col("k3") >= k, s"w${baseWidth * 8}")
+        .when(col("k_all") >= k, "len_dropped")
+        .otherwise("suppressed").as("gen_label"),
+      when(col("k0") >= k, col("b0") * baseWidth)
+        .when(col("k1") >= k, col("b1") * baseWidth * 2)
+        .when(col("k2") >= k, col("b2") * baseWidth * 4)
+        .when(col("k3") >= k, col("b3") * baseWidth * 8)
+        .as("bucket_lo"),
+      when(col("k0") >= k, col("k0"))
+        .when(col("k1") >= k, col("k1"))
+        .when(col("k2") >= k, col("k2"))
+        .when(col("k3") >= k, col("k3"))
+        .when(col("k_all") >= k, col("k_all"))
+        .as("cell_k"))
+  }
+
   /** Principal PSEUDONYMIZATION audit — the privacy-preserving join key:
     * every login principal maps to a stable salted-hash pseudonym, so
     * downstream analytics join and aggregate per "user" without ever

@@ -929,4 +929,30 @@ class OperatorsSpec extends SparkSpec {
     assert(out(("login", "note")) == ((2L, 1L, "empty", 500L, false)))
     assert(out(("other", "db_id")) == ((1L, 1L, "int", 1000L, false)))
   }
+
+  test("kAnonGeneralize: finest safe rung per doc, drop and suppress arms") {
+    import TestSpark.spark.implicits._
+    def doc(id: Long, lang: String, src: String, n: Long) =
+      (id, s"doc $id", lang, src, n)
+    val docs = (
+      (1L to 6L).map(i => doc(i, "en", "s", 10L * i)) ++         // b0=0, k0=6
+      (11L to 13L).map(i => doc(i, "en", "s", 110L)) ++          // b0=1: k0=3, k1=9
+      Seq(805L, 905L, 1005L, 1105L, 1205L).zipWithIndex.map {    // k3(b3=1)=5
+        case (n, i) => doc(20L + i, "en", "s", n) } ++
+      (31L to 32L).map(i => doc(i, "en", "s", 1700L)) ++         // only k_all>=5
+      Seq(doc(40L, "de", "s2", 50L))                             // suppressed
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = operators.Governance.kAnonGeneralize(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getString(3),
+        if (r.isNullAt(4)) -1L else r.getLong(4),
+        if (r.isNullAt(5)) -1L else r.getLong(5)))).toMap
+    (1L to 6L).foreach(i => assert(out(i) == (("w100", 0L, 6L))))
+    (11L to 13L).foreach(i => assert(out(i) == (("w200", 0L, 9L))))
+    // the five spread docs only stabilize at the 800-wide rung
+    (20L to 24L).foreach(i => assert(out(i) == (("w800", 800L, 5L))))
+    // 1700-char pair: every length rung is under k, lang x source is not
+    (31L to 32L).foreach(i => assert(out(i) == (("len_dropped", -1L, 16L))))
+    // singleton cell: suppressed outright, nothing released
+    assert(out(40L) == (("suppressed", -1L, -1L)))
+  }
 }
