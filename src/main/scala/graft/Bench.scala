@@ -508,6 +508,10 @@ object Bench {
           // grid joins back over the corpus
           val kgRun = () => timeNoop(operators.Governance.kAnonGeneralize(docs))
           results("kanon_generalize") = math.min(kgRun(), kgRun())
+          // sweep line: conv-span agg + day-keyed windows + day-grid math
+          val ccRun = () =>
+            timeNoop(operators.Sessionize.concurrencyProfile(input))
+          results("concurrency") = math.min(ccRun(), ccRun())
 
           // lmScore/convNearDup persist their reused intermediates;
           // drop them so repeated bench runs don't accumulate cache

@@ -1456,6 +1456,11 @@ object SparkEntry {
     "q257_kanon_generalize" -> ((s, d) =>
       operators.Governance.kAnonGeneralize(docs(s, d))),
 
+    // peak concurrent conversations per day: distributed sweep line via
+    // within-day running sums + day-aggregate opening offsets
+    "q258_concurrency" -> ((s, d) =>
+      operators.Sessionize.concurrencyProfile(Transcripts.loadCanonical(s, d))),
+
     // dead-letter triage: quarantine rows clustered by digit-collapsed
     // failure template, over q164's mangled fixture
     "q218_dead_letter_templates" -> ((s, d) => {
@@ -5015,6 +5020,31 @@ JOIN g1 ON g1.lang = b.lang AND g1.source = b.source AND g1.b1 = b.b0 // 2
 JOIN g2 ON g2.lang = b.lang AND g2.source = b.source AND g2.b2 = b.b0 // 4
 JOIN g3 ON g3.lang = b.lang AND g3.source = b.source AND g3.b3 = b.b0 // 8
 JOIN ga ON ga.lang = b.lang AND ga.source = b.source"""),
+
+    // concurrency sweep line: same block-prefix-sum decomposition
+    "q258_concurrency" -> withCtes(
+      "spans" -> """SELECT conv_id, min(ts) AS t0, max(ts) AS t1
+  FROM transcripts GROUP BY 1""",
+      "ev" -> """SELECT t, delta,
+    CAST(floor(epoch(t) / 86400) AS BIGINT) AS day_num
+  FROM (SELECT t0 AS t, CAST(1 AS BIGINT) AS delta FROM spans
+        UNION ALL SELECT t1, CAST(-1 AS BIGINT) FROM spans) u""",
+      "run" -> """SELECT day_num, delta,
+    sum(delta) OVER (PARTITION BY day_num ORDER BY t, delta DESC
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+  FROM ev""",
+      "perday" -> """SELECT day_num, CAST(sum(delta) AS BIGINT) AS net,
+    CAST(max(run) AS BIGINT) AS peak_rel
+  FROM run GROUP BY 1""")("""
+SELECT day_num,
+  CAST(coalesce(sum(net) OVER (ORDER BY day_num
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+    AS opening,
+  CAST(coalesce(sum(net) OVER (ORDER BY day_num
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + peak_rel
+    AS BIGINT) AS peak,
+  net
+FROM perday"""),
 
     // dead-letter template triage over q164's mangled fixture
     "q218_dead_letter_templates" -> withCtes(

@@ -37,4 +37,43 @@ object Sessionize {
       .groupBy(col("conv_id"), col("session_idx"))
       .agg(count(lit(1)).as("n_turns"),
         min(col("ts")).as("ts_start"), max(col("ts")).as("ts_end"))
+
+  /** Peak-concurrency profile — "how many conversations were open at
+    * once, per day": the sweep line (+1 at each conversation's first
+    * turn, −1 at its last; inclusive interval semantics, so starts sort
+    * before ends at the same instant) run as a DISTRIBUTED block prefix
+    * sum. A naive sweep orders ALL events in one partition — a single-
+    * task sort at any scale. Instead: the within-day running sums are a
+    * day-partitioned window; each day's OPENING concurrency is the
+    * prefix sum of per-day net deltas — a window over the tiny day
+    * aggregate — and the day's true peak is opening + within-day max.
+    * Capacity planning / rate-limit sizing read straight off this.
+    *
+    * Days with no start/end events (a long conversation silently
+    * spanning them) emit no row — the profile covers observed days.
+    *
+    * Scale shape: one conv_id hash-agg (the span extraction), one
+    * day-keyed exchange for the within-day windows, then all remaining
+    * math on the |days| aggregate. Tie groups carry identical deltas,
+    * so every prefix max is partition-order-independent. */
+  def concurrencyProfile(parsed: DataFrame): DataFrame = {
+    val spans = parsed.groupBy("conv_id")
+      .agg(min(col("ts")).as("t0"), max(col("ts")).as("t1"))
+    val ev = spans.select(col("t0").as("t"), lit(1L).as("delta"))
+      .unionByName(spans.select(col("t1").as("t"), lit(-1L).as("delta")))
+      .withColumn("day_num",
+        (unix_timestamp(col("t")) / 86400L).cast("long"))
+    val inDay = Window.partitionBy("day_num")
+      .orderBy(col("t"), col("delta").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val perDay = ev.withColumn("run", sum(col("delta")).over(inDay))
+      .groupBy("day_num")
+      .agg(sum(col("delta")).as("net"), max(col("run")).as("peak_rel"))
+    val openW = Window.orderBy("day_num")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    perDay
+      .withColumn("opening", coalesce(sum(col("net")).over(openW), lit(0L)))
+      .select(col("day_num"), col("opening"),
+        (col("opening") + col("peak_rel")).as("peak"), col("net"))
+  }
 }

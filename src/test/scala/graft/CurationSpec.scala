@@ -155,4 +155,26 @@ class CurationSpec extends SparkSpec {
     assert(out(2L) == ((64 * m, 16 * m, 250L, false)))
     assert(out(3L) == ((0L, 0L, 0L, false)))
   }
+
+  test("concurrencyProfile: midnight-crossing spans carry opening offsets") {
+    import TestSpark.spark.implicits._
+    import org.apache.spark.sql.functions.{col, timestamp_seconds}
+    // A [100,200] day 0; B point session at 150; C [180, 86500] crosses
+    // midnight; D [86450, 86460] runs inside C on day 1
+    val turns = Seq(
+      ("A", 100L), ("A", 200L),
+      ("B", 150L),
+      ("C", 180L), ("C", 86500L),
+      ("D", 86450L), ("D", 86460L)
+    ).toDF("conv_id", "sec")
+      .withColumn("ts", timestamp_seconds(col("sec"))).drop("sec")
+    val out = Sessionize.concurrencyProfile(turns).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    // day 0: A,B,C open together at most 2 at once (B closes at its own
+    // instant); C stays open into day 1 => net +1
+    assert(out(0L) == ((0L, 2L, 1L)))
+    // day 1 OPENS with C still active; D inside C peaks at 2; both close
+    assert(out(1L) == ((1L, 2L, -1L)))
+  }
 }
