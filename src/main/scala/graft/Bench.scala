@@ -509,9 +509,9 @@ object Bench {
           val kgRun = () => timeNoop(operators.Governance.kAnonGeneralize(docs))
           results("kanon_generalize") = math.min(kgRun(), kgRun())
           // sweep line: conv-span agg + day-keyed windows + day-grid math
-          val ccRun = () =>
+          val cpRun = () =>
             timeNoop(operators.Sessionize.concurrencyProfile(input))
-          results("concurrency") = math.min(ccRun(), ccRun())
+          results("concurrency") = math.min(cpRun(), cpRun())
 
           // lmScore/convNearDup persist their reused intermediates;
           // drop them so repeated bench runs don't accumulate cache
