@@ -512,6 +512,10 @@ object Bench {
           val cpRun = () =>
             timeNoop(operators.Sessionize.concurrencyProfile(input))
           results("concurrency") = math.min(cpRun(), cpRun())
+          // template mining: head-vocab agg + broadcast wildcard join +
+          // per-turn rebuild + skeleton census
+          val ltRun = () => timeNoop(operators.DqRules.logTemplates(input))
+          results("log_templates") = math.min(ltRun(), ltRun())
 
           // lmScore/convNearDup persist their reused intermediates;
           // drop them so repeated bench runs don't accumulate cache

@@ -1461,6 +1461,11 @@ object SparkEntry {
     "q258_concurrency" -> ((s, d) =>
       operators.Sessionize.concurrencyProfile(Transcripts.loadCanonical(s, d))),
 
+    // Drain-style template census: frequent tokens stay literal, rare
+    // collapse to <*> via a broadcast head-vocabulary join
+    "q259_log_templates" -> ((s, d) =>
+      operators.DqRules.logTemplates(Transcripts.loadCanonical(s, d))),
+
     // dead-letter triage: quarantine rows clustered by digit-collapsed
     // failure template, over q164's mangled fixture
     "q218_dead_letter_templates" -> ((s, d) => {
@@ -5045,6 +5050,23 @@ SELECT day_num,
     AS BIGINT) AS peak,
   net
 FROM perday"""),
+
+    // log-template census: same frequency-gated wildcarding
+    "q259_log_templates" -> withCtes(
+      "toks" -> """SELECT conv_id, turn_idx,
+    generate_subscripts(l, 1) AS pos, unnest(l) AS tok
+  FROM (SELECT conv_id, turn_idx,
+          list_filter(string_split_regex(text, '\s+'), t -> t != '') AS l
+        FROM transcripts) x""",
+      "keep" -> """SELECT tok FROM
+    (SELECT tok, count(*) AS n FROM toks GROUP BY 1) c WHERE n >= 50""",
+      "reb" -> """SELECT t.conv_id, t.turn_idx,
+    string_agg(CASE WHEN k.tok IS NOT NULL THEN t.tok ELSE '<*>' END,
+      ' ' ORDER BY t.pos) AS template
+  FROM toks t LEFT JOIN keep k ON t.tok = k.tok
+  GROUP BY 1, 2""")("""
+SELECT template, CAST(count(*) AS BIGINT) AS n_turns
+FROM reb GROUP BY 1"""),
 
     // dead-letter template triage over q164's mangled fixture
     "q218_dead_letter_templates" -> withCtes(

@@ -140,4 +140,34 @@ object DqRules {
       .withColumn("majority_permille", expr("n_majority * 1000 DIV n_obs"))
       .withColumn("conflict", col("n_types") > 1L)
   }
+
+  /** Frequency-based log-template mining (the Drain-family idea run
+    * declaratively): tokens frequent across the corpus stay literal,
+    * rare tokens collapse to `<*>`, and the surviving skeletons are the
+    * template census — the raw-feed triage view ("what SHAPES of event
+    * flow here, and how often") that [[inferSchema]]'s typed census and
+    * the digit-collapse key (q137/q218) can't give when the variable part
+    * is a word, not a number. Wildcarding by FREQUENCY is self-tuning:
+    * enum-like values survive as literals, free-text and ids collapse.
+    *
+    * Scale shape: one token-keyed hash-agg builds the head vocabulary —
+    * by Zipf at most (corpus tokens / minCount) entries, broadcast-sized
+    * by construction — so the wildcard decision is a broadcast left join
+    * on the exploded tokens (a miss IS the decision); the rebuild groups
+    * on (conv, turn) and the census on the template string. */
+  def logTemplates(transcripts: DataFrame, minCount: Long = 50L): DataFrame = {
+    val toks = transcripts.select(col("conv_id"), col("turn_idx"),
+      posexplode(filter(split(col("text"), "\\s+"), t => t =!= ""))
+        .as(Seq("pos", "tok")))
+    val keep = toks.groupBy("tok").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minCount)
+      .select(col("tok"), lit(true).as("keep"))
+    toks.join(broadcast(keep), Seq("tok"), "left")
+      .groupBy("conv_id", "turn_idx")
+      .agg(concat_ws(" ", transform(
+        array_sort(collect_list(struct(col("pos"),
+          when(col("keep"), col("tok")).otherwise("<*>").as("out")))),
+        s => s.getField("out"))).as("template"))
+      .groupBy("template").agg(count(lit(1)).as("n_turns"))
+  }
 }

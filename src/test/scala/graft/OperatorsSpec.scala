@@ -930,6 +930,17 @@ class OperatorsSpec extends SparkSpec {
     assert(out(("other", "db_id")) == ((1L, 1L, "int", 1000L, false)))
   }
 
+  test("logTemplates: frequent tokens stay literal, rare collapse to <*>") {
+    import TestSpark.spark.implicits._
+    val turns = ((1 to 5).map(i => ("c", i, s"login user=u$i ok")) :+
+      (("c", 9, "logout now")))
+      .toDF("conv_id", "turn_idx", "text")
+    val out = operators.DqRules.logTemplates(turns, minCount = 3L).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // login/ok appear 5x (literal); each user=uN once, logout/now once
+    assert(out == Map("login <*> ok" -> 5L, "<*> <*>" -> 1L))
+  }
+
   test("kAnonGeneralize: finest safe rung per doc, drop and suppress arms") {
     import TestSpark.spark.implicits._
     def doc(id: Long, lang: String, src: String, n: Long) =
