@@ -516,6 +516,9 @@ object Bench {
           // per-turn rebuild + skeleton census
           val ltRun = () => timeNoop(operators.DqRules.logTemplates(input))
           results("log_templates") = math.min(ltRun(), ltRun())
+          // bursts: one (day, tok) agg + grid math + day-window top-k
+          val tbRun = () => timeNoop(operators.Conversations.termBursts(input))
+          results("term_bursts") = math.min(tbRun(), tbRun())
 
           // lmScore/convNearDup persist their reused intermediates;
           // drop them so repeated bench runs don't accumulate cache

@@ -1466,6 +1466,10 @@ object SparkEntry {
     "q259_log_templates" -> ((s, d) =>
       operators.DqRules.logTemplates(Transcripts.loadCanonical(s, d))),
 
+    // bursting terms per day: integer lift vs corpus baseline, top-k
+    "q260_term_bursts" -> ((s, d) =>
+      operators.Conversations.termBursts(Transcripts.loadCanonical(s, d))),
+
     // dead-letter triage: quarantine rows clustered by digit-collapsed
     // failure template, over q164's mangled fixture
     "q218_dead_letter_templates" -> ((s, d) => {
@@ -5067,6 +5071,26 @@ FROM perday"""),
   GROUP BY 1, 2""")("""
 SELECT template, CAST(count(*) AS BIGINT) AS n_turns
 FROM reb GROUP BY 1"""),
+
+    // term bursts: same Long-exact lift and day-partitioned top-k
+    "q260_term_bursts" -> withCtes(
+      "dt" -> """SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day_num,
+    tok, CAST(count(*) AS BIGINT) AS n
+  FROM (SELECT ts, unnest(list_filter(string_split_regex(text, '\s+'),
+          t -> t != '')) AS tok FROM transcripts) x
+  GROUP BY 1, 2""",
+      "tt" -> "SELECT tok, CAST(sum(n) AS BIGINT) AS n_tok FROM dt GROUP BY 1",
+      "dd" -> "SELECT day_num, CAST(sum(n) AS BIGINT) AS n_day FROM dt GROUP BY 1",
+      "aa" -> "SELECT CAST(sum(n_day) AS BIGINT) AS n_all FROM dd",
+      "sc" -> """SELECT d.day_num, d.tok, d.n,
+    d.n * a.n_all * 1000 // (t.n_tok * y.n_day) AS lift_x1000
+  FROM dt d JOIN tt t ON d.tok = t.tok
+  JOIN dd y ON d.day_num = y.day_num CROSS JOIN aa a
+  WHERE d.n >= 5""")("""
+SELECT day_num, rk, tok, n, CAST(lift_x1000 AS BIGINT) AS lift_x1000
+FROM (SELECT *, CAST(row_number() OVER (PARTITION BY day_num
+        ORDER BY lift_x1000 DESC, tok) AS BIGINT) AS rk FROM sc) r
+WHERE rk <= 5"""),
 
     // dead-letter template triage over q164's mangled fixture
     "q218_dead_letter_templates" -> withCtes(

@@ -721,4 +721,41 @@ object Conversations {
           .as("retry_permille"),
         when(col("_mj") >= 0L, col("_mj")).as("max_jac_permille"))
   }
+
+  /** Bursting terms per day — "what spiked today": for each (day, token),
+    * the integer-exact lift of the token's share that day against its
+    * corpus-wide share (lift 1000 = exactly its baseline rate), top-k
+    * lifts per day reported. The temporal twin of collocation lift
+    * (q243, pair-space) and vocab drift (q223, source-space): an
+    * incident/trend triage view — a term whose lift jumps 5× names the
+    * event storm directly. A floor on the day count keeps one-off rare
+    * tokens from posting infinite-looking lifts.
+    *
+    * Scale shape: one (day, tok) hash-agg off the scan (the only
+    * corpus-sized pass, map-side combined), marginals and the lift are
+    * grid math on that aggregate; day totals broadcast back; top-k is a
+    * day-partitioned window on the scored grid. Lift arithmetic is pure
+    * Long (n·total·1000 DIV (n_tok·n_day)) — no FP drift. */
+  def termBursts(transcripts: DataFrame, topK: Int = 5,
+                 minN: Long = 5L): DataFrame = {
+    val dayTok = transcripts.select(
+        (unix_timestamp(col("ts")) / 86400L).cast("long").as("day_num"),
+        explode(filter(split(col("text"), "\\s+"), t => t =!= "")).as("tok"))
+      .groupBy("day_num", "tok").agg(count(lit(1)).as("n"))
+    val tokTot = dayTok.groupBy("tok").agg(sum("n").as("n_tok"))
+    val dayTot = dayTok.groupBy("day_num").agg(sum("n").as("n_day"))
+    val allTot = dayTot.agg(sum("n_day").as("n_all"))
+    val scored = dayTok
+      .join(tokTot, "tok")
+      .join(broadcast(dayTot), "day_num")
+      .crossJoin(broadcast(allTot))
+      .filter(col("n") >= minN)
+      .withColumn("lift_x1000",
+        expr("n * n_all * 1000 DIV (n_tok * n_day)"))
+    val byDay = Window.partitionBy("day_num")
+      .orderBy(col("lift_x1000").desc, col("tok"))
+    scored.withColumn("rk", row_number().over(byDay).cast("long"))
+      .filter(col("rk") <= topK)
+      .select("day_num", "rk", "tok", "n", "lift_x1000")
+  }
 }

@@ -941,6 +941,24 @@ class OperatorsSpec extends SparkSpec {
     assert(out == Map("login <*> ok" -> 5L, "<*> <*>" -> 1L))
   }
 
+  test("termBursts: storm term tops its day, hand-computed integer lifts") {
+    import TestSpark.spark.implicits._
+    import org.apache.spark.sql.functions.timestamp_seconds
+    val rows = (1 to 50).map(i => (3600L, "base")) ++
+      (1 to 50).map(i => (90000L, "base")) ++
+      (1 to 30).map(i => (90000L, "storm"))
+    val turns = rows.toDF("sec", "text")
+      .withColumn("ts", timestamp_seconds(col("sec"))).drop("sec")
+    val out = operators.Conversations.termBursts(turns).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getString(2), r.getLong(3), r.getLong(4)))).toMap
+    // totals: all=130, base=100, storm=30; day0=50, day1=80
+    assert(out((0L, 1L)) == (("base", 50L, 1300L)))   // 50·130k/(100·50)
+    assert(out((1L, 1L)) == (("storm", 30L, 1625L)))  // 30·130k/(30·80)
+    assert(out((1L, 2L)) == (("base", 50L, 812L)))    // 50·130k/(100·80)
+    assert(out.size == 3)
+  }
+
   test("kAnonGeneralize: finest safe rung per doc, drop and suppress arms") {
     import TestSpark.spark.implicits._
     def doc(id: Long, lang: String, src: String, n: Long) =
