@@ -1470,6 +1470,21 @@ object SparkEntry {
     "q260_term_bursts" -> ((s, d) =>
       operators.Conversations.termBursts(Transcripts.loadCanonical(s, d))),
 
+    // LSH operating-point sweep over (bands, rows) configs, on q219's
+    // planted-near-dup corpus so every similarity band is populated
+    "q261_lsh_sweep" -> ((s, d) => {
+      val dd = docs(s, d)
+      dedup.Dedup.lshSweep(dd
+        .unionByName(dd.filter(col("doc_id") % 3 === 0)
+          .withColumn("doc_id", col("doc_id") + 1100000L)
+          .withColumn("text", concat(col("text"), lit(" tail marker"))))
+        .unionByName(dd.filter(col("doc_id") % 5 === 0)
+          .withColumn("doc_id", col("doc_id") + 2200000L)
+          .withColumn("text", concat(col("text"),
+            lit(" heavier edit with many extra trailing tokens appended here"
+              + " to pull the jaccard into a middle band")))))
+    }),
+
     // dead-letter triage: quarantine rows clustered by digit-collapsed
     // failure template, over q164's mangled fixture
     "q218_dead_letter_templates" -> ((s, d) => {
@@ -5091,6 +5106,61 @@ SELECT day_num, rk, tok, n, CAST(lift_x1000 AS BIGINT) AS lift_x1000
 FROM (SELECT *, CAST(row_number() OVER (PARTITION BY day_num
         ORDER BY lift_x1000 DESC, tok) AS BIGINT) AS rk FROM sc) r
 WHERE rk <= 5"""),
+
+    // LSH sweep: generalized band-signature projections per r config
+    "q261_lsh_sweep" -> {
+      val bandSelects = Seq(1, 2, 4, 8).flatMap { r =>
+        (0 until dedup.Dedup.NumHashes / r).map { j =>
+          val sig = (0 until r).map(t => s"mh${j * r + t}")
+            .reduceLeft((acc, c) => s"(($acc) * 31 + $c) % 1000000007")
+          s"SELECT doc_id, $r AS r, $j AS band_idx, $sig AS sig FROM sigs"
+        }
+      }.mkString(" UNION ALL ")
+      s"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL SELECT doc_id + 1100000, text || ' tail marker'
+    FROM documents WHERE doc_id % 3 = 0
+  UNION ALL SELECT doc_id + 2200000, text
+      || ' heavier edit with many extra trailing tokens appended here'
+      || ' to pull the jaccard into a middle band'
+    FROM documents WHERE doc_id % 5 = 0),
+samp AS (SELECT doc_id, text FROM corpus WHERE doc_id % 11 = 0),
+th AS (SELECT doc_id, $oTokHashes AS th FROM samp),
+shs AS (SELECT doc_id, list_distinct($oShingles) AS shd FROM th),
+tr AS (
+  SELECT doc_a, doc_b FROM (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      CAST(floor(CAST(len(list_intersect(a.shd, b.shd)) * 1000 AS DOUBLE)
+        / greatest(len(list_distinct(list_concat(a.shd, b.shd))), 1))
+        AS BIGINT) AS jacc
+    FROM shs a JOIN shs b ON a.doc_id < b.doc_id) x
+  WHERE jacc >= 500),
+sigs AS (
+  SELECT doc_id, ${oMinhashCols(dedup.Dedup.NumHashes)}
+  FROM (SELECT doc_id, $oShingles AS sh FROM th) y),
+bands AS ($bandSelects),
+cand AS (
+  SELECT DISTINCT x.r, x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM bands x JOIN bands y
+    ON x.r = y.r AND x.band_idx = y.band_idx AND x.sig = y.sig
+      AND x.doc_id < y.doc_id),
+nt AS (SELECT CAST(count(*) AS BIGINT) AS n_truth FROM tr),
+nc AS (SELECT r, CAST(count(*) AS BIGINT) AS n_candidates
+       FROM cand GROUP BY 1),
+ng AS (SELECT c.r, CAST(count(*) AS BIGINT) AS n_caught
+       FROM cand c JOIN tr t ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b
+       GROUP BY 1)
+SELECT CAST(nc.r AS BIGINT) AS r,
+  CAST(${dedup.Dedup.NumHashes} // nc.r AS BIGINT) AS bands,
+  nc.n_candidates, nt.n_truth,
+  CAST(coalesce(ng.n_caught, 0) AS BIGINT) AS n_caught,
+  CAST(coalesce(ng.n_caught, 0) * 1000 // greatest(nt.n_truth, 1)
+    AS BIGINT) AS recall_permille,
+  CAST(coalesce(ng.n_caught, 0) * 1000 // greatest(nc.n_candidates, 1)
+    AS BIGINT) AS precision_permille
+FROM nc LEFT JOIN ng ON nc.r = ng.r CROSS JOIN nt"""
+    },
 
     // dead-letter template triage over q164's mangled fixture
     "q218_dead_letter_templates" -> withCtes(

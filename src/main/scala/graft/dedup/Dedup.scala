@@ -343,6 +343,71 @@ object Dedup {
         expr("n_caught * 1000 DIV n_true_pairs"))
   }
 
+  /** LSH OPERATING-POINT sweep — [[blockingRecall]] generalized from the
+    * shipped banding to the whole (bands b × rows r) design space over the
+    * same 8 minhashes: r ∈ {1,2,4,8} (b = 8/r). Per configuration it
+    * reports candidate volume (the cost), recall and precision against
+    * brute-force τ-truth (the quality) — the measured S-curve trade the
+    * b/r choice is usually made from a formula instead. Run BEFORE
+    * committing a banding to a 100 TB dedup pass; rerun when the corpus's
+    * similarity profile drifts.
+    *
+    * Same eval-harness contract as [[blockingRecall]]: the quadratic truth
+    * join runs only on the deterministic 1/sampleMod sample; the sweep's
+    * band joins are equi-joins on (r, band_idx, band_sig) over that same
+    * sample. Band signatures fold minhash runs with the [[bandSig]]
+    * polynomial, so the r=2 row reproduces the production banding. */
+  def lshSweep(docs: DataFrame, sampleMod: Long = 11L,
+               tauPermille: Long = 500L): DataFrame = {
+    val sample = docs.filter(col("doc_id") % sampleMod === 0)
+    val sh = sample.select(col("doc_id"),
+      array_distinct(shingleHashes(col("text"))).as("shd"))
+    val la = sh.select(col("doc_id").as("doc_a"), col("shd").as("sh_a"))
+    val rb = sh.select(col("doc_id").as("doc_b"), col("shd").as("sh_b"))
+    val truth = la.crossJoin(rb).filter(col("doc_a") < col("doc_b"))
+      .withColumn("jacc",
+        floor(size(array_intersect(col("sh_a"), col("sh_b"))) * lit(1000.0)
+          / greatest(size(array_union(col("sh_a"), col("sh_b"))), lit(1)))
+          .cast("long"))
+      .filter(col("jacc") >= tauPermille)
+      .select("doc_a", "doc_b")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sigs = signatures(sample)
+    val cands = Seq(1, 2, 4, 8).map { r =>
+      val bands = (0 until NumHashes / r).map { j =>
+        val cols = (0 until r).map(t => col(s"mh${j * r + t}"))
+        val sig = cols.tail.foldLeft(cols.head)((acc, c) =>
+          (acc * 31L + c) % P)
+        sigs.select(col("doc_id"), lit(r.toLong).as("r"),
+          lit(j.toLong).as("band_idx"), sig.as("sig"))
+      }.reduce(_ unionByName _)
+      bands.select(col("r"), col("band_idx"), col("sig"),
+          col("doc_id").as("doc_a"))
+        .join(bands.select(col("r"), col("band_idx"), col("sig"),
+          col("doc_id").as("doc_b")), Seq("r", "band_idx", "sig"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select("r", "doc_a", "doc_b").distinct()
+    }.reduce(_ unionByName _)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nTruth = truth.count()
+    val out = cands.groupBy("r")
+      .agg(count(lit(1)).as("n_candidates"))
+      .join(cands.join(truth, Seq("doc_a", "doc_b"))
+        .groupBy("r").agg(count(lit(1)).as("n_caught")), Seq("r"), "left")
+      .na.fill(0L, Seq("n_caught"))
+      .withColumn("bands", expr(s"CAST($NumHashes AS BIGINT) DIV r"))
+      .withColumn("n_truth", lit(nTruth))
+      .withColumn("recall_permille",
+        expr("n_caught * 1000 DIV greatest(n_truth, 1L)"))
+      .withColumn("precision_permille",
+        expr("n_caught * 1000 DIV greatest(n_candidates, 1L)"))
+      .select("r", "bands", "n_candidates", "n_truth", "n_caught",
+        "recall_permille", "precision_permille")
+    out.count()
+    truth.unpersist(); cands.unpersist()
+    out
+  }
+
   // ---- simhash ----------------------------------------------------------------
   val SimBits = 16
   /** 16-bit SimHash over token hashes: bit j set iff the sum of per-token

@@ -235,6 +235,31 @@ class DedupSpec extends SparkSpec {
       ("A", "C") -> ((1L, 3L, 1L))))   // doc 5 copied from cluster-2 origin A
   }
 
+  test("lshSweep: cost and recall move monotonically across the r ladder") {
+    import TestSpark.spark.implicits._
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq(
+      (1L, base), (2L, base), (3L, base),          // identical triple
+      (4L, base + " extra1 extra2 extra3"),        // ~727 permille vs base
+      (5L, "completely different words one two three four five six"),
+      (6L, "unrelated tokens here differ entirely from every other doc")
+    ).toDF("doc_id", "text")
+    val out = dedup.Dedup.lshSweep(docs, sampleMod = 1L).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    assert(out.keySet == Set(1L, 2L, 4L, 8L))
+    // truth: 3 identical pairs + 3 partial pairs, same for every config
+    out.values.foreach { case (bands, _, nTruth, nCaught, rec, prec) =>
+      assert(nTruth == 6L && nCaught >= 3L)   // identical pairs never miss
+      assert(rec >= 500L && rec <= 1000L && prec <= 1000L)
+    }
+    assert(out(1L)._1 == 8L && out(8L)._1 == 1L)
+    // stricter bands never ADD candidates or recall
+    val byR = Seq(1L, 2L, 4L, 8L).map(out)
+    assert(byR.map(_._2).sliding(2).forall { case Seq(a, b) => a >= b })
+    assert(byR.map(_._5).sliding(2).forall { case Seq(a, b) => a >= b })
+  }
+
   test("winnowStats: shared-run guarantee, density bound, short-doc arms") {
     import TestSpark.spark.implicits._
     val run = "alpha beta gamma delta epsilon zeta eta theta"  // 8 tokens
