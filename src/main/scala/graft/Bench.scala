@@ -519,6 +519,9 @@ object Bench {
           // bursts: one (day, tok) agg + grid math + day-window top-k
           val tbRun = () => timeNoop(operators.Conversations.termBursts(input))
           results("term_bursts") = math.min(tbRun(), tbRun())
+          // zone maps: narrow projection + (layout × shard) grid agg
+          val zmRun = () => timeNoop(operators.Layout.zoneMapAudit(input))
+          results("zonemap_audit") = math.min(zmRun(), zmRun())
 
           // lmScore/convNearDup persist their reused intermediates;
           // drop them so repeated bench runs don't accumulate cache

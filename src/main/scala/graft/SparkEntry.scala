@@ -1470,6 +1470,11 @@ object SparkEntry {
     "q260_term_bursts" -> ((s, d) =>
       operators.Conversations.termBursts(Transcripts.loadCanonical(s, d))),
 
+    // zone-map skipping audit: ingestion-hash vs time-clustered shards
+    // against a mid-range time-window query
+    "q262_zonemap_audit" -> ((s, d) =>
+      operators.Layout.zoneMapAudit(Transcripts.loadCanonical(s, d))),
+
     // LSH operating-point sweep over (bands, rows) configs, on q219's
     // planted-near-dup corpus so every similarity band is populated
     "q261_lsh_sweep" -> ((s, d) => {
@@ -5161,6 +5166,36 @@ SELECT CAST(nc.r AS BIGINT) AS r,
     AS BIGINT) AS precision_permille
 FROM nc LEFT JOIN ng ON nc.r = ng.r CROSS JOIN nt"""
     },
+
+    // zone-map audit: same integer shard assignment + overlap pruning
+    "q262_zonemap_audit" -> withCtes(
+      "base" -> """SELECT conv_id,
+    CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM transcripts""",
+      "b" -> "SELECT min(sec) AS lo, max(sec) AS hi FROM base",
+      "asg" -> """SELECT sec,
+    lo + (hi - lo) * 45 // 100 AS q_lo,
+    lo + (hi - lo) * 55 // 100 AS q_hi,
+    ('0x' || substr(md5(conv_id), 1, 8))::BIGINT % 64 AS shard_natural,
+    least(63, (sec - lo) * 64 // (hi - lo + 1)) AS shard_time
+  FROM base CROSS JOIN b""",
+      "zones" -> """SELECT layout, shard, min(sec) AS z_min, max(sec) AS z_max,
+    CAST(count(*) AS BIGINT) AS n_rows,
+    any_value(q_lo) AS q_lo, any_value(q_hi) AS q_hi
+  FROM (SELECT sec, q_lo, q_hi, 'ingest_hash' AS layout,
+          shard_natural AS shard FROM asg
+        UNION ALL SELECT sec, q_lo, q_hi, 'time_range', shard_time FROM asg) u
+  GROUP BY 1, 2""")("""
+SELECT layout, CAST(count(*) AS BIGINT) AS n_shards,
+  CAST(sum(CASE WHEN z_max >= q_lo AND z_min <= q_hi THEN 1 ELSE 0 END)
+    AS BIGINT) AS n_hit,
+  CAST(sum(n_rows) AS BIGINT) AS n_rows,
+  CAST(sum(CASE WHEN z_max >= q_lo AND z_min <= q_hi THEN n_rows ELSE 0 END)
+    AS BIGINT) AS rows_scanned,
+  CAST((count(*) - sum(CASE WHEN z_max >= q_lo AND z_min <= q_hi
+    THEN 1 ELSE 0 END)) * 1000 // count(*) AS BIGINT) AS skip_permille,
+  CAST(sum(CASE WHEN z_max >= q_lo AND z_min <= q_hi THEN n_rows ELSE 0 END)
+    * 1000 // sum(n_rows) AS BIGINT) AS scan_permille
+FROM zones GROUP BY 1"""),
 
     // dead-letter template triage over q164's mangled fixture
     "q218_dead_letter_templates" -> withCtes(

@@ -111,4 +111,55 @@ object Layout {
         expr("n_rows * 1000 DIV t_rows").as("share_permille"),
         (col("n_rows") * nParts >= col("t_rows") * 2L).as("hot"))
   }
+
+  /** Zone-map data-SKIPPING audit: how many shards (and rows) a
+    * mid-range time-window query must touch under (a) ingestion-order
+    * layout (shard by conv-id hash — time spread everywhere, zone maps
+    * useless) vs (b) time-clustered layout (shard by fixed-width time
+    * range) — the measured justification for sorting/clustering data at
+    * write time, next to [[layoutStats]]'s z-order locality view. A shard
+    * is READ iff its [min_sec, max_sec] zone overlaps the query window
+    * (exactly parquet row-group / file pruning semantics).
+    *
+    * The query window is the middle decile of the corpus time span (a
+    * dashboard's "around that incident" query). Everything is integer
+    * arithmetic off one (conv, turn, sec) projection: global bounds via
+    * a 1-row aggregate, shard assignment per layout as map expressions,
+    * zone maps via ONE (layout × shard) hash-agg, pruning math on that
+    * tiny grid. Nothing here sorts the corpus. */
+  def zoneMapAudit(transcripts: DataFrame, shards: Int = 64): DataFrame = {
+    val base = transcripts.select(col("conv_id"),
+      unix_timestamp(col("ts")).as("sec"))
+    val bounds = base.agg(min("sec").as("lo"), max("sec").as("hi"))
+    val assigned = base.crossJoin(broadcast(bounds))
+      .withColumn("q_lo", expr("lo + (hi - lo) * 45 DIV 100"))
+      .withColumn("q_hi", expr("lo + (hi - lo) * 55 DIV 100"))
+      .withColumn("shard_natural",
+        conv(substring(md5(col("conv_id")), 1, 8), 16, 10).cast("long")
+          % shards)
+      .withColumn("shard_time",
+        least(lit(shards - 1L),
+          expr(s"(sec - lo) * $shards DIV (hi - lo + 1)")))
+    val zones = assigned
+      .select(col("q_lo"), col("q_hi"), col("sec"),
+        explode(array(
+          struct(lit("ingest_hash").as("layout"), col("shard_natural").as("shard")),
+          struct(lit("time_range").as("layout"), col("shard_time").as("shard"))))
+          .as("a"))
+      .groupBy(col("a.layout").as("layout"), col("a.shard").as("shard"))
+      .agg(min("sec").as("z_min"), max("sec").as("z_max"),
+        count(lit(1)).as("n_rows"),
+        first(col("q_lo")).as("q_lo"), first(col("q_hi")).as("q_hi"))
+    zones
+      .withColumn("hit", col("z_max") >= col("q_lo") &&
+        col("z_min") <= col("q_hi"))
+      .groupBy("layout")
+      .agg(count(lit(1)).as("n_shards"),
+        sum(when(col("hit"), 1L).otherwise(0L)).as("n_hit"),
+        sum("n_rows").as("n_rows"),
+        sum(when(col("hit"), col("n_rows")).otherwise(0L)).as("rows_scanned"))
+      .withColumn("skip_permille",
+        expr("(n_shards - n_hit) * 1000 DIV n_shards"))
+      .withColumn("scan_permille", expr("rows_scanned * 1000 DIV n_rows"))
+  }
 }

@@ -86,4 +86,23 @@ class LayoutSpec extends SparkSpec {
       if (isHotPart) assert(r.getLong(3) >= 800L)       // ≥80% share
     }
   }
+
+  test("zoneMapAudit: time clustering skips, ingestion hashing cannot") {
+    // 1000 seconds of data, 10 conversations interleaved across all time:
+    // hash shards each span the full range (no skipping); time-range
+    // shards confine the mid-decile query to ~11% of shards
+    val turns = (0 until 1000).map(i => (s"c${i % 10}", i.toLong))
+      .toDF("conv_id", "sec")
+      .withColumn("ts", timestamp_seconds(col("sec"))).drop("sec")
+    val out = Layout.zoneMapAudit(turns).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    val (inS, inH, inRows, inScan, inSkip, inScanPm) = out("ingest_hash")
+    val (trS, trH, trRows, trScan, trSkip, trScanPm) = out("time_range")
+    assert(inRows == 1000L && trRows == 1000L)
+    // every hash shard spans the whole timeline: nothing skippable
+    assert(inH == inS && inSkip == 0L && inScanPm == 1000L)
+    // time-clustered: only the window's shards read (~10% + boundary)
+    assert(trSkip >= 800L && trScanPm <= 200L && trH < trS)
+  }
 }
