@@ -522,6 +522,11 @@ object Bench {
           // zone maps: narrow projection + (layout × shard) grid agg
           val zmRun = () => timeNoop(operators.Layout.zoneMapAudit(input))
           results("zonemap_audit") = math.min(zmRun(), zmRun())
+          // two-pass exact selection vs builtin full-group sort: the
+          // same numbers, bounded memory — both timed for the A/B
+          val eqRun = () =>
+            timeNoop(operators.Aggregates.exactQuantiles2Pass(parsedB))
+          results("exact_quantiles_2pass") = math.min(eqRun(), eqRun())
 
           // lmScore/convNearDup persist their reused intermediates;
           // drop them so repeated bench runs don't accumulate cache

@@ -1475,6 +1475,11 @@ object SparkEntry {
     "q262_zonemap_audit" -> ((s, d) =>
       operators.Layout.zoneMapAudit(Transcripts.loadCanonical(s, d))),
 
+    // exact P50/P95/P99 by two-pass distributed selection: histogram +
+    // candidate-bucket-only sort (the scale path for q25)
+    "q263_exact_quantiles" -> ((s, d) =>
+      operators.Aggregates.exactQuantiles2Pass(Pipeline.parsed(s, d))),
+
     // LSH operating-point sweep over (bands, rows) configs, on q219's
     // planted-near-dup corpus so every similarity band is populated
     "q261_lsh_sweep" -> ((s, d) => {
@@ -5196,6 +5201,20 @@ SELECT layout, CAST(count(*) AS BIGINT) AS n_shards,
   CAST(sum(CASE WHEN z_max >= q_lo AND z_min <= q_hi THEN n_rows ELSE 0 END)
     * 1000 // sum(n_rows) AS BIGINT) AS scan_permille
 FROM zones GROUP BY 1"""),
+
+    // exact quantiles: rank-definition oracle (k-th smallest, no
+    // interpolation) — the two-pass selection must hit it bit-for-bit
+    "q263_exact_quantiles" -> withCtes(
+      "vals" -> s"""SELECT $oName AS name, ${oKvNum("duration")} AS v
+  FROM transcripts""",
+      "rk" -> """SELECT name, v,
+    row_number() OVER (PARTITION BY name ORDER BY v) AS r,
+    count(*) OVER (PARTITION BY name) AS n
+  FROM vals WHERE v IS NOT NULL""")("""
+SELECT r.name, CAST(p.p AS BIGINT) AS p, CAST(r.n AS BIGINT) AS n,
+  CAST((r.n * p.p + 99) // 100 AS BIGINT) AS k, r.v AS value
+FROM rk r JOIN (SELECT unnest([50, 95, 99]) AS p) p
+  ON r.r = (r.n * p.p + 99) // 100"""),
 
     // dead-letter template triage over q164's mangled fixture
     "q218_dead_letter_templates" -> withCtes(

@@ -595,4 +595,44 @@ object Aggregates {
       .withColumn("n_new", col("n_old") + col("d_net"))
       .filter(col("n_new") =!= 0L)
   }
+
+  /** EXACT k-th order statistic (P50/P95/P99) by two-pass distributed
+    * SELECTION — the scale path for A5's exact percentiles. The builtin
+    * `percentile` sorts every group's values inside one task; at 100 TB a
+    * hot event's durations do not fit. This instead (1) hash-aggregates a
+    * fixed-width value histogram per group, (2) reads the candidate
+    * bucket for each target rank off the cumulative grid, and (3) sorts
+    * ONLY the rows that land in candidate buckets — per-group memory
+    * bounded by one bucket's population (tune `bucketWidth` so a bucket
+    * fits; recurse the same trick inside a bucket if it doesn't). The
+    * answer is bit-identical to a full sort: the k-th smallest value,
+    * k = ceil(n·p/100) — no interpolation, no approximation.
+    *
+    * Shapes: pass 1 is one corpus hash-agg (map-side combined); the
+    * cumulative scan runs on the histogram grid; pass 2's sort touches
+    * only candidate-bucket rows (an equi-join on (name, bucket) against
+    * the ≤ |names|·|ps| candidate list — broadcast). */
+  def exactQuantiles2Pass(parsed: DataFrame, ps: Seq[Int] = Seq(50, 95, 99),
+                          bucketWidth: Long = 16L): DataFrame = {
+    val vals = parsed.select(col("name"), col("duration").cast("long").as("v"))
+      .filter(col("v").isNotNull)
+      .withColumn("bucket", expr(s"v DIV $bucketWidth"))
+    val wCum = Window.partitionBy("name").orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cum = vals.groupBy("name", "bucket").agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum("c").over(wCum))
+      .withColumn("cum_before", col("cum") - col("c"))
+      .withColumn("n", sum("c").over(Window.partitionBy("name")))
+    val candidates = cum
+      .withColumn("p", explode(typedLit(ps.map(_.toLong))))
+      .withColumn("k", expr("(n * p + 99) DIV 100"))
+      .filter(col("cum") >= col("k") && col("cum_before") < col("k"))
+      .select("name", "bucket", "p", "k", "n", "cum_before")
+    vals.join(broadcast(candidates), Seq("name", "bucket"))
+      .groupBy("name", "p", "k", "n", "cum_before")
+      .agg(sort_array(collect_list(col("v"))).as("vs"))
+      .select(col("name"), col("p"), col("n"), col("k"),
+        element_at(col("vs"),
+          (col("k") - col("cum_before")).cast("int")).as("value"))
+  }
 }

@@ -941,6 +941,24 @@ class OperatorsSpec extends SparkSpec {
     assert(out == Map("login <*> ok" -> 5L, "<*> <*>" -> 1L))
   }
 
+  test("exactQuantiles2Pass: k-th order statistics match hand-ranked truth") {
+    import TestSpark.spark.implicits._
+    val rows = (1L to 100L).map(v => ("a", v)) ++
+      Seq(("b", 5L), ("b", 5L), ("b", 5L), ("b", 7L))
+    val parsed = rows.toDF("name", "duration")
+    val out = operators.Aggregates.exactQuantiles2Pass(parsed).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // a: n=100, k = ceil(n*p/100) => 50, 95, 99; values are the ranks
+    assert(out(("a", 50L)) == ((100L, 50L, 50L)))
+    assert(out(("a", 95L)) == ((100L, 95L, 95L)))
+    assert(out(("a", 99L)) == ((100L, 99L, 99L)))
+    // b: n=4 with ties; k50=2 -> 5, k95=k99=4 -> 7
+    assert(out(("b", 50L)) == ((4L, 2L, 5L)))
+    assert(out(("b", 95L)) == ((4L, 4L, 7L)))
+    assert(out(("b", 99L)) == ((4L, 4L, 7L)))
+  }
+
   test("termBursts: storm term tops its day, hand-computed integer lifts") {
     import TestSpark.spark.implicits._
     import org.apache.spark.sql.functions.timestamp_seconds
