@@ -1480,6 +1480,18 @@ object SparkEntry {
     "q263_exact_quantiles" -> ((s, d) =>
       operators.Aggregates.exactQuantiles2Pass(Pipeline.parsed(s, d))),
 
+    // Merkle hierarchical diff on q162's planted-change fixture: log-cost
+    // localization instead of the full-corpus join
+    "q264_merkle_diff" -> ((s, d) => {
+      val v1 = docs(s, d)
+      val v2 = v1.filter(col("doc_id") % 13 =!= 0)
+        .withColumn("text", when(col("doc_id") % 11 === 0,
+          concat(col("text"), lit(" v2"))).otherwise(col("text")))
+        .unionByName(v1.filter(col("doc_id") % 17 === 0)
+          .withColumn("doc_id", col("doc_id") + 10000000L))
+      operators.Governance.merkleDiff(v1, v2)
+    }),
+
     // LSH operating-point sweep over (bands, rows) configs, on q219's
     // planted-near-dup corpus so every similarity band is populated
     "q261_lsh_sweep" -> ((s, d) => {
@@ -5215,6 +5227,34 @@ SELECT r.name, CAST(p.p AS BIGINT) AS p, CAST(r.n AS BIGINT) AS n,
   CAST((r.n * p.p + 99) // 100 AS BIGINT) AS k, r.v AS value
 FROM rk r JOIN (SELECT unnest([50, 95, 99]) AS p) p
   ON r.r = (r.n * p.p + 99) // 100"""),
+
+    // Merkle diff: same two-level xor/count digests over both versions
+    "q264_merkle_diff" -> withCtes(
+      "v2" -> """SELECT doc_id,
+    CASE WHEN doc_id % 11 = 0 THEN text || ' v2' ELSE text END AS text
+  FROM documents WHERE doc_id % 13 <> 0
+  UNION ALL SELECT doc_id + 10000000, text
+  FROM documents WHERE doc_id % 17 = 0""",
+      "la" -> """SELECT doc_id,
+    ('0x' || substr(md5(text), 1, 15))::BIGINT AS h FROM documents""",
+      "lb" -> """SELECT doc_id,
+    ('0x' || substr(md5(text), 1, 15))::BIGINT AS h FROM v2""",
+      "da" -> """SELECT 'fine' AS level, doc_id // 16 AS bucket,
+    CAST(count(*) AS BIGINT) AS n_a, bit_xor(h) AS hx_a FROM la GROUP BY 2
+  UNION ALL SELECT 'coarse', doc_id // 256,
+    CAST(count(*) AS BIGINT), bit_xor(h) FROM la GROUP BY 2""",
+      "db" -> """SELECT 'fine' AS level, doc_id // 16 AS bucket,
+    CAST(count(*) AS BIGINT) AS n_b, bit_xor(h) AS hx_b FROM lb GROUP BY 2
+  UNION ALL SELECT 'coarse', doc_id // 256,
+    CAST(count(*) AS BIGINT), bit_xor(h) FROM lb GROUP BY 2""")("""
+SELECT coalesce(da.level, db.level) AS level,
+  coalesce(da.bucket, db.bucket) AS bucket,
+  CAST(coalesce(n_a, 0) AS BIGINT) AS n_a,
+  CAST(coalesce(n_b, 0) AS BIGINT) AS n_b
+FROM da FULL OUTER JOIN db
+  ON da.level = db.level AND da.bucket = db.bucket
+WHERE coalesce(n_a, 0) <> coalesce(n_b, 0)
+   OR coalesce(hx_a, 0) <> coalesce(hx_b, 0)"""),
 
     // dead-letter template triage over q164's mangled fixture
     "q218_dead_letter_templates" -> withCtes(

@@ -78,6 +78,45 @@ object Governance {
       .agg(count(lit(1)).as("cell_k"))
       .withColumn("at_risk", col("cell_k") < k)
 
+  /** MERKLE-style hierarchical snapshot diff — change LOCALIZATION at log
+    * cost, where [[snapshotDiff]] pays a full-corpus join per comparison:
+    * per-doc content hashes fold (order-independent bit_xor + count) into
+    * id-range buckets at two granularities; comparing the bucket digests
+    * names exactly which id ranges changed, so the row-level diff then
+    * runs ONLY inside changed fine buckets (at 100 TB: compare ~4k coarse
+    * digests daily, drill into the handful that moved — the full join
+    * never happens on a quiet day). Every changed fine bucket's coarse
+    * parent is changed by construction — the drill-down invariant.
+    * xor digests miss only a changed PAIR with identical hash deltas
+    * (2⁻⁶⁰-grade); the row counts catch all add/delete imbalances.
+    *
+    * Output: the changed buckets at both levels with per-side doc counts
+    * (absent side = 0). One hash-agg per side per level, all on
+    * (doc_id, 60-bit hash) projections — text never shuffles. */
+  def merkleDiff(v1: DataFrame, v2: DataFrame, fineWidth: Long = 16L,
+                 coarseWidth: Long = 256L): DataFrame = {
+    def leaves(v: DataFrame) = v.select(col("doc_id"),
+      conv(substring(md5(col("text")), 1, 15), 16, 10).cast("long").as("h"))
+    def level(l: DataFrame, width: Long, name: String) =
+      l.groupBy(expr(s"doc_id DIV $width").as("bucket"))
+        .agg(count(lit(1)).as("n"), expr("bit_xor(h)").as("hx"))
+        .select(lit(name).as("level"), col("bucket"), col("n"), col("hx"))
+    def digests(v: DataFrame) = {
+      val l = leaves(v)
+      level(l, fineWidth, "fine").unionByName(level(l, coarseWidth, "coarse"))
+    }
+    val a = digests(v1).select(col("level"), col("bucket"),
+      col("n").as("n_a"), col("hx").as("hx_a"))
+    val b = digests(v2).select(col("level"), col("bucket"),
+      col("n").as("n_b"), col("hx").as("hx_b"))
+    a.join(b, Seq("level", "bucket"), "full_outer")
+      .filter(coalesce(col("n_a"), lit(0L)) =!= coalesce(col("n_b"), lit(0L))
+        || coalesce(col("hx_a"), lit(0L)) =!= coalesce(col("hx_b"), lit(0L)))
+      .select(col("level"), col("bucket"),
+        coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"))
+  }
+
   /** k-anonymity GENERALIZATION (local recoding) — the fix for what
     * [[kAnonymity]] audits: each document's length quasi-identifier is
     * released at the FINEST rung of a doubling bucket ladder

@@ -977,6 +977,31 @@ class OperatorsSpec extends SparkSpec {
     assert(out.size == 3)
   }
 
+  test("merkleDiff: changed buckets localized, drill-down invariant holds") {
+    import TestSpark.spark.implicits._
+    val v1 = (0L until 100L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val v2 = (0L until 100L).filter(_ != 20L)
+      .map(i => (i, if (i == 5L) "doc 5 edited" else s"doc $i"))
+      .toDF("doc_id", "text")
+      .unionByName(Seq((200L, "new doc")).toDF("doc_id", "text"))
+    val out = operators.Governance.merkleDiff(v1, v2).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3))))
+      .toMap
+    // fine: bucket 0 edited (counts equal, xor differs), bucket 1 lost a
+    // doc, bucket 12 is the new doc's home
+    assert(out(("fine", 0L)) == ((16L, 16L)))
+    assert(out(("fine", 1L)) == ((16L, 15L)))
+    assert(out(("fine", 12L)) == ((0L, 1L)))
+    // coarse bucket 0: equal counts (one delete + one add) — ONLY the
+    // xor digest catches it
+    assert(out(("coarse", 0L)) == ((100L, 100L)))
+    assert(out.size == 4)
+    // drill-down: every changed fine bucket has a changed coarse parent
+    out.keys.filter(_._1 == "fine").foreach { case (_, b) =>
+      assert(out.contains(("coarse", b * 16L / 256L)))
+    }
+  }
+
   test("kAnonGeneralize: finest safe rung per doc, drop and suppress arms") {
     import TestSpark.spark.implicits._
     def doc(id: Long, lang: String, src: String, n: Long) =
