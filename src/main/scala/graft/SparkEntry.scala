@@ -1492,6 +1492,11 @@ object SparkEntry {
       operators.Governance.merkleDiff(v1, v2)
     }),
 
+    // hybrid retrieval: reciprocal-rank fusion of the BM25 ranking with a
+    // query-token-coverage ranking — rank-space merge, no score calibration
+    "q265_rrf_fusion" -> ((s, d) =>
+      text.Bm25.rrfFusion(docs(s, d))),
+
     // LSH operating-point sweep over (bands, rows) configs, on q219's
     // planted-near-dup corpus so every similarity band is populated
     "q261_lsh_sweep" -> ((s, d) => {
@@ -5255,6 +5260,40 @@ FROM da FULL OUTER JOIN db
   ON da.level = db.level AND da.bucket = db.bucket
 WHERE coalesce(n_a, 0) <> coalesce(n_b, 0)
    OR coalesce(hx_a, 0) <> coalesce(hx_b, 0)"""),
+
+    // RRF hybrid fusion: BM25 top-5 ⊕ coverage top-5, rank-space merge
+    "q265_rrf_fusion" -> s"""$bm25Ctes,
+atop AS (
+  SELECT q_id, doc_id, CAST(rank AS BIGINT) AS bm25_rank FROM (
+    SELECT q_id, doc_id,
+      row_number() OVER (PARTITION BY q_id ORDER BY score_micro DESC, doc_id) AS rank
+    FROM scored) r
+  WHERE rank <= 5),
+dcov AS (
+  SELECT q.q_id, d.doc_id, CAST(count(*) AS BIGINT) AS n_common
+  FROM (SELECT doc_id, unnest(list_distinct($oTokHashes)) AS tok FROM documents) d
+  JOIN qterms q USING (tok)
+  WHERE d.doc_id != q.q_id
+  GROUP BY 1, 2),
+btop AS (
+  SELECT q_id, doc_id, CAST(rn AS BIGINT) AS cov_rank FROM (
+    SELECT q_id, doc_id,
+      row_number() OVER (PARTITION BY q_id ORDER BY n_common DESC, doc_id) AS rn
+    FROM dcov) r
+  WHERE rn <= 5),
+fused AS (
+  SELECT coalesce(a.q_id, b.q_id) AS q_id,
+    coalesce(a.doc_id, b.doc_id) AS doc_id,
+    coalesce(a.bm25_rank, 0) AS bm25_rank,
+    coalesce(b.cov_rank, 0) AS cov_rank,
+    CAST(coalesce(1000000 // (60 + a.bm25_rank), 0)
+       + coalesce(1000000 // (60 + b.cov_rank), 0) AS BIGINT) AS rrf_micro
+  FROM atop a FULL OUTER JOIN btop b
+    ON a.q_id = b.q_id AND a.doc_id = b.doc_id)
+SELECT q_id, doc_id, bm25_rank, cov_rank, rrf_micro,
+  CAST(row_number() OVER (PARTITION BY q_id
+    ORDER BY rrf_micro DESC, doc_id) AS BIGINT) AS fused_rank
+FROM fused""",
 
     // dead-letter template triage over q164's mangled fixture
     "q218_dead_letter_templates" -> withCtes(

@@ -291,4 +291,54 @@ object Bm25 {
       .withColumn("concordant_permille",
         expr("n_concordant * 1000 DIV n_pairs"))
   }
+
+  /** Reciprocal-rank fusion (Cormack/Clarke/Büttcher RRF, the standard
+    * hybrid-retrieval merge) of two INDEPENDENT rankers over the same
+    * query set: each ranked list contributes `1e6 DIV (kc + rank)` for
+    * the docs it ranked, absent docs contribute 0, and the fused order is
+    * the contribution sum. Rank-space fusion needs NO score calibration
+    * between heterogeneous retrievers — which is why production hybrids
+    * (lexical ⊕ semantic) fuse ranks, not scores. Here the two views are
+    * [[topK]]'s BM25 (idf- and length-aware) and a raw query-token-
+    * COVERAGE ranker (idf/length-blind), so the lists genuinely disagree.
+    *
+    * Integer-exact: contributions are micro-floored divisions of
+    * constants; fused ties break on doc_id; absent ranks surface as 0.
+    *
+    * Scale shape: each ranker is its own posting-pruned corpus pass (a
+    * real hybrid runs its retrievers independently); the fusion itself is
+    * a full-outer join of two queries×k lists — broadcast-sized by
+    * construction — and the fused window partitions that tiny frame by
+    * q_id. Corpus text never shuffles. */
+  def rrfFusion(docs: DataFrame, k: Int = 5, queryMod: Int = 211,
+                kc: Int = 60): DataFrame = {
+    val a = topK(docs, k, queryMod)
+      .select(col("q_id"), col("doc_id"), col("rank").as("bm25_rank"))
+    // ranker B: distinct shared query tokens (the lexical-coverage view)
+    val qterms = docs.filter(col("doc_id") % queryMod === 0)
+      .select(col("doc_id").as("q_id"),
+        explode(array_distinct(TextAnalysis.tokHashes(col("text")))).as("tok"))
+    val cov = docs.select(col("doc_id"),
+        explode(array_distinct(TextAnalysis.tokHashes(col("text")))).as("tok"))
+      .join(broadcast(qterms), Seq("tok"))
+      .filter(col("doc_id") =!= col("q_id"))
+      .groupBy("q_id", "doc_id").agg(count(lit(1)).as("n_common"))
+    val wb = Window.partitionBy("q_id")
+      .orderBy(col("n_common").desc, col("doc_id"))
+    val b = cov.withColumn("cov_rank", row_number().over(wb).cast("long"))
+      .filter(col("cov_rank") <= k).select("q_id", "doc_id", "cov_rank")
+    val fused = a.join(b, Seq("q_id", "doc_id"), "full_outer")
+      .withColumn("bm25_rank", coalesce(col("bm25_rank"), lit(0L)))
+      .withColumn("cov_rank", coalesce(col("cov_rank"), lit(0L)))
+      .withColumn("rrf_micro",
+        when(col("bm25_rank") > 0,
+          expr(s"1000000 DIV ($kc + bm25_rank)")).otherwise(0L)
+        + when(col("cov_rank") > 0,
+          expr(s"1000000 DIV ($kc + cov_rank)")).otherwise(0L))
+    val wf = Window.partitionBy("q_id")
+      .orderBy(col("rrf_micro").desc, col("doc_id"))
+    fused.withColumn("fused_rank", row_number().over(wf).cast("long"))
+      .select("q_id", "doc_id", "bm25_rank", "cov_rank", "rrf_micro",
+        "fused_rank")
+  }
 }

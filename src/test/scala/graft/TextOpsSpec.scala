@@ -903,6 +903,43 @@ class TextOpsSpec extends SparkSpec {
       "the covering doc outranks the 1-term doc under BM25")
   }
 
+  test("rrfFusion: rank contributions, absent-list zeros, fused order") {
+    // query doc 0: 5 distinct tokens; docs 1..5 cover 5..1 of them, doc 6
+    // ties doc 5 at coverage 1 (loses the id tie-break, so it can only
+    // enter via the BM25 list — the one-sided fusion arm)
+    val docs = Seq(
+      (0L, "alpha beta gamma delta epsilon"),
+      (1L, "alpha beta gamma delta epsilon extra words padding"),
+      (2L, "alpha beta gamma delta"),
+      (3L, "alpha beta gamma"),
+      (4L, "alpha beta"),
+      (5L, "alpha"),
+      (6L, "alpha alpha alpha alpha alpha alpha alpha alpha")
+    ).toDF("doc_id", "text")
+    val out = graft.text.Bm25.rrfFusion(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    // coverage ranking is fully determined by construction
+    val covRank = Map(1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 4L, 5L -> 5L)
+    out.foreach { case ((q, d), (bm, cv, micro, _)) =>
+      assert(q == 0L)
+      assert(cv == covRank.getOrElse(d, 0L))
+      val exp = (if (bm > 0) 1000000L / (60 + bm) else 0L) +
+        (if (cv > 0) 1000000L / (60 + cv) else 0L)
+      assert(micro == exp, s"doc $d contribution sum")
+    }
+    // the independently re-derived BM25 list appears verbatim (0 = absent)
+    val bm = graft.text.Bm25.topK(docs).collect()
+      .map(r => r.getLong(2) -> r.getLong(1)).toMap
+    out.foreach { case ((_, d), (bmr, _, _, _)) =>
+      assert(bmr == bm.getOrElse(d, 0L)) }
+    // fused_rank is exactly (rrf_micro desc, doc_id) on the union
+    val sorted = out.toSeq.sortBy { case ((_, d), (_, _, m, _)) => (-m, d) }
+    sorted.zipWithIndex.foreach { case ((_, (_, _, _, fr)), i) =>
+      assert(fr == i + 1L) }
+    assert(out.size >= 5 && out.size <= 6)
+  }
+
   test("stripMarkup: blocks dropped, tags stripped, entities decoded amp-last") {
     val docs = Seq(
       (1L, "<div class=\"a\"><p>Hello <b>world</b></p><script>var x=1;\nvar y=2;</script>&amp;lt; ok &nbsp;&quot;q&quot;</div>"),
