@@ -1497,6 +1497,11 @@ object SparkEntry {
     "q265_rrf_fusion" -> ((s, d) =>
       text.Bm25.rrfFusion(docs(s, d))),
 
+    // graded retrieval eval: NDCG@5 with coverage gains and the shared
+    // micro-floored discount table
+    "q266_ndcg" -> ((s, d) =>
+      text.Bm25.ndcgAtK(docs(s, d))),
+
     // LSH operating-point sweep over (bands, rows) configs, on q219's
     // planted-near-dup corpus so every similarity band is populated
     "q261_lsh_sweep" -> ((s, d) => {
@@ -5294,6 +5299,42 @@ SELECT q_id, doc_id, bm25_rank, cov_rank, rrf_micro,
   CAST(row_number() OVER (PARTITION BY q_id
     ORDER BY rrf_micro DESC, doc_id) AS BIGINT) AS fused_rank
 FROM fused""",
+
+    // NDCG@5: graded coverage gains × the shared micro-floored discounts
+    "q266_ndcg" -> {
+      val dc = (1 to 5)
+        .map(r => s"WHEN $r THEN ${text.Bm25.dcgDiscMicro(5)(r - 1)}")
+        .mkString(" ")
+      s"""$bm25Ctes,
+topk AS (
+  SELECT q_id, doc_id, CAST(rank AS BIGINT) AS rank FROM (
+    SELECT q_id, doc_id,
+      row_number() OVER (PARTITION BY q_id ORDER BY score_micro DESC, doc_id) AS rank
+    FROM scored) r
+  WHERE rank <= 5),
+dtok AS (
+  SELECT t.q_id, t.rank, t.doc_id, unnest(list_distinct($oTokHashes)) AS tok
+  FROM topk t JOIN documents d ON t.doc_id = d.doc_id),
+cover AS (
+  SELECT c.q_id, c.rank, c.doc_id, CAST(count(*) AS BIGINT) AS n_common
+  FROM dtok c JOIN qterms q ON c.q_id = q.q_id AND c.tok = q.tok
+  GROUP BY 1, 2, 3),
+graded AS (
+  SELECT t.q_id, t.rank, coalesce(g.n_common, 0) AS gain,
+    CASE t.rank $dc ELSE 0 END AS disc_micro,
+    row_number() OVER (PARTITION BY t.q_id
+      ORDER BY coalesce(g.n_common, 0) DESC, t.doc_id) AS irank
+  FROM topk t LEFT JOIN cover g
+    ON t.q_id = g.q_id AND t.rank = g.rank AND t.doc_id = g.doc_id)
+SELECT q_id, CAST(count(*) AS BIGINT) AS n_results,
+  CAST(sum(gain * disc_micro) AS BIGINT) AS dcg_micro,
+  CAST(sum(gain * (CASE irank $dc ELSE 0 END)) AS BIGINT) AS idcg_micro,
+  CASE WHEN sum(gain * (CASE irank $dc ELSE 0 END)) > 0
+    THEN CAST(sum(gain * disc_micro) * 1000
+         // sum(gain * (CASE irank $dc ELSE 0 END)) AS BIGINT)
+    ELSE CAST(0 AS BIGINT) END AS ndcg_permille
+FROM graded GROUP BY q_id"""
+    },
 
     // dead-letter template triage over q164's mangled fixture
     "q218_dead_letter_templates" -> withCtes(

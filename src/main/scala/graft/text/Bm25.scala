@@ -341,4 +341,56 @@ object Bm25 {
       .select("q_id", "doc_id", "bm25_rank", "cov_rank", "rrf_micro",
         "fused_rank")
   }
+
+  /** Micro-quantized DCG discount table ⌊1e6 / log₂(rank+1)⌋ for ranks
+    * 1..k — the ONE place the irrational discounts are floored to
+    * integers; both the Spark plan and the DuckDB oracle render their
+    * CASE ladders from this table, so cross-engine parity is by
+    * construction (the [[graft.operators.Governance.dpNoiseCdfMicro]]
+    * shared-constant pattern). */
+  def dcgDiscMicro(k: Int): Seq[Long] =
+    (1 to k).map(r => (1e6 / (math.log(r + 1.0) / math.log(2.0))).toLong)
+
+  /** NDCG@k — GRADED retrieval eval beside [[retrievalEval]]'s binary
+    * MRR/precision: gain = distinct query tokens the result covers (the
+    * graded lexical relevance), DCG = Σ gain·disc(rank) with the
+    * micro-floored [[dcgDiscMicro]] discounts, IDCG re-discounts the same
+    * k gains in ideal (gain-descending) order, NDCG = DCG·1000 DIV IDCG.
+    * All sums are exact BIGINT products of integer gains and constant
+    * discounts — no runtime logarithms, so the gate cannot ride on libm
+    * rounding.
+    *
+    * Scale shape: identical to [[retrievalEval]] — the ranking is
+    * [[topK]]'s posting-pruned pass, and only the queries×k RESULT docs
+    * rehydrate for grading (hit list broadcasts into the corpus probe);
+    * judging cost is independent of corpus size. The ideal-order window
+    * partitions the queries×k frame by q_id. */
+  def ndcgAtK(docs: DataFrame, k: Int = 5, queryMod: Int = 211): DataFrame = {
+    val disc = dcgDiscMicro(k)
+    val discCase = (1 to k)
+      .map(r => s"WHEN $r THEN ${disc(r - 1)}L").mkString(" ")
+    val hits = topK(docs, k, queryMod).select("q_id", "rank", "doc_id")
+    val qtok = docs.filter(col("doc_id") % queryMod === 0)
+      .select(col("doc_id").as("q_id"),
+        explode(array_distinct(TextAnalysis.tokHashes(col("text")))).as("tok"))
+    val dtok = docs.select(col("doc_id"), col("text"))
+      .join(broadcast(hits), "doc_id")
+      .select(col("q_id"), col("rank"), col("doc_id"),
+        explode(array_distinct(TextAnalysis.tokHashes(col("text")))).as("tok"))
+    val cover = dtok.join(qtok, Seq("q_id", "tok"))
+      .groupBy("q_id", "rank", "doc_id").agg(count(lit(1)).as("n_common"))
+    val graded = hits.join(cover, Seq("q_id", "rank", "doc_id"), "left")
+      .withColumn("gain", coalesce(col("n_common"), lit(0L)))
+      .withColumn("disc_micro", expr(s"CASE rank $discCase ELSE 0L END"))
+    val wi = Window.partitionBy("q_id").orderBy(col("gain").desc, col("doc_id"))
+    graded.withColumn("irank", row_number().over(wi))
+      .withColumn("idisc_micro", expr(s"CASE irank $discCase ELSE 0L END"))
+      .groupBy("q_id").agg(
+        count(lit(1)).as("n_results"),
+        sum(col("gain") * col("disc_micro")).as("dcg_micro"),
+        sum(col("gain") * col("idisc_micro")).as("idcg_micro"))
+      .withColumn("ndcg_permille",
+        when(col("idcg_micro") > 0,
+          expr("dcg_micro * 1000 DIV idcg_micro")).otherwise(0L))
+  }
 }

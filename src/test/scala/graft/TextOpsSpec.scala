@@ -940,6 +940,30 @@ class TextOpsSpec extends SparkSpec {
     assert(out.size >= 5 && out.size <= 6)
   }
 
+  test("ndcgAtK: exact recompute from topK ranks and token coverage") {
+    val docs = spark.read.parquet(s"$tiny/documents.parquet")
+    val toks = docs.collect().map(r => r.getLong(0) ->
+      r.getString(1).toLowerCase.split("\\s+").filter(_.nonEmpty).toSet).toMap
+    val hits = graft.text.Bm25.topK(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val disc = graft.text.Bm25.dcgDiscMicro(5)
+    assert(disc == Seq(1000000L, 630929L, 500000L, 430676L, 386852L))
+    val expected = hits.groupBy(_._1).map { case (q, hs) =>
+      val gains = hs.sortBy(_._2).map { case (_, rk, d) =>
+        (rk, (toks(q) intersect toks(d)).size.toLong) }
+      val dcg = gains.map { case (rk, g) => g * disc(rk.toInt - 1) }.sum
+      val idcg = gains.map(_._2).sorted.reverse.zipWithIndex
+        .map { case (g, i) => g * disc(i) }.sum
+      q -> ((hs.length.toLong, dcg, idcg,
+        if (idcg > 0) dcg * 1000 / idcg else 0L))
+    }
+    val out = graft.text.Bm25.ndcgAtK(docs).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out.nonEmpty && out == expected)
+    assert(out.values.forall(_._4 <= 1000L))
+  }
+
   test("stripMarkup: blocks dropped, tags stripped, entities decoded amp-last") {
     val docs = Seq(
       (1L, "<div class=\"a\"><p>Hello <b>world</b></p><script>var x=1;\nvar y=2;</script>&amp;lt; ok &nbsp;&quot;q&quot;</div>"),
