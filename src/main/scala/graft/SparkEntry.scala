@@ -1502,6 +1502,12 @@ object SparkEntry {
     "q266_ndcg" -> ((s, d) =>
       text.Bm25.ndcgAtK(docs(s, d))),
 
+    // degree assortativity of the login co-occurrence graph — exact
+    // rational Newman's r (no sqrt: symmetrized marginals), sign-split
+    "q267_assortativity" -> ((s, d) =>
+      graph.Graphs.degreeAssortativity(
+        graph.Graphs.loginCooccurrenceEdges(Pipeline.parsed(s, d)))),
+
     // LSH operating-point sweep over (bands, rows) configs, on q219's
     // planted-near-dup corpus so every similarity band is populated
     "q261_lsh_sweep" -> ((s, d) => {
@@ -5335,6 +5341,30 @@ SELECT q_id, CAST(count(*) AS BIGINT) AS n_results,
     ELSE CAST(0 AS BIGINT) END AS ndcg_permille
 FROM graded GROUP BY q_id"""
     },
+
+    // degree assortativity over the login graph (HUGEINT-exact twin)
+    "q267_assortativity" -> withCtes((oLoginGraphCtes ++ Seq(
+      "deg" -> """SELECT x AS node, CAST(count(*) AS BIGINT) AS d
+  FROM (SELECT u AS x FROM ledges UNION ALL SELECT v AS x FROM ledges) z
+  GROUP BY 1""",
+      "jk" -> """SELECT du.d AS j, dv.d AS k FROM
+  (SELECT u AS s, v AS t FROM ledges
+   UNION ALL SELECT v AS s, u AS t FROM ledges) e
+  JOIN deg du ON du.node = e.s JOIN deg dv ON dv.node = e.t""",
+      "sm" -> """SELECT CAST(count(*) AS HUGEINT) AS m2,
+    sum(CAST(j AS HUGEINT) * k) AS sjk,
+    sum(CAST(j AS HUGEINT)) AS sj,
+    sum(CAST(j AS HUGEINT) * j) AS sjj FROM jk""")): _*)("""
+SELECT CAST(m2 // 2 AS BIGINT) AS n_edges,
+  (m2 * sjj - sj * sj) = 0 AS degenerate,
+  CASE WHEN (m2 * sjj - sj * sj) = 0 THEN CAST(0 AS BIGINT)
+    WHEN (m2 * sjk - sj * sj) < 0
+      THEN CAST(-(abs(m2 * sjk - sj * sj) * 1000
+                  // (m2 * sjj - sj * sj)) AS BIGINT)
+    ELSE CAST(abs(m2 * sjk - sj * sj) * 1000
+              // (m2 * sjj - sj * sj) AS BIGINT)
+  END AS r_permille
+FROM sm"""),
 
     // dead-letter template triage over q164's mangled fixture
     "q218_dead_letter_templates" -> withCtes(

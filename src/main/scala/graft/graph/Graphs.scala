@@ -434,4 +434,49 @@ object Graphs {
       .unionByName(e.select(col("b").as("id"), col("b").as("component")))
       .distinct()
   }
+
+  /** Degree assortativity (Newman's r, ×1000) of an undirected (u, v)
+    * edge frame — does the graph wire hubs to hubs (r > 0, social-style)
+    * or hubs to leaves (r < 0, infrastructure-style)? The one-number
+    * topology audit run BEFORE per-vertex work, because it decides
+    * whether hub-aware salting/sampling is worth setting up at all.
+    *
+    * Over the directed view (both orientations, M = 2m rows) with
+    * j = deg(src), k = deg(dst):  r = (M·Σjk − (Σj)²) / (M·Σj² − (Σj)²).
+    * Symmetrized marginals make Newman's two std-devs one variance, so
+    * NO square root appears and the statistic is exact rational; the
+    * permille output is sign-split so both engines divide non-negatives
+    * (Spark DIV truncates, DuckDB // floors — they only agree ≥ 0).
+    * den = 0 (all degrees equal, e.g. disjoint edges or a pure cycle)
+    * is surfaced as `degenerate` with r_permille 0.
+    *
+    * Scale shape: one vertex-keyed degree hash-agg; two equi-joins of
+    * the edge frame to the degree table (partitioned by endpoint — no
+    * broadcast assumption, vertex tables are corpus-sized at 100 TB);
+    * one 1-row DECIMAL(38,0) aggregate. Nothing quadratic, no sort. */
+  def degreeAssortativity(edges: DataFrame): DataFrame = {
+    val deg = edges.select(col("u").as("x"))
+      .unionByName(edges.select(col("v").as("x")))
+      .groupBy("x").agg(count(lit(1)).as("d"))
+    val directed = edges.select(col("u").as("s"), col("v").as("t"))
+      .unionByName(edges.select(col("v").as("s"), col("u").as("t")))
+    directed
+      .join(deg.select(col("x").as("s"), col("d").as("j")), "s")
+      .join(deg.select(col("x").as("t"), col("d").as("k")), "t")
+      .agg(
+        count(lit(1)).as("m2"),
+        sum(expr("CAST(j AS DECIMAL(38,0)) * k")).as("sjk"),
+        sum(col("j").cast("decimal(38,0)")).as("sj"),
+        sum(expr("CAST(j AS DECIMAL(38,0)) * j")).as("sjj"))
+      .withColumn("num", expr("m2 * sjk - sj * sj"))
+      .withColumn("den", expr("m2 * sjj - sj * sj"))
+      .select(
+        expr("CAST(m2 DIV 2 AS BIGINT)").as("n_edges"),
+        (col("den") === 0).as("degenerate"),
+        when(col("den") === 0, lit(0L))
+          .otherwise(expr(
+            """CAST(CASE WHEN num < 0 THEN -(abs(num) * 1000 DIV den)
+              |ELSE abs(num) * 1000 DIV den END AS BIGINT)""".stripMargin))
+          .as("r_permille"))
+  }
 }

@@ -216,4 +216,20 @@ class GraphSpec extends SparkSpec {
     assert(out(200L) == 200L && out(201L) == 200L)
     assert(out.size == 64 + 3 + 2)
   }
+
+  test("degreeAssortativity: star is -1000, regular graph degenerate, " +
+    "triangle+pendant hand value") {
+    def run(es: Seq[(String, String)]) = {
+      val r = Graphs.degreeAssortativity(es.toDF("u", "v")).collect()(0)
+      (r.getLong(0), r.getBoolean(1), r.getLong(2))
+    }
+    // star: hub deg 3 ↔ leaves deg 1 — perfectly disassortative
+    assert(run(Seq(("h", "a"), ("h", "b"), ("h", "c"))) == ((3L, false, -1000L)))
+    // disjoint edges: every degree 1 → zero variance → degenerate
+    assert(run(Seq(("a", "b"), ("c", "d"))) == ((2L, true, 0L)))
+    // triangle abc + pendant cd: M=8, Σjk=38, Σj=18, Σj²=44 →
+    // r = (8·38−324)/(8·44−324) = −20/28 → −⌊20000/28⌋ = −714
+    assert(run(Seq(("a", "b"), ("b", "c"), ("a", "c"), ("c", "d")))
+      == ((4L, false, -714L)))
+  }
 }
