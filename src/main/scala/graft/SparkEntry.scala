@@ -1508,6 +1508,11 @@ object SparkEntry {
       graph.Graphs.degreeAssortativity(
         graph.Graphs.loginCooccurrenceEdges(Pipeline.parsed(s, d)))),
 
+    // Gini split-gain audit: which cheap heuristic explains the
+    // classifier verdict — integer-exact impurity, no logs
+    "q268_feature_gini" -> ((s, d) =>
+      text.Classifier.featureGini(docs(s, d))),
+
     // LSH operating-point sweep over (bands, rows) configs, on q219's
     // planted-near-dup corpus so every similarity band is populated
     "q261_lsh_sweep" -> ((s, d) => {
@@ -5365,6 +5370,50 @@ SELECT CAST(m2 // 2 AS BIGINT) AS n_edges,
               // (m2 * sjj - sj * sj) AS BIGINT)
   END AS r_permille
 FROM sm"""),
+
+    // Gini feature audit: HUGEINT-exact impurity over 3 feature grids
+    "q268_feature_gini" -> withCtes(
+      "b" -> s"""SELECT
+    CAST(len($oToks) AS BIGINT) AS n_tokens,
+    CAST(len(list_filter($oToks, t -> ${text.TextAnalysis.stopwords
+        .map(w => s"t = '$w'").mkString(" OR ")})) AS BIGINT) AS n_stopwords,
+    CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS BIGINT) AS n_punct,
+    CAST(COALESCE(list_aggregate(
+      list_transform($oTokHashes, h -> (h % 2001) - 1000), 'sum'), 0)
+      AS BIGINT) AS score_sum
+  FROM documents""",
+      "r" -> """SELECT
+    CASE WHEN (CASE WHEN n_tokens > 0
+        THEN CAST(floor(score_sum * 1000.0 / n_tokens) AS BIGINT)
+        ELSE 0 END) >= 0 THEN 1 ELSE 0 END AS keep,
+    (CASE WHEN n_tokens > 0
+      THEN CAST(floor(CAST(n_stopwords * 1000 AS DOUBLE) / n_tokens) AS BIGINT)
+      ELSE 0 END) // 100 AS f_stop,
+    CASE WHEN n_tokens > 0
+      THEN CAST(length(bin(n_tokens)) AS BIGINT) ELSE 0 END AS f_len,
+    CASE WHEN n_tokens > 0
+      THEN (n_punct * 1000 // n_tokens) // 100 ELSE 0 END AS f_punct
+  FROM b""",
+      "e" -> """SELECT keep, 'stop_bucket' AS feature, f_stop AS cell FROM r
+  UNION ALL SELECT keep, 'len_log2', f_len FROM r
+  UNION ALL SELECT keep, 'punct_bucket', f_punct FROM r""",
+      "cells" -> """SELECT feature, cell,
+    CAST(count(*) AS HUGEINT) AS n_v, CAST(sum(keep) AS HUGEINT) AS k_v
+  FROM e GROUP BY 1, 2""",
+      "con" -> """SELECT feature, n_v, k_v,
+    (n_v * n_v - k_v * k_v - (n_v - k_v) * (n_v - k_v)) * 1000000 // n_v
+      AS contrib
+  FROM cells""")("""
+SELECT feature, CAST(count(*) AS BIGINT) AS n_cells,
+  CAST((sum(n_v) * sum(n_v) - sum(k_v) * sum(k_v)
+    - (sum(n_v) - sum(k_v)) * (sum(n_v) - sum(k_v))) * 1000000
+    // (sum(n_v) * sum(n_v)) AS BIGINT) AS base_micro,
+  CAST(sum(contrib) // sum(n_v) AS BIGINT) AS split_micro,
+  CAST((sum(n_v) * sum(n_v) - sum(k_v) * sum(k_v)
+    - (sum(n_v) - sum(k_v)) * (sum(n_v) - sum(k_v))) * 1000000
+    // (sum(n_v) * sum(n_v))
+    - sum(contrib) // sum(n_v) AS BIGINT) AS gain_micro
+FROM con GROUP BY feature"""),
 
     // dead-letter template triage over q164's mangled fixture
     "q218_dead_letter_templates" -> withCtes(

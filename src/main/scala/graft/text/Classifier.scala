@@ -179,4 +179,72 @@ object Classifier {
       .select("lang", "n", "n_both_keep", "n_heur_only", "n_clf_only",
         "n_both_drop", "agree_permille", "kappa_abs_x1e3", "kappa_positive")
   }
+
+  /** Gini split-gain FEATURE AUDIT for the quality filter — which cheap
+    * per-doc heuristic (stopword ratio, token-count magnitude,
+    * punctuation density) actually explains the classifier's keep/drop
+    * verdict? The decision-tree-style informativeness table a curation
+    * team reads before replacing the expensive rater with a heuristic
+    * gate (the MEASURED complement of [[raterAgreement]], which scores
+    * ONE fixed heuristic).
+    *
+    * Integer-exact Gini — no logs, the entropy stand-in discipline of
+    * q224: a cell with n_v docs split (k keep, n_v−k drop) contributes
+    *   contrib_micro(v) = (n_v² − k² − (n_v−k)²)·1e6 DIV n_v
+    * (= n_v·Gini_v·1e6, DECIMAL(38,0) products so n_v² survives 10¹²
+    * rows); split impurity = Σ contrib DIV n; base impurity is the same
+    * formula over the single all-corpus cell; gain = base − split.
+    * Flooring can push an uninformative feature's gain a few micro
+    * below 0 — the value is signed but never divided, so both engines
+    * agree bit-for-bit.
+    *
+    * Shape: label + all three features are ONE map-only expression pass
+    * off the scan (fused [[TokenScore]] kernel + the quality battery, no
+    * doc_id self-join); a constant fanout-3 map-explode keys (feature,
+    * cell) into a grid-bounded hash-agg; per-feature rollup and the base
+    * term are arithmetic on that ≤ few-hundred-row grid. */
+  def featureGini(docs: DataFrame): DataFrame = {
+    val qc = TextAnalysis.qualityColumns(col("text"))
+    val row = docs.select(
+        TokenScore.scoreStruct(col("text")).as("_s"),
+        qc("n_tokens").as("n_tokens"),
+        qc("stop_permille").as("sp"),
+        qc("n_punct").as("np"))
+      .withColumn("logit_x1e3",
+        when(col("_s.n_tokens") > 0,
+          floor(col("_s.score_sum") * lit(1000.0) / col("_s.n_tokens"))
+            .cast("long"))
+          .otherwise(lit(0L)))
+      .withColumn("keep", when(col("logit_x1e3") >= 0, 1L).otherwise(0L))
+      .withColumn("f_stop", expr("sp DIV 100"))
+      .withColumn("f_len",
+        when(col("n_tokens") > 0,
+          length(bin(col("n_tokens"))).cast("long")).otherwise(0L))
+      .withColumn("f_punct",
+        when(col("n_tokens") > 0,
+          expr("np * 1000 DIV n_tokens DIV 100")).otherwise(0L))
+    val cells = row.select(col("keep"),
+        explode(map(
+          lit("stop_bucket"), col("f_stop"),
+          lit("len_log2"), col("f_len"),
+          lit("punct_bucket"), col("f_punct"))).as(Seq("feature", "cell")))
+      .groupBy("feature", "cell").agg(
+        count(lit(1)).as("n_v"), sum("keep").as("k_v"))
+      .withColumn("contrib_micro", expr(
+        """(CAST(n_v AS DECIMAL(38,0)) * n_v - CAST(k_v AS DECIMAL(38,0)) * k_v
+          | - CAST(n_v - k_v AS DECIMAL(38,0)) * (n_v - k_v)) * 1000000
+          | DIV n_v""".stripMargin))
+    cells.groupBy("feature").agg(
+        count(lit(1)).as("n_cells"),
+        sum("n_v").as("n"), sum("k_v").as("k"),
+        sum("contrib_micro").as("sum_contrib"))
+      .withColumn("base_micro", expr(
+        """CAST((CAST(n AS DECIMAL(38,0)) * n - CAST(k AS DECIMAL(38,0)) * k
+          | - CAST(n - k AS DECIMAL(38,0)) * (n - k)) * 1000000
+          | DIV (CAST(n AS DECIMAL(38,0)) * n) AS BIGINT)""".stripMargin))
+      .withColumn("split_micro", expr("sum_contrib DIV n"))
+      .withColumn("gain_micro", col("base_micro") - col("split_micro"))
+      .select("feature", "n_cells", "base_micro", "split_micro",
+        "gain_micro")
+  }
 }

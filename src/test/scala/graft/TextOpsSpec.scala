@@ -964,6 +964,47 @@ class TextOpsSpec extends SparkSpec {
     assert(out.values.forall(_._4 <= 1000L))
   }
 
+  test("featureGini: exact recompute of all three feature tables") {
+    val docs = spark.read.parquet(s"$tiny/documents.parquet")
+    val P = 1000000007L
+    def tokHash(t: String): Long =
+      t.codePoints().toArray.foldLeft(7L)((a, c) => (a * 31 + c) % P)
+    // (keep, f_stop, f_len, f_punct) per doc, from first principles
+    val rows = docs.collect().map { r =>
+      val text = r.getString(1)
+      val toks = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      val n = toks.length.toLong
+      val stop = toks.count(graft.text.TextAnalysis.stopwords.contains).toLong
+      val punct = "[^A-Za-z0-9\\s]".r.findAllIn(text).length.toLong
+      val score = toks.map(t => tokHash(t) % 2001 - 1000).sum
+      val logit = if (n > 0) math.floor(score * 1000.0 / n).toLong else 0L
+      val keep = if (logit >= 0) 1L else 0L
+      val fs = (if (n > 0) stop * 1000 / n else 0L) / 100
+      val fl = if (n > 0) java.lang.Long.toBinaryString(n).length.toLong else 0L
+      val fp = if (n > 0) punct * 1000 / n / 100 else 0L
+      (keep, fs, fl, fp)
+    }
+    def table(sel: ((Long, Long, Long, Long)) => Long, name: String) = {
+      val cells = rows.groupBy(sel).values
+        .map(rs => (rs.length.toLong, rs.map(_._1).sum))
+      val n = rows.length.toLong
+      val k = rows.map(_._1).sum
+      val contrib = cells.map { case (nv, kv) =>
+        (BigInt(nv) * nv - BigInt(kv) * kv
+          - BigInt(nv - kv) * (nv - kv)) * 1000000 / nv }.sum
+      val base = ((BigInt(n) * n - BigInt(k) * k - BigInt(n - k) * (n - k))
+        * 1000000 / (BigInt(n) * n)).toLong
+      val split = (contrib / n).toLong
+      name -> ((cells.size.toLong, base, split, base - split))
+    }
+    val expected = Map(table(_._2, "stop_bucket"), table(_._3, "len_log2"),
+      table(_._4, "punct_bucket"))
+    val out = graft.text.Classifier.featureGini(docs).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out == expected)
+  }
+
   test("stripMarkup: blocks dropped, tags stripped, entities decoded amp-last") {
     val docs = Seq(
       (1L, "<div class=\"a\"><p>Hello <b>world</b></p><script>var x=1;\nvar y=2;</script>&amp;lt; ok &nbsp;&quot;q&quot;</div>"),
