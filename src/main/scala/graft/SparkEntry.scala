@@ -1513,6 +1513,11 @@ object SparkEntry {
     "q268_feature_gini" -> ((s, d) =>
       text.Classifier.featureGini(docs(s, d))),
 
+    // JL distortion histogram of q85's sign projection on sampled
+    // consecutive pairs — is outDim big enough, measured not bounded
+    "q269_jl_audit" -> ((s, d) =>
+      ann.RandomProjection.jlDistortion(vecs(s, d))),
+
     // LSH operating-point sweep over (bands, rows) configs, on q219's
     // planted-near-dup corpus so every similarity band is populated
     "q261_lsh_sweep" -> ((s, d) => {
@@ -2990,7 +2995,8 @@ WITH e AS (
   FROM embeddings),
 p AS (
   SELECT vec_id, i,
-    CAST(sum(CASE WHEN (i*37 + j*17) % 2 = 0 THEN q ELSE -q END) AS BIGINT) AS v
+    CAST(sum(CASE WHEN (bit_count(CAST(i AS BIGINT) & j) + bit_count(5*j + 3)) % 2 = 0
+             THEN q ELSE -q END) AS BIGINT) AS v
   FROM e CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS i) dims
   GROUP BY vec_id, i)
 SELECT vec_id, array_to_string(list(CAST(v AS VARCHAR) ORDER BY i), '|') AS proj
@@ -5414,6 +5420,32 @@ SELECT feature, CAST(count(*) AS BIGINT) AS n_cells,
     // (sum(n_v) * sum(n_v))
     - sum(contrib) // sum(n_v) AS BIGINT) AS gain_micro
 FROM con GROUP BY feature"""),
+
+    // JL distortion: same milli-quantized diff feeds ‖d‖² and ‖Pd‖²
+    "q269_jl_audit" -> withCtes(
+      "q" -> """SELECT vec_id, list_transform(embedding,
+    x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)) AS qv
+  FROM embeddings""",
+      "pr" -> """SELECT a.vec_id AS id_a,
+    list_transform(generate_series(1, len(a.qv)), j -> a.qv[j] - b.qv[j]) AS dv
+  FROM q a JOIN q b ON b.vec_id = a.vec_id + 1 WHERE a.vec_id % 7 = 0""",
+      "e" -> """SELECT id_a, generate_subscripts(dv, 1) - 1 AS j,
+    unnest(dv) AS x FROM pr""",
+      "od" -> """SELECT id_a, CAST(sum(x * x) AS BIGINT) AS od2
+  FROM e GROUP BY 1""",
+      "p" -> """SELECT id_a, i,
+    CAST(sum(CASE WHEN (bit_count(CAST(i AS BIGINT) & j) + bit_count(5*j + 3)) % 2 = 0
+             THEN x ELSE -x END) AS BIGINT) AS v
+  FROM e CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS i) dims
+  GROUP BY id_a, i""",
+      "pd" -> """SELECT id_a, CAST(sum(v * v) AS BIGINT) AS pd2
+  FROM p GROUP BY 1""",
+      "r" -> """SELECT od.id_a, pd2 * 1000 // (od2 * 16) AS ratio
+  FROM od JOIN pd USING (id_a) WHERE od2 > 0""")("""
+SELECT ratio // 100 AS bucket, CAST(count(*) AS BIGINT) AS n_pairs,
+  CAST(min(ratio) AS BIGINT) AS min_ratio,
+  CAST(max(ratio) AS BIGINT) AS max_ratio
+FROM r GROUP BY 1"""),
 
     // dead-letter template triage over q164's mangled fixture
     "q218_dead_letter_templates" -> withCtes(

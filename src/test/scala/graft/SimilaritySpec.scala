@@ -282,4 +282,36 @@ class SimilaritySpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(again.toSeq == out.toSeq)
   }
+
+  test("jlDistortion: histogram matches a first-principles recompute") {
+    val embs = TestSpark.spark.read.parquet(s"$tiny/embeddings.parquet")
+    val byId = embs.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val ratios = byId.keys.toSeq.filter(_ % 7 == 0).sorted.flatMap { id =>
+      byId.get(id + 1).map { bv =>
+        val av = byId(id)
+        val d = av.indices.map(j =>
+          math.floor(av(j).toDouble * 1000.0).toLong -
+            math.floor(bv(j).toDouble * 1000.0).toLong)
+        val od2 = d.map(x => x * x).sum
+        val pd2 = (0 until 16).map { i =>
+          val p = d.indices.map(j =>
+            d(j) * graft.ann.RandomProjection.sign(i, j)).sum
+          p * p
+        }.sum
+        (od2, pd2)
+      }
+    }.filter(_._1 > 0).map { case (od2, pd2) => pd2 * 1000 / (od2 * 16) }
+    val expected = ratios.groupBy(_ / 100).map { case (b, rs) =>
+      b -> ((rs.length.toLong, rs.min, rs.max)) }
+    val out = graft.ann.RandomProjection.jlDistortion(embs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(out.nonEmpty && out == expected)
+    // JL sanity: the mass concentrates around ratio 1000 (bucket 10)
+    val near = out.filter { case (b, _) => b >= 5 && b <= 15 }
+      .values.map(_._1).sum
+    assert(near * 5 >= out.values.map(_._1).sum * 4,
+      s"≥80% of pairs within ±50% distortion: $out")
+  }
 }

@@ -310,9 +310,9 @@ class TextOpsSpec extends SparkSpec {
     ).toDF("vec_id", "embedding")
     val out = graft.ann.RandomProjection.project(vecs, outDim = 2, dim = 2)
       .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
-    // sign(0,·) = (+1, −1), sign(1,·) = (−1, +1)
-    assert(out(0L) == Seq(-1000000L, 1000000L))
-    assert(out(1L) == Seq(750000L, -750000L))
+    // Hadamard×diagonal signs: sign(0,·) = (+1, −1), sign(1,·) = (+1, +1)
+    assert(out(0L) == Seq(-1000000L, 3000000L))
+    assert(out(1L) == Seq(750000L, 250000L))
   }
 
   test("k-means iteration: boundary vector flips after the centroid update") {
