@@ -1518,6 +1518,12 @@ object SparkEntry {
     "q269_jl_audit" -> ((s, d) =>
       ann.RandomProjection.jlDistortion(vecs(s, d))),
 
+    // HITS hubs/authorities on the tool-transition graph — dispatcher vs
+    // workhorse roles PageRank's single score conflates
+    "q270_hits" -> ((s, d) =>
+      graph.Graphs.hits(
+        graph.Graphs.toolTransitionEdges(Transcripts.loadCanonical(s, d)))),
+
     // LSH operating-point sweep over (bands, rows) configs, on q219's
     // planted-near-dup corpus so every similarity band is populated
     "q261_lsh_sweep" -> ((s, d) => {
@@ -1605,6 +1611,24 @@ object SparkEntry {
   FROM lg""",
     "ledges" -> """SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v
   FROM sq WHERE a IS NOT NULL AND a <> b""")
+
+  /** One HITS mutual-reinforcement round as DuckDB CTEs (mirror of
+    * graph.Graphs.hits: weighted in/out sums, ‰ max-normalization). */
+  private def oHitsRound(i: Int): Seq[(String, String)] = Seq(
+    s"a${i}r" -> s"""SELECT e.dst AS v, CAST(sum(h.h * e.w) AS BIGINT) AS raw
+  FROM edges e JOIN h${i - 1} h ON h.v = e.src GROUP BY 1""",
+    s"a$i" -> s"""SELECT vv.v,
+    CAST(CASE WHEN (SELECT max(raw) FROM a${i}r) > 0
+      THEN coalesce(r.raw, 0) * 1000 // (SELECT max(raw) FROM a${i}r)
+      ELSE 0 END AS BIGINT) AS a
+  FROM verts vv LEFT JOIN a${i}r r ON r.v = vv.v""",
+    s"h${i}r" -> s"""SELECT e.src AS v, CAST(sum(a.a * e.w) AS BIGINT) AS raw
+  FROM edges e JOIN a$i a ON a.v = e.dst GROUP BY 1""",
+    s"h$i" -> s"""SELECT vv.v,
+    CAST(CASE WHEN (SELECT max(raw) FROM h${i}r) > 0
+      THEN coalesce(r.raw, 0) * 1000 // (SELECT max(raw) FROM h${i}r)
+      ELSE 0 END AS BIGINT) AS h
+  FROM verts vv LEFT JOIN h${i}r r ON r.v = vv.v""")
 
   /** One synchronous weighted label-propagation round as DuckDB CTEs
     * (mirror of graph.Graphs.labelPropagation: vote agg + deterministic
@@ -5446,6 +5470,15 @@ SELECT ratio // 100 AS bucket, CAST(count(*) AS BIGINT) AS n_pairs,
   CAST(min(ratio) AS BIGINT) AS min_ratio,
   CAST(max(ratio) AS BIGINT) AS max_ratio
 FROM r GROUP BY 1"""),
+
+    // HITS: 2 unrolled mutual-reinforcement rounds, ‰ max-normalized
+    "q270_hits" -> withCtes((oToolGraphCtes ++ Seq(
+      "verts" -> """SELECT DISTINCT v FROM
+  (SELECT src AS v FROM edges UNION SELECT dst AS v FROM edges) z""",
+      "h0" -> "SELECT v, CAST(1000 AS BIGINT) AS h FROM verts") ++
+      (1 to 2).flatMap(oHitsRound)): _*)("""
+SELECT h.v, h.h AS hub_x1e3, a.a AS auth_x1e3
+FROM h2 h JOIN a2 a USING (v)"""),
 
     // dead-letter template triage over q164's mangled fixture
     "q218_dead_letter_templates" -> withCtes(

@@ -435,6 +435,57 @@ object Graphs {
       .distinct()
   }
 
+  /** HITS hubs & authorities (Kleinberg) over a directed weighted edge
+    * frame — the two-sided centrality PageRank's single score cannot
+    * express: on the tool-transition graph a HUB is a tool that hands
+    * off into important tools, an AUTHORITY one that important tools
+    * hand off to (dispatcher vs workhorse — different operational roles
+    * with the same PageRank).
+    *
+    * `iters` unrolled mutual-reinforcement rounds, integer fixed-point
+    * so both engines agree bit-for-bit: a(v) = Σ_{(u,v)} h(u)·w then
+    * max-normalized to ‰ (×1000 DIV max — one 1-row aggregate broadcast,
+    * the milli twin of PageRank's RankScale discipline; max-norm not
+    * L2-norm because sqrt would leave integer arithmetic), then
+    * h(u) = Σ_{(u,v)} a(v)·w, same normalization. Top hub and top
+    * authority read 1000 by construction.
+    *
+    * Scale shape: per half-round one equi-join of the edge frame with
+    * the score table (both keyed on the endpoint) + one vertex hash-agg;
+    * the normalizing max is a 1-row broadcast. Edge frame and vertex set
+    * persist across rounds; everything is equi-keyed, nothing quadratic. */
+  def hits(edges: DataFrame, iters: Int = 2): DataFrame = {
+    val e = edges.persist(StorageLevel.MEMORY_AND_DISK)
+    val verts = e.select(col("src").as("v"))
+      .unionByName(e.select(col("dst").as("v")))
+      .distinct().persist(StorageLevel.MEMORY_AND_DISK)
+    def normalized(raw: DataFrame, out: String): DataFrame = {
+      val mx = raw.agg(max("raw").as("mx"))
+      val n = verts.join(raw, Seq("v"), "left").join(broadcast(mx))
+        .select(col("v"),
+          when(col("mx") > 0,
+            expr("coalesce(raw, 0) * 1000 DIV mx")).otherwise(0L).as(out))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      n.count()
+      n
+    }
+    var h = verts.withColumn("h", lit(1000L))
+    var a = verts.withColumn("a", lit(0L))
+    for (_ <- 1 to iters) {
+      a = normalized(
+        e.join(h.withColumnRenamed("v", "src"), "src")
+          .groupBy(col("dst").as("v")).agg(sum(expr("h * w")).as("raw")),
+        "a")
+      h = normalized(
+        e.join(a.withColumnRenamed("v", "dst"), "dst")
+          .groupBy(col("src").as("v")).agg(sum(expr("a * w")).as("raw")),
+        "h")
+    }
+    e.unpersist()
+    h.join(a, "v")
+      .select(col("v"), col("h").as("hub_x1e3"), col("a").as("auth_x1e3"))
+  }
+
   /** Degree assortativity (Newman's r, ×1000) of an undirected (u, v)
     * edge frame — does the graph wire hubs to hubs (r > 0, social-style)
     * or hubs to leaves (r < 0, infrastructure-style)? The one-number

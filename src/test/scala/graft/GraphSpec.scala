@@ -217,6 +217,24 @@ class GraphSpec extends SparkSpec {
     assert(out.size == 64 + 3 + 2)
   }
 
+  test("hits: dispatcher is the hub, targets are authorities; weighted " +
+    "hand trajectory") {
+    // root fans out to two leaves: pure hub vs pure authorities, fixpoint
+    val fan = Seq(("r", "x", 1L), ("r", "y", 1L)).toDF("src", "dst", "w")
+    val out1 = Graphs.hits(fan).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out1 == Map("r" -> ((1000L, 0L)),
+      "x" -> ((0L, 1000L)), "y" -> ((0L, 1000L))))
+    // weighted 3-vertex: a→c (w3), b→c (w1), c→b (w1); round-by-round
+    // hand trajectory → hubs (1000, 333, 8), auths (0, 24, 1000)
+    val g = Seq(("a", "c", 3L), ("b", "c", 1L), ("c", "b", 1L))
+      .toDF("src", "dst", "w")
+    val out2 = Graphs.hits(g).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out2 == Map("a" -> ((1000L, 0L)), "b" -> ((333L, 24L)),
+      "c" -> ((8L, 1000L))))
+  }
+
   test("degreeAssortativity: star is -1000, regular graph degenerate, " +
     "triangle+pendant hand value") {
     def run(es: Seq[(String, String)]) = {
