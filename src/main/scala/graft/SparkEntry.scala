@@ -1524,6 +1524,10 @@ object SparkEntry {
       graph.Graphs.hits(
         graph.Graphs.toolTransitionEdges(Transcripts.loadCanonical(s, d)))),
 
+    // AMS F2 sketch: 8 one-integer estimators vs the exact second moment
+    "q271_ams_f2" -> ((s, d) =>
+      operators.Sketches.amsF2(docs(s, d))),
+
     // LSH operating-point sweep over (bands, rows) configs, on q219's
     // planted-near-dup corpus so every similarity band is populated
     "q261_lsh_sweep" -> ((s, d) => {
@@ -5479,6 +5483,27 @@ FROM r GROUP BY 1"""),
       (1 to 2).flatMap(oHitsRound)): _*)("""
 SELECT h.v, h.h AS hub_x1e3, a.a AS auth_x1e3
 FROM h2 h JOIN a2 a USING (v)"""),
+
+    // AMS F2: popcount-parity signs, HUGEINT-exact squares and error
+    "q271_ams_f2" -> withCtes(
+      "inst" -> s"SELECT unnest($oTokHashes) AS t FROM documents",
+      "sv" -> """SELECT e.est_id, CAST(sum(CASE WHEN
+      bit_count((t * (2*e.est_id + 3)) % 1048576) % 2 = 0
+      THEN 1 ELSE -1 END) AS BIGINT) AS s_val
+  FROM inst CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS est_id) e
+  GROUP BY 1""",
+      "f2" -> """SELECT sum(CAST(c AS HUGEINT) * c) AS f2x FROM
+  (SELECT t, count(*) AS c FROM inst GROUP BY 1) g""")("""
+SELECT CAST(est_id AS BIGINT) AS est_id, s_val,
+  CAST(CAST(s_val AS HUGEINT) * s_val AS BIGINT) AS est_f2,
+  CAST(f2x AS BIGINT) AS f2_exact,
+  CAST((SELECT sum(CAST(s_val AS HUGEINT) * s_val) // 8 FROM sv) AS BIGINT)
+    AS mean_est,
+  CAST(abs(CAST(s_val AS HUGEINT) * s_val - f2x) * 1000000 // f2x AS BIGINT)
+    AS err_ppm,
+  CAST(abs((SELECT sum(CAST(s_val AS HUGEINT) * s_val) // 8 FROM sv) - f2x)
+    * 1000000 // f2x AS BIGINT) AS mean_err_ppm
+FROM sv CROSS JOIN f2 WHERE f2x > 0"""),
 
     // dead-letter template triage over q164's mangled fixture
     "q218_dead_letter_templates" -> withCtes(

@@ -559,4 +559,58 @@ object Sketches {
         col("jaccard_permille"), col("est_intersect"),
         col("est_diff_a"))
   }
+
+  /** AMS (Alon–Matias–Szegedy) F₂ sketch vs the exact second moment —
+    * the STREAMING-SIZED estimator for token-frequency concentration
+    * (F₂ = Σ c² is q224's Herfindahl numerator): each estimator keeps
+    * ONE running integer S_h = Σ_instances ξ_h(tok) with 4-ish-wise ±1
+    * signs, and E[S_h²] = F₂. Eight estimators beside the exact
+    * vocabulary-aggregate answer give the calibration a sketch consumer
+    * needs before trusting S² at a scale where the exact pass is
+    * unaffordable. Signs are popcount-parity of a multiplicatively
+    * mixed hash (ξ_h(t) = (−1)^popcount((t·(2h+3)) mod 2²⁰)) — linear
+    * parities factor (the q269 lesson), popcount of a product does not.
+    *
+    * Shape: the 8 running sums are per-row array folds into ONE 1-row
+    * aggregate — map-only, mergeable, no vocabulary state; the exact F₂
+    * is the one vocabulary-bounded hash-agg (the diagnostic, not the
+    * scale path); S² and the error run in DECIMAL(38,0) (S ~ corpus
+    * instances, S² past int64 at 10¹² rows). */
+  def amsF2(docs: DataFrame, nEst: Int = 8): DataFrame = {
+    val th = graft.text.TextAnalysis.tokHashes(col("text"))
+    def partial(h: Int): Column = aggregate(col("th"), lit(0L), (acc, t) =>
+      acc + when(bit_count(pmod(t * lit(2L * h + 3L), lit(1048576L)))
+        % 2 === 0, 1L).otherwise(-1L))
+    val sums = docs.select(th.as("th"))
+      .agg(sum(partial(0)).as("s0"),
+        (1 until nEst).map(h => sum(partial(h)).as(s"s$h")): _*)
+    val f2 = docs.select(explode(th).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("c"))
+      .agg(sum(expr("CAST(c AS DECIMAL(38,0)) * c")).as("f2x"))
+    // mean of the 8 squares — the unbiased E[S²]=F₂ summary (the median
+    // biases low at small estimator counts when heavy hitters dominate
+    // F₂: sign cancellations among the few heavy tokens make S² bimodal)
+    val meanExpr = (0 until nEst)
+      .map(h => s"CAST(s$h AS DECIMAL(38,0)) * s$h").mkString(" + ")
+    sums.crossJoin(broadcast(f2))
+      .withColumn("mean_est", expr(s"($meanExpr) DIV $nEst"))
+      .select(explode(array((0 until nEst).map(h =>
+        struct(lit(h.toLong).as("est_id"), col(s"s$h").as("s_val"))): _*))
+        .as("e"), col("f2x"), col("mean_est"))
+      .filter(col("f2x") > 0)
+      .select(col("e.est_id").as("est_id"), col("e.s_val").as("s_val"),
+        // report columns narrow to BIGINT (the error arithmetic below
+        // stays DECIMAL-exact; int64 report bound is ~9·10¹⁸)
+        expr("CAST(CAST(e.s_val AS DECIMAL(38,0)) * e.s_val AS BIGINT)")
+          .as("est_f2"),
+        col("f2x").cast("long").as("f2_exact"),
+        col("f2x").as("_f2d"), col("mean_est"))
+      .withColumn("err_ppm", expr(
+        """CAST(abs(CAST(s_val AS DECIMAL(38,0)) * s_val - _f2d)
+          | * 1000000 DIV _f2d AS BIGINT)""".stripMargin))
+      .withColumn("mean_err_ppm", expr(
+        """CAST(abs(CAST(mean_est AS DECIMAL(38,0)) - _f2d)
+          | * 1000000 DIV _f2d AS BIGINT)""".stripMargin))
+      .drop("_f2d")
+  }
 }

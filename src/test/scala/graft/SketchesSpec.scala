@@ -253,4 +253,38 @@ class SketchesSpec extends SparkSpec {
     val ed = Sketches.kmvEstimates(Sketches.kmvSketch(dup)).collect()(0)
     assert(ed.getAs[Long]("kmv_est") == est)
   }
+
+  test("amsF2: sums match a first-principles recompute; mean estimate " +
+    "lands within 2x of exact on the tiny corpus") {
+    val docs = TestSpark.spark.read.parquet(s"$tiny/documents.parquet")
+    val P = 1000000007L
+    def tokHash(t: String): Long =
+      t.codePoints().toArray.foldLeft(7L)((a, c) => (a * 31 + c) % P)
+    val insts = docs.collect().flatMap(r =>
+      r.getString(1).toLowerCase.split("\\s+").filter(_.nonEmpty)
+        .map(tokHash))
+    val expS = (0 until 8).map { h =>
+      val m = 2L * h + 3L
+      insts.map(t => if (java.lang.Long.bitCount(t * m % 1048576L) % 2 == 0)
+        1L else -1L).sum
+    }
+    val expF2 = insts.groupBy(identity).values
+      .map(g => BigInt(g.length) * g.length).sum
+    val expMean = expS.map(s => BigInt(s) * s).sum / 8
+    val out = operators.Sketches.amsF2(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out.size == 8)
+    (0 until 8).foreach { h =>
+      val r = out(h.toLong)
+      assert(r.getLong(1) == expS(h), s"S_$h")
+      assert(r.getLong(2) == (BigInt(expS(h)) * expS(h)).toLong)
+      assert(r.getLong(3) == expF2.toLong)
+      assert(r.getLong(4) == expMean.toLong)
+      assert(r.getLong(6) ==
+        ((expMean - expF2).abs * 1000000 / expF2).toLong)
+    }
+    // the unbiased mean-of-squares summary is within 2× of exact here
+    assert(out(0L).getLong(6) < 1000000L,
+      s"mean err ${out(0L).getLong(6)} ppm")
+  }
 }
