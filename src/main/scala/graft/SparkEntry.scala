@@ -1528,6 +1528,11 @@ object SparkEntry {
     "q271_ams_f2" -> ((s, d) =>
       operators.Sketches.amsF2(docs(s, d))),
 
+    // water-filling (max-min fair) allocation under per-source caps on
+    // q187's skewed fixture — the feasibility-respecting mixture plan
+    "q272_water_fill" -> ((s, d) =>
+      operators.Sampling.waterFill(skewedSources(docs(s, d)), budget = 100L)),
+
     // LSH operating-point sweep over (bands, rows) configs, on q219's
     // planted-near-dup corpus so every similarity band is populated
     "q261_lsh_sweep" -> ((s, d) => {
@@ -5504,6 +5509,42 @@ SELECT CAST(est_id AS BIGINT) AS est_id, s_val,
   CAST(abs((SELECT sum(CAST(s_val AS HUGEINT) * s_val) // 8 FROM sv) - f2x)
     * 1000000 // f2x AS BIGINT) AS mean_err_ppm
 FROM sv CROSS JOIN f2 WHERE f2x > 0"""),
+
+    // water-filling: closed-form level on the sorted-caps aggregate
+    "q272_water_fill" -> withCtes(
+      "sk" -> """SELECT doc_id, source FROM documents
+  WHERE doc_id % (1 + CAST(substr(source, 4) AS INT) % 7) = 0""",
+      "caps" -> """SELECT source, CAST(count(*) AS BIGINT) AS cap
+  FROM sk GROUP BY 1""",
+      "tt" -> """SELECT CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(cap) AS BIGINT) AS c_tot FROM caps""",
+      "ranked" -> """SELECT source, cap, n, c_tot,
+    CAST(row_number() OVER (ORDER BY cap, source) AS BIGINT) AS r,
+    CAST(sum(cap) OVER (ORDER BY cap, source
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS pfx
+  FROM caps, tt""",
+      "satt" -> """SELECT *,
+    (pfx - cap + cap * (n - r + 1) <= 100 OR c_tot <= 100) AS sat
+  FROM ranked""",
+      "star" -> """SELECT coalesce(max(CASE WHEN sat THEN r END), 0) AS rstar,
+    coalesce(max(CASE WHEN sat THEN pfx END), 0) AS pstar FROM satt""",
+      "base" -> """SELECT s.*, rstar, pstar, n - rstar AS m,
+    CASE WHEN n - rstar > 0 THEN (100 - pstar) // (n - rstar) END AS level,
+    CASE WHEN n - rstar > 0 THEN (100 - pstar) % (n - rstar) ELSE 0 END AS rem,
+    greatest(0, 100 - c_tot) AS unused
+  FROM satt s CROSS JOIN star""",
+      "unc" -> """SELECT source, cap,
+    level + (CASE WHEN row_number() OVER (ORDER BY source) <= rem
+             THEN 1 ELSE 0 END) AS alloc,
+    false AS capped, level, unused
+  FROM base WHERE r > rstar""")("""
+SELECT source, cap, CAST(cap AS BIGINT) AS alloc, true AS capped,
+  CAST(level AS BIGINT) AS level, CAST(unused AS BIGINT) AS unused
+FROM base WHERE r <= rstar
+UNION ALL
+SELECT source, cap, CAST(alloc AS BIGINT) AS alloc, capped,
+  CAST(level AS BIGINT) AS level, CAST(unused AS BIGINT) AS unused
+FROM unc"""),
 
     // dead-letter template triage over q164's mangled fixture
     "q218_dead_letter_templates" -> withCtes(

@@ -181,6 +181,67 @@ object Sampling {
       .select("source", "n_docs", "weight", "base", "rem", "target_rows")
   }
 
+  /** WATER-FILLING (max-min fair) budget allocation under per-source
+    * availability caps — the feasibility-respecting complement of
+    * [[mixturePlan]], which allocates proportionally and can assign a
+    * tiny source more rows than it has. Here every source gets
+    * min(cap, t) with the water level t chosen so allocations sum to
+    * EXACTLY min(budget, Σcap): scarce sources are taken whole, abundant
+    * ones equalized — the standard fair-share answer to "fill an epoch's
+    * budget without over-promising any source".
+    *
+    * Closed form on the aggregate, no iteration: sort sources by
+    * (cap, source) ascending with prefix sums; r* = max rank whose
+    * source still fits fully (prefix(r−1) + cap·(n−r+1) ≤ budget);
+    * t = (budget − prefix(r*)) DIV (n − r*), with the MOD remainder
+    * distributed +1 to the lexically-first uncapped sources — all
+    * integer, deterministic, and t+1 ≤ every uncapped cap by the
+    * maximality of r*. Σcap ≤ budget degenerates to everyone-capped
+    * with the surplus reported in `unused`.
+    *
+    * Scale shape: ONE corpus-sized hash-agg to per-source caps;
+    * the sort window, prefix sums, and the r-star/level arithmetic all
+    * run on the |sources|-row aggregate (single-task windows over an
+    * aggregate, never the corpus). */
+  def waterFill(docs: DataFrame, budget: Long = 1000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val caps = docs.groupBy("source").agg(count(lit(1)).as("cap"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tot = caps.agg(count(lit(1)).as("n"), sum("cap").as("c_tot"))
+    val wAsc = Window.orderBy(col("cap").asc, col("source").asc)
+    val ranked = caps.crossJoin(broadcast(tot))
+      .withColumn("r", row_number().over(wAsc).cast("long"))
+      .withColumn("pfx", sum("cap").over(
+        wAsc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("sat",
+        col("pfx") - col("cap") + col("cap") * (col("n") - col("r") + 1)
+          <= budget || col("c_tot") <= budget)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val star = ranked.agg(
+      coalesce(max(when(col("sat"), col("r"))), lit(0L)).as("rstar"),
+      coalesce(max(when(col("sat"), col("pfx"))), lit(0L)).as("pstar"))
+    val base = ranked.crossJoin(broadcast(star))
+      .withColumn("m", col("n") - col("rstar"))
+      .withColumn("level",
+        when(col("m") > 0, expr(s"(${budget}L - pstar) DIV m"))
+          .otherwise(lit(null).cast("long")))
+      .withColumn("rem",
+        when(col("m") > 0, expr(s"(${budget}L - pstar) % m")).otherwise(0L))
+      .withColumn("unused", greatest(lit(0L), lit(budget) - col("c_tot")))
+    val wSrc = Window.orderBy("source")
+    val uncapped = base.filter(col("r") > col("rstar"))
+      .withColumn("rk2", row_number().over(wSrc).cast("long"))
+      .withColumn("alloc",
+        col("level") + when(col("rk2") <= col("rem"), 1L).otherwise(0L))
+      .withColumn("capped", lit(false))
+    val capped = base.filter(col("r") <= col("rstar"))
+      .withColumn("alloc", col("cap"))
+      .withColumn("capped", lit(true))
+    capped.select("source", "cap", "alloc", "capped", "level", "unused")
+      .unionByName(uncapped
+        .select("source", "cap", "alloc", "capped", "level", "unused"))
+  }
+
   /** Materialize a [[mixturePlan]]: per source, admit the `target_rows`
     * docs with the smallest deterministic hash gate (ties by doc_id) —
     * the same rows on every run at any parallelism. One window shuffle

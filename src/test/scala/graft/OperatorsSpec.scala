@@ -272,6 +272,32 @@ class OperatorsSpec extends SparkSpec {
     assert(out.values.map(_._4).sum == 10L)
   }
 
+  test("waterFill: scarce sources taken whole, abundant equalized, " +
+    "remainder to lex-first uncapped, infeasible budget reports unused") {
+    import TestSpark.spark.implicits._
+    def mk = (1 to 2).map(i => (i.toLong, "a")) ++
+      (1 to 3).map(i => (100L + i, "b")) ++
+      (1 to 10).map(i => (200L + i, "c")) ++
+      (1 to 20).map(i => (300L + i, "d"))
+    def run(b: Long) = operators.Sampling
+      .waterFill(mk.toDF("doc_id", "source"), b).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getBoolean(3), r.getLong(5)))).toMap
+    // caps 2/3/10/20, budget 17: r*=2, level (17−5)/2 = 6, rem 0
+    assert(run(17L) == Map("a" -> ((2L, 2L, true, 0L)),
+      "b" -> ((3L, 3L, true, 0L)), "c" -> ((10L, 6L, false, 0L)),
+      "d" -> ((20L, 6L, false, 0L))))
+    // budget 18: rem 1 goes to c (lex-first uncapped); Σ alloc = 18
+    val r18 = run(18L)
+    assert(r18("c") == ((10L, 7L, false, 0L)) &&
+      r18("d") == ((20L, 6L, false, 0L)))
+    assert(r18.values.map(_._2).sum == 18L)
+    // budget 40 > Σcap 35: everyone capped, 5 unused
+    assert(run(40L) == Map("a" -> ((2L, 2L, true, 5L)),
+      "b" -> ((3L, 3L, true, 5L)), "c" -> ((10L, 10L, true, 5L)),
+      "d" -> ((20L, 20L, true, 5L))))
+  }
+
   test("mixtureSample: per-source admits equal the plan, total equals " +
     "the budget, and the sample is partitioning-invariant") {
     import TestSpark.spark.implicits._
