@@ -1533,6 +1533,16 @@ object SparkEntry {
     "q272_water_fill" -> ((s, d) =>
       operators.Sampling.waterFill(skewedSources(docs(s, d)), budget = 100L)),
 
+    // join-order advisor: exact per-conv histograms price all three
+    // left-deep orders of logins ⋈ errors ⋈ waits before any shuffle
+    "q273_join_order" -> ((s, d) => {
+      val p = Pipeline.parsed(s, d)
+      operators.JoinPlanner.joinOrderAdvisor(
+        p.filter(col("name") === "login"),
+        p.filter(col("name") === "error_reported"),
+        p.filter(col("name") === "wait_info"), "conv_id")
+    }),
+
     // LSH operating-point sweep over (bands, rows) configs, on q219's
     // planted-near-dup corpus so every similarity band is populated
     "q261_lsh_sweep" -> ((s, d) => {
@@ -5545,6 +5555,31 @@ UNION ALL
 SELECT source, cap, CAST(alloc AS BIGINT) AS alloc, capped,
   CAST(level AS BIGINT) AS level, CAST(unused AS BIGINT) AS unused
 FROM unc"""),
+
+    // join-order advisor: HUGEINT-exact intermediates off key histograms
+    "q273_join_order" -> withCtes(
+      "h" -> s"SELECT conv_id, $oName AS name FROM transcripts",
+      "ha" -> """SELECT conv_id, CAST(count(*) AS BIGINT) AS na FROM h
+  WHERE name = 'login' GROUP BY 1""",
+      "hb" -> """SELECT conv_id, CAST(count(*) AS BIGINT) AS nb FROM h
+  WHERE name = 'error_reported' GROUP BY 1""",
+      "hc" -> """SELECT conv_id, CAST(count(*) AS BIGINT) AS nc FROM h
+  WHERE name = 'wait_info' GROUP BY 1""",
+      "g" -> """SELECT coalesce(na, 0) AS na, coalesce(nb, 0) AS nb,
+    coalesce(nc, 0) AS nc
+  FROM ha FULL OUTER JOIN hb USING (conv_id) FULL OUTER JOIN hc USING (conv_id)""",
+      "sm" -> """SELECT sum(CAST(na AS HUGEINT) * nb) AS ab,
+    sum(CAST(na AS HUGEINT) * nc) AS ac,
+    sum(CAST(nb AS HUGEINT) * nc) AS bc,
+    sum(CAST(na AS HUGEINT) * nb * nc) AS abc FROM g""",
+      "rows3" -> """SELECT '(A*B)*C' AS join_order,
+    CAST(ab AS BIGINT) AS intermediate_rows, CAST(abc AS BIGINT) AS final_rows
+  FROM sm
+  UNION ALL SELECT '(A*C)*B', CAST(ac AS BIGINT), CAST(abc AS BIGINT) FROM sm
+  UNION ALL SELECT '(B*C)*A', CAST(bc AS BIGINT), CAST(abc AS BIGINT) FROM sm""")("""
+SELECT join_order, intermediate_rows, final_rows,
+  row_number() OVER (ORDER BY intermediate_rows, join_order) = 1 AS best
+FROM rows3"""),
 
     // dead-letter template triage over q164's mangled fixture
     "q218_dead_letter_templates" -> withCtes(

@@ -67,4 +67,46 @@ object JoinPlanner {
       .filter(col("_n") >= minCount)
     saltedEquiJoin(left, right, key, hot, salt)
   }
+
+  /** Three-way join-ORDER advisor from exact per-key histograms — the
+    * cost-based-reordering evidence a pipeline wants BEFORE shuffling
+    * the corpus three ways: for A ⋈ B ⋈ C on one key, all left-deep
+    * orders produce the same final Σ_k aₖbₖcₖ rows but differ in the
+    * INTERMEDIATE they materialize (|X⋈Y| = Σ_k xₖyₖ), and the
+    * histogram join computes every candidate's intermediate exactly at
+    * aggregate cost. Output: one row per order with its intermediate
+    * size, the shared final size, and `best` on the minimum (ties to
+    * the lexically-first order name) — what Catalyst's CBO estimates
+    * from NDV sketches, here exact because the histograms are cheap.
+    *
+    * Shape: three map-side-combinable key hash-aggs (cost ∝ distinct
+    * keys), two full-outer equi-joins OF AGGREGATES, one 1-row sum in
+    * DECIMAL(38,0) (aₖbₖcₖ passes int64 under hot keys), and a 3-row
+    * report. The corpus itself never shuffles. */
+  def joinOrderAdvisor(a: DataFrame, b: DataFrame, c: DataFrame,
+                       key: String): DataFrame = {
+    def hist(df: DataFrame, out: String) =
+      df.groupBy(key).agg(count(lit(1)).as(out))
+    val g = hist(a, "na")
+      .join(hist(b, "nb"), Seq(key), "full_outer")
+      .join(hist(c, "nc"), Seq(key), "full_outer")
+      .select(coalesce(col("na"), lit(0L)).as("na"),
+        coalesce(col("nb"), lit(0L)).as("nb"),
+        coalesce(col("nc"), lit(0L)).as("nc"))
+    val sums = g.agg(
+      sum(expr("CAST(na AS DECIMAL(38,0)) * nb")).as("ab"),
+      sum(expr("CAST(na AS DECIMAL(38,0)) * nc")).as("ac"),
+      sum(expr("CAST(nb AS DECIMAL(38,0)) * nc")).as("bc"),
+      sum(expr("CAST(na AS DECIMAL(38,0)) * nb * nc")).as("abc"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(
+      col("intermediate_rows").asc, col("join_order").asc)
+    sums.select(explode(array(
+        struct(lit("(A*B)*C").as("o"), col("ab").cast("long").as("i")),
+        struct(lit("(A*C)*B").as("o"), col("ac").cast("long").as("i")),
+        struct(lit("(B*C)*A").as("o"), col("bc").cast("long").as("i"))))
+        .as("e"), col("abc").cast("long").as("final_rows"))
+      .select(col("e.o").as("join_order"),
+        col("e.i").as("intermediate_rows"), col("final_rows"))
+      .withColumn("best", row_number().over(w) === 1)
+  }
 }

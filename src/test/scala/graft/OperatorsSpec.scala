@@ -298,6 +298,20 @@ class OperatorsSpec extends SparkSpec {
       "d" -> ((20L, 20L, true, 5L))))
   }
 
+  test("joinOrderAdvisor: exact intermediates per order, min flagged best") {
+    import TestSpark.spark.implicits._
+    val a = Seq(("k1", 1), ("k1", 2), ("k2", 3)).toDF("conv_id", "x")
+    val b = Seq(("k1", 1), ("k1", 2), ("k1", 3)).toDF("conv_id", "x")
+    val c = Seq(("k1", 1), ("k3", 1), ("k3", 2), ("k3", 3), ("k3", 4),
+      ("k3", 5)).toDF("conv_id", "x")
+    val out = operators.JoinPlanner.joinOrderAdvisor(a, b, c, "conv_id")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    // ab = 2·3 = 6, ac = 2·1 = 2, bc = 3·1 = 3, abc = 6
+    assert(out == Map("(A*B)*C" -> ((6L, 6L, false)),
+      "(A*C)*B" -> ((2L, 6L, true)), "(B*C)*A" -> ((3L, 6L, false))))
+  }
+
   test("mixtureSample: per-source admits equal the plan, total equals " +
     "the budget, and the sample is partitioning-invariant") {
     import TestSpark.spark.implicits._
