@@ -1533,6 +1533,11 @@ object SparkEntry {
     "q272_water_fill" -> ((s, d) =>
       operators.Sampling.waterFill(skewedSources(docs(s, d)), budget = 100L)),
 
+    // resharding audit: mod-hash vs rendezvous (HRW) moved-key share
+    // when shards grow 16 → 17 — measured on the real conv population
+    "q274_rehash_audit" -> ((s, d) =>
+      operators.Layout.rehashAudit(Transcripts.load(s, d))),
+
     // join-order advisor: exact per-conv histograms price all three
     // left-deep orders of logins ⋈ errors ⋈ waits before any shuffle
     "q273_join_order" -> ((s, d) => {
@@ -5580,6 +5585,32 @@ FROM unc"""),
 SELECT join_order, intermediate_rows, final_rows,
   row_number() OVER (ORDER BY intermediate_rows, join_order) = 1 AS best
 FROM rows3"""),
+
+    // rehash audit: same char-fold key hash, HRW argmax ties to high s
+    "q274_rehash_audit" -> withCtes(
+      "keys" -> "SELECT DISTINCT conv_id AS k FROM transcripts",
+      "kh" -> s"""SELECT k, ${Oracle.oTokHash("k")} AS h FROM keys""",
+      "sc" -> """SELECT k, h, s,
+    (h * (2*s + 3) + 7*s) % 1000000007 AS w
+  FROM kh CROSS JOIN (SELECT unnest(generate_series(0, 16)) AS s) q""",
+      "a16" -> """SELECT k, s AS hrw16 FROM (
+    SELECT k, s, row_number() OVER (PARTITION BY k
+      ORDER BY w DESC, s DESC) AS rn FROM sc WHERE s < 16) z WHERE rn = 1""",
+      "a17" -> """SELECT k, s AS hrw17 FROM (
+    SELECT k, s, row_number() OVER (PARTITION BY k
+      ORDER BY w DESC, s DESC) AS rn FROM sc) z WHERE rn = 1""",
+      "mv" -> """SELECT (kh.h % 16 <> kh.h % 17) AS mod_moved,
+    (a16.hrw16 <> a17.hrw17) AS hrw_moved
+  FROM kh JOIN a16 USING (k) JOIN a17 USING (k)""",
+      "agg" -> """SELECT CAST(count(*) AS BIGINT) AS n_keys,
+    CAST(sum(CASE WHEN mod_moved THEN 1 ELSE 0 END) AS BIGINT) AS mod_m,
+    CAST(sum(CASE WHEN hrw_moved THEN 1 ELSE 0 END) AS BIGINT) AS hrw_m
+  FROM mv""")("""
+SELECT 'mod' AS scheme, n_keys, mod_m AS moved,
+  CAST(mod_m * 1000 // n_keys AS BIGINT) AS moved_permille FROM agg
+UNION ALL
+SELECT 'hrw', n_keys, hrw_m,
+  CAST(hrw_m * 1000 // n_keys AS BIGINT) FROM agg"""),
 
     // dead-letter template triage over q164's mangled fixture
     "q218_dead_letter_templates" -> withCtes(

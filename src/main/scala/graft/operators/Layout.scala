@@ -162,4 +162,46 @@ object Layout {
         expr("(n_shards - n_hit) * 1000 DIV n_shards"))
       .withColumn("scan_permille", expr("rows_scanned * 1000 DIV n_rows"))
   }
+
+  /** RESHARDING audit: when the shard count grows n → n+1, what share of
+    * keys must MOVE under mod-hash placement vs rendezvous (highest-
+    * random-weight) hashing? Mod moves ~n/(n+1) of all keys (every
+    * residue reshuffles) — at 100 TB that is a full-corpus rewrite for
+    * one extra node; HRW moves only the ~1/(n+1) of keys whose new
+    * shard's weight wins, the consistent-hashing guarantee, with no
+    * ring-position state: shard(k) = argmax_s w(k, s). The audit
+    * MEASURES both on the real key population, which is the number an
+    * infra owner actually decides on.
+    *
+    * Determinism/parity: keys hash by the shared char-fold polynomial
+    * ([[graft.text.TextAnalysis.tokHash]] = the DuckDB oracle's
+    * `oTokHash`), weights w(k, s) = (h·(2s+3) + 7s) mod P — a
+    * multiplicative per-shard mix, argmax ties to the HIGHEST s in both
+    * engines. Shape: one distinct on the key column (key-population-
+    * sized agg), then ~2n constant expressions per key and a 2-row
+    * report aggregate; the corpus never reshuffles to be audited. */
+  def rehashAudit(df: DataFrame, keyCol: String = "conv_id",
+                  nFrom: Int = 16): DataFrame = {
+    val P = 1000000007L
+    def hrw(kh: Column, n: Int): Column =
+      array_max(array((0 until n).map(s =>
+        struct(pmod(kh * lit(2L * s + 3L) + lit(7L * s), lit(P)).as("w"),
+          lit(s.toLong).as("s"))): _*)).getField("s")
+    val keys = df.select(col(keyCol).as("k")).distinct()
+      .withColumn("h", graft.text.TextAnalysis.tokHash(col("k")))
+      .select(
+        (pmod(col("h"), lit(nFrom.toLong)) =!=
+          pmod(col("h"), lit(nFrom + 1L))).as("mod_moved"),
+        (hrw(col("h"), nFrom) =!= hrw(col("h"), nFrom + 1)).as("hrw_moved"))
+    val agg = keys.agg(count(lit(1)).as("n_keys"),
+      sum(when(col("mod_moved"), 1L).otherwise(0L)).as("mod_m"),
+      sum(when(col("hrw_moved"), 1L).otherwise(0L)).as("hrw_m"))
+    agg.select(explode(array(
+        struct(lit("mod").as("scheme"), col("mod_m").as("moved")),
+        struct(lit("hrw").as("scheme"), col("hrw_m").as("moved"))))
+        .as("e"), col("n_keys"))
+      .select(col("e.scheme").as("scheme"), col("n_keys"),
+        col("e.moved").as("moved"))
+      .withColumn("moved_permille", expr("moved * 1000 DIV n_keys"))
+  }
 }

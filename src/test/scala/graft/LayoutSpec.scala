@@ -105,4 +105,23 @@ class LayoutSpec extends SparkSpec {
     // time-clustered: only the window's shards read (~10% + boundary)
     assert(trSkip >= 800L && trScanPm <= 200L && trH < trS)
   }
+
+  test("rehashAudit: HRW moves ~1/(n+1) of keys, mod reshuffles nearly all") {
+    val df = (0 until 500).map(i => s"conv-$i").toDF("conv_id")
+    val P = 1000000007L
+    def hash(s: String) = s.foldLeft(7L)((a, c) => (a * 31 + c.toLong) % P)
+    def hrw(h: Long, n: Int) = (0 until n)
+      .map(s => ((h * (2L * s + 3) + 7L * s) % P, s.toLong)).max._2
+    val keys = (0 until 500).map(i => hash(s"conv-$i"))
+    val expMod = keys.count(h => h % 16 != h % 17).toLong
+    val expHrw = keys.count(h => hrw(h, 16) != hrw(h, 17)).toLong
+    val out = operators.Layout.rehashAudit(df).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out("mod") == ((500L, expMod, expMod * 1000 / 500)))
+    assert(out("hrw") == ((500L, expHrw, expHrw * 1000 / 500)))
+    // the consistent-hashing contrast the audit exists to show
+    assert(out("hrw")._3 < 150L && out("mod")._3 > 800L,
+      s"hrw ${out("hrw")._3}‰ vs mod ${out("mod")._3}‰")
+  }
 }
