@@ -1538,6 +1538,18 @@ object SparkEntry {
     "q274_rehash_audit" -> ((s, d) =>
       operators.Layout.rehashAudit(Transcripts.load(s, d))),
 
+    // rebalance plan: prefix-sum interval alignment turns the greedy
+    // donor/receiver walk into a deterministic aggregate-sized join.
+    // Groups are conv-hash shards with planted skew (shards ≥ 5 thinned
+    // 2×) so donors/receivers are non-trivial at every sf
+    "q275_rebalance" -> ((s, d) =>
+      operators.Layout.rebalancePlan(
+        Transcripts.load(s, d)
+          .withColumn("shard",
+            pmod(text.TextAnalysis.tokHash(col("conv_id")), lit(8L)))
+          .filter(!(col("shard") >= 5 && col("turn_idx") % 2 === 0)),
+        "shard")),
+
     // join-order advisor: exact per-conv histograms price all three
     // left-deep orders of logins ⋈ errors ⋈ waits before any shuffle
     "q273_join_order" -> ((s, d) => {
@@ -5611,6 +5623,37 @@ SELECT 'mod' AS scheme, n_keys, mod_m AS moved,
 UNION ALL
 SELECT 'hrw', n_keys, hrw_m,
   CAST(hrw_m * 1000 // n_keys AS BIGINT) FROM agg"""),
+
+    // rebalance plan: cumulative excess/deficit interval overlap
+    "q275_rebalance" -> withCtes(
+      "sz" -> s"""SELECT shard AS grp, CAST(count(*) AS BIGINT) AS n
+  FROM (SELECT ${Oracle.oTokHash("conv_id")} % 8 AS shard, turn_idx
+        FROM transcripts) t
+  WHERE NOT (shard >= 5 AND turn_idx % 2 = 0)
+  GROUP BY 1""",
+      "tt" -> """SELECT CAST(sum(n) AS BIGINT) AS total,
+    CAST(count(*) AS BIGINT) AS g FROM sz""",
+      "q" -> """SELECT grp, n,
+    total // g + (CASE WHEN row_number() OVER (ORDER BY grp) <= total % g
+                  THEN 1 ELSE 0 END) AS quota
+  FROM sz, tt""",
+      "x" -> "SELECT grp, n - quota AS excess FROM q",
+      "don" -> """SELECT grp AS from_grp,
+    CAST(sum(excess) OVER (ORDER BY grp
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS dhi,
+    CAST(sum(excess) OVER (ORDER BY grp
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - excess AS BIGINT) AS dlo
+  FROM x WHERE excess > 0""",
+      "rc" -> """SELECT grp AS to_grp,
+    CAST(sum(-excess) OVER (ORDER BY grp
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS rhi,
+    CAST(sum(-excess) OVER (ORDER BY grp
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) + excess AS BIGINT) AS rlo
+  FROM x WHERE excess < 0""")("""
+SELECT from_grp, to_grp,
+  CAST(least(dhi, rhi) - greatest(dlo, rlo) AS BIGINT) AS rows_moved
+FROM don JOIN rc ON dlo < rhi AND rlo < dhi
+WHERE least(dhi, rhi) - greatest(dlo, rlo) > 0"""),
 
     // dead-letter template triage over q164's mangled fixture
     "q218_dead_letter_templates" -> withCtes(

@@ -180,6 +180,51 @@ object Layout {
     * engines. Shape: one distinct on the key column (key-population-
     * sized agg), then ~2n constant expressions per key and a 2-row
     * report aggregate; the corpus never reshuffles to be audited. */
+  /** Shuffle-MINIMAL rebalance plan: which groups ship how many rows to
+    * whom so every group ends within one row of even. Complements the
+    * q126 compaction plan (which groups get rewritten) with the pairwise
+    * MOVE LIST an executor actually runs — and the total moved is the
+    * provable minimum Σ max(0, n − quota), because only surpluses move.
+    *
+    * The classic sequential greedy (walk donors and receivers in step)
+    * is reformulated as PREFIX-SUM INTERVAL ALIGNMENT so it is a plan,
+    * not a loop: donors own disjoint intervals of the moved mass by
+    * cumulative excess, receivers by cumulative deficit, and
+    * move(d, r) = |interval overlap| — a deterministic interval join ON
+    * AGGREGATES. Quotas are total DIV g with the MOD remainder to the
+    * lexically-first groups.
+    *
+    * Shape: one corpus hash-agg to group sizes; windows, the interval
+    * join, and the overlap arithmetic all run on the |groups|-row frame
+    * (single-task windows over an aggregate). The corpus moves at most
+    * once, the plan never. */
+  def rebalancePlan(df: DataFrame, groupCol: String = "src_file"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sizes = df.groupBy(groupCol).agg(count(lit(1)).as("n"))
+    val tot = sizes.agg(sum("n").as("total"), count(lit(1)).as("g"))
+    val wId = Window.orderBy(groupCol)
+    val wCum = wId.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val quota = sizes.crossJoin(broadcast(tot))
+      .withColumn("rk", row_number().over(wId).cast("long"))
+      .withColumn("quota", expr("total DIV g")
+        + when(col("rk") <= expr("total % g"), 1L).otherwise(0L))
+      .withColumn("excess", col("n") - col("quota"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val donors = quota.filter(col("excess") > 0)
+      .withColumn("dhi", sum("excess").over(wCum))
+      .withColumn("dlo", col("dhi") - col("excess"))
+      .select(col(groupCol).as("from_grp"), col("dlo"), col("dhi"))
+    val recv = quota.filter(col("excess") < 0)
+      .withColumn("rhi", sum(-col("excess")).over(wCum))
+      .withColumn("rlo", col("rhi") + col("excess"))
+      .select(col(groupCol).as("to_grp"), col("rlo"), col("rhi"))
+    donors.join(recv, col("dlo") < col("rhi") && col("rlo") < col("dhi"))
+      .select(col("from_grp"), col("to_grp"),
+        (least(col("dhi"), col("rhi"))
+          - greatest(col("dlo"), col("rlo"))).as("rows_moved"))
+      .filter(col("rows_moved") > 0)
+  }
+
   def rehashAudit(df: DataFrame, keyCol: String = "conv_id",
                   nFrom: Int = 16): DataFrame = {
     val P = 1000000007L

@@ -124,4 +124,21 @@ class LayoutSpec extends SparkSpec {
     assert(out("hrw")._3 < 150L && out("mod")._3 > 800L,
       s"hrw ${out("hrw")._3}‰ vs mod ${out("mod")._3}‰")
   }
+
+  test("rebalancePlan: interval alignment reproduces the greedy move " +
+    "list, total moved = sum of surpluses, quotas restored") {
+    // sizes a=10 b=6 c=2 d=2 → quota 5 each; excess +5 +1 −3 −3 →
+    // moves a→c 3, a→d 2, b→d 1
+    val df = ((1 to 10).map(i => ("a", i)) ++ (1 to 6).map(i => ("b", i)) ++
+      (1 to 2).map(i => ("c", i)) ++ (1 to 2).map(i => ("d", i)))
+      .toDF("src_file", "x")
+    val out = operators.Layout.rebalancePlan(df).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(out == Map(("a", "c") -> 3L, ("a", "d") -> 2L, ("b", "d") -> 1L))
+    // remainder quotas: total 21 over 4 groups → quotas 6,5,5,5 (lex)
+    val df2 = df.unionByName(Seq(("a", 99)).toDF("src_file", "x"))
+    val out2 = operators.Layout.rebalancePlan(df2).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(out2.values.sum == 6L, s"a keeps its remainder slot: $out2")
+  }
 }
