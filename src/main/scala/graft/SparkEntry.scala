@@ -1550,6 +1550,10 @@ object SparkEntry {
           .filter(!(col("shard") >= 5 && col("turn_idx") % 2 === 0)),
         "shard")),
 
+    // encoding audit: plain/dict/RLE cost model per (file, column)
+    "q276_encoding_audit" -> ((s, d) =>
+      operators.Layout.encodingAudit(Transcripts.load(s, d))),
+
     // join-order advisor: exact per-conv histograms price all three
     // left-deep orders of logins ⋈ errors ⋈ waits before any shuffle
     "q273_join_order" -> ((s, d) => {
@@ -5654,6 +5658,42 @@ SELECT from_grp, to_grp,
   CAST(least(dhi, rhi) - greatest(dlo, rlo) AS BIGINT) AS rows_moved
 FROM don JOIN rc ON dlo < rhi AND rlo < dhi
 WHERE least(dhi, rhi) - greatest(dlo, rlo) > 0"""),
+
+    // encoding audit: run starts via IS DISTINCT FROM lag, same model
+    "q276_encoding_audit" -> withCtes(
+      "ex" -> """SELECT src_file, conv_id, turn_idx, 'role' AS col, role AS v
+  FROM transcripts
+  UNION ALL
+  SELECT src_file, conv_id, turn_idx, 'tool', tool FROM transcripts""",
+      "rs" -> """SELECT src_file, col, v,
+    CASE WHEN lag(v) OVER (PARTITION BY src_file, col
+      ORDER BY conv_id, turn_idx) IS DISTINCT FROM v THEN 1 ELSE 0 END
+      AS is_start
+  FROM ex""",
+      "ag" -> """SELECT src_file, col AS "column",
+    CAST(count(*) AS BIGINT) AS n,
+    CAST(count(DISTINCT v) AS BIGINT) AS dict_size,
+    CAST(sum(is_start) AS BIGINT) AS runs,
+    CAST(sum(length(v)) AS BIGINT) AS sum_len,
+    CAST(sum(CASE WHEN is_start = 1 THEN length(v) ELSE 0 END) AS BIGINT)
+      AS run_head_len
+  FROM rs GROUP BY 1, 2""",
+      "cm" -> """SELECT *,
+    sum_len + 4 * n AS plain_bytes,
+    CASE WHEN dict_size <= 1 THEN 0
+         ELSE length(bin(dict_size - 1)) END AS bits
+  FROM ag""")("""
+SELECT src_file, "column", n, dict_size, runs,
+  CAST(plain_bytes AS BIGINT) AS plain_bytes,
+  CAST(dict_size * (sum_len // n) + (n * bits + 7) // 8 AS BIGINT)
+    AS dict_bytes,
+  CAST(run_head_len + 4 * runs AS BIGINT) AS rle_bytes,
+  CASE WHEN run_head_len + 4 * runs <= dict_size * (sum_len // n) + (n * bits + 7) // 8
+        AND run_head_len + 4 * runs <= plain_bytes THEN 'rle'
+       WHEN dict_size * (sum_len // n) + (n * bits + 7) // 8 <= plain_bytes
+        THEN 'dict'
+       ELSE 'plain' END AS best_encoding
+FROM cm"""),
 
     // dead-letter template triage over q164's mangled fixture
     "q218_dead_letter_templates" -> withCtes(

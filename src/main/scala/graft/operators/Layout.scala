@@ -163,6 +163,59 @@ object Layout {
       .withColumn("scan_permille", expr("rows_scanned * 1000 DIV n_rows"))
   }
 
+  /** Column-ENCODING estimate audit — the write-path planning evidence
+    * beside [[zoneMapAudit]]'s read-path one: for each (file, column),
+    * what would plain / dictionary / run-length encoding cost, and which
+    * wins? Parquet picks this per page at write time; the audit computes
+    * it corpus-wide from three integer statistics so a layout owner can
+    * see WHY (e.g. `role` is 4-valued and sorted-ish → RLE; `tool` is
+    * high-cardinality → dict barely beats plain) and what a sort-order
+    * change would buy before rewriting anything.
+    *
+    * Cost model (byte estimates, integer-exact): plain = Σlen + 4n;
+    * dict = dict·avgLen + ⌈n·⌈log₂ dict⌉/8⌉; rle = Σ run-head lens + 4·runs.
+    * Runs count value CHANGES in (conv_id, turn_idx) order per file —
+    * the write order the rotation produces.
+    *
+    * Shape: ONE corpus pass — a constant-fanout map-explode to
+    * (file, column, value) rows, one window per (file, column) partition
+    * (rotation-bounded, the latenessProfile precedent) for run starts,
+    * one hash-agg to the (files × columns) grid; the cost model is
+    * arithmetic on that grid. */
+  def encodingAudit(df: DataFrame,
+                    cols: Seq[String] = Seq("role", "tool")): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val exploded = df.select(col("src_file"), col("conv_id"), col("turn_idx"),
+      explode(map(cols.flatMap(c => Seq(lit(c), col(c))): _*))
+        .as(Seq("column", "v")))
+    val w = Window.partitionBy("src_file", "column")
+      .orderBy("conv_id", "turn_idx")
+    val runs = exploded
+      .withColumn("prev", lag(col("v"), 1).over(w))
+      .withColumn("is_start", when(!(col("prev") <=> col("v")), 1L)
+        .otherwise(0L))
+    runs.groupBy("src_file", "column").agg(
+        count(lit(1)).as("n"),
+        countDistinct("v").as("dict_size"),
+        sum("is_start").as("runs"),
+        sum(length(col("v"))).as("sum_len"),
+        sum(when(col("is_start") === 1, length(col("v"))).otherwise(0L))
+          .as("run_head_len"))
+      .withColumn("plain_bytes", expr("sum_len + 4 * n"))
+      .withColumn("bits", expr(
+        "CASE WHEN dict_size <= 1 THEN 0 " +
+          "ELSE length(bin(dict_size - 1)) END"))
+      .withColumn("dict_bytes",
+        expr("dict_size * (sum_len DIV n) + (n * bits + 7) DIV 8"))
+      .withColumn("rle_bytes", expr("run_head_len + 4 * runs"))
+      .withColumn("best_encoding", expr(
+        """CASE WHEN rle_bytes <= dict_bytes AND rle_bytes <= plain_bytes
+          | THEN 'rle' WHEN dict_bytes <= plain_bytes THEN 'dict'
+          | ELSE 'plain' END""".stripMargin))
+      .select("src_file", "column", "n", "dict_size", "runs",
+        "plain_bytes", "dict_bytes", "rle_bytes", "best_encoding")
+  }
+
   /** RESHARDING audit: when the shard count grows n → n+1, what share of
     * keys must MOVE under mod-hash placement vs rendezvous (highest-
     * random-weight) hashing? Mod moves ~n/(n+1) of all keys (every

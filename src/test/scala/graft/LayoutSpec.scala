@@ -125,6 +125,23 @@ class LayoutSpec extends SparkSpec {
       s"hrw ${out("hrw")._3}‰ vs mod ${out("mod")._3}‰")
   }
 
+  test("encodingAudit: runs/dict/cost model from a hand-ordered file") {
+    val df = Seq(
+      ("f1", "c1", 1L, "r", "t"), ("f1", "c1", 2L, "r", "t"),
+      ("f1", "c1", 3L, "r", "t"), ("f1", "c1", 4L, "u", "t"),
+      ("f1", "c1", 5L, "u", "t"), ("f1", "c1", 6L, "r", "t")
+    ).toDF("src_file", "conv_id", "turn_idx", "role", "tool")
+    val out = operators.Layout.encodingAudit(df).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getLong(6), r.getLong(7), r.getString(8)))).toMap
+    // role r,r,r,u,u,r: 3 runs, dict 2 → plain 30, dict 2·1+⌈6/8⌉=3,
+    // rle 3+12=15 → dict wins under the model
+    assert(out(("f1", "role")) == ((6L, 2L, 3L, 30L, 3L, 15L, "dict")))
+    // constant tool: 1 run, dict 1 (0 index bits) → dict 1, rle 5
+    assert(out(("f1", "tool")) == ((6L, 1L, 1L, 30L, 1L, 5L, "dict")))
+  }
+
   test("rebalancePlan: interval alignment reproduces the greedy move " +
     "list, total moved = sum of surpluses, quotas restored") {
     // sizes a=10 b=6 c=2 d=2 → quota 5 each; excess +5 +1 −3 −3 →
