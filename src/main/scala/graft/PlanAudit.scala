@@ -242,6 +242,26 @@ object PlanAudit {
     section("phrase search (broadcast anchor probe; adjacency equi-joins on the anchor sliver)") {
       text.Bm25.phraseSearch(docs)
     }
+    section("RRF fusion (two posting-pruned rankers, queriesxk outer join)") {
+      text.Bm25.rrfFusion(docs)
+    }
+    section("merkle diff (two hash-agg digest pyramids, text never shuffles)") {
+      operators.Governance.merkleDiff(docs,
+        docs.withColumn("text",
+          org.apache.spark.sql.functions.upper(
+            org.apache.spark.sql.functions.col("text"))))
+    }
+    section("rebalance plan (corpus agg -> aggregate-sized interval join)") {
+      operators.Layout.rebalancePlan(sources.Transcripts.load(spark, sfDir))
+    }
+    section("join-order advisor (key histograms + 1-row DECIMAL sums)") {
+      import org.apache.spark.sql.functions.col
+      val p = Pipeline.parsed(spark, sfDir)
+      operators.JoinPlanner.joinOrderAdvisor(
+        p.filter(col("name") === "login"),
+        p.filter(col("name") === "error_reported"),
+        p.filter(col("name") === "wait_info"), "conv_id")
+    }
     // connectedComponentsStar is a driver fixpoint loop (localCheckpoint
     // per round) — explain would execute it; its per-round plan is the
     // symmetrize + min-join + distinct equi-shape shown above.
@@ -249,6 +269,8 @@ object PlanAudit {
     // unrolled loops with per-step persist+count — explain would execute
     // them; their per-step plan is the rank ⋈ edges equi-join + dst
     // hash-agg shape shown by the sections above.
+    // hits is the same unrolled-loop family (per half-round: edge ⋈
+    // score equi-join + vertex agg + 1-row max broadcast).
     spark.stop()
   }
 }
