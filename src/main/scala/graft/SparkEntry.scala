@@ -1554,6 +1554,10 @@ object SparkEntry {
     "q276_encoding_audit" -> ((s, d) =>
       operators.Layout.encodingAudit(Transcripts.load(s, d))),
 
+    // Matryoshka audit: top-k overlap of 16-dim prefix vs full 64-dim
+    "q277_matryoshka" -> ((s, d) =>
+      ann.Similarity.prefixDimRecall(vecs(s, d))),
+
     // join-order advisor: exact per-conv histograms price all three
     // left-deep orders of logins ⋈ errors ⋈ waits before any shuffle
     "q273_join_order" -> ((s, d) => {
@@ -5694,6 +5698,32 @@ SELECT src_file, "column", n, dict_size, runs,
         THEN 'dict'
        ELSE 'plain' END AS best_encoding
 FROM cm"""),
+
+    // Matryoshka: two brute rankings (full vs e[1:16]) joined on hits
+    "q277_matryoshka" -> s"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+vp AS (SELECT vec_id, e[1:16] AS e FROM v),
+q AS (SELECT vec_id AS q_id, e AS q_emb FROM v WHERE vec_id % 50 = 0),
+qp AS (SELECT vec_id AS q_id, e AS q_emb FROM vp WHERE vec_id % 50 = 0),
+jf AS (SELECT q.q_id, v.vec_id, ${oCos("q.q_emb", "v.e")} AS cos
+  FROM v CROSS JOIN q WHERE v.vec_id != q.q_id),
+tf AS (SELECT q_id, vec_id FROM (
+  SELECT q_id, vec_id,
+    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
+  FROM jf) r WHERE rank <= 5),
+jp AS (SELECT q.q_id, v.vec_id, ${oCos("q.q_emb", "v.e")} AS cos
+  FROM vp v CROSS JOIN qp q WHERE v.vec_id != q.q_id),
+tp AS (SELECT q_id, vec_id FROM (
+  SELECT q_id, vec_id,
+    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
+  FROM jp) r WHERE rank <= 5)
+SELECT tf.q_id, CAST(count(*) AS BIGINT) AS k_full,
+  CAST(sum(CASE WHEN tp.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_overlap,
+  CAST(sum(CASE WHEN tp.vec_id IS NOT NULL THEN 1 ELSE 0 END) * 1000 // 5
+    AS BIGINT) AS overlap_permille
+FROM tf LEFT JOIN tp ON tf.q_id = tp.q_id AND tf.vec_id = tp.vec_id
+GROUP BY 1""",
 
     // dead-letter template triage over q164's mangled fixture
     "q218_dead_letter_templates" -> withCtes(

@@ -41,6 +41,33 @@ object Similarity {
       .select(col("q_id"), col("vec_id").as("neighbor_id"), col("rank"))
   }
 
+  /** MATRYOSHKA-style prefix-dimension recall audit: how much ANN
+    * quality survives truncating embeddings to their first `prefixDim`
+    * components? Per query, the overlap between top-k under full-dim
+    * cosine and top-k under prefix-dim cosine — the measured evidence
+    * behind serving truncated vectors (4× memory/bandwidth at 16 of 64
+    * dims) instead of trusting a training recipe's claim. Overlap@k
+    * against the full ranking is the metric because the full list IS
+    * the ground truth here.
+    *
+    * Shape: two sample-bounded brute passes ([[bruteTopK]]'s broadcast
+    * query set — the EVAL-harness shape, like q110's recall, never the
+    * serving path) and a queries×k join; prefix truncation is a
+    * map-only `slice`. */
+  def prefixDimRecall(vecs: DataFrame, k: Int = 5, queryMod: Int = 50,
+                      prefixDim: Int = 16): DataFrame = {
+    val full = bruteTopK(vecs, k, queryMod)
+    val pref = bruteTopK(
+      vecs.withColumn("embedding", slice(col("embedding"), 1, prefixDim)),
+      k, queryMod)
+    full.join(pref.select(col("q_id"), col("neighbor_id"),
+        lit(1L).as("hit")), Seq("q_id", "neighbor_id"), "left")
+      .groupBy("q_id").agg(
+        count(lit(1)).as("k_full"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_overlap"))
+      .withColumn("overlap_permille", expr(s"n_overlap * 1000 DIV $k"))
+  }
+
   // ---- LSH: deterministic integer hyperplanes --------------------------------
   val NumPlanes = 8
   /** Hyperplane i component j = ((i*131 + j*31) mod 7) - 3 ∈ [-3, 3]. */

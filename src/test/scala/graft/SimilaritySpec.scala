@@ -283,6 +283,26 @@ class SimilaritySpec extends SparkSpec {
     assert(again.toSeq == out.toSeq)
   }
 
+  test("prefixDimRecall: truncation promotes a prefix-identical vector, " +
+    "overlap drops to 500 permille") {
+    import TestSpark.spark.implicits._
+    // query 0 = (1,0,0,0); id1 matches in both spaces; id2 only matches
+    // the 2-dim prefix (tail orthogonal mass kills its full cosine);
+    // id3 is the honest full-space runner-up
+    val vecs = Seq(
+      (0L, Array(1f, 0f, 0f, 0f)),
+      (1L, Array(1f, 0f, 0f, 0f)),
+      (2L, Array(1f, 0f, 5f, 0f)),
+      (3L, Array(0.8f, 0.6f, 0f, 0f))
+    ).toDF("vec_id", "embedding")
+    val out = graft.ann.Similarity
+      .prefixDimRecall(vecs, k = 2, queryMod = 50, prefixDim = 2).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    // full top-2 = {1, 3}; prefix top-2 = {1, 2} (cos ties 1.0 → low id)
+    assert(out == Map(0L -> ((2L, 1L, 500L))))
+  }
+
   test("jlDistortion: histogram matches a first-principles recompute") {
     val embs = TestSpark.spark.read.parquet(s"$tiny/embeddings.parquet")
     val byId = embs.collect()
