@@ -1558,6 +1558,17 @@ object SparkEntry {
     "q277_matryoshka" -> ((s, d) =>
       ann.Similarity.prefixDimRecall(vecs(s, d))),
 
+    // l-diversity audit on a planted single-source length band — the
+    // homogeneity leak k-anonymity cannot see
+    "q278_l_diversity" -> ((s, d) => {
+      val base = docs(s, d)
+      val planted = base.filter(col("doc_id") % 31 === 0)
+        .withColumn("doc_id", col("doc_id") + 2000000L)
+        .withColumn("n_chars", col("n_chars") + 100000L)
+        .withColumn("source", lit("leak_src"))
+      operators.Governance.lDiversity(base.unionByName(planted))
+    }),
+
     // join-order advisor: exact per-conv histograms price all three
     // left-deep orders of logins ⋈ errors ⋈ waits before any shuffle
     "q273_join_order" -> ((s, d) => {
@@ -5724,6 +5735,21 @@ SELECT tf.q_id, CAST(count(*) AS BIGINT) AS k_full,
     AS BIGINT) AS overlap_permille
 FROM tf LEFT JOIN tp ON tf.q_id = tp.q_id AND tf.vec_id = tp.vec_id
 GROUP BY 1""",
+
+    // l-diversity: QI rollup over the (QI, sensitive) grid
+    "q278_l_diversity" -> withCtes(
+      "b" -> """SELECT lang, n_chars, source FROM documents
+  UNION ALL
+  SELECT lang, n_chars + 100000, 'leak_src' FROM documents
+  WHERE doc_id % 31 = 0""",
+      "cells" -> """SELECT lang, n_chars // 100 AS len_bucket, source,
+    CAST(count(*) AS BIGINT) AS n_sv
+  FROM b GROUP BY 1, 2, 3""")("""
+SELECT lang, len_bucket, CAST(sum(n_sv) AS BIGINT) AS cell_n,
+  CAST(count(*) AS BIGINT) AS n_sensitive,
+  CAST(max(n_sv) * 1000 // sum(n_sv) AS BIGINT) AS top_share_permille,
+  count(*) >= 3 AS diverse
+FROM cells GROUP BY 1, 2"""),
 
     // dead-letter template triage over q164's mangled fixture
     "q218_dead_letter_templates" -> withCtes(

@@ -78,6 +78,36 @@ object Governance {
       .agg(count(lit(1)).as("cell_k"))
       .withColumn("at_risk", col("cell_k") < k)
 
+  /** l-DIVERSITY audit — the homogeneity-attack complement of
+    * [[kAnonymity]]: a cell can hold k rows and still leak when they all
+    * share one SENSITIVE value (here `source`): "everyone in this
+    * quasi-identifier cell came from crawl X" is itself a disclosure
+    * k-anonymity cannot see. Per (lang, length-bucket) QI cell — the
+    * sensitive attribute deliberately OUT of the cell key — report the
+    * row count, the number of distinct sensitive values, the dominant
+    * value's share ‰ (the practical attack odds), and the verdict
+    * `diverse` = n_sensitive ≥ l.
+    *
+    * Shape: one (QI, sensitive) hash-agg off the scan, then a QI rollup
+    * ON that grid (sum/count/max) — two aggregations, the second over an
+    * aggregate; integer share arithmetic. */
+  def lDiversity(docs: DataFrame, l: Int = 3,
+                 lenBucketWidth: Long = 100L): DataFrame = {
+    val cells = docs.select(col("lang"),
+        expr(s"n_chars DIV ${lenBucketWidth}L").as("len_bucket"),
+        col("source"))
+      .groupBy("lang", "len_bucket", "source")
+      .agg(count(lit(1)).as("n_sv"))
+    cells.groupBy("lang", "len_bucket").agg(
+        sum("n_sv").as("cell_n"),
+        count(lit(1)).as("n_sensitive"),
+        max("n_sv").as("top_n"))
+      .withColumn("top_share_permille", expr("top_n * 1000 DIV cell_n"))
+      .withColumn("diverse", col("n_sensitive") >= l)
+      .select("lang", "len_bucket", "cell_n", "n_sensitive",
+        "top_share_permille", "diverse")
+  }
+
   /** MERKLE-style hierarchical snapshot diff — change LOCALIZATION at log
     * cost, where [[snapshotDiff]] pays a full-corpus join per comparison:
     * per-doc content hashes fold (order-independent bit_xor + count) into

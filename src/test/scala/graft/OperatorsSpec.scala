@@ -298,6 +298,28 @@ class OperatorsSpec extends SparkSpec {
       "d" -> ((20L, 20L, true, 5L))))
   }
 
+  test("lDiversity: homogeneous cell flagged, mixed cell diverse, " +
+    "dominant share exact") {
+    import TestSpark.spark.implicits._
+    def doc(id: Long, lang: String, src: String, n: Long) =
+      (id, lang, src, n)
+    val docs = Seq(
+      // cell (en, 1): 3 sources → diverse, top share 2/4 = 500
+      doc(1, "en", "s1", 150), doc(2, "en", "s1", 160),
+      doc(3, "en", "s2", 170), doc(4, "en", "s3", 180),
+      // cell (en, 9): all one source → homogeneous, share 1000
+      doc(5, "en", "leak", 900), doc(6, "en", "leak", 910),
+      // cell (de, 1): two sources < l=3 → not diverse
+      doc(7, "de", "s1", 100), doc(8, "de", "s2", 199)
+    ).toDF("doc_id", "lang", "source", "n_chars")
+    val out = operators.Governance.lDiversity(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> ((r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getBoolean(5)))).toMap
+    assert(out(("en", 1L)) == ((4L, 3L, 500L, true)))
+    assert(out(("en", 9L)) == ((2L, 1L, 1000L, false)))
+    assert(out(("de", 1L)) == ((2L, 2L, 500L, false)))
+  }
+
   test("joinOrderAdvisor: exact intermediates per order, min flagged best") {
     import TestSpark.spark.implicits._
     val a = Seq(("k1", 1), ("k1", 2), ("k2", 3)).toDF("conv_id", "x")
