@@ -1558,6 +1558,13 @@ object SparkEntry {
     "q277_matryoshka" -> ((s, d) =>
       ann.Similarity.prefixDimRecall(vecs(s, d))),
 
+    // batch twin of the watermarked stream-stream user⋈tool pairing
+    // (JoinStreamSpec proves streamed == this, incl. cross-batch state)
+    "q279_turn_pairs" -> ((s, d) =>
+      streaming.JoinStream.batchPairs(Transcripts.load(s, d), 60)
+        .withColumn("u_ts", col("u_ts").cast("timestamp_ntz"))
+        .withColumn("t_ts", col("t_ts").cast("timestamp_ntz"))),
+
     // l-diversity audit on a planted single-source length band — the
     // homogeneity leak k-anonymity cannot see
     "q278_l_diversity" -> ((s, d) => {
@@ -5735,6 +5742,17 @@ SELECT tf.q_id, CAST(count(*) AS BIGINT) AS k_full,
     AS BIGINT) AS overlap_permille
 FROM tf LEFT JOIN tp ON tf.q_id = tp.q_id AND tf.vec_id = tp.vec_id
 GROUP BY 1""",
+
+    // turn pairs: the stream-stream join's batch ground truth
+    "q279_turn_pairs" -> withCtes(
+      "u" -> """SELECT conv_id, turn_idx AS u_turn, ts AS u_ts
+  FROM transcripts WHERE role = 'user'""",
+      "d" -> """SELECT conv_id, turn_idx AS t_turn, ts AS t_ts
+  FROM transcripts WHERE role = 'tool'""")("""
+SELECT u.conv_id, CAST(u_turn AS BIGINT) AS u_turn,
+  CAST(t_turn AS BIGINT) AS t_turn, u_ts, t_ts
+FROM u JOIN d USING (conv_id)
+WHERE t_ts >= u_ts AND t_ts <= u_ts + INTERVAL 60 MINUTE"""),
 
     // l-diversity: QI rollup over the (QI, sensitive) grid
     "q278_l_diversity" -> withCtes(
