@@ -1558,6 +1558,11 @@ object SparkEntry {
     "q277_matryoshka" -> ((s, d) =>
       ann.Similarity.prefixDimRecall(vecs(s, d))),
 
+    // two-level tournament top-k: same output as q95, straggler-free
+    // plan (per-cell partial top-k, then the tiny final re-rank)
+    "q280_vocab_topk_scalable" -> ((s, d) =>
+      text.TfIdf.vocabTopKScalable(docs(s, d))),
+
     // batch twin of the watermarked stream-stream user⋈tool pairing
     // (JoinStreamSpec proves streamed == this, incl. cross-batch state)
     "q279_turn_pairs" -> ((s, d) =>
@@ -3292,6 +3297,17 @@ FROM t LEFT JOIN hot ON t.h = hot.h
 GROUP BY conv_id"""),
 
     "q95_vocab_topk" -> s"""
+SELECT lang, tok, n, rank FROM (
+  SELECT lang, tok, n,
+    row_number() OVER (PARTITION BY lang ORDER BY n DESC, tok) AS rank
+  FROM (
+    SELECT lang, tok, CAST(count(*) AS BIGINT) AS n
+    FROM (SELECT lang, unnest($oToks) AS tok FROM documents) e
+    GROUP BY lang, tok) c
+) r WHERE rank <= 5""",
+
+    // tournament top-k: the oracle is q95's — identical result contract
+    "q280_vocab_topk_scalable" -> s"""
 SELECT lang, tok, n, rank FROM (
   SELECT lang, tok, n,
     row_number() OVER (PARTITION BY lang ORDER BY n DESC, tok) AS rank

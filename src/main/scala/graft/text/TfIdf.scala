@@ -35,6 +35,32 @@ object TfIdf {
       .filter(col("rank") <= k)
   }
 
+  /** SCALABLE twin of [[vocabTopK]] — identical output, different plan:
+    * the plain form's per-lang window sorts a whole language's
+    * vocabulary in ONE task (fine at millions of terms, a straggler at
+    * billions); this two-level TOURNAMENT first takes top-k within each
+    * of `fanout` deterministic token-hash cells (each sort task holds
+    * vocab/fanout rows), then re-ranks only the surviving
+    * langs × fanout × k candidates. Exact, not approximate: every token
+    * lives in exactly one cell, so the global top-k is a subset of the
+    * cell winners. The classic distributed top-k shape (partial
+    * tournament → tiny final), here as two windows sharing the counts
+    * aggregate. */
+  def vocabTopKScalable(docs: DataFrame, k: Int = 5,
+                        fanout: Int = 32): DataFrame = {
+    val counts = docs
+      .select(col("lang"), explode(TextAnalysis.tokens(col("text"))).as("tok"))
+      .groupBy("lang", "tok").agg(count(lit(1)).as("n"))
+    val w1 = Window.partitionBy(col("lang"),
+        pmod(TextAnalysis.tokHash(col("tok")), lit(fanout.toLong)))
+      .orderBy(col("n").desc, col("tok"))
+    val survivors = counts.withColumn("r1", row_number().over(w1))
+      .filter(col("r1") <= k).drop("r1")
+    val w2 = Window.partitionBy("lang").orderBy(col("n").desc, col("tok"))
+    survivors.withColumn("rank", row_number().over(w2).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
   def topTerms(docs: DataFrame, k: Int = 3): DataFrame = {
     val toks = docs.select(col("doc_id"),
       explode(TextAnalysis.tokHashes(col("text"))).as("tok"))

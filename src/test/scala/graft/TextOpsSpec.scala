@@ -964,6 +964,19 @@ class TextOpsSpec extends SparkSpec {
     assert(out.values.forall(_._4 <= 1000L))
   }
 
+  test("vocabTopKScalable: tournament equals the single-window form " +
+    "on the tiny corpus and under repartitioning") {
+    val docs = spark.read.parquet(s"$tiny/documents.parquet")
+    def norm(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val plain = norm(graft.text.TfIdf.vocabTopK(docs))
+    assert(plain.nonEmpty)
+    assert(norm(graft.text.TfIdf.vocabTopKScalable(docs)) == plain)
+    assert(norm(graft.text.TfIdf.vocabTopKScalable(docs.repartition(13),
+      fanout = 7)) == plain)
+  }
+
   test("featureGini: exact recompute of all three feature tables") {
     val docs = spark.read.parquet(s"$tiny/documents.parquet")
     val P = 1000000007L
