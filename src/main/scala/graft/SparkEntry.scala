@@ -1563,6 +1563,10 @@ object SparkEntry {
     "q280_vocab_topk_scalable" -> ((s, d) =>
       text.TfIdf.vocabTopKScalable(docs(s, d))),
 
+    // Benford first-digit forensics per source file
+    "q281_benford" -> ((s, d) =>
+      operators.DqRules.benfordAudit(Pipeline.parsed(s, d))),
+
     // batch twin of the watermarked stream-stream user⋈tool pairing
     // (JoinStreamSpec proves streamed == this, incl. cross-batch state)
     "q279_turn_pairs" -> ((s, d) =>
@@ -5769,6 +5773,33 @@ SELECT u.conv_id, CAST(u_turn AS BIGINT) AS u_turn,
   CAST(t_turn AS BIGINT) AS t_turn, u_ts, t_ts
 FROM u JOIN d USING (conv_id)
 WHERE t_ts >= u_ts AND t_ts <= u_ts + INTERVAL 60 MINUTE"""),
+
+    // Benford: densified files×9 grid, shared constant table
+    "q281_benford" -> withCtes(
+      "v" -> s"SELECT src_file, ${oKvNum("duration")} AS duration FROM transcripts",
+      "dg" -> """SELECT src_file,
+    CAST(substr(CAST(duration AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+    CAST(count(*) AS BIGINT) AS n_d
+  FROM v WHERE duration IS NOT NULL AND duration >= 1 GROUP BY 1, 2""",
+      "tt" -> "SELECT src_file, CAST(sum(n_d) AS BIGINT) AS n FROM dg GROUP BY 1",
+      "grid" -> """SELECT t.src_file, t.n, d.digit,
+    CAST(coalesce(g.n_d, 0) AS BIGINT) AS n_d
+  FROM tt t CROSS JOIN (SELECT unnest(generate_series(1, 9)) AS digit) d
+  LEFT JOIN dg g ON g.src_file = t.src_file AND g.digit = d.digit""",
+      "sh" -> s"""SELECT src_file, n, digit,
+    n_d * 1000 // n - (CASE digit ${operators.DqRules.benfordPermille
+        .zipWithIndex.map { case (v, i) => s"WHEN ${i + 1} THEN $v" }
+        .mkString(" ")} END) AS dev
+  FROM grid""",
+      "rk" -> """SELECT src_file, digit,
+    row_number() OVER (PARTITION BY src_file ORDER BY dev DESC, digit) AS rn
+  FROM sh""")("""
+SELECT g.src_file, CAST(max(g.n) AS BIGINT) AS n_vals,
+  CAST(sum(abs(g.dev)) AS BIGINT) AS l1_permille,
+  CAST(max(CASE WHEN r.rn = 1 THEN r.digit END) AS BIGINT) AS top_over_digit,
+  sum(abs(g.dev)) >= 250 AS flagged
+FROM sh g JOIN rk r ON g.src_file = r.src_file AND g.digit = r.digit
+GROUP BY 1"""),
 
     // l-diversity: QI rollup over the (QI, sensitive) grid
     "q278_l_diversity" -> withCtes(

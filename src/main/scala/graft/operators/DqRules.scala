@@ -170,4 +170,56 @@ object DqRules {
         s => s.getField("out"))).as("template"))
       .groupBy("template").agg(count(lit(1)).as("n_turns"))
   }
+
+  /** Benford's-law first-digit shares ‰, ⌊log₁₀(1+1/d)·1000⌋ for
+    * d = 1..9 — the ONE constant table both engines render (the
+    * dpCounts shared-constant pattern). */
+  def benfordPermille: Seq[Long] =
+    (1 to 9).map(d => (math.log10(1.0 + 1.0 / d) * 1000).toLong)
+
+  /** BENFORD first-digit audit per source file — the fabricated-data /
+    * unit-bug detector the distribution-shift tests (q235 KS on
+    * magnitudes) cannot express: naturally-generated positive magnitudes
+    * follow log-uniform first digits (31% ones … 4.6% nines), while
+    * capped, rounded, defaulted, or synthetic feeds do not. Per file:
+    * the observed first-digit shares of `duration`, the L1 distance ‰ to
+    * the Benford table, and the most over-represented digit — a cheap
+    * per-feed forensic flag.
+    *
+    * Integer-exact: first digit by string head (identical for positive
+    * BIGINTs in both engines), shares micro-floored, the Benford table
+    * rendered from [[benfordPermille]]. Shape: one (file, digit)
+    * hash-agg off the scan; shares, L1, and the argmax run on that
+    * ≤ files×9 grid. */
+  def benfordAudit(parsed: DataFrame, flagMin: Long = 250L): DataFrame = {
+    val bp = benfordPermille
+    val bCase = (1 to 9).map(d => s"WHEN $d THEN ${bp(d - 1)}L")
+      .mkString("CASE digit ", " ", " END")
+    val digits = parsed
+      .filter(col("duration").isNotNull && col("duration") >= 1L)
+      .select(col("src_file"),
+        substring(col("duration").cast("string"), 1, 1).cast("long")
+          .as("digit"))
+      .groupBy("src_file", "digit").agg(count(lit(1)).as("n_d"))
+    // densified files×9 grid: an ABSENT digit deviates by its full
+    // Benford share and must count in the L1
+    val totals = digits.groupBy("src_file").agg(sum("n_d").as("n"))
+    val shares = totals
+      .select(col("src_file"), col("n"),
+        explode(sequence(lit(1L), lit(9L))).as("digit"))
+      .join(digits, Seq("src_file", "digit"), "left")
+      .withColumn("n_d", coalesce(col("n_d"), lit(0L)))
+      .withColumn("obs_permille", expr("n_d * 1000 DIV n"))
+      .withColumn("benford_permille", expr(bCase))
+      .withColumn("dev", col("obs_permille") - col("benford_permille"))
+    shares.groupBy("src_file").agg(
+        max("n").as("n_vals"),
+        sum(abs(col("dev"))).as("l1_permille"),
+        max(struct(col("dev"), (-col("digit")).as("nd"))).getField("nd")
+          .as("_negd"))
+      .withColumn("top_over_digit", -col("_negd"))
+      .withColumn("flagged", col("l1_permille") >= flagMin)
+      .select("src_file", "n_vals", "l1_permille", "top_over_digit",
+        "flagged")
+  }
 }

@@ -298,6 +298,22 @@ class OperatorsSpec extends SparkSpec {
       "d" -> ((20L, 20L, true, 5L))))
   }
 
+  test("benfordAudit: Benford-shaped file reads ~0 distance, " +
+    "single-digit file flagged with its dominant digit") {
+    import TestSpark.spark.implicits._
+    val nat = operators.DqRules.benfordPermille.zipWithIndex.flatMap {
+      case (c, i) => (0L until c).map(j => ("nat", (i + 1) * 1000L + j)) }
+    val skew = (0 until 10).map(i => ("skew", 500L + i))
+    val df = (nat ++ skew).toDF("src_file", "duration")
+    val out = operators.DqRules.benfordAudit(df).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getBoolean(4)))).toMap
+    // 995 rows at exactly the table's shares: only d1 floors 1‰ high
+    assert(out("nat") == ((995L, 1L, 1L, false)))
+    // all-5s: |1000−79| + (995−79) missing mass = 1837‰, top digit 5
+    assert(out("skew") == ((10L, 1837L, 5L, true)))
+  }
+
   test("lDiversity: homogeneous cell flagged, mixed cell diverse, " +
     "dominant share exact") {
     import TestSpark.spark.implicits._
