@@ -1567,6 +1567,10 @@ object SparkEntry {
     "q281_benford" -> ((s, d) =>
       operators.DqRules.benfordAudit(Pipeline.parsed(s, d))),
 
+    // discrete survival/hazard curve over conversation length
+    "q282_survival" -> ((s, d) =>
+      operators.Conversations.survivalHazard(Transcripts.load(s, d))),
+
     // batch twin of the watermarked stream-stream user⋈tool pairing
     // (JoinStreamSpec proves streamed == this, incl. cross-batch state)
     "q279_turn_pairs" -> ((s, d) =>
@@ -5800,6 +5804,22 @@ SELECT g.src_file, CAST(max(g.n) AS BIGINT) AS n_vals,
   sum(abs(g.dev)) >= 250 AS flagged
 FROM sh g JOIN rk r ON g.src_file = r.src_file AND g.digit = r.digit
 GROUP BY 1"""),
+
+    // survival curve: suffix-sum window over the length histogram
+    "q282_survival" -> withCtes(
+      "lens" -> """SELECT conv_id, CAST(max(turn_idx) + 1 AS BIGINT) AS len
+  FROM transcripts GROUP BY 1""",
+      "hist" -> """SELECT len, CAST(count(*) AS BIGINT) AS n_ending
+  FROM lens GROUP BY 1""")("""
+SELECT len - 1 AS turn_t,
+  CAST(sum(n_ending) OVER (ORDER BY len DESC
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+    AS n_reaching,
+  n_ending,
+  CAST(n_ending * 1000 // sum(n_ending) OVER (ORDER BY len DESC
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+    AS hazard_permille
+FROM hist"""),
 
     // l-diversity: QI rollup over the (QI, sensitive) grid
     "q278_l_diversity" -> withCtes(

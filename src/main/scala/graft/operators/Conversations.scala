@@ -758,4 +758,29 @@ object Conversations {
       .filter(col("rk") <= topK)
       .select("day_num", "rk", "tok", "n", "lift_x1000")
   }
+
+  /** Discrete SURVIVAL/HAZARD curve over conversation length — when do
+    * conversations die? For each turn index t where at least one
+    * conversation ENDS: how many conversations reached t, how many ended
+    * there, and the discrete hazard ‰ (the Kaplan–Meier ingredients,
+    * integer-exact — the cumulative product stays with the consumer so
+    * nothing here needs floats). The context-window/session-budget
+    * planning read: a hazard spike at t=20 says "engineer for 20-turn
+    * sessions", which no mean/percentile length summary shows.
+    *
+    * Shape: one conv hash-agg to lengths, one |distinct-lengths| grid
+    * histogram, a suffix-sum window ON that grid (n_reaching = convs
+    * with len > t). Sparse by design: only turns where a conversation
+    * ends produce rows. */
+  def survivalHazard(transcripts: DataFrame): DataFrame = {
+    val lens = transcripts.groupBy("conv_id")
+      .agg((max("turn_idx") + 1).cast("long").as("len"))
+    val hist = lens.groupBy("len").agg(count(lit(1)).as("n_ending"))
+    val w = Window.orderBy(col("len").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hist.withColumn("n_reaching", sum("n_ending").over(w))
+      .select((col("len") - 1).as("turn_t"), col("n_reaching"),
+        col("n_ending"))
+      .withColumn("hazard_permille", expr("n_ending * 1000 DIV n_reaching"))
+  }
 }

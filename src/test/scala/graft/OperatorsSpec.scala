@@ -298,6 +298,21 @@ class OperatorsSpec extends SparkSpec {
       "d" -> ((20L, 20L, true, 5L))))
   }
 
+  test("survivalHazard: reaching counts telescope, hazards exact, " +
+    "last length always 1000 permille") {
+    import TestSpark.spark.implicits._
+    // conv lengths 1, 1, 3, 5 → ends at t=0 (2 convs of 4 reaching),
+    // t=2 (1 of 2), t=4 (1 of 1)
+    val t = Seq(("a", 0), ("b", 0), ("c", 0), ("c", 1), ("c", 2),
+      ("d", 0), ("d", 1), ("d", 2), ("d", 3), ("d", 4))
+      .toDF("conv_id", "turn_idx")
+    val out = operators.Conversations.survivalHazard(t).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(out == Map(0L -> ((4L, 2L, 500L)), 2L -> ((2L, 1L, 500L)),
+      4L -> ((1L, 1L, 1000L))))
+  }
+
   test("benfordAudit: Benford-shaped file reads ~0 distance, " +
     "single-digit file flagged with its dominant digit") {
     import TestSpark.spark.implicits._
