@@ -1571,6 +1571,10 @@ object SparkEntry {
     "q282_survival" -> ((s, d) =>
       operators.Conversations.survivalHazard(Transcripts.load(s, d))),
 
+    // T5-style span-corruption denoising export over documents
+    "q283_span_corruption" -> ((s, d) =>
+      operators.TrainingExport.spanCorruption(docs(s, d))),
+
     // batch twin of the watermarked stream-stream user⋈tool pairing
     // (JoinStreamSpec proves streamed == this, incl. cross-batch state)
     "q279_turn_pairs" -> ((s, d) =>
@@ -5820,6 +5824,36 @@ SELECT len - 1 AS turn_t,
     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
     AS hazard_permille
 FROM hist"""),
+
+    // span corruption: block gate + sentinel window + ordered reassembly
+    "q283_span_corruption" -> withCtes(
+      "tk" -> s"""SELECT doc_id, i - 1 AS pos, tok FROM (
+    SELECT doc_id, unnest($oToks) AS tok,
+      generate_subscripts($oToks, 1) AS i FROM documents) z""",
+      "tb" -> """SELECT doc_id, pos, tok, pos // 3 AS b,
+    ((doc_id * 1000003 + pos // 3) % 7 = 0) AS corrupted FROM tk""",
+      "spans" -> """SELECT doc_id, b,
+    CAST(row_number() OVER (PARTITION BY doc_id ORDER BY b) - 1 AS BIGINT)
+      AS k
+  FROM (SELECT DISTINCT doc_id, b FROM tb WHERE corrupted) s""",
+      "pieces" -> """SELECT t.doc_id, t.pos, t.corrupted, t.b,
+    CASE WHEN NOT t.corrupted THEN t.tok
+         WHEN t.pos = t.b * 3 THEN '<extra_id_' || s.k || '>' END
+      AS inp_piece,
+    CASE WHEN t.corrupted AND t.pos = t.b * 3
+           THEN '<extra_id_' || s.k || '> ' || t.tok
+         WHEN t.corrupted THEN t.tok END AS tgt_piece
+  FROM tb t LEFT JOIN spans s ON s.doc_id = t.doc_id AND s.b = t.b""",
+      "agg" -> """SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+    CAST(count(DISTINCT CASE WHEN corrupted THEN b END) AS BIGINT)
+      AS n_spans,
+    coalesce(string_agg(inp_piece, ' ' ORDER BY pos), '') AS inputs,
+    coalesce(string_agg(tgt_piece, ' ' ORDER BY pos), '') AS tgt_body
+  FROM pieces GROUP BY 1""")("""
+SELECT doc_id, n_tokens, n_spans, inputs,
+  CASE WHEN tgt_body = '' THEN '<extra_id_' || n_spans || '>'
+       ELSE tgt_body || ' <extra_id_' || n_spans || '>' END AS targets
+FROM agg"""),
 
     // l-diversity: QI rollup over the (QI, sensitive) grid
     "q278_l_diversity" -> withCtes(

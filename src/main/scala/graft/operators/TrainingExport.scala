@@ -178,4 +178,62 @@ object TrainingExport {
       .withColumn("pos", row_number().over(w).cast("long"))
       .select("doc_id", "epoch", "shard", "pos")
   }
+
+  /** T5-style SPAN-CORRUPTION export — the denoising-objective shape
+    * beside the SFT ([[sftExamples]]) and FIM exports: token blocks are
+    * deterministically "corrupted", the inputs keep one sentinel per
+    * corrupted span, the targets spell each sentinel + its original
+    * tokens and close with a final sentinel. Corruption is a pure
+    * expression gate — block b of a doc corrupts iff
+    * `(doc_id·1000003 + b) mod 7 = 0` (~1/7 of 3-token blocks ≈ 14%
+    * noise density, the T5 default ballpark) — so the same example set
+    * regenerates bit-identically on every run/engine, which is what
+    * makes the export auditable.
+    *
+    * Shape: posexplode to (doc, pos, tok) (the q102 rebuild family);
+    * corrupted-block sentinel numbers come from ONE per-doc window over
+    * the block GRID (blocks, not tokens); inputs/targets reassemble with
+    * an ordered collect per doc — the one conv-sized exchange, identical
+    * to every other per-doc rebuild in this engine. */
+  def spanCorruption(docs: DataFrame, blockLen: Int = 3,
+                     gateMod: Int = 7): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tk = docs.select(col("doc_id"),
+        posexplode(graft.text.TextAnalysis.tokens(col("text")))
+          .as(Seq("pos", "tok")))
+      .withColumn("b", expr(s"pos DIV $blockLen"))
+      .withColumn("corrupted",
+        pmod(col("doc_id") * lit(1000003L) + col("b"), lit(gateMod.toLong))
+          === 0)
+    val wB = Window.partitionBy("doc_id").orderBy("b")
+    val spans = tk.filter(col("corrupted"))
+      .select(col("doc_id"), col("b")).distinct()
+      .withColumn("k", (row_number().over(wB) - 1).cast("long"))
+    val pieces = tk.join(spans, Seq("doc_id", "b"), "left")
+      .withColumn("inp_piece",
+        when(!col("corrupted"), col("tok"))
+          .when(col("pos") === col("b") * blockLen,
+            concat(lit("<extra_id_"), col("k").cast("string"), lit(">"))))
+      .withColumn("tgt_piece",
+        when(col("corrupted") && col("pos") === col("b") * blockLen,
+          concat(lit("<extra_id_"), col("k").cast("string"), lit("> "), col("tok")))
+          .when(col("corrupted"), col("tok")))
+    pieces.groupBy("doc_id").agg(
+        count(lit(1)).as("n_tokens"),
+        countDistinct(when(col("corrupted"), col("b"))).as("n_spans"),
+        array_join(transform(array_sort(collect_list(
+          when(col("inp_piece").isNotNull,
+            struct(col("pos"), col("inp_piece").as("p"))))),
+          t => t("p")), " ").as("inputs"),
+        array_join(transform(array_sort(collect_list(
+          when(col("tgt_piece").isNotNull,
+            struct(col("pos"), col("tgt_piece").as("p"))))),
+          t => t("p")), " ").as("tgt_body"))
+      .withColumn("targets",
+        when(col("tgt_body") === "",
+          concat(lit("<extra_id_"), col("n_spans").cast("string"), lit(">")))
+          .otherwise(concat(col("tgt_body"), lit(" <extra_id_"),
+            col("n_spans").cast("string"), lit(">"))))
+      .select("doc_id", "n_tokens", "n_spans", "inputs", "targets")
+  }
 }

@@ -630,4 +630,26 @@ class TrainingOpsSpec extends SparkSpec {
     assert(out("c1") == ((4L, 2L, 1L, 500L, 750L)))
     assert(out("c2") == ((1L, 0L, 0L, 0L, -1L)), "no pair → null max jac")
   }
+
+  test("spanCorruption: sentinels number in order, clean doc gets the " +
+    "bare final sentinel, inputs/targets reassemble exactly") {
+    import TestSpark.spark.implicits._
+    // doc 0: gate b%7==0 → block 0 corrupted; doc 1: gate (4+b)%7==0 →
+    // block 3 corrupted (needs ≥10 tokens); doc 2 (8 tokens): clean
+    val docs = Seq(
+      (0L, "t0 t1 t2 t3 t4 t5 t6 t7"),
+      (1L, "u0 u1 u2 u3 u4 u5 u6 u7 u8 u9 u10 u11"),
+      (2L, "v0 v1 v2 v3 v4 v5 v6 v7")
+    ).toDF("doc_id", "text")
+    val out = operators.TrainingExport.spanCorruption(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getString(3), r.getString(4)))).toMap
+    assert(out(0L) == ((8L, 1L, "<extra_id_0> t3 t4 t5 t6 t7",
+      "<extra_id_0> t0 t1 t2 <extra_id_1>")))
+    assert(out(1L) == ((12L, 1L,
+      "u0 u1 u2 u3 u4 u5 u6 u7 u8 <extra_id_0>",
+      "<extra_id_0> u9 u10 u11 <extra_id_1>")))
+    assert(out(2L) == ((8L, 0L, "v0 v1 v2 v3 v4 v5 v6 v7",
+      "<extra_id_0>")))
+  }
 }
