@@ -1575,6 +1575,13 @@ object SparkEntry {
     "q283_span_corruption" -> ((s, d) =>
       operators.TrainingExport.spanCorruption(docs(s, d))),
 
+    // per-dimension whitening before IVF/PQ — integer-exact σ equalize
+    "q284_whiten" -> ((s, d) =>
+      ann.Quantize.whiten(vecs(s, d)).select(
+        col("vec_id"),
+        array_join(transform(col("white"), x => x.cast("string")), "|")
+          .as("white"))),
+
     // batch twin of the watermarked stream-stream user⋈tool pairing
     // (JoinStreamSpec proves streamed == this, incl. cross-batch state)
     "q279_turn_pairs" -> ((s, d) =>
@@ -5824,6 +5831,27 @@ SELECT len - 1 AS turn_t,
     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
     AS hazard_permille
 FROM hist"""),
+
+    // whitening: per-dim DECIMAL variance, isqrt σ, sign-split divide
+    "q284_whiten" -> withCtes(
+      "e" -> """SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS d,
+    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000.0) AS BIGINT) AS q
+  FROM embeddings""",
+      "st" -> """SELECT d, CAST(count(*) AS HUGEINT) AS n,
+    CAST(sum(q) AS HUGEINT) AS sq, sum(CAST(q AS HUGEINT) * q) AS sq2
+  FROM e GROUP BY 1""",
+      "sg" -> """SELECT d, CAST(sq // n AS BIGINT) AS mean_milli,
+    greatest(1, CAST(floor(sqrt(CAST(
+      (n * sq2 - sq * sq) // (n * n) AS DOUBLE))) AS BIGINT)) AS sigma_milli
+  FROM st""",
+      "wh" -> """SELECT e.vec_id, e.d,
+    CASE WHEN (e.q - s.mean_milli) >= 0
+      THEN (e.q - s.mean_milli) * 1000 // s.sigma_milli
+      ELSE -((s.mean_milli - e.q) * 1000 // s.sigma_milli) END AS w
+  FROM e JOIN sg s USING (d)""")("""
+SELECT vec_id,
+  string_agg(CAST(w AS VARCHAR), '|' ORDER BY d) AS white
+FROM wh GROUP BY 1"""),
 
     // span corruption: block gate + sentinel window + ordered reassembly
     "q283_span_corruption" -> withCtes(

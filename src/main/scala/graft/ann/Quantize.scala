@@ -123,6 +123,50 @@ object Quantize {
   /** Brute-force top-k over QUANTIZED vectors (broadcast query set) —
     * mirrors Similarity.bruteTopK but moves 4× fewer bytes per row and
     * ranks by the floored micro-cosine for cross-engine determinism. */
+  /** Per-dimension WHITENING (standardization) — the preprocessing step
+    * IVF/PQ quality rides on: a dimension with 10× the variance
+    * dominates every distance, so cells and codebooks partition on it
+    * alone; dividing each dimension by its corpus σ equalizes the axes
+    * before any index trains. Integer-exact end to end: components
+    * milli-quantize first, per-dim variance comes from the
+    * (n·Σq² − (Σq)²) DIV n² identity in DECIMAL(38,0), σ =
+    * ⌊√var⌋ (IEEE sqrt of an integer < 2⁵² is exactly rounded — the
+    * mixturePlan precedent), whitened = (q − mean)·1000 DIV max(1, σ).
+    *
+    * Shape: one posexplode → 64-row per-dim hash-agg; the stats fold to
+    * a ONE-ROW array via sorted collect and broadcast back, so the
+    * whitening itself is a map-only zip over each vector — the corpus
+    * never shuffles. */
+  def whiten(vecs: DataFrame): DataFrame = {
+    val qm = transform(col("embedding"),
+      x => floor(x.cast("double") * 1000.0).cast("long"))
+    val dims = vecs.select(posexplode(qm).as(Seq("d", "q")))
+      .groupBy("d").agg(
+        count(lit(1)).as("n"),
+        sum("q").as("sq"),
+        sum(expr("CAST(q AS DECIMAL(38,0)) * q")).as("sq2"))
+      .withColumn("mean_milli", expr("sq DIV n"))
+      .withColumn("var_milli2",
+        expr("(n * sq2 - CAST(sq AS DECIMAL(38,0)) * sq) DIV (n * CAST(n AS DECIMAL(38,0)))"))
+      .withColumn("sigma_milli",
+        greatest(lit(1L),
+          floor(sqrt(col("var_milli2").cast("double"))).cast("long")))
+    val stats = dims.agg(array_sort(collect_list(
+      struct(col("d"), col("mean_milli"), col("sigma_milli")))).as("st"))
+    vecs.select(col("vec_id"), qm.as("qm"))
+      .crossJoin(broadcast(stats))
+      .select(col("vec_id"),
+        zip_with(col("qm"), col("st"), (x, s) => {
+          // sign-split floor division (numerator may be negative; both
+          // engines must agree): floors of exact-integer double ratios
+          // are exact below 2^53
+          val num = (x - s.getField("mean_milli")).cast("double") * 1000.0
+          val den = s.getField("sigma_milli").cast("double")
+          when(num >= 0, floor(num / den))
+            .otherwise(-floor(-num / den)).cast("long")
+        }).as("white"))
+  }
+
   def quantizedTopK(vecs: DataFrame, k: Int = 5, queryMod: Int = 50): DataFrame = {
     val q = quantize(vecs)
     val qs = q.filter(col("vec_id") % queryMod === 0)

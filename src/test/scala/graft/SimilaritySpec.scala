@@ -283,6 +283,20 @@ class SimilaritySpec extends SparkSpec {
     assert(again.toSeq == out.toSeq)
   }
 
+  test("whiten: hand stats per dim, zero-variance dim collapses to 0, " +
+    "negative side sign-splits exactly") {
+    import TestSpark.spark.implicits._
+    val vecs = Seq(
+      (0L, Array(1.0f, 10.0f)),
+      (1L, Array(3.0f, 10.0f))
+    ).toDF("vec_id", "embedding")
+    val out = graft.ann.Quantize.whiten(vecs).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    // d0: mean 2000, var 1e6, σ 1000 → ±1000; d1: σ→1 floor, dev 0
+    assert(out(0L) == Seq(-1000L, 0L))
+    assert(out(1L) == Seq(1000L, 0L))
+  }
+
   test("prefixDimRecall: truncation promotes a prefix-identical vector, " +
     "overlap drops to 500 permille") {
     import TestSpark.spark.implicits._
