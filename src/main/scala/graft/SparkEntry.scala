@@ -1575,6 +1575,10 @@ object SparkEntry {
     "q283_span_corruption" -> ((s, d) =>
       operators.TrainingExport.spanCorruption(docs(s, d))),
 
+    // active-learning batch: disagreement pool, most-uncertain first
+    "q285_active_learning" -> ((s, d) =>
+      text.Selection.activeLearningBatch(docs(s, d))),
+
     // per-dimension whitening before IVF/PQ — integer-exact σ equalize
     "q284_whiten" -> ((s, d) =>
       ann.Quantize.whiten(vecs(s, d)).select(
@@ -5831,6 +5835,36 @@ SELECT len - 1 AS turn_t,
     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
     AS hazard_permille
 FROM hist"""),
+
+    // active learning: disagreement filter + uncertainty rank
+    "q285_active_learning" -> withCtes(
+      "b" -> s"""SELECT doc_id,
+    CAST(len($oToks) AS BIGINT) AS n_tokens,
+    CAST(len(list_filter($oToks, t -> ${text.TextAnalysis.stopwords
+        .map(w => s"t = '$w'").mkString(" OR ")})) AS BIGINT) AS n_stopwords,
+    CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS BIGINT) AS n_punct,
+    CAST(COALESCE(list_aggregate(
+      list_transform($oTokHashes, h -> (h % 2001) - 1000), 'sum'), 0)
+      AS BIGINT) AS score_sum
+  FROM documents""",
+      "r" -> """SELECT doc_id,
+    CASE WHEN (CASE WHEN n_tokens < 5 THEN 'too_short'
+       WHEN n_tokens > 0 AND CAST(floor(CAST(n_stopwords * 1000 AS DOUBLE)
+         / n_tokens) AS BIGINT) >= 400 THEN 'boilerplate'
+       WHEN n_punct * 5 > n_tokens * 2 THEN 'noisy'
+       ELSE 'ok' END) = 'ok' THEN 1 ELSE 0 END AS heur_keep,
+    CASE WHEN n_tokens > 0
+      THEN CAST(floor(score_sum * 1000.0 / n_tokens) AS BIGINT)
+      ELSE CAST(0 AS BIGINT) END AS logit_x1e3
+  FROM b""",
+      "p" -> """SELECT doc_id, heur_keep, logit_x1e3,
+    CASE WHEN logit_x1e3 >= 0 THEN 1 ELSE 0 END AS clf_keep FROM r
+  WHERE heur_keep <> (CASE WHEN logit_x1e3 >= 0 THEN 1 ELSE 0 END)""")("""
+SELECT CAST(rank AS BIGINT) AS rank, doc_id, logit_x1e3,
+  CAST(heur_keep AS BIGINT) AS heur_keep, CAST(clf_keep AS BIGINT) AS clf_keep
+FROM (SELECT *, row_number() OVER (ORDER BY abs(logit_x1e3), doc_id) AS rank
+      FROM p) z
+WHERE rank <= 50"""),
 
     // whitening: per-dim DECIMAL variance, isqrt σ, sign-split divide
     "q284_whiten" -> withCtes(

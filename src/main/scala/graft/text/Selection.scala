@@ -267,4 +267,38 @@ object Selection {
           col("n_tokens") === col("fr_len"))
       .select("doc_id", "stop_permille", "n_tokens")
   }
+
+  /** ACTIVE-LEARNING batch selection — which documents should a human
+    * (or a frontier model) label next? The classic query-by-committee ∩
+    * uncertainty recipe over this engine's two existing raters: the
+    * pool is the DISAGREEMENT set (heuristic quality gate vs classifier
+    * keep — where the raters disagree is where a label buys the most),
+    * ranked by |logit| ascending (closest to the decision boundary =
+    * most uncertain), doc_id tie-break, cut at `budget`. Labels spent on
+    * confident agreements are wasted; this is the measured alternative.
+    *
+    * Shape: both verdicts are ONE map-only pass off the scan (fused
+    * TokenScore + the quality battery, the raterAgreement shape); only
+    * the disagreement SLIVER reaches the ranking window (pool-sized, a
+    * small share of any real corpus — swap in the q280 tournament if a
+    * pool ever rivals the corpus). */
+  def activeLearningBatch(docs: DataFrame, budget: Int = 50): DataFrame = {
+    val qc = TextAnalysis.qualityColumns(col("text"))
+    val rated = docs.select(col("doc_id"),
+        when(qc("quality_bucket") === "ok", 1L).otherwise(0L).as("heur_keep"),
+        TokenScore.scoreStruct(col("text")).as("_s"))
+      .withColumn("logit_x1e3",
+        when(col("_s.n_tokens") > 0,
+          floor(col("_s.score_sum") * lit(1000.0) / col("_s.n_tokens"))
+            .cast("long"))
+          .otherwise(lit(0L)))
+      .withColumn("clf_keep",
+        when(col("logit_x1e3") >= 0, 1L).otherwise(0L))
+      .filter(col("heur_keep") =!= col("clf_keep"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(abs(col("logit_x1e3")), col("doc_id"))
+    rated.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= budget)
+      .select("rank", "doc_id", "logit_x1e3", "heur_keep", "clf_keep")
+  }
 }

@@ -977,6 +977,32 @@ class TextOpsSpec extends SparkSpec {
       fanout = 7)) == plain)
   }
 
+  test("activeLearningBatch: pool is exactly the disagreements, ranked " +
+    "by uncertainty — first-principles recompute") {
+    val docs = spark.read.parquet(s"$tiny/documents.parquet")
+    val P = 1000000007L
+    def tokHash(t: String): Long =
+      t.codePoints().toArray.foldLeft(7L)((a, c) => (a * 31 + c) % P)
+    val expected = docs.collect().flatMap { r =>
+      val (id, text) = (r.getLong(0), r.getString(1))
+      val toks = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      val n = toks.length.toLong
+      val stop = toks.count(graft.text.TextAnalysis.stopwords.contains).toLong
+      val punct = "[^A-Za-z0-9\\s]".r.findAllIn(text).length.toLong
+      val sp = if (n > 0) math.floor(stop * 1000.0 / n).toLong else 0L
+      val heur = if (n >= 5 && sp < 400 && punct * 5 <= n * 2) 1L else 0L
+      val score = toks.map(t => tokHash(t) % 2001 - 1000).sum
+      val logit = if (n > 0) math.floor(score * 1000.0 / n).toLong else 0L
+      val clf = if (logit >= 0) 1L else 0L
+      if (heur != clf) Some((id, logit, heur, clf)) else None
+    }.sortBy(x => (x._2.abs, x._1)).take(50).zipWithIndex
+      .map { case ((id, lg, h, c), i) => (i + 1L, id, lg, h, c) }.toSeq
+    val out = graft.text.Selection.activeLearningBatch(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).sortBy(_._1).toSeq
+    assert(out.nonEmpty && out == expected)
+  }
+
   test("featureGini: exact recompute of all three feature tables") {
     val docs = spark.read.parquet(s"$tiny/documents.parquet")
     val P = 1000000007L
