@@ -1579,6 +1579,10 @@ object SparkEntry {
     "q285_active_learning" -> ((s, d) =>
       text.Selection.activeLearningBatch(docs(s, d))),
 
+    // LTR training-set export: per-candidate feature vector + weak label
+    "q286_ltr_features" -> ((s, d) =>
+      text.Bm25.ltrFeatures(docs(s, d))),
+
     // per-dimension whitening before IVF/PQ — integer-exact σ equalize
     "q284_whiten" -> ((s, d) =>
       ann.Quantize.whiten(vecs(s, d)).select(
@@ -5835,6 +5839,41 @@ SELECT len - 1 AS turn_t,
     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
     AS hazard_permille
 FROM hist"""),
+
+    // LTR export: bm25 + coverage + shape + logit features, weak label
+    "q286_ltr_features" -> s"""$bm25Ctes,
+topk AS (
+  SELECT q_id, doc_id, score_micro, CAST(rank AS BIGINT) AS bm25_rank FROM (
+    SELECT q_id, doc_id, score_micro,
+      row_number() OVER (PARTITION BY q_id ORDER BY score_micro DESC, doc_id) AS rank
+    FROM scored) r
+  WHERE rank <= 5),
+qsize AS (SELECT q_id, CAST(count(*) AS BIGINT) AS q_toks FROM qterms GROUP BY 1),
+dtok AS (
+  SELECT t.q_id, t.doc_id, unnest(list_distinct($oTokHashes)) AS tok
+  FROM topk t JOIN documents d ON t.doc_id = d.doc_id),
+cover AS (
+  SELECT c.q_id, c.doc_id, CAST(count(*) AS BIGINT) AS n_common
+  FROM dtok c JOIN qterms q ON c.q_id = q.q_id AND c.tok = q.tok
+  GROUP BY 1, 2),
+shape AS (
+  SELECT t.q_id, t.doc_id, CAST(len($oToks) AS BIGINT) AS d_toks,
+    CASE WHEN len($oToks) > 0
+         THEN CAST(floor(COALESCE(list_aggregate(
+                list_transform($oTokHashes, h -> (h % 2001) - 1000), 'sum'), 0)
+              * 1000.0 / len($oToks)) AS BIGINT)
+         ELSE CAST(0 AS BIGINT) END AS logit_x1e3
+  FROM topk t JOIN documents d ON t.doc_id = d.doc_id)
+SELECT t.q_id, t.doc_id, t.bm25_rank, t.score_micro,
+  coalesce(c.n_common, 0) AS n_common,
+  CAST(s.d_toks * 1000 // q.q_toks AS BIGINT) AS len_ratio_permille,
+  s.logit_x1e3,
+  CASE WHEN coalesce(c.n_common, 0) * 1000 // q.q_toks >= 500
+    THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS label
+FROM topk t
+LEFT JOIN cover c ON c.q_id = t.q_id AND c.doc_id = t.doc_id
+JOIN shape s ON s.q_id = t.q_id AND s.doc_id = t.doc_id
+JOIN qsize q ON q.q_id = t.q_id""",
 
     // active learning: disagreement filter + uncertainty rank
     "q285_active_learning" -> withCtes(

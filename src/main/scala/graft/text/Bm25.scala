@@ -342,6 +342,53 @@ object Bm25 {
         "fused_rank")
   }
 
+  /** LEARNING-TO-RANK training-set export — the artifact a search team
+    * actually ships to its ranker trainer: one row per (query, BM25
+    * candidate) with the feature vector
+    * (bm25 score, lexical coverage, length ratio, quality logit) and the
+    * weak relevance label ([[retrievalEval]]'s ≥ coverMin‰ coverage
+    * criterion, the bootstrap label before human judgments exist). The
+    * features deliberately span the three signal families a production
+    * LTR model blends: query-dependent lexical, query-independent
+    * quality, and shape priors.
+    *
+    * Shape: candidates are [[topK]]'s posting-pruned pass; everything
+    * downstream (coverage grade, lengths, classifier logit) touches only
+    * the queries×k result docs via the broadcast hit list — the
+    * [[retrievalEval]] cost shape, independent of corpus size. */
+  def ltrFeatures(docs: DataFrame, k: Int = 5, queryMod: Int = 211,
+                  coverMin: Int = 500): DataFrame = {
+    val hits = topK(docs, k, queryMod)
+      .select(col("q_id"), col("rank").as("bm25_rank"), col("doc_id"),
+        col("score_micro"))
+    val qtok = docs.filter(col("doc_id") % queryMod === 0)
+      .select(col("doc_id").as("q_id"),
+        explode(array_distinct(TextAnalysis.tokHashes(col("text")))).as("tok"))
+    val qsize = qtok.groupBy("q_id").agg(count(lit(1)).as("q_toks"))
+    val cand = docs.select(col("doc_id"), col("text"))
+      .join(broadcast(hits.select("q_id", "doc_id")), "doc_id")
+    val dtok = cand.select(col("q_id"), col("doc_id"),
+      explode(array_distinct(TextAnalysis.tokHashes(col("text")))).as("tok"))
+    val cover = dtok.join(qtok, Seq("q_id", "tok"))
+      .groupBy("q_id", "doc_id").agg(count(lit(1)).as("n_common"))
+    val shape = cand.select(col("q_id"), col("doc_id"),
+      size(TextAnalysis.tokens(col("text"))).cast("long").as("d_toks"))
+    val logits = Classifier.score(cand.select("doc_id", "text").distinct())
+      .select(col("doc_id"), col("logit_x1e3"))
+    hits
+      .join(cover, Seq("q_id", "doc_id"), "left")
+      .join(shape, Seq("q_id", "doc_id"))
+      .join(broadcast(qsize), "q_id")
+      .join(logits, "doc_id")
+      .withColumn("n_common", coalesce(col("n_common"), lit(0L)))
+      .withColumn("len_ratio_permille", expr("d_toks * 1000 DIV q_toks"))
+      .withColumn("label",
+        when(expr("n_common * 1000 DIV q_toks") >= coverMin, 1L)
+          .otherwise(0L))
+      .select("q_id", "doc_id", "bm25_rank", "score_micro", "n_common",
+        "len_ratio_permille", "logit_x1e3", "label")
+  }
+
   /** Micro-quantized DCG discount table ⌊1e6 / log₂(rank+1)⌋ for ranks
     * 1..k — the ONE place the irrational discounts are floored to
     * integers; both the Spark plan and the DuckDB oracle render their

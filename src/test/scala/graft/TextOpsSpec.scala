@@ -903,6 +903,28 @@ class TextOpsSpec extends SparkSpec {
       "the covering doc outranks the 1-term doc under BM25")
   }
 
+  test("ltrFeatures: coverage/shape/label per candidate, logit matches " +
+    "the classifier") {
+    val docs = Seq(
+      (0L, "alpha beta gamma delta"),
+      (1L, "alpha beta gamma delta and much more content here"),
+      (2L, "alpha only plus unrelated words entirely"),
+      (3L, "nothing shared with the query at all")
+    ).toDF("doc_id", "text")
+    val out = graft.text.Bm25.ltrFeatures(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(4),
+        r.getLong(5), r.getLong(6), r.getLong(7)))).toMap
+    val logits = graft.text.Classifier.score(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    val (rk1, nc1, lr1, lg1, lb1) = out((0L, 1L))
+    assert(rk1 == 1L && nc1 == 4L && lr1 == 2250L && lb1 == 1L)
+    assert(lg1 == logits(1L))
+    val (rk2, nc2, lr2, lg2, lb2) = out((0L, 2L))
+    assert(rk2 == 2L && nc2 == 1L && lr2 == 1500L && lb2 == 0L)
+    assert(lg2 == logits(2L))
+    assert(out.size == 2, "doc 3 shares nothing and never scores")
+  }
+
   test("rrfFusion: rank contributions, absent-list zeros, fused order") {
     // query doc 0: 5 distinct tokens; docs 1..5 cover 5..1 of them, doc 6
     // ties doc 5 at coverage 1 (loses the id tie-break, so it can only
