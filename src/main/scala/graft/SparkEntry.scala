@@ -1583,6 +1583,10 @@ object SparkEntry {
     "q286_ltr_features" -> ((s, d) =>
       text.Bm25.ltrFeatures(docs(s, d))),
 
+    // SRE multi-window burn-rate alert grid (5 min ∧ 1 h)
+    "q287_burn_rate" -> ((s, d) =>
+      operators.Aggregates.burnRate(Pipeline.parsed(s, d))),
+
     // per-dimension whitening before IVF/PQ — integer-exact σ equalize
     "q284_whiten" -> ((s, d) =>
       ann.Quantize.whiten(vecs(s, d)).select(
@@ -5874,6 +5878,25 @@ FROM topk t
 LEFT JOIN cover c ON c.q_id = t.q_id AND c.doc_id = t.doc_id
 JOIN shape s ON s.q_id = t.q_id AND s.doc_id = t.doc_id
 JOIN qsize q ON q.q_id = t.q_id""",
+
+    // burn rate: two time-grain aggs, floored epoch buckets
+    "q287_burn_rate" -> withCtes(
+      "bb" -> s"""SELECT CAST(floor(epoch(ts)) AS BIGINT) // 300 AS b5,
+    CASE WHEN $oName = 'error_reported' THEN 1 ELSE 0 END AS is_err
+  FROM transcripts""",
+      "s" -> """SELECT b5, CAST(count(*) AS BIGINT) AS n_s,
+    CAST(sum(is_err) AS BIGINT) AS err_s, b5 // 12 AS hour
+  FROM bb GROUP BY 1""",
+      "l" -> """SELECT b5 // 12 AS hour, CAST(count(*) AS BIGINT) AS n_l,
+    CAST(sum(is_err) AS BIGINT) AS err_l FROM bb GROUP BY 1""")("""
+SELECT s.b5, s.hour, s.n_s,
+  CAST(err_s * 1000 // n_s AS BIGINT) AS err_s_permille,
+  l.n_l, CAST(err_l * 1000 // n_l AS BIGINT) AS err_l_permille,
+  CAST((err_s * 1000 // n_s) * 1000 // 50 AS BIGINT) AS burn_s_x1000,
+  CAST((err_l * 1000 // n_l) * 1000 // 50 AS BIGINT) AS burn_l_x1000,
+  (err_s * 1000 // n_s) * 1000 // 50 >= 6000
+    AND (err_l * 1000 // n_l) * 1000 // 50 >= 6000 AS alert
+FROM s JOIN l USING (hour)"""),
 
     // active learning: disagreement filter + uncertainty rank
     "q285_active_learning" -> withCtes(

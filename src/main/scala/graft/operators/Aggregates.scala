@@ -635,4 +635,43 @@ object Aggregates {
         element_at(col("vs"),
           (col("k") - col("cum_before")).cast("int")).as("value"))
   }
+
+  /** MULTI-WINDOW BURN-RATE alerting (the SRE workbook rule): page only
+    * when the error-budget burn is high in BOTH a short window (the
+    * "it's happening now" signal) and its enclosing long window (the
+    * "it's not a blip" signal) — the standard fix for the
+    * single-threshold alert that either pages on noise or sleeps through
+    * slow burns. Per short bucket: event/error counts at both grains,
+    * burn ×1000 = err‰ · 1000 DIV budget‰, and the two-window verdict.
+    *
+    * Integer-exact throughout; 5-minute buckets via epoch DIV (the
+    * engines' date_trunc have no 5-minute grain) and hours as the
+    * enclosing parent by construction. Shape: TWO time-bucket hash-aggs
+    * off one scan and an equi-join of the short grid to its parent hour
+    * — both aggregate-sized; no windows over the corpus. */
+  def burnRate(parsed: DataFrame, budgetPermille: Long = 50L,
+               burnX: Long = 6L): DataFrame = {
+    val base = parsed.select(
+      expr("CAST(unix_seconds(CAST(ts AS TIMESTAMP)) DIV 300 AS BIGINT)")
+        .as("b5"),
+      when(col("name") === "error_reported", 1L).otherwise(0L).as("is_err"))
+    val short = base.groupBy("b5").agg(
+        count(lit(1)).as("n_s"), sum("is_err").as("err_s"))
+      .withColumn("err_s_permille", expr("err_s * 1000 DIV n_s"))
+      .withColumn("hour", expr("b5 DIV 12"))
+    val long = base.withColumn("hour", expr("b5 DIV 12"))
+      .groupBy("hour").agg(
+        count(lit(1)).as("n_l"), sum("is_err").as("err_l"))
+      .withColumn("err_l_permille", expr("err_l * 1000 DIV n_l"))
+    short.join(long, "hour")
+      .withColumn("burn_s_x1000",
+        expr(s"err_s_permille * 1000 DIV $budgetPermille"))
+      .withColumn("burn_l_x1000",
+        expr(s"err_l_permille * 1000 DIV $budgetPermille"))
+      .withColumn("alert",
+        col("burn_s_x1000") >= burnX * 1000L &&
+          col("burn_l_x1000") >= burnX * 1000L)
+      .select("b5", "hour", "n_s", "err_s_permille", "n_l",
+        "err_l_permille", "burn_s_x1000", "burn_l_x1000", "alert")
+  }
 }

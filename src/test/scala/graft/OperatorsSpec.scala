@@ -298,6 +298,25 @@ class OperatorsSpec extends SparkSpec {
       "d" -> ((20L, 20L, true, 5L))))
   }
 
+  test("burnRate: alert only when BOTH windows burn — blip in a quiet " +
+    "hour stays silent, sustained burn pages") {
+    import TestSpark.spark.implicits._
+    def rows(b5: Long, n: Int, errs: Int) = (0 until n).map(i =>
+      (b5 * 300 + i, if (i < errs) "error_reported" else "ok"))
+    val df = (rows(0, 10, 6) ++ rows(1, 90, 24) ++
+      rows(12, 10, 6) ++ rows(13, 190, 0))
+      .toDF("off", "name")
+      .withColumn("ts", to_timestamp(col("off")))
+    val out = operators.Aggregates.burnRate(df).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6), r.getLong(7), r.getBoolean(8)))).toMap
+    assert(out(0L) == ((10L, 600L, 100L, 300L, 12000L, 6000L, true)))
+    assert(out(1L) == ((90L, 266L, 100L, 300L, 5320L, 6000L, false)))
+    assert(out(12L) == ((10L, 600L, 200L, 30L, 12000L, 600L, false)),
+      "short-window blip in a healthy hour must not page")
+    assert(out(13L) == ((190L, 0L, 200L, 30L, 0L, 600L, false)))
+  }
+
   test("survivalHazard: reaching counts telescope, hazards exact, " +
     "last length always 1000 permille") {
     import TestSpark.spark.implicits._
