@@ -1587,6 +1587,23 @@ object SparkEntry {
     "q287_burn_rate" -> ((s, d) =>
       operators.Aggregates.burnRate(Pipeline.parsed(s, d))),
 
+    // schema-evolution diff across epochs with planted added / removed /
+    // type-changed keys in the new half
+    "q288_schema_diff" -> ((s, d) => {
+      val t = Transcripts.load(s, d)
+      val cut = lit("2024-01-16 00:00:00").cast("timestamp_ntz")
+      val oldT = t.filter(col("ts") < cut)
+      val newT = t.filter(col("ts") >= cut)
+        .withColumn("text", regexp_replace(
+          regexp_replace(col("text"), " db_id=[0-9]+", " db_id=oops"),
+          " cpu_time=[0-9]+", ""))
+        .withColumn("text",
+          when(col("text").startsWith("event=error_reported"),
+            concat(col("text"), lit(" schema_rev=2")))
+            .otherwise(col("text")))
+      operators.DqRules.schemaDiff(oldT, newT)
+    }),
+
     // per-dimension whitening before IVF/PQ — integer-exact σ equalize
     "q284_whiten" -> ((s, d) =>
       ann.Quantize.whiten(vecs(s, d)).select(
@@ -1709,6 +1726,34 @@ object SparkEntry {
   FROM lg""",
     "ledges" -> """SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v
   FROM sq WHERE a IS NOT NULL AND a <> b""")
+
+  /** inferSchema as DuckDB CTEs over an arbitrary source CTE (mirror of
+    * DqRules.inferSchema; suffix keeps two instances disjoint — the
+    * q288 schema-evolution diff runs one per epoch). */
+  private def oInferCtes(src: String, sfx: String): Seq[(String, String)] = Seq(
+    s"pr$sfx" -> s"""SELECT regexp_extract(text, '^event=([a-z_0-9]+)', 1) AS name,
+    unnest(regexp_extract_all(text, '([a-z_0-9]+)=([^ ]*)')) AS kv
+  FROM $src""",
+    s"kvp$sfx" -> s"""SELECT name,
+    regexp_extract(kv, '^([a-z_0-9]+)=', 1) AS pkey,
+    regexp_extract(kv, '^[a-z_0-9]+=(.*)$$', 1) AS pval
+  FROM pr$sfx WHERE name != ''""",
+    s"ty$sfx" -> s"""SELECT name, pkey,
+    CASE WHEN pval = '' THEN 'empty'
+         WHEN regexp_matches(pval, '^-?[0-9]+$$') THEN 'int'
+         WHEN regexp_matches(pval, '^0x[0-9a-fA-F]+$$') THEN 'hex'
+         WHEN regexp_matches(pval, '^-?[0-9]+\\.[0-9]+$$') THEN 'float'
+         WHEN pval IN ('true', 'false') THEN 'bool'
+         ELSE 'string' END AS vtype
+  FROM kvp$sfx WHERE pkey != 'event'""",
+    s"g$sfx" -> s"""SELECT name, pkey, vtype, CAST(count(*) AS BIGINT) AS n
+  FROM ty$sfx GROUP BY 1, 2, 3""",
+    s"r$sfx" -> s"""SELECT *, row_number() OVER (PARTITION BY name, pkey
+    ORDER BY n DESC, vtype) AS rk FROM g$sfx""",
+    s"sch$sfx" -> s"""SELECT name, pkey AS key,
+    CAST(sum(n) AS BIGINT) AS n_obs,
+    max(CASE WHEN rk = 1 THEN vtype END) AS mt
+  FROM r$sfx GROUP BY 1, 2""")
 
   /** One HITS mutual-reinforcement round as DuckDB CTEs (mirror of
     * graph.Graphs.hits: weighted in/out sums, ‰ max-normalization). */
@@ -5878,6 +5923,24 @@ FROM topk t
 LEFT JOIN cover c ON c.q_id = t.q_id AND c.doc_id = t.doc_id
 JOIN shape s ON s.q_id = t.q_id AND s.doc_id = t.doc_id
 JOIN qsize q ON q.q_id = t.q_id""",
+
+    // schema diff: two inferSchema pyramids + full-outer verdict join
+    "q288_schema_diff" -> withCtes((Seq(
+      "oldt" -> "SELECT * FROM transcripts WHERE ts < TIMESTAMP '2024-01-16'",
+      "newt" -> """SELECT CASE WHEN base LIKE 'event=error_reported%'
+      THEN base || ' schema_rev=2' ELSE base END AS text FROM (
+    SELECT regexp_replace(regexp_replace(text,
+      ' db_id=[0-9]+', ' db_id=oops', 'g'),
+      ' cpu_time=[0-9]+', '', 'g') AS base
+    FROM transcripts WHERE ts >= TIMESTAMP '2024-01-16') z""") ++
+      oInferCtes("oldt", "a") ++ oInferCtes("newt", "b")): _*)("""
+SELECT coalesce(a.name, b.name) AS name, coalesce(a.key, b.key) AS key,
+  CAST(coalesce(a.n_obs, 0) AS BIGINT) AS n_old,
+  CAST(coalesce(b.n_obs, 0) AS BIGINT) AS n_new,
+  coalesce(a.mt, '') AS type_old, coalesce(b.mt, '') AS type_new,
+  CASE WHEN a.mt IS NULL THEN 'added' WHEN b.mt IS NULL THEN 'removed'
+       WHEN a.mt <> b.mt THEN 'type_changed' ELSE 'stable' END AS verdict
+FROM scha a FULL OUTER JOIN schb b ON a.name = b.name AND a.key = b.key"""),
 
     // burn rate: two time-grain aggs, floored epoch buckets
     "q287_burn_rate" -> withCtes(

@@ -171,6 +171,35 @@ object DqRules {
       .groupBy("template").agg(count(lit(1)).as("n_turns"))
   }
 
+  /** SCHEMA-EVOLUTION diff — [[inferSchema]] run on two corpus EPOCHS
+    * and joined into per-(event, key) verdicts: `added` (new key),
+    * `removed` (gone), `type_changed` (majority type moved — the
+    * break-the-parser alarm), `stable`. The data-contract gate a feed
+    * owner runs before promoting a producer release: q196's coverage
+    * drift sees VOLUME moves, this sees SHAPE moves.
+    *
+    * Shape: two inferSchema passes (each one grid-bounded hash-agg +
+    * window over the grid) and a full-outer equi-join OF the two grids
+    * — aggregate-sized everywhere. */
+  def schemaDiff(oldT: DataFrame, newT: DataFrame): DataFrame = {
+    val o = inferSchema(oldT).select(col("name"), col("key"),
+      col("n_obs").as("n_old"), col("majority_type").as("type_old"))
+    val n = inferSchema(newT).select(col("name"), col("key"),
+      col("n_obs").as("n_new"), col("majority_type").as("type_new"))
+    o.join(n, Seq("name", "key"), "full_outer")
+      .withColumn("n_old", coalesce(col("n_old"), lit(0L)))
+      .withColumn("n_new", coalesce(col("n_new"), lit(0L)))
+      .withColumn("verdict",
+        when(col("type_old").isNull, "added")
+          .when(col("type_new").isNull, "removed")
+          .when(col("type_old") =!= col("type_new"), "type_changed")
+          .otherwise("stable"))
+      .withColumn("type_old", coalesce(col("type_old"), lit("")))
+      .withColumn("type_new", coalesce(col("type_new"), lit("")))
+      .select("name", "key", "n_old", "n_new", "type_old", "type_new",
+        "verdict")
+  }
+
   /** Benford's-law first-digit shares ‰, ⌊log₁₀(1+1/d)·1000⌋ for
     * d = 1..9 — the ONE constant table both engines render (the
     * dpCounts shared-constant pattern). */

@@ -298,6 +298,22 @@ class OperatorsSpec extends SparkSpec {
       "d" -> ((20L, 20L, true, 5L))))
   }
 
+  test("schemaDiff: added / removed / type_changed / stable verdicts") {
+    import TestSpark.spark.implicits._
+    val oldT = Seq("event=foo a=1 b=x", "event=foo a=2 b=y",
+      "event=bar z=9").toDF("text")
+    val newT = Seq("event=foo a=hello b=x c=5").toDF("text")
+    val out = operators.DqRules.schemaDiff(oldT, newT).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2),
+        r.getLong(3), r.getString(4), r.getString(5), r.getString(6))))
+      .toMap
+    assert(out(("foo", "a")) == ((2L, 1L, "int", "string", "type_changed")))
+    assert(out(("foo", "b")) == ((2L, 1L, "string", "string", "stable")))
+    assert(out(("foo", "c")) == ((0L, 1L, "", "int", "added")))
+    assert(out(("bar", "z")) == ((1L, 0L, "int", "", "removed")))
+    assert(out.size == 4)
+  }
+
   test("burnRate: alert only when BOTH windows burn — blip in a quiet " +
     "hour stays silent, sustained burn pages") {
     import TestSpark.spark.implicits._
