@@ -1587,6 +1587,14 @@ object SparkEntry {
     "q287_burn_rate" -> ((s, d) =>
       operators.Aggregates.burnRate(Pipeline.parsed(s, d))),
 
+    // top-weighted ranking agreement (RBO) between BM25 and the reranker
+    "q289_rbo" -> ((s, d) =>
+      text.Bm25.rboAgreement(docs(s, d))),
+
+    // mutual top-k: hub-safe reciprocal neighbour pairs on the sample
+    "q290_mutual_knn" -> ((s, d) =>
+      ann.Similarity.mutualTopK(vecs(s, d))),
+
     // schema-evolution diff across epochs with planted added / removed /
     // type-changed keys in the new half
     "q288_schema_diff" -> ((s, d) => {
@@ -5923,6 +5931,41 @@ FROM topk t
 LEFT JOIN cover c ON c.q_id = t.q_id AND c.doc_id = t.doc_id
 JOIN shape s ON s.q_id = t.q_id AND s.doc_id = t.doc_id
 JOIN qsize q ON q.q_id = t.q_id""",
+
+    // RBO: rerank pyramid + depth explode + shared constant table
+    "q289_rbo" -> {
+      val cc = (1 to 5)
+        .map(d => s"WHEN $d THEN ${text.Bm25.rboConstMicro(5)(d - 1)}")
+        .mkString(" ")
+      s"""$rerankCtes,
+dep AS (
+  SELECT q_id, bm25_rank, rerank, unnest(generate_series(1, 5)) AS d
+  FROM rr),
+xd AS (
+  SELECT q_id, d,
+    CAST(sum(CASE WHEN bm25_rank <= d AND rerank <= d THEN 1 ELSE 0 END)
+      AS BIGINT) AS x_d
+  FROM dep GROUP BY 1, 2)
+SELECT q_id, CAST(count(*) AS BIGINT) AS n_depths,
+  CAST(sum(x_d * (CASE d $cc END)) AS BIGINT) AS rbo_micro,
+  CAST(max(CASE WHEN d = 5 THEN x_d END) AS BIGINT) AS overlap_at_k
+FROM xd GROUP BY 1"""
+    },
+
+    // mutual kNN: reciprocity self-join over the sample's top-k lists
+    "q290_mutual_knn" -> s"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+  FROM embeddings WHERE vec_id % 10 = 0),
+j AS (SELECT q.vec_id AS q_id, d.vec_id AS n_id, ${oCos("q.e", "d.e")} AS cos
+  FROM v q CROSS JOIN v d WHERE d.vec_id != q.vec_id),
+k AS (SELECT q_id, n_id, CAST(rank AS BIGINT) AS rank FROM (
+  SELECT q_id, n_id,
+    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
+  FROM j) r
+  WHERE rank <= 5)
+SELECT a.q_id AS id_a, a.n_id AS id_b, a.rank AS rank_ab, b.rank AS rank_ba
+FROM k a JOIN k b ON b.q_id = a.n_id AND b.n_id = a.q_id
+WHERE a.q_id < a.n_id""",
 
     // schema diff: two inferSchema pyramids + full-outer verdict join
     "q288_schema_diff" -> withCtes((Seq(

@@ -41,6 +41,30 @@ object Similarity {
       .select(col("q_id"), col("vec_id").as("neighbor_id"), col("rank"))
   }
 
+  /** RECIPROCAL (mutual) nearest-neighbour pairs on the sampled eval
+    * subset — the high-precision pairing rule: (a, b) matches only when
+    * b is in a's top-k AND a is in b's. One-sided kNN lists are
+    * asymmetric around hubs (a hub is everyone's neighbour while its
+    * own list holds only other hubs), and mutuality is the standard
+    * cheap filter that kills hub-induced false pairs before any
+    * expensive verification. Subset-bounded BY DESIGN (the q219
+    * eval-harness convention); the production path composes
+    * [[bucketedTopK]] lists through the same reciprocity join.
+    *
+    * Shape: one kNN pass over the sample, then a self equi-join of the
+    * (queries×k)-sized list on the flipped pair — aggregate-scale. */
+  def mutualTopK(vecs: DataFrame, k: Int = 5,
+                 sampleMod: Int = 10): DataFrame = {
+    val sub = vecs.filter(col("vec_id") % sampleMod === 0)
+    val knn = bruteTopK(sub, k, queryMod = 1)
+      .select(col("q_id"), col("neighbor_id"), col("rank").cast("long"))
+    val a = knn.select(col("q_id").as("id_a"),
+      col("neighbor_id").as("id_b"), col("rank").as("rank_ab"))
+    val b = knn.select(col("neighbor_id").as("id_a"),
+      col("q_id").as("id_b"), col("rank").as("rank_ba"))
+    a.join(b, Seq("id_a", "id_b")).filter(col("id_a") < col("id_b"))
+  }
+
   /** MATRYOSHKA-style prefix-dimension recall audit: how much ANN
     * quality survives truncating embeddings to their first `prefixDim`
     * components? Per query, the overlap between top-k under full-dim

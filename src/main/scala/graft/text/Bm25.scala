@@ -292,6 +292,54 @@ object Bm25 {
         expr("n_concordant * 1000 DIV n_pairs"))
   }
 
+  /** Truncated rank-biased-overlap constants ⌊(1−p)·p^(d−1)/d·1e6⌋ for
+    * depths 1..k at persistence p — the ONE table both engines render
+    * (dpCounts pattern). At p=0.9, k=5 the mass is the RBO_min lower
+    * bound (≈0.41 of the full infinite-depth measure) — documented
+    * truncation, not an approximation error. */
+  def rboConstMicro(k: Int, pPermille: Long = 900L): Seq[Long] = {
+    // exact rational: 1e6·(1000−pp)·pp^(d−1) / (1000^d · d) in BigInt
+    // (a double 1−0.9 is 0.09999…8 and floors the whole table 1 low)
+    (1 to k).map { d =>
+      val num = BigInt(1000000) * (1000 - pPermille) *
+        BigInt(pPermille).pow(d - 1)
+      (num / (BigInt(1000).pow(d) * d)).toLong
+    }
+  }
+
+  /** Rank-biased overlap (Webber et al.) between the BM25 order and the
+    * reranked order — the TOP-WEIGHTED agreement measure beside q193's
+    * Kendall concordance, which weights all pair swaps equally: RBO
+    * discounts depth d by p^(d−1), so disagreement at rank 1 costs ~7×
+    * rank 5, matching how ranking quality is actually consumed. Per
+    * query: the overlap X_d at each depth and
+    * rbo_micro = Σ c_d·X_d with the shared [[rboConstMicro]] constants —
+    * integer-exact.
+    *
+    * Shape: both rankings are the queries×k rerank frame
+    * ([[rerankTopK]]); depths unroll as a constant-fanout explode and
+    * the overlap counts are one (q, d)-grid hash-agg — candidate-sized
+    * everywhere. */
+  def rboAgreement(docs: DataFrame, k: Int = 5, queryMod: Int = 211,
+                   pPermille: Long = 900L): DataFrame = {
+    val c = rboConstMicro(k, pPermille)
+    val cCase = (1 to k).map(d => s"WHEN $d THEN ${c(d - 1)}L")
+      .mkString("CASE d ", " ", " END")
+    val rr = rerankTopK(docs, k, queryMod)
+      .select("q_id", "doc_id", "bm25_rank", "rerank")
+    val depths = rr.select(col("q_id"), col("doc_id"), col("bm25_rank"),
+      col("rerank"), explode(sequence(lit(1), lit(k))).as("d"))
+    val xd = depths
+      .groupBy("q_id", "d").agg(
+        sum(when(col("bm25_rank") <= col("d") && col("rerank") <= col("d"),
+          1L).otherwise(0L)).as("x_d"))
+    xd.withColumn("c_micro", expr(cCase))
+      .groupBy("q_id").agg(
+        count(lit(1)).as("n_depths"),
+        sum(expr("x_d * c_micro")).as("rbo_micro"),
+        max(when(col("d") === k, col("x_d"))).as("overlap_at_k"))
+  }
+
   /** Reciprocal-rank fusion (Cormack/Clarke/Büttcher RRF, the standard
     * hybrid-retrieval merge) of two INDEPENDENT rankers over the same
     * query set: each ranked list contributes `1e6 DIV (kc + rank)` for

@@ -283,6 +283,22 @@ class SimilaritySpec extends SparkSpec {
     assert(again.toSeq == out.toSeq)
   }
 
+  test("mutualTopK: hub pair is reciprocal, the satellite's one-sided " +
+    "pick is filtered") {
+    import TestSpark.spark.implicits._
+    def ang(deg: Double) = {
+      val r = math.toRadians(deg)
+      Array(math.cos(r).toFloat, math.sin(r).toFloat)
+    }
+    // a(0°) and b(10°) are each other's nearest; c(80°) picks b but b
+    // does not pick c back at k=1
+    val vecs = Seq((0L, ang(0)), (10L, ang(10)), (20L, ang(80)))
+      .toDF("vec_id", "embedding")
+    val out = graft.ann.Similarity.mutualTopK(vecs, k = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq((0L, 10L, 1L, 1L)))
+  }
+
   test("whiten: hand stats per dim, zero-variance dim collapses to 0, " +
     "negative side sign-splits exactly") {
     import TestSpark.spark.implicits._

@@ -903,6 +903,26 @@ class TextOpsSpec extends SparkSpec {
       "the covering doc outranks the 1-term doc under BM25")
   }
 
+  test("rboAgreement: constants table pinned, per-query rbo matches a " +
+    "depth-by-depth recompute") {
+    assert(graft.text.Bm25.rboConstMicro(5) ==
+      Seq(100000L, 45000L, 27000L, 18225L, 13122L))
+    val docs = spark.read.parquet(s"$tiny/documents.parquet")
+    val rr = graft.text.Bm25.rerankTopK(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(5)))
+    val c = graft.text.Bm25.rboConstMicro(5)
+    val expected = rr.groupBy(_._1).map { case (q, rows) =>
+      val xd = (1 to 5).map(d =>
+        rows.count(r => r._2 <= d && r._3 <= d).toLong)
+      q -> ((5L, xd.zip(c).map { case (x, cd) => x * cd }.sum,
+        xd(4)))
+    }
+    val out = graft.text.Bm25.rboAgreement(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(out.nonEmpty && out == expected)
+  }
+
   test("ltrFeatures: coverage/shape/label per candidate, logit matches " +
     "the classifier") {
     val docs = Seq(
