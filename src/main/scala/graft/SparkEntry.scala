@@ -1591,6 +1591,15 @@ object SparkEntry {
     "q289_rbo" -> ((s, d) =>
       text.Bm25.rboAgreement(docs(s, d))),
 
+    // incremental IVF maintenance: base ⊎ delta folded state — the
+    // oracle recomputes the FULL index, so equality IS the contract
+    "q291_ivf_refresh" -> ((s, d) => {
+      val v = vecs(s, d)
+      ann.Similarity.ivfRefresh(
+        v.filter(col("vec_id") % 3 =!= 0),
+        v.filter(col("vec_id") % 3 === 0))
+    }),
+
     // mutual top-k: hub-safe reciprocal neighbour pairs on the sample
     "q290_mutual_knn" -> ((s, d) =>
       ann.Similarity.mutualTopK(vecs(s, d))),
@@ -5951,6 +5960,24 @@ SELECT q_id, CAST(count(*) AS BIGINT) AS n_depths,
   CAST(max(CASE WHEN d = 5 THEN x_d END) AS BIGINT) AS overlap_at_k
 FROM xd GROUP BY 1"""
     },
+
+    // IVF refresh: the oracle is the one-shot FULL rebuild
+    "q291_ivf_refresh" -> s"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+cents AS (SELECT vec_id AS cent_id, e AS cent_emb FROM v
+  WHERE vec_id % 3 <> 0 AND vec_id % 200 = 0),
+asg AS (SELECT vec_id, e, cent_id FROM (
+  SELECT v.vec_id, v.e, c.cent_id,
+    row_number() OVER (PARTITION BY v.vec_id
+      ORDER BY ${oCos("v.e", "c.cent_emb")} DESC, c.cent_id) AS rn
+  FROM v CROSS JOIN cents c) x WHERE rn = 1),
+ex AS (SELECT cent_id, generate_subscripts(e, 1) - 1 AS d,
+  CAST(floor(CAST(unnest(e) AS DOUBLE) * 1000.0) AS BIGINT) AS q FROM asg),
+s AS (SELECT cent_id, d, CAST(count(*) AS BIGINT) AS n,
+  CAST(sum(q) AS BIGINT) AS sq FROM ex GROUP BY 1, 2)
+SELECT cent_id, CAST(max(n) AS BIGINT) AS n_vecs,
+  string_agg(CAST(sq AS VARCHAR), '|' ORDER BY d) AS sums
+FROM s GROUP BY 1""",
 
     // mutual kNN: reciprocity self-join over the sample's top-k lists
     "q290_mutual_knn" -> s"""

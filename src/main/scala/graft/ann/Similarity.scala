@@ -204,6 +204,60 @@ object Similarity {
         first(col("embedding")).as("embedding"))
   }
 
+  /** Assignment against an EXPLICIT (broadcast) centroid frame — the
+    * piece incremental maintenance needs: a delta batch must assign
+    * against the BASE index's centroids, never its own. */
+  def assignWith(vecs: DataFrame, cents: DataFrame): DataFrame =
+    vecs.crossJoin(broadcast(cents))
+      .withColumn("_score", struct(
+        cosine(col("embedding"), col("cent_emb")).as("cos"),
+        (-col("cent_id")).cast("double").as("nid")))
+      .groupBy("vec_id")
+      .agg(max_by(col("cent_id"), col("_score")).as("cent_id"),
+        first(col("embedding")).as("embedding"))
+
+  /** INCREMENTAL IVF index maintenance — the ANN twin of q246's
+    * incremental-view contract: per-cell state (vector count, per-dim
+    * milli-quantized component sums) folded with a DELTA batch equals
+    * the full rebuild bit for bit, so the base corpus never re-scans
+    * when new vectors land. Both sides assign against the SAME (base)
+    * centroids; the merge is a full-outer sum on the |cells|×dims grid.
+    * The summed state is exactly what a centroid retrain consumes
+    * (mean = sum DIV n), so this fold IS the streaming path to periodic
+    * re-training.
+    *
+    * Shape: delta assignment is the broadcast n×k pass over the DELTA
+    * only; both aggregations are (cell, dim)-grid-sized; the output
+    * rebuilds per-cell sum arrays with the ordered-collect convention. */
+  def ivfRefresh(base: DataFrame, delta: DataFrame,
+                 centroidMod: Int = 200,
+                 centroidSource: Option[DataFrame] = None): DataFrame = {
+    val cents = ivfCentroids(centroidSource.getOrElse(base), centroidMod)
+    def sums(v: DataFrame) = assignWith(v, cents)
+      .select(col("cent_id"), posexplode(transform(col("embedding"),
+        x => floor(x.cast("double") * 1000.0).cast("long")))
+        .as(Seq("d", "q")))
+      .groupBy("cent_id", "d")
+      .agg(count(lit(1)).as("nd"), sum("q").as("sq"))
+    val merged = sums(base)
+      .select(col("cent_id"), col("d"), col("nd").as("n1"),
+        col("sq").as("s1"))
+      .join(sums(delta)
+        .select(col("cent_id"), col("d"), col("nd").as("n2"),
+          col("sq").as("s2")),
+        Seq("cent_id", "d"), "full_outer")
+      .select(col("cent_id"), col("d"),
+        (coalesce(col("n1"), lit(0L)) + coalesce(col("n2"), lit(0L)))
+          .as("n"),
+        (coalesce(col("s1"), lit(0L)) + coalesce(col("s2"), lit(0L)))
+          .as("sq"))
+    merged.groupBy("cent_id").agg(
+      max("n").as("n_vecs"),
+      array_join(transform(array_sort(collect_list(
+        struct(col("d"), col("sq")))), t => t("sq").cast("string")), "|")
+        .as("sums"))
+  }
+
   /** IVF cell-BALANCE audit — the index-health report run after every
     * (re)build: per non-empty cell its vector count and corpus share,
     * plus the global imbalance factor (max cell ÷ mean cell, ×1000) and a

@@ -283,6 +283,22 @@ class SimilaritySpec extends SparkSpec {
     assert(again.toSeq == out.toSeq)
   }
 
+  test("ivfRefresh: base-plus-delta fold equals the one-shot full " +
+    "rebuild against the base centroids") {
+    val embs = TestSpark.spark.read.parquet(s"$tiny/embeddings.parquet")
+    val base = embs.filter(col("vec_id") % 3 =!= 0)
+    val delta = embs.filter(col("vec_id") % 3 === 0)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getString(2))
+    val inc = graft.ann.Similarity.ivfRefresh(base, delta).collect().map(key)
+    // full rebuild = refresh with an empty delta over the union, pinned
+    // to the SAME base-derived centroids (limit(0) keeps the schema)
+    val full = graft.ann.Similarity
+      .ivfRefresh(base.unionByName(delta), embs.limit(0),
+        centroidSource = Some(base)).collect().map(key)
+    assert(inc.nonEmpty && inc.toSet == full.toSet)
+  }
+
   test("mutualTopK: hub pair is reciprocal, the satellite's one-sided " +
     "pick is filtered") {
     import TestSpark.spark.implicits._
