@@ -1591,6 +1591,18 @@ object SparkEntry {
     "q289_rbo" -> ((s, d) =>
       text.Bm25.rboAgreement(docs(s, d))),
 
+    // release funnel capstone: gates in order with exact attrition,
+    // planted spam (%6) and clones (%7) so every stage drops something
+    "q292_release_funnel" -> ((s, d) => {
+      val base = docs(s, d).select(col("doc_id"),
+        when(col("doc_id") % 6 === 0,
+          concat(col("text"), lit(" click here to win free money")))
+          .otherwise(col("text")).as("text"))
+      val clones = base.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      dedup.Curation.releaseFunnel(base.unionByName(clones))
+    }),
+
     // incremental IVF maintenance: base ⊎ delta folded state — the
     // oracle recomputes the FULL index, so equality IS the contract
     "q291_ivf_refresh" -> ((s, d) => {
@@ -5959,6 +5971,68 @@ SELECT q_id, CAST(count(*) AS BIGINT) AS n_depths,
   CAST(sum(x_d * (CASE d $cc END)) AS BIGINT) AS rbo_micro,
   CAST(max(CASE WHEN d = 5 THEN x_d END) AS BIGINT) AS overlap_at_k
 FROM xd GROUP BY 1"""
+    },
+
+    // release funnel: all four gate definitions inlined + keeper join
+    "q292_release_funnel" -> {
+      val langs = text.TextAnalysis.markers.map(_._1)
+      val scoreExprs = text.TextAnalysis.markers.map { case (l, ws) =>
+        val cond = ws.map(w => s"t = '$w'").mkString(" OR ")
+        s"CAST(len(list_filter($oToks, t -> $cond)) AS BIGINT) AS score_$l"
+      }.mkString(",\n    ")
+      val arms = langs.map { l =>
+        val others = langs.filter(_ != l)
+          .map(o => s"score_$l >= score_$o").mkString(" AND ")
+        s"WHEN score_$l > 0 AND $others THEN '$l'"
+      }.mkString(" ")
+      val bannedSum = text.Blocklist.defaultTerms
+        .map(t => s"len(regexp_extract_all(lower(text), '\\b$t\\b'))")
+        .mkString(" + ")
+      s"""
+WITH c AS (
+  SELECT doc_id, CASE WHEN doc_id % 6 = 0
+    THEN text || ' click here to win free money' ELSE text END AS text
+  FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, CASE WHEN doc_id % 6 = 0
+    THEN text || ' click here to win free money' ELSE text END
+  FROM documents WHERE doc_id % 7 = 0),
+m AS (
+  SELECT doc_id, text,
+    CAST(len($oToks) AS BIGINT) AS n_tokens,
+    CAST(len(list_filter($oToks, t -> ${text.TextAnalysis.stopwords
+        .map(w => s"t = '$w'").mkString(" OR ")})) AS BIGINT) AS n_stop,
+    CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS BIGINT)
+      AS n_punct,
+    $scoreExprs
+  FROM c),
+f AS (
+  SELECT doc_id, md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS k,
+    (CASE WHEN n_tokens < 5 THEN 'no'
+          WHEN n_tokens > 0 AND CAST(floor(CAST(n_stop * 1000 AS DOUBLE)
+            / n_tokens) AS BIGINT) >= 400 THEN 'no'
+          WHEN n_punct * 5 > n_tokens * 2 THEN 'no'
+          ELSE 'ok' END) = 'ok' AS g_quality,
+    (CASE $arms ELSE 'und' END) = 'en' AS g_lang,
+    ($bannedSum) = 0 AS g_clean
+  FROM m),
+kp AS (SELECT k, min(doc_id) AS keeper_id FROM f GROUP BY 1),
+a AS (
+  SELECT CAST(count(*) AS BIGINT) AS s0,
+    CAST(sum(CASE WHEN g_quality THEN 1 ELSE 0 END) AS BIGINT) AS s1,
+    CAST(sum(CASE WHEN g_quality AND g_lang THEN 1 ELSE 0 END) AS BIGINT)
+      AS s2,
+    CAST(sum(CASE WHEN g_quality AND g_lang AND g_clean THEN 1 ELSE 0 END)
+      AS BIGINT) AS s3,
+    CAST(sum(CASE WHEN g_quality AND g_lang AND g_clean
+      AND f.doc_id = kp.keeper_id THEN 1 ELSE 0 END) AS BIGINT) AS s4
+  FROM f JOIN kp USING (k))
+SELECT CAST(0 AS BIGINT) AS stage_idx, 'input' AS stage,
+  s0 AS n_remaining, CAST(0 AS BIGINT) AS n_dropped FROM a
+UNION ALL SELECT 1, 'quality_ok', s1, s0 - s1 FROM a
+UNION ALL SELECT 2, 'lang_en', s2, s1 - s2 FROM a
+UNION ALL SELECT 3, 'blocklist_clean', s3, s2 - s3 FROM a
+UNION ALL SELECT 4, 'dedup_keeper', s4, s3 - s4 FROM a"""
     },
 
     // IVF refresh: the oracle is the one-shot FULL rebuild

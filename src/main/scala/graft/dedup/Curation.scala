@@ -109,4 +109,54 @@ object Curation {
           .when(col("is_near"), "near_dup")
           .otherwise("new").as("verdict"))
   }
+
+  /** RELEASE FUNNEL — the capstone attrition report of the curation
+    * pipeline: how many documents survive each gate, in order
+    * (input → quality "ok" → language "en" → blocklist-clean →
+    * exact-dup keeper), with exact per-stage drop counts. This is the
+    * single table a dataset release review reads first, and the
+    * composition it audits is exactly the oracled gates this engine
+    * already ships (q32 quality, q31 langId, q212 blocklist, q34 exact
+    * dedup).
+    *
+    * Shape: the three expression gates are ONE map-only pass off the
+    * scan; the keeper gate adds the one exact-dedup hash-agg on the
+    * 128-bit content key (text never shuffles); the funnel itself is a
+    * 1-row cumulative aggregate exploded into the 5-stage report. */
+  def releaseFunnel(docs: DataFrame): DataFrame = {
+    val qc = TextAnalysis.qualityColumns(col("text"))
+    val banned = graft.text.Blocklist.defaultTerms
+      .map(t => graft.text.Blocklist.hitCount(col("text"), t))
+      .reduce(_ + _)
+    val gated = docs.select(col("doc_id"),
+      Dedup.exactKeyHash(col("text")).as("k"),
+      (qc("quality_bucket") === "ok").as("g_quality"),
+      (TextAnalysis.langId(col("text")) === "en").as("g_lang"),
+      (banned === 0L).as("g_clean"))
+    val keepers = gated.groupBy("k").agg(min("doc_id").as("keeper_id"))
+    val flags = gated.join(keepers, "k")
+      .withColumn("g_keeper", col("doc_id") === col("keeper_id"))
+    val agg = flags.agg(
+      count(lit(1)).as("s0"),
+      sum(when(col("g_quality"), 1L).otherwise(0L)).as("s1"),
+      sum(when(col("g_quality") && col("g_lang"), 1L).otherwise(0L))
+        .as("s2"),
+      sum(when(col("g_quality") && col("g_lang") && col("g_clean"), 1L)
+        .otherwise(0L)).as("s3"),
+      sum(when(col("g_quality") && col("g_lang") && col("g_clean")
+        && col("g_keeper"), 1L).otherwise(0L)).as("s4"))
+    agg.select(explode(array(
+        struct(lit(0L).as("stage_idx"), lit("input").as("stage"),
+          col("s0").as("n_remaining"), lit(0L).as("n_dropped")),
+        struct(lit(1L).as("stage_idx"), lit("quality_ok").as("stage"),
+          col("s1").as("n_remaining"), (col("s0") - col("s1")).as("n_dropped")),
+        struct(lit(2L).as("stage_idx"), lit("lang_en").as("stage"),
+          col("s2").as("n_remaining"), (col("s1") - col("s2")).as("n_dropped")),
+        struct(lit(3L).as("stage_idx"), lit("blocklist_clean").as("stage"),
+          col("s3").as("n_remaining"), (col("s2") - col("s3")).as("n_dropped")),
+        struct(lit(4L).as("stage_idx"), lit("dedup_keeper").as("stage"),
+          col("s4").as("n_remaining"), (col("s3") - col("s4")).as("n_dropped"))))
+        .as("s"))
+      .select("s.stage_idx", "s.stage", "s.n_remaining", "s.n_dropped")
+  }
 }

@@ -177,4 +177,22 @@ class CurationSpec extends SparkSpec {
     // day 1 OPENS with C still active; D inside C peaks at 2; both close
     assert(out(1L) == ((1L, 2L, -1L)))
   }
+
+  test("releaseFunnel: one doc dropped per gate, attrition exact") {
+    val docs = Seq(
+      (1L, "the model reads and writes data tables quickly without wasting memory"),
+      (2L, "la casa de los gatos es muy bonita hoy mismo aqui"),
+      (3L, "buy now the best and cheapest product of all time here"),
+      (4L, "the model reads and writes data tables quickly without wasting memory"),
+      (5L, "tiny")
+    ).toDF("doc_id", "text")
+    val out = graft.dedup.Curation.releaseFunnel(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2),
+        r.getLong(3)))).toMap
+    assert(out(0L) == (("input", 5L, 0L)))
+    assert(out(1L) == (("quality_ok", 4L, 1L)), "doc 5 is too_short")
+    assert(out(2L) == (("lang_en", 3L, 1L)), "doc 2 reads as es")
+    assert(out(3L) == (("blocklist_clean", 2L, 1L)), "doc 3 says buy now")
+    assert(out(4L) == (("dedup_keeper", 1L, 1L)), "doc 4 clones doc 1")
+  }
 }
