@@ -1591,6 +1591,11 @@ object SparkEntry {
     "q289_rbo" -> ((s, d) =>
       text.Bm25.rboAgreement(docs(s, d))),
 
+    // context-window truncation policy (keep first 2 + last 6 turns)
+    // with exact kept/dropped mass accounting
+    "q293_context_truncate" -> ((s, d) =>
+      operators.Conversations.contextTruncate(Transcripts.load(s, d))),
+
     // release funnel capstone: gates in order with exact attrition,
     // planted spam (%6) and clones (%7) so every stage drops something
     "q292_release_funnel" -> ((s, d) => {
@@ -5972,6 +5977,24 @@ SELECT q_id, CAST(count(*) AS BIGINT) AS n_depths,
   CAST(max(CASE WHEN d = 5 THEN x_d END) AS BIGINT) AS overlap_at_k
 FROM xd GROUP BY 1"""
     },
+
+    // context truncation: conv-top join + pure-expression keep test
+    "q293_context_truncate" -> withCtes(
+      "tp" -> """SELECT conv_id, CAST(max(turn_idx) AS BIGINT) AS max_t
+  FROM transcripts GROUP BY 1""",
+      "j" -> """SELECT t.conv_id, t.turn_idx, t.text,
+    (tp.max_t < 8 OR t.turn_idx < 2 OR t.turn_idx > tp.max_t - 6) AS keep
+  FROM transcripts t JOIN tp USING (conv_id)""")("""
+SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns,
+  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+  CAST(sum(length(text)) AS BIGINT) AS chars_total,
+  CAST(sum(CASE WHEN keep THEN length(text) ELSE 0 END) AS BIGINT)
+    AS chars_kept,
+  CAST(count(*) - sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_dropped,
+  CAST(sum(CASE WHEN keep THEN length(text) ELSE 0 END) * 1000
+    // sum(length(text)) AS BIGINT) AS kept_permille
+FROM j GROUP BY 1"""),
 
     // release funnel: all four gate definitions inlined + keeper join
     "q292_release_funnel" -> {

@@ -759,6 +759,36 @@ object Conversations {
       .select("day_num", "rk", "tok", "n", "lift_x1000")
   }
 
+  /** CONTEXT-WINDOW truncation policy export — the serving-side "first
+    * h + last t turns" middle-drop policy (what long-context chat
+    * serving actually does), materialized with its cost accounting: per
+    * conversation the turns and character mass kept vs dropped, so the
+    * policy's information loss is a measured number before anyone ships
+    * it. Conversations inside the budget pass through whole.
+    *
+    * Shape: one conv hash-agg (max turn + totals) joined back on
+    * conv_id — the per-turn keep test is then a pure expression
+    * (turn < h ∨ turn > max − t), no window over the corpus; the
+    * second conditional aggregation reuses the same conv exchange. */
+  def contextTruncate(transcripts: DataFrame, head: Int = 2,
+                      tail: Int = 6): DataFrame = {
+    val tops = transcripts.groupBy("conv_id")
+      .agg(max("turn_idx").cast("long").as("max_t"))
+    transcripts.join(tops, "conv_id")
+      .withColumn("keep",
+        col("max_t") < (head + tail) ||
+          col("turn_idx") < head || col("turn_idx") > col("max_t") - tail)
+      .groupBy("conv_id").agg(
+        count(lit(1)).as("n_turns"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        sum(length(col("text")).cast("long")).as("chars_total"),
+        sum(when(col("keep"), length(col("text")).cast("long"))
+          .otherwise(0L)).as("chars_kept"))
+      .withColumn("n_dropped", col("n_turns") - col("n_kept"))
+      .withColumn("kept_permille",
+        expr("chars_kept * 1000 DIV chars_total"))
+  }
+
   /** Discrete SURVIVAL/HAZARD curve over conversation length — when do
     * conversations die? For each turn index t where at least one
     * conversation ENDS: how many conversations reached t, how many ended

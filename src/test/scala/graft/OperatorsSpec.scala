@@ -298,6 +298,20 @@ class OperatorsSpec extends SparkSpec {
       "d" -> ((20L, 20L, true, 5L))))
   }
 
+  test("contextTruncate: middle turns drop with exact char accounting, " +
+    "short conversations pass whole") {
+    import TestSpark.spark.implicits._
+    val t = ((0 until 10).map(i => ("a", i, "t" * (i + 1))) ++
+      (0 until 3).map(i => ("b", i, "xx")))
+      .toDF("conv_id", "turn_idx", "text")
+    val out = operators.Conversations.contextTruncate(t).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    // a: keeps 0,1 and 4..9; drops idx 2,3 (chars 3+4 of 55)
+    assert(out("a") == ((10L, 8L, 55L, 48L, 2L, 48L * 1000 / 55)))
+    assert(out("b") == ((3L, 3L, 6L, 6L, 0L, 1000L)))
+  }
+
   test("schemaDiff: added / removed / type_changed / stable verdicts") {
     import TestSpark.spark.implicits._
     val oldT = Seq("event=foo a=1 b=x", "event=foo a=2 b=y",
