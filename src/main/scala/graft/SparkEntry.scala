@@ -1596,6 +1596,12 @@ object SparkEntry {
     "q293_context_truncate" -> ((s, d) =>
       operators.Conversations.contextTruncate(Transcripts.load(s, d))),
 
+    // targeted-percolation audit: login-graph connectivity before and
+    // after removing the top-3 hubs
+    "q294_hub_robustness" -> ((s, d) =>
+      graph.Graphs.hubRemovalRobustness(
+        graph.Graphs.loginCooccurrenceEdges(Pipeline.parsed(s, d)))),
+
     // release funnel capstone: gates in order with exact attrition,
     // planted spam (%6) and clones (%7) so every stage drops something
     "q292_release_funnel" -> ((s, d) => {
@@ -5977,6 +5983,45 @@ SELECT q_id, CAST(count(*) AS BIGINT) AS n_depths,
   CAST(max(CASE WHEN d = 5 THEN x_d END) AS BIGINT) AS overlap_at_k
 FROM xd GROUP BY 1"""
     },
+
+    // hub robustness: two recursive-CTE CC ground truths, before/after
+    "q294_hub_robustness" -> s"""
+WITH RECURSIVE transcripts AS (${sources.Transcripts.synthSql("events")}),
+lg AS (SELECT conv_id, turn_idx,
+  ${Oracle.oKvStr("app")} || '@' || ${Oracle.oKvStr("host")} AS node
+  FROM transcripts WHERE text LIKE 'event=login %'),
+sq AS (SELECT node AS b,
+  lag(node) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS a FROM lg),
+ledges AS (SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v
+  FROM sq WHERE a IS NOT NULL AND a <> b),
+deg AS (SELECT x AS node, CAST(count(*) AS BIGINT) AS d
+  FROM (SELECT u AS x FROM ledges UNION ALL SELECT v AS x FROM ledges) z
+  GROUP BY 1),
+hubs AS (SELECT node FROM (
+  SELECT node, row_number() OVER (ORDER BY d DESC, node) AS rk FROM deg) h
+  WHERE rk <= 3),
+pe AS (SELECT u, v FROM ledges
+  WHERE u NOT IN (SELECT node FROM hubs)
+    AND v NOT IN (SELECT node FROM hubs)),
+s1 AS (SELECT u, v FROM ledges UNION ALL SELECT v, u FROM ledges),
+n1 AS (SELECT DISTINCT u AS id FROM s1),
+cc1 AS (SELECT id, id AS m FROM n1
+  UNION SELECT s1.u, cc1.m FROM s1 JOIN cc1 ON s1.v = cc1.id),
+l1 AS (SELECT id, min(m) AS comp FROM cc1 GROUP BY 1),
+z1 AS (SELECT comp, CAST(count(*) AS BIGINT) AS sz FROM l1 GROUP BY 1),
+s2 AS (SELECT u, v FROM pe UNION ALL SELECT v, u FROM pe),
+n2 AS (SELECT DISTINCT u AS id FROM s2),
+cc2 AS (SELECT id, id AS m FROM n2
+  UNION SELECT s2.u, cc2.m FROM s2 JOIN cc2 ON s2.v = cc2.id),
+l2 AS (SELECT id, min(m) AS comp FROM cc2 GROUP BY 1),
+z2 AS (SELECT comp, CAST(count(*) AS BIGINT) AS sz FROM l2 GROUP BY 1)
+SELECT CAST(0 AS BIGINT) AS phase_idx, 'full' AS phase,
+  CAST(coalesce(sum(sz), 0) AS BIGINT) AS n_vertices,
+  CAST(count(*) AS BIGINT) AS n_components,
+  CAST(coalesce(max(sz), 0) AS BIGINT) AS largest FROM z1
+UNION ALL
+SELECT 1, 'hubs_removed', CAST(coalesce(sum(sz), 0) AS BIGINT),
+  CAST(count(*) AS BIGINT), CAST(coalesce(max(sz), 0) AS BIGINT) FROM z2""",
 
     // context truncation: conv-top join + pure-expression keep test
     "q293_context_truncate" -> withCtes(

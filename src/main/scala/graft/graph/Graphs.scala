@@ -486,6 +486,45 @@ object Graphs {
       .select(col("v"), col("h").as("hub_x1e3"), col("a").as("auth_x1e3"))
   }
 
+  /** HUB-REMOVAL robustness (targeted-percolation audit): connectivity
+    * summary of the graph BEFORE and AFTER deleting its `topK`
+    * highest-degree vertices — the standard "is this network held
+    * together by a few hubs?" probe (scale-free graphs shatter under
+    * targeted removal while staying connected under random failure).
+    * Operationally: if the login graph's giant component collapses when
+    * 3 hubs leave, those hubs are the monitoring/SPOF list.
+    *
+    * Per phase: non-isolated vertex count, component count, largest
+    * component size — from [[connectedComponentsStar]] (O(log n)
+    * rounds), so the audit inherits the 100 TB-shape CC rather than a
+    * diameter-bound propagation. Hub selection is a degree hash-agg +
+    * a topK window ON the degree aggregate; removal is two broadcast
+    * anti-joins. Isolated-by-removal vertices drop from n_vertices (CC
+    * reports edge-bearing vertices) — documented semantics. */
+  def hubRemovalRobustness(edges: DataFrame, topK: Int = 3): DataFrame = {
+    val deg = edges.select(col("u").as("x"))
+      .unionByName(edges.select(col("v").as("x")))
+      .groupBy("x").agg(count(lit(1)).as("d"))
+    val w = Window.orderBy(col("d").desc, col("x"))
+    val hubs = deg.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= topK).select(col("x"))
+    def stats(e: DataFrame, phase: String, idx: Int) = {
+      val cc = connectedComponentsStar(
+        e.select(col("u").as("a"), col("v").as("b")))
+      cc.groupBy("component").agg(count(lit(1)).as("sz"))
+        .agg(coalesce(sum("sz"), lit(0L)).as("n_vertices"),
+          count(lit(1)).as("n_components"),
+          coalesce(max("sz"), lit(0L)).as("largest"))
+        .select(lit(idx.toLong).as("phase_idx"), lit(phase).as("phase"),
+          col("n_vertices"), col("n_components"), col("largest"))
+    }
+    val pruned = edges
+      .join(broadcast(hubs.select(col("x").as("u"))), Seq("u"), "left_anti")
+      .join(broadcast(hubs.select(col("x").as("v"))), Seq("v"), "left_anti")
+    stats(edges, "full", 0)
+      .unionByName(stats(pruned, "hubs_removed", 1))
+  }
+
   /** Degree assortativity (Newman's r, ×1000) of an undirected (u, v)
     * edge frame — does the graph wire hubs to hubs (r > 0, social-style)
     * or hubs to leaves (r < 0, infrastructure-style)? The one-number

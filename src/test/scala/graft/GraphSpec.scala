@@ -217,6 +217,21 @@ class GraphSpec extends SparkSpec {
     assert(out.size == 64 + 3 + 2)
   }
 
+  test("hubRemovalRobustness: star-bridged clusters shatter when the " +
+    "bridge hubs leave") {
+    // two triangles bridged through hub h (degree 4, strictly the max);
+    // removing it splits one 9-vertex component into two triangles,
+    // isolating the pendants x and y
+    val edges = (Seq(("a", "b"), ("b", "c"), ("a", "c"),
+      ("d", "e"), ("e", "f"), ("d", "f"),
+      ("a", "h"), ("d", "h"), ("h", "x"), ("h", "y"))).toDF("u", "v")
+    val out = Graphs.hubRemovalRobustness(edges, topK = 1).collect()
+      .map(r => r.getString(1) -> ((r.getLong(2), r.getLong(3),
+        r.getLong(4)))).toMap
+    assert(out("full") == ((9L, 1L, 9L)))
+    assert(out("hubs_removed") == ((6L, 2L, 3L)))
+  }
+
   test("hits: dispatcher is the hub, targets are authorities; weighted " +
     "hand trajectory") {
     // root fans out to two leaves: pure hub vs pure authorities, fixpoint
