@@ -1596,6 +1596,11 @@ object SparkEntry {
     "q293_context_truncate" -> ((s, d) =>
       operators.Conversations.contextTruncate(Transcripts.load(s, d))),
 
+    // winsorized mean of duration per event — robust aggregation with
+    // exact [P5, P95] clamping from the 2-pass selection
+    "q295_winsorized" -> ((s, d) =>
+      operators.Aggregates.winsorizedMean(Pipeline.parsed(s, d))),
+
     // targeted-percolation audit: login-graph connectivity before and
     // after removing the top-3 hubs
     "q294_hub_robustness" -> ((s, d) =>
@@ -5983,6 +5988,24 @@ SELECT q_id, CAST(count(*) AS BIGINT) AS n_depths,
   CAST(max(CASE WHEN d = 5 THEN x_d END) AS BIGINT) AS overlap_at_k
 FROM xd GROUP BY 1"""
     },
+
+    // winsorized mean: rank-definition thresholds + clamp aggregate
+    "q295_winsorized" -> withCtes(
+      "vals" -> s"SELECT $oName AS name, ${oKvNum("duration")} AS v FROM transcripts",
+      "vv" -> "SELECT name, CAST(v AS BIGINT) AS v FROM vals WHERE v IS NOT NULL",
+      "rk" -> """SELECT name, v,
+    row_number() OVER (PARTITION BY name ORDER BY v) AS r,
+    count(*) OVER (PARTITION BY name) AS n FROM vv""",
+      "th" -> """SELECT name,
+    max(CASE WHEN r = (n * 5 + 99) // 100 THEN v END) AS lo,
+    max(CASE WHEN r = (n * 95 + 99) // 100 THEN v END) AS hi
+  FROM rk GROUP BY 1""")("""
+SELECT v.name, CAST(count(*) AS BIGINT) AS n,
+  CAST(max(t.lo) AS BIGINT) AS lo, CAST(max(t.hi) AS BIGINT) AS hi,
+  CAST(sum(v.v) * 1000 // count(*) AS BIGINT) AS raw_mean_x1000,
+  CAST(sum(greatest(t.lo, least(t.hi, v.v))) * 1000 // count(*) AS BIGINT)
+    AS winsor_mean_x1000
+FROM vv v JOIN th t USING (name) GROUP BY 1"""),
 
     // hub robustness: two recursive-CTE CC ground truths, before/after
     "q294_hub_robustness" -> s"""

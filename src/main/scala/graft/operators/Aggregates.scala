@@ -636,6 +636,36 @@ object Aggregates {
           (col("k") - col("cum_before")).cast("int")).as("value"))
   }
 
+  /** WINSORIZED mean per group — the robust aggregation between the
+    * median (throws away all magnitude) and the raw mean (one tail
+    * outlier owns it): values clamp to the EXACT [P_lo, P_hi] order
+    * statistics from [[exactQuantiles2Pass]] (rank-definition
+    * quantiles, no interpolation ambiguity), then average. The standard
+    * latency-reporting aggregate when P50 hides regressions and the
+    * mean is hostage to timeouts.
+    *
+    * Integer-exact: clamp is min/max against broadcast thresholds, the
+    * mean is Σclamp·1000 DIV n. Shape: the 2-pass selection's
+    * histogram + candidate-bucket machinery (per-group memory bounded
+    * by one bucket), one threshold broadcast back over the scan, one
+    * |names| hash-agg. */
+  def winsorizedMean(parsed: DataFrame, pLo: Int = 5,
+                     pHi: Int = 95): DataFrame = {
+    val qs = exactQuantiles2Pass(parsed, Seq(pLo, pHi))
+    val th = qs.groupBy("name").agg(
+      max(when(col("p") === pLo, col("value"))).as("lo"),
+      max(when(col("p") === pHi, col("value"))).as("hi"))
+    parsed.select(col("name"), col("duration").cast("long").as("v"))
+      .filter(col("v").isNotNull)
+      .join(broadcast(th), "name")
+      .withColumn("w", greatest(col("lo"), least(col("hi"), col("v"))))
+      .groupBy("name").agg(
+        count(lit(1)).as("n"),
+        max("lo").as("lo"), max("hi").as("hi"),
+        expr("sum(v) * 1000 DIV count(1)").as("raw_mean_x1000"),
+        expr("sum(w) * 1000 DIV count(1)").as("winsor_mean_x1000"))
+  }
+
   /** MULTI-WINDOW BURN-RATE alerting (the SRE workbook rule): page only
     * when the error-budget burn is high in BOTH a short window (the
     * "it's happening now" signal) and its enclosing long window (the

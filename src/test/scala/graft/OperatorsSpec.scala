@@ -298,6 +298,20 @@ class OperatorsSpec extends SparkSpec {
       "d" -> ((20L, 20L, true, 5L))))
   }
 
+  test("winsorizedMean: exact P5/P95 clamps, tails stop owning the mean") {
+    import TestSpark.spark.implicits._
+    val df = (1L to 100L).map(v => ("a", v)).toDF("name", "duration")
+    val r = operators.Aggregates.winsorizedMean(df).collect()(0)
+    assert((r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getLong(5)) == (("a", 100L, 5L, 95L, 50500L, 50450L)))
+    // an outlier moves the raw mean 10× more than the winsorized one
+    val out = operators.Aggregates.winsorizedMean(
+      df.unionByName(Seq(("a", 1000000L)).toDF("name", "duration")))
+      .collect()(0)
+    assert(out.getLong(4) > 9000000L && out.getLong(5) < 60000L,
+      s"raw ${out.getLong(4)} vs winsor ${out.getLong(5)}")
+  }
+
   test("contextTruncate: middle turns drop with exact char accounting, " +
     "short conversations pass whole") {
     import TestSpark.spark.implicits._
