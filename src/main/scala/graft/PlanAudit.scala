@@ -245,6 +245,19 @@ object PlanAudit {
     section("RRF fusion (two posting-pruned rankers, queriesxk outer join)") {
       text.Bm25.rrfFusion(docs)
     }
+    section("release funnel (3 expression gates one pass + content-key agg)") {
+      dedup.Curation.releaseFunnel(docs)
+    }
+    section("winsorized mean (2-pass exact thresholds broadcast + clamp agg)") {
+      operators.Aggregates.winsorizedMean(Pipeline.parsed(spark, sfDir))
+    }
+    section("tournament top-k (per-cell partial windows, tiny final re-rank)") {
+      text.TfIdf.vocabTopKScalable(docs)
+    }
+    section("stream-stream join batch twin (conv-keyed band join)") {
+      graft.streaming.JoinStream.batchPairs(
+        sources.Transcripts.load(spark, sfDir))
+    }
     section("merkle diff (two hash-agg digest pyramids, text never shuffles)") {
       operators.Governance.merkleDiff(docs,
         docs.withColumn("text",
