@@ -512,8 +512,8 @@ object Bench {
           val cpRun = () =>
             timeNoop(operators.Sessionize.concurrencyProfile(input))
           results("concurrency") = math.min(cpRun(), cpRun())
-          // template mining: head-vocab agg + broadcast wildcard join +
-          // per-turn rebuild + skeleton census
+          // template mining: head-vocab agg collected once, then a
+          // map-only fused rebuild + skeleton census (one exchange)
           val ltRun = () => timeNoop(operators.DqRules.logTemplates(input))
           results("log_templates") = math.min(ltRun(), ltRun())
           // bursts: one (day, tok) agg + grid math + day-window top-k

@@ -275,9 +275,35 @@ object PlanAudit {
         p.filter(col("name") === "error_reported"),
         p.filter(col("name") === "wait_info"), "conv_id")
     }
+    section("log templates (broadcast keep-set fused rebuild: map-only, " +
+      "ONE exchange = the template census)") {
+      operators.DqRules.logTemplates(sources.Transcripts.loadCanonical(spark, sfDir))
+    }
+    section("winnow selection (fused O(n) deque kernel, exchange-free " +
+      "off the scan)") {
+      import org.apache.spark.sql.functions.col
+      docs.select(col("doc_id"), dedup.Winnow.stats(col("text"), 4).as("_w"))
+    }
+    section("winnow census (only distinct (doc, fp) pairs shuffle; " +
+      "text never moves)") {
+      dedup.Dedup.winnowStats(docs)
+    }
+    section("CC star round (symmetrize + shared-exchange min-joins + " +
+      "distinct; loop localCheckpoints each round)") {
+      import org.apache.spark.sql.functions.col
+      graph.Graphs.ccRound(docs.select(col("doc_id").as("a"),
+        (col("doc_id") + 1L).as("b")))
+    }
+    section("max-coverage round (covered set broadcast anti-join + gain " +
+      "hash-agg; k driver rounds, nothing corpus-sized on the driver)") {
+      import org.apache.spark.sql.functions.{col, explode, array_distinct}
+      val ex = docs.select(col("doc_id"), explode(array_distinct(
+        dedup.Dedup.shingleHashes(col("text")))).as("tok"))
+      text.Selection.maxCoverageRound(ex, Seq(1L, 2L))
+    }
     // connectedComponentsStar is a driver fixpoint loop (localCheckpoint
-    // per round) — explain would execute it; its per-round plan is the
-    // symmetrize + min-join + distinct equi-shape shown above.
+    // per round) — explain would execute it; the per-round plan is the
+    // "CC star round" section above.
     // pageRank / labelPropagation / bfsDistances / kCore are driver-side
     // unrolled loops with per-step persist+count — explain would execute
     // them; their per-step plan is the rank ⋈ edges equi-join + dst

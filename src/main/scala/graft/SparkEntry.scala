@@ -5359,7 +5359,7 @@ FROM perday"""),
 SELECT template, CAST(count(*) AS BIGINT) AS n_turns
 FROM reb GROUP BY 1"""),
 
-    // term bursts: same Long-exact lift and day-partitioned top-k
+    // term bursts: HUGEINT lift (mirrors Spark's DECIMAL(38,0) widening)
     "q260_term_bursts" -> withCtes(
       "dt" -> """SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day_num,
     tok, CAST(count(*) AS BIGINT) AS n
@@ -5370,7 +5370,8 @@ FROM reb GROUP BY 1"""),
       "dd" -> "SELECT day_num, CAST(sum(n) AS BIGINT) AS n_day FROM dt GROUP BY 1",
       "aa" -> "SELECT CAST(sum(n_day) AS BIGINT) AS n_all FROM dd",
       "sc" -> """SELECT d.day_num, d.tok, d.n,
-    d.n * a.n_all * 1000 // (t.n_tok * y.n_day) AS lift_x1000
+    CAST(d.n AS HUGEINT) * a.n_all * 1000
+      // (CAST(t.n_tok AS HUGEINT) * y.n_day) AS lift_x1000
   FROM dt d JOIN tt t ON d.tok = t.tok
   JOIN dd y ON d.day_num = y.day_num CROSS JOIN aa a
   WHERE d.n >= 5""")("""
@@ -5875,8 +5876,8 @@ tp AS (SELECT q_id, vec_id FROM (
 SELECT tf.q_id, CAST(count(*) AS BIGINT) AS k_full,
   CAST(sum(CASE WHEN tp.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
     AS n_overlap,
-  CAST(sum(CASE WHEN tp.vec_id IS NOT NULL THEN 1 ELSE 0 END) * 1000 // 5
-    AS BIGINT) AS overlap_permille
+  CAST(sum(CASE WHEN tp.vec_id IS NOT NULL THEN 1 ELSE 0 END) * 1000
+    // count(*) AS BIGINT) AS overlap_permille
 FROM tf LEFT JOIN tp ON tf.q_id = tp.q_id AND tf.vec_id = tp.vec_id
 GROUP BY 1""",
 

@@ -89,7 +89,10 @@ object Similarity {
       .groupBy("q_id").agg(
         count(lit(1)).as("k_full"),
         sum(coalesce(col("hit"), lit(0L))).as("n_overlap"))
-      .withColumn("overlap_permille", expr(s"n_overlap * 1000 DIV $k"))
+      // normalize by the ACTUAL full-ranking list length, not the k cap:
+      // a query with < k neighbors in the corpus can still score a
+      // perfect 1000 permille (scale-free in list length)
+      .withColumn("overlap_permille", expr("n_overlap * 1000 DIV k_full"))
   }
 
   // ---- LSH: deterministic integer hyperplanes --------------------------------

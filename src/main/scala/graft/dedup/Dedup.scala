@@ -599,11 +599,37 @@ object Dedup {
     * Docs shorter than one window (0 < n < w) winnow the whole array as
     * a single window; 0-gram docs keep zero fingerprints.
     *
-    * Scale shape: selection is a per-row O(n·w) expression tree off the
-    * scan — no shuffle, no explode of the gram space. Only the DISTINCT
-    * winnowed (doc_id, fp) pairs (the ~2/(w+1) sample) explode into the
-    * fp hash-agg + equi-join census; texts and gram arrays never move. */
+    * Scale shape: selection is a per-row fused O(n) monotonic-deque pass
+    * off the scan ([[Winnow]], whole-stage codegen static call — the
+    * interpreted O(n·w) HOF tree it replaced was the #2 bench cost) — no
+    * shuffle, no explode of the gram space. Only the DISTINCT winnowed
+    * (doc_id, fp) pairs (the ~2/(w+1) sample) explode into the fp
+    * hash-agg + equi-join census; texts and gram arrays never move. */
   def winnowStats(docs: DataFrame, w: Int = 4): DataFrame = {
+    val perDoc = docs
+      .select(col("doc_id"), Winnow.stats(col("text"), w).as("_w"))
+      .select(col("doc_id"), col("_w.n_grams").as("n_grams"),
+        col("_w.fps").as("fps"))
+    winnowCensus(perDoc)
+  }
+
+  /** Shared fp census over per-doc (doc_id, n_grams, fps) frames. */
+  private def winnowCensus(perDoc: DataFrame): DataFrame = {
+    val ex = perDoc.select(col("doc_id"), explode(col("fps")).as("fp"))
+    val fpDocs = ex.groupBy("fp").agg(count(lit(1)).as("nd"))
+    val shared = ex.join(fpDocs, "fp").groupBy("doc_id")
+      .agg(sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_shared"))
+    perDoc
+      .select(col("doc_id"), col("n_grams"),
+        size(col("fps")).cast("long").as("n_fps"))
+      .join(shared, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_shared"))
+  }
+
+  /** Declarative reference for [[winnowStats]] — the O(n·w) interpreted
+    * argmin-per-window HOF tree, kept as the semantics contract
+    * (WinnowParitySpec proves row equality against the fused kernel). */
+  def winnowStatsDeclarative(docs: DataFrame, w: Int = 4): DataFrame = {
     // rightmost argmin of sh[start .. start+len-1] (0-based positions):
     // <= keeps the later position on ties, the MOSS tie rule
     def argmin(sh: Column, start: Column, len: Column): Column =
@@ -627,15 +653,7 @@ object Dedup {
       .select(col("doc_id"), size(col("sh")).cast("long").as("n_grams"),
         array_distinct(transform(col("selpos"),
           p => element_at(col("sh"), (p + 1L).cast("int")))).as("fps"))
-    val ex = perDoc.select(col("doc_id"), explode(col("fps")).as("fp"))
-    val fpDocs = ex.groupBy("fp").agg(count(lit(1)).as("nd"))
-    val shared = ex.join(fpDocs, "fp").groupBy("doc_id")
-      .agg(sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_shared"))
-    perDoc
-      .select(col("doc_id"), col("n_grams"),
-        size(col("fps")).cast("long").as("n_fps"))
-      .join(shared, Seq("doc_id"), "left")
-      .na.fill(0L, Seq("n_shared"))
+    winnowCensus(perDoc)
   }
 
   /** Character 5-gram hash set via charwise rolling window on the whole

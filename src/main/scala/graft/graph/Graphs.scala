@@ -386,28 +386,34 @@ object Graphs {
     * edge frame. Convergence = (count, order-free checksum) stable, both
     * computed on the canonical post-small-star frame. Returns (id,
     * component) for every non-isolated vertex. */
+  private def ccSym(e: DataFrame): DataFrame =
+    e.select(col("a").as("u"), col("b").as("v"))
+      .unionByName(e.select(col("b").as("u"), col("a").as("v")))
+  // large-star: v > u re-hang onto min(Γ(u) ∪ {u})
+  private def ccLargeStar(e: DataFrame): DataFrame = {
+    val s = ccSym(e)
+    val m = s.groupBy("u").agg(min("v").as("mv"))
+      .select(col("u"), least(col("mv"), col("u")).as("m"))
+    s.filter(col("v") > col("u")).join(m, "u")
+      .select(col("v").as("a"), col("m").as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+  }
+  // small-star: v ≤ u (plus u itself) re-hang onto min(Γ≤(u) ∪ {u})
+  private def ccSmallStar(e: DataFrame): DataFrame = {
+    val s = ccSym(e).filter(col("v") <= col("u"))
+    val m = s.groupBy("u").agg(min("v").as("m"))
+    s.join(m, "u")
+      .select(col("v").as("a"), col("m").as("b"))
+      .unionByName(m.select(col("u").as("a"), col("m").as("b")))
+      .filter(col("a") =!= col("b")).distinct()
+  }
+  /** One large-star + small-star contraction round — the frame the
+    * fixpoint loop localCheckpoints; exposed so PlanAudit/PlanSpec can
+    * assert the per-round plan shape without executing the loop. */
+  private[graft] def ccRound(e: DataFrame): DataFrame =
+    ccSmallStar(ccLargeStar(e))
+
   def connectedComponentsStar(edges: DataFrame, maxIter: Int = 20): DataFrame = {
-    def sym(e: DataFrame): DataFrame =
-      e.select(col("a").as("u"), col("b").as("v"))
-        .unionByName(e.select(col("b").as("u"), col("a").as("v")))
-    // large-star: v > u re-hang onto min(Γ(u) ∪ {u})
-    def largeStar(e: DataFrame): DataFrame = {
-      val s = sym(e)
-      val m = s.groupBy("u").agg(min("v").as("mv"))
-        .select(col("u"), least(col("mv"), col("u")).as("m"))
-      s.filter(col("v") > col("u")).join(m, "u")
-        .select(col("v").as("a"), col("m").as("b"))
-        .filter(col("a") =!= col("b")).distinct()
-    }
-    // small-star: v ≤ u (plus u itself) re-hang onto min(Γ≤(u) ∪ {u})
-    def smallStar(e: DataFrame): DataFrame = {
-      val s = sym(e).filter(col("v") <= col("u"))
-      val m = s.groupBy("u").agg(min("v").as("m"))
-      s.join(m, "u")
-        .select(col("v").as("a"), col("m").as("b"))
-        .unionByName(m.select(col("u").as("a"), col("m").as("b")))
-        .filter(col("a") =!= col("b")).distinct()
-    }
     // each round references the previous frame ~20× (two symmetrizes,
     // two min-joins, a union); a persist alone leaves the LOGICAL plan
     // growing 20^i — analysis/planning OOMs by round ~6 even on a toy
@@ -420,7 +426,7 @@ object Graphs {
     var i = 0
     var converged = false
     while (i < maxIter && !converged) {
-      val next = smallStar(largeStar(e)).localCheckpoint(true)
+      val next = ccRound(e).localCheckpoint(true)
       val row = next.agg(count(lit(1)),
         coalesce(sum(xxhash64(col("a"), col("b"))), lit(0L))).collect()(0)
       val nstats = (row.getLong(0), row.getLong(1))
@@ -472,16 +478,23 @@ object Graphs {
     var h = verts.withColumn("h", lit(1000L))
     var a = verts.withColumn("a", lit(0L))
     for (_ <- 1 to iters) {
+      // release superseded loop frames once the new one is materialized
+      // (the pageRank/labelPropagation discipline — without this every
+      // half-round's score table stays cached until ContextCleaner GC)
+      val (prevA, prevH) = (a, h)
       a = normalized(
         e.join(h.withColumnRenamed("v", "src"), "src")
           .groupBy(col("dst").as("v")).agg(sum(expr("h * w")).as("raw")),
         "a")
+      prevA.unpersist()
       h = normalized(
         e.join(a.withColumnRenamed("v", "dst"), "dst")
           .groupBy(col("src").as("v")).agg(sum(expr("a * w")).as("raw")),
         "h")
+      prevH.unpersist()
     }
     e.unpersist()
+    verts.unpersist()
     h.join(a, "v")
       .select(col("v"), col("h").as("hub_x1e3"), col("a").as("auth_x1e3"))
   }

@@ -734,8 +734,11 @@ object Conversations {
     * Scale shape: one (day, tok) hash-agg off the scan (the only
     * corpus-sized pass, map-side combined), marginals and the lift are
     * grid math on that aggregate; day totals broadcast back; top-k is a
-    * day-partitioned window on the scored grid. Lift arithmetic is pure
-    * Long (n·total·1000 DIV (n_tok·n_day)) — no FP drift. */
+    * day-partitioned window on the scored grid. Lift arithmetic runs in
+    * DECIMAL(38,0) — n·n_all·1000 overflows int64 once the corpus passes
+    * ~1e13 tokens (n_all alone) times a hot day-token count, the same
+    * widening amsF2/joinOrderAdvisor apply — then narrows back to BIGINT
+    * (the quotient is a small lift ratio by construction). */
   def termBursts(transcripts: DataFrame, topK: Int = 5,
                  minN: Long = 5L): DataFrame = {
     val dayTok = transcripts.select(
@@ -751,7 +754,8 @@ object Conversations {
       .crossJoin(broadcast(allTot))
       .filter(col("n") >= minN)
       .withColumn("lift_x1000",
-        expr("n * n_all * 1000 DIV (n_tok * n_day)"))
+        expr("CAST(CAST(n AS DECIMAL(38,0)) * n_all * 1000" +
+          " DIV (CAST(n_tok AS DECIMAL(38,0)) * n_day) AS BIGINT)"))
     val byDay = Window.partitionBy("day_num")
       .orderBy(col("lift_x1000").desc, col("tok"))
     scored.withColumn("rk", row_number().over(byDay).cast("long"))

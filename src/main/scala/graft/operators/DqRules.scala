@@ -152,10 +152,38 @@ object DqRules {
     *
     * Scale shape: one token-keyed hash-agg builds the head vocabulary —
     * by Zipf at most (corpus tokens / minCount) entries, broadcast-sized
-    * by construction — so the wildcard decision is a broadcast left join
-    * on the exploded tokens (a miss IS the decision); the rebuild groups
-    * on (conv, turn) and the census on the template string. */
+    * by construction (at larger corpora minCount scales up with corpus
+    * tokens, keeping the bound; it is a frequency FLOOR, so raising it
+    * only sharpens the templates) — collected once and folded into the
+    * fused [[graft.text.LogTemplate]] rebuild expression as a broadcast
+    * set. The rebuild is then MAP-ONLY off the scan (token membership +
+    * re-join in one native pass, no second token exchange, no per-turn
+    * collect_list/sort — the declarative reassembly below re-shuffled
+    * the full token stream and was the #1 bench cost); the only
+    * exchange in the rebuild plan is the final template census. */
   def logTemplates(transcripts: DataFrame, minCount: Long = 50L): DataFrame = {
+    val keepRows = transcripts
+      .select(explode(filter(split(col("text"), "\\s+"), t => t =!= ""))
+        .as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minCount)
+      .select("tok").collect()
+    val set = new java.util.HashSet[String](keepRows.length * 2 + 16)
+    keepRows.foreach(r => set.add(r.getString(0)))
+    val bc = transcripts.sparkSession.sparkContext.broadcast(set)
+    transcripts
+      .select(graft.text.LogTemplate.rebuild(col("text"), bc).as("template"))
+      .filter(col("template").isNotNull)
+      .groupBy("template").agg(count(lit(1)).as("n_turns"))
+  }
+
+  /** Declarative reference for [[logTemplates]]: broadcast left join of
+    * the exploded token stream against the head vocabulary + per-turn
+    * collect_list reassembly. Same output (TemplateParitySpec), but the
+    * rebuild re-shuffles every (conv, turn, pos, tok) row — kept as the
+    * semantics contract, not the production path. */
+  def logTemplatesDeclarative(transcripts: DataFrame,
+                              minCount: Long = 50L): DataFrame = {
     val toks = transcripts.select(col("conv_id"), col("turn_idx"),
       posexplode(filter(split(col("text"), "\\s+"), t => t =!= ""))
         .as(Seq("pos", "tok")))

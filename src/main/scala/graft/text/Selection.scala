@@ -217,6 +217,20 @@ object Selection {
     * phrase sets — broadcast-sized by construction — so each round is
     * one broadcast anti-join + hash-agg + 1-row argmax; no quadratic
     * doc-pair work, nothing corpus-sized ever sits on the driver. */
+  /** One greedy round: marginal-gain ranking of every doc against the
+    * covered set (broadcast anti-join + hash-agg + argmax order) —
+    * exposed so PlanAudit/PlanSpec can assert the per-round shape
+    * without driving the k-round loop. */
+  private[graft] def maxCoverageRound(ex: DataFrame,
+                                      chosen: Seq[Long]): DataFrame = {
+    val gains =
+      if (chosen.isEmpty) ex
+      else ex.join(broadcast(ex.filter(col("doc_id").isin(chosen: _*))
+        .select("tok").distinct()), Seq("tok"), "left_anti")
+    gains.groupBy("doc_id").agg(count(lit(1)).as("gain"))
+      .orderBy(col("gain").desc, col("doc_id"))
+  }
+
   def maxCoverageSelect(docs: DataFrame, k: Int = 6): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
@@ -229,12 +243,7 @@ object Selection {
     var round = 1
     var done = false
     while (round <= k && !done) {
-      val gains =
-        if (chosen.isEmpty) ex
-        else ex.join(broadcast(ex.filter(col("doc_id").isin(chosen: _*))
-          .select("tok").distinct()), Seq("tok"), "left_anti")
-      val top = gains.groupBy("doc_id").agg(count(lit(1)).as("gain"))
-        .orderBy(col("gain").desc, col("doc_id")).limit(1).collect()
+      val top = maxCoverageRound(ex, chosen).limit(1).collect()
       if (top.isEmpty) done = true
       else {
         chosen :+= top(0).getLong(0)

@@ -281,4 +281,36 @@ class PlanSpec extends SparkSpec {
       Transcripts.load(spark, tiny)))
     assert(!roll.contains("CartesianProduct"), "rolling distinct cartesian")
   }
+
+  test("round-3 heavy queries: map-only template rebuild, codegen winnow " +
+    "kernel, equi-only CC/max-coverage rounds") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    // log templates: after the (separate) vocab-census job, the rebuild
+    // plan is scan -> fused rewrite -> filter -> census agg: exactly ONE
+    // exchange (the template census), no collect_list reassembly, no sort
+    val lt = finalPlanOf(operators.DqRules.logTemplates(stagedInput))
+    val nLt = "Exchange hashpartitioning".r.findAllIn(lt).size
+    assert(nLt == 1, s"logTemplates rebuild expected 1 exchange, saw $nLt:\n${lt.take(1500)}")
+    assert(!lt.contains("collect_list") && !lt.toLowerCase.contains("sortexec"),
+      "logTemplates rebuild must not reassemble turns via collect_list/sort")
+    assert(lt.contains("log_template"), "fused rewrite expression missing")
+    // winnow: the selection pass is exchange-free and fused (no
+    // interpreted lambda HOFs left in the per-doc stage)
+    val sel = finalPlanOf(docs.select(col("doc_id"),
+      dedup.Winnow.stats(col("text"), 4).as("_w")))
+    assert(!sel.contains("Exchange"), s"winnow selection must not shuffle:\n${sel.take(1000)}")
+    assert(sel.contains("winnow_stats"), "fused winnow kernel missing")
+    assert(!sel.contains("lambdafunction"), "interpreted HOFs in winnow selection")
+    // CC star round + max-coverage round: equi-joins only, no cartesian
+    val cc = finalPlanOf(graph.Graphs.ccRound(
+      docs.select(col("doc_id").as("a"), (col("doc_id") + 1L).as("b"))))
+    assert(!cc.contains("CartesianProduct") &&
+      !cc.contains("BroadcastNestedLoopJoin"), "CC round non-equi join")
+    val ex = docs.select(col("doc_id"), explode(array_distinct(
+      dedup.Dedup.shingleHashes(col("text")))).as("tok"))
+    val mc = finalPlanOf(text.Selection.maxCoverageRound(ex, Seq(1L, 2L)))
+    assert(!mc.contains("CartesianProduct") &&
+      !mc.contains("BroadcastNestedLoopJoin"), "max-coverage non-equi join")
+    assert(mc.contains("BroadcastHashJoin"), "covered set must broadcast")
+  }
 }
