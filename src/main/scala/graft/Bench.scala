@@ -271,6 +271,12 @@ object Bench {
           val tesRun = () => timeNoop(
             operators.SkewWindows.toolTransitionEdgesSalted(input))
           results("tool_edges_salted") = math.min(tesRun(), tesRun())
+          // production entry: the measured-crossover dispatcher — timed
+          // by-name so the key-count dispatch scan is INSIDE the clock;
+          // must track the best of the two demonstration branches
+          val teaRun = () => timeBuild(
+            operators.SkewWindows.toolTransitionEdgesAuto(input))
+          results("tool_edges_auto") = math.min(teaRun(), teaRun())
           val edRun = () => timeNoop(dedup.EditDedup.editPairs(docs10))
           results("edit_dedup") = math.min(edRun(), edRun())
           val trRun = () => timeNoop(graph.Graphs.loginTriangles(parsedB))

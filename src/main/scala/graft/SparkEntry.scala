@@ -778,6 +778,14 @@ object SparkEntry {
       operators.SkewWindows.toolTransitionEdgesSalted(
         Transcripts.loadCanonical(s, d), chunk = 8L)),
 
+    // cost-dispatched edge build (the production entry): plain window
+    // below the hot-key crossover, chunk+stitch beyond — the oracle is
+    // the SAME plain-lag SQL as q182, so the green row proves the
+    // dispatch is output-invariant
+    "q296_tool_edges_auto" -> ((s, d) =>
+      operators.SkewWindows.toolTransitionEdgesAuto(
+        Transcripts.loadCanonical(s, d))),
+
     // snapshot diff between corpus versions (v2 derived from v1 by a
     // shared deterministic edit/drop/add rule): per-doc status audit
     "q162_snapshot_diff" -> ((s, d) => {
@@ -1722,6 +1730,70 @@ object SparkEntry {
       streaming.StreamingPipeline.runOnce(s, s"$root/input", s"$root/sinks", s"$root/ckpt")
       sinks.Sinks.countsFromDisk(s, s"$root/sinks")
         .withColumnRenamed("n", "n").select("sink", "route_key", "n")
+    }),
+
+    // A1: observe() counters riding the file-sink action, cross-checked
+    // two ways in one row — the counter values (lit) against a recount
+    // of the on-disk artifact (n_disk/bytes_disk) AND against DuckDB's
+    // independent doc build (the oracle computes all four columns)
+    "q297_observed_counters" -> ((s, d) => {
+      import java.nio.file.{Files, Paths}
+      val root = s"/tmp/graft_observe_${math.abs(d.hashCode)}"
+      def rm(p: java.nio.file.Path): Unit = if (Files.exists(p)) {
+        Files.walk(p).sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(x => Files.delete(x))
+      }
+      rm(Paths.get(root))
+      val (n, bytes) = sinks.Sinks.writeFileObserved(Pipeline.routed(s, d), root)
+      s.read.text(root).agg(
+          count(lit(1)).cast("long").as("n_disk"),
+          sum(length(col("value"))).cast("long").as("bytes_disk"))
+        .withColumn("n_routed", lit(n))
+        .withColumn("bytes", lit(bytes))
+        .select("n_routed", "bytes", "n_disk", "bytes_disk")
+    }),
+
+    // P12 joined into the full-string oracle: CRLF injected into a
+    // passthrough field; both engines must serialize it to the SAME
+    // escaped NDJSON, and no doc line may carry a raw control byte
+    "q298_crlf_routed" -> ((s, d) => {
+      val t = Transcripts.load(s, d).withColumn("role",
+        when(col("turn_idx") % 5 === 2, concat(col("role"), lit("\r\nx")))
+          .otherwise(col("role")))
+      Pipeline.transform(t, s)
+        .select(col("conv_id"), col("turn_idx"), col("sink_index"),
+          col("doc_json"),
+          (instr(col("doc_json"), "\n") > 0 ||
+            instr(col("doc_json"), "\r") > 0).as("has_raw_crlf"))
+    }),
+
+    // L1: boundary-aligned batch limit evidenced from the LINEAGE table
+    // of a maxFilesPerTrigger=1 drain over a 4-file staging — 4 batches,
+    // one file per batch, and the routed total matches DuckDB's
+    "q299_batch_lineage" -> ((s, d) => {
+      import java.nio.file.{Files, Paths}
+      val root = s"/tmp/graft_blimit_${math.abs(d.hashCode)}"
+      def rm(p: java.nio.file.Path): Unit = if (Files.exists(p)) {
+        Files.walk(p).sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(x => Files.delete(x))
+      }
+      rm(Paths.get(root))
+      Transcripts.load(s, d).repartition(4)
+        .write.parquet(s"$root/input")
+      val q = streaming.StreamingPipeline.start(s, s"$root/input",
+        s"$root/sinks", s"$root/ckpt", availableNow = true,
+        maxFilesPerTrigger = Some(1))
+      q.awaitTermination()
+      val lin = s.read.parquet(s"$root/sinks/lineage")
+      val perBatch = lin.groupBy("batch_id")
+        .agg(count(lit(1)).as("files_in_batch"))
+      lin.agg(
+          countDistinct(col("src_file")).cast("long").as("n_files"),
+          countDistinct(col("batch_id")).cast("long").as("n_batches"),
+          sum(col("n_events")).cast("long").as("total_routed"))
+        .crossJoin(perBatch.agg(
+          max(col("files_in_batch")).cast("long").as("max_files_per_batch")))
+        .select("n_files", "n_batches", "max_files_per_batch", "total_routed")
     })
   )
 
@@ -1944,6 +2016,64 @@ rr AS (
     CAST(row_number() OVER (PARTITION BY t.q_id
       ORDER BY c.logit_x1e3 DESC, t.score_micro DESC, t.doc_id) AS BIGINT) AS rerank
   FROM topk t JOIN cls c USING (doc_id))"""
+
+  /** The full routed-document CTE stack (parse → enrich → filter →
+    * entity as-of → routing → NDJSON doc build) — shared by q20 (full
+    * doc + bulk strings), q297 (observe counters vs disk artifacts) and
+    * q298 (CRLF-injected full-string parity). */
+  private lazy val oRoutedDocCtes: Seq[(String, String)] =
+    oRoutedDocCtesFrom(oParseMid)
+
+  /** [[oRoutedDocCtes]] over a custom parse CTE body (q298 reroots the
+    * parse onto a CRLF-injected shadow of the transcripts table). */
+  private def oRoutedDocCtesFrom(parsedSql: String): Seq[(String, String)] = Seq(
+    "idx_map" -> Lookups.sinkIndexSql,
+    "edim" -> Lookups.entityNamesSql,
+    "parsed" -> parsedSql,
+    "enr" -> s"""
+  SELECT *, $oDescCase AS xdesc, $oSevCase AS xsev, $oCatCase AS xcat,
+    $oAcctCase AS acct
+  FROM parsed""",
+    "filt" -> s"""
+  SELECT * FROM enr
+  WHERE NOT (name = 'error_reported' AND en = 18330)
+    AND NOT (name = 'errorlog_written' AND lower(text) LIKE '%using ''dbghelp.dll''%')
+    AND (CASE WHEN en = 18456 AND role = 'system' THEN 'exclude'
+              WHEN name = 'wait_info' AND tool = 'sql_query' THEN 'include'
+              WHEN name = 'wait_info' THEN 'exclude'
+              ELSE 'include' END) = 'include'""",
+    "ent" -> s"""
+  SELECT f.*, d.name AS entity_name
+  FROM filt f LEFT JOIN (
+    SELECT entity_id, name AS name, valid_from,
+      lead(valid_from) OVER (PARTITION BY entity_id ORDER BY valid_from) AS valid_to
+    FROM edim
+  ) d ON f.dbid = d.entity_id AND f.ts >= d.valid_from
+     AND (d.valid_to IS NULL OR f.ts < d.valid_to)""",
+    "routed" -> """
+  SELECT e.*, COALESCE(m.sink_index, 'idx-default') AS sink_index
+  FROM ent e LEFT JOIN idx_map m ON e.name = m.name""",
+    "docs" -> s"""
+  SELECT conv_id, turn_idx, sink_index,
+    '{"name":' || ${oJson("name")} ||
+    ',"conv_id":' || ${oJson("conv_id")} ||
+    ',"turn_idx":' || turn_idx ||
+    ',"role":' || ${oJson("role")} ||
+    ',"tool":' || ${oJson("tool")} ||
+    ',"@timestamp":"' || strftime(ts, '%Y-%m-%dT%H:%M:%S.%g') || '"' ||
+    COALESCE(',"error_number":' || en, '') ||
+    COALESCE(',"severity_num":' || sev, '') ||
+    COALESCE(',"state_num":' || st, '') ||
+    COALESCE(',"client_addr":' || ${oJson("client")}, '') ||
+    ',"xe_severity_value":' || xsev ||
+    ',"xe_severity_keyword":' || ${oJson("CASE xsev WHEN 3 THEN 'err' WHEN 4 THEN 'warning' ELSE 'info' END")} ||
+    ',"xe_category":' || ${oJson("xcat")} ||
+    COALESCE(',"xe_description":' || ${oJson("xdesc")}, '') ||
+    COALESCE(',"xe_acct_app":' || ${oJson("acct")}, '') ||
+    COALESCE(',"entity_name":' || ${oJson("entity_name")}, '') ||
+    ',"sink_index":' || ${oJson("sink_index")} ||
+    '}' AS doc_json
+  FROM routed""")
 
   /** Shared oracle for q15 (batch route counts) and q50 (streaming route
     * counts recomputed from sink artifacts) — identical expected output. */
@@ -2203,54 +2333,7 @@ FROM transcripts"""),
     // flagship doc_json path: DuckDB reassembles the exact NDJSON string
     // (key order = struct order, null keys dropped, to_json escaping,
     // millisecond-truncated NTZ timestamps) plus the bulk two-line frame
-    "q20_routed_json" -> withCtes(
-      "idx_map" -> Lookups.sinkIndexSql,
-      "edim" -> Lookups.entityNamesSql,
-      "parsed" -> oParseMid,
-      "enr" -> s"""
-  SELECT *, $oDescCase AS xdesc, $oSevCase AS xsev, $oCatCase AS xcat,
-    $oAcctCase AS acct
-  FROM parsed""",
-      "filt" -> s"""
-  SELECT * FROM enr
-  WHERE NOT (name = 'error_reported' AND en = 18330)
-    AND NOT (name = 'errorlog_written' AND lower(text) LIKE '%using ''dbghelp.dll''%')
-    AND (CASE WHEN en = 18456 AND role = 'system' THEN 'exclude'
-              WHEN name = 'wait_info' AND tool = 'sql_query' THEN 'include'
-              WHEN name = 'wait_info' THEN 'exclude'
-              ELSE 'include' END) = 'include'""",
-      "ent" -> s"""
-  SELECT f.*, d.name AS entity_name
-  FROM filt f LEFT JOIN (
-    SELECT entity_id, name AS name, valid_from,
-      lead(valid_from) OVER (PARTITION BY entity_id ORDER BY valid_from) AS valid_to
-    FROM edim
-  ) d ON f.dbid = d.entity_id AND f.ts >= d.valid_from
-     AND (d.valid_to IS NULL OR f.ts < d.valid_to)""",
-      "routed" -> """
-  SELECT e.*, COALESCE(m.sink_index, 'idx-default') AS sink_index
-  FROM ent e LEFT JOIN idx_map m ON e.name = m.name""",
-      "docs" -> s"""
-  SELECT conv_id, turn_idx, sink_index,
-    '{"name":' || ${oJson("name")} ||
-    ',"conv_id":' || ${oJson("conv_id")} ||
-    ',"turn_idx":' || turn_idx ||
-    ',"role":' || ${oJson("role")} ||
-    ',"tool":' || ${oJson("tool")} ||
-    ',"@timestamp":"' || strftime(ts, '%Y-%m-%dT%H:%M:%S.%g') || '"' ||
-    COALESCE(',"error_number":' || en, '') ||
-    COALESCE(',"severity_num":' || sev, '') ||
-    COALESCE(',"state_num":' || st, '') ||
-    COALESCE(',"client_addr":' || ${oJson("client")}, '') ||
-    ',"xe_severity_value":' || xsev ||
-    ',"xe_severity_keyword":' || ${oJson("CASE xsev WHEN 3 THEN 'err' WHEN 4 THEN 'warning' ELSE 'info' END")} ||
-    ',"xe_category":' || ${oJson("xcat")} ||
-    COALESCE(',"xe_description":' || ${oJson("xdesc")}, '') ||
-    COALESCE(',"xe_acct_app":' || ${oJson("acct")}, '') ||
-    COALESCE(',"entity_name":' || ${oJson("entity_name")}, '') ||
-    ',"sink_index":' || ${oJson("sink_index")} ||
-    '}' AS doc_json
-  FROM routed""")(s"""
+    "q20_routed_json" -> withCtes(oRoutedDocCtes: _*)(s"""
 SELECT conv_id, turn_idx, sink_index, doc_json,
   '{"index":{"_index":"' || sink_index || '"}}' || chr(10) || doc_json AS bulk
 FROM docs"""),
@@ -2259,7 +2342,6 @@ FROM docs"""),
 SELECT $oName AS name, count(*) AS n,
   CAST(sum(length(text)) AS BIGINT) AS sum_bytes, max(length(text)) AS max_bytes
 FROM transcripts GROUP BY 1"""),
-
     "q22_counters" -> withTranscripts(s"""
 SELECT $oName AS name, role, count(*) AS n, CAST(sum(length(text)) AS BIGINT) AS bytes
 FROM transcripts GROUP BY 1, 2"""),
@@ -6665,6 +6747,39 @@ WHERE core_deg >= 2"""),
 
     "q182_salted_edges" -> withCtes(oToolGraphCtes: _*)(
       "SELECT src, dst, w FROM edges"),
+
+    "q296_tool_edges_auto" -> withCtes(oToolGraphCtes: _*)(
+      "SELECT src, dst, w FROM edges"),
+
+    // A1: the observe counters AND the disk recount must both equal the
+    // independent DuckDB doc build (count + byte mass of the NDJSON lines)
+    "q297_observed_counters" -> withCtes(oRoutedDocCtes: _*)("""
+SELECT CAST(count(*) AS BIGINT) AS n_routed,
+  CAST(sum(length(doc_json)) AS BIGINT) AS bytes,
+  CAST(count(*) AS BIGINT) AS n_disk,
+  CAST(sum(length(doc_json)) AS BIGINT) AS bytes_disk
+FROM docs"""),
+
+    // P12: same doc stack over the CRLF-injected corpus (the transcripts
+    // CTE shadows the table); full-string equality + zero raw control
+    // bytes in every line
+    "q298_crlf_routed" -> withCtes(
+      (("transcripts_crlf", """SELECT * REPLACE (
+    CASE WHEN turn_idx % 5 = 2 THEN role || chr(13) || chr(10) || 'x'
+         ELSE role END AS role) FROM transcripts""") +:
+        oRoutedDocCtesFrom(
+          oParseMid.replace("FROM transcripts", "FROM transcripts_crlf"))): _*)("""
+SELECT conv_id, turn_idx, sink_index, doc_json,
+  (instr(doc_json, chr(10)) > 0 OR instr(doc_json, chr(13)) > 0) AS has_raw_crlf
+FROM docs"""),
+
+    // L1: 4 staged files drained at maxFilesPerTrigger=1 must yield 4
+    // single-file batches whose lineage totals the routed count
+    "q299_batch_lineage" -> withCtes(oRoutedDocCtes: _*)("""
+SELECT CAST(4 AS BIGINT) AS n_files, CAST(4 AS BIGINT) AS n_batches,
+  CAST(1 AS BIGINT) AS max_files_per_batch,
+  CAST(count(*) AS BIGINT) AS total_routed
+FROM routed"""),
 
     "q183_asof_join" -> withCtes(
       "l" -> "SELECT conv_id, turn_idx, tool, ts FROM transcripts WHERE tool <> ''",

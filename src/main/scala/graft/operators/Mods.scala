@@ -43,6 +43,33 @@ object Mods {
     lowercase = Seq("global.user"),
     stripCrlf = true)
 
+  /** Engine identity constants behind the `$(EXENAME)`-family tokens.
+    * The reference reads os.Executable()/build-time ldflags
+    * (config.go:316-323); a Spark job has no meaningful executable
+    * path, so these are pinned deterministic engine constants (the
+    * GITHASH placeholder is sha1("") — recognizably synthetic). */
+  val ExeNamePath = "/opt/graft/bin/graft-engine"
+  val ExeName     = "graft-engine"
+  val Version     = "0.1.0"
+  val GitHash     = "da39a3ee5e6b4b0d3255bfef95601890afd80709"
+  val Host        = "graft-host"
+
+  /** `$(VAR)` SUBSTRING substitutions in add values, applied at config
+    * build in the reference's order (config.go:334-341):
+    * EXENAMEPATH, EXENAME, PID, VERSION, GITDESCRIBE, GITHASH, HOST —
+    * path/name/host lowered like the reference. Substring, not
+    * whole-value: `"run-$(GITHASH)"` embeds. The whole-value `$(NOW)` /
+    * `$(PID)` forms keep their TYPED column mapping in [[document]]
+    * (timestamp / long) and are matched before this runs. */
+  def substituteTokens(v: String): String = v
+    .replace("$(EXENAMEPATH)", ExeNamePath.toLowerCase)
+    .replace("$(EXENAME)", ExeName.toLowerCase)
+    .replace("$(PID)", "0")
+    .replace("$(VERSION)", Version)
+    .replace("$(GITDESCRIBE)", Version)
+    .replace("$(GITHASH)", GitHash)
+    .replace("$(HOST)", Host.toLowerCase)
+
   /** `$(env:VAR)` substitution (pkg/config/vars.go:13-44): whole-value
     * match only; an unset/empty variable is a config error. */
   private val EnvPattern = """(?i)^\$\(env:(\w*)\)$""".r
@@ -148,10 +175,11 @@ object Mods {
     cfg.adds.foreach { case (p, v) =>
       val value: Column = v match {
         case "$(NOW)"     => current_timestamp()
-        case "$(VERSION)" => lit("0.1.0")
-        case "$(HOST)"    => lit("graft-host")
+        case "$(VERSION)" => lit(Version)
+        case "$(HOST)"    => lit(Host)
         case "$(PID)"     => lit(0L)
-        case other        => coerceValue(resolveEnv(other, cfg.envLookup))
+        case other        =>
+          coerceValue(substituteTokens(resolveEnv(other, cfg.envLookup)))
       }
       insert(root, p.split('.').toSeq, value, overwrite = false)
     }

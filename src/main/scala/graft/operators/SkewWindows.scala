@@ -116,4 +116,20 @@ object SkewWindows {
       .filter(col("src").isNotNull && col("src") =!= "" &&
         col("dst") =!= "" && col("src") =!= col("dst"))
       .groupBy("src", "dst").agg(count(lit(1)).as("w"))
+
+  /** Cost-dispatched edge build — the production entry: plain one-window
+    * [[graft.graph.Graphs.toolTransitionEdges]] until some conversation
+    * holds ≥ `hotKeyRows` turns (the measured crossover where the hot
+    * key's single-task sort gates the stage — see the cost note above),
+    * chunk+stitch beyond. Both branches are row-identical (q182 +
+    * SkewWindowSpec), so the dispatch is purely a cost decision; the
+    * decision input is one map-side-combined key-count scalar (a
+    * pipeline that already ran `Layout.partitionSkewStats` passes that
+    * result via `chooseChunked` instead of rescanning). */
+  def toolTransitionEdgesAuto(canonical: DataFrame,
+                              chunk: Long = 65536L,
+                              hotKeyRows: Long = 4L * 65536L): DataFrame =
+    if (chooseChunked(canonical, "conv_id", hotKeyRows))
+      toolTransitionEdgesSalted(canonical, chunk)
+    else graft.graph.Graphs.toolTransitionEdges(canonical)
 }

@@ -78,6 +78,26 @@ class ModsSpec extends SparkSpec {
       r.getAs[Long]("hex") == 26L && r.getAs[String]("ver") == "0.7")
   }
 
+  test("$(EXENAME)/$(EXENAMEPATH)/$(GITHASH) substring tokens (config.go:334-341)") {
+    // pure substitution order + substring semantics
+    assert(Mods.substituteTokens("$(EXENAME)") == "graft-engine")
+    assert(Mods.substituteTokens("$(EXENAMEPATH)") == "/opt/graft/bin/graft-engine")
+    assert(Mods.substituteTokens("run-$(GITHASH)-v$(VERSION)") ==
+      s"run-${Mods.GitHash}-v0.1.0")
+    assert(Mods.substituteTokens("$(GITDESCRIBE)") == "0.1.0")
+    assert(Mods.substituteTokens("pid=$(PID)@$(HOST)") == "pid=0@graft-host")
+    assert(Mods.substituteTokens("no tokens here") == "no tokens here")
+    // end-to-end through the add pipeline (string-typed after coercion)
+    val cfg = Mods.defaultConfig.copy(adds = Seq(
+      "g.exe" -> "$(EXENAME)", "g.exep" -> "$(EXENAMEPATH)",
+      "g.build" -> "sha:$(GITHASH)"))
+    val parsed = graft.functions.Grok.parse(turns)
+    val r = Mods(parsed, cfg).select("doc.g.*").collect()(0)
+    assert(r.getAs[String]("exe") == "graft-engine")
+    assert(r.getAs[String]("exep") == "/opt/graft/bin/graft-engine")
+    assert(r.getAs[String]("build") == s"sha:${Mods.GitHash}")
+  }
+
   test("$(env:VAR) substitution resolves, errors on unset (vars.go:18-44)") {
     val lookup = Map("GRAFT_USER" -> "svc_account").get _
     val cfg = Mods.defaultConfig.copy(

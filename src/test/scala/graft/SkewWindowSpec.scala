@@ -68,4 +68,21 @@ class SkewWindowSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getLong(1), Option(r.get(2)), r.getString(3))).toSet
     assert(auto == plain)
   }
+
+  test("toolTransitionEdgesAuto: dispatch is output-invariant on both " +
+    "sides of the crossover") {
+    val c = sources.Transcripts.loadCanonical(spark, tiny)
+    val plain = graph.Graphs.toolTransitionEdges(c).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    // cold side: no conversation is hot -> plain branch
+    val cold = SkewWindows.toolTransitionEdgesAuto(c).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(cold == plain)
+    // hot side: threshold 1 row forces the chunked branch on the same
+    // input; edges must be identical
+    val hot = SkewWindows.toolTransitionEdgesAuto(c, chunk = 8L,
+      hotKeyRows = 1L).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(hot == plain)
+  }
 }
