@@ -93,6 +93,24 @@ object SkewWindows {
     !m.isNullAt(0) && m.getLong(0) >= hotKeyRows
   }
 
+  /** [[chooseChunked]] on a deterministic 1/`sampleMod` ord-slice: the
+    * per-key count aggregates only rows with `ord % sampleMod == 0`, and
+    * the max scales back up by `sampleMod`. Detecting a multi-million-row
+    * hot key doesn't need exact counts — a 1% slice of an 8M-turn
+    * conversation is still 80k rows — and the sampled agg turns the
+    * dispatch from a corpus-sized exchange into a sliver one (measured
+    * ~0.6 s → ~0.2 s at sf0.1), which is what lets the AUTO path track
+    * the plain branch when no key is hot. Exact [[chooseChunked]] stays
+    * for callers that already pay a layout audit. */
+  def chooseChunkedSampled(df: DataFrame, key: String, ord: String,
+                           hotKeyRows: Long,
+                           sampleMod: Long = 100L): Boolean = {
+    val m = df.filter(col(ord) % sampleMod === 0L)
+      .groupBy(col(key)).agg(count(lit(1)).as("n"))
+      .agg(max(col("n")).as("m")).collect()(0)
+    !m.isNullAt(0) && m.getLong(0) * sampleMod >= hotKeyRows
+  }
+
   /** The measured-crossover dispatcher: plain lag until a key is hot
     * enough that its single-task sort dominates wall-clock, chunked+stitch
     * beyond (see the cost-crossover note above — plain wins at 5M rows /
@@ -119,17 +137,25 @@ object SkewWindows {
 
   /** Cost-dispatched edge build — the production entry: plain one-window
     * [[graft.graph.Graphs.toolTransitionEdges]] until some conversation
-    * holds ≥ `hotKeyRows` turns (the measured crossover where the hot
-    * key's single-task sort gates the stage — see the cost note above),
-    * chunk+stitch beyond. Both branches are row-identical (q182 +
-    * SkewWindowSpec), so the dispatch is purely a cost decision; the
-    * decision input is one map-side-combined key-count scalar (a
-    * pipeline that already ran `Layout.partitionSkewStats` passes that
-    * result via `chooseChunked` instead of rescanning). */
+    * holds ≥ `hotKeyRows` turns, chunk+stitch beyond. Both branches are
+    * row-identical (q182/q296 + SkewWindowSpec), so the dispatch is
+    * purely a cost decision, made on the sampled key profile
+    * ([[chooseChunkedSampled]] — a sliver agg, not a corpus exchange).
+    *
+    * The default threshold is CALIBRATED to the measured crossover, not
+    * the chunk size: on the bench corpus (local[32], 5M rows, ONE
+    * conversation holding 20% = 1M rows) plain still wins — 2.74 s vs
+    * 3.34 s chunked — because the post-lag hash-agg collapses
+    * immediately and a 1M-row single-task sort is ~1 s of straggle. The
+    * chunked form earns its second scan when the hot key's sort is the
+    * STAGE gate: ~10⁷+ rows of one key in one task (multi-GB at
+    * transcript row widths), hence 1<<23 ≈ 8.4M. A pipeline that
+    * already ran `Layout.partitionSkewStats` can dispatch for free on
+    * that result via [[chooseChunked]]'s contract instead. */
   def toolTransitionEdgesAuto(canonical: DataFrame,
                               chunk: Long = 65536L,
-                              hotKeyRows: Long = 4L * 65536L): DataFrame =
-    if (chooseChunked(canonical, "conv_id", hotKeyRows))
+                              hotKeyRows: Long = 1L << 23): DataFrame =
+    if (chooseChunkedSampled(canonical, "conv_id", "turn_idx", hotKeyRows))
       toolTransitionEdgesSalted(canonical, chunk)
     else graft.graph.Graphs.toolTransitionEdges(canonical)
 }

@@ -99,14 +99,17 @@ object StreamingPipeline {
                     checkpointDir: String,
                     reloader: Option[Reliability.ConfigReloader] = None,
                     maxSinkAttempts: Int = 5, sinkRetryBaseMs: Long = 1000L,
-                    availableNow: Boolean = true): StreamingQuery = {
+                    availableNow: Boolean = true,
+                    maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
     import java.nio.file.{Files, Paths}
     if (Files.exists(Paths.get(checkpointDir, "offsets")))
       Reliability.checkpointIntegrity(checkpointDir).swap.foreach(msg =>
         throw new IllegalStateException(s"refusing to resume: $msg"))
 
     graft.Graft.prep(spark)
-    val src = spark.readStream.schema(schema).parquet(inputDir)
+    var reader = spark.readStream.schema(schema)
+    maxFilesPerTrigger.foreach(n => reader = reader.option("maxFilesPerTrigger", n))
+    val src = reader.parquet(inputDir)
       .withColumn("src_file", regexp_extract(input_file_name(), "([^/]+)$", 1))
     val writer = src.writeStream
       .option("checkpointLocation", checkpointDir)

@@ -60,6 +60,14 @@ class SkewWindowSpec extends SparkSpec {
     assert(!SkewWindows.chooseChunked(df, "k", hotKeyRows = 21L))
     assert(!SkewWindows.chooseChunked(df.limit(0), "k", hotKeyRows = 1L),
       "empty input must choose plain, not NPE")
+    // sampled dispatch: hot key rows o=0..19, 1/5 slice keeps {0,5,10,15}
+    // -> est 4*5 = 20; flips at the same scaled threshold
+    assert(SkewWindows.chooseChunkedSampled(df, "k", "o", hotKeyRows = 20L,
+      sampleMod = 5L))
+    assert(!SkewWindows.chooseChunkedSampled(df, "k", "o", hotKeyRows = 21L,
+      sampleMod = 5L))
+    assert(!SkewWindows.chooseChunkedSampled(df.limit(0), "k", "o",
+      hotKeyRows = 1L, sampleMod = 5L), "empty input must choose plain")
     // both dispatch targets agree with each other on this input
     val auto = SkewWindows.adjacentPairsAuto(df, "k", "o", "v",
       chunk = 4L, hotKeyRows = 20L).collect()
