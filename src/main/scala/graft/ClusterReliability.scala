@@ -35,10 +35,13 @@ object ClusterReliability {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
     val root = "/tmp/graft_cluster_rel"
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .appName("graft-cluster-reliability")
       .config("spark.sql.shuffle.partitions", "8")
-      .getOrCreate()
+    // normally submitted against a standalone master (cluster_bench.sh);
+    // GRAFT_LOCAL_MASTER lets the same surface run in-process for debug
+    val spark = sys.env.get("GRAFT_LOCAL_MASTER")
+      .fold(builder)(builder.master).getOrCreate()
     Graft.prep(spark)
     spark.sparkContext.setLogLevel("WARN")
     rm(Paths.get(root))
@@ -89,9 +92,14 @@ object ClusterReliability {
         spark.read.text(s"$root/st6/sinks/file")
           .filter(get_json_object(col("value"), "$.name") === "login").count()
       } catch { case _: Exception => 0L }
-    // wait until phase-1 output exists (some login rows routed)
+    def lineageFiles(): Long =
+      try spark.read.parquet(s"$root/st6/sinks/lineage")
+        .select("src_file").distinct().count()
+      catch { case _: Exception => 0L }
+    // wait until BOTH phase-1 files drained — capturing earlier races
+    // the reload against the tail of phase 1
     var spins = 0
-    while (loginCount() == 0L && spins < 120) { Thread.sleep(1000); spins += 1 }
+    while (lineageFiles() < 2L && spins < 120) { Thread.sleep(1000); spins += 1 }
     val loginsPhase1 = loginCount()
     // MID-QUERY: rewrite the config to blacklist login, give the poller
     // a moment to observe the mtime change, then append phase-2 files
@@ -101,10 +109,6 @@ object ClusterReliability {
     t.filter(col("src_offset") % 2 === 1)
       .repartition(2).write.mode("append").parquet(s"$root/st6/in")
     // wait for the appended files to drain (lineage grows past phase 1)
-    def lineageFiles(): Long =
-      try spark.read.parquet(s"$root/st6/sinks/lineage")
-        .select("src_file").distinct().count()
-      catch { case _: Exception => 0L }
     spins = 0
     while (lineageFiles() < 4L && spins < 120) { Thread.sleep(1000); spins += 1 }
     Reliability.stopGracefully(q6)

@@ -67,6 +67,19 @@ echo "== checkpointed streaming on the cluster: drain half, append, resume =="
 runstream init
 runstream resume
 
+echo "== reliability surface on the cluster (ST5 zeroed-ckpt refusal, =="
+echo "== ST6 mid-query config reload, ST8 sink retry/backoff)         =="
+"$SPARK_HOME/bin/spark-submit" \
+  --master spark://127.0.0.1:7077 \
+  --class graft.ClusterReliability \
+  --driver-memory 4g \
+  --conf spark.executor.cores=2 \
+  --conf spark.executor.memory=4g \
+  --conf spark.cores.max=8 \
+  --conf spark.executor.extraJavaOptions=-XX:+UseParallelGC \
+  --conf spark.ui.enabled=false \
+  "$JAR" 2>/dev/null | grep '"metric"'
+
 echo "== N=1 executor, then 4N=4, interleaved three times (contention phases) =="
 A1=$(run 1); B1=$(run 4); A2=$(run 1); B2=$(run 4); A3=$(run 1); B3=$(run 4)
 echo "$A1"; echo "$B1"; echo "$A2"; echo "$B2"; echo "$A3"; echo "$B3"
