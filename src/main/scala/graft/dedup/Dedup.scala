@@ -657,8 +657,16 @@ object Dedup {
   }
 
   /** Character 5-gram hash set via charwise rolling window on the whole
-    * normalized text. */
-  def charNgramHashes(text: Column, n: Int = 5): Column = {
+    * normalized text — fused native pass ([[CharNgrams]], codegen
+    * static-call; the interpreted HOF tree below is the semantics
+    * reference, proven element-identical in CharNgramParitySpec). */
+  def charNgramHashes(text: Column, n: Int = 5): Column =
+    array_distinct(CharNgrams.hashes(text, n))
+
+  /** Declarative reference for [[charNgramHashes]] (per-char split +
+    * per-window aggregate fold — interpreted, ~100× the fused pass at
+    * sf1; kept as the parity contract). */
+  def charNgramHashesDeclarative(text: Column, n: Int = 5): Column = {
     val norm = regexp_replace(lower(text), "\\s+", " ")
     val codes = transform(split(norm, ""), c => ascii(c).cast("long"))
     val m = size(codes)

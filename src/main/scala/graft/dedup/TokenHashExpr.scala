@@ -148,6 +148,89 @@ case class ShingleHashExpr(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Fused character-n-gram hash array — the char-level sibling of
+  * [[Shingles]] for the n-gram Jaccard family ([[Dedup.charNgramHashes]]
+  * consumers: q43/q55 n-gram near-dup). One native pass replaces the
+  * interpreted lower → regex-collapse → per-CHAR split → per-window
+  * aggregate-fold HOF tree, which the sf1 confidence run measured as the
+  * slowest remaining kernel (~10 min for q55 at 50k docs — the per-char
+  * lambda tree ran twice per doc side).
+  *
+  * SEMANTICS CONTRACT: element-for-element identical to the declarative
+  * chain — Spark `lower()` (UTF8String lowercase), `\s+` runs collapsed
+  * to ONE space INCLUDING leading/trailing runs (regexp_replace, no
+  * trim), per-CODEPOINT `ascii()` codes (Java regex split("") is
+  * codepoint-aware), (acc*31 + cp) % P fold seeded at 7 over each
+  * n-window, no distinct (callers array_distinct like the declarative).
+  * CharNgramParitySpec proves equality over the corpus and adversarial
+  * strings; the q55/q43 oracles re-check end-to-end in DuckDB. */
+object CharNgrams {
+  import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+
+  def hashes(text: Column, n: Int): Column = {
+    import org.apache.spark.sql.GraftBridge
+    GraftBridge.column(CharNgramExpr(GraftBridge.expression(text), n))
+  }
+
+  private def isWs(c: Char) = // Java regex \s
+    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+
+  def compute(input: UTF8String, n: Int): ArrayData = {
+    val P = TokenHash.P
+    val s = input.toLowerCase.toString
+    // collapse \s+ runs to single ' ' (leading/trailing kept as a space)
+    val len = s.length
+    val norm = new java.lang.StringBuilder(len)
+    var i = 0
+    while (i < len) {
+      val c = s.charAt(i)
+      if (isWs(c)) {
+        norm.append(' ')
+        while (i < len && isWs(s.charAt(i))) i += 1
+      } else { norm.append(c); i += 1 }
+    }
+    // codepoint array (split("") is codepoint-aware in Java regex)
+    val ns = norm.toString
+    val cps = new Array[Long](ns.codePointCount(0, ns.length))
+    var ci = 0
+    var k = 0
+    while (ci < ns.length) {
+      val cp = ns.codePointAt(ci)
+      cps(k) = cp.toLong
+      k += 1
+      ci += Character.charCount(cp)
+    }
+    val m = cps.length
+    if (m < n) return new GenericArrayData(Array.emptyLongArray)
+    val out = new Array[Long](m - n + 1)
+    var st = 0
+    while (st <= m - n) {
+      var acc = 7L
+      var j = 0
+      while (j < n) { acc = (acc * 31L + cps(st + j)) % P; j += 1 }
+      out(st) = acc
+      st += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+case class CharNgramExpr(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "char_ngram_hashes"
+  override def nullSafeEval(input: Any): Any =
+    CharNgrams.compute(input.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.dedup.CharNgrams.compute($c, $n);")
+  override protected def withNewChildInternal(newChild: Expression): CharNgramExpr =
+    copy(child = newChild)
+}
+
 case class TokenHashExpr(child: Expression) extends UnaryExpression {
   override def dataType: DataType = TokenHash.outputSchema
   override def nullable: Boolean = true

@@ -173,8 +173,11 @@ object DqRules {
     val bc = transcripts.sparkSession.sparkContext.broadcast(set)
     transcripts
       .select(graft.text.LogTemplate.rebuild(col("text"), bc).as("template"))
-      .filter(col("template").isNotNull)
       .groupBy("template").agg(count(lit(1)).as("n_turns"))
+      // zero-token turns (null template) drop AFTER the agg: a pre-agg
+      // isNotNull filter pushes below the projection and makes the plan
+      // evaluate the rewrite kernel twice per row (PlanAudit caught it)
+      .filter(col("template").isNotNull)
   }
 
   /** Declarative reference for [[logTemplates]]: broadcast left join of
