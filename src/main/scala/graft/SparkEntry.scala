@@ -151,6 +151,13 @@ object SparkEntry {
       TurnOrdering.globalSeq(Transcripts.load(s, d))
         .select("conv_id", "turn_idx", "seq")),
 
+    // W4 encoding parity: the same global seq RENDERED base62 (12-char
+    // zero-padded, seq.go:30,44-47) — one Scala ladder in both dialects
+    "q300_seq_base62" -> ((s, d) =>
+      TurnOrdering.globalSeq(Transcripts.load(s, d))
+        .select(col("conv_id"), col("turn_idx"), col("seq"),
+          expr(TurnOrdering.base62Ladder("seq", "DIV")).as("seq_b62"))),
+
     // F2: start_at / stop_at range filter
     "q59_ts_range" -> ((s, d) =>
       Transcripts.load(s, d)
@@ -2411,6 +2418,13 @@ SELECT win_start, name, count(*) AS n FROM (
 SELECT conv_id, turn_idx,
   row_number() OVER (ORDER BY conv_id, turn_idx) AS seq
 FROM transcripts"""),
+
+    "q300_seq_base62" -> withTranscripts(s"""
+SELECT conv_id, turn_idx, seq,
+  ${operators.TurnOrdering.base62Ladder("seq", "//")} AS seq_b62
+FROM (SELECT conv_id, turn_idx,
+        row_number() OVER (ORDER BY conv_id, turn_idx) AS seq
+      FROM transcripts) r"""),
 
     "q59_ts_range" -> withTranscripts("""
 SELECT conv_id, turn_idx FROM transcripts

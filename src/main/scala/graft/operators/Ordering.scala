@@ -18,6 +18,25 @@ object TurnOrdering {
     df.withColumn("seq_in_conv",
       row_number().over(Window.partitionBy("conv_id").orderBy("turn_idx")))
 
+  /** base62 rendering of sequence ids, zero-padded to 12 chars — the
+    * reference's sequence-id ENCODING (`pkg/seq/seq.go:30,44-47`:
+    * mattheath/base62 std alphabet, `Padding(12)`); it encodes
+    * `ts<<32|seq`, we encode the ordinal seq itself (W4's repo semantic
+    * is the deterministic ordinal; the wall-clock high word is
+    * environment, not data). ONE Scala ladder renders into BOTH dialects
+    * (the shared-constant discipline): 11 base-62 digit extractions
+    * (62^10 is the largest int64-safe power and 11 digits cover every
+    * non-negative int64) prefixed with a literal '0' pad to width 12. */
+  val Base62Alphabet =
+    "0123456789ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz"
+  def base62Ladder(c: String, divOp: String): String = {
+    val digits = (10 to 0 by -1).map { k =>
+      val pow = BigInt(62).pow(k)
+      s"substr('$Base62Alphabet', CAST(($c $divOp $pow) % 62 AS INT) + 1, 1)"
+    }
+    digits.mkString("'0' || ", " || ", "")
+  }
+
   /** Global dense sequence over (conv_id, turn_idx) WITHOUT a
     * single-partition window (W4, `pkg/seq/seq.go:34-49` analog).
     * Two-phase: range-partition + sort within partitions, count per
