@@ -172,8 +172,9 @@ object CharNgrams {
     GraftBridge.column(CharNgramExpr(GraftBridge.expression(text), n))
   }
 
-  private def isWs(c: Char) = // Java regex \s
+  private[dedup] def isWsChar(c: Char) = // Java regex \s
     c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+  private def isWs(c: Char) = isWsChar(c)
 
   def compute(input: UTF8String, n: Int): ArrayData = {
     val P = TokenHash.P
@@ -213,6 +214,68 @@ object CharNgrams {
     }
     new GenericArrayData(out)
   }
+}
+
+/** CDC boundary statistics in ONE pass — the [[CharNgrams]] sibling for
+  * content-defined chunking ([[graft.text.Packing.cdcStats]], q88):
+  * normalized char count + count of rolling n-gram hashes ≡ 0
+  * (mod modulus), computed without materializing the hash array (the
+  * sf1 run measured the interpreted chain at 552 s). Same
+  * normalization/fold semantics as [[CharNgrams]] (shared helpers);
+  * parity proven in CharNgramParitySpec against the declarative form. */
+object CdcBoundaries {
+  val outputSchema: StructType = StructType(Seq(
+    StructField("n_chars", LongType, nullable = false),
+    StructField("n_boundaries", LongType, nullable = false)))
+
+  def stats(text: Column, n: Int, modulus: Int): Column = {
+    import org.apache.spark.sql.GraftBridge
+    GraftBridge.column(CdcBoundaryExpr(GraftBridge.expression(text), n, modulus))
+  }
+
+  def compute(input: UTF8String, n: Int, modulus: Int): InternalRow = {
+    val arr = CharNgrams.compute(input, n)
+    // n_chars = length(norm) of the declarative chain — Spark length()
+    // counts CODEPOINTS, so walk codepoints (a \s+ run collapses to one)
+    val s = input.toLowerCase.toString
+    var i = 0
+    var nc = 0L
+    val len = s.length
+    while (i < len) {
+      if (CharNgrams.isWsChar(s.charAt(i))) {
+        nc += 1
+        while (i < len && CharNgrams.isWsChar(s.charAt(i))) i += 1
+      } else {
+        nc += 1
+        i += Character.charCount(s.codePointAt(i))
+      }
+    }
+    var b = 0L
+    var k = 0
+    val m = arr.numElements()
+    while (k < m) {
+      if (arr.getLong(k) % modulus == 0L) b += 1
+      k += 1
+    }
+    InternalRow(nc, b)
+  }
+}
+
+case class CdcBoundaryExpr(child: Expression, n: Int, modulus: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = CdcBoundaries.outputSchema
+  override def nullable: Boolean = true
+  override def prettyName: String = "cdc_boundaries"
+  override def nullSafeEval(input: Any): Any =
+    CdcBoundaries.compute(input.asInstanceOf[UTF8String], n, modulus)
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.dedup.CdcBoundaries.compute($c, $n, $modulus);")
+  override protected def withNewChildInternal(newChild: Expression): CdcBoundaryExpr =
+    copy(child = newChild)
 }
 
 case class CharNgramExpr(child: Expression, n: Int) extends UnaryExpression {

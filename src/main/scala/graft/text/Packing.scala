@@ -45,10 +45,21 @@ object Packing {
     * here applied to corpus near-versioning). Reports per doc the chunk
     * count and mean chunk length (×1e3, integer-exact).
     *
-    * Scale: pure per-row expression tree over the normalized char codes —
-    * no shuffle, no UDF; the 100 TB cost is the scan itself.
-    */
-  def cdcStats(docs: DataFrame, modulus: Int = 64, n: Int = 5): DataFrame = {
+    * Scale: ONE fused static-call pass off the scan
+    * ([[graft.dedup.CdcBoundaries]] — counts chars + hash≡0 boundaries
+    * without materializing the hash array; the interpreted per-window
+    * fold it replaced was a measured 552 s at sf1), no shuffle, no UDF;
+    * the 100 TB cost is the scan itself. [[cdcStatsDeclarative]] keeps
+    * the HOF form as the parity contract (CharNgramParitySpec). */
+  def cdcStats(docs: DataFrame, modulus: Int = 64, n: Int = 5): DataFrame =
+    cdcFinish(docs.select(col("doc_id"),
+      graft.dedup.CdcBoundaries.stats(col("text"), n, modulus).as("_c"))
+      .select(col("doc_id"), col("_c.n_chars").as("n_chars"),
+        col("_c.n_boundaries").as("n_boundaries")))
+
+  /** Declarative reference for [[cdcStats]] (interpreted HOF tree). */
+  def cdcStatsDeclarative(docs: DataFrame, modulus: Int = 64,
+                          n: Int = 5): DataFrame = {
     val norm = regexp_replace(lower(col("text")), "\\s+", " ")
     val codes = transform(split(norm, ""), c => ascii(c).cast("long"))
     val m = size(codes)
@@ -58,16 +69,18 @@ object Packing {
       aggregate(slice(codes, i, lit(n)), lit(7L), (acc, x) => (acc * 31L + x) % graft.text.TextAnalysis.P))
     // n_chars from length(norm), not size(codes): splitting "" by "" yields
     // [""] (size 1) in Spark, so the array size over-counts the empty doc
-    docs.select(col("doc_id"), length(norm).cast("long").as("n_chars"),
-        size(filter(hashes, h => h % modulus === 0)).cast("long").as("n_boundaries"))
-      .select(col("doc_id"), col("n_chars"), col("n_boundaries"),
+    cdcFinish(docs.select(col("doc_id"), length(norm).cast("long").as("n_chars"),
+      size(filter(hashes, h => h % modulus === 0)).cast("long").as("n_boundaries")))
+  }
+
+  private def cdcFinish(base: DataFrame): DataFrame =
+    base.select(col("doc_id"), col("n_chars"), col("n_boundaries"),
         when(col("n_chars") > 0, col("n_boundaries") + 1).otherwise(lit(0L))
           .as("n_chunks"))
       .withColumn("mean_chunk_len_x1e3",
         when(col("n_chunks") > 0,
           floor(col("n_chars") * lit(1000.0) / col("n_chunks")).cast("long"))
           .otherwise(lit(0L)))
-  }
 
   /** Length-bucketed batch assembly: group documents into power-of-two
     * token-length buckets, then form fixed-size batches inside each bucket

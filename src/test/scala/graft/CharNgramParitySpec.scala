@@ -24,6 +24,23 @@ class CharNgramParitySpec extends SparkSpec {
     for (n <- Seq(3, 5)) diff(docs, n)
   }
 
+  test("fused CDC boundary stats equal declarative over corpus + edges") {
+    def diffCdc(docs: org.apache.spark.sql.DataFrame, mod: Int, n: Int): Unit = {
+      val a = text.Packing.cdcStats(docs, mod, n)
+      val b = text.Packing.cdcStatsDeclarative(docs, mod, n)
+      val d1 = a.except(b).collect(); val d2 = b.except(a).collect()
+      assert(d1.isEmpty && d2.isEmpty,
+        s"mod=$mod n=$n fused-only: ${d1.take(2).mkString(";")}\ndecl-only: ${d2.take(2).mkString(";")}")
+    }
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    diffCdc(docs, 64, 5)
+    diffCdc(docs, 16, 3)
+    val edge = Seq((0L, "", "en", "s", 0L), (1L, "   ", "en", "s", 3L),
+      (2L, "abcd", "en", "s", 4L), (3L, " x  y\tz ", "en", "s", 8L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    diffCdc(edge, 64, 5)
+  }
+
   test("fused char n-grams equal declarative on adversarial strings") {
     val cases = Seq(
       "",                      // empty: both sides empty array
