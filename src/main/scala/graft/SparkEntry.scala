@@ -7761,17 +7761,21 @@ SELECT tool, CAST(count(*) AS BIGINT) AS n_calls,
 FROM x WHERE tool IS NOT NULL AND tool != ''
 GROUP BY tool"""),
 
+    // prefix key = running md5 hash chain (fold with init ''), mirrored
+    // as a per-conv list fold: list_reduce(list_prepend('', prefix), md5)
     "q120_branching" -> withCtes(
       "th" -> """
   SELECT conv_id, turn_idx,
     md5(role || ':' || regexp_replace(lower(text), '[0-9]+', '0', 'g')) AS th
   FROM transcripts""",
+      "lists" -> """
+  SELECT conv_id, list(th ORDER BY turn_idx) AS l FROM th GROUP BY 1""",
       "pfx" -> """
-  SELECT conv_id, turn_idx,
-    md5(string_agg(th, '') OVER (PARTITION BY conv_id ORDER BY turn_idx
-      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS prefix_key,
-    lead(th) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS next_th
-  FROM th""")("""
+  SELECT conv_id, i - 1 AS turn_idx,
+    list_reduce(list_prepend('', l[1:i]), (a, b) -> md5(a || b)) AS prefix_key,
+    CASE WHEN i < len(l) THEN l[i + 1] ELSE NULL END AS next_th
+  FROM (SELECT conv_id, l, unnest(generate_series(1, len(l))) AS i
+        FROM lists) x""")("""
 SELECT turn_idx AS depth, prefix_key,
   CAST(count(*) AS BIGINT) AS n_convs,
   CAST(count(DISTINCT next_th) AS BIGINT) AS n_children,

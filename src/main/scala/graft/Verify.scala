@@ -10,6 +10,11 @@ object Verify {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // the sf tables are ONE parquet file each; without a small split
+      // size every pre-shuffle stage runs as a single task at larger
+      // sfs (the sf1 run measured 20-min single-thread stages). 4 MB
+      // splits by row group restore scan parallelism at any sf.
+      .config("spark.sql.files.maxPartitionBytes", "4m")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

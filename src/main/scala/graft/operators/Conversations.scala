@@ -246,11 +246,16 @@ object Conversations {
     * branch point (a retry, a resample, or a forked rollout). Reports
     * every node shared by ≥2 conversations with its fan-out.
     *
-    * The prefix key is md5 over the running `role:template` sequence —
-    * computed with a per-conversation running window, so the intermediate
-    * string is bounded by conversation length (never corpus size), and
-    * the only exchange is the conv_id window; the node aggregate then
-    * re-keys on the 128-bit (depth, prefix) pair. */
+    * The prefix key is a running md5 HASH CHAIN
+    * ([[graft.functions.HashChain]]): H_i = md5(H_{i-1} || th_i), O(1)
+    * state per row — the md5-of-concatenated-prefix form it replaced is
+    * quadratic by SEMANTICS (the prefix string at row i is O(i)) and
+    * Spark's unbounded-preceding frame additionally copies the
+    * collected buffer per row; the sf1 run measured it stuck 20+ min
+    * on the 200k-turn hot conversation. Equal chains ⟺ equal ordered
+    * prefixes (md5 collisions aside), so the trie semantics are
+    * unchanged; the only exchange is the conv_id window, and the node
+    * aggregate then re-keys on the 128-bit (depth, prefix) pair. */
   def branching(transcripts: DataFrame): DataFrame = {
     val w = Window.partitionBy("conv_id").orderBy("turn_idx")
     val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -260,8 +265,7 @@ object Conversations {
           regexp_replace(lower(col("text")), "[0-9]+", "0")).cast("binary"))
           .as("th"))
       .select(col("conv_id"), col("turn_idx"),
-        md5(array_join(collect_list(col("th")).over(run), "")
-          .cast("binary")).as("prefix_key"),
+        graft.functions.HashChain.over(col("th"), run).as("prefix_key"),
         lead(col("th"), 1).over(w).as("next_th"))
       .groupBy(col("turn_idx").as("depth"), col("prefix_key"))
       .agg(count(lit(1)).as("n_convs"),
