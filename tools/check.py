@@ -11,13 +11,21 @@ outdir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
 con = duckdb.connect()
 # bound the buffer pool: with defaults (80% RAM, 32 threads) the 48-query
 # run accumulates enough mappings/buffers that late queries die with
-# tiny-block "Out of Memory" errors despite ~120 GB free
-con.sql("SET memory_limit='8GB'; SET threads=8")
+# tiny-block "Out of Memory" errors despite ~120 GB free. The heavy
+# brute-force oracles at sf1 need more: override via env.
+import os
+mem = os.environ.get("GRAFT_DUCK_MEM", "8GB")
+thr = os.environ.get("GRAFT_DUCK_THREADS", "8")
+con.sql(f"SET memory_limit='{mem}'; SET threads={thr}")
 for p in glob.glob(f"{sfdir}/*.parquet"):
     name = p.split("/")[-1].replace(".parquet", "")
     con.sql(f"CREATE VIEW {name} AS SELECT * FROM '{p}'")
 
 oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+only = os.environ.get("GRAFT_CHECK_ONLY")
+if only:
+    names = set(only.split(","))
+    oracle = {q: sql for q, sql in oracle.items() if q in names}
 ok = fail = 0
 for q, sql in sorted(oracle.items()):
     try:
