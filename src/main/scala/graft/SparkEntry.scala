@@ -4596,7 +4596,8 @@ FROM top2 GROUP BY cent_id""",
          ELSE ts END AS ts
   FROM transcripts""",
       "lt" -> s"""SELECT $oName AS name,
-    max(epoch_us(ts)) OVER (PARTITION BY src_file ORDER BY src_offset
+    max(epoch_us(ts)) OVER (PARTITION BY src_file
+      ORDER BY src_offset, epoch_us(ts)
       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
       - epoch_us(ts) AS late_us
   FROM dl""")("""

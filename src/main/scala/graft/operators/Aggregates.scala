@@ -524,7 +524,12 @@ object Aggregates {
     * this profile is the same shape as interArrival's. */
   def latenessProfile(parsed: DataFrame): DataFrame = {
     val us = unix_micros(col("ts").cast("timestamp"))
-    val w = Window.partitionBy("src_file").orderBy("src_offset")
+    // us tiebreak: src_offset SHOULD be unique within a file (the
+    // reader's contract), but a replicated/merged corpus can collide
+    // keys — the tiebreak keeps the running max total-ordered and the
+    // result deterministic either way (caught by the sf1 run, where
+    // id-shifted staging collided the truncated file names)
+    val w = Window.partitionBy("src_file").orderBy("src_offset", "us")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val late = parsed
       .select(col("name"), col("src_file"), col("src_offset"), us.as("us"))

@@ -17,7 +17,13 @@ import duckdb
 src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
 out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_sf1"
 REPL = 10
-ESHIFT = 1_000_000_000   # divisible by 4/20/1000 -> role/host/offset cadence kept
+# ESHIFT must keep floor(event_id/1000) within 4 digits: the synth's
+# src_file is 'events_' || lpad(...,4,'0') and lpad TRUNCATES, so a
+# bigger shift collides file names (and with them (src_file,src_offset)
+# uniqueness — caught as a q227 tie-order mismatch). 100k also keeps
+# the %4/%20/%1000 cadences (divisible) and event_ids unique (base max
+# 99,999 at sf0.1).
+ESHIFT = 100_000
 USHIFT = 100_000         # divisible by 5 (hot rule); max shifted id 999_999 fits lpad-6
 DSHIFT = 100_000
 VSHIFT = 100_000
