@@ -172,12 +172,15 @@ object DqRules {
     keepRows.foreach(r => set.add(r.getString(0)))
     val bc = transcripts.sparkSession.sparkContext.broadcast(set)
     transcripts
+      // zero-token turns drop on a CHEAP pre-rewrite predicate (has any
+      // non-\s char ⟺ produces a template). Filtering on the template
+      // itself — before OR after the agg — gets pushed below the
+      // projection as isnotnull(log_template(...)) and the plan then
+      // evaluates the rewrite kernel twice per row (PlanAudit caught
+      // it; PlanSpec pins the single evaluation)
+      .filter(col("text").isNotNull && col("text").rlike("\\S"))
       .select(graft.text.LogTemplate.rebuild(col("text"), bc).as("template"))
       .groupBy("template").agg(count(lit(1)).as("n_turns"))
-      // zero-token turns (null template) drop AFTER the agg: a pre-agg
-      // isNotNull filter pushes below the projection and makes the plan
-      // evaluate the rewrite kernel twice per row (PlanAudit caught it)
-      .filter(col("template").isNotNull)
   }
 
   /** Declarative reference for [[logTemplates]]: broadcast left join of

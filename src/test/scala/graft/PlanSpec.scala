@@ -293,7 +293,11 @@ class PlanSpec extends SparkSpec {
     assert(nLt == 1, s"logTemplates rebuild expected 1 exchange, saw $nLt:\n${lt.take(1500)}")
     assert(!lt.contains("collect_list") && !lt.toLowerCase.contains("sortexec"),
       "logTemplates rebuild must not reassemble turns via collect_list/sort")
-    assert(lt.contains("log_template"), "fused rewrite expression missing")
+    // the rewrite kernel must be evaluated EXACTLY once per row — a
+    // template-null filter (pre- or post-agg) gets pushed below the
+    // projection and doubles the evaluation
+    val nKernel = "log_template\\(".r.findAllIn(lt).size
+    assert(nKernel == 1, s"expected exactly 1 log_template eval, saw $nKernel")
     // winnow: the selection pass is exchange-free and fused (no
     // interpreted lambda HOFs left in the per-doc stage)
     val sel = finalPlanOf(docs.select(col("doc_id"),
