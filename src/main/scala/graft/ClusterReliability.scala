@@ -86,12 +86,19 @@ object ClusterReliability {
     val q6 = StreamingPipeline.startReliable(spark, s"$root/st6/in",
       s"$root/st6/sinks", s"$root/st6/ckpt", reloader = Some(reloader),
       availableNow = false, maxFilesPerTrigger = Some(1))
+    // guard on the path actually read (the NDJSON file sink); a read
+    // failure is logged, not silently folded into 0, so a broken sink is
+    // distinguishable from "no logins yet"
     def loginCount(): Long =
-      if (!Files.exists(Paths.get(s"$root/st6/sinks/lineage"))) 0L
+      if (!Files.exists(Paths.get(s"$root/st6/sinks/file"))) 0L
       else try {
         spark.read.text(s"$root/st6/sinks/file")
           .filter(get_json_object(col("value"), "$.name") === "login").count()
-      } catch { case _: Exception => 0L }
+      } catch {
+        case e: Exception =>
+          System.err.println(s"[cluster-rel] st6 file-sink read failed: $e")
+          0L
+      }
     def lineageFiles(): Long =
       try spark.read.parquet(s"$root/st6/sinks/lineage")
         .select("src_file").distinct().count()
@@ -101,16 +108,28 @@ object ClusterReliability {
     var spins = 0
     while (lineageFiles() < 2L && spins < 120) { Thread.sleep(1000); spins += 1 }
     val loginsPhase1 = loginCount()
-    // MID-QUERY: rewrite the config to blacklist login, give the poller
-    // a moment to observe the mtime change, then append phase-2 files
+    // MID-QUERY: rewrite the config to blacklist login. The reloader polls
+    // at the START of every foreachBatch, so the first phase-2 batch
+    // observes the change before it filters — provided the rewrite's mtime
+    // actually differs from the reloader's snapshot. Bump it explicitly
+    // past filesystem timestamp granularity instead of sleeping.
     Files.write(Paths.get(cfgPath),
       """{"excluded_events": ["login"]}""".getBytes("UTF-8"))
-    Thread.sleep(3000)
+    Files.setLastModifiedTime(Paths.get(cfgPath),
+      java.nio.file.attribute.FileTime.fromMillis(
+        Files.getLastModifiedTime(Paths.get(cfgPath)).toMillis + 2001))
     t.filter(col("src_offset") % 2 === 1)
       .repartition(2).write.mode("append").parquet(s"$root/st6/in")
     // wait for the appended files to drain (lineage grows past phase 1)
     spins = 0
     while (lineageFiles() < 4L && spins < 120) { Thread.sleep(1000); spins += 1 }
+    // reload acknowledgement: the driver-side reloader must have applied
+    // the new blacklist (poll-at-batch-start contract) — wait on it rather
+    // than inferring from timing
+    spins = 0
+    while (!reloader.current.excludedEvents.contains("login") && spins < 60) {
+      Thread.sleep(500); spins += 1
+    }
     Reliability.stopGracefully(q6)
     val loginsFinal = loginCount()
     val reloadHeld = loginsPhase1 > 0L && loginsFinal == loginsPhase1

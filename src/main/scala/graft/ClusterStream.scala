@@ -39,6 +39,47 @@ object ClusterStream {
     }
 
     val t = Transcripts.load(spark, sfDir)
+
+    // ---- stream-stream join phases (q279's streaming arm, ST-join on a
+    // real cluster): time-split drain-append-resume across two separate
+    // spark-submit invocations, then exact set equality against the batch
+    // twin — the cluster analog of JoinStreamSpec. The cut is the exact
+    // midpoint of the corpus time range (deterministic, recomputed
+    // identically in both phases from the same input).
+    if (phase == "join_init" || phase == "join_resume") {
+      val jroot = "/tmp/graft_cluster_join"
+      val win = 1440
+      val mm = t.agg(min(col("ts")), max(col("ts"))).collect()(0)
+      val (lo, hi) = (mm.getAs[java.time.LocalDateTime](0),
+        mm.getAs[java.time.LocalDateTime](1))
+      val cut = lo.plus(java.time.Duration.between(lo, hi).dividedBy(2))
+      if (phase == "join_init") {
+        rm(Paths.get(jroot))
+        t.filter(col("ts") < lit(cut))
+          .repartition(2).write.parquet(s"$jroot/in/f1")
+      } else {
+        t.filter(col("ts") >= lit(cut))
+          .repartition(2).write.parquet(s"$jroot/in/f2")
+      }
+      streaming.JoinStream.start(spark, s"$jroot/in/*", s"$jroot/out",
+        s"$jroot/ckpt", windowMinutes = win, lateness = "2 days")
+        .awaitTermination()
+      val got = spark.read.parquet(s"$jroot/out")
+      val (matched, straddling, expectRows) = if (phase == "join_resume") {
+        val expect = streaming.JoinStream.batchPairs(t, win)
+          .select(col("conv_id"), col("u_turn"), col("t_turn"))
+        val gotK = got.select(col("conv_id"), col("u_turn"), col("t_turn"))
+        val m = gotK.exceptAll(expect).isEmpty && expect.exceptAll(gotK).isEmpty
+        val s = got.filter(col("u_ts").cast("timestamp_ntz") < lit(cut) &&
+          col("t_ts").cast("timestamp_ntz") >= lit(cut)).count()
+        (m, s, expect.count())
+      } else (true, 0L, -1L)
+      val execs = spark.sparkContext.getExecutorMemoryStatus.size - 1
+      println(s"""{"metric":"cluster_stream_join","phase":"$phase","pair_rows":${got.count()},"expected_rows":$expectRows,"pairs_match_batch":$matched,"straddling_pairs":$straddling,"executors":$execs}""")
+      spark.stop()
+      return
+    }
+
     if (phase == "init") {
       rm(Paths.get(root))
       t.filter(col("src_offset") % 2 === 0)

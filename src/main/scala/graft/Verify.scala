@@ -27,12 +27,19 @@ object Verify {
     // Harness-only subset filter (comma-separated name substrings); the
     // driver never sets it, so the full dump is the default.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSeq)
+    // Per-query wall clock, dumped as timings.json: explicit timing (not
+    // output mtimes) so an sf0.1-vs-sf1 pair of drives yields the
+    // per-query scaling-ratio table in BASELINE.md.
+    val timings = scala.collection.mutable.LinkedHashMap[String, Double]()
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.exists(name.contains)) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      val t0 = System.nanoTime()
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        timings(name) = (System.nanoTime() - t0) / 1e9
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       // Iterative operators (kCore, pageRank) return persisted frames the
@@ -41,6 +48,9 @@ object Verify {
       // drop ALL cached blocks before the next one.
       spark.catalog.clearCache()
     }
+    Files.writeString(Paths.get(s"$outDir/timings.json"),
+      timings.map { case (k, v) => s""""$k": ${f"$v%.2f"}""" }
+        .mkString("{", ",", "}"))
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

@@ -234,30 +234,45 @@ object CdcBoundaries {
   }
 
   def compute(input: UTF8String, n: Int, modulus: Int): InternalRow = {
-    val arr = CharNgrams.compute(input, n)
-    // n_chars = length(norm) of the declarative chain — Spark length()
-    // counts CODEPOINTS, so walk codepoints (a \s+ run collapses to one)
+    // ONE normalization walk: each emitted codepoint (a \s+ run collapses
+    // to one ' '; Spark length() counts CODEPOINTS so n_chars == emitted
+    // count) feeds an n-codepoint ring buffer; once the ring is full,
+    // every position folds its window ((acc*31+cp) % P seeded at 7 — the
+    // CharNgrams contract) and tests the boundary predicate. No codepoint
+    // array, no hash array — O(n) stack-local state per row.
+    val P = TokenHash.P
     val s = input.toLowerCase.toString
-    var i = 0
-    var nc = 0L
     val len = s.length
+    val ring = new Array[Long](n)
+    var idx = 0      // ring write position; after a write, oldest is at idx
+    var filled = 0L  // emitted codepoint count == n_chars
+    var b = 0L
+    var i = 0
     while (i < len) {
+      var cp = 0L
       if (CharNgrams.isWsChar(s.charAt(i))) {
-        nc += 1
+        cp = ' '.toLong
         while (i < len && CharNgrams.isWsChar(s.charAt(i))) i += 1
       } else {
-        nc += 1
-        i += Character.charCount(s.codePointAt(i))
+        val c = s.codePointAt(i)
+        cp = c.toLong
+        i += Character.charCount(c)
+      }
+      ring(idx) = cp
+      idx += 1; if (idx == n) idx = 0
+      filled += 1
+      if (filled >= n) {
+        var acc = 7L
+        var j = 0
+        while (j < n) {
+          val pos = idx + j
+          acc = (acc * 31L + ring(if (pos >= n) pos - n else pos)) % P
+          j += 1
+        }
+        if (acc % modulus == 0L) b += 1
       }
     }
-    var b = 0L
-    var k = 0
-    val m = arr.numElements()
-    while (k < m) {
-      if (arr.getLong(k) % modulus == 0L) b += 1
-      k += 1
-    }
-    InternalRow(nc, b)
+    InternalRow(filled, b)
   }
 }
 

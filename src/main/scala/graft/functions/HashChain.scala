@@ -31,10 +31,14 @@ import org.apache.spark.sql.types._
   */
 case class HashChainAgg(child: Expression)
     extends DeclarativeAggregate with UnaryLike[Expression] {
-  private lazy val chain = AttributeReference("chain", StringType, nullable = false)()
+  // nullable=true: mergeExpressions legitimately writes null into this
+  // slot (the documented misuse guard below); a non-nullable declaration
+  // would let codegen elide null checks and read garbage instead of the
+  // contracted clean null
+  private lazy val chain = AttributeReference("chain", StringType, nullable = true)()
 
   override def dataType: DataType = StringType
-  override def nullable: Boolean = false
+  override def nullable: Boolean = true
   override def prettyName: String = "hash_chain"
 
   override def aggBufferAttributes: Seq[AttributeReference] = chain :: Nil

@@ -255,7 +255,18 @@ object Conversations {
     * on the 200k-turn hot conversation. Equal chains ⟺ equal ordered
     * prefixes (md5 collisions aside), so the trie semantics are
     * unchanged; the only exchange is the conv_id window, and the node
-    * aggregate then re-keys on the 128-bit (depth, prefix) pair. */
+    * aggregate then re-keys on the 128-bit (depth, prefix) pair.
+    *
+    * Skew-dispatch audit (round-4): the chunk+stitch dispatcher does NOT
+    * apply here — a running hash chain is order-dependent and
+    * non-associative (chunk k's chain values depend on the full incoming
+    * chain, unlike lag-1, whose stitch needs only the boundary row), so
+    * the hot conversation's window is irreducibly one sorted task. What
+    * bounds that task instead: the window carries only (conv_id,
+    * turn_idx, 16-byte th) — ~50 B/row — so even a 10⁸-turn conversation
+    * sorts ~5 GB, a spill-capable external sort, and the chain aggregate
+    * itself is O(1) state per row. The wide payload (text) never enters
+    * the window. */
   def branching(transcripts: DataFrame): DataFrame = {
     val w = Window.partitionBy("conv_id").orderBy("turn_idx")
     val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -690,22 +701,41 @@ object Conversations {
     * MinHash. Per conversation: turns, adjacent same-role pairs, retries
     * among them, retry permille, and the hottest same-role Jaccard.
     *
-    * Shape: ONE conv_id window exchange (lag of role + the distinct
-    * token set, tokenized exactly once per row — lagging raw text and
-    * re-tokenizing post-window was measured 1.6× SLOWER, the split+
-    * distinct dominates the array shuffle); |A∪B| is computed as
-    * |A|+|B|−|A∩B| so only the intersection array materializes; the
-    * rollup is a conv-keyed hash-agg. */
+    * Shape: adjacent-pairs only (lag 1), so it rides the skew-safe
+    * dispatcher: plain ONE conv_id window exchange until the sampled key
+    * profile ([[SkewWindows.chooseChunkedSampled]], calibrated 1<<23
+    * threshold — see toolTransitionEdgesAuto) finds a conversation hot
+    * enough that its single-task sort gates the stage, chunk+stitch
+    * ([[SkewWindows.adjacentPairs]]) beyond. This path carries the
+    * distinct token-set ARRAY through the window (KBs per row, not a
+    * 16-byte hash), so a hot conversation crosses the multi-GB
+    * single-sort regime orders of magnitude earlier than the narrow-row
+    * windows — the dispatch matters here most. The (role, tset, n_set)
+    * triple travels as ONE struct value (tokenized exactly once per
+    * row — lagging raw text and re-tokenizing post-window was measured
+    * 1.6× SLOWER); |A∪B| is |A|+|B|−|A∩B| so only the intersection
+    * array materializes; the rollup is a conv-keyed hash-agg. Both
+    * branches are row-identical (SkewWindowSpec / q182 contract). */
   def rewordRetries(transcripts: DataFrame,
-                    jacPermilleMin: Long = 600L): DataFrame = {
-    val w = Window.partitionBy("conv_id").orderBy("turn_idx")
+                    jacPermilleMin: Long = 600L,
+                    hotKeyRows: Long = 1L << 23): DataFrame = {
     val tset = array_distinct(graft.text.TextAnalysis.tokens(col("text")))
-    val paired = transcripts
+    val rows = transcripts
       .select(col("conv_id"), col("turn_idx"), col("role"), tset.as("tset"))
       .withColumn("n_set", size(col("tset")).cast("long"))
-      .withColumn("prev_role", lag(col("role"), 1).over(w))
-      .withColumn("prev_tset", lag(col("tset"), 1).over(w))
-      .withColumn("prev_n", lag(col("n_set"), 1).over(w))
+      .select(col("conv_id"), col("turn_idx"),
+        struct(col("role"), col("tset"), col("n_set")).as("v"))
+    val adj =
+      if (SkewWindows.chooseChunkedSampled(transcripts, "conv_id",
+        "turn_idx", hotKeyRows))
+        SkewWindows.adjacentPairs(rows, "conv_id", "turn_idx", "v")
+      else SkewWindows.adjacentPairsPlain(rows, "conv_id", "turn_idx", "v")
+    val paired = adj.select(
+      col("k").as("conv_id"), col("o").as("turn_idx"),
+      col("v.role").as("role"), col("v.tset").as("tset"),
+      col("v.n_set").as("n_set"),
+      col("prev.role").as("prev_role"), col("prev.tset").as("prev_tset"),
+      col("prev.n_set").as("prev_n"))
     val sameRole = col("prev_role").isNotNull && col("role") === col("prev_role")
     paired
       .withColumn("_i",

@@ -67,6 +67,11 @@ echo "== checkpointed streaming on the cluster: drain half, append, resume =="
 runstream init
 runstream resume
 
+echo "== watermarked stream-stream join on the cluster: time-split =="
+echo "== drain-append-resume vs the q279 batch twin (JoinStreamSpec) =="
+runstream join_init
+runstream join_resume
+
 echo "== reliability surface on the cluster (ST5 zeroed-ckpt refusal, =="
 echo "== ST6 mid-query config reload, ST8 sink retry/backoff)         =="
 "$SPARK_HOME/bin/spark-submit" \
