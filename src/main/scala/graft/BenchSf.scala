@@ -1,0 +1,115 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Transcripts
+
+/** Scale-exponent bench: the SAME top-10 (by round-3 bench cost)
+  * operators timed on sf0.1 and the 10× staged sf1 corpus in ONE
+  * session, min-of-2 after a warmup run, with OUTPUT row counts at both
+  * scales — the per-query time ratio against the 10× input ratio is the
+  * empirical scaling exponent the 100×-scale-up claim rests on
+  * (VERDICT r3 #5).
+  *
+  * Reading the ratios: a map-only or hash-agg query should land ≈10×
+  * (linear); the clone-staged sf1 corpus (stage_sf1.py replicates each
+  * document/embedding 10× with shifted ids) makes every doc a 10-clique,
+  * so PAIR-PRODUCING queries (snm_pairs, semantic_dedup) legitimately
+  * grow their OUTPUT superlinearly — that's why row counts ride along:
+  * time ratio is judged against output growth, not assumed linear.
+  *
+  * Usage: runMain graft.BenchSf [sfdirA] [sfdirB]
+  * (defaults /root/testdata/sf0.1 and /tmp/graft_sf1 — stage the latter
+  * with tools/stage_sf1.py first).
+  */
+object BenchSf {
+
+  private def timeNoop(df: DataFrame): Double = {
+    val t0 = System.nanoTime()
+    df.write.format("noop").mode("overwrite").save()
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  /** Driver-loop builders (pagerank/max_coverage/star CC) materialize
+    * eagerly inside the call — clock the whole build. */
+  private def timeBuild(f: => DataFrame): Double = {
+    val t0 = System.nanoTime()
+    f.write.format("noop").mode("overwrite").save()
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  def main(args: Array[String]): Unit = {
+    val dirA = args.lift(0).getOrElse("/root/testdata/sf0.1")
+    val dirB = args.lift(1).getOrElse("/tmp/graft_sf1")
+    val spark = SparkSession.builder().master("local[32]")
+      .appName("graft-bench-sf")
+      .config("spark.sql.shuffle.partitions", "32")
+      // the staged tables are one-or-few parquet files; without a small
+      // split size the scan serializes into a handful of tasks (the same
+      // small-file artifact the round-3 sf1 run hit — BASELINE.md)
+      .config("spark.sql.files.maxPartitionBytes", "4m")
+      .config("spark.sql.files.openCostInBytes", "0")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.driver.memory", sys.env.getOrElse("SPARK_DRIVER_MEM", "16g"))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    Graft.prep(spark)
+
+    // (name, input-kind, builder) — input-kind keys the per-dir frames
+    def queries(t: DataFrame, docs: DataFrame, vecs: DataFrame)
+      : Seq[(String, () => DataFrame, Boolean)] = Seq(
+      ("pipeline_routed", () => Pipeline.transform(t, spark)
+        .select("conv_id", "turn_idx", "ts", "name", "sink_index", "doc_json"),
+        false),
+      ("reword_retries", () => operators.Conversations.rewordRetries(t), false),
+      ("decontam_excise", () => text.Decontaminate.excise(docs), false),
+      ("semantic_dedup", () => ann.Similarity.semanticDedup(vecs), false),
+      ("pagerank", () => graph.Graphs.toolPageRank(t), true),
+      ("max_coverage", () => text.Selection.maxCoverageSelect(docs), true),
+      ("dup_spans", () => text.Boilerplate.dupSpanCoverage(docs), false),
+      ("boiler_scrub", () => text.Boilerplate.scrub(docs), false),
+      ("term_bursts", () => operators.Conversations.termBursts(t), false),
+      ("snm_pairs", () => dedup.SortedNeighborhood.similarPairs(docs), false),
+      ("connected_components", () => graph.Graphs.connectedComponentsStar(
+        docs.select(col("doc_id").as("a"), (col("doc_id") + 1L).as("b"))
+          .filter((col("doc_id") + 1L) % 100 =!= 0)), true))
+
+    val times = scala.collection.mutable.LinkedHashMap[(String, String), Double]()
+    val rows = scala.collection.mutable.LinkedHashMap[(String, String), Long]()
+
+    def visit(tag: String, dir: String): Unit = {
+      val t = Transcripts.load(spark, dir)
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      val vecs = spark.read.parquet(s"$dir/embeddings.parquet")
+      for ((name, build, eager) <- queries(t, docs, vecs)) {
+        val run = () => if (eager) timeBuild(build()) else timeNoop(build())
+        run() // warmup (codegen + JIT + shuffle-file cache)
+        val best = math.min(run(), run())
+        val key = (name, tag)
+        times(key) = math.min(times.getOrElse(key, Double.MaxValue), best)
+        if (!rows.contains(key)) rows(key) = build().count()
+        println(f"[$tag] $name%-22s ${times(key)}%8.2f s  rows=${rows(key)}")
+      }
+    }
+
+    // interleave the two scales (A,B,A): host contention comes in
+    // minute-scale phases; min across interleaved visits is the
+    // contention-free estimate (same discipline as Bench)
+    visit("A", dirA); visit("B", dirB); visit("A", dirA)
+
+    val names = queries(null, null, null).map(_._1)
+    println("\n| query | t(sfA) s | t(sfB) s | time ratio | rows A | rows B | row ratio |")
+    println("|---|---|---|---|---|---|---|")
+    for (n <- names) {
+      val (ta, tb) = (times((n, "A")), times((n, "B")))
+      val (ra, rb) = (rows((n, "A")), rows((n, "B")))
+      println(f"| $n | $ta%.2f | $tb%.2f | ${tb / ta}%.1f× | $ra | $rb | ${rb.toDouble / math.max(ra, 1)}%.1f× |")
+    }
+    val qjson = names.map { n =>
+      f""""$n":{"t_a":${times((n, "A"))}%.3f,"t_b":${times((n, "B"))}%.3f,"rows_a":${rows((n, "A"))},"rows_b":${rows((n, "B"))}}"""
+    }.mkString("{", ",", "}")
+    println(s"""{"metric":"sf_scaling","dir_a":"$dirA","dir_b":"$dirB","queries":$qjson}""")
+    spark.stop()
+  }
+}

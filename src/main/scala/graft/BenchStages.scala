@@ -104,6 +104,12 @@ object BenchStages {
       docsSnm.count()
       t("snm_pairs")(graft.dedup.SortedNeighborhood.similarPairs(docsSnm))
       t("snm_pairs")(graft.dedup.SortedNeighborhood.similarPairs(docsSnm))
+      // split timings: candidate generation alone vs the full verify —
+      // locates the cost before optimizing either half
+      t("snm_cands")(graft.dedup.SortedNeighborhood.candidates(docsSnm))
+      t("snm_cands")(graft.dedup.SortedNeighborhood.candidates(docsSnm))
+      println("snm candidate rows=" +
+        graft.dedup.SortedNeighborhood.candidates(docsSnm).count())
     }
     spark.stop()
   }
