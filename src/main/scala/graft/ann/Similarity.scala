@@ -394,13 +394,54 @@ object Similarity {
     * and the smallest dominating id (null when kept). */
   def semanticDedup(vecs: DataFrame, thresholdPermille: Int = 450,
                     dim: Int = 64): DataFrame = {
-    val dom = nearDupPairs(vecs, thresholdPermille, dim)
-      .groupBy(col("id_b").as("vec_id"))
-      .agg(count(lit(1)).as("n_dominating"), min(col("id_a")).as("min_dominator"))
-    vecs.select(col("vec_id")).join(dom, Seq("vec_id"), "left")
-      .select(col("vec_id"),
-        coalesce(col("n_dominating"), lit(0L)).as("n_dominating"),
-        col("min_dominator"),
-        col("n_dominating").isNull.as("kept"))
+    // Exact-clone collapse first — the production dedup order (exact
+    // before near): identical embeddings share their bucket AND every
+    // cosine, so the LSH probe + cosine work runs on one REPRESENTATIVE
+    // per distinct vector and the clone multiplicity never enters the
+    // quadratic candidate space. Without this, a clique of m clones in a
+    // bucket of size B costs O((mB)²) pairwise cosines — the round-4
+    // sf-scaling table measured 6.6 s → 801 s (120× on 10× input) on the
+    // clone-staged sf1 corpus; with it, the FP work is O(B²) group pairs
+    // and the clone dimension is handled by COUNTING, not enumeration.
+    val gm = vecs.groupBy(col("embedding"))
+      .agg(min(col("vec_id")).as("gid"),
+        collect_list(col("vec_id")).as("members"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val reps = gm.select(col("gid").as("vec_id"), col("embedding"))
+    val simPairs = nearDupPairs(reps, thresholdPermille, dim)
+    // within-group similarity: cosine(v, v) through the SAME permille
+    // formula (bit-identical arrays ⇒ bit-identical value), so the
+    // verdict matches the pre-collapse form even if FP self-cosine lands
+    // under the threshold
+    val selfSim = gm.filter(
+      floor(cosine(col("embedding"), col("embedding")) * 1000.0)
+        .cast("long") >= thresholdPermille)
+      .select(col("gid").as("tgt"), col("gid").as("src"))
+    // Dominator reconstruction without member-pair enumeration: a member
+    // b of group g is dominated by EVERY id < b among the members of
+    // similar groups (and of g itself when self-similar). Stream each
+    // target group's member rows (tag 0) and dominator-candidate rows
+    // (tag 1) through ONE per-group window ordered by (id, tag): the
+    // running tag-1 count/min at each member row IS (n_dominating,
+    // min_dominator) — tag 0 before tag 1 at equal id keeps b from
+    // dominating itself. O(n log n) per group, fully parallel across
+    // groups, vs O(members²) pairs.
+    val dirs = simPairs.select(col("id_b").as("tgt"), col("id_a").as("src"))
+      .unionByName(simPairs.select(col("id_a").as("tgt"), col("id_b").as("src")))
+      .unionByName(selfSim)
+    val rRows = dirs
+      .join(gm.select(col("gid").as("src"), col("members")), "src")
+      .select(col("tgt"), explode(col("members")).as("id"), lit(1).as("tag"))
+    val mRows = gm.select(col("gid").as("tgt"),
+      explode(col("members")).as("id"), lit(0).as("tag"))
+    val w = Window.partitionBy("tgt").orderBy(col("id"), col("tag"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    mRows.unionByName(rRows)
+      .withColumn("ndom",
+        sum(when(col("tag") === 1, 1L).otherwise(0L)).over(w))
+      .withColumn("mind", min(when(col("tag") === 1, col("id"))).over(w))
+      .filter(col("tag") === 0)
+      .select(col("id").as("vec_id"), col("ndom").as("n_dominating"),
+        col("mind").as("min_dominator"), (col("ndom") === 0L).as("kept"))
   }
 }
