@@ -75,14 +75,49 @@ object BenchSf {
         docs.select(col("doc_id").as("a"), (col("doc_id") + 1L).as("b"))
           .filter((col("doc_id") + 1L) % 100 =!= 0)), true))
 
+    // tier 2 (arg "full"): the dedup/ANN/text families most exposed to
+    // clique blowup on the clone staging — the sweep that caught
+    // semantic_dedup's 120× is worth running over every operator whose
+    // candidate space depends on collision statistics
+    def tier2(t: DataFrame, docs: DataFrame, vecs: DataFrame)
+      : Seq[(String, () => DataFrame, Boolean)] = Seq(
+      ("minhash_sigs", () => dedup.Dedup.signatures(docs), false),
+      ("lsh_neardup_clusters", () => dedup.Dedup.nearDupClusters(docs), true),
+      ("curation", () => dedup.Curation.curate(docs), false),
+      ("edit_dedup", () => dedup.EditDedup.editPairs(docs), false),
+      ("winnow", () => dedup.Dedup.winnowStats(docs), false),
+      ("dup_histogram", () => dedup.Dedup.dupSizeHistogram(docs), false),
+      ("bm25_topk", () => text.Bm25.topK(docs, queryMod = 100003), false),
+      ("tfidf", () => text.TfIdf.topTerms(docs), false),
+      ("lm_score", () => text.LangModel.lmScore(docs), false),
+      ("bpe_encode", () => text.LangModel.bpeEncodeStats(docs), false),
+      ("injection_scan", () => text.Injection.scan(t), false),
+      ("dq_rules", () => operators.DqRules.ruleAudit(Pipeline.parse(t)), false),
+      ("log_templates", () => operators.DqRules.logTemplates(t), false),
+      ("sessionize", () => operators.Sessionize.sessionStats(t), false),
+      ("chat_render", () => operators.Conversations.renderChat(t), false),
+      ("conv_dedup", () => operators.Conversations.convDedup(t), false),
+      ("branching", () => operators.Conversations.branching(t), false),
+      // (brute-force topk deliberately absent: it is the QUADRATIC
+      // eval baseline by contract — its 100× on 10× input is the
+      // definition of the operator, not a finding)
+      ("ivf_topk", () => ann.Similarity.ivfTopK(vecs), false),
+      ("kmeans_step", () => ann.Centroids.kmeansIteration(vecs), false),
+      ("hll_sketch", () => operators.Sketches.hllDistinct(Pipeline.parse(t)),
+        false),
+      ("fuzzy_decontam", () => text.Decontaminate.fuzzyFlags(docs), false))
+
     val times = scala.collection.mutable.LinkedHashMap[(String, String), Double]()
     val rows = scala.collection.mutable.LinkedHashMap[(String, String), Long]()
 
+    val full = args.lift(2).contains("full")
     def visit(tag: String, dir: String): Unit = {
       val t = Transcripts.load(spark, dir)
       val docs = spark.read.parquet(s"$dir/documents.parquet")
       val vecs = spark.read.parquet(s"$dir/embeddings.parquet")
-      for ((name, build, eager) <- queries(t, docs, vecs)) {
+      val qs = queries(t, docs, vecs) ++
+        (if (full) tier2(t, docs, vecs) else Nil)
+      for ((name, build, eager) <- qs) {
         val run = () => if (eager) timeBuild(build()) else timeNoop(build())
         run() // warmup (codegen + JIT + shuffle-file cache)
         val best = math.min(run(), run())
@@ -90,6 +125,10 @@ object BenchSf {
         times(key) = math.min(times.getOrElse(key, Double.MaxValue), best)
         if (!rows.contains(key)) rows(key) = build().count()
         println(f"[$tag] $name%-22s ${times(key)}%8.2f s  rows=${rows(key)}")
+        // operators that persist reused intermediates (lmScore, the
+        // clone-collapse group table, CC rounds) must not accumulate
+        // cached blocks across a 30-query sweep
+        spark.catalog.clearCache()
       }
     }
 
@@ -98,7 +137,8 @@ object BenchSf {
     // contention-free estimate (same discipline as Bench)
     visit("A", dirA); visit("B", dirB); visit("A", dirA)
 
-    val names = queries(null, null, null).map(_._1)
+    val names = (queries(null, null, null) ++
+      (if (full) tier2(null, null, null) else Nil)).map(_._1)
     println("\n| query | t(sfA) s | t(sfB) s | time ratio | rows A | rows B | row ratio |")
     println("|---|---|---|---|---|---|---|")
     for (n <- names) {

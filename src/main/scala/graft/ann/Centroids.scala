@@ -135,29 +135,17 @@ object Centroids {
     * [[Similarity.ivfTopK]]. */
   def ivfTopKTrained(vecs: DataFrame, k: Int = 5, queryMod: Int = 50,
                      centroidMod: Int = 200): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val a0 = Similarity.ivfAssign(vecs, centroidMod)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cents1 = perKey(a0.withColumn("grp", col("cent_id")), "grp")
       .select(col("grp").as("cent_id"),
         transform(col("centroid_x1e6"), x => x.cast("double")).as("cent_emb"))
-    val assigned = a0.select(col("vec_id"), col("embedding"))
-      .crossJoin(broadcast(cents1))
-      .withColumn("_score", struct(
-        Similarity.cosine(col("embedding"), col("cent_emb")).as("cos"),
-        (-col("cent_id")).cast("double").as("nid")))
-      .groupBy("vec_id")
-      .agg(max_by(col("cent_id"), col("_score")).as("cell"),
-        first(col("embedding")).as("embedding"))
-    val q = assigned.filter(col("vec_id") % queryMod === 0)
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("cell"))
-    val joined = assigned.join(broadcast(q), "cell")
-      .filter(col("vec_id") =!= col("q_id"))
-      .withColumn("cos", Similarity.cosine(col("q_emb"), col("embedding")))
-    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
-    joined.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select(col("q_id"), col("vec_id").as("neighbor_id"), col("rank"))
+    // re-assignment against the retrained means and the in-cell probe
+    // both ride the exact-clone-collapsed helpers (see Similarity)
+    val assigned = Similarity.assignWith(
+      a0.select(col("vec_id"), col("embedding")), cents1)
+    Similarity.cellTopK(assigned, k, queryMod)
+      .withColumn("rank", col("rank").cast("long"))
   }
 
   /** Per-class prototypes: embeddings joined to document labels on

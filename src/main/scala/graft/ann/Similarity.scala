@@ -196,28 +196,38 @@ object Similarity {
     * at 100 TB this is a single linear shuffle keyed on vec_id and the
     * cell id becomes the storage/partition key of the inverted lists.
     * Ties break toward the smaller centroid id (the -cent_id score leg). */
-  def ivfAssign(vecs: DataFrame, centroidMod: Int = 200): DataFrame = {
-    val cents = ivfCentroids(vecs, centroidMod)
-    vecs.crossJoin(broadcast(cents))
-      .withColumn("_score", struct(
-        cosine(col("embedding"), col("cent_emb")).as("cos"),
-        (-col("cent_id")).cast("double").as("nid")))
-      .groupBy("vec_id")
-      .agg(max_by(col("cent_id"), col("_score")).as("cent_id"),
-        first(col("embedding")).as("embedding"))
-  }
+  def ivfAssign(vecs: DataFrame, centroidMod: Int = 200): DataFrame =
+    assignWith(vecs, ivfCentroids(vecs, centroidMod))
 
   /** Assignment against an EXPLICIT (broadcast) centroid frame — the
     * piece incremental maintenance needs: a delta batch must assign
-    * against the BASE index's centroids, never its own. */
-  def assignWith(vecs: DataFrame, cents: DataFrame): DataFrame =
-    vecs.crossJoin(broadcast(cents))
+    * against the BASE index's centroids, never its own.
+    *
+    * Exact-clone collapse on BOTH sides (round-4 sf-scaling finding):
+    * identical embeddings share every cosine, so the n×k scoring pass
+    * runs once per DISTINCT vector against once per DISTINCT centroid
+    * embedding — on a corpus with clone multiplicity m the FP work drops
+    * m² (clone-staged sf1 measured the uncollapsed pass at 100×). The
+    * original tie-break (max cosine, then LOWEST cent_id) is preserved
+    * exactly: centroids with identical embeddings all achieve the tied
+    * best cosine together, so the global min id over the tied set equals
+    * the min over the per-embedding group minima — which is what keeping
+    * `min(cent_id)` per distinct centroid embedding computes. */
+  def assignWith(vecs: DataFrame, cents: DataFrame): DataFrame = {
+    val centG = cents.groupBy(col("cent_emb"))
+      .agg(min(col("cent_id")).as("cent_id"))
+    vecs.groupBy(col("embedding"))
+      .agg(collect_list(col("vec_id")).as("vids"))
+      .crossJoin(broadcast(centG))
       .withColumn("_score", struct(
         cosine(col("embedding"), col("cent_emb")).as("cos"),
         (-col("cent_id")).cast("double").as("nid")))
-      .groupBy("vec_id")
+      .groupBy(col("embedding"))
       .agg(max_by(col("cent_id"), col("_score")).as("cent_id"),
-        first(col("embedding")).as("embedding"))
+        first(col("vids")).as("vids"))
+      .select(explode(col("vids")).as("vec_id"), col("cent_id"),
+        col("embedding"))
+  }
 
   /** INCREMENTAL IVF index maintenance — the ANN twin of q246's
     * incremental-view contract: per-cell state (vector count, per-dim
@@ -306,15 +316,30 @@ object Similarity {
   def separationMargin(vecs: DataFrame, centroidMod: Int = 25,
                        tightX1e3: Long = 50L): DataFrame = {
     val cents = ivfCentroids(vecs, centroidMod)
-    val top2 = vecs.crossJoin(broadcast(cents))
-      .select(col("vec_id"),
-        struct(cosine(col("embedding"), col("cent_emb")).as("cos"),
-          (-col("cent_id")).cast("double").as("nid"),
-          col("cent_id")).as("cand"))
-      .groupBy("vec_id")
-      .agg(slice(reverse(array_sort(collect_list(col("cand")))), 1, 2)
-        .as("top2"))
+    // Exact-clone collapse on both sides of the n×k scan (round-4
+    // sf-scaling finding, same family as assignWith/ivfTopK): cosines
+    // run once per (distinct vector, distinct centroid embedding). A
+    // centroid group contributes at most its TWO lowest ids to any
+    // top-2 (its members tie on cosine and the tiebreak is ascending
+    // cent_id), so retaining per-group min-2 ids preserves the exact
+    // top-2 — including the margin-0 case where a cloned centroid pairs
+    // with itself. Members of a vector group share the top-2 verbatim.
+    val centG = cents.groupBy(col("cent_emb"))
+      .agg(slice(array_sort(collect_list(col("cent_id"))), 1, 2).as("cids"))
+    val top2 = vecs.groupBy(col("embedding"))
+      .agg(collect_list(col("vec_id")).as("vids"))
+      .crossJoin(broadcast(centG))
+      .withColumn("_cos", cosine(col("embedding"), col("cent_emb")))
+      .select(col("embedding"), col("vids"),
+        explode(transform(col("cids"), c =>
+          struct(col("_cos").as("cos"), (-c).cast("double").as("nid"),
+            c.as("cent_id")))).as("cand"))
+      .groupBy(col("embedding"))
+      .agg(first(col("vids")).as("vids"),
+        slice(reverse(array_sort(collect_list(col("cand")))), 1, 2)
+          .as("top2"))
       .filter(size(col("top2")) === 2)
+      .select(explode(col("vids")).as("vec_id"), col("top2"))
       .select(col("vec_id"),
         col("top2")(0).getField("cent_id").as("cent_id"),
         floor((col("top2")(0).getField("cos")
@@ -334,18 +359,52 @@ object Similarity {
     * union more cells for recall). Mirrors bucketedTopK with the cell id
     * as the equi-join key. */
   def ivfTopK(vecs: DataFrame, k: Int = 5, queryMod: Int = 50,
-              centroidMod: Int = 200): DataFrame = {
-    val assigned = ivfAssign(vecs, centroidMod)
-    val q = assigned.filter(col("vec_id") % queryMod === 0)
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
-        col("cent_id"))
-    val joined = assigned.join(broadcast(q), "cent_id")
-      .filter(col("vec_id") =!= col("q_id"))
+              centroidMod: Int = 200): DataFrame =
+    cellTopK(ivfAssign(vecs, centroidMod), k, queryMod)
+
+  /** In-cell top-k probe over an assigned (vec_id, cent_id, embedding)
+    * frame, with exact-clone collapse (round-4 sf-scaling finding:
+    * 0.72 → 41 s on 10× clone-staged input in the uncollapsed form):
+    * cosines are per-(query-embedding, candidate-embedding), so score
+    * GROUP pairs once, then materialize only the groups that can reach a
+    * top-(k+1) rank — a candidate group with ≥ k+1 strictly-better
+    * candidates ahead of it can never place a member in any query's top
+    * k (one exclusion is the query itself), and equal-cosine groups at
+    * the boundary are all kept, so the exploded superset provably
+    * contains every true top-k row. The final row_number over (cos desc,
+    * vec_id) re-ranks the superset exactly — same values, same tiebreak,
+    * same output as the uncollapsed form. Shared by [[ivfTopK]] and
+    * [[graft.ann.Centroids.ivfTopKTrained]]. */
+  private[graft] def cellTopK(assigned: DataFrame, k: Int,
+                              queryMod: Int): DataFrame = {
+    val g = assigned.groupBy(col("cent_id"), col("embedding"))
+      .agg(collect_list(col("vec_id")).as("members"),
+        count(lit(1)).as("m"))
+    val qg = g.select(col("cent_id"), col("embedding").as("q_emb"),
+        filter(col("members"), i => i % queryMod === 0).as("q_members"))
+      .filter(size(col("q_members")) > 0)
+      .withColumn("q_gid", array_min(col("q_members")))
+    val pairs = g.join(broadcast(qg), "cent_id")
       .withColumn("cos", cosine(col("q_emb"), col("embedding")))
-    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
-    joined.withColumn("rank", row_number().over(w))
+    // candidates strictly better than this group, counted with a RANGE
+    // frame (ties share the frame) minus this cosine level's own total
+    val wRange = Window.partitionBy("q_gid").orderBy(col("cos").desc)
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    val wLevel = Window.partitionBy("q_gid", "cos")
+    val included = pairs
+      .withColumn("_cumGe", sum(col("m")).over(wRange))
+      .withColumn("_lvl", sum(col("m")).over(wLevel))
+      .filter(col("_cumGe") - col("_lvl") < k + 1)
+    val cand = included.select(col("q_gid"), col("cos"),
+      explode(col("members")).as("neighbor_id"))
+    val qrows = qg.select(col("q_gid"), explode(col("q_members")).as("q_id"))
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc,
+      col("neighbor_id"))
+    cand.join(qrows, "q_gid")
+      .filter(col("neighbor_id") =!= col("q_id"))
+      .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
-      .select(col("q_id"), col("vec_id").as("neighbor_id"), col("rank"))
+      .select(col("q_id"), col("neighbor_id"), col("rank"))
   }
 
   /** Embedding-cosine near-dup pairs above a permille threshold, found by
