@@ -93,15 +93,42 @@ object Bench {
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
     val rates = scala.collection.mutable.LinkedHashMap[Int, Double]()
 
-    // interleave the scaling-pair sessions (low,high,low,high): host
-    // contention comes in minute-scale phases, and a single session per
-    // level can land entirely inside a bad phase — the best rate per
-    // level across interleaved sessions is the contention-free estimate
-    val visits = Seq(low, high, low, high, maxLevel).distinct ++
-      Seq(low, high).filter(_ != maxLevel)
+    // interleave the scaling-pair sessions AND run the headline block in
+    // TWO max-level visits separated by the middle low/high sessions:
+    // host contention comes in minute-scale phases (BASELINE.md), and
+    // round-4 proved that back-to-back min-of-2 samples land in the same
+    // phase — the driver's recording showed 4× phantom regressions that a
+    // quiet A/B of identical code did not reproduce. Min across two
+    // passes minutes apart can only be inflated by a phase spanning both.
+    val visits =
+      if (maxLevel == high) Seq(low, high, low, high)
+      else Seq(low, high, maxLevel, low, high, maxLevel)
+
+    // contention index: a fixed CPU-bound reference kernel (256M xxhash64
+    // over range — no IO, no shuffle) re-timed every few headline
+    // queries; the tick series IS the phase profile of the run, and
+    // max/min across ticks quantifies how contended the recording was.
+    val ticks = scala.collection.mutable.ArrayBuffer[Double]()
+    var recCount = 0
 
     def visit(cpus: Int): Unit = {
       val spark = session(cpus)
+      def tick(): Double = {
+        val t0 = System.nanoTime()
+        spark.range(0L, 1L << 28, 1L, cpus)
+          .agg(sum(xxhash64(col("id")))).collect()
+        (System.nanoTime() - t0) / 1e9
+      }
+      // headline recorder: first pass takes two back-to-back samples
+      // (the first doubles as codegen warmup), the second pass adds ONE
+      // separated sample; the recorded value is the min across passes
+      def rec(name: String)(run: () => Double): Unit = {
+        if (recCount % 8 == 0) ticks += tick()
+        recCount += 1
+        val sample = if (results.contains(name)) run()
+                     else math.min(run(), run())
+        results(name) = math.min(results.getOrElse(name, Double.MaxValue), sample)
+      }
       try {
         val input = spark.read.parquet(staged)
         // time the sink-shaped projection — the columns the production
@@ -124,17 +151,18 @@ object Bench {
 
         // ordered variants only at the max level (skew evidence);
         // cache the routed frame so the timings isolate the ordering
-        // shuffle+sort instead of re-measuring the parse pipeline
-        if (cpus == maxLevel && !results.contains("ordered_plain")) {
+        // shuffle+sort instead of re-measuring the parse pipeline.
+        // The block runs at BOTH max-level visits (rec() merges by min).
+        if (cpus == maxLevel) {
           val cached = routed.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
           cached.count()
           val plain = cached.repartition(col("conv_id"))
             .sortWithinPartitions("conv_id", "turn_idx")
-          results("ordered_plain") = math.min(timeNoop(plain), timeNoop(plain))
+          rec("ordered_plain")(() => timeNoop(plain))
           val salted = graft.operators.TurnOrdering
             .saltedRepartition(cached, Seq("conv_hot"), cpus)
             .sortWithinPartitions("conv_id", "_salt", "turn_idx")
-          results("ordered_salted") = math.min(timeNoop(salted), timeNoop(salted))
+          rec("ordered_salted")(() => timeNoop(salted))
           cached.unpersist()
 
           // training-data headliners on a replicated docs corpus
@@ -143,39 +171,39 @@ object Bench {
             .withColumn("doc_id", col("doc_id") + col("rep") * 1000000L).drop("rep")
             .repartition(cpus * 2)
           val sigRun = () => timeNoop(dedup.Dedup.signatures(docs))
-          results("minhash_sigs") = math.min(sigRun(), sigRun())
+          rec("minhash_sigs")(sigRun)
           val simRun = () => timeNoop(dedup.Dedup.simhashDf(docs))
-          results("simhash") = math.min(simRun(), simRun())
+          rec("simhash")(simRun)
           val vecs = spark.read.parquet(s"$sfDir/embeddings.parquet")
-          results("ann_topk") = timeNoop(ann.Similarity.bruteTopK(vecs))
-          results("route_counts") = timeNoop(
-            operators.Routing.perSinkCounts(routed))
+          rec("ann_topk")(() => timeNoop(ann.Similarity.bruteTopK(vecs)))
+          rec("route_counts")(() => timeNoop(
+            operators.Routing.perSinkCounts(routed)))
 
           // corpus-shaping ops: tf-idf over the replicated docs; curation
           // on a 10× distinct-text corpus (each replica is a planted
           // near-dup of its original, so the LSH + cluster stages do real
           // work); sessionization over the full staged transcript corpus
           val tfRun = () => timeNoop(text.TfIdf.topTerms(docs))
-          results("tfidf") = math.min(tfRun(), tfRun())
+          rec("tfidf")(tfRun)
           val docs10 = spark.read.parquet(s"$sfDir/documents.parquet")
             .crossJoin(spark.range(0, 10L, 1, cpus).select(col("id").as("rep")))
             .withColumn("doc_id", col("doc_id") * 16 + col("rep"))
             .withColumn("text", concat(col("text"), lit(" r"), col("rep")))
             .drop("rep").repartition(cpus * 2)
           val curRun = () => timeNoop(dedup.Curation.curate(docs10))
-          results("curation") = math.min(curRun(), curRun())
+          rec("curation")(curRun)
           val sessRun = () => timeNoop(operators.Sessionize.sessionStats(input))
-          results("sessionize") = math.min(sessRun(), sessRun())
+          rec("sessionize")(sessRun)
 
           // round-3 corpus ops: hot-shingle aggregation + join-back
           // (boilerplate), the same plus the interval-merge window
           // (dup_spans), and the two-pass Lloyd step on the vectors
           val bpRun = () => timeNoop(text.Boilerplate.stats(docs))
-          results("boilerplate") = math.min(bpRun(), bpRun())
+          rec("boilerplate")(bpRun)
           val dsRun = () => timeNoop(text.Boilerplate.dupSpanCoverage(docs))
-          results("dup_spans") = math.min(dsRun(), dsRun())
+          rec("dup_spans")(dsRun)
           val kmRun = () => timeNoop(ann.Centroids.kmeansIteration(vecs))
-          results("kmeans_step") = math.min(kmRun(), kmRun())
+          rec("kmeans_step")(kmRun)
 
           // round-4 ops: SFT rendering over the full staged transcripts
           // (one conv_id exchange, maxTurns-bounded groups), boilerplate
@@ -186,11 +214,11 @@ object Bench {
           // queries (real corpora have power-law vocabularies and
           // posting-list selectivity)
           val renRun = () => timeNoop(operators.Conversations.renderChat(input))
-          results("chat_render") = math.min(renRun(), renRun())
+          rec("chat_render")(renRun)
           val scrubRun = () => timeNoop(text.Boilerplate.scrub(docs))
-          results("boiler_scrub") = math.min(scrubRun(), scrubRun())
+          rec("boiler_scrub")(scrubRun)
           val bmRun = () => timeNoop(text.Bm25.topK(docs10, queryMod = 100003))
-          results("bm25_topk") = math.min(bmRun(), bmRun())
+          rec("bm25_topk")(bmRun)
 
           // round-5 ops: conversation-level dedup over the full staged
           // transcripts (conv-key agg + 128-bit-keyed group), per-lang
@@ -198,11 +226,11 @@ object Bench {
           // broadcast bucket join-back), and the SemDeDup verdict over
           // the embeddings (multi-probe LSH pair probe)
           val cdRun = () => timeNoop(operators.Conversations.convDedup(input))
-          results("conv_dedup") = math.min(cdRun(), cdRun())
+          rec("conv_dedup")(cdRun)
           val qdRun = () => timeNoop(text.CorpusOps.qualityDeciles(docs))
-          results("quality_deciles") = math.min(qdRun(), qdRun())
+          rec("quality_deciles")(qdRun)
           val sdRun = () => timeNoop(ann.Similarity.semanticDedup(vecs))
-          results("semantic_dedup") = math.min(sdRun(), sdRun())
+          rec("semantic_dedup")(sdRun)
 
           // round-6 ops: sketch aggregates over the parsed stream (the
           // bounded-state alternatives to exact percentiles/distincts),
@@ -212,11 +240,11 @@ object Bench {
           // hot conversation would otherwise collect 1M turns in one row)
           val parsedB = Pipeline.parse(input)
           val hlRun = () => timeNoop(operators.Sketches.hllDistinct(parsedB))
-          results("hll_sketch") = math.min(hlRun(), hlRun())
+          rec("hll_sketch")(hlRun)
           val lhRun = () => timeNoop(operators.Sketches.logHistPercentiles(parsedB))
-          results("log_hist") = math.min(lhRun(), lhRun())
+          rec("log_hist")(lhRun)
           val lmRun = () => timeNoop(text.LangModel.lmScore(docs))
-          results("lm_score") = math.min(lmRun(), lmRun())
+          rec("lm_score")(lmRun)
           // near-dup over the UNREPLICATED slice: the 50× bench replicas
           // are exact copies, so every conversation sits in a 50-clique
           // and the (correct) all-pairs output within cliques is
@@ -225,27 +253,27 @@ object Bench {
           val cnRun = () => timeNoop(operators.Conversations.convNearDup(
             input.filter((col("conv_id").endsWith("_r0") ||
               col("conv_id") === "conv_hot") && col("turn_idx") < 256)))
-          results("conv_neardup") = math.min(cnRun(), cnRun())
+          rec("conv_neardup")(cnRun)
           // round-7 ops: the Bloom prefilter over the replicated docs
           // (shingle explode → 8 KB word table → map-only probe) and the
           // z-order layout stats (pure map + one ≤64-row aggregate)
           val blRun = () => timeNoop(operators.Sketches.bloomPrefilter(docs))
-          results("bloom_prefilter") = math.min(blRun(), blRun())
+          rec("bloom_prefilter")(blRun)
           val zoRun = () => timeNoop(operators.Layout.layoutStats(docs))
-          results("zorder_layout") = math.min(zoRun(), zoRun())
+          rec("zorder_layout")(zoRun)
           // tokenizer APPLY (explode + 5 fold levels + one agg) and the
           // one-Expand rollup report
           val beRun = () => timeNoop(text.LangModel.bpeEncodeStats(docs))
-          results("bpe_encode") = math.min(beRun(), beRun())
+          rec("bpe_encode")(beRun)
           val crRun = () => timeNoop(text.TextAnalysis.corpusRollup(docs))
-          results("corpus_rollup") = math.min(crRun(), crRun())
+          rec("corpus_rollup")(crRun)
           // round-8 ops: DSIR selection (bounded bucket table + broadcast
           // probe) and the inverted-index build (the vocabulary-sized
           // posting-stats artifact)
           val dwRun = () => timeNoop(text.Selection.dsirWeights(docs))
-          results("dsir_weights") = math.min(dwRun(), dwRun())
+          rec("dsir_weights")(dwRun)
           val poRun = () => timeNoop(text.Bm25.postings(docs))
-          results("postings") = math.min(poRun(), poRun())
+          rec("postings")(poRun)
 
           // round-9 ops: weighted PageRank over the tool-transition graph
           // (the corpus window pass dominates; the iterations run on the
@@ -261,26 +289,26 @@ object Bench {
             (System.nanoTime() - t0) / 1e9
           }
           val prRun = () => timeBuild(graph.Graphs.toolPageRank(input))
-          results("pagerank") = math.min(prRun(), prRun())
+          rec("pagerank")(prRun)
           // skew evidence for SEQUENCE windows (the ordered_plain/salted
           // pair covers repartition+sort): plain per-conv lag vs the
           // chunk-split window + boundary stitch on the same input — the
           // hot conversation is 20% of all rows in ONE sort task
           val tepRun = () => timeNoop(graph.Graphs.toolTransitionEdges(input))
-          results("tool_edges_plain") = math.min(tepRun(), tepRun())
+          rec("tool_edges_plain")(tepRun)
           val tesRun = () => timeNoop(
             operators.SkewWindows.toolTransitionEdgesSalted(input))
-          results("tool_edges_salted") = math.min(tesRun(), tesRun())
+          rec("tool_edges_salted")(tesRun)
           // production entry: the measured-crossover dispatcher — timed
           // by-name so the key-count dispatch scan is INSIDE the clock;
           // must track the best of the two demonstration branches
           val teaRun = () => timeBuild(
             operators.SkewWindows.toolTransitionEdgesAuto(input))
-          results("tool_edges_auto") = math.min(teaRun(), teaRun())
+          rec("tool_edges_auto")(teaRun)
           val edRun = () => timeNoop(dedup.EditDedup.editPairs(docs10))
-          results("edit_dedup") = math.min(edRun(), edRun())
+          rec("edit_dedup")(edRun)
           val trRun = () => timeNoop(graph.Graphs.loginTriangles(parsedB))
-          results("triangles") = math.min(trRun(), trRun())
+          rec("triangles")(trRun)
 
           // round-10 ops: the generic as-of join (tool turns pick up the
           // latest change-log row at or before their ts — one key exchange
@@ -294,10 +322,10 @@ object Bench {
           val aoRun = () => timeNoop(operators.AsOf.unionAsOf(
             tTool.select("conv_id", "turn_idx", "tool", "ts"),
             changes, "tool", "ts", "cfg_ts"))
-          results("asof_join") = math.min(aoRun(), aoRun())
+          rec("asof_join")(aoRun)
           val tgRun = () => timeNoop(
             operators.Conversations.frequentTrigrams(input))
-          results("action_trigrams") = math.min(tgRun(), tgRun())
+          rec("action_trigrams")(tgRun)
 
           // round-11 ops: robust median/MAD anomaly (one corpus hash-agg,
           // percentile work on the cached hourly frame); sorted-
@@ -307,20 +335,20 @@ object Bench {
           // mixture sample (plan agg + one source-keyed admit window)
           val raRun = () => timeNoop(
             operators.Aggregates.robustAnomaly(parsedB))
-          results("robust_anomaly") = math.min(raRun(), raRun())
+          rec("robust_anomaly")(raRun)
           val snRun = () => timeNoop(
             dedup.SortedNeighborhood.similarPairs(docs10))
-          results("snm_pairs") = math.min(snRun(), snRun())
+          rec("snm_pairs")(snRun)
           val mxRun = () => timeNoop(
             operators.Sampling.mixtureSample(docs, budget = 100000L))
-          results("mixture_sample") = math.min(mxRun(), mxRun())
+          rec("mixture_sample")(mxRun)
           // per-source distinct-shingle diversity: the count-distinct
           // two-phase expansion is the cost; one source-keyed exchange
           val dvRun = () => timeNoop(text.CorpusOps.diversityStats(docs))
-          results("diversity") = math.min(dvRun(), dvRun())
+          rec("diversity")(dvRun)
           val ciRun = () => timeNoop(
             operators.TrainingExport.curriculumInterleave(docs))
-          results("curriculum") = math.min(ciRun(), ciRun())
+          rec("curriculum")(ciRun)
 
           // round-12 ops: fuzzy LSH-band decontamination (eval band set
           // broadcast, corpus map-side probe), the per-source HLL overlap
@@ -330,23 +358,23 @@ object Bench {
           // clusters), retrieval eval (queries×k rehydrate only), the
           // cluster-balanced sample, and the 2-epoch shuffle plan
           val fdRun = () => timeNoop(text.Decontaminate.fuzzyFlags(docs))
-          results("fuzzy_decontam") = math.min(fdRun(), fdRun())
+          rec("fuzzy_decontam")(fdRun)
           val soRun = () => timeNoop(
             operators.Sketches.sourceOverlapMatrix(docs))
-          results("source_overlap") = math.min(soRun(), soRun())
+          rec("source_overlap")(soRun)
           val qzRun = () => timeNoop(text.CorpusOps.qualityZ(docs))
-          results("quality_z") = math.min(qzRun(), qzRun())
+          rec("quality_z")(qzRun)
           val dhRun = () => timeNoop(dedup.Dedup.dupSizeHistogram(docs))
-          results("dup_histogram") = math.min(dhRun(), dhRun())
+          rec("dup_histogram")(dhRun)
           val reRun = () => timeNoop(
             text.Bm25.retrievalEval(docs10, queryMod = 100003))
-          results("retrieval_eval") = math.min(reRun(), reRun())
+          rec("retrieval_eval")(reRun)
           val csRun = () => timeNoop(
             operators.Sampling.clusterBalancedSample(vecs, budget = 1000L))
-          results("cluster_sample") = math.min(csRun(), csRun())
+          rec("cluster_sample")(csRun)
           val esRun = () => timeNoop(
             operators.TrainingExport.epochShuffle(docs, epochs = 2))
-          results("epoch_shuffle") = math.min(esRun(), esRun())
+          rec("epoch_shuffle")(esRun)
 
           // round-13 ops. Excision runs on the 10× corpus and is a
           // worst-case measure by construction: the ~40-word synthetic
@@ -358,19 +386,19 @@ object Bench {
           // are pure map regex batteries; prune_plan is one fused-score
           // pass into a ≤41-row window; seasonal reuses the parsed frame.
           val exRun = () => timeNoop(text.Decontaminate.excise(docs10))
-          results("decontam_excise") = math.min(exRun(), exRun())
+          rec("decontam_excise")(exRun)
           val daRun = () => timeNoop(dedup.Dedup.dupAttribution(docs))
-          results("dup_attribution") = math.min(daRun(), daRun())
+          rec("dup_attribution")(daRun)
           val bbRun = () => timeNoop(dedup.Dedup.bbitEstimates(docs10))
-          results("bbit_screen") = math.min(bbRun(), bbRun())
+          rec("bbit_screen")(bbRun)
           val taRun = () => timeNoop(text.Blocklist.termAudit(docs))
-          results("term_audit") = math.min(taRun(), taRun())
+          rec("term_audit")(taRun)
           val spRun = () => timeNoop(text.TextAnalysis.scriptProfile(docs))
-          results("script_profile") = math.min(spRun(), spRun())
+          rec("script_profile")(spRun)
           val ppRun = () => timeNoop(text.Selection.prunePlanShare(docs))
-          results("prune_plan") = math.min(ppRun(), ppRun())
+          rec("prune_plan")(ppRun)
           val saRun = () => timeNoop(operators.Aggregates.seasonalAnomaly(parsedB))
-          results("seasonal_anomaly") = math.min(saRun(), saRun())
+          rec("seasonal_anomaly")(saRun)
 
           // round-14 ops: vocab_drift and token_concentration share the
           // one (source, tok) explode+hash-agg shape (drift adds the
@@ -379,30 +407,30 @@ object Bench {
           // full parsed bench corpus; ivf_separation is the broadcast
           // n×k scan with the map-side top-2 collapse.
           val vdRun = () => timeNoop(text.CorpusOps.vocabDrift(docs))
-          results("vocab_drift") = math.min(vdRun(), vdRun())
+          rec("vocab_drift")(vdRun)
           val tcRun = () => timeNoop(text.CorpusOps.tokenConcentration(docs10))
-          results("token_concentration") = math.min(tcRun(), tcRun())
+          rec("token_concentration")(tcRun)
           val iaRun = () => timeNoop(operators.Aggregates.interArrival(parsedB))
-          results("inter_arrival") = math.min(iaRun(), iaRun())
+          rec("inter_arrival")(iaRun)
           val smRun = () => timeNoop(ann.Similarity.separationMargin(vecs))
-          results("ivf_separation") = math.min(smRun(), smRun())
+          rec("ivf_separation")(smRun)
 
           // round-15 ops: lateness is one per-file running-max window +
           // |names| hash-agg; tool_pareto is one corpus hash-agg with
           // window work on |tools| rows; reword_retries is one conv
           // window (lag of role + distinct token set) + conv hash-agg.
           val lpRun = () => timeNoop(operators.Aggregates.latenessProfile(parsedB))
-          results("lateness_profile") = math.min(lpRun(), lpRun())
+          rec("lateness_profile")(lpRun)
           val tpRun = () => timeNoop(operators.Conversations.toolCostPareto(input))
-          results("tool_pareto") = math.min(tpRun(), tpRun())
+          rec("tool_pareto")(tpRun)
           val rrRun = () => timeNoop(operators.Conversations.rewordRetries(input))
-          results("reword_retries") = math.min(rrRun(), rrRun())
+          rec("reword_retries")(rrRun)
 
           // round-16 ops: the DQ rule battery is one compiled map pass +
           // 1-row agg; star CC is a driver fixpoint loop (timed via its
           // own action, not noop) over the chain-fixture edge set.
           val dqRun = () => timeNoop(operators.DqRules.ruleAudit(parsedB))
-          results("dq_rules") = math.min(dqRun(), dqRun())
+          rec("dq_rules")(dqRun)
           val ccEdges = docs.select(col("doc_id").as("a"),
             (col("doc_id") + 1L).as("b"))
             .filter((col("doc_id") + 1L) % 100 =!= 0)
@@ -412,13 +440,13 @@ object Bench {
               .format("noop").mode("overwrite").save()
             (System.nanoTime() - t0) / 1e9
           }
-          results("connected_components") = math.min(ccRun(), ccRun())
+          rec("connected_components")(ccRun)
           // round-17: both detectors run on the (name, day) aggregate —
           // the corpus cost is the one dailyCounts hash-agg each.
           val vtRun = () => timeNoop(operators.Aggregates.volumeTrend(parsedB))
-          results("volume_trend") = math.min(vtRun(), vtRun())
+          rec("volume_trend")(vtRun)
           val cuRun = () => timeNoop(operators.Aggregates.cusumChangepoints(parsedB))
-          results("cusum") = math.min(cuRun(), cuRun())
+          rec("cusum")(cuRun)
           // round-18: the phrase probe re-shuffles only the anchor
           // sliver; KS runs one corpus hash-agg into tiny CDF windows.
           // Phrase search runs on the UNREPLICATED slice for the same
@@ -430,27 +458,27 @@ object Bench {
           // vs ~4 s unreplicated with identical plans).
           val psRun = () => timeNoop(
             text.Bm25.phraseSearch(docs.filter(col("doc_id") < 1000000L)))
-          results("phrase_search") = math.min(psRun(), psRun())
+          rec("phrase_search")(psRun)
           val ksRun = () => timeNoop(operators.Aggregates.ksDrift(parsedB))
-          results("ks_drift") = math.min(ksRun(), ksRun())
+          rec("ks_drift")(ksRun)
           // round-19: homoglyph fold is the exact-dedup hash-agg with a
           // translate() prepended; FD audit and TTL sim are aggregate work.
           val hgRun = () => timeNoop(dedup.Dedup.homoglyphDups(docs10))
-          results("homoglyph_dups") = math.min(hgRun(), hgRun())
+          rec("homoglyph_dups")(hgRun)
           val ttlRun = () => timeNoop(operators.Governance.ttlSimulation(parsedB))
-          results("ttl_simulation") = math.min(ttlRun(), ttlRun())
+          rec("ttl_simulation")(ttlRun)
           // round-20: injection is a map-only regex battery + conv agg;
           // salient passage is the df agg + chunk explode + doc window.
           val injRun = () => timeNoop(text.Injection.scan(input))
-          results("injection_scan") = math.min(injRun(), injRun())
+          rec("injection_scan")(injRun)
           val spRun2 = () => timeNoop(text.TfIdf.salientPassage(docs))
-          results("salient_passage") = math.min(spRun2(), spRun2())
+          rec("salient_passage")(spRun2)
           // round-21: pass@k is one conv agg + task window on conv rows;
           // collocations is the bigram/unigram agg pair.
           val pkRun = () => timeNoop(operators.Conversations.passAtK(parsedB))
-          results("pass_at_k") = math.min(pkRun(), pkRun())
+          rec("pass_at_k")(pkRun)
           val clRun = () => timeNoop(text.LangModel.collocations(docs))
-          results("collocations") = math.min(clRun(), clRun())
+          rec("collocations")(clRun)
 
           // round-22: KMV set algebra / fertility / DP counts / k=v
           // schema census are each ONE corpus pass into a bounded agg;
@@ -459,13 +487,13 @@ object Bench {
           // only delta-agg + merge is timed); k-center is k driver-
           // sequenced corpus passes timed around its own actions.
           val kvRun = () => timeNoop(operators.Sketches.kmvSetOps(docs))
-          results("kmv_sketch") = math.min(kvRun(), kvRun())
+          rec("kmv_sketch")(kvRun)
           val ftRun = () => timeNoop(text.LangModel.fertility(docs))
-          results("fertility") = math.min(ftRun(), ftRun())
+          rec("fertility")(ftRun)
           val dpRun = () => timeNoop(operators.Governance.dpCounts(docs))
-          results("dp_counts") = math.min(dpRun(), dpRun())
+          rec("dp_counts")(dpRun)
           val asRun = () => timeNoop(operators.DqRules.inferSchema(input))
-          results("arg_schema") = math.min(asRun(), asRun())
+          rec("arg_schema")(asRun)
           val ivmCols = parsedB.select("name", "ts", "turn_idx")
           val ivmOld = operators.Aggregates
             .dailyCounts(ivmCols.filter(col("turn_idx") % 7 =!= 3))
@@ -475,7 +503,7 @@ object Bench {
             .withColumn("sign", lit(1L)).select("name", "ts", "sign")
           val ivRun = () => timeNoop(
             operators.Aggregates.incrementalRefresh(ivmOld, ivmDelta))
-          results("ivm_refresh") = math.min(ivRun(), ivRun())
+          rec("ivm_refresh")(ivRun)
           ivmOld.unpersist()
           val kcRun = () => {
             val t0 = System.nanoTime()
@@ -483,24 +511,24 @@ object Bench {
               .format("noop").mode("overwrite").save()
             (System.nanoTime() - t0) / 1e9
           }
-          results("kcenter") = math.min(kcRun(), kcRun())
+          rec("kcenter")(kcRun)
 
           // round-23: bootstrap CI fans the 2-int projection 64× and
           // map-side-combines into a 64-row agg — near the cost of 64
           // corpus passes compressed into one scan
           val bcRun = () => timeNoop(operators.Sampling.bootstrapCI(docs))
-          results("bootstrap_ci") = math.min(bcRun(), bcRun())
+          rec("bootstrap_ci")(bcRun)
           // winnowing: O(n·w) per-row selection, census only on the
           // ~2/(w+1) winnowed sample
           val wnRun = () => timeNoop(dedup.Dedup.winnowStats(docs))
-          results("winnow") = math.min(wnRun(), wnRun())
+          rec("winnow")(wnRun)
           // rolling distinct: one corpus pass into the day×64 register
           // grid; the 7-day merge is a window on that aggregate (the
           // exact column intentionally included — it IS the recount
           // this sketch replaces, so the gap is visible in the timing)
           val rdRun = () =>
             timeNoop(operators.Sketches.hllRollingDistinct(input))
-          results("rolling_distinct") = math.min(rdRun(), rdRun())
+          rec("rolling_distinct")(rdRun)
           // max-coverage runs k driver-sequenced rounds and returns a
           // local frame — time around its own actions, like kcenter
           val mcRun = () => {
@@ -509,30 +537,30 @@ object Bench {
               .format("noop").mode("overwrite").save()
             (System.nanoTime() - t0) / 1e9
           }
-          results("max_coverage") = math.min(mcRun(), mcRun())
+          rec("max_coverage")(mcRun)
           // k-anon generalization: one finest-grain agg + broadcast
           // grid joins back over the corpus
           val kgRun = () => timeNoop(operators.Governance.kAnonGeneralize(docs))
-          results("kanon_generalize") = math.min(kgRun(), kgRun())
+          rec("kanon_generalize")(kgRun)
           // sweep line: conv-span agg + day-keyed windows + day-grid math
           val cpRun = () =>
             timeNoop(operators.Sessionize.concurrencyProfile(input))
-          results("concurrency") = math.min(cpRun(), cpRun())
+          rec("concurrency")(cpRun)
           // template mining: head-vocab agg collected once, then a
           // map-only fused rebuild + skeleton census (one exchange)
           val ltRun = () => timeNoop(operators.DqRules.logTemplates(input))
-          results("log_templates") = math.min(ltRun(), ltRun())
+          rec("log_templates")(ltRun)
           // bursts: one (day, tok) agg + grid math + day-window top-k
           val tbRun = () => timeNoop(operators.Conversations.termBursts(input))
-          results("term_bursts") = math.min(tbRun(), tbRun())
+          rec("term_bursts")(tbRun)
           // zone maps: narrow projection + (layout × shard) grid agg
           val zmRun = () => timeNoop(operators.Layout.zoneMapAudit(input))
-          results("zonemap_audit") = math.min(zmRun(), zmRun())
+          rec("zonemap_audit")(zmRun)
           // two-pass exact selection vs builtin full-group sort: the
           // same numbers, bounded memory — both timed for the A/B
           val eqRun = () =>
             timeNoop(operators.Aggregates.exactQuantiles2Pass(parsedB))
-          results("exact_quantiles_2pass") = math.min(eqRun(), eqRun())
+          rec("exact_quantiles_2pass")(eqRun)
 
           // lmScore/convNearDup persist their reused intermediates;
           // drop them so repeated bench runs don't accumulate cache
@@ -559,7 +587,13 @@ object Bench {
     val total = results.values.sum
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
+    // the phase profile of this run: ticks of the fixed reference kernel
+    // taken every 8 headline queries across both passes. contention_index
+    // = max/min tick — near 1.0 means a quiet recording; readers should
+    // trust cross-round deltas only when both rounds' indexes are low.
+    val tickArr = ticks.map(t => f"$t%.3f").mkString("[", ",", "]")
+    val cIdx = if (ticks.nonEmpty) ticks.max / ticks.min else 1.0
     println(
-      s"""{"metric":"routed_events_per_sec","value":${f"$rateMax%.1f"},"unit":"sec","queries":$qs,"sf":"$sfDir","total_sec":${f"$total%.3f"},"input_rows":$inputRows,"routed_rows":$routedRows,"cpus_low":$low,"cpus_high":$high,"cpus_max":$maxLevel,"rate_low":${f"$rateLow%.1f"},"rate_high":${f"$rateHigh%.1f"},"rate_max":${f"$rateMax%.1f"},"scaling_efficiency":${f"$efficiency%.3f"}}""")
+      s"""{"metric":"routed_events_per_sec","value":${f"$rateMax%.1f"},"unit":"sec","queries":$qs,"sf":"$sfDir","total_sec":${f"$total%.3f"},"input_rows":$inputRows,"routed_rows":$routedRows,"cpus_low":$low,"cpus_high":$high,"cpus_max":$maxLevel,"rate_low":${f"$rateLow%.1f"},"rate_high":${f"$rateHigh%.1f"},"rate_max":${f"$rateMax%.1f"},"scaling_efficiency":${f"$efficiency%.3f"},"contention_ticks":$tickArr,"contention_index":${f"$cIdx%.2f"}}""")
   }
 }

@@ -51,10 +51,19 @@ object BenchSf {
       .config("spark.sql.files.openCostInBytes", "0")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.driver.memory", sys.env.getOrElse("SPARK_DRIVER_MEM", "16g"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     Graft.prep(spark)
+    // spark.driver.memory is launch-time-only in local mode (the JVM is
+    // already running under sbt/runMain) — size the heap via
+    // `sbt -J-Xmx16g` or JAVA_OPTS. Fail fast instead of silently
+    // sweeping sf1 on a starved heap.
+    val wantGb = sys.env.getOrElse("SPARK_DRIVER_MEM", "12g")
+      .toLowerCase.stripSuffix("g").toDouble
+    val haveGb = Runtime.getRuntime.maxMemory / 1e9
+    require(haveGb >= wantGb * 0.75,
+      f"driver heap ${haveGb}%.1f GB < required ${wantGb}%.1f GB — launch " +
+        "with -J-Xmx (spark.driver.memory cannot resize a running JVM)")
 
     // (name, input-kind, builder) — input-kind keys the per-dir frames
     def queries(t: DataFrame, docs: DataFrame, vecs: DataFrame)
@@ -102,6 +111,7 @@ object BenchSf {
       // eval baseline by contract — its 100× on 10× input is the
       // definition of the operator, not a finding)
       ("ivf_topk", () => ann.Similarity.ivfTopK(vecs), false),
+      ("ivf_separation", () => ann.Similarity.separationMargin(vecs), false),
       ("kmeans_step", () => ann.Centroids.kmeansIteration(vecs), false),
       ("hll_sketch", () => operators.Sketches.hllDistinct(Pipeline.parse(t)),
         false),
@@ -111,19 +121,28 @@ object BenchSf {
     val rows = scala.collection.mutable.LinkedHashMap[(String, String), Long]()
 
     val full = args.lift(2).contains("full")
+    // harness-only subset (comma-separated exact names) for targeted
+    // re-sweeps of just-touched kernels; full table stays the default
+    val only = sys.env.get("GRAFT_BENCHSF_ONLY").map(_.split(",").toSet)
     def visit(tag: String, dir: String): Unit = {
       val t = Transcripts.load(spark, dir)
       val docs = spark.read.parquet(s"$dir/documents.parquet")
       val vecs = spark.read.parquet(s"$dir/embeddings.parquet")
-      val qs = queries(t, docs, vecs) ++
-        (if (full) tier2(t, docs, vecs) else Nil)
+      val qs = (queries(t, docs, vecs) ++
+        (if (full) tier2(t, docs, vecs) else Nil))
+        .filter(q => only.forall(_.contains(q._1)))
       for ((name, build, eager) <- qs) {
-        val run = () => if (eager) timeBuild(build()) else timeNoop(build())
+        // keep the last built frame so the row-count pass reuses it
+        // instead of re-running eager driver-loop builders a 4th time
+        var lastDf: DataFrame = null
+        val run = () =>
+          if (eager) timeBuild { lastDf = build(); lastDf }
+          else { lastDf = build(); timeNoop(lastDf) }
         run() // warmup (codegen + JIT + shuffle-file cache)
         val best = math.min(run(), run())
         val key = (name, tag)
         times(key) = math.min(times.getOrElse(key, Double.MaxValue), best)
-        if (!rows.contains(key)) rows(key) = build().count()
+        if (!rows.contains(key)) rows(key) = lastDf.count()
         println(f"[$tag] $name%-22s ${times(key)}%8.2f s  rows=${rows(key)}")
         // operators that persist reused intermediates (lmScore, the
         // clone-collapse group table, CC rounds) must not accumulate
@@ -139,6 +158,7 @@ object BenchSf {
 
     val names = (queries(null, null, null) ++
       (if (full) tier2(null, null, null) else Nil)).map(_._1)
+      .filter(n => only.forall(_.contains(n)))
     println("\n| query | t(sfA) s | t(sfB) s | time ratio | rows A | rows B | row ratio |")
     println("|---|---|---|---|---|---|---|")
     for (n <- names) {

@@ -1833,6 +1833,63 @@ object SparkEntry {
         .withColumn("progress_input_rows", lit(inputRows))
         .withColumn("progress_batches", lit(nBatches))
         .select("progress_input_rows", "progress_batches", "disk_file_lines")
+    }),
+
+    // ST4: the late-data / replay floor oracled (round-5; the q297/q301
+    // pattern). Drain 1 processes the corpus and commits its watermark
+    // (max corpus ts − 1h) to the checkpoint; drain 2 RESUMES from that
+    // checkpoint over a second file planting rows 9000 days below the
+    // restored floor (must be DROPPED by the event-time filter) plus
+    // rows 31 days past the corpus max (must land) — the replay-floor
+    // contract: state restored across restarts keeps late replays out.
+    // Append mode emits exactly the hour windows closed by the final
+    // watermark (max event time − 1h). Every column of the accounting
+    // row — including which windows emitted — is re-derived by DuckDB
+    // from the same timestamp-floor predicate over the transcripts CTE.
+    "q302_late_floor" -> ((s, d) => {
+      import java.nio.file.{Files, Paths}
+      val root = s"/tmp/graft_latefloor_${math.abs(d.hashCode)}"
+      def rm(p: java.nio.file.Path): Unit = if (Files.exists(p)) {
+        Files.walk(p).sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(x => Files.delete(x))
+      }
+      rm(Paths.get(root))
+      val t = Transcripts.load(s, d).select("conv_id", "turn_idx", "ts")
+      val late = t.filter(col("turn_idx") % 97 === 0)
+        .withColumn("ts", col("ts") - expr("INTERVAL 9000 DAYS"))
+      val ontime = t.filter(col("turn_idx") % 89 === 0)
+        .withColumn("ts", col("ts") + expr("INTERVAL 31 DAYS 7 MINUTES"))
+      def drain(): Unit = {
+        val stream = s.readStream.schema(t.schema).parquet(s"$root/in/*")
+        val agg = stream
+          .withColumn("ts_evt", col("ts").cast("timestamp"))
+          .withWatermark("ts_evt", "1 hour")
+          .groupBy(window(col("ts_evt"), "1 hour"))
+          .agg(count(lit(1)).as("n"))
+        val qy = agg.writeStream.format("parquet")
+          .option("path", s"$root/out")
+          .option("checkpointLocation", s"$root/ckpt").outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        qy.awaitTermination()
+      }
+      t.coalesce(1).write.parquet(s"$root/in/f1")
+      drain()
+      late.unionByName(ontime).coalesce(1).write.parquet(s"$root/in/f2")
+      drain()
+      val nB1 = t.count()
+      val nLate = late.count()
+      val nOntime = ontime.count()
+      s.read.parquet(s"$root/out")
+        .select(col("window.start").cast("timestamp_ntz").as("ws"), col("n"))
+        .agg(count(lit(1)).cast("long").as("n_windows"),
+          sum(col("n")).cast("long").as("rows_emitted"),
+          min(col("ws")).as("first_window"),
+          max(col("ws")).as("last_window"))
+        .withColumn("n_input", lit(nB1 + nLate + nOntime))
+        .withColumn("n_late_planted", lit(nLate))
+        .select("n_input", "n_late_planted", "n_windows", "rows_emitted",
+          "first_window", "last_window")
     })
   )
 
@@ -6850,6 +6907,28 @@ SELECT (SELECT CAST(count(*) AS BIGINT) FROM transcripts) AS progress_input_rows
   CAST(4 AS BIGINT) AS progress_batches,
   CAST(count(*) AS BIGINT) AS disk_file_lines
 FROM routed"""),
+
+    // ST4: the timestamp-floor predicate re-derived first-principles —
+    // late planted rows (9000 days below the floor) contribute to NO
+    // window; on-time planted rows land; append mode emits exactly the
+    // hour windows whose end is at or before max(event time) − 1h.
+    "q302_late_floor" -> withCtes(
+      "lateq" -> "SELECT ts - INTERVAL 9000 DAY AS ts FROM transcripts WHERE turn_idx % 97 = 0",
+      "ontimeq" -> "SELECT ts + INTERVAL 31 DAY + INTERVAL 7 MINUTE AS ts FROM transcripts WHERE turn_idx % 89 = 0",
+      "kept" -> "SELECT ts FROM transcripts UNION ALL SELECT ts FROM ontimeq",
+      "wmark" -> "SELECT max(ts) - INTERVAL 1 HOUR AS w FROM kept",
+      "win" -> "SELECT date_trunc('hour', ts) AS ws, CAST(count(*) AS BIGINT) AS n FROM kept GROUP BY 1",
+      "emitted" -> "SELECT * FROM win WHERE ws + INTERVAL 1 HOUR <= (SELECT w FROM wmark)")("""
+SELECT
+  (SELECT CAST(count(*) AS BIGINT) FROM transcripts)
+    + (SELECT CAST(count(*) AS BIGINT) FROM lateq)
+    + (SELECT CAST(count(*) AS BIGINT) FROM ontimeq) AS n_input,
+  (SELECT CAST(count(*) AS BIGINT) FROM lateq) AS n_late_planted,
+  CAST(count(*) AS BIGINT) AS n_windows,
+  CAST(sum(n) AS BIGINT) AS rows_emitted,
+  min(ws) AS first_window,
+  max(ws) AS last_window
+FROM emitted"""),
 
     "q183_asof_join" -> withCtes(
       "l" -> "SELECT conv_id, turn_idx, tool, ts FROM transcripts WHERE tool <> ''",

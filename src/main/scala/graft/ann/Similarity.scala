@@ -212,21 +212,26 @@ object Similarity {
     * exactly: centroids with identical embeddings all achieve the tied
     * best cosine together, so the global min id over the tied set equals
     * the min over the per-embedding group minima — which is what keeping
-    * `min(cent_id)` per distinct centroid embedding computes. */
+    * `min(cent_id)` per distinct centroid embedding computes.
+    *
+    * Clone membership stays ROW-shaped (round-5): the per-distinct-vector
+    * verdict joins back onto the member rows on the embedding key, so a
+    * degenerate clone group (zero vector, embedding-of-empty-string) of
+    * 10⁷–10⁹ members is 10⁹ narrow rows across tasks — never one
+    * collect_list array row brushing the 2 GiB limit. */
   def assignWith(vecs: DataFrame, cents: DataFrame): DataFrame = {
     val centG = cents.groupBy(col("cent_emb"))
       .agg(min(col("cent_id")).as("cent_id"))
-    vecs.groupBy(col("embedding"))
-      .agg(collect_list(col("vec_id")).as("vids"))
+    val best = vecs.select(col("embedding")).distinct()
       .crossJoin(broadcast(centG))
       .withColumn("_score", struct(
         cosine(col("embedding"), col("cent_emb")).as("cos"),
         (-col("cent_id")).cast("double").as("nid")))
       .groupBy(col("embedding"))
-      .agg(max_by(col("cent_id"), col("_score")).as("cent_id"),
-        first(col("vids")).as("vids"))
-      .select(explode(col("vids")).as("vec_id"), col("cent_id"),
-        col("embedding"))
+      .agg(max_by(col("cent_id"), col("_score")).as("cent_id"))
+    vecs.select(col("vec_id"), col("embedding"))
+      .join(best, Seq("embedding"))
+      .select(col("vec_id"), col("cent_id"), col("embedding"))
   }
 
   /** INCREMENTAL IVF index maintenance — the ANN twin of q246's
@@ -323,23 +328,27 @@ object Similarity {
     // top-2 (its members tie on cosine and the tiebreak is ascending
     // cent_id), so retaining per-group min-2 ids preserves the exact
     // top-2 — including the margin-0 case where a cloned centroid pairs
-    // with itself. Members of a vector group share the top-2 verbatim.
+    // with itself. Members of a vector group share the top-2 verbatim —
+    // reconstructed by an embedding-keyed JOIN onto the member rows
+    // (round-5: no collect_list(vec_id), so a degenerate clone group
+    // never materializes one giant array row). The collect_list that
+    // remains is the per-distinct-vector candidate list — bounded by
+    // 2·|centroid groups|, which is broadcast-small by construction.
     val centG = cents.groupBy(col("cent_emb"))
       .agg(slice(array_sort(collect_list(col("cent_id"))), 1, 2).as("cids"))
-    val top2 = vecs.groupBy(col("embedding"))
-      .agg(collect_list(col("vec_id")).as("vids"))
+    val top2G = vecs.select(col("embedding")).distinct()
       .crossJoin(broadcast(centG))
       .withColumn("_cos", cosine(col("embedding"), col("cent_emb")))
-      .select(col("embedding"), col("vids"),
+      .select(col("embedding"),
         explode(transform(col("cids"), c =>
           struct(col("_cos").as("cos"), (-c).cast("double").as("nid"),
             c.as("cent_id")))).as("cand"))
       .groupBy(col("embedding"))
-      .agg(first(col("vids")).as("vids"),
-        slice(reverse(array_sort(collect_list(col("cand")))), 1, 2)
+      .agg(slice(reverse(array_sort(collect_list(col("cand")))), 1, 2)
           .as("top2"))
       .filter(size(col("top2")) === 2)
-      .select(explode(col("vids")).as("vec_id"), col("top2"))
+    val top2 = vecs.select(col("vec_id"), col("embedding"))
+      .join(top2G, Seq("embedding"))
       .select(col("vec_id"),
         col("top2")(0).getField("cent_id").as("cent_id"),
         floor((col("top2")(0).getField("cos")
@@ -374,16 +383,32 @@ object Similarity {
     * contains every true top-k row. The final row_number over (cos desc,
     * vec_id) re-ranks the superset exactly — same values, same tiebreak,
     * same output as the uncollapsed form. Shared by [[ivfTopK]] and
-    * [[graft.ann.Centroids.ivfTopKTrained]]. */
+    * [[graft.ann.Centroids.ivfTopKTrained]].
+    *
+    * Clone membership stays ROW-shaped (round-5 de-materialization): the
+    * group id is `min(vec_id)` over a (cent_id, embedding) window and
+    * members re-attach to surviving groups by a gid equi-join, so a
+    * degenerate clone group (10⁷+ copies of the zero vector) is that
+    * many narrow rows across tasks, never one collect_list array row
+    * brushing the 2 GiB limit. */
   private[graft] def cellTopK(assigned: DataFrame, k: Int,
                               queryMod: Int): DataFrame = {
-    val g = assigned.groupBy(col("cent_id"), col("embedding"))
-      .agg(collect_list(col("vec_id")).as("members"),
-        count(lit(1)).as("m"))
-    val qg = g.select(col("cent_id"), col("embedding").as("q_emb"),
-        filter(col("members"), i => i % queryMod === 0).as("q_members"))
-      .filter(size(col("q_members")) > 0)
-      .withColumn("q_gid", array_min(col("q_members")))
+    val wg = Window.partitionBy("cent_id", "embedding")
+    val memRows = assigned.select(col("cent_id"), col("embedding"),
+        col("vec_id"))
+      .withColumn("gid", min(col("vec_id")).over(wg))
+      .withColumn("m", count(lit(1)).over(wg))
+    // one representative row per (cell, distinct embedding) group
+    val g = memRows.filter(col("vec_id") === col("gid"))
+      .select(col("cent_id"), col("embedding"), col("gid"), col("m"))
+    // query groups: q_gid = the smallest QUALIFYING member id (the
+    // pre-collapse convention); gid keys the group, vec_ids are unique,
+    // so gid-partitioned windows reconstruct it exactly
+    val qmem = memRows.filter(col("vec_id") % queryMod === 0)
+      .withColumn("q_gid", min(col("vec_id")).over(Window.partitionBy("gid")))
+    val qg = qmem.filter(col("vec_id") === col("q_gid"))
+      .select(col("cent_id"), col("embedding").as("q_emb"), col("q_gid"))
+    val qrows = qmem.select(col("q_gid"), col("vec_id").as("q_id"))
     val pairs = g.join(broadcast(qg), "cent_id")
       .withColumn("cos", cosine(col("q_emb"), col("embedding")))
     // candidates strictly better than this group, counted with a RANGE
@@ -395,12 +420,24 @@ object Similarity {
       .withColumn("_cumGe", sum(col("m")).over(wRange))
       .withColumn("_lvl", sum(col("m")).over(wLevel))
       .filter(col("_cumGe") - col("_lvl") < k + 1)
-    val cand = included.select(col("q_gid"), col("cos"),
-      explode(col("members")).as("neighbor_id"))
-    val qrows = qg.select(col("q_gid"), explode(col("q_members")).as("q_id"))
+    val cand = included.select(col("q_gid"), col("cos"), col("gid"))
+      .join(memRows.select(col("gid"), col("vec_id").as("neighbor_id")),
+        Seq("gid"))
+    // cap the per-QUERY-GROUP candidate list at k+1 BEFORE fanning out to
+    // the group's individual queries: every query in a group shares the
+    // same embedding, so its top-k is a subset of the group's
+    // (cos desc, id)-ranked top-(k+1) — at most one row (the query
+    // itself) is ever excluded. Without the cap a clone group holding m
+    // queries joins m queries × its retained candidates' m' members into
+    // an m·m' intermediate; with it the fan-out is m·(k+1).
+    val wq2 = Window.partitionBy("q_gid").orderBy(col("cos").desc,
+      col("neighbor_id"))
+    val candTop = cand.withColumn("grank", row_number().over(wq2))
+      .filter(col("grank") <= k + 1)
+      .drop("grank")
     val w = Window.partitionBy("q_id").orderBy(col("cos").desc,
       col("neighbor_id"))
-    cand.join(qrows, "q_gid")
+    candTop.join(qrows, "q_gid")
       .filter(col("neighbor_id") =!= col("q_id"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -462,20 +499,33 @@ object Similarity {
     // sf-scaling table measured 6.6 s → 801 s (120× on 10× input) on the
     // clone-staged sf1 corpus; with it, the FP work is O(B²) group pairs
     // and the clone dimension is handled by COUNTING, not enumeration.
-    val gm = vecs.groupBy(col("embedding"))
-      .agg(min(col("vec_id")).as("gid"),
-        collect_list(col("vec_id")).as("members"))
+    //
+    // Round-5 de-materialization: membership stays ROW-shaped — the
+    // group frame gmK carries only (embedding, gid), never a
+    // collect_list(vec_id) array, and members re-attach by an
+    // embedding-keyed join. A degenerate clone group (the zero vector,
+    // embedding-of-empty-string, a quantized collision) with 10⁷–10⁹
+    // members is that many narrow rows spread across tasks; the array
+    // form was one multi-GB row that would hit the 2 GiB limit long
+    // before the quadratic it replaced. gmK feeds five plan legs (both
+    // sides of nearDupPairs' probe, selfSim, and the member join), so it
+    // persists; the cache is released by the ContextCleaner once the
+    // result frame is dropped — the TfIdf.topTerms `tf` lifecycle.
+    val gmK = vecs.groupBy(col("embedding"))
+      .agg(min(col("vec_id")).as("gid"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val reps = gm.select(col("gid").as("vec_id"), col("embedding"))
+    val reps = gmK.select(col("gid").as("vec_id"), col("embedding"))
     val simPairs = nearDupPairs(reps, thresholdPermille, dim)
     // within-group similarity: cosine(v, v) through the SAME permille
     // formula (bit-identical arrays ⇒ bit-identical value), so the
     // verdict matches the pre-collapse form even if FP self-cosine lands
     // under the threshold
-    val selfSim = gm.filter(
+    val selfSim = gmK.filter(
       floor(cosine(col("embedding"), col("embedding")) * 1000.0)
         .cast("long") >= thresholdPermille)
       .select(col("gid").as("tgt"), col("gid").as("src"))
+    val memRows = vecs.select(col("vec_id"), col("embedding"))
+      .join(gmK, Seq("embedding"))
     // Dominator reconstruction without member-pair enumeration: a member
     // b of group g is dominated by EVERY id < b among the members of
     // similar groups (and of g itself when self-similar). Stream each
@@ -489,10 +539,11 @@ object Similarity {
       .unionByName(simPairs.select(col("id_a").as("tgt"), col("id_b").as("src")))
       .unionByName(selfSim)
     val rRows = dirs
-      .join(gm.select(col("gid").as("src"), col("members")), "src")
-      .select(col("tgt"), explode(col("members")).as("id"), lit(1).as("tag"))
-    val mRows = gm.select(col("gid").as("tgt"),
-      explode(col("members")).as("id"), lit(0).as("tag"))
+      .join(memRows.select(col("gid").as("src"), col("vec_id").as("id")),
+        "src")
+      .select(col("tgt"), col("id"), lit(1).as("tag"))
+    val mRows = memRows.select(col("gid").as("tgt"),
+      col("vec_id").as("id"), lit(0).as("tag"))
     val w = Window.partitionBy("tgt").orderBy(col("id"), col("tag"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     mRows.unionByName(rRows)

@@ -117,7 +117,11 @@ object TfIdf {
       .select(col("doc_id"), col("chunk_idx"),
         array_join(col("carr"), " ").as("passage"),
         explode(array_distinct(col("carr"))).as("tok"))
-      .join(df, "tok")
+      // vocabulary-sized side pinned broadcast (same as topTerms): the
+      // (chunk, tok) stream must never shuffle on tok just to meet a
+      // frame that is sublinear in the corpus — deterministic at 100×
+      // instead of relying on AQE's runtime conversion
+      .join(broadcast(df), "tok")
       .groupBy("doc_id", "chunk_idx")
       .agg(first(col("passage")).as("passage"),
         sum(expr("1000000 DIV df")).as("rarity_score"))
