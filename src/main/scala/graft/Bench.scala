@@ -109,13 +109,17 @@ object Bench {
     // queries; the tick series IS the phase profile of the run, and
     // max/min across ticks quantifies how contended the recording was.
     val ticks = scala.collection.mutable.ArrayBuffer[Double]()
+    // tick value nearest the sample that currently holds each query's
+    // min — if that phase was loaded, the value is suspect and the
+    // harness buys one extra pass (below) to re-measure in a new phase
+    val phase = scala.collection.mutable.LinkedHashMap[String, Double]()
     var recCount = 0
 
     def visit(cpus: Int): Unit = {
       val spark = session(cpus)
       def tick(): Double = {
         val t0 = System.nanoTime()
-        spark.range(0L, 1L << 28, 1L, cpus)
+        spark.range(0L, 1L << 29, 1L, cpus)
           .agg(sum(xxhash64(col("id")))).collect()
         (System.nanoTime() - t0) / 1e9
       }
@@ -127,7 +131,10 @@ object Bench {
         recCount += 1
         val sample = if (results.contains(name)) run()
                      else math.min(run(), run())
-        results(name) = math.min(results.getOrElse(name, Double.MaxValue), sample)
+        if (sample < results.getOrElse(name, Double.MaxValue)) {
+          results(name) = sample
+          phase(name) = ticks.lastOption.getOrElse(0.0)
+        }
       }
       try {
         val input = spark.read.parquet(staged)
@@ -580,6 +587,21 @@ object Bench {
       retries += 1
     }
 
+    // self-healing third pass: if any query's winning sample was
+    // recorded while the reference kernel read >1.3× the run's median
+    // (a loaded phase), buy ONE more max-level pass — min-merge gives
+    // every suspect query a sample from a different phase. Bounded at
+    // one extra pass so a fully-loaded host can't loop the bench.
+    if (ticks.nonEmpty) {
+      val med = ticks.sorted.apply(ticks.length / 2)
+      val suspect = phase.count { case (_, p) => p > med * 1.3 }
+      if (suspect > 0) {
+        println(s"[bench] $suspect headline values recorded in a loaded " +
+          "phase; running one re-measure pass")
+        visit(maxLevel)
+      }
+    }
+
     val rateLow = rates(low)
     val rateHigh = rates(high)
     val rateMax = rates(maxLevel)
@@ -589,10 +611,13 @@ object Bench {
       .mkString("{", ",", "}")
     // the phase profile of this run: ticks of the fixed reference kernel
     // taken every 8 headline queries across both passes. contention_index
-    // = max/min tick — near 1.0 means a quiet recording; readers should
-    // trust cross-round deltas only when both rounds' indexes are low.
+    // = max/MEDIAN tick (median, not min — one lucky fast tick must not
+    // set the floor); near 1.0 means a quiet recording. Readers should
+    // trust cross-round per-query deltas only when both rounds' indexes
+    // are low, and can localize a contention phase from the raw series.
     val tickArr = ticks.map(t => f"$t%.3f").mkString("[", ",", "]")
-    val cIdx = if (ticks.nonEmpty) ticks.max / ticks.min else 1.0
+    val cIdx = if (ticks.nonEmpty)
+      ticks.max / ticks.sorted.apply(ticks.length / 2) else 1.0
     println(
       s"""{"metric":"routed_events_per_sec","value":${f"$rateMax%.1f"},"unit":"sec","queries":$qs,"sf":"$sfDir","total_sec":${f"$total%.3f"},"input_rows":$inputRows,"routed_rows":$routedRows,"cpus_low":$low,"cpus_high":$high,"cpus_max":$maxLevel,"rate_low":${f"$rateLow%.1f"},"rate_high":${f"$rateHigh%.1f"},"rate_max":${f"$rateMax%.1f"},"scaling_efficiency":${f"$efficiency%.3f"},"contention_ticks":$tickArr,"contention_index":${f"$cIdx%.2f"}}""")
   }

@@ -40,6 +40,10 @@ object PlanAudit {
     section("ANN near-dup (multi-probe LSH equi-join, no cartesian)") {
       ann.Similarity.nearDupPairs(vecs)
     }
+    section("ANN near-dup COLLAPSED (probe on distinct embeddings; member " +
+      "pairs expanded only at output via gid equi-joins)") {
+      ann.Similarity.nearDupPairsCollapsed(vecs)
+    }
     section("IVF assignment (broadcast n-by-k + partial-agg max_by)") {
       ann.Similarity.ivfAssign(vecs)
     }
@@ -223,7 +227,7 @@ object PlanAudit {
     section("inter-arrival Fano ((name, hour) lag window; per-name moment hash-agg)") {
       operators.Aggregates.interArrival(Pipeline.parsed(spark, sfDir))
     }
-    section("IVF separation margin (broadcast n-by-k scan; map-side top-2 collapse, one row per vector shuffles)") {
+    section("IVF separation margin (broadcast n-by-k scan over DISTINCT embeddings; top-2 re-attached to member rows by key join)") {
       ann.Similarity.separationMargin(vecs)
     }
     section("lateness profile (per-file running-max window in read order; |names| hash-agg)") {

@@ -256,7 +256,7 @@ object SparkEntry {
       ann.Similarity.buckets(vecs(s, d))),
 
     "q40_embed_neardup" -> ((s, d) =>
-      ann.Similarity.nearDupPairs(vecs(s, d))),
+      ann.Similarity.nearDupPairsCollapsed(vecs(s, d))),
 
     "q44_ann_bucketed" -> ((s, d) =>
       ann.Similarity.bucketedTopK(vecs(s, d))),

@@ -477,6 +477,55 @@ object Similarity {
       .select("id_a", "id_b", "cos_permille")
   }
 
+  /** [[nearDupPairs]] with exact-clone collapse — IDENTICAL output (same
+    * pairs, same permille values), different cost shape for raw corpora
+    * where identical embeddings repeat: the LSH probe + cosine runs once
+    * per DISTINCT embedding pair, and member pairs are expanded only at
+    * OUTPUT (two gid equi-joins), so a clone multiplicity of m costs m²
+    * only in rows EMITTED — which the pair contract already implies —
+    * never in FP work or probe-join candidates. Exactness: clones share
+    * their bucket, so a member pair matches the hamming≤1 probe iff its
+    * representative pair does; within-group pairs always share a bucket
+    * and carry the group's self-cosine through the same floored-permille
+    * formula. [[semanticDedup]] keeps calling the plain form on its
+    * already-distinct representative set (collapsing there is a no-op
+    * that would only add exchanges). */
+  def nearDupPairsCollapsed(vecs: DataFrame, thresholdPermille: Int = 450,
+                            dim: Int = 64): DataFrame = {
+    // group frame + member rows (round-5 row-shaped convention: no
+    // collect_list member arrays anywhere); persisted because it feeds
+    // the probe, both expansion joins, and the within-group leg — the
+    // ContextCleaner releases it when the result frame drops (the
+    // TfIdf.topTerms `tf` lifecycle)
+    val gmK = vecs.groupBy(col("embedding"))
+      .agg(min(col("vec_id")).as("gid"), count(lit(1)).as("m"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val memRows = vecs.select(col("vec_id"), col("embedding"))
+      .join(gmK.select(col("embedding"), col("gid")), Seq("embedding"))
+      .select(col("gid"), col("vec_id"))
+    val repPairs = nearDupPairs(
+      gmK.select(col("gid").as("vec_id"), col("embedding")),
+      thresholdPermille, dim)
+    val cross = repPairs
+      .join(memRows.select(col("gid").as("id_a"), col("vec_id").as("ma")),
+        "id_a")
+      .join(memRows.select(col("gid").as("id_b"), col("vec_id").as("mb")),
+        "id_b")
+      .select(least(col("ma"), col("mb")).as("id_a"),
+        greatest(col("ma"), col("mb")).as("id_b"), col("cos_permille"))
+    val within = gmK.filter(col("m") > 1)
+      .withColumn("cos_permille",
+        floor(cosine(col("embedding"), col("embedding")) * 1000.0)
+          .cast("long"))
+      .filter(col("cos_permille") >= thresholdPermille)
+      .select(col("gid"), col("cos_permille"))
+      .join(memRows.select(col("gid"), col("vec_id").as("id_a")), "gid")
+      .join(memRows.select(col("gid"), col("vec_id").as("id_b")), "gid")
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("cos_permille"))
+    cross.unionByName(within)
+  }
+
   /** SemDeDup-style semantic dedup VERDICT (Abbas et al. 2023): a vector
     * is dropped when any smaller-id vector sits within the cosine
     * threshold — the per-document keep/drop decision derived from

@@ -128,6 +128,24 @@ class CloneCollapseSpec extends SparkSpec {
     assert(out(8L) == ((3L, Some(1L), false)))
   }
 
+  test("nearDupPairsCollapsed equals the plain probe on a clone-heavy " +
+    "corpus (cross-group, within-group, and below-threshold legs)") {
+    // clone groups of size 3/2/1 plus a zero-vector pair (NaN self-cos →
+    // no within pairs) and a far vector; compare both forms pairwise
+    val base = Array.tabulate(4)(j => 1.0f + j * 0.01f)
+    val vecs = Seq(
+      5L -> base, 8L -> base, 9L -> base,
+      1L -> base.map(_ * 2.0f), 4L -> base.map(_ * 2.0f),
+      2L -> Array(0f, 0f, 0f, 0f), 6L -> Array(0f, 0f, 0f, 0f),
+      20L -> Array(1f, -1f, 1f, -1f))
+      .toDF("vec_id", "embedding")
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val plain = key(Similarity.nearDupPairs(vecs, 450, dim = 4))
+    val coll = key(Similarity.nearDupPairsCollapsed(vecs, 450, dim = 4))
+    assert(plain.nonEmpty && coll == plain, s"collapsed $coll != plain $plain")
+  }
+
   test("degenerate clone group: 1M exact copies run row-shaped end-to-end " +
     "(semanticDedup + ivfTopK) with the exact verdict") {
     val n = 1000000L
