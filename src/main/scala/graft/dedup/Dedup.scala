@@ -319,24 +319,20 @@ object Dedup {
     * banding recall degrades exactly where it matters (τ-adjacent pairs)
     * and a single global number hides that.
     *
-    * The all-pairs truth join is QUADRATIC BY DESIGN and runs only on the
-    * `1/sampleMod` sample — an eval harness, never the production dedup
-    * path (that stays [[lshCandidates]]). At 100 TB you hold the sample
-    * to ~10⁴ docs and this whole eval is one broadcast-sized job. */
+    * Truth comes from [[SetSimJoin.similarPairs]] — the EXACT PPJoin
+    * (identical floored-permille Jaccard on the identical distinct-
+    * shingle domain; the prefix-filter lemma makes its candidate set
+    * complete at τ), so the truth stage is prefix-pruned instead of the
+    * r3-era all-pairs crossJoin (round-5: 43× on 10× clone-staged input
+    * → tracks the candidate count). Still sample-bounded: the eval runs
+    * on the `1/sampleMod` sample, never the production dedup path (that
+    * stays [[lshCandidates]]). */
   def blockingRecall(docs: DataFrame, sampleMod: Long = 11L,
                      tauPermille: Long = 500L): DataFrame = {
     val sample = docs.filter(col("doc_id") % sampleMod === 0)
-    val sh = sample.select(col("doc_id"),
-      array_distinct(shingleHashes(col("text"))).as("shd"))
-    val l = sh.select(col("doc_id").as("doc_a"), col("shd").as("sh_a"))
-    val r = sh.select(col("doc_id").as("doc_b"), col("shd").as("sh_b"))
-    val truth = l.crossJoin(r).filter(col("doc_a") < col("doc_b"))
-      .withColumn("jacc",
-        floor(size(array_intersect(col("sh_a"), col("sh_b"))) * lit(1000.0)
-          / greatest(size(array_union(col("sh_a"), col("sh_b"))), lit(1)))
-          .cast("long"))
-      .filter(col("jacc") >= tauPermille)
-      .select("doc_a", "doc_b", "jacc")
+    val truth = SetSimJoin.similarPairs(sample, tauPermille)
+      .select(col("doc_a"), col("doc_b"),
+        col("jaccard_permille").as("jacc"))
     val cands = lshCandidates(sample).withColumn("caught", lit(1L))
     truth.join(cands, Seq("doc_a", "doc_b"), "left")
       .withColumn("band", expr("jacc DIV 100"))
@@ -356,24 +352,18 @@ object Dedup {
     * committing a banding to a 100 TB dedup pass; rerun when the corpus's
     * similarity profile drifts.
     *
-    * Same eval-harness contract as [[blockingRecall]]: the quadratic truth
-    * join runs only on the deterministic 1/sampleMod sample; the sweep's
-    * band joins are equi-joins on (r, band_idx, band_sig) over that same
-    * sample. Band signatures fold minhash runs with the [[bandSig]]
-    * polynomial, so the r=2 row reproduces the production banding. */
+    * Same eval-harness contract as [[blockingRecall]], and the same
+    * round-5 truth engine: [[SetSimJoin.similarPairs]] (exact PPJoin,
+    * identical Jaccard formula, prefix-filter-complete at τ) replaces
+    * the all-pairs crossJoin, so truth cost tracks the prefix-collision
+    * candidate count instead of sample². The sweep's band joins are
+    * equi-joins on (r, band_idx, band_sig) over that same sample. Band
+    * signatures fold minhash runs with the [[bandSig]] polynomial, so
+    * the r=2 row reproduces the production banding. */
   def lshSweep(docs: DataFrame, sampleMod: Long = 11L,
                tauPermille: Long = 500L): DataFrame = {
     val sample = docs.filter(col("doc_id") % sampleMod === 0)
-    val sh = sample.select(col("doc_id"),
-      array_distinct(shingleHashes(col("text"))).as("shd"))
-    val la = sh.select(col("doc_id").as("doc_a"), col("shd").as("sh_a"))
-    val rb = sh.select(col("doc_id").as("doc_b"), col("shd").as("sh_b"))
-    val truth = la.crossJoin(rb).filter(col("doc_a") < col("doc_b"))
-      .withColumn("jacc",
-        floor(size(array_intersect(col("sh_a"), col("sh_b"))) * lit(1000.0)
-          / greatest(size(array_union(col("sh_a"), col("sh_b"))), lit(1)))
-          .cast("long"))
-      .filter(col("jacc") >= tauPermille)
+    val truth = SetSimJoin.similarPairs(sample, tauPermille)
       .select("doc_a", "doc_b")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sigs = signatures(sample)
