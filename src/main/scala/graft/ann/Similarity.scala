@@ -19,8 +19,15 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Σ a_i · b_i in double, sequential list order. */
-  def dot(a: Column, b: Column): Column =
+  /** Σ a_i · b_i in double, sequential list order — the fused
+    * [[VecDotExpr]] kernel (round-5: the HOF chain it replaces evaluated
+    * interpreted outside every codegen span; same fold order, same bits —
+    * see the SEMANTICS CONTRACT there and VecDotParity). */
+  def dot(a: Column, b: Column): Column = VecDot.dotFused(a, b)
+
+  /** The declarative higher-order-function twin of [[dot]], kept as the
+    * A/B semantics reference the parity spec pins the fused kernel to. */
+  def dotDeclarative(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
 

@@ -15,6 +15,45 @@ class SimilaritySpec extends SparkSpec {
     (50L, Array(0.0f, 0.0f, 1.0f, 1.0f))
   ).toDF("vec_id", "embedding")
 
+  test("VecDotParity: fused dot is bit-identical to the declarative " +
+    "HOF fold over the corpus and adversarial shapes") {
+    import TestSpark.spark.implicits._
+    // corpus self- and cross-pairs (float×float), float×double (the LSH
+    // plane shape), plus adversarial: length mismatch → null, null
+    // element → null, empty arrays → 0.0
+    val embs = TestSpark.spark.read.parquet(s"$tiny/embeddings.parquet")
+    val pairs = embs.select(col("vec_id"), col("embedding").as("a"))
+      .crossJoin(embs.filter(col("vec_id") % 37 === 0)
+        .select(col("embedding").as("b")))
+    def both(df: org.apache.spark.sql.DataFrame,
+             a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      df.select(Similarity.dot(a, b).as("fused"),
+          Similarity.dotDeclarative(a, b).as("decl"))
+        .collect().map(r => (Option(r.get(0)), Option(r.get(1))))
+    val corpus = both(pairs, col("a"), col("b"))
+    assert(corpus.nonEmpty && corpus.forall { case (f, d) => f == d },
+      "corpus float×float mismatch")
+    val plane = org.apache.spark.sql.functions.array(
+      Similarity.planeComponents(3, 64).map(v => lit(v.toDouble)): _*)
+    val vsPlane = both(embs, col("embedding"), plane)
+    assert(vsPlane.forall { case (f, d) => f == d }, "float×double mismatch")
+    val adv = Seq(
+      (Array(1.0f, 2.0f), Array(3.0f, 4.0f, 5.0f)),      // length mismatch
+      (Array(1.0f, 2.0f), Array(3.0f, 4.0f)),
+      (Array.empty[Float], Array.empty[Float])            // empty → 0.0
+    ).toDF("a", "b")
+    val advRes = both(adv, col("a"), col("b"))
+    assert(advRes(0) == ((None, None)), "length mismatch must be null")
+    assert(advRes(1) == ((Some(11.0), Some(11.0))))
+    assert(advRes(2) == ((Some(0.0), Some(0.0))))
+    // null element → null, both forms
+    val withNull = Seq(1).toDF("x").select(
+      array(lit(1.0f), lit(null).cast("float")).as("a"),
+      array(lit(2.0f), lit(3.0f)).as("b"))
+    val nres = both(withNull, col("a"), col("b"))
+    assert(nres(0) == ((None, None)), "null element must be null")
+  }
+
   test("brute-force topk ranks by cosine (query = id 0)") {
     val out = Similarity.bruteTopK(vecs, k = 4, queryMod = 100)
       .filter(col("q_id") === 0).orderBy("rank").collect()
