@@ -98,9 +98,13 @@ object Centroids {
     import org.apache.spark.storage.StorageLevel
     val q = vecs.select(col("vec_id"), col("embedding"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // per-round frames are lineage-truncated by an eager localCheckpoint
+    // (the kCore discipline): `next` references `assign` twice (centroid
+    // update + re-assignment), so persist-only doubles the LOGICAL plan
+    // per Lloyd round even though execution hits the cache
     var assign = Similarity.ivfAssign(q, centroidMod)
       .select(col("vec_id"), col("embedding"), col("cent_id"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     var iters = 1
     var converged = false
     while (iters < maxIter && !converged) {
@@ -116,9 +120,8 @@ object Centroids {
         .groupBy("vec_id", "prev")
         .agg(max_by(col("cent_id"), col("_score")).as("cent_id"),
           first(col("embedding")).as("embedding"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(true)
       val moved = next.filter(col("cent_id") =!= col("prev")).count()
-      assign.unpersist()
       assign = next.select("vec_id", "embedding", "cent_id")
       converged = moved == 0
       iters += 1

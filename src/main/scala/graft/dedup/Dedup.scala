@@ -457,7 +457,10 @@ object Dedup {
     * Scale: each iteration is one equi-join + one aggregation, both keyed
     * on doc ids; near-dup clusters are shallow (pairs/triples), so the
     * fixpoint converges in ~2-3 rounds — `maxIter` bounds the worst case
-    * and the driver-side loop checkpoints via persist per round. */
+    * and each round's label frame is lineage-truncated by an eager
+    * localCheckpoint (the kCore discipline: persist-only keeps execution
+    * cached but nests the previous round's LOGICAL plan inside the next,
+    * and Catalyst analysis grows with the round count). */
   def duplicateClusters(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     // edges are REPARTITIONED on the join key before caching: the cached
@@ -470,8 +473,7 @@ object Dedup {
       .persist(StorageLevel.MEMORY_AND_DISK)
     var labels = edges.select(col("doc_a").as("id")).distinct()
       .withColumn("label", col("id"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    labels.count()
+      .localCheckpoint(true)
     var i = 0
     var converged = false
     while (i < maxIter && !converged) {
@@ -483,9 +485,8 @@ object Dedup {
       val updated = labels.join(prop, labels("id") === prop("pid"), "left")
         .select(col("id"), col("label").as("old"),
           least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(true)
       val changed = updated.filter(col("label") =!= col("old")).count()
-      labels.unpersist()
       labels = updated.select("id", "label")
       converged = changed == 0
       i += 1

@@ -71,9 +71,14 @@ object Graphs {
     val ew = e.join(outw, "src").persist(StorageLevel.MEMORY_AND_DISK)
     val nRow = verts.agg(count(lit(1)).as("nv"))
 
+    // the loop frame is LINEAGE-TRUNCATED each round (eager
+    // localCheckpoint, the kCore/connectedComponentsStar discipline):
+    // `next` references `ranks` twice (in-mass + dangling), so with
+    // persist-only the LOGICAL plan doubles per round and Catalyst
+    // analysis grows with it even though execution hits the caches
     var ranks = verts.join(broadcast(nRow))
       .select(col("v"), expr(s"$RankScale DIV nv").as("r"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     for (_ <- 1 to iters) {
       val contrib = ew.join(ranks.withColumnRenamed("v", "src"), "src")
         .groupBy(col("dst").as("v"))
@@ -81,17 +86,14 @@ object Graphs {
       // dangling mass: rank held by vertices with no out-edges
       val dangle = ranks.join(outw.withColumnRenamed("src", "v"), Seq("v"), "left_anti")
         .agg(coalesce(sum("r"), lit(0L)).as("dangle"))
-      val next = verts
+      ranks = verts
         .join(contrib, Seq("v"), "left")
         .join(broadcast(nRow)).join(broadcast(dangle))
         .select(col("v"),
           (expr(s"(${RankScale - RankScale * DampX1e3 / 1000}) DIV nv") +
             coalesce(col("in_mass"), lit(0L)) +
             expr(s"$DampX1e3 * dangle DIV (1000 * nv)")).as("r"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      next.count() // materialize before dropping the previous step
-      ranks.unpersist()
-      ranks = next
+        .localCheckpoint(true)
     }
     // final ranks are materialized; release the loop-invariant frames
     e.unpersist(); verts.unpersist(); ew.unpersist()
@@ -196,12 +198,12 @@ object Graphs {
       val winner = votes
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1).select(col("v"), col("lbl"))
-      val prev = labels
+      // eager localCheckpoint = true lineage cut (the kCore discipline):
+      // persist+count kept execution cached but the LOGICAL plan still
+      // nested round k-1 inside round k
       labels = verts.join(winner, Seq("v"), "left")
         .select(col("v"), coalesce(col("lbl"), col("v")).as("lbl"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      labels.count() // cut lineage so round k never re-runs round k-1
-      if (i > 1) prev.unpersist()
+        .localCheckpoint(true)
     }
     sym.unpersist(); verts.unpersist()
     labels
@@ -220,16 +222,15 @@ object Graphs {
     val seed = e.select(col("src").as("v"))
       .unionByName(e.select(col("dst").as("v")))
       .agg(min("v").as("v")).select(col("v"), lit(0L).as("dist"))
-    var dist = seed.persist(StorageLevel.MEMORY_AND_DISK)
+    var dist = seed.localCheckpoint(true)
     for (_ <- 1 to iters) {
-      val prev = dist
+      // dist appears twice per round (carry + hop-extend) — eager
+      // localCheckpoint keeps the logical plan flat (kCore discipline)
       dist = dist.unionByName(dist
           .join(e.withColumnRenamed("src", "v"), "v")
           .select(col("dst").as("v"), (col("dist") + 1L).as("dist")))
         .groupBy("v").agg(min("dist").as("dist"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      dist.count()
-      prev.unpersist()
+        .localCheckpoint(true)
     }
     e.unpersist()
     dist
@@ -242,32 +243,34 @@ object Graphs {
     * two semi-joins on vertex keys; the edge frame shrinks monotonically,
     * so the fixed unroll is an upper bound on work, and the usual
     * convergence (tool/entity graphs peel in 2-3 rounds) makes later
-    * rounds no-ops on an already-stable frame. */
+    * rounds no-ops on an already-stable frame.
+    *
+    * Each round ends in an EAGER `localCheckpoint` — lineage truncation,
+    * not just caching: a round's plan embeds ~10 copies of the previous
+    * round's (e feeds the degree union twice, each semi-join's build side
+    * twice, and the probe side once), so with persist-only the LOGICAL
+    * tree grows 10× per round and Catalyst analysis dominates — measured
+    * 154 s at sf0.01 (a 515 MB round-4 plan string) vs ~2 s with the
+    * checkpoint. The executor-loss durability trade of a local
+    * checkpoint is the standard one for driver-loop fixpoints: a lost
+    * round restarts the JOB, it never corrupts the result. */
   def kCore(undirected: DataFrame, k: Int = 2, iters: Int = 4): DataFrame = {
-    var e = undirected.select(col("u"), col("v"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    var e = undirected.select(col("u"), col("v")).localCheckpoint(true)
     for (_ <- 1 to iters) {
       val deg = e.select(col("u").as("x"))
         .unionByName(e.select(col("v").as("x")))
         .groupBy("x").agg(count(lit(1)).as("d"))
       val keep = deg.filter(col("d") >= k).select(col("x"))
-      val next = e
+      e = e
         .join(keep.withColumnRenamed("x", "u"), Seq("u"), "left_semi")
         .join(keep.withColumnRenamed("x", "v"), Seq("v"), "left_semi")
         .select(col("u"), col("v"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      next.count()
-      e.unpersist()
-      e = next
+        .localCheckpoint(true)
     }
-    val out = e.select(col("u").as("x"))
+    e.select(col("u").as("x"))
       .unionByName(e.select(col("v").as("x")))
       .groupBy(col("x").as("node")).agg(count(lit(1)).as("core_deg"))
       .filter(col("core_deg") >= k)
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    out.count() // materialize the vertex-sized result, then drop the edges
-    e.unpersist()
-    out
   }
 
   /** Link prediction over an undirected (u, v) edge frame: for every
@@ -465,33 +468,29 @@ object Graphs {
     val verts = e.select(col("src").as("v"))
       .unionByName(e.select(col("dst").as("v")))
       .distinct().persist(StorageLevel.MEMORY_AND_DISK)
+    // each half-round's score table is lineage-truncated by an eager
+    // localCheckpoint (the kCore discipline): `a` is built from `h` and
+    // `h` from `a`, so persist-only plans nest one more half-round of
+    // logical tree per step and Catalyst analysis grows with the unroll
     def normalized(raw: DataFrame, out: String): DataFrame = {
       val mx = raw.agg(max("raw").as("mx"))
-      val n = verts.join(raw, Seq("v"), "left").join(broadcast(mx))
+      verts.join(raw, Seq("v"), "left").join(broadcast(mx))
         .select(col("v"),
           when(col("mx") > 0,
             expr("coalesce(raw, 0) * 1000 DIV mx")).otherwise(0L).as(out))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      n.count()
-      n
+        .localCheckpoint(true)
     }
     var h = verts.withColumn("h", lit(1000L))
     var a = verts.withColumn("a", lit(0L))
     for (_ <- 1 to iters) {
-      // release superseded loop frames once the new one is materialized
-      // (the pageRank/labelPropagation discipline — without this every
-      // half-round's score table stays cached until ContextCleaner GC)
-      val (prevA, prevH) = (a, h)
       a = normalized(
         e.join(h.withColumnRenamed("v", "src"), "src")
           .groupBy(col("dst").as("v")).agg(sum(expr("h * w")).as("raw")),
         "a")
-      prevA.unpersist()
       h = normalized(
         e.join(a.withColumnRenamed("v", "dst"), "dst")
           .groupBy(col("src").as("v")).agg(sum(expr("a * w")).as("raw")),
         "h")
-      prevH.unpersist()
     }
     e.unpersist()
     verts.unpersist()
