@@ -113,6 +113,11 @@ object BenchSf {
       ("ivf_topk", () => ann.Similarity.ivfTopK(vecs), false),
       ("ivf_separation", () => ann.Similarity.separationMargin(vecs), false),
       ("kmeans_step", () => ann.Centroids.kmeansIteration(vecs), false),
+      // quantized-integer kernels riding VecSqDistExpr (round-5): the
+      // codebook crossJoin (n×M×codebook sq-dists) and the k-center
+      // selection rounds
+      ("pq_adc_topk", () => ann.PQ.adcTopK(vecs), false),
+      ("kcenter_select", () => ann.Centroids.kCenterSelect(vecs), false),
       // the r3-adjudicated multi-minute sf1 trio (q40/q176/q261): pair
       // output is quadratic in clone multiplicity BY CONTRACT, so the
       // judgment is time ratio vs OUTPUT-row ratio, never vs input

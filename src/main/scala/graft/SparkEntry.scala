@@ -1890,7 +1890,12 @@ object SparkEntry {
         .withColumn("n_late_planted", lit(nLate))
         .select("n_input", "n_late_planted", "n_windows", "rows_emitted",
           "first_window", "last_window")
-    })
+    }),
+
+    // L3: catalog scans ordered by name, the sort materialized as a
+    // per-dim rank so the order itself is hash-verified (round-5; closes
+    // the last SQL-expressible test-only row)
+    "q303_dim_catalog" -> ((s, _) => Lookups.catalogSorted(s))
   )
 
   /** DuckDB-side LSH bucket id over a DOUBLE[] column `e` — generated from
@@ -6929,6 +6934,26 @@ SELECT
   min(ws) AS first_window,
   max(ws) AS last_window
 FROM emitted"""),
+
+    // L3: every dim regenerated from the shared VALUES snippets, the
+    // name ordering re-derived by DuckDB's own ROW_NUMBER — binary
+    // collation on both engines over ASCII keys
+    "q303_dim_catalog" -> withCtes(
+      "tool_info" -> Lookups.toolInfoSql,
+      "ver_names" -> Lookups.versionNamesSql,
+      "role_sev" -> Lookups.roleSeveritySql,
+      "edim" -> Lookups.entityNamesSql,
+      "sink_map" -> Lookups.sinkIndexSql,
+      "tool_alias" -> Lookups.toolAliasesSql,
+      "cat" -> """SELECT 'tool_info' AS dim, tool AS name FROM tool_info
+  UNION ALL SELECT 'version_names', version FROM ver_names
+  UNION ALL SELECT 'role_severity', role FROM role_sev
+  UNION ALL SELECT 'entity_names', name FROM edim
+  UNION ALL SELECT 'sink_index_map', name FROM sink_map
+  UNION ALL SELECT 'tool_aliases', tool FROM tool_alias""")("""
+SELECT dim, name,
+  CAST(ROW_NUMBER() OVER (PARTITION BY dim ORDER BY name) AS BIGINT) AS pos
+FROM cat"""),
 
     "q183_asof_join" -> withCtes(
       "l" -> "SELECT conv_id, turn_idx, tool, ts FROM transcripts WHERE tool <> ''",

@@ -187,8 +187,10 @@ object Centroids {
         transform(col("embedding"),
           x => floor(x.cast("double") * 1000.0).cast("long")).as("q"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // fused integer sq-dist kernel (VecSqDistExpr) — n×k evaluations per
+    // selection round; bit-identical to the HOF fold (VecSqDistParity)
     val d2 = (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =>
-      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), _ + _)
+      VecSqDist.sqDistFused(a, b)
     val seed = q.orderBy("vec_id").limit(1)
       .select(lit(1L).as("sel_idx"), col("vec_id"), col("q"),
         lit(0L).as("sel_dist2"))

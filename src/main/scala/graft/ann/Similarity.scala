@@ -33,7 +33,17 @@ object Similarity {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Fused one-pass cosine ([[VecCosExpr]], round-5): the composed form
+    * below spends three [[VecDot]] traversals per pair; the fused kernel
+    * folds all three sums in one ascending loop — same fold order, same
+    * bits (see the SEMANTICS CONTRACT there, incl. the non-ANSI
+    * zero-denominator → null parity). VecCosParity pins the two equal. */
+  def cosine(a: Column, b: Column): Column = VecCos.cosFused(a, b)
+
+  /** The composed declarative twin of [[cosine]], kept as the A/B
+    * semantics reference the parity spec pins the fused kernel to. */
+  def cosineDeclarative(a: Column, b: Column): Column =
+    dot(a, b) / (norm(a) * norm(b))
 
   /** Brute-force cosine top-k: query set = vec_id % queryMod == 0. */
   def bruteTopK(vecs: DataFrame, k: Int = 5, queryMod: Int = 50): DataFrame = {

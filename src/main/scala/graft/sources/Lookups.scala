@@ -135,6 +135,28 @@ object Lookups {
     "SELECT * FROM (VALUES " + sinkIndexRows.map { case (n, i) => s"('$n','$i')" }
       .mkString(", ") + ") AS s(name, sink_index)"
 
+  /** L3 — catalog scans ordered by name (the reference ORDER BYs each
+    * catalog list cosmetically on load: pkg/xe/sqlinfo.go:137,200,206).
+    * The sort is materialized as a per-dim `pos` rank so the driver's
+    * order-insensitive hash compare verifies the ORDERING itself, not
+    * just membership (the q09/W1 rank-column trick). Aggregate-sized by
+    * construction — six tiny broadcast-scale dims, one window each. */
+  def catalogSorted(spark: SparkSession): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dims = Seq(
+      "tool_info"      -> toolInfo(spark).select(col("tool").as("name")),
+      "version_names"  -> versionNames(spark).select(col("version").as("name")),
+      "role_severity"  -> roleSeverity(spark).select(col("role").as("name")),
+      "entity_names"   -> entityNames(spark).select(col("name")),
+      "sink_index_map" -> sinkIndexMap(spark).select(col("name")),
+      "tool_aliases"   -> toolAliases(spark).select(col("tool").as("name")))
+    dims.map { case (dim, df) => df.withColumn("dim", lit(dim)) }
+      .reduce(_ unionByName _)
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("dim")).orderBy(col("name"))).cast("long"))
+      .select("dim", "name", "pos")
+  }
+
   /** 18456 state → description table, the FULL reference arm set
     * (pkg/xe/xe.go:288-337, quoting the public MSSQL 18456 error docs);
     * kept as ordered pairs so the Spark `when` chain and the oracle CASE

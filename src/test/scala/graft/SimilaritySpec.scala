@@ -54,6 +54,109 @@ class SimilaritySpec extends SparkSpec {
     assert(nres(0) == ((None, None)), "null element must be null")
   }
 
+  test("VecCosParity: fused cosine is bit-identical to the composed " +
+    "dot/norm form over the corpus and adversarial shapes") {
+    import TestSpark.spark.implicits._
+    val embs = TestSpark.spark.read.parquet(s"$tiny/embeddings.parquet")
+    val pairs = embs.select(col("vec_id"), col("embedding").as("a"))
+      .crossJoin(embs.filter(col("vec_id") % 37 === 0)
+        .select(col("embedding").as("b")))
+    def both(df: org.apache.spark.sql.DataFrame,
+             a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      df.select(Similarity.cosine(a, b).as("fused"),
+          Similarity.cosineDeclarative(a, b).as("decl"))
+        .collect().map(r => (Option(r.get(0)), Option(r.get(1))))
+    val corpus = both(pairs, col("a"), col("b"))
+    assert(corpus.nonEmpty && corpus.forall { case (f, d) => f == d },
+      "corpus float×float mismatch")
+    val plane = org.apache.spark.sql.functions.array(
+      Similarity.planeComponents(3, 64).map(v => lit(v.toDouble)): _*)
+    val vsPlane = both(embs, col("embedding"), plane)
+    assert(vsPlane.forall { case (f, d) => f == d }, "float×double mismatch")
+    val adv = Seq(
+      (Array(1.0f, 2.0f), Array(3.0f, 4.0f, 5.0f)),      // length mismatch
+      (Array(3.0f, 4.0f), Array(3.0f, 4.0f)),            // self → 1.0 plane
+      (Array(0.0f, 0.0f), Array(3.0f, 4.0f)),            // zero vector
+      (Array.empty[Float], Array.empty[Float])            // empty arrays
+    ).toDF("a", "b")
+    val advRes = both(adv, col("a"), col("b"))
+    assert(advRes(0) == ((None, None)), "length mismatch must be null")
+    assert(advRes(1)._1 == advRes(1)._2 && advRes(1)._1.contains(1.0))
+    // zero denominator: non-ANSI Divide → null; the fused kernel must
+    // reproduce that, NOT IEEE NaN
+    assert(advRes(2) == ((None, None)), "zero vector must be null")
+    assert(advRes(3) == ((None, None)), "empty arrays must be null")
+    // null element → null, both forms
+    val withNull = Seq(1).toDF("x").select(
+      array(lit(1.0f), lit(null).cast("float")).as("a"),
+      array(lit(2.0f), lit(3.0f)).as("b"))
+    val nres = both(withNull, col("a"), col("b"))
+    assert(nres(0) == ((None, None)), "null element must be null")
+  }
+
+  test("VecSqDistParity: fused long sq-dist is bit-identical to the " +
+    "declarative HOF fold over quantized pairs and adversarial shapes") {
+    import TestSpark.spark.implicits._
+    val q = TestSpark.spark.read.parquet(s"$tiny/embeddings.parquet")
+      .select(col("vec_id"), org.apache.spark.sql.functions.transform(
+        col("embedding"),
+        x => floor(x.cast("double") * 1000000.0).cast("long")).as("q"))
+    val pairs = q.select(col("q").as("a"))
+      .crossJoin(q.filter(col("vec_id") % 37 === 0).select(col("q").as("b")))
+    def both(df: org.apache.spark.sql.DataFrame,
+             a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      df.select(ann.VecSqDist.sqDistFused(a, b).as("fused"),
+          ann.PQ.l2sqDeclarative(a, b).as("decl"))
+        .collect().map(r => (Option(r.get(0)), Option(r.get(1))))
+    val corpus = both(pairs, col("a"), col("b"))
+    assert(corpus.nonEmpty && corpus.forall { case (f, d) => f == d },
+      "corpus quantized-pair mismatch")
+    val adv = Seq(
+      (Array(1L, 2L), Array(3L, 4L, 5L)),               // length mismatch
+      (Array(5L, -3L), Array(2L, 4L)),                  // (3)²+(−7)² = 58
+      (Array(Long.MaxValue, 0L), Array(-10L, 0L)),      // overflow wraps
+      (Array.empty[Long], Array.empty[Long])            // empty → 0
+    ).toDF("a", "b")
+    val advRes = both(adv, col("a"), col("b"))
+    assert(advRes(0) == ((None, None)), "length mismatch must be null")
+    assert(advRes(1) == ((Some(58L), Some(58L))))
+    assert(advRes(2)._1 == advRes(2)._2, "overflow wrap must agree")
+    assert(advRes(3) == ((Some(0L), Some(0L))))
+    val withNull = Seq(1).toDF("x").select(
+      array(lit(1L), lit(null).cast("long")).as("a"),
+      array(lit(2L), lit(3L)).as("b"))
+    val nres = both(withNull, col("a"), col("b"))
+    assert(nres(0) == ((None, None)), "null element must be null")
+  }
+
+  test("PQCollapseParity: collapsed encode and relational adcTopK are " +
+    "row-identical to the uncollapsed map-scan forms") {
+    import TestSpark.spark.implicits._
+    val embs = TestSpark.spark.read.parquet(s"$tiny/embeddings.parquet")
+    // corpus parity
+    assert(graft.ann.PQ.encode(embs)
+      .exceptAll(graft.ann.PQ.encodeDirect(embs)).isEmpty)
+    assert(graft.ann.PQ.encodeDirect(embs)
+      .exceptAll(graft.ann.PQ.encode(embs)).isEmpty)
+    assert(graft.ann.PQ.adcTopK(embs)
+      .exceptAll(graft.ann.PQ.adcTopKMapScan(embs)).isEmpty)
+    assert(graft.ann.PQ.adcTopKMapScan(embs)
+      .exceptAll(graft.ann.PQ.adcTopK(embs)).isEmpty)
+    // adversarial: exact clones straddling the k-cut (gapped ids, a clone
+    // group spanning the boundary, query inside a clone group) — the
+    // retention must keep every tied/boundary group and the self-row
+    // exclusion must not shift the cut
+    def v(x: Float) = Array.fill(64)(x)
+    val adv = Seq(
+      0L -> v(0f), 3L -> v(0.1f), 7L -> v(0.1f), 9L -> v(0.1f),
+      11L -> v(0.1f), 50L -> v(1f), 53L -> v(0.1f), 60L -> v(0.2f),
+      101L -> v(0.2f), 106L -> v(0.9f), 200L -> v(0f)
+    ).toDF("vec_id", "embedding")
+    val a = graft.ann.PQ.adcTopK(adv, k = 3, queryMod = 53)
+    val b = graft.ann.PQ.adcTopKMapScan(adv, k = 3, queryMod = 53)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+
   test("brute-force topk ranks by cosine (query = id 0)") {
     val out = Similarity.bruteTopK(vecs, k = 4, queryMod = 100)
       .filter(col("q_id") === 0).orderBy("rank").collect()
