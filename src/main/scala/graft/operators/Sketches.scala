@@ -329,19 +329,31 @@ object Sketches {
   def bloomMerge(a: DataFrame, b: DataFrame): DataFrame =
     a.unionByName(b).groupBy("word").agg(bit_or(col("bits")).as("bits"))
 
-  /** Collapse a word table to ONE row holding the filter as a word→bits
-    * map — the broadcastable probe form. */
-  def bloomRow(wordTable: DataFrame): DataFrame =
+  /** Collapse a word table to ONE row holding the filter as a DENSE
+    * word-indexed bits array — the broadcastable probe form. Round-5:
+    * this was a word→bits MAP, but Catalyst's `element_at` on MapData is
+    * a LINEAR scan (the pq_adc_topk lesson), so every probed row paid
+    * k·O(mWords) comparisons; word ids are dense in [0, mWords) by
+    * construction, so a positional array makes each probe lookup O(1).
+    * Missing words fill with 0 — bit-identical verdicts to the map form
+    * (the probe coalesced absent words to 0 already). The hole-filling
+    * map is built once per FILTER (one row), never per probed row. */
+  def bloomRow(wordTable: DataFrame, mWords: Int = BloomWords): DataFrame =
     wordTable.agg(map_from_entries(
-      collect_list(struct(col("word"), col("bits")))).as("bm"))
+        collect_list(struct(col("word"), col("bits")))).as("bmm"))
+      .select(transform(sequence(lit(0L), lit(mWords - 1L)),
+        w => coalesce(element_at(col("bmm"), w), lit(0L))).as("bm"))
 
   /** Probe: add `maybe_member` to a frame with a string key column. The
     * filter arrives as a broadcast 1-row crossJoin (constant-size at any
     * corpus scale) and the probe itself is map-only — the k bit tests are
     * a STATIC conjunction (k is a compile-time parameter), so the whole
     * test stays inside whole-stage codegen with subexpression elimination
-    * sharing the md5 digest, instead of an interpreted `forall` loop. No
-    * false negatives; false positives at the fill-rate-determined rate. */
+    * sharing the md5 digest, instead of an interpreted `forall` loop —
+    * and each word fetch is an O(1) positional array index (bm is the
+    * dense [[bloomRow]] array; p DIV 64 < mWords by construction, +1 for
+    * the 1-based ordinal). No false negatives; false positives at the
+    * fill-rate-determined rate. */
   def bloomProbe(batch: DataFrame, keyCol: String, filterRow: DataFrame,
                  mWords: Int = BloomWords, k: Int = BloomK): DataFrame = {
     require(k <= 4, "k>4 would re-read digest bits")
@@ -349,8 +361,8 @@ object Sketches {
     val tests = (0 until k).map { i =>
       val p = s"(CAST(conv(substring(md5($keyCol), ${8 * i + 1}, 8), 16, 10)" +
         s" AS BIGINT) % $m)"
-      s"((shiftright(coalesce(element_at(bm, $p DIV 64), CAST(0 AS BIGINT))," +
-        s" CAST($p % 64 AS INT)) & 1) = 1)"
+      s"((shiftright(coalesce(element_at(bm, CAST($p DIV 64 + 1 AS INT))," +
+        s" CAST(0 AS BIGINT)), CAST($p % 64 AS INT)) & 1) = 1)"
     }.mkString(" AND ")
     batch
       .crossJoin(broadcast(filterRow))
