@@ -1895,7 +1895,59 @@ object SparkEntry {
     // L3: catalog scans ordered by name, the sort materialized as a
     // per-dim rank so the order itself is hash-verified (round-5; closes
     // the last SQL-expressible test-only row)
-    "q303_dim_catalog" -> ((s, _) => Lookups.catalogSorted(s))
+    "q303_dim_catalog" -> ((s, _) => Lookups.catalogSorted(s)),
+
+    // K5: the app-log sink oracled end-to-end (round-5; the q297/q50
+    // artifact trick). Hourly ops lines are driven through the REAL
+    // AppLog sink with the injected clock (one info line per corpus
+    // hour carrying the row count, plus a warn line when the hour saw
+    // an error_reported event), retention runs at the corpus max hour
+    // (168h window — the older ~2/3 of files must be DELETED), and the
+    // query result is re-read from the surviving NDJSON files on disk:
+    // rotation (file-per-hour), formatting (JSON lines), and retention
+    // (the dropped-file count) all land in the accounting row DuckDB
+    // re-derives from the transcripts CTE alone.
+    "q304_applog_sink" -> ((s, d) => {
+      import java.nio.file.{Files, Paths}
+      val root = s"/tmp/graft_applog_${math.abs(d.hashCode)}"
+      def rm(p: java.nio.file.Path): Unit = if (Files.exists(p)) {
+        Files.walk(p).sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(x => Files.delete(x))
+      }
+      rm(Paths.get(root))
+      val t = Transcripts.load(s, d)
+      val hourly = t.groupBy(date_trunc("hour", col("ts")).as("h"))
+        .agg(count(lit(1)).as("n"),
+          max(when(col("text").startsWith("event=error_reported"), 1L)
+            .otherwise(0L)).as("has_err"))
+        .orderBy("h").collect()   // aggregate-sized: one row per corpus hour
+      var cur: java.time.Instant = null
+      val alog = new sinks.AppLog(root, retainHours = 168, clock = () => cur)
+      hourly.foreach { r =>
+        cur = r.getTimestamp(0).toInstant
+        alog.log("info", s"hourly batch rows=${r.getLong(1)}")
+        if (r.getLong(2) > 0) alog.log("warn", "errors present")
+      }
+      cur = hourly.last.getTimestamp(0).toInstant
+      val dropped = alog.applyRetention().length.toLong
+      s.read.text(s"$root/*.ndjson")
+        .withColumn("stamp", regexp_extract(input_file_name(),
+          "applog_(\\d{8}_\\d{2})\\.ndjson", 1))
+        .withColumn("h", to_timestamp(col("stamp"), "yyyyMMdd_HH"))
+        .withColumn("level", get_json_object(col("value"), "$.level"))
+        .withColumn("nrows", regexp_extract(
+          get_json_object(col("value"), "$.msg"), "rows=(\\d+)", 1)
+          .cast("long"))
+        .agg(
+          countDistinct(col("stamp")).cast("long").as("n_files"),
+          count(lit(1)).cast("long").as("n_lines"),
+          sum(when(col("level") === "warn", 1L).otherwise(0L))
+            .cast("long").as("n_warn"),
+          sum(col("nrows")).cast("long").as("rows_logged"),
+          min(col("h")).cast("timestamp_ntz").as("first_hour"),
+          max(col("h")).cast("timestamp_ntz").as("last_hour"))
+        .withColumn("n_dropped", lit(dropped))
+    })
   )
 
   /** DuckDB-side LSH bucket id over a DOUBLE[] column `e` — generated from
@@ -6954,6 +7006,26 @@ FROM emitted"""),
 SELECT dim, name,
   CAST(ROW_NUMBER() OVER (PARTITION BY dim ORDER BY name) AS BIGINT) AS pos
 FROM cat"""),
+
+    // K5: the rotation/retention accounting re-derived first-principles —
+    // one file per corpus hour, the 168h cutoff (string-stamp compare ==
+    // UTC timestamp compare) drops the older files, warn lines track
+    // hours containing an error_reported event, rows ride info lines only
+    "q304_applog_sink" -> withCtes(
+      "hourly" -> """SELECT date_trunc('hour', ts) AS h,
+    CAST(count(*) AS BIGINT) AS n,
+    max(CASE WHEN text LIKE 'event=error_reported%' THEN 1 ELSE 0 END) AS has_err
+  FROM transcripts GROUP BY 1""",
+      "cut" -> "SELECT max(h) - INTERVAL 168 HOUR AS c FROM hourly",
+      "kept" -> "SELECT * FROM hourly WHERE h >= (SELECT c FROM cut)")("""
+SELECT CAST(count(*) AS BIGINT) AS n_files,
+  CAST(count(*) + sum(has_err) AS BIGINT) AS n_lines,
+  CAST(sum(has_err) AS BIGINT) AS n_warn,
+  CAST(sum(n) AS BIGINT) AS rows_logged,
+  min(h) AS first_hour, max(h) AS last_hour,
+  (SELECT CAST(count(*) AS BIGINT) FROM hourly
+     WHERE h < (SELECT c FROM cut)) AS n_dropped
+FROM kept"""),
 
     "q183_asof_join" -> withCtes(
       "l" -> "SELECT conv_id, turn_idx, tool, ts FROM transcripts WHERE tool <> ''",
