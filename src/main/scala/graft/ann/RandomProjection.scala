@@ -33,8 +33,27 @@ object RandomProjection {
     if ((Integer.bitCount(i & j) + Integer.bitCount(5 * j + 3)) % 2 == 0) 1L
     else -1L
 
-  /** (vec_id, proj) with proj = outDim exact-integer components (×1e6). */
+  /** (vec_id, proj) with proj = outDim exact-integer components (×1e6).
+    * Round-5: each component is one fused [[VecDotLExpr]] against its
+    * constant sign row (was outDim interpreted aggregate/zip_with trees
+    * per input row — ~outDim·dim lambda rows on a map-only pass whose
+    * cost should be the scan). Same ascending fold, same wrap, same
+    * bits (VecDotLParity + the projectDeclarative twin below). */
   def project(vecs: DataFrame, outDim: Int = 16, dim: Int = 64): DataFrame = {
+    val q = transform(col("embedding"),
+      x => floor(x.cast("double") * 1000000.0).cast("long"))
+    val comps = (0 until outDim).map { i =>
+      val signs = array((0 until dim).map(j => lit(sign(i, j))): _*)
+      VecDotL.dotFused(col("_q"), signs)
+    }
+    vecs.select(col("vec_id"), q.as("_q"))
+      .select(col("vec_id"), array(comps: _*).as("proj"))
+  }
+
+  /** The declarative HOF twin of [[project]], the A/B semantics
+    * reference its parity spec pins the fused form to. */
+  private[graft] def projectDeclarative(vecs: DataFrame, outDim: Int = 16,
+                                        dim: Int = 64): DataFrame = {
     val q = transform(col("embedding"),
       x => floor(x.cast("double") * 1000000.0).cast("long"))
     val comps = (0 until outDim).map { i =>
@@ -115,17 +134,19 @@ object RandomProjection {
       .select(col("vec_id").as("id_a"), col("qv").as("qa"))
     val b = base.select((col("vec_id") - 1).as("id_a"), col("qv").as("qb"))
     val diff = zip_with(col("qa"), col("qb"), (x, y) => x - y)
-    val od2 = aggregate(transform(col("dv"), x => x * x),
-      lit(0L), (acc, v) => acc + v)
+    // ‖a−b‖² IS the fused sq-dist kernel on (qa, qb) — same per-element
+    // (x−y)² ascending fold as squaring the diff vector, same bits; the
+    // projected components ride VecDotL against the constant sign rows
+    // (round-5, was outDim+1 interpreted folds per pair)
+    val od2 = VecSqDist.sqDistFused(col("qa"), col("qb"))
     val pd2 = (0 until outDim).map { i =>
       val signs = array((0 until dim).map(j => lit(sign(i, j))): _*)
-      val pi = aggregate(zip_with(col("dv"), signs, (x, s) => x * s),
-        lit(0L), (acc, v) => acc + v)
+      val pi = VecDotL.dotFused(col("dv"), signs)
       pi * pi
     }.reduce(_ + _)
     a.join(b, "id_a")
-      .select(col("id_a"), diff.as("dv"))
-      .select(col("id_a"), od2.as("od2"), pd2.as("pd2"))
+      .select(col("id_a"), diff.as("dv"), od2.as("od2"))
+      .select(col("id_a"), col("od2"), pd2.as("pd2"))
       .filter(col("od2") > 0)
       .withColumn("ratio_permille", expr(s"pd2 * 1000 DIV (od2 * $outDim)"))
       .withColumn("bucket", expr("ratio_permille DIV 100"))

@@ -157,6 +157,37 @@ class SimilaritySpec extends SparkSpec {
     assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
   }
 
+  test("VecDotLParity: fused long dot matches the HOF fold; fused " +
+    "project is row-identical to the declarative twin over the corpus") {
+    import TestSpark.spark.implicits._
+    val adv = Seq(
+      (Array(1L, 2L), Array(3L, 4L, 5L)),               // length mismatch
+      (Array(5L, -3L), Array(2L, 4L)),                  // 10 − 12 = −2
+      (Array(Long.MaxValue, 1L), Array(2L, 0L)),        // overflow wraps
+      (Array.empty[Long], Array.empty[Long])            // empty → 0
+    ).toDF("a", "b")
+    def decl(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+    val advRes = adv.select(ann.VecDotL.dotFused(col("a"), col("b")).as("f"),
+        decl(col("a"), col("b")).as("d"))
+      .collect().map(r => (Option(r.get(0)), Option(r.get(1))))
+    assert(advRes(0) == ((None, None)), "length mismatch must be null")
+    assert(advRes(1) == ((Some(-2L), Some(-2L))))
+    assert(advRes(2)._1 == advRes(2)._2, "overflow wrap must agree")
+    assert(advRes(3) == ((Some(0L), Some(0L))))
+    val withNull = Seq(1).toDF("x").select(
+      array(lit(1L), lit(null).cast("long")).as("a"),
+      array(lit(2L), lit(3L)).as("b"))
+    val nres = withNull.select(ann.VecDotL.dotFused(col("a"), col("b")).as("f"),
+      decl(col("a"), col("b")).as("d")).collect()(0)
+    assert(nres.isNullAt(0) && nres.isNullAt(1), "null element must be null")
+    // corpus-level: fused project == declarative project, row-identical
+    val embs = TestSpark.spark.read.parquet(s"$tiny/embeddings.parquet")
+    val f = graft.ann.RandomProjection.project(embs)
+    val d = graft.ann.RandomProjection.projectDeclarative(embs)
+    assert(f.exceptAll(d).isEmpty && d.exceptAll(f).isEmpty)
+  }
+
   test("brute-force topk ranks by cosine (query = id 0)") {
     val out = Similarity.bruteTopK(vecs, k = 4, queryMod = 100)
       .filter(col("q_id") === 0).orderBy("rank").collect()
