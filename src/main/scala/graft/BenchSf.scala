@@ -118,6 +118,12 @@ object BenchSf {
       // selection rounds
       ("pq_adc_topk", () => ann.PQ.adcTopK(vecs), false),
       ("kcenter_select", () => ann.Centroids.kCenterSelect(vecs), false),
+      // round-5 session additions: the collapsed encode alone, the
+      // fused sign-matrix map pass, and the dense-array Bloom probe
+      ("pq_encode", () => ann.PQ.encode(vecs), false),
+      ("rand_proj", () => ann.RandomProjection.project(vecs), false),
+      ("bloom_prefilter", () => operators.Sketches.bloomPrefilter(docs),
+        false),
       // the r3-adjudicated multi-minute sf1 trio (q40/q176/q261): pair
       // output is quadratic in clone multiplicity BY CONTRACT, so the
       // judgment is time ratio vs OUTPUT-row ratio, never vs input
