@@ -179,7 +179,7 @@ object Dedup {
     * sliced zip_with (no explode, no shuffle — but interpreted
     * higher-order functions, ~10× the fused pass). */
   def shingleHashesDeclarative(text: Column): Column = {
-    val th = tokHashes(text)
+    val th = tokHashesDeclarative(text)
     val n = size(th)
     val a = slice(th, lit(1), greatest(n - 2, lit(0)))
     val b = slice(th, lit(2), greatest(n - 2, lit(0)))
@@ -425,7 +425,7 @@ object Dedup {
 
   /** Declarative reference (TokenHashParitySpec). */
   def simhashDfDeclarative(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), tokHashes(col("text")).as("th"))
+    docs.select(col("doc_id"), tokHashesDeclarative(col("text")).as("th"))
       .select(col("doc_id"), simhashOver(col("th")).as("simhash"))
 
   /** Hamming distance between two simhash values (bit-count of xor). */

@@ -68,13 +68,20 @@ object Conversations {
   def renderChat(transcripts: DataFrame, maxTurns: Int = 4096): DataFrame =
     transcripts
       .filter(col("turn_idx") < maxTurns)
+      // round-6: the `<|role|>text` segment renders MAP-SIDE (codegen'd
+      // concat per row) instead of inside an interpreted per-element
+      // transform over the collected array; the aggregate then only
+      // sorts and joins. Same rendered string; the sort key is
+      // (turn_idx, seg), equivalent to (turn_idx, role, text) because
+      // turn_idx is unique within a conversation (W1).
+      .select(col("conv_id"), struct(col("turn_idx"),
+        concat(lit("<|"), col("role"), lit("|>"), col("text")).as("seg"))
+        .as("tr"))
       .groupBy("conv_id")
-      .agg(array_sort(collect_list(struct(col("turn_idx"), col("role"), col("text"))))
-        .as("turns"))
+      .agg(array_sort(collect_list(col("tr"))).as("turns"))
       .select(col("conv_id"),
         size(col("turns")).cast("long").as("n_turns"),
-        array_join(transform(col("turns"),
-          t => concat(lit("<|"), t("role"), lit("|>"), t("text"))), "\n")
+        array_join(transform(col("turns"), t => t("seg")), "\n")
           .as("rendered"))
       .withColumn("n_chars", length(col("rendered")).cast("long"))
 
@@ -777,7 +784,7 @@ object Conversations {
                  minN: Long = 5L): DataFrame = {
     val dayTok = transcripts.select(
         (unix_timestamp(col("ts")) / 86400L).cast("long").as("day_num"),
-        explode(filter(split(col("text"), "\\s+"), t => t =!= "")).as("tok"))
+        explode(graft.text.FastTok.rawTokens(col("text"))).as("tok"))
       .groupBy("day_num", "tok").agg(count(lit(1)).as("n"))
     val tokTot = dayTok.groupBy("tok").agg(sum("n").as("n_tok"))
     val dayTot = dayTok.groupBy("day_num").agg(sum("n").as("n_day"))

@@ -111,13 +111,20 @@ object DqRules {
     * (names × keys × 6)-bounded grid, the majority window runs on the
     * (names × keys) aggregate. */
   def inferSchema(transcripts: DataFrame): DataFrame = {
+    // round-6: name via the fused lite scanner (identical to the
+    // `^event=([a-z_0-9]+)` extract — FusedParseSpec contract) and the
+    // per-kv KEY via substring_index instead of a third regex pass:
+    // every kv matched `([a-z_0-9]+)=([^ ]*)`, so the text before the
+    // first '=' IS the key group. The VALUE keeps its regex — `(.*)$`
+    // carries Java line-terminator edge semantics a substring would not
+    // reproduce on values containing newlines.
     val pairs = transcripts.select(
-        regexp_extract(col("text"), "^event=([a-z_0-9]+)", 1).as("name"),
+        graft.functions.FusedParse.nameLite(col("text")).as("name"),
         explode(regexp_extract_all(col("text"),
           lit("([a-z_0-9]+)=([^ ]*)"), lit(0))).as("kv"))
       .filter(col("name") =!= "")
       .select(col("name"),
-        regexp_extract(col("kv"), "^([a-z_0-9]+)=", 1).as("key"),
+        substring_index(col("kv"), "=", 1).as("key"),
         regexp_extract(col("kv"), "^[a-z_0-9]+=(.*)$", 1).as("value"))
       .filter(col("key") =!= "event")
     val typed = pairs.withColumn("vtype",
@@ -163,8 +170,7 @@ object DqRules {
     * exchange in the rebuild plan is the final template census. */
   def logTemplates(transcripts: DataFrame, minCount: Long = 50L): DataFrame = {
     val keepRows = transcripts
-      .select(explode(filter(split(col("text"), "\\s+"), t => t =!= ""))
-        .as("tok"))
+      .select(explode(graft.text.FastTok.rawTokens(col("text"))).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("n"))
       .filter(col("n") >= minCount)
       .select("tok").collect()

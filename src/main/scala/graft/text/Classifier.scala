@@ -36,7 +36,7 @@ object Classifier {
   /** Declarative reference for [[score]] — the semantics contract the
     * fused kernel is proven against (ScoreParitySpec). */
   def scoreDeclarative(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), TextAnalysis.tokHashes(col("text")).as("th"))
+    docs.select(col("doc_id"), TextAnalysis.tokHashesDeclarative(col("text")).as("th"))
       .select(col("doc_id"), size(col("th")).cast("long").as("n_tokens"),
         aggregate(col("th"), lit(0L), (acc, h) => acc + weight(h)).as("score_sum"))
       .withColumn("logit_x1e3",

@@ -13,9 +13,10 @@ import org.apache.spark.sql.functions._
 object CorpusOps {
 
   /** Raw whitespace tokens, case preserved (FIM must reconstruct the
-    * document verbatim, unlike the lowered analysis tokens). */
-  private def rawTokens(text: Column): Column =
-    filter(split(text, "\\s+"), t => t =!= "")
+    * document verbatim, unlike the lowered analysis tokens) — fused
+    * native pass, element-identical to
+    * `filter(split(text, "\\s+"), _ =!= "")` (FastTokSpec). */
+  private def rawTokens(text: Column): Column = FastTok.rawTokens(text)
 
   /** Fill-in-middle (PSM order) restructuring: split each document's
     * token stream at n/3 and 2n/3 and emit

@@ -33,14 +33,41 @@ object Injection {
   def turnFlags(text: Column): Seq[(String, Column)] =
     Patterns.map { case (cat, re) => cat -> text.rlike(re) }
 
+  /** [[turnFlags]] with a cheap NECESSARY-CONDITION gate conjoined before
+    * each regex (literal `contains` on the pre-lowered text / a length
+    * floor): every pattern's match implies its gate, so `gate && rlike`
+    * is verdict-identical to the bare rlike — And short-circuits in
+    * codegen, and the Java-regex battery only runs on the candidate
+    * sliver instead of every turn (guide §1.2 "per-task work"). `lt`
+    * must be `lower(text)`. */
+  def turnFlagsGated(text: Column, lt: Column): Seq[(String, Column)] = {
+    val gates: Map[String, Column] = Map(
+      // "ignore (all |the )?..." / "disregard (your|the)..." both open
+      // with their keyword + one space
+      "override" -> (lt.contains("ignore ") || lt.contains("disregard ")),
+      // every exfil alternative ends in one of these three literals
+      "exfil" -> (lt.contains("system prompt") ||
+        lt.contains("hidden instructions") || lt.contains("initial prompt")),
+      // a 48-char class run needs ≥48 chars of text
+      "encoding" -> (length(text) >= 48),
+      // pure literal alternation — the gate is the exact candidate set
+      "roleplay" -> (lt.contains("you are now") || lt.contains("pretend to be") ||
+        lt.contains("jailbreak") || lt.contains("developer mode") ||
+        lt.contains("do anything now")))
+    Patterns.map { case (cat, re) => cat -> (gates(cat) && text.rlike(re)) }
+  }
+
   /** Per-conversation injection report: per-category turn counts, total
     * flagged turns, first offending turn index, and the conversation
     * flag. Only conversations with at least one hit are returned — the
     * quarantine work-list, not a corpus-sized report. */
   def scan(transcripts: DataFrame): DataFrame = {
-    val flags = turnFlags(col("text"))
+    // lower(text) projected once so all four gates share the one pass
+    val withLt = transcripts.select(col("conv_id"), col("turn_idx"),
+      col("text"), lower(col("text")).as("_lt"))
+    val flags = turnFlagsGated(col("text"), col("_lt"))
     val any = flags.map(_._2).reduce(_ || _)
-    val perTurn = transcripts.select(
+    val perTurn = withLt.select(
       col("conv_id") +: col("turn_idx") +:
         flags.map { case (c, f) => f.as(s"f_$c") } :+ any.as("f_any"): _*)
     perTurn.groupBy("conv_id").agg(

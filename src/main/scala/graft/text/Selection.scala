@@ -242,13 +242,17 @@ object Selection {
     val rows = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
     var round = 1
     var done = false
+    var covTotal = 0L
     while (round <= k && !done) {
       val top = maxCoverageRound(ex, chosen).limit(1).collect()
       if (top.isEmpty) done = true
       else {
         chosen :+= top(0).getLong(0)
-        val covTotal = ex.filter(col("doc_id").isin(chosen: _*))
-          .select("tok").distinct().count()
+        // covered_total needs no recount job: the pick's gain counts
+        // exactly its shingles NOT yet covered (ex is per-doc distinct),
+        // so the union size is the running sum of gains — identical to
+        // the distinct().count() it replaces, at zero corpus passes
+        covTotal += top(0).getLong(1)
         rows += ((round.toLong, top(0).getLong(0), top(0).getLong(1), covTotal))
         round += 1
       }

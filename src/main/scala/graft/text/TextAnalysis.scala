@@ -17,8 +17,14 @@ object TextAnalysis {
 
   val P = 1000000007L
 
-  /** Whitespace tokens, lowered, empties dropped. */
-  def tokens(text: Column): Column =
+  /** Whitespace tokens, lowered, empties dropped — fused native pass
+    * ([[FastTok.tokens]]); element-identical to [[tokensDeclarative]]
+    * (FastTokSpec). */
+  def tokens(text: Column): Column = FastTok.tokens(text)
+
+  /** Declarative reference for [[tokens]] — the semantics contract
+    * (kept as the parity anchor; FastTokSpec asserts equality). */
+  def tokensDeclarative(text: Column): Column =
     filter(split(lower(text), "\\s+"), t => t =!= "")
 
   /** Charwise polynomial hash of one token: fold(7, acc*31 + code) mod P.
@@ -29,13 +35,24 @@ object TextAnalysis {
       lit(7L),
       (acc, x) => (acc * 31L + x) % P)
 
-  /** Token-hash array for a text column. */
-  def tokHashes(text: Column): Column = transform(tokens(text), tokHash _)
+  /** Token-hash array for a text column — fused native pass
+    * ([[FastTok.tokHashes]], the TokenHashParitySpec-pinned loop);
+    * element-identical to [[tokHashesDeclarative]] (FastTokSpec). */
+  def tokHashes(text: Column): Column = FastTok.tokHashes(text)
+
+  /** Declarative reference for [[tokHashes]] — the semantics contract. */
+  def tokHashesDeclarative(text: Column): Column =
+    transform(tokensDeclarative(text), tokHash _)
 
   /** BPE-ish sub-token count: runs of letters, runs of digits, single
-    * punctuation — the standard pre-tokenizer shape. */
+    * punctuation — the standard pre-tokenizer shape. Fused native walk
+    * ([[FastTok.bpeCount]]); count-identical to [[bpeCountDeclarative]]
+    * (FastTokSpec). */
   val BpePattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
-  def bpeCount(text: Column): Column =
+  def bpeCount(text: Column): Column = FastTok.bpeCount(text)
+
+  /** Declarative reference for [[bpeCount]] — the semantics contract. */
+  def bpeCountDeclarative(text: Column): Column =
     size(regexp_extract_all(text, lit(BpePattern), lit(0)))
 
   // ---- language ID: marker-word scoring ------------------------------------
@@ -90,9 +107,10 @@ object TextAnalysis {
 
   // ---- fingerprint: rolling hash over token hashes --------------------------
   /** Document fingerprint: fold(7, acc*131 + tokHash) mod P — stable under
-    * whitespace normalization, order-sensitive. */
+    * whitespace normalization, order-sensitive. Declarative (used only by
+    * [[fingerprintsDeclarative]], the TokenHashParitySpec anchor). */
   def fingerprint(text: Column): Column =
-    aggregate(tokHashes(text), lit(7L), (acc, h) => (acc * 131L + h) % P)
+    aggregate(tokHashesDeclarative(text), lit(7L), (acc, h) => (acc * 131L + h) % P)
 
   // ---- query-shaped entry points --------------------------------------------
   def tokenStats(docs: DataFrame): DataFrame =

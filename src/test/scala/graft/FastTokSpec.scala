@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Parity contract of the fused tokenizers ([[graft.text.FastTok]]):
+  * token STRING arrays (lowered and raw) and the token-HASH array equal
+  * their declarative chains element-for-element (order included), over
+  * the documents corpus, the transcript corpus, and adversarial strings.
+  * This is what licenses every production call site of
+  * TextAnalysis.tokens / tokHashes / FastTok.rawTokens to use the fused
+  * pass while the oracle SQL keeps the declarative semantics. */
+class FastTokSpec extends SparkSpec {
+  import TestSpark.spark.implicits._
+  import graft.text.{FastTok, TextAnalysis}
+
+  private def compareOn(df: org.apache.spark.sql.DataFrame): Unit = {
+    val t = df.select(
+      col("text"),
+      FastTok.tokens(col("text")).as("f_tok"),
+      TextAnalysis.tokensDeclarative(col("text")).as("d_tok"),
+      FastTok.rawTokens(col("text")).as("f_raw"),
+      filter(split(col("text"), "\\s+"), x => x =!= "").as("d_raw"),
+      FastTok.tokHashes(col("text")).as("f_th"),
+      TextAnalysis.tokHashesDeclarative(col("text")).as("d_th"),
+      FastTok.bpeCount(col("text")).as("f_bpe"),
+      TextAnalysis.bpeCountDeclarative(col("text")).as("d_bpe"))
+    val bad = t.filter(
+      col("f_tok") =!= col("d_tok") || col("f_raw") =!= col("d_raw") ||
+        col("f_th") =!= col("d_th") || col("f_bpe") =!= col("d_bpe")).collect()
+    assert(bad.isEmpty, s"mismatch: ${bad.take(3).mkString(";")}")
+  }
+
+  test("fused tokenizers equal declarative chains over the corpora") {
+    compareOn(spark.read.parquet(s"$tiny/documents.parquet"))
+    compareOn(sources.Transcripts.load(spark, tiny).select("text"))
+  }
+
+  test("fused tokenizers equal declarative chains on adversarial strings") {
+    val cases = Seq(
+      "", "   ", "\t\n\f\r", "one", " leading", "trailing ",
+      "a  double   spaces b c", "MiXeD CaSe TOKENS here",
+      "tab\tsep\nnewline\rcr", "é ünï côdé pöints more",
+      "😀 emoji 😁pair", "0x00=1 key=value a=b=c",
+      ("w" * 500) + " " + ("x" * 500) + " y")
+    compareOn(cases.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text"))
+  }
+}
