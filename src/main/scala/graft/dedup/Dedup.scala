@@ -222,10 +222,17 @@ object Dedup {
     * what makes batch-vs-index dedup (Curation.incrementalVerdicts)
     * possible without touching the historical corpus. */
   def bandTable(docs: DataFrame): DataFrame = {
+    // round-6: one posexplode instead of the 4-way union (the convNearDup
+    // pattern): column pruning specialized each union branch to its two
+    // minhash fields, but the fields come from ONE opaque sketch struct,
+    // so the plan ran the full fused-sketch corpus pass once PER BAND
+    // (4 scans — measured in the lshCandidates probe). Same rows; the
+    // band_idx from posexplode is the same 0..3 INT the literals carried.
     val sigs = signatures(docs)
-    (0 until NumHashes / 2).map { b =>
-      sigs.select(col("doc_id"), lit(b).as("band_idx"), bandSig(b).as("band_sig"))
-    }.reduce(_ unionByName _)
+    sigs.select(col("doc_id"), posexplode(array(
+        (0 until NumHashes / 2).map(b => bandSig(b)): _*)))
+      .withColumnRenamed("pos", "band_idx")
+      .withColumnRenamed("col", "band_sig")
   }
 
   /** Candidate pairs: docs sharing any band signature (a < b), distinct. */
@@ -368,13 +375,16 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sigs = signatures(sample)
     val cands = Seq(1, 2, 4, 8).map { r =>
-      val bands = (0 until NumHashes / r).map { j =>
-        val cols = (0 until r).map(t => col(s"mh${j * r + t}"))
-        val sig = cols.tail.foldLeft(cols.head)((acc, c) =>
-          (acc * 31L + c) % P)
-        sigs.select(col("doc_id"), lit(r.toLong).as("r"),
-          lit(j.toLong).as("band_idx"), sig.as("sig"))
-      }.reduce(_ unionByName _)
+      // posexplode, not a union of per-band selects — the bandTable
+      // lesson: pruned union branches re-run the sketch pass per band
+      val bands = sigs.select(col("doc_id"), lit(r.toLong).as("r"),
+          posexplode(array((0 until NumHashes / r).map { j =>
+            val cols = (0 until r).map(t => col(s"mh${j * r + t}"))
+            cols.tail.foldLeft(cols.head)((acc, c) => (acc * 31L + c) % P)
+          }: _*)))
+        .withColumn("band_idx", col("pos").cast("long"))
+        .withColumnRenamed("col", "sig")
+        .drop("pos")
       bands.select(col("r"), col("band_idx"), col("sig"),
           col("doc_id").as("doc_a"))
         .join(bands.select(col("r"), col("band_idx"), col("sig"),

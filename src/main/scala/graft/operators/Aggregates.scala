@@ -619,9 +619,14 @@ object Aggregates {
     * the ≤ |names|·|ps| candidate list — broadcast). */
   def exactQuantiles2Pass(parsed: DataFrame, ps: Seq[Int] = Seq(50, 95, 99),
                           bucketWidth: Long = 16L): DataFrame = {
+    // the narrow (name, v, bucket) projection feeds BOTH the histogram
+    // pass and the candidate-bucket join — persisted so the parse runs
+    // once, not once per pass (ContextCleaner-released when the result
+    // frame drops, the lmScore/topTerms lifecycle)
     val vals = parsed.select(col("name"), col("duration").cast("long").as("v"))
       .filter(col("v").isNotNull)
       .withColumn("bucket", expr(s"v DIV $bucketWidth"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val wCum = Window.partitionBy("name").orderBy("bucket")
       .rowsBetween(Window.unboundedPreceding, 0)
     val cum = vals.groupBy("name", "bucket").agg(count(lit(1)).as("c"))

@@ -52,15 +52,21 @@ object DqRules {
         min(when(viol, sampleKey)).as(s"s_$name"))
     }
     val one = parsed.agg(aggs.head, aggs.tail: _*)
-    rules.map { case (name, _, _) =>
-      one.select(
-        lit(name).as("rule"),
-        col(s"c_$name").as("n_checked"),
-        col(s"v_$name").as("n_violations"),
-        expr(s"v_$name * 1000 DIV greatest(c_$name, 1L)")
+    // round-6: unpivot the 1-row aggregate with stack() instead of a
+    // union of per-rule selects — column pruning specialized each union
+    // branch into its OWN 3-column aggregate over the corpus, so the
+    // plan ran |rules| full scan+parse+agg passes (5 parquet scans in
+    // the r5 plan, zero exchange reuse); stack keeps ONE aggregate and
+    // unpivots the single row (the coverageDrift pattern). Same rows.
+    val stackArgs = rules.map { case (name, _, _) =>
+      s"'$name', c_$name, v_$name, s_$name"
+    }.mkString(", ")
+    one.select(expr(s"stack(${rules.length}, $stackArgs)" +
+        " as (rule, n_checked, n_violations, first_offender)"))
+      .select(col("rule"), col("n_checked"), col("n_violations"),
+        expr("n_violations * 1000 DIV greatest(n_checked, 1L)")
           .as("viol_permille"),
-        col(s"s_$name").as("first_offender"))
-    }.reduce(_ unionByName _)
+        col("first_offender"))
   }
 
   /** Functional-dependency audit over candidate (determinant →
