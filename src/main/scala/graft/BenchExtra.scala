@@ -188,7 +188,85 @@ object BenchExtra {
       "term_bursts" -> (() => timeNoop(operators.Conversations.termBursts(input))),
       "zonemap_audit" -> (() => timeNoop(operators.Layout.zoneMapAudit(input))),
       "exact_quantiles_2pass" -> (() => timeNoop(
-        operators.Aggregates.exactQuantiles2Pass(parsedB)))
+        operators.Aggregates.exactQuantiles2Pass(parsedB))),
+      // ---- old-formulation A/B twins (round-6 regression adjudication) ----
+      "injection_lengate" -> (() => {
+        // the wave-1 form: length>=48 gate (regex runs on ~every row)
+        val withLt = input.select(col("conv_id"), col("turn_idx"),
+          col("text"), lower(col("text")).as("_lt"))
+        val lt = col("_lt"); val tc = col("text")
+        val gates: Map[String, org.apache.spark.sql.Column] = Map(
+          "override" -> (lt.contains("ignore ") || lt.contains("disregard ")),
+          "exfil" -> (lt.contains("system prompt") ||
+            lt.contains("hidden instructions") || lt.contains("initial prompt")),
+          "encoding" -> (length(tc) >= 48),
+          "roleplay" -> (lt.contains("you are now") || lt.contains("pretend to be") ||
+            lt.contains("jailbreak") || lt.contains("developer mode") ||
+            lt.contains("do anything now")))
+        val flags = graft.text.Injection.Patterns.map { case (cat, re) =>
+          cat -> (gates(cat) && col("text").rlike(re)) }
+        val any = flags.map(_._2).reduce(_ || _)
+        val perTurn = withLt.select(
+          col("conv_id") +: col("turn_idx") +:
+            flags.map { case (c, f) => f.as(s"f_$c") } :+ any.as("f_any"): _*)
+        timeNoop(perTurn.groupBy("conv_id").agg(
+            count(lit(1)).as("n_turns"),
+            sum(when(col("f_override"), 1L).otherwise(0L)).as("n_override"),
+            sum(when(col("f_exfil"), 1L).otherwise(0L)).as("n_exfil"),
+            sum(when(col("f_encoding"), 1L).otherwise(0L)).as("n_encoding"),
+            sum(when(col("f_roleplay"), 1L).otherwise(0L)).as("n_roleplay"),
+            sum(when(col("f_any"), 1L).otherwise(0L)).as("n_flagged"),
+            min(when(col("f_any"), col("turn_idx"))).as("first_offending_turn"))
+          .filter(col("n_flagged") > 0))
+      }),
+      "rolling_old" -> (() => {
+        import org.apache.spark.sql.expressions.Window
+        val keyCol = "conv_id"; val windowDays = 7
+        val h = conv(substring(md5(col(keyCol)), 1, 8), 16, 10).cast("long")
+        val dayNum = (unix_timestamp(col("ts")) / 86400L).cast("long")
+        val dayRegs = input
+          .select(dayNum.as("day_num"), h.bitwiseAND(lit(63L)).as("reg"),
+            shiftright(h, 6).as("v"))
+          .withColumn("rank",
+            when(col("v") === 0L, 27L)
+              .otherwise(lit(27L) - length(bin(col("v")))))
+          .groupBy("day_num", "reg").agg(max("rank").as("m"))
+        val days = dayRegs.select("day_num").distinct()
+        val grid = days
+          .withColumn("reg", explode(sequence(lit(0L), lit(63L))))
+          .join(dayRegs, Seq("day_num", "reg"), "left")
+          .na.fill(0L, Seq("m"))
+        val frame = Window.partitionBy("reg").orderBy(col("day_num"))
+          .rangeBetween(-(windowDays - 1L), 0L)
+        val rolled = grid.withColumn("mr", max("m").over(frame))
+          .filter(col("mr") > 0L)
+        val est = operators.Sketches.hllEstimate(rolled.select(
+            col("day_num").as("name"), col("reg"), col("mr").as("m")))
+          .withColumnRenamed("name", "day_num")
+        val pairs = input
+          .select(dayNum.as("kday"), col(keyCol).as("k")).distinct()
+        val exact = broadcast(days)
+          .join(pairs, col("kday").between(
+            col("day_num") - (windowDays - 1L), col("day_num")))
+          .groupBy("day_num").agg(countDistinct("k").as("exact_distinct"))
+        timeNoop(est.join(exact, Seq("day_num"))
+          .withColumn("err_x1e3",
+            floor(abs(col("hll_est") - col("exact_distinct")) * lit(1000.0)
+              / col("exact_distinct")).cast("long"))
+          .select("day_num", "exact_distinct", "nonzero_regs", "sum_pow",
+            "hll_est", "err_x1e3"))
+      }),
+      "chat_old" -> (() => timeNoop(input
+        .filter(col("turn_idx") < 4096)
+        .groupBy("conv_id")
+        .agg(array_sort(collect_list(struct(col("turn_idx"), col("role"), col("text"))))
+          .as("turns"))
+        .select(col("conv_id"),
+          size(col("turns")).cast("long").as("n_turns"),
+          array_join(transform(col("turns"),
+            t => concat(lit("<|"), t("role"), lit("|>"), t("text"))), "\n")
+            .as("rendered"))
+        .withColumn("n_chars", length(col("rendered")).cast("long"))))
     )
 
     val wanted = if (args.isEmpty) runners.keys.toSeq else args.toSeq

@@ -949,7 +949,7 @@ object SparkEntry {
     "q100_streaming_sessions" -> ((s, d) => {
       import java.nio.file.{Files, Paths}
       import org.apache.spark.sql.streaming.Trigger
-      val root = s"/tmp/graft_sess_${math.abs(d.hashCode)}"
+      val root = s"/tmp/graft_sess_${Math.floorMod(d.hashCode, 1 << 30)}"
       def rm(p: java.nio.file.Path): Unit = if (Files.exists(p)) {
         Files.walk(p).sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
           .forEach(x => Files.delete(x))
@@ -1726,7 +1726,7 @@ object SparkEntry {
 
     "q50_streaming_counts" -> ((s, d) => {
       import java.nio.file.{Files, Paths}
-      val root = s"/tmp/graft_stream_${math.abs(d.hashCode)}"
+      val root = s"/tmp/graft_stream_${Math.floorMod(d.hashCode, 1 << 30)}"
       def rm(p: java.nio.file.Path): Unit = if (Files.exists(p)) {
         Files.walk(p).sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
           .forEach(x => Files.delete(x))
@@ -1745,7 +1745,7 @@ object SparkEntry {
     // independent doc build (the oracle computes all four columns)
     "q297_observed_counters" -> ((s, d) => {
       import java.nio.file.{Files, Paths}
-      val root = s"/tmp/graft_observe_${math.abs(d.hashCode)}"
+      val root = s"/tmp/graft_observe_${Math.floorMod(d.hashCode, 1 << 30)}"
       def rm(p: java.nio.file.Path): Unit = if (Files.exists(p)) {
         Files.walk(p).sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
           .forEach(x => Files.delete(x))
@@ -1779,7 +1779,7 @@ object SparkEntry {
     // one file per batch, and the routed total matches DuckDB's
     "q299_batch_lineage" -> ((s, d) => {
       import java.nio.file.{Files, Paths}
-      val root = s"/tmp/graft_blimit_${math.abs(d.hashCode)}"
+      val root = s"/tmp/graft_blimit_${Math.floorMod(d.hashCode, 1 << 30)}"
       def rm(p: java.nio.file.Path): Unit = if (Files.exists(p)) {
         Files.walk(p).sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
           .forEach(x => Files.delete(x))
@@ -1812,7 +1812,7 @@ object SparkEntry {
     // (synchronous), not a listener, so there is no event-bus race.
     "q301_progress_totals" -> ((s, d) => {
       import java.nio.file.{Files, Paths}
-      val root = s"/tmp/graft_progress_${math.abs(d.hashCode)}"
+      val root = s"/tmp/graft_progress_${Math.floorMod(d.hashCode, 1 << 30)}"
       def rm(p: java.nio.file.Path): Unit = if (Files.exists(p)) {
         Files.walk(p).sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
           .forEach(x => Files.delete(x))
@@ -1848,7 +1848,7 @@ object SparkEntry {
     // from the same timestamp-floor predicate over the transcripts CTE.
     "q302_late_floor" -> ((s, d) => {
       import java.nio.file.{Files, Paths}
-      val root = s"/tmp/graft_latefloor_${math.abs(d.hashCode)}"
+      val root = s"/tmp/graft_latefloor_${Math.floorMod(d.hashCode, 1 << 30)}"
       def rm(p: java.nio.file.Path): Unit = if (Files.exists(p)) {
         Files.walk(p).sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
           .forEach(x => Files.delete(x))
@@ -1909,7 +1909,11 @@ object SparkEntry {
     // re-derives from the transcripts CTE alone.
     "q304_applog_sink" -> ((s, d) => {
       import java.nio.file.{Files, Paths}
-      val root = s"/tmp/graft_applog_${math.abs(d.hashCode)}"
+      // floorMod, not math.abs (abs(Int.MinValue) is negative — ADVICE
+      // r5); the dataset-keyed dir assumes ONE driver per dataset path at
+      // a time (two concurrent runs over the same path would share it and
+      // the rm() below would race) — the Verify/driver contract.
+      val root = s"/tmp/graft_applog_${Math.floorMod(d.hashCode, 1 << 30)}"
       def rm(p: java.nio.file.Path): Unit = if (Files.exists(p)) {
         Files.walk(p).sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
           .forEach(x => Files.delete(x))

@@ -142,7 +142,14 @@ object PQ {
     *     row_number the uncollapsed form computes.
     *
     * PQCollapseParity pins row-identity against [[adcTopKMapScan]] on
-    * corpus + adversarial fixtures; q90's oracle re-gates end-to-end. */
+    * corpus + adversarial fixtures; q90's oracle re-gates end-to-end.
+    *
+    * PRECONDITION (ADVICE r5): embeddings must be finite — a null/NaN
+    * component (under non-ANSI casts) would make this form's `sum(d)`
+    * SKIP the null sub-distance where the map-scan's aggregate fold
+    * null-poisons the whole distance. The corpus contract (dense finite
+    * float arrays, enforced at synthesis) rules the shape out; callers
+    * feeding external embeddings should pre-filter non-finite rows. */
   def adcTopK(vecs: DataFrame, k: Int = 5, queryMod: Int = 53,
               centMod: Int = 50): DataFrame = {
     val cb = codebook(vecs, centMod)
@@ -179,9 +186,13 @@ object PQ {
       .withColumn("better", coalesce(sum(col("cm")).over(wd), lit(0L)))
       .filter(col("better") < k + 1)
       .select(col("qgid"), col("cgid"), col("adc_dist"))
-    // expand the band only, then the exact row-level rank
-    val rows = cmem.join(broadcast(kept), "cgid")
-      .join(broadcast(qmem), "qgid")
+    // expand the band only, then the exact row-level rank. No forced
+    // broadcast on kept/qmem (ADVICE r5): both scale with corpus size
+    // (qmem is n/queryMod rows; kept ~ queries × band groups), so the
+    // hints could exceed broadcast limits at the 100 TB design point —
+    // AQE picks broadcast at runtime whenever they actually fit.
+    val rows = cmem.join(kept, "cgid")
+      .join(qmem, "qgid")
       .filter(col("vec_id") =!= col("q_id"))
     val w = Window.partitionBy("q_id").orderBy(col("adc_dist"), col("vec_id"))
     rows.withColumn("rank", row_number().over(w).cast("long"))

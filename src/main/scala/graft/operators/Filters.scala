@@ -145,7 +145,18 @@ object Filters {
     * stage cost 3× the parse itself). Semantics are identical — the lite
     * extractions are the same scanners (FilterPlacementSpec asserts row
     * equality with the post-parse stack). */
-  def standardOnRaw(df: DataFrame): DataFrame = {
+  def standardOnRaw(df: DataFrame): DataFrame =
+    // round-6: the whole decision fused into ONE kernel call per row
+    // ([[graft.functions.FusedFilter]]) — the conjunction below ran the
+    // lite name scanner once per conjunct (~8×/row). Decision-identical
+    // (FilterFusionSpec pins row equality against the declarative stack;
+    // PlanSpec's placement test re-pins it against the post-parse stack).
+    df.filter(graft.functions.FusedFilter.keepStandard(
+      col("text"), col("role"), col("tool")))
+
+  /** Declarative reference for [[standardOnRaw]] — the semantics
+    * contract the fused predicate is proven against. */
+  def standardOnRawDeclarative(df: DataFrame): DataFrame = {
     import graft.functions.FusedParse
     val name = FusedParse.nameLite(col("text"))
     val en = FusedParse.errorNumLite(col("text"))

@@ -195,16 +195,17 @@ object Sketches {
     * column, affordable at test scale — at 100 TB you'd drop it). */
   def hllRollingDistinct(transcripts: DataFrame, keyCol: String = "conv_id",
                          windowDays: Int = 7): DataFrame = {
+    // round-6 note: a shared-distinct formulation (regs + exact arm both
+    // reading one distinct (day, key) pass, the hllDistinct rewrite) was
+    // A/B'd and REJECTED here: this input is a raw scan (no parse), so
+    // the direct map-side-combined register aggregate is cheaper than
+    // routing the corpus through a full distinct exchange first
+    // (measured 2.0 s old vs 3.0 s shared at sf0.1). hllDistinct keeps
+    // the shared pass because its input pays an expensive parse per scan.
+    val h = conv(substring(md5(col(keyCol)), 1, 8), 16, 10).cast("long")
     val dayNum = (unix_timestamp(col("ts")) / 86400L).cast("long")
-    // ONE corpus pass: register table AND the exact arm both read the
-    // distinct (day, key) pairs (max(rank) is idempotent over duplicates,
-    // so the sketch is unchanged); the shared distinct subplan shuffles
-    // once via ReuseExchange instead of two full scans + md5 passes.
-    val pairs0 = transcripts
-      .select(dayNum.as("day_num"), col(keyCol).as("k")).distinct()
-    val h = conv(substring(md5(col("k")), 1, 8), 16, 10).cast("long")
-    val dayRegs = pairs0
-      .select(col("day_num"), h.bitwiseAND(lit(63L)).as("reg"),
+    val dayRegs = transcripts
+      .select(dayNum.as("day_num"), h.bitwiseAND(lit(63L)).as("reg"),
         shiftright(h, 6).as("v"))
       .withColumn("rank",
         when(col("v") === 0L, 27L)
@@ -222,7 +223,8 @@ object Sketches {
     val est = hllEstimate(rolled.select(col("day_num").as("name"),
         col("reg"), col("mr").as("m")))
       .withColumnRenamed("name", "day_num")
-    val pairs = pairs0.withColumnRenamed("day_num", "kday")
+    val pairs = transcripts
+      .select(dayNum.as("kday"), col(keyCol).as("k")).distinct()
     val exact = broadcast(days)
       .join(pairs, col("kday").between(
         col("day_num") - (windowDays - 1L), col("day_num")))
@@ -353,9 +355,17 @@ object Sketches {
     * map is built once per FILTER (one row), never per probed row. */
   def bloomRow(wordTable: DataFrame, mWords: Int = BloomWords): DataFrame =
     wordTable.agg(map_from_entries(
-        collect_list(struct(col("word"), col("bits")))).as("bmm"))
-      .select(transform(sequence(lit(0L), lit(mWords - 1L)),
-        w => coalesce(element_at(col("bmm"), w), lit(0L))).as("bm"))
+        collect_list(struct(col("word"), col("bits")))).as("bmm"),
+        max(col("word")).as("_mx"))
+      // size-mismatch guard (ADVICE r5): a table built with MORE words
+      // than this collapse's mWords would silently truncate — and the
+      // probe's coalesce(…, 0) then yields FALSE NEGATIVES. Fail loudly
+      // instead; the check costs one comparison on the 1-row collapse.
+      .select(when(col("_mx") >= mWords, expr(
+          s"raise_error('bloomRow: word table exceeds mWords=$mWords — " +
+            "collapse with the mWords the filter was built with')"))
+        .otherwise(transform(sequence(lit(0L), lit(mWords - 1L)),
+          w => coalesce(element_at(col("bmm"), w), lit(0L)))).as("bm"))
 
   /** Probe: add `maybe_member` to a frame with a string key column. The
     * filter arrives as a broadcast 1-row crossJoin (constant-size at any

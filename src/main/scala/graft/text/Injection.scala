@@ -48,7 +48,10 @@ object Injection {
       // every exfil alternative ends in one of these three literals
       "exfil" -> (lt.contains("system prompt") ||
         lt.contains("hidden instructions") || lt.contains("initial prompt")),
-      // a 48-char class run needs ≥48 chars of text
+      // a 48-char class run needs ≥48 chars of text. (A fused exact
+      // ≥48-run scanner was A/B'd and REJECTED: the regex engine's
+      // compiled class-run loop beat the extra native walk — 2.7 s
+      // scanner vs 2.1 s regex-on-gated-rows, interleaved min-of-2.)
       "encoding" -> (length(text) >= 48),
       // pure literal alternation — the gate is the exact candidate set
       "roleplay" -> (lt.contains("you are now") || lt.contains("pretend to be") ||
@@ -66,10 +69,17 @@ object Injection {
     val withLt = transcripts.select(col("conv_id"), col("turn_idx"),
       col("text"), lower(col("text")).as("_lt"))
     val flags = turnFlagsGated(col("text"), col("_lt"))
-    val any = flags.map(_._2).reduce(_ || _)
+    // two-step select: the flag expressions materialize ONCE, and f_any
+    // derives from the flag COLUMNS — with f_any inlined alongside the
+    // flags, each gate+regex sat in a conditional OR arm where codegen
+    // subexpression elimination does not reach, so every flag evaluated
+    // twice per row (measured ~1.5× on the whole scan). CollapseProject
+    // keeps the split: non-cheap exprs referenced twice don't inline.
     val perTurn = withLt.select(
       col("conv_id") +: col("turn_idx") +:
-        flags.map { case (c, f) => f.as(s"f_$c") } :+ any.as("f_any"): _*)
+        flags.map { case (c, f) => f.as(s"f_$c") }: _*)
+      .withColumn("f_any",
+        flags.map { case (c, _) => col(s"f_$c") }.reduce(_ || _))
     perTurn.groupBy("conv_id").agg(
         count(lit(1)).as("n_turns"),
         sum(when(col("f_override"), 1L).otherwise(0L)).as("n_override"),
@@ -81,3 +91,4 @@ object Injection {
       .filter(col("n_flagged") > 0)
   }
 }
+
