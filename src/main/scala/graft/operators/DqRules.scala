@@ -2,6 +2,10 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Declarative data-quality rule audit — the rule-TABLE-driven validator
   * that turns per-field ad-hoc checks into one compiled corpus pass. Each
@@ -126,8 +130,7 @@ object DqRules {
     // reproduce on values containing newlines.
     val pairs = transcripts.select(
         graft.functions.FusedParse.nameLite(col("text")).as("name"),
-        explode(regexp_extract_all(col("text"),
-          lit("([a-z_0-9]+)=([^ ]*)"), lit(0))).as("kv"))
+        explode(KvExtract.kvs(col("text"))).as("kv"))
       .filter(col("name") =!= "")
       .select(col("name"),
         substring_index(col("kv"), "=", 1).as("key"),
@@ -297,4 +300,59 @@ object DqRules {
       .select("src_file", "n_vals", "l1_permille", "top_over_digit",
         "flagged")
   }
+}
+
+/** Fused `k=v` pair extraction — one native walk producing exactly the
+  * matches of `regexp_extract_all(text, "([a-z_0-9]+)=([^ ]*)", 0)`:
+  * a match is a maximal `[a-z_0-9]+` run immediately followed by `=`
+  * plus the greedy space-free value; non-overlapping, scan resumes
+  * after each value (Java-regex leftmost semantics — interior positions
+  * of a run can never start a match because backtracked run ends hit a
+  * class char, not '='). KvParity test in FastTokSpec pins equality on
+  * corpus + adversarial strings. The declared tokenization of q250 is
+  * unchanged — only the engine evaluating it. */
+object KvExtract {
+  def kvs(text: Column): Column = {
+    import org.apache.spark.sql.GraftBridge
+    GraftBridge.column(KvExtractExpr(GraftBridge.expression(text)))
+  }
+
+  private def isCls(c: Char) =
+    (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9') || c == '_'
+
+  def compute(input: UTF8String): ArrayData = {
+    val s = input.toString
+    val n = s.length
+    val out = scala.collection.mutable.ArrayBuffer[UTF8String]()
+    var i = 0
+    while (i < n) {
+      if (isCls(s.charAt(i))) {
+        var j = i + 1
+        while (j < n && isCls(s.charAt(j))) j += 1
+        if (j < n && s.charAt(j) == '=') {
+          var k = j + 1
+          while (k < n && s.charAt(k) != ' ') k += 1
+          out += UTF8String.fromString(s.substring(i, k))
+          i = k
+        } else i = j
+      } else i += 1
+    }
+    new GenericArrayData(out.toArray[Any])
+  }
+}
+
+case class KvExtractExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "kv_extract"
+  override def nullSafeEval(input: Any): Any =
+    KvExtract.compute(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.operators.KvExtract.compute($c);")
+  override protected def withNewChildInternal(newChild: Expression): KvExtractExpr =
+    copy(child = newChild)
 }

@@ -54,13 +54,19 @@ object Bm25 {
     val tf = docs.select(col("doc_id"),
         explode(TextAnalysis.tokHashes(col("text"))).as("tok"))
       .groupBy("tok", "doc_id").agg(count(lit(1)).as("tf"))
-    val w = Window.partitionBy("tok").orderBy(col("tf").desc, col("doc_id"))
-    tf.withColumn("rk", row_number().over(w))
-      .groupBy("tok").agg(
+    // round-6: the head posting via ONE min-struct aggregate instead of
+    // a rank window + second aggregate — the window re-exchanged the
+    // full (tok, doc, tf) stream by tok and sorted every posting list in
+    // one task per token; the aggregate partial-combines map-side and
+    // shuffles |vocabulary| rows. min(struct(-tf, doc_id)) IS the
+    // (tf DESC, doc_id ASC) rank-1 row, so values are identical.
+    tf.groupBy("tok").agg(
         count(lit(1)).as("df"),
         sum("tf").as("tf_sum"),
-        max(when(col("rk") === 1, col("doc_id"))).as("top_doc_id"),
-        max(when(col("rk") === 1, col("tf"))).as("top_tf"))
+        min(struct((-col("tf")).as("ntf"), col("doc_id"))).as("_top"))
+      .select(col("tok"), col("df"), col("tf_sum"),
+        col("_top.doc_id").as("top_doc_id"),
+        (-col("_top.ntf")).as("top_tf"))
       .withColumn("shard", col("tok") % shards)
   }
 

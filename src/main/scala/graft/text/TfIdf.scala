@@ -125,11 +125,16 @@ object TfIdf {
       .groupBy("doc_id", "chunk_idx")
       .agg(first(col("passage")).as("passage"),
         sum(expr("1000000 DIV df")).as("rarity_score"))
-    val w = Window.partitionBy("doc_id")
-      .orderBy(col("rarity_score").desc, col("chunk_idx"))
-    scored.withColumn("rk", row_number().over(w))
-      .filter(col("rk") === 1)
-      .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
-        col("rarity_score"), col("passage"))
+    // round-6: rank-1 via ONE min-struct aggregate instead of a per-doc
+    // rank window (the postings rewrite): min(struct(-score, chunk_idx,
+    // passage)) IS the (score DESC, chunk_idx ASC) first row — chunk_idx
+    // is unique per doc, so the passage field never decides a tie — and
+    // the aggregate partial-combines map-side where the window paid an
+    // exchange + sort of the full chunk stream.
+    scored.groupBy("doc_id")
+      .agg(min(struct((-col("rarity_score")).as("nr"), col("chunk_idx"),
+        col("passage"))).as("_t"))
+      .select(col("doc_id"), col("_t.chunk_idx").cast("long").as("chunk_idx"),
+        (-col("_t.nr")).as("rarity_score"), col("_t.passage").as("passage"))
   }
 }

@@ -35,6 +35,24 @@ class FastTokSpec extends SparkSpec {
     compareOn(sources.Transcripts.load(spark, tiny).select("text"))
   }
 
+  test("fused kv extraction equals regexp_extract_all") {
+    def compareKv(df: org.apache.spark.sql.DataFrame): Unit = {
+      val bad = df.select(col("text"),
+          operators.KvExtract.kvs(col("text")).as("f"),
+          regexp_extract_all(col("text"),
+            lit("([a-z_0-9]+)=([^ ]*)"), lit(0)).as("d"))
+        .filter(col("f") =!= col("d")).collect()
+      assert(bad.isEmpty, s"kv mismatch: ${bad.take(3).mkString(";")}")
+    }
+    compareKv(sources.Transcripts.load(spark, tiny).select("text"))
+    compareKv(Seq(
+      "", "no pairs here", "a=1", "a=1 b=2", "a= b=", "a==b c=d=e",
+      "UPPER=1 mIx=2", "1ab=x -x=y _=z", "a=1\tb=2\nc=3", "tail=val ",
+      "x=😀y a=😀=z", "key=v=with=eq  double  spaces=1")
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text"))
+  }
+
   test("fused tokenizers equal declarative chains on adversarial strings") {
     val cases = Seq(
       "", "   ", "\t\n\f\r", "one", " leading", "trailing ",
