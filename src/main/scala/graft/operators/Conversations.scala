@@ -745,8 +745,10 @@ object Conversations {
       col("prev.n_set").as("prev_n"))
     val sameRole = col("prev_role").isNotNull && col("role") === col("prev_role")
     paired
+      // fused |A∩B| (value-identical to size(array_intersect), FastTokSpec)
+      // — skips materializing the intersection array on every turn pair
       .withColumn("_i",
-        size(array_intersect(col("tset"), col("prev_tset"))).cast("long"))
+        graft.text.ArrIntersectSize.of(col("tset"), col("prev_tset")))
       .withColumn("_u", col("n_set") + col("prev_n") - col("_i"))
       .withColumn("jac", when(sameRole,
         expr("CASE WHEN _u > 0 THEN _i * 1000 DIV _u ELSE 0 END")))

@@ -153,3 +153,55 @@ case class FastTokHashesExpr(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): FastTokHashesExpr =
     copy(child = newChild)
 }
+
+/** Fused |A ∩ B| over two string arrays — value-identical to
+  * `size(array_intersect(a, b))` (distinct common elements; parity in
+  * FastTokSpec incl. duplicate/empty/unicode shapes) without
+  * materializing the intersection ARRAY per row. The reword-retries
+  * adjacency pass evaluates this once per turn pair at corpus scale. */
+object ArrIntersectSize {
+  import org.apache.spark.sql.catalyst.util.ArrayData
+
+  def of(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.GraftBridge
+    GraftBridge.column(ArrIntersectSizeExpr(
+      GraftBridge.expression(a), GraftBridge.expression(b)))
+  }
+
+  def compute(a: ArrayData, b: ArrayData): Long = {
+    val nb = b.numElements()
+    val setB = new java.util.HashSet[UTF8String](nb * 2 + 16)
+    var i = 0
+    while (i < nb) { setB.add(b.getUTF8String(i)); i += 1 }
+    val na = a.numElements()
+    val seen = new java.util.HashSet[UTF8String](16)
+    var c = 0L
+    var j = 0
+    while (j < na) {
+      val e = a.getUTF8String(j)
+      if (setB.contains(e) && seen.add(e)) c += 1
+      j += 1
+    }
+    c
+  }
+}
+
+case class ArrIntersectSizeExpr(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "arr_intersect_size"
+  override def nullSafeEval(a: Any, b: Any): Any =
+    ArrIntersectSize.compute(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.text.ArrIntersectSize.compute($a, $b);")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ArrIntersectSizeExpr =
+    copy(left = newLeft, right = newRight)
+}

@@ -53,6 +53,21 @@ class FastTokSpec extends SparkSpec {
       .toDF("doc_id", "text"))
   }
 
+  test("fused intersect-size equals size(array_intersect)") {
+    val docs = spark.read.parquet(s"$tiny/documents.parquet")
+      .select(col("doc_id"), graft.text.FastTok.tokens(col("text")).as("a"))
+    val pairs = docs.withColumn("b",
+        org.apache.spark.sql.functions.reverse(col("a")))
+      .unionByName(docs.crossJoin(
+        Seq(Seq("the", "the", "of", "zz"), Seq.empty[String], Seq("é", "😀"))
+          .toDF("b")))
+    val bad = pairs.select(
+        graft.text.ArrIntersectSize.of(col("a"), col("b")).as("f"),
+        size(array_intersect(col("a"), col("b"))).cast("long").as("d"))
+      .filter(col("f") =!= col("d")).collect()
+    assert(bad.isEmpty, s"intersect-size mismatch: ${bad.take(3).mkString(";")}")
+  }
+
   test("fused tokenizers equal declarative chains on adversarial strings") {
     val cases = Seq(
       "", "   ", "\t\n\f\r", "one", " leading", "trailing ",
